@@ -1,0 +1,477 @@
+"""LLM-data-pipeline + reference-semantics queries: tag upsert, dedup,
+similarity search, text analysis, multimodal, UDF surface, and the
+flagship enrichment pipeline (the end-to-end port of the reference).
+"""
+
+from __future__ import annotations
+
+import gzip
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StringType
+
+from arc_kinesis_tagging_spark.functions.arrays import AUTOTAG, make_tag, tag_upsert
+from arc_kinesis_tagging_spark.functions.text import (
+    fingerprint_expr,
+    language_id_expr,
+    quality_score_expr,
+    stable_hash64,
+    token_count_exprs,
+    tokens,
+)
+from arc_kinesis_tagging_spark.operators.dedup import (
+    dedup_exact,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from arc_kinesis_tagging_spark.operators.multimodal import attach_fake_media, decode_media
+from arc_kinesis_tagging_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+)
+from arc_kinesis_tagging_spark.operators.textops import term_frequencies
+from arc_kinesis_tagging_spark.plans.common import Query, dec
+from arc_kinesis_tagging_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# --- tag-array upsert (the reference's core mutation, R14) ------------------
+
+def q_array_tag_upsert(spark, sf_dir):
+    """modify_ans (reference utility/tag.py:31-46) over all four input
+    classes: taxonomy absent / tags empty / tag present / other tags.
+    Output is scalar-typed so the oracle hash is engine-portable."""
+    d = _t(spark, sf_dir, "documents")
+    other = F.struct(F.lit("politics").alias("slug"), F.lit("Politics").alias("text"))
+    present = F.struct(F.lit(AUTOTAG[0]).alias("slug"), F.lit(AUTOTAG[1]).alias("text"))
+    tags_before = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(None).cast("array<struct<slug:string,text:string>>"))
+        .when(F.col("doc_id") % 4 == 1, F.array().cast("array<struct<slug:string,text:string>>"))
+        .when(F.col("doc_id") % 4 == 2, F.array(present))
+        .otherwise(F.array(other))
+    )
+    after = tag_upsert(tags_before, make_tag())
+    return d.select(
+        "doc_id",
+        F.coalesce(F.size(tags_before), F.lit(-1)).cast("long").alias("n_before"),
+        F.size(after).cast("long").alias("n_after"),
+        F.array_contains(after, make_tag()).alias("has_autotag"),
+        F.element_at(after, 1).getField("slug").alias("first_slug"),
+        F.element_at(after, F.size(after)).getField("slug").alias("last_slug"),
+    )
+
+
+ORACLE_TAG_UPSERT = """
+WITH base AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 4 = 0 THEN NULL
+           WHEN doc_id % 4 = 1 THEN []::STRUCT(slug VARCHAR, text VARCHAR)[]
+           WHEN doc_id % 4 = 2 THEN [{'slug': 'kinesis-autotag', 'text': 'kinesis autotag'}]
+           ELSE [{'slug': 'politics', 'text': 'Politics'}]
+         END AS tags_before
+  FROM documents
+), upserted AS (
+  SELECT doc_id, tags_before,
+         CASE WHEN list_contains(COALESCE(tags_before, []),
+                                 {'slug': 'kinesis-autotag', 'text': 'kinesis autotag'})
+              THEN COALESCE(tags_before, [])
+              ELSE list_append(COALESCE(tags_before, []),
+                               {'slug': 'kinesis-autotag', 'text': 'kinesis autotag'})
+         END AS after
+  FROM base
+)
+SELECT doc_id,
+       CAST(COALESCE(len(tags_before), -1) AS BIGINT) AS n_before,
+       CAST(len(after) AS BIGINT) AS n_after,
+       list_contains(after, {'slug': 'kinesis-autotag', 'text': 'kinesis autotag'}) AS has_autotag,
+       after[1].slug AS first_slug,
+       after[len(after)].slug AS last_slug
+FROM upserted
+"""
+
+
+def q_explode(spark, sf_dir):
+    """Token explode with position (posexplode)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+ORACLE_EXPLODE = """
+SELECT doc_id,
+       CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+       UNNEST(toks) AS token
+FROM (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+# --- dedup ------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup_exact(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS digest, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """EXACT n-gram Jaccard similarity join (inverted-index formulation)
+    on a deterministic corpus slice; also serves as verification oracle
+    for the MinHash/SimHash approximate variants."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.6, shingle_n=1)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH docs AS (
+  SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS toks
+  FROM documents WHERE doc_id % 5 = 0
+), toks AS (
+  SELECT doc_id AS key, UNNEST(toks) AS tok FROM docs
+), sizes AS (
+  SELECT key, COUNT(*) AS sz FROM toks GROUP BY key
+), inter AS (
+  SELECT a.key AS key_a, b.key AS key_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.key < b.key
+  GROUP BY a.key, b.key
+)
+SELECT key_a, key_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.key = key_a
+JOIN sizes sb ON sb.key = key_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.6
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup candidates, exact-Jaccard verified on word
+    shingles. Sub-quadratic candidate generation — the 100 TB path; the
+    exact jaccard join above is its correctness oracle (rows-only here
+    because the banding internals aren't SQL-reproducible cheaply)."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        d, "text", "doc_id", n_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.3
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, "text", "doc_id", max_hamming=8, bands=4)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute force at test SF;
+    the LSH/IVF variants in operators/similarity.py are the scale path).
+    Rounded similarity for cross-engine comparability."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    from arc_kinesis_tagging_spark.functions.vectors import cosine_similarity
+
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos4", F.round(cosine_similarity(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos4") >= 0.8)
+        .select("id_a", "id_b", "cos4")
+    )
+
+
+ORACLE_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos4
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.8
+"""
+
+
+# --- similarity search ------------------------------------------------------
+
+def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline). Ordering uses the
+    4-dp-rounded similarity with vec_id tiebreak so the selected set is
+    identical across engines despite float ulp differences."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    from arc_kinesis_tagging_spark.functions.vectors import cosine_similarity
+
+    scored = (
+        e.select(F.col("vec_id"), F.col("embedding").alias("ce"))
+        .join(F.broadcast(q.withColumnRenamed("embedding", "qe")), F.lit(True))
+        .withColumn("cos4", F.round(cosine_similarity(F.col("ce"), F.col("qe")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos4").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cos4", "rank")
+    )
+
+
+ORACLE_SIMILARITY_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos4
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+), ranked AS (
+  SELECT query_id, vec_id, cos4,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos4 DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos4, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_similarity_ivf(spark, sf_dir):
+    """IVF-bucketed approximate top-k (the scale path; recall < 1 by
+    design -> rows-only check, judged against the brute-force baseline
+    in tests)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_ivf(e, q, k=5, nlist=16, nprobe=4)
+
+
+# --- text analysis ----------------------------------------------------------
+
+def q_text_termfreq(spark, sf_dir):
+    """Corpus term frequencies, top-100 (freq desc, token asc)."""
+    tf = term_frequencies(_t(spark, sf_dir, "documents"))
+    return tf.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(100)
+
+
+ORACLE_TERMFREQ = """
+WITH toks AS (
+  SELECT UNNEST(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+ORDER BY freq DESC, token ASC LIMIT 100
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality-scoring family: token counts, stopword/punct/alpha ratios,
+    mean word length — all JVM-side expressions (functions/text.py)."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    tc = token_count_exprs(text)
+    qs = quality_score_expr(text)
+    return d.select(
+        "doc_id",
+        tc["ws_tokens"].cast("long").alias("ws_tokens"),
+        tc["bpe_ish_tokens"].cast("long").alias("bpe_ish_tokens"),
+        qs["stopword_ratio"].alias("stopword_ratio"),
+        qs["punct_ratio"].alias("punct_ratio"),
+        qs["alpha_ratio"].alias("alpha_ratio"),
+        qs["mean_word_len"].alias("mean_word_len"),
+    )
+
+
+ORACLE_TEXT_QUALITY = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens,
+       CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','were','be','on','for','with','as','at','by','it','this','that'], lower(t)))) AS DOUBLE)
+         / GREATEST(len(toks), 1) AS stopword_ratio,
+       CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / GREATEST(length(text), 1) AS punct_ratio,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / GREATEST(length(text), 1) AS alpha_ratio,
+       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / GREATEST(len(toks), 1) AS mean_word_len
+FROM base
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", language_id_expr(F.col("text")).alias("lang_guess"))
+
+
+ORACLE_LANGID = """
+SELECT doc_id,
+  CASE
+    WHEN len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) / GREATEST(length(text), 1.0) > 0.05 THEN 'zh'
+    WHEN len(regexp_extract_all(text, '[\\x{AC00}-\\x{D7AF}]')) / GREATEST(length(text), 1.0) > 0.05 THEN 'ko'
+    WHEN len(regexp_extract_all(text, '[\\x{3040}-\\x{30FF}]')) / GREATEST(length(text), 1.0) > 0.05 THEN 'ja'
+    WHEN len(regexp_extract_all(text, '[\\x{0400}-\\x{04FF}]')) / GREATEST(length(text), 1.0) > 0.05 THEN 'ru'
+    WHEN len(regexp_extract_all(text, '[\\x{0600}-\\x{06FF}]')) / GREATEST(length(text), 1.0) > 0.05 THEN 'ar'
+    WHEN len(regexp_extract_all(text, '[àáâãäåèéêëìíîïòóôõöùúûüñç]')) / GREATEST(length(text), 1.0) > 0.02 THEN 'romance'
+    ELSE 'en'
+  END AS lang_guess
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Order-sensitive 60-bit rolling fingerprint: XOR of position-salted
+    md5-derived token hashes; bit-identical in the SQL oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+ORACLE_FINGERPRINT = """
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(toks, 1) AS pos,
+         UNNEST(toks) AS tok
+  FROM (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+    FROM documents
+  )
+)
+SELECT doc_id,
+       COALESCE(bit_xor(CAST(('0x' || substr(md5(CAST(pos AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT)), 0) AS fingerprint
+FROM toks
+GROUP BY doc_id
+"""
+
+
+# --- UDF surface / multimodal ----------------------------------------------
+
+def q_udf_decompress(spark, sf_dir):
+    """The reference's one genuinely custom scalar op: per-record gzip
+    decompress (app.py:35-38), as an Arrow-batched pandas UDF round-trip
+    with per-record error isolation (app.py:71-75). Rows-only: gzip
+    bytes aren't SQL-reproducible."""
+
+    @F.pandas_udf(BinaryType())
+    def gzip_compress(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: gzip.compress(t.encode("utf-8"), mtime=0) if t is not None else None)
+
+    @F.pandas_udf(StringType())
+    def gzip_decompress(b: pd.Series) -> pd.Series:
+        def dec_one(blob):
+            if blob is None:
+                return None
+            try:
+                return gzip.decompress(bytes(blob)).decode("utf-8")
+            except Exception:
+                return None  # dead-letter, never fail the job
+
+        return b.map(dec_one)
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("gz", gzip_compress(F.col("text")))
+        .withColumn("roundtrip", gzip_decompress(F.col("gz")))
+        .select(
+            "doc_id",
+            (F.col("roundtrip") == F.col("text")).alias("ok"),
+            F.length("gz").cast("long").alias("n_gz_bytes"),
+        )
+    )
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Binary media column + Arrow-batched mapInPandas decode
+    (operators/multimodal.py). Oracle recomputes the metadata path in
+    SQL — proving the Python decode path byte-for-byte."""
+    d = attach_fake_media(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return decode_media(d, "doc_id", "media")
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id AS media_id,
+       'image' AS media_type,
+       CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+       CAST(doc_id % 48 + 16 AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_payload_bytes,
+       sha256(text) AS payload_sha
+FROM documents
+"""
+
+
+# --- flagship pipeline ------------------------------------------------------
+
+def q_pipeline_tag_enrich(spark, sf_dir):
+    """The reference pipeline end-to-end as one batch query
+    (SURVEY.md §7 step 0): parse (R7) -> filter (R9) -> project (R10) ->
+    broadcast enrichment lookup (R12) -> tag decision (R13) -> idempotent
+    array upsert (R14) -> aggregate. documents is the Draft-API stand-in
+    keyed by doc_id (utility/tag.py:12-17)."""
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("doc_lang"), F.col("source").alias("doc_source")
+    )
+    parsed = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.get_json_object("props", "$.k").cast("long").alias("doc_id"),
+        )
+    )
+    enriched = parsed.join(F.broadcast(docs), "doc_id", "inner")
+    tagged = enriched.withColumn(
+        "tags", tag_upsert(F.lit(None).cast("array<struct<slug:string,text:string>>"), make_tag())
+    )
+    return (
+        tagged.groupBy("doc_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(dec("value", 6)).cast("double").alias("sum_value"),
+            F.max(F.size("tags")).cast("long").alias("max_tags"),
+        )
+    )
+
+
+ORACLE_PIPELINE = """
+SELECT d.lang AS doc_lang,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(1 AS BIGINT) AS max_tags
+FROM events e
+JOIN documents d ON d.doc_id = CAST(json_extract_string(e.props, '$.k') AS BIGINT)
+WHERE e.event_type = 'purchase'
+GROUP BY d.lang
+"""
+
+
+LLMOPS_QUERIES = [
+    Query("q_array_tag_upsert", q_array_tag_upsert, ORACLE_TAG_UPSERT),
+    Query("q_explode", q_explode, ORACLE_EXPLODE),
+    Query("q_dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT),
+    Query("q_dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    Query("q_dedup_minhash", q_dedup_minhash, None,
+          "LSH banding not SQL-reproducible; verified in tests against exact jaccard"),
+    Query("q_dedup_simhash", q_dedup_simhash, None,
+          "SimHash banding; verified in tests"),
+    Query("q_dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
+    Query("q_similarity_topk", q_similarity_topk, ORACLE_SIMILARITY_TOPK),
+    Query("q_similarity_ivf", q_similarity_ivf, None,
+          "approximate recall by design; judged against brute force in tests"),
+    Query("q_text_termfreq", q_text_termfreq, ORACLE_TERMFREQ),
+    Query("q_text_quality", q_text_quality, ORACLE_TEXT_QUALITY),
+    Query("q_text_langid", q_text_langid, ORACLE_LANGID),
+    Query("q_text_fingerprint", q_text_fingerprint, ORACLE_FINGERPRINT),
+    Query("q_udf_decompress", q_udf_decompress, None,
+          "gzip pandas UDF round-trip; rows-only"),
+    Query("q_multimodal_decode", q_multimodal_decode, ORACLE_MULTIMODAL),
+    Query("q_pipeline_tag_enrich", q_pipeline_tag_enrich, ORACLE_PIPELINE),
+]
