@@ -61,30 +61,73 @@ def _deterministic_coeff(i: int, salt: str, bits: int) -> int:
     return h & ((1 << bits) - 1)
 
 
-def _minhash_sigs(df: DataFrame, text_col: str, n_hashes: int, shingle_n: int) -> DataFrame:
-    """Add ``__sig`` array<long>: minhash signature over word shingles.
+def _shingle_hashes(text_col: str, shingle_n: int) -> F.Column:
+    """Distinct word-shingle hashes as ``array<long>`` — WITHOUT
+    materializing shingle strings.
 
-    Permutation i is the affine map h_i(x) = (a_i*x + b_i) mod p over a
-    32-bit stable shingle hash; a_i < 2^29 keeps a_i*x < 2^61, so the
-    arithmetic never overflows a long even under ANSI mode.
+    Each token is hashed once (32-bit md5 prefix, portable); a shingle
+    hash is the order-sensitive combination sum(h_j * C_j) masked to 32
+    bits over the window of ``shingle_n`` token hashes — intermediate
+    products stay below 2^62 and the 32-bit result keeps downstream
+    permutation products overflow-free under ANSI mode. Avoiding
+    per-shingle string concat+md5 matters because Spark evaluates array
+    HOFs interpreted (CodegenFallback): per-element work must be cheap
+    arithmetic, not string churn.
     """
-    sh = F.array_distinct(shingles(F.col(text_col), shingle_n))
-    # 32-bit base hash: first 8 hex chars of md5 (engine-portable).
-    base = F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    tok_hashes = F.transform(
+        tokens(F.col(text_col)),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
     )
+    combine = [_deterministic_coeff(j, "shingle-c", 29) | 1 for j in range(shingle_n)]
+    mask32 = (1 << 32) - 1
 
-    def perm(a: int, b: int):
-        # single-arg closure (PySpark derives HOF arity from the
-        # Python signature, so no default-arg capture here)
-        return lambda x: (x * a + b) % _MERSENNE
+    def from_tok_hashes(th):
+        n = F.greatest(F.size(th) - F.lit(shingle_n - 1), F.lit(0))
+        acc = F.transform(F.slice(th, 1, n), lambda x: (x * combine[0]).bitwiseAND(mask32))
+        for j in range(1, shingle_n):
+            cj = combine[j]
+            acc = F.zip_with(
+                acc,
+                F.slice(th, 1 + j, n),
+                lambda x, y: (x + (y * cj).bitwiseAND(mask32)).bitwiseAND(mask32),
+            )
+        return F.array_distinct(acc)
 
-    perms = []
-    for i in range(n_hashes):
-        a = _deterministic_coeff(i, "minhash-a", 29) | 1
-        b = _deterministic_coeff(i, "minhash-b", 32)
-        perms.append(F.array_min(F.transform(base, perm(a, b))))
-    return df.withColumn("__shingles", sh).withColumn("__sig", F.array(*perms))
+    # Single-evaluation wrapper: tok_hashes binds to a lambda variable
+    # so the md5 pass runs once, not once per slice.
+    return F.element_at(F.transform(F.array(tok_hashes), from_tok_hashes), 1)
+
+
+def _minhash_sigs(df: DataFrame, text_col: str, key_col: str, n_hashes: int, shingle_n: int) -> DataFrame:
+    """(__key, __sh_hashes array<long>, __sig array<long>) minhash table.
+
+    Signatures use the explode + groupBy-min formulation: one row per
+    (doc, shingle-hash), then ``n_hashes`` codegen'd min aggregates —
+    partial aggregation runs map-side, so the shuffle carries one row
+    per doc. Permutation i is the affine map (a_i*x + b_i) mod (2^61-1)
+    with fixed md5-derived coefficients: deterministic across engines,
+    runs, and Spark versions.
+    """
+    coeffs = [
+        (_deterministic_coeff(i, "minhash-a", 29) | 1, _deterministic_coeff(i, "minhash-b", 32))
+        for i in range(n_hashes)
+    ]
+    hashed = df.select(
+        F.col(key_col).alias("__key"),
+        _shingle_hashes(text_col, shingle_n).alias("__sh_hashes"),
+    )
+    ex = hashed.select("__key", F.explode("__sh_hashes").alias("__h"))
+    sig = (
+        ex.groupBy("__key")
+        .agg(
+            *[
+                F.min((F.col("__h") * a + b) % _MERSENNE).alias(f"__m{i}")
+                for i, (a, b) in enumerate(coeffs)
+            ]
+        )
+        .select("__key", F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("__sig"))
+    )
+    return hashed.join(sig, "__key")
 
 
 def minhash_near_duplicates(
@@ -104,13 +147,15 @@ def minhash_near_duplicates(
     distinct candidate pairs -> exact Jaccard on shingle sets ->
     threshold filter. Returns (key_a, key_b, jaccard).
     """
-    rows = bands and n_hashes // bands
-    sigs = _minhash_sigs(df, text_col, n_hashes, shingle_n).select(
-        F.col(key_col).alias("__key"), "__sig", "__shingles"
-    )
+    rows = n_hashes // bands
+    # Persist the signature table: it feeds the band explode AND both
+    # sides of the bucket self-join AND the final verification joins —
+    # without the persist, Catalyst's projection collapse would inline
+    # (and recompute) the hashing pipeline at every use site.
+    sigs = _minhash_sigs(df, text_col, key_col, n_hashes, shingle_n).persist()
+    # Band keys only — shingle arrays must not ride the join shuffle.
     banded = sigs.select(
         "__key",
-        "__shingles",
         F.explode(
             F.array(
                 *[
@@ -130,7 +175,7 @@ def minhash_near_duplicates(
                 ]
             )
         ).alias("__band"),
-    ).select("__key", "__shingles", "__band.band", "__band.bkey")
+    ).select("__key", "__band.band", "__band.bkey")
 
     # Skew guard: drop pathological buckets (boilerplate shingles).
     bucket_w = Window.partitionBy("band", "bkey")
@@ -138,22 +183,25 @@ def minhash_near_duplicates(
         F.col("__bsz") <= max_bucket_size
     )
 
-    a = banded.select(
-        F.col("__key").alias("key_a"), F.col("__shingles").alias("__sh_a"), "band", "bkey"
-    )
-    b = banded.select(
-        F.col("__key").alias("key_b"), F.col("__shingles").alias("__sh_b"), "band", "bkey"
-    )
+    a = banded.select(F.col("__key").alias("key_a"), "band", "bkey")
+    b = banded.select(F.col("__key").alias("key_b"), "band", "bkey")
     cands = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b", "__sh_a", "__sh_b")
+        .select("key_a", "key_b")
         .dropDuplicates(["key_a", "key_b"])
     )
+    # Verify candidates with exact Jaccard over shingle-hash sets (two
+    # small hash joins against the persisted signature table; 32-bit
+    # hash collisions perturb jaccard by < 1e-6 at realistic doc sizes).
+    sh_a = sigs.select(F.col("__key").alias("key_a"), F.col("__sh_hashes").alias("__sh_a"))
+    sh_b = sigs.select(F.col("__key").alias("key_b"), F.col("__sh_hashes").alias("__sh_b"))
     inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
     union = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
     return (
-        cands.withColumn("jaccard", inter / union)
+        cands.join(sh_a, "key_a")
+        .join(sh_b, "key_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("key_a", "key_b", "jaccard")
     )
@@ -223,24 +271,31 @@ def _simhash64(text_col: str) -> F.Column:
         # 2^i as a long column (exact: powers of two are exact doubles)
         return F.pow(F.lit(2.0), i.cast("double")).cast("long")
 
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(59)),
-        lambda i: F.aggregate(
-            hashed,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(pow2(i)) != 0, 1).otherwise(-1),
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            bit_votes,
+    def fold_bits(h):
+        # h is the evaluated token-hash array (lambda variable), so the
+        # md5 pipeline runs ONCE per row, not once per bit position.
+        bit_votes = F.transform(
             F.sequence(F.lit(0), F.lit(59)),
-            lambda v, i: F.when(v > 0, pow2(i)).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+            lambda i: F.aggregate(
+                h,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc
+                + F.when(t.bitwiseAND(pow2(i)) != 0, 1).otherwise(-1),
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(
+                bit_votes,
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda v, i: F.when(v > 0, pow2(i)).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseOR(x),
+        )
+
+    # Single-evaluation wrapper: pass `hashed` through a one-element
+    # array HOF so it is computed once and bound to a lambda variable.
+    return F.element_at(F.transform(F.array(hashed), fold_bits), 1)
 
 
 def simhash_near_duplicates(
@@ -256,7 +311,8 @@ def simhash_near_duplicates(
     on (band, chunk), verify true Hamming distance <= ``max_hamming``.
     """
     width = 60 // bands
-    sh = df.select(F.col(key_col).alias("key"), _simhash64(text_col).alias("sim"))
+    # Persist: both sides of the bucket self-join read this table.
+    sh = df.select(F.col(key_col).alias("key"), _simhash64(text_col).alias("sim")).persist()
     chunks = sh.select(
         "key",
         "sim",

@@ -171,8 +171,8 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, "text", "doc_id", max_hamming=8, bands=4)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return simhash_near_duplicates(d, "text", "doc_id", max_hamming=3, bands=4)
 
 
 def q_dedup_embedding(spark, sf_dir):

@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall-clock seconds.
+
+Each query is forced to full execution with a noop-format write
+(df.write.format("noop")) so timing covers scan -> shuffle -> sink
+without driver collection overhead. One warm-up run of a tiny query
+amortizes JVM/session startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from arc_kinesis_tagging_spark.plans.registry import QUERIES
+from arc_kinesis_tagging_spark.session import get_session
+
+# Headline set: one representative per operator family, weighted
+# toward the shuffle-heavy ops that dominate at 100 TB.
+HEADLINE = [
+    "q_agg_group",        # TPC-H Q1-style scan+agg
+    "q_join_smj",         # large-large sort-merge join
+    "q_join_broadcast",   # star-schema broadcast enrichment
+    "q_join_asof",        # union+window as-of join
+    "q_window_frame",     # running-total window
+    "q_topk",             # TakeOrderedAndProject
+    "q_window_session",   # session windows
+    "q_dedup_exact",      # hash dedup
+    "q_dedup_minhash",    # MinHash-LSH near-dup
+    "q_similarity_topk",  # brute-force cosine top-k
+    "q_text_termfreq",    # token explode + agg
+    "q_text_quality",     # expression-heavy projection
+    "q_pipeline_tag_enrich",  # the flagship reference pipeline
+]
+
+
+def run_once(spark, name: str, sf_dir: str) -> float:
+    df = QUERIES[name].builder(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_session("bench")
+    # warm-up: JVM + parquet footer caches
+    run_once(spark, "q_topk", sf_dir)
+
+    queries = {}
+    total = 0.0
+    for name in HEADLINE:
+        dt = run_once(spark, name, sf_dir)
+        queries[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
