@@ -31,8 +31,13 @@ from pyspark.sql import functions as F
 
 from arc_kinesis_tagging_spark.functions.text import shingles, stable_hash64, tokens
 
-# Mersenne prime 2^61-1: modulus for the affine minhash permutations.
+# Mersenne primes: 2^61-1 bounds intermediate arithmetic; 2^31-1 is the
+# minhash permutation modulus — it must sit far BELOW the product range
+# (x*a ~ 2^61) so the affine map wraps many times and actually permutes
+# the order; an un-wrapped affine map is monotonic and every
+# "permutation" would select the same minimum element.
 _MERSENNE = (1 << 61) - 1
+_PRIME31 = (1 << 31) - 1
 
 
 def dedup_exact(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
@@ -104,9 +109,11 @@ def _minhash_sigs(df: DataFrame, text_col: str, key_col: str, n_hashes: int, shi
     Signatures use the explode + groupBy-min formulation: one row per
     (doc, shingle-hash), then ``n_hashes`` codegen'd min aggregates —
     partial aggregation runs map-side, so the shuffle carries one row
-    per doc. Permutation i is the affine map (a_i*x + b_i) mod (2^61-1)
+    per doc. Permutation i is the affine map (a_i*x + b_i) mod (2^31-1)
     with fixed md5-derived coefficients: deterministic across engines,
-    runs, and Spark versions.
+    runs, and Spark versions. The modulus sits far below the x*a_i
+    product range so the map wraps and genuinely permutes (see note on
+    _PRIME31 above).
     """
     coeffs = [
         (_deterministic_coeff(i, "minhash-a", 29) | 1, _deterministic_coeff(i, "minhash-b", 32))
@@ -121,7 +128,7 @@ def _minhash_sigs(df: DataFrame, text_col: str, key_col: str, n_hashes: int, shi
         ex.groupBy("__key")
         .agg(
             *[
-                F.min((F.col("__h") * a + b) % _MERSENNE).alias(f"__m{i}")
+                F.min((F.col("__h") * a + b) % _PRIME31).alias(f"__m{i}")
                 for i, (a, b) in enumerate(coeffs)
             ]
         )

@@ -166,7 +166,7 @@ def q_dedup_minhash(spark, sf_dir):
     because the banding internals aren't SQL-reproducible cheaply)."""
     d = _t(spark, sf_dir, "documents")
     return minhash_near_duplicates(
-        d, "text", "doc_id", n_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.3
+        d, "text", "doc_id", n_hashes=32, bands=8, shingle_n=3, jaccard_threshold=0.3
     )
 
 

@@ -1,0 +1,24 @@
+from arc_kinesis_tagging_spark.streaming.pipeline import (
+    ANS_SCHEMA,
+    decode_and_route,
+    filter_publish_events,
+    project_story_fields,
+    story_pipeline,
+)
+from arc_kinesis_tagging_spark.streaming.source import (
+    read_record_stream,
+    write_stream_fixture,
+)
+from arc_kinesis_tagging_spark.streaming.sinks import DocumentStore, autotag_sink
+
+__all__ = [
+    "ANS_SCHEMA",
+    "decode_and_route",
+    "filter_publish_events",
+    "project_story_fields",
+    "story_pipeline",
+    "read_record_stream",
+    "write_stream_fixture",
+    "DocumentStore",
+    "autotag_sink",
+]

@@ -1,0 +1,123 @@
+"""Operator semantics tests: as-of/interval joins against naive
+formulations, LSH dedup against exact Jaccard, IVF against brute
+force — the cross-checks the DuckDB oracle can't express."""
+
+from pyspark.sql import functions as F
+
+from arc_kinesis_tagging_spark.operators.dedup import (
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from arc_kinesis_tagging_spark.operators.joins import asof_join, interval_join
+from arc_kinesis_tagging_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+)
+from arc_kinesis_tagging_spark.sources.tables import load_table
+
+
+def test_asof_join_matches_naive(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderdate")
+    fast = asof_join(
+        ev.withColumnRenamed("user_id", "o_custkey"),
+        orders,
+        on=["o_custkey"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderdate"],
+    ).select("event_id", F.col("asof_o_orderdate").alias("m"))
+    # naive: join-all + max
+    naive = (
+        ev.join(orders, (ev["user_id"] == orders["o_custkey"]) & (orders["o_orderdate"] <= ev["ts"]))
+        .groupBy("event_id")
+        .agg(F.max("o_orderdate").alias("m"))
+    )
+    fast_map = {r["event_id"]: r["m"] for r in fast.collect() if r["m"] is not None}
+    naive_map = {r["event_id"]: r["m"] for r in naive.collect()}
+    assert fast_map == naive_map and len(fast_map) > 0
+
+
+def test_interval_join_matches_naive(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+        F.col("event_id").alias("error_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    fast = interval_join(
+        purchases, "ts", errors, "win_start", "win_end", 7200, extra_on=["user_id"]
+    ).select("event_id", "error_id")
+    naive = purchases.alias("p").join(
+        errors.alias("e"),
+        (F.col("p.user_id") == F.col("e.user_id"))
+        & (F.col("p.ts") >= F.col("e.win_start"))
+        & (F.col("p.ts") < F.col("e.win_end")),
+    ).select("event_id", "error_id")
+    assert {tuple(r) for r in fast.collect()} == {tuple(r) for r in naive.collect()}
+
+
+def test_minhash_finds_exact_jaccard_pairs(spark, sf_dir):
+    """Every high-jaccard pair (well above threshold) must be found by
+    the LSH candidate generation; reported jaccard (hash-set based)
+    must be close to the exact string-shingle jaccard."""
+    docs = load_table(spark, "documents", sf_dir)
+    exact = {
+        (r["key_a"], r["key_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, shingle_n=3).collect()
+    }
+    found = {
+        (r["key_a"], r["key_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(
+            # 16 bands x 2 rows: P(miss) < 0.1% at jaccard 0.7
+            docs, "text", "doc_id", n_hashes=32, bands=16, shingle_n=3, jaccard_threshold=0.3
+        ).collect()
+    }
+    strong = {p for p, j in exact.items() if j >= 0.7}
+    missed = strong - set(found)
+    assert not missed, f"LSH missed strong pairs: {missed}"
+    for p in strong:
+        assert abs(found[p] - exact[p]) < 0.05
+
+
+def test_simhash_self_similarity(spark, sf_dir):
+    """Pigeonhole guarantee: with 12 bands over 60 bits, EVERY pair
+    within hamming 11 shares an exact band, so near-identical docs
+    (duplicated with a one-token tweak) must all be found."""
+    from arc_kinesis_tagging_spark.operators.dedup import _simhash64
+
+    docs = load_table(spark, "documents", sf_dir).limit(50)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extra"))
+    )
+    both = docs.unionByName(dup)
+    sims = {
+        r["doc_id"]: r["sim"]
+        for r in both.select("doc_id", _simhash64("text").alias("sim")).collect()
+    }
+    expected = {
+        (i, i + 100000)
+        for i in sims
+        if i < 100000 and bin(sims[i] ^ sims[i + 100000]).count("1") <= 11
+    }
+    pairs = simhash_near_duplicates(both, "text", "doc_id", max_hamming=11, bands=12).collect()
+    got = {(r["key_a"], r["key_b"]) for r in pairs}
+    assert len(expected) >= 40  # the tweak is small: most dups are close
+    assert expected <= got
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = cosine_topk_bruteforce(emb, q, k=5)
+    ivf = cosine_topk_ivf(emb, q, k=5, nlist=8, nprobe=4)
+    b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    i = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    recall = len(b & i) / len(b)
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+    # every query's own vector must be its top hit in both
+    for qid in range(10):
+        assert (qid, qid) in b and (qid, qid) in i
