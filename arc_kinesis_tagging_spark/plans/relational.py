@@ -640,6 +640,99 @@ GROUP BY user_id, sid
 """
 
 
+# --- composite analytics (TPC-H-shaped, adapted to available columns) -------
+
+def q_tpch_q3ish(spark, sf_dir):
+    """Q3-shaped: revenue of building-segment orders by order, top 10.
+    customer filter -> broadcast into orders -> SMJ with lineitem ->
+    two-level agg -> TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TPCH_Q3 = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_tpch_q5ish(spark, sf_dir):
+    """Q5-shaped: revenue by nation for one region's local commerce
+    (customer and supplier in the same nation). Two broadcast dims +
+    two large-table joins + same-nation residual."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(c, (o["o_custkey"] == c["c_custkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_TPCH_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_agg_percentile(spark, sf_dir):
+    """Exact continuous percentiles (median/p90) — linear interpolation,
+    identical formula in Spark percentile() and DuckDB quantile_cont."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.min("o_totalprice").alias("pmin"),
+        F.max("o_totalprice").alias("pmax"),
+    )
+
+
+ORACLE_PERCENTILE = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       MIN(o_totalprice) AS pmin,
+       MAX(o_totalprice) AS pmax
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 RELATIONAL_QUERIES = [
     Query("q_scan_parquet", q_scan_parquet,
           "SELECT p_partkey, p_name, p_size FROM part WHERE p_size > 30"),
@@ -699,6 +792,9 @@ RELATIONAL_QUERIES = [
     Query("q_date_funcs", q_date_funcs, ORACLE_DATE),
     Query("q_math_funcs", q_math_funcs, ORACLE_MATH),
     Query("q_map_funcs", q_map_funcs, ORACLE_MAP),
+    Query("q_tpch_q3ish", q_tpch_q3ish, ORACLE_TPCH_Q3),
+    Query("q_tpch_q5ish", q_tpch_q5ish, ORACLE_TPCH_Q5),
+    Query("q_agg_percentile", q_agg_percentile, ORACLE_PERCENTILE),
     Query("q_window_tumbling", q_window_tumbling, ORACLE_TUMBLING),
     Query("q_window_sliding", q_window_sliding, ORACLE_SLIDING),
     Query("q_window_session", q_window_session, ORACLE_SESSION),

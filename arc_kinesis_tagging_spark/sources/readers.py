@@ -1,0 +1,76 @@
+"""Schema-explicit file readers beyond parquet.
+
+The engine's sources: parquet (columnar, the scale default), JSON lines
+(the reference's wire format, schema declared — never inferred in
+production: inference is a full extra pass over 100 TB), CSV, and the
+record-stream sources in streaming/source.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_json(spark: SparkSession, path: str, schema: str, multiline: bool = False) -> DataFrame:
+    """JSON-lines reader with declared schema + corrupt-record capture
+    (PERMISSIVE, same dead-letter discipline as the stream pipeline)."""
+    return (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("multiLine", multiline)
+        .json(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: str, header: bool = True) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet sink — the layout that buys partition pruning
+    on read (WHERE on a partition column skips whole directories)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def upsert_by_key_parquet(
+    spark: SparkSession, df: DataFrame, path: str, key_col: str, version_col: str
+) -> None:
+    """Batch keyed upsert into parquet: union existing + new, keep the
+    max-version row per key, rewrite.
+
+    This is the batch analog of the reference's PUT-full-document sink
+    (utility/tag.py:19-29) with last-writer-wins semantics
+    (README.md:250 documents the read-modify-write race; versioning
+    makes it explicit). Production uses a table format with MERGE
+    (Delta/Iceberg) so the rewrite touches only affected files; plain
+    parquet rewrites the table, which is fine for dimension-sized data
+    only.
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        merged = existing.unionByName(df, allowMissingColumns=True)
+    else:
+        merged = df
+    w = Window.partitionBy(key_col).orderBy(F.col(version_col).desc())
+    winner = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # materialize before overwrite (can't stream from the file being replaced)
+    winner.cache().count()
+    winner.write.mode("overwrite").parquet(path)
+    winner.unpersist()

@@ -1,0 +1,119 @@
+"""Event-time + stateful streaming: watermarked windowed aggregation
+(append mode), watermarked dedup, and custom state via
+applyInPandasWithState — the streaming rows of SURVEY.md §2.B."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RECORDS = [
+    # (event_id, ts, user_id, value) — two hours of events
+    (1, "2024-01-01 10:05:00", 1, 10.0),
+    (2, "2024-01-01 10:15:00", 1, 20.0),
+    (3, "2024-01-01 10:45:00", 2, 30.0),
+    (4, "2024-01-01 11:05:00", 2, 40.0),
+    (5, "2024-01-01 11:20:00", 1, 50.0),
+    (6, "2024-01-01 12:40:00", 3, 60.0),  # advances watermark far ahead
+    (1, "2024-01-01 10:05:00", 1, 10.0),  # duplicate of event 1
+]
+SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stateful-src"))
+    from datetime import datetime
+
+    spark.createDataFrame(
+        [(i, datetime.fromisoformat(t), u, v) for i, t, u, v in RECORDS], SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _stream(spark, d):
+    return spark.readStream.schema(SCHEMA).parquet(d)
+
+
+def test_watermarked_tumbling_append(spark, stream_dir, tmp_path):
+    """Append-mode windowed agg only emits windows sealed by the final
+    watermark (max event time 12:40 - 30 min => windows before 12:10)."""
+    agg = (
+        _stream(spark, stream_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_tumbling")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["ws"], r["n"]) for r in spark.sql("select * from wm_tumbling").collect()}
+    # 10:00 window: events 1,2,3 + duplicate = 4; 11:00 window: events 4,5 = 2
+    # 12:00 window is NOT sealed (12:40-0:30 = 12:10 < 13:00) -> withheld
+    assert got == {("2024-01-01 10:00:00", 4), ("2024-01-01 11:00:00", 2)}
+
+
+def test_dedup_within_watermark(spark, stream_dir, tmp_path):
+    dedup = (
+        _stream(spark, stream_dir)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select event_id from wm_dedup").collect()
+    ids = [r["event_id"] for r in rows]
+    assert sorted(ids) == [1, 2, 3, 4, 5, 6]  # duplicate of 1 dropped
+
+
+def test_apply_in_pandas_with_state_running_count(spark, stream_dir, tmp_path):
+    """Custom stateful operator: running per-user event count + value
+    sum via applyInPandasWithState (the reference has no analog; this
+    is the arbitrary-state extension point, SURVEY.md §2.B)."""
+
+    out_schema = "user_id long, n long, total double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
+
+    result = (
+        _stream(spark, stream_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    q = (
+        result.writeStream.format("memory")
+        .queryName("running_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select user_id, max(n) as n, max(total) as total from running_counts group by user_id"
+    ).collect()
+    got = {r["user_id"]: (r["n"], r["total"]) for r in rows}
+    assert got == {1: (4, 90.0), 2: (2, 70.0), 3: (1, 60.0)}
