@@ -8,8 +8,14 @@ from arc_kinesis_tagging_spark.plans.common import Query
 from arc_kinesis_tagging_spark.plans.llmops import LLMOPS_QUERIES
 from arc_kinesis_tagging_spark.plans.relational import RELATIONAL_QUERIES
 from arc_kinesis_tagging_spark.plans.relational2 import RELATIONAL2_QUERIES
+from arc_kinesis_tagging_spark.plans.relational3 import RELATIONAL3_QUERIES
 
-ALL_QUERIES: list[Query] = [*RELATIONAL_QUERIES, *RELATIONAL2_QUERIES, *LLMOPS_QUERIES]
+ALL_QUERIES: list[Query] = [
+    *RELATIONAL_QUERIES,
+    *RELATIONAL2_QUERIES,
+    *RELATIONAL3_QUERIES,
+    *LLMOPS_QUERIES,
+]
 
 QUERIES: dict[str, Query] = {q.name: q for q in ALL_QUERIES}
 

@@ -1,0 +1,145 @@
+"""Third relational batch: array function family, regex family,
+extended dates, collect/agg-to-array, sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arc_kinesis_tagging_spark.plans.common import Query
+from arc_kinesis_tagging_spark.functions.text import tokens
+from arc_kinesis_tagging_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, name, sf_dir)
+
+
+def q_array_funcs(spark, sf_dir):
+    """Array family over tokenized documents: sort, slice, size,
+    position, distinct-count, contains, reverse-sort via sort+reverse."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.sort_array(toks).alias("sorted_toks"),
+        F.slice(toks, 1, 5).alias("first5"),
+        F.size(toks).cast("long").alias("n"),
+        F.array_position(toks, "spark").cast("long").alias("spark_pos"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_contains(toks, "vector").alias("has_vector"),
+        F.reverse(F.sort_array(toks)).alias("rsorted"),
+    )
+
+
+ORACLE_ARRAY = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id,
+       list_sort(toks) AS sorted_toks,
+       list_slice(toks, 1, 5) AS first5,
+       CAST(len(toks) AS BIGINT) AS n,
+       CAST(COALESCE(list_position(toks, 'spark'), 0) AS BIGINT) AS spark_pos,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       list_contains(toks, 'vector') AS has_vector,
+       list_reverse_sort(toks) AS rsorted
+FROM base
+"""
+
+
+def q_regex_funcs(spark, sf_dir):
+    c = _t(spark, sf_dir, "part")
+    return c.select(
+        "p_partkey",
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("novowels"),
+        F.regexp_count(F.col("p_name"), F.lit(r"[a-z]+")).cast("long").alias("n_words"),
+        F.col("p_name").rlike(r"pink|red").alias("is_warm"),
+        F.regexp_extract("p_type", r"(\w+)$", 1).alias("last_word"),
+    )
+
+
+ORACLE_REGEX = """
+SELECT p_partkey,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS novowels,
+       CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
+       regexp_matches(p_name, 'pink|red') AS is_warm,
+       regexp_extract(p_type, '(\\w+)$', 1) AS last_word
+FROM part
+"""
+
+
+def q_date_funcs2(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).cast("string").alias("month_end"),
+        F.date_add(d.cast("date"), 30).cast("string").alias("plus30"),
+        F.add_months(d.cast("date"), 1).cast("string").alias("plus_month"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.quarter(d).cast("long").alias("q"),
+    )
+
+
+ORACLE_DATE2 = """
+SELECT o_orderkey,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+       -- integer date addition on purpose: DuckDB 1.0's CSE wrongly
+       -- unifies two (date + INTERVAL <const>) expressions that differ
+       -- only in the interval constant, so the two additions must be
+       -- structurally different expressions
+       (CAST(o_orderdate AS DATE) + 30)::VARCHAR AS plus30,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)::VARCHAR AS plus_month,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       CAST(quarter(o_orderdate) AS BIGINT) AS q
+FROM orders
+"""
+
+
+def q_collect_agg(spark, sf_dir):
+    """Aggregate-to-array (sorted for determinism) + string_agg."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations_csv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_COLLECT = """
+SELECT n_regionkey,
+       list_sort(array_agg(n_name)) AS nations,
+       list_aggregate(list_sort(array_agg(n_name)), 'string_agg', ',') AS nations_csv,
+       COUNT(*) AS n
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+def q_sample(spark, sf_dir):
+    """Seeded Bernoulli sample + stratified sampleBy — engine-specific
+    RNG, so rows-only (the driver checks row production, tests check
+    statistical bounds). Sampling is a first-class training-data op:
+    down-sampling over-represented sources is routine at 100 TB."""
+    l = _t(spark, sf_dir, "lineitem")
+    flat = l.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    strat = (
+        l.sampleBy("l_returnflag", {"N": 0.05, "A": 0.2, "R": 0.2}, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return flat.join(l, ["l_orderkey", "l_linenumber"]).groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).crossJoin(strat)
+
+
+RELATIONAL3_QUERIES = [
+    Query("q_array_funcs", q_array_funcs, ORACLE_ARRAY),
+    Query("q_regex_funcs", q_regex_funcs, ORACLE_REGEX),
+    Query("q_date_funcs2", q_date_funcs2, ORACLE_DATE2),
+    Query("q_collect_agg", q_collect_agg, ORACLE_COLLECT),
+    Query("q_sample", q_sample, None, "seeded sampling; engine-specific RNG -> rows-only"),
+]
