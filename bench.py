@@ -46,6 +46,68 @@ def run_once(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_stream_pipeline(spark, sf_dir: str, n_records: int = 20000) -> tuple[float, float]:
+    """Streaming pipeline throughput: gzip'd-JSON records through
+    decode -> route -> filter -> project with a foreachBatch counting
+    sink. Returns (seconds, records/sec). The reference's ceiling is
+    ~13.3 rec/s (BASELINE.md); this measures ours on the same record
+    shape."""
+    import json as _json
+    import gzip as _gzip
+    import tempfile
+
+    from arc_kinesis_tagging_spark.streaming.pipeline import story_pipeline
+    from arc_kinesis_tagging_spark.streaming.source import (
+        RECORD_SCHEMA,
+        read_record_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="bench-stream-")
+    ckpt = tempfile.mkdtemp(prefix="bench-ckpt-")
+    doc = {
+        "id": "doc-%d",
+        "operation": "insert-story",
+        "published": True,
+        "created": False,
+        "type": "story",
+        "trigger": {"referent_update": True},
+        "body": {"headlines": {"basic": "headline"}, "revision": "r1"},
+    }
+    # one gzip blob template per 100 ids keeps fixture generation cheap
+    rows = []
+    for i in range(n_records):
+        d = dict(doc)
+        d["id"] = f"doc-{i}"
+        rows.append(
+            (
+                _gzip.compress(_json.dumps(d, sort_keys=True).encode(), mtime=0),
+                f"shardId-{i % 4:012d}",
+                i,
+            )
+        )
+    spark.createDataFrame(rows, RECORD_SCHEMA).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    counted = {"n": 0}
+
+    def count_batch(batch_df, batch_id):
+        counted["n"] += batch_df.count()
+
+    t0 = time.perf_counter()
+    q = (
+        story_pipeline(read_record_stream(spark, src))
+        .writeStream.foreachBatch(count_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    dt = time.perf_counter() - t0
+    assert counted["n"] == n_records, counted
+    return dt, n_records / dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -59,6 +121,10 @@ def main() -> None:
         dt = run_once(spark, name, sf_dir)
         queries[name] = round(dt, 3)
         total += dt
+
+    stream_s, stream_rps = bench_stream_pipeline(spark, sf_dir)
+    queries["stream_pipeline_20k"] = round(stream_s, 3)
+    total += stream_s
 
     print(
         json.dumps(
