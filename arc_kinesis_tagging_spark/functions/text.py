@@ -87,6 +87,30 @@ def quality_score_expr(text: Column) -> dict[str, Column]:
     }
 
 
+def text_metrics_struct(text: Column) -> Column:
+    """All token-derived quality metrics as ONE struct column with the
+    token array bound to a lambda variable — the tokenization runs once
+    per row instead of once per metric (Catalyst projection collapse
+    would otherwise inline the split per consumer; see
+    operators/dedup.py for the same pattern)."""
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+
+    def from_toks(toks: Column) -> Column:
+        n_tok = F.size(toks)
+        safe_tok = F.greatest(n_tok, F.lit(1))
+        n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+        return F.struct(
+            n_tok.alias("n_tokens"),
+            (n_stop.cast("double") / safe_tok).alias("stopword_ratio"),
+            (
+                F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+                .cast("double") / safe_tok
+            ).alias("mean_word_len"),
+        )
+
+    return F.element_at(F.transform(F.array(tokens(text)), from_toks), 1)
+
+
 def language_id_expr(text: Column) -> Column:
     """Heuristic language ID via character-class ratios.
 

@@ -119,22 +119,28 @@ def _minhash_sigs(df: DataFrame, text_col: str, key_col: str, n_hashes: int, shi
         (_deterministic_coeff(i, "minhash-a", 29) | 1, _deterministic_coeff(i, "minhash-b", 32))
         for i in range(n_hashes)
     ]
-    hashed = df.select(
+    ex = df.select(
         F.col(key_col).alias("__key"),
-        _shingle_hashes(text_col, shingle_n).alias("__sh_hashes"),
+        F.explode(_shingle_hashes(text_col, shingle_n)).alias("__h"),
     )
-    ex = hashed.select("__key", F.explode("__sh_hashes").alias("__h"))
-    sig = (
+    # ONE aggregation produces both the signature mins and the shingle
+    # set (collect_list of already-distinct hashes): no join back to the
+    # hash pipeline, which would recompute it wholesale.
+    return (
         ex.groupBy("__key")
         .agg(
             *[
                 F.min((F.col("__h") * a + b) % _PRIME31).alias(f"__m{i}")
                 for i, (a, b) in enumerate(coeffs)
-            ]
+            ],
+            F.collect_list("__h").alias("__sh_hashes"),
         )
-        .select("__key", F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("__sig"))
+        .select(
+            "__key",
+            F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("__sig"),
+            "__sh_hashes",
+        )
     )
-    return hashed.join(sig, "__key")
 
 
 def minhash_near_duplicates(

@@ -271,19 +271,28 @@ ORDER BY freq DESC, token ASC LIMIT 100
 
 def q_text_quality(spark, sf_dir):
     """Quality-scoring family: token counts, stopword/punct/alpha ratios,
-    mean word length — all JVM-side expressions (functions/text.py)."""
+    mean word length. Token-derived metrics come from one struct with
+    the tokenization evaluated once per row (text_metrics_struct);
+    char-level metrics are single-pass regexp counts on the raw text."""
+    from arc_kinesis_tagging_spark.functions.text import text_metrics_struct
+
     d = _t(spark, sf_dir, "documents")
     text = F.col("text")
-    tc = token_count_exprs(text)
-    qs = quality_score_expr(text)
-    return d.select(
+    n_chars_safe = F.greatest(F.length(text), F.lit(1))
+    return d.withColumn("__tm", text_metrics_struct(text)).select(
         "doc_id",
-        tc["ws_tokens"].cast("long").alias("ws_tokens"),
-        tc["bpe_ish_tokens"].cast("long").alias("bpe_ish_tokens"),
-        qs["stopword_ratio"].alias("stopword_ratio"),
-        qs["punct_ratio"].alias("punct_ratio"),
-        qs["alpha_ratio"].alias("alpha_ratio"),
-        qs["mean_word_len"].alias("mean_word_len"),
+        F.col("__tm.n_tokens").cast("long").alias("ws_tokens"),
+        F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.col("__tm.stopword_ratio").alias("stopword_ratio"),
+        (F.regexp_count(text, F.lit(r"[^\w\s]")).cast("double") / n_chars_safe).alias(
+            "punct_ratio"
+        ),
+        (F.regexp_count(text, F.lit(r"[A-Za-z]")).cast("double") / n_chars_safe).alias(
+            "alpha_ratio"
+        ),
+        F.col("__tm.mean_word_len").alias("mean_word_len"),
     )
 
 
