@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis): the Spark expression operators
+against simple Python models on randomized inputs.
+
+Each property runs a bounded number of examples (Spark round-trips are
+~100ms each); the point is input-shape coverage the handwritten cases
+miss — odd tag lists, duplicate timestamps, empty strings.
+"""
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from arc_kinesis_tagging_spark.functions.arrays import make_tag, tag_upsert
+from arc_kinesis_tagging_spark.operators.joins import asof_join
+from arc_kinesis_tagging_spark.streaming.sinks import modify_tags
+
+ARR_T = "array<struct<slug:string,text:string>>"
+
+slug = st.text(alphabet="abcdef-", min_size=0, max_size=8)
+tag_st = st.fixed_dictionaries({"slug": slug, "text": slug})
+tags_st = st.none() | st.lists(tag_st, max_size=6)
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    return spark
+
+
+AUTOTAG_DICT = {"slug": "kinesis-autotag", "text": "kinesis autotag"}
+
+
+@given(tags=tags_st)
+@SETTINGS
+def test_tag_upsert_matches_python_model(sp, tags):
+    """The Catalyst tag_upsert expression == append-if-absent over the
+    deduped input (array_union semantics) for arbitrary pre-existing
+    tag arrays — including duplicates, empties, and the autotag itself.
+    The streaming-sink Python model (modify_tags) must agree on the
+    final membership."""
+    df = sp.createDataFrame([(tags,)], f"tags {ARR_T}")
+    got = df.select(tag_upsert(F.col("tags"), make_tag()).alias("after")).collect()[0]["after"]
+    got_tags = [r.asDict() for r in got]
+
+    dedup_in = []
+    for t in tags or []:
+        if t not in dedup_in:
+            dedup_in.append(t)
+    model = dedup_in + ([] if AUTOTAG_DICT in dedup_in else [AUTOTAG_DICT])
+    assert got_tags == model
+
+    sink_doc = modify_tags(
+        {} if tags is None else {"taxonomy": {"tags": list(tags)}}, AUTOTAG_DICT
+    )
+    assert {tuple(sorted(t.items())) for t in sink_doc["taxonomy"]["tags"]} == {
+        tuple(sorted(t.items())) for t in got_tags
+    }
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)), min_size=1, max_size=12
+    ),
+    orders=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)), min_size=0, max_size=12
+    ),
+)
+@SETTINGS
+def test_asof_join_matches_naive_model(sp, events, orders):
+    """asof_join == per-event max(order_ts <= event_ts) for arbitrary
+    key/timestamp multisets, including duplicate timestamps."""
+    base = datetime(2024, 1, 1)
+    ev_rows = [
+        (i, k, base + timedelta(seconds=s)) for i, (k, s) in enumerate(events)
+    ]
+    or_rows = [(k, base + timedelta(seconds=s)) for k, s in orders]
+    ev = sp.createDataFrame(ev_rows, "event_id long, k long, ts timestamp")
+    orr = sp.createDataFrame(or_rows, "k long, ots timestamp") if or_rows else sp.createDataFrame([], "k long, ots timestamp")
+    out = asof_join(ev, orr, on=["k"], left_ts="ts", right_ts="ots", right_cols=["ots"])
+    got = {r["event_id"]: r["asof_ots"] for r in out.collect()}
+
+    model = {}
+    for i, (k, s) in enumerate(events):
+        cand = [os for ok, os in orders if ok == k and os <= s]
+        model[i] = (base + timedelta(seconds=max(cand))) if cand else None
+    assert got == model
