@@ -187,7 +187,7 @@ def q_dedup_embedding(spark, sf_dir):
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos4", F.round(cosine_similarity(F.col("va"), F.col("vb")), 4))
-        .filter(F.col("cos4") >= 0.8)
+        .filter(F.col("cos4") >= 0.35)
         .select("id_a", "id_b", "cos4")
     )
 
@@ -196,7 +196,7 @@ ORACLE_DEDUP_EMBEDDING = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos4
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.8
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
 """
 
 
@@ -360,6 +360,52 @@ GROUP BY doc_id
 
 # --- UDF surface / multimodal ----------------------------------------------
 
+def q_text_tfidf(spark, sf_dir):
+    """TF-IDF over the corpus: term frequency per (doc, token) times
+    ln(N/df). The df table is corpus-wide (one shuffle, map-side
+    partial counts); ln rounded to 6dp for cross-engine comparability
+    (libm ulp differences)."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()  # driver-side scalar: cheap count-star over parquet metadata
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    out = (
+        tf.join(df_, "token")
+        .filter(F.col("doc_id") % 10 == 0)
+        .withColumn("idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+    )
+    return out.select("doc_id", "token", "tf", "df", "idf", "tfidf")
+
+
+ORACLE_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       ROUND(LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS idf,
+       ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+WHERE tf.doc_id % 10 = 0
+"""
+
+
+def q_agg_approx_percentile(spark, sf_dir):
+    """Sketch-based percentiles (KLL-style): the mergeable scale answer
+    to exact quantiles; approximate by design -> rows-only."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50_approx"),
+        F.percentile_approx("o_totalprice", 0.9, 1000).alias("p90_approx"),
+    )
+
+
 def q_udf_decompress(spark, sf_dir):
     """The reference's one genuinely custom scalar op: per-record gzip
     decompress (app.py:35-38), as an Arrow-batched pandas UDF round-trip
@@ -479,6 +525,9 @@ LLMOPS_QUERIES = [
     Query("q_text_quality", q_text_quality, ORACLE_TEXT_QUALITY),
     Query("q_text_langid", q_text_langid, ORACLE_LANGID),
     Query("q_text_fingerprint", q_text_fingerprint, ORACLE_FINGERPRINT),
+    Query("q_text_tfidf", q_text_tfidf, ORACLE_TFIDF),
+    Query("q_agg_approx_percentile", q_agg_approx_percentile, None,
+          "sketch percentiles; approximate by design -> rows-only"),
     Query("q_udf_decompress", q_udf_decompress, None,
           "gzip pandas UDF round-trip; rows-only"),
     Query("q_multimodal_decode", q_multimodal_decode, ORACLE_MULTIMODAL),

@@ -1,0 +1,84 @@
+"""Small-file compaction and the streaming -> durable parquet upsert
+path (stream pipeline feeding upsert_by_key_parquet via foreachBatch)."""
+
+from pyspark.sql import functions as F
+
+from arc_kinesis_tagging_spark.sources.maintenance import (
+    compact_parquet,
+    parquet_file_count,
+)
+from arc_kinesis_tagging_spark.sources.readers import upsert_by_key_parquet
+from arc_kinesis_tagging_spark.sources.tables import load_table
+from arc_kinesis_tagging_spark.streaming.pipeline import story_pipeline
+from arc_kinesis_tagging_spark.streaming.source import (
+    read_record_stream,
+    write_stream_fixture,
+)
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "frag")
+    orders = load_table(spark, "orders", sf_dir)
+    orders.repartition(64).write.parquet(out)  # fragment: 64 small files
+    before_files = parquet_file_count(out)
+    before = sorted(r["o_orderkey"] for r in spark.read.parquet(out).collect())
+    n_files = compact_parquet(spark, out, target_rows_per_file=1_000_000)
+    after_files = parquet_file_count(out)
+    after = sorted(r["o_orderkey"] for r in spark.read.parquet(out).collect())
+    assert before_files == 64 and n_files == 1 and after_files == 1
+    assert before == after
+
+
+def story(doc_id, rev):
+    return {
+        "id": doc_id,
+        "operation": "insert-story",
+        "published": True,
+        "type": "story",
+        "body": {"headlines": {"basic": f"h-{rev}"}, "revision": rev},
+    }
+
+
+def test_stream_to_parquet_upsert(spark, tmp_path):
+    """Streaming pipeline -> foreachBatch(upsert_by_key_parquet):
+    replays and re-publishes converge to one row per document with the
+    latest revision (last-writer-wins by seq)."""
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    write_stream_fixture(
+        spark,
+        src,
+        [
+            (story("a", "r1"), 0),
+            (story("b", "r1"), 1),
+            (story("a", "r2"), 0),  # later revision of a
+        ],
+    )
+
+    def upsert_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        upsert_by_key_parquet(spark, batch_df, store, "_id", "seq")
+
+    q = (
+        story_pipeline(read_record_stream(spark, src))
+        .writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["_id"]: r["revision"] for r in spark.read.parquet(store).collect()}
+    assert rows == {"a": "r2", "b": "r1"}
+    # replay from scratch (fresh checkpoint): still converges, no dups
+    q2 = (
+        story_pipeline(read_record_stream(spark, src))
+        .writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = spark.read.parquet(store)
+    assert got.count() == 2
+    assert {r["_id"]: r["revision"] for r in got.collect()} == {"a": "r2", "b": "r1"}
