@@ -360,6 +360,71 @@ GROUP BY doc_id
 
 # --- UDF surface / multimodal ----------------------------------------------
 
+def q_dedup_cluster(spark, sf_dir):
+    """The full near-dup dedup pipeline: MinHash-LSH candidate pairs ->
+    connected components -> keep the longest document per cluster.
+    Returns the surviving corpus (doc_id, cluster, n_chars). Iterative
+    (label propagation) -> rows-only; components verified against a
+    union-find model in tests."""
+    from arc_kinesis_tagging_spark.operators.clusters import dedup_keep_best
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, "text", "doc_id", n_hashes=32, bands=8, shingle_n=3, jaccard_threshold=0.3
+    )
+    kept = dedup_keep_best(d.select("doc_id", "n_chars"), pairs, "doc_id", "n_chars")
+    return kept.select("doc_id", "cluster", "n_chars")
+
+
+def q_quality_filter(spark, sf_dir):
+    """C4-style quality gate: documents pass/fail with a reason column —
+    the filter stage every training-data pipeline runs before dedup.
+    Pure CASE logic over the quality metrics (oracle-checked)."""
+    from arc_kinesis_tagging_spark.functions.text import text_metrics_struct
+
+    d = _t(spark, sf_dir, "documents")
+    m = text_metrics_struct(F.col("text"))
+    reason = (
+        F.when(F.col("n_chars") < 80, F.lit("too_short"))
+        .when(m["n_tokens"] < 15, F.lit("too_few_tokens"))
+        .when(m["mean_word_len"] > 12.0, F.lit("words_too_long"))
+        .when(m["stopword_ratio"] > 0.6, F.lit("stopword_spam"))
+        .otherwise(F.lit("pass"))
+    )
+    return d.select(
+        "doc_id",
+        reason.alias("gate"),
+        (reason == "pass").alias("kept"),
+    )
+
+
+ORACLE_QUALITY_FILTER = """
+WITH m AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars,
+         len(toks) AS n_tokens,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / GREATEST(len(toks), 1) AS mwl,
+         CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','were','be','on','for','with','as','at','by','it','this','that'], lower(t)))) AS DOUBLE) / GREATEST(len(toks), 1) AS swr
+  FROM m
+)
+SELECT doc_id,
+       CASE WHEN n_chars < 80 THEN 'too_short'
+            WHEN n_tokens < 15 THEN 'too_few_tokens'
+            WHEN mwl > 12.0 THEN 'words_too_long'
+            WHEN swr > 0.6 THEN 'stopword_spam'
+            ELSE 'pass' END AS gate,
+       (CASE WHEN n_chars < 80 THEN 'too_short'
+            WHEN n_tokens < 15 THEN 'too_few_tokens'
+            WHEN mwl > 12.0 THEN 'words_too_long'
+            WHEN swr > 0.6 THEN 'stopword_spam'
+            ELSE 'pass' END) = 'pass' AS kept
+FROM s
+"""
+
+
 def q_text_tfidf(spark, sf_dir):
     """TF-IDF over the corpus: term frequency per (doc, token) times
     ln(N/df). The df table is corpus-wide (one shuffle, map-side
@@ -525,6 +590,9 @@ LLMOPS_QUERIES = [
     Query("q_text_quality", q_text_quality, ORACLE_TEXT_QUALITY),
     Query("q_text_langid", q_text_langid, ORACLE_LANGID),
     Query("q_text_fingerprint", q_text_fingerprint, ORACLE_FINGERPRINT),
+    Query("q_dedup_cluster", q_dedup_cluster, None,
+          "iterative label propagation; verified vs union-find in tests"),
+    Query("q_quality_filter", q_quality_filter, ORACLE_QUALITY_FILTER),
     Query("q_text_tfidf", q_text_tfidf, ORACLE_TFIDF),
     Query("q_agg_approx_percentile", q_agg_approx_percentile, None,
           "sketch percentiles; approximate by design -> rows-only"),
