@@ -116,6 +116,95 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
     return df.select(id_col, media_col).mapInPandas(decode, DECODED_SCHEMA)
 
 
+def resize_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    max_dim: int = 32,
+) -> DataFrame:
+    """Resize stage: decode -> downscale -> re-encode, batched in Arrow.
+
+    The fake 'resample' keeps every k-th payload byte (k = ceil of the
+    scale factor), mirroring what a PIL ``thumbnail()`` + re-encode
+    does to the byte stream; dimensions scale preserving aspect ratio.
+    Swap the body for PIL in production — the Spark plumbing (schema,
+    batching, binary-in/binary-out, error isolation) is what this
+    exercises. Failed payloads yield null resized/media (isolation).
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    mt, w, h, payload = _decode_fake(bytes(blob))
+                    scale = max(1, -(-max(w, h) // max_dim))  # ceil div
+                    nw, nh = max(1, w // scale), max(1, h // scale)
+                    npayload = payload[::scale]
+                    header = (
+                        f"AKTS;t={mt};w={nw};h={nh};n={len(npayload)};".encode()
+                    )
+                    out.append(
+                        (int(mid), w, h, (nw, nh, len(npayload)), header + npayload)
+                    )
+                except Exception:
+                    out.append((int(mid), None, None, None, None))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "resized", "media"]
+            )
+
+    schema = (
+        "media_id long, width int, height int, "
+        "resized struct<width:int,height:int,n_bytes:int>, media binary"
+    )
+    return df.select(id_col, media_col).mapInPandas(resize, schema)
+
+
+def frame_sample_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    every_n: int = 10,
+) -> DataFrame:
+    """Frame-sampling stage (video analog): one output row per sampled
+    'frame' — a row-expanding mapInPandas (1 -> N), the shape a real
+    ffmpeg keyframe sampler produces. Fake frames are fixed-width
+    slices of the payload; frame_sha stands in for the decoded frame
+    tensor/feature."""
+    import hashlib
+
+    FRAME_BYTES = 16
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    _mt, _w, _h, payload = _decode_fake(bytes(blob))
+                    frames = [
+                        payload[i : i + FRAME_BYTES]
+                        for i in range(0, len(payload), FRAME_BYTES)
+                    ]
+                    for fi in range(0, len(frames), every_n):
+                        out.append(
+                            (
+                                int(mid),
+                                fi,
+                                len(frames),
+                                hashlib.sha256(frames[fi]).hexdigest(),
+                            )
+                        )
+                except Exception:
+                    out.append((int(mid), None, None, None))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_index", "n_frames", "frame_sha"]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        sample, "media_id long, frame_index int, n_frames int, frame_sha string"
+    )
+
+
 def decode_image_real(*_args, **_kwargs):
     """Production image decode (PIL) — unavailable in this container."""
     raise NotImplementedError(

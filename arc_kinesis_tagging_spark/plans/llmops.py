@@ -526,6 +526,31 @@ FROM documents
 
 # --- flagship pipeline ------------------------------------------------------
 
+def q_multimodal_pipeline(spark, sf_dir):
+    """The multi-stage media pipeline: attach binary -> resize
+    (binary-in/binary-out mapInPandas) -> frame-sample (row-expanding
+    mapInPandas) -> per-media frame counts. Real codecs are stubbed
+    (container format is ours); the Spark plumbing is real. Rows-only:
+    byte-level fake resampling isn't SQL-reproducible."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        frame_sample_media,
+        resize_media,
+    )
+
+    d = attach_fake_media(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+    )
+    resized = resize_media(d, "doc_id", "media", max_dim=32)
+    frames = frame_sample_media(resized, "media_id", "media", every_n=4)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("n_frames").alias("n_frames"),
+        F.countDistinct("frame_sha").alias("n_distinct_frames"),
+    )
+
+
 def q_pipeline_tag_enrich(spark, sf_dir):
     """The reference pipeline end-to-end as one batch query
     (SURVEY.md §7 step 0): parse (R7) -> filter (R9) -> project (R10) ->
@@ -599,5 +624,7 @@ LLMOPS_QUERIES = [
     Query("q_udf_decompress", q_udf_decompress, None,
           "gzip pandas UDF round-trip; rows-only"),
     Query("q_multimodal_decode", q_multimodal_decode, ORACLE_MULTIMODAL),
+    Query("q_multimodal_pipeline", q_multimodal_pipeline, None,
+          "decode->resize->frame-sample chain; fake codec -> rows-only"),
     Query("q_pipeline_tag_enrich", q_pipeline_tag_enrich, ORACLE_PIPELINE),
 ]

@@ -34,3 +34,34 @@ def test_corrupt_payload_isolated(spark):
     rows = {r["media_id"]: r for r in decode_media(df).collect()}
     assert rows[1]["media_type"] is None  # null row, job did not fail
     assert rows[2]["media_type"] is None
+
+
+def test_resize_media(spark, sf_dir):
+    from arc_kinesis_tagging_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, "documents", sf_dir).limit(10)
+    media = attach_fake_media(docs, "doc_id", "text")
+    resized = resize_media(media, "doc_id", "media", max_dim=16)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    for r in rows.values():
+        assert r["resized"]["width"] <= 16 and r["resized"]["height"] <= 16
+        # re-encoded container must itself decode (pipeline composability)
+    redecoded = decode_media(resized, "media_id", "media").collect()
+    assert all(x["media_type"] == "image" for x in redecoded)
+    assert {x["width"] for x in redecoded} <= set(range(1, 17))
+
+
+def test_frame_sample_media(spark, sf_dir):
+    from arc_kinesis_tagging_spark.operators.multimodal import frame_sample_media
+
+    docs = load_table(spark, "documents", sf_dir).limit(5)
+    media = attach_fake_media(docs, "doc_id", "text")
+    frames = frame_sample_media(media, "doc_id", "media", every_n=3).collect()
+    by_doc = {}
+    for f in frames:
+        by_doc.setdefault(f["media_id"], []).append(f)
+    assert set(by_doc) == {r["doc_id"] for r in docs.collect()}
+    for doc_frames in by_doc.values():
+        idxs = sorted(f["frame_index"] for f in doc_frames)
+        assert idxs == list(range(0, doc_frames[0]["n_frames"], 3))
+        assert all(len(f["frame_sha"]) == 64 for f in doc_frames)
