@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def grouped_zscore(df: DataFrame, group_col: str, value_col: str, key_col: str) -> DataFrame:

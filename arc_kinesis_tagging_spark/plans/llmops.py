@@ -6,7 +6,6 @@ flagship enrichment pipeline (the end-to-end port of the reference).
 from __future__ import annotations
 
 import gzip
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -17,9 +16,6 @@ from arc_kinesis_tagging_spark.functions.arrays import AUTOTAG, make_tag, tag_up
 from arc_kinesis_tagging_spark.functions.text import (
     fingerprint_expr,
     language_id_expr,
-    quality_score_expr,
-    stable_hash64,
-    token_count_exprs,
     tokens,
 )
 from arc_kinesis_tagging_spark.operators.dedup import (
@@ -29,10 +25,7 @@ from arc_kinesis_tagging_spark.operators.dedup import (
     simhash_near_duplicates,
 )
 from arc_kinesis_tagging_spark.operators.multimodal import attach_fake_media, decode_media
-from arc_kinesis_tagging_spark.operators.similarity import (
-    cosine_topk_bruteforce,
-    cosine_topk_ivf,
-)
+from arc_kinesis_tagging_spark.operators.similarity import cosine_topk_ivf
 from arc_kinesis_tagging_spark.operators.textops import term_frequencies
 from arc_kinesis_tagging_spark.plans.common import Query, dec
 from arc_kinesis_tagging_spark.sources.tables import load_table

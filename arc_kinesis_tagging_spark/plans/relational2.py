@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from arc_kinesis_tagging_spark.plans.common import Query, dec, dsum
+from arc_kinesis_tagging_spark.plans.common import Query, dec
 from arc_kinesis_tagging_spark.sources.tables import load_table
 
 

@@ -18,7 +18,6 @@ must be applied BEFORE decode — after it, nothing pushes down.
 from __future__ import annotations
 
 import gzip
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import gzip
 import json
-import os
 from typing import Any, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
