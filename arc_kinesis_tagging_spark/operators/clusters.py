@@ -44,7 +44,10 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
-    labels.count()
+    # Convergence check: min-label propagation only ever DECREASES
+    # labels, so sum(component) is strictly monotone until fixpoint —
+    # an O(n) aggregation per round instead of a join + count.
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -63,16 +66,12 @@ def connected_components(
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels
 

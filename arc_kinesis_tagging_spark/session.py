@@ -45,6 +45,10 @@ _DEFAULTS = {
     # Keep driver results bounded; the engine never collects hot-path
     # data to the driver anyway.
     "spark.driver.maxResultSize": "4g",
+    # local-mode driver == executor JVM: size the heap for the 128 GiB
+    # box instead of the 1g default (only effective at JVM launch, i.e.
+    # when this factory creates the first session of the process).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.ui.enabled": "false",
 }
 

@@ -1,0 +1,137 @@
+"""Scale smoke: run the LLM-pipeline operators on a synthetically
+amplified corpus (10x the sf0.1 documents/embeddings) and report
+per-stage wall clock — evidence that the operator shapes hold as data
+grows, not just at test SF.
+
+Amplification (deterministic, no RNG):
+- documents: each source doc replicated K times; replica i appends i
+  distinct salt tokens, so replicas of one doc form a true near-dup
+  cluster (jaccard ~0.85-1.0) while cross-doc pairs stay dissimilar.
+- embeddings: each vector replicated K times with a deterministic
+  small per-replica offset on one dimension.
+
+Usage: python tools/scale_smoke.py [K] (default 10 -> 50k docs)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from arc_kinesis_tagging_spark.operators.clusters import dedup_keep_best
+from arc_kinesis_tagging_spark.operators.dedup import dedup_exact, minhash_near_duplicates
+from arc_kinesis_tagging_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+)
+from arc_kinesis_tagging_spark.session import get_session
+from arc_kinesis_tagging_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def amplify_docs(spark, k: int):
+    d = load_table(spark, "documents", SF_DIR)
+    reps = spark.range(k).withColumnRenamed("id", "rep")
+    out = (
+        d.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") * k + F.col("rep"))
+        .withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("rep") == 0, F.lit("")).otherwise(
+                    F.concat(
+                        F.lit(" "),
+                        F.concat_ws(
+                            " ",
+                            F.transform(
+                                F.sequence(F.lit(1), F.col("rep").cast("int")),
+                                # salt unique per (doc, rep): replicas of
+                                # one doc are near-dups of each other,
+                                # but never of another doc's replicas —
+                                # otherwise salts shared across docs
+                                # merge everything into giant components
+                                lambda i: F.concat(
+                                    F.lit("salt"),
+                                    F.md5(
+                                        F.concat_ws(
+                                            ":", F.col("doc_id").cast("string"), i.cast("string")
+                                        )
+                                    ),
+                                ),
+                            ),
+                        ),
+                    )
+                ),
+            ),
+        )
+        .drop("rep")
+    )
+    return out
+
+
+def amplify_embeddings(spark, k: int):
+    e = load_table(spark, "embeddings", SF_DIR)
+    reps = spark.range(k).withColumnRenamed("id", "rep")
+    return (
+        e.crossJoin(F.broadcast(reps))
+        .withColumn("vec_id", F.col("vec_id") * k + F.col("rep"))
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda v, i: v + (F.col("rep") % 7).cast("float") * F.lit(0.001) * (i == 0).cast("int").cast("float"),
+            ),
+        )
+        .drop("rep")
+    )
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_session("scale-smoke")
+    report: dict = {"k": k}
+
+    docs = amplify_docs(spark, k).persist()
+    report["n_docs"] = docs.count()
+
+    t0 = time.perf_counter()
+    n_exact = dedup_exact(docs, "text", "doc_id").count()
+    report["exact_dedup_sec"] = round(time.perf_counter() - t0, 2)
+    report["exact_groups"] = n_exact
+
+    t0 = time.perf_counter()
+    pairs = minhash_near_duplicates(
+        docs, "text", "doc_id", n_hashes=32, bands=8, shingle_n=3, jaccard_threshold=0.5
+    ).persist()
+    report["minhash_pairs"] = pairs.count()
+    report["minhash_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    kept = dedup_keep_best(docs.select("doc_id", "n_chars"), pairs, "doc_id", "n_chars")
+    report["survivors"] = kept.count()
+    report["cluster_dedup_sec"] = round(time.perf_counter() - t0, 2)
+
+    emb = amplify_embeddings(spark, k).persist()
+    report["n_vectors"] = emb.count()
+    q = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.perf_counter()
+    report["brute_topk_rows"] = cosine_topk_bruteforce(emb, q, k=5).count()
+    report["brute_topk_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    report["ivf_topk_rows"] = cosine_topk_ivf(emb, q, k=5, nlist=32, nprobe=4).count()
+    report["ivf_topk_sec"] = round(time.perf_counter() - t0, 2)
+
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
