@@ -38,11 +38,16 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # localCheckpoint (eager) rather than persist: iterative algorithms
+    # must TRUNCATE the logical plan every round, not just cache the
+    # physical result — otherwise Catalyst re-analyzes a plan that
+    # doubles per iteration and analysis time grows exponentially with
+    # graph diameter (a 10-round chain took minutes with persist()).
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # Convergence check: min-label propagation only ever DECREASES
     # labels, so sum(component) is strictly monotone until fixpoint —
@@ -64,10 +69,9 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("neighbor_component"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
