@@ -136,7 +136,67 @@ def q_sample(spark, sf_dir):
     ).crossJoin(strat)
 
 
+def q_window_analytics(spark, sf_dir):
+    """The remaining window family: ntile, percent_rank, cume_dist,
+    first/last/nth_value with full-partition frames."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    order = [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
+    w = Window.partitionBy("c_mktsegment").orderBy(*order)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("c_custkey").over(wf).alias("poorest"),
+        F.last("c_custkey").over(wf).alias("richest"),
+        F.nth_value("c_custkey", 2).over(wf).alias("second_poorest"),
+    )
+
+
+ORACLE_WINDOW_ANALYTICS = """
+SELECT c_custkey, c_mktsegment,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS pr,
+       CUME_DIST() OVER w AS cd,
+       FIRST_VALUE(c_custkey) OVER wf AS poorest,
+       LAST_VALUE(c_custkey) OVER wf AS richest,
+       NTH_VALUE(c_custkey, 2) OVER wf AS second_poorest
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC),
+       wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_string_distance(spark, sf_dir):
+    """Edit-distance family (fuzzy matching / dedup building block)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .withColumn("lev", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("lev") <= 8)
+        .select("key_a", "key_b", "lev")
+    )
+
+
+ORACLE_STRING_DISTANCE = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+FROM (SELECT * FROM part WHERE p_partkey % 10 = 0) a
+JOIN (SELECT * FROM part WHERE p_partkey % 10 = 0) b ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 8
+"""
+
+
 RELATIONAL3_QUERIES = [
+    Query("q_window_analytics", q_window_analytics, ORACLE_WINDOW_ANALYTICS),
+    Query("q_string_distance", q_string_distance, ORACLE_STRING_DISTANCE),
     Query("q_array_funcs", q_array_funcs, ORACLE_ARRAY),
     Query("q_regex_funcs", q_regex_funcs, ORACLE_REGEX),
     Query("q_date_funcs2", q_date_funcs2, ORACLE_DATE2),
