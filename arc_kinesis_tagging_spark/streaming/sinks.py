@@ -78,6 +78,64 @@ def modify_tags(doc: dict[str, Any], tag: dict[str, str]) -> dict[str, Any]:
     return out
 
 
+def autotag_batch_sink(
+    spark,
+    store_path: str,
+    tag: dict[str, str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Fully-distributed autotag sink: the document store is a keyed
+    parquet table, and the whole R12->R15 composition runs as DataFrame
+    ops — lookup is a join, the tag mutation is the Catalyst
+    ``tag_upsert`` expression, writeback is the keyed upsert writer.
+    Nothing iterates on the driver, so this is the shape that scales to
+    a 1000-executor cluster (swap parquet for a MERGE-capable table
+    format in production).
+
+    Store schema: (_id string, revision string, tags array<struct>).
+    Unknown _ids are dead-lettered to ``store_path + '.deadletter'``
+    instead of failing the batch (R16).
+    """
+    from pyspark.sql import functions as F
+
+    from arc_kinesis_tagging_spark.functions.arrays import make_tag, tag_upsert
+    from arc_kinesis_tagging_spark.sources.readers import upsert_by_key_parquet
+
+    t = tag or {"slug": AUTOTAG[0], "text": AUTOTAG[1]}
+    tag_col = make_tag(t["slug"], t["text"])
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        keys = batch_df.select("_id", "seq").groupBy("_id").agg(
+            F.max("seq").alias("seq")
+        )
+        store = spark.read.parquet(store_path)
+        # enrichment lookup (R12) as a join against the store; the
+        # batch's seq (version) wins over the store's stored seq.
+        # Both sides must be MATERIALIZED (localCheckpoint) before the
+        # upsert below overwrites the store files a lazy plan would
+        # re-read.
+        matched = keys.join(store.drop("seq"), "_id", "inner").localCheckpoint(eager=True)
+        missing = keys.join(store, "_id", "left_anti").localCheckpoint(eager=True)
+        # tag decision (R13) + idempotent array upsert (R14). The
+        # written version must strictly exceed the stored one (seq+1):
+        # a tagged row tying the seed's version would make the upsert
+        # winner arbitrary. Replays rewrite the same seq+1 with
+        # identical content, so idempotency holds.
+        tagged = matched.withColumn("tags", tag_upsert(F.col("tags"), tag_col)).withColumn(
+            "seq", F.col("seq") + 1
+        )
+        # keyed upsert writeback (R15): last-writer-wins by seq
+        upsert_by_key_parquet(spark, tagged, store_path, "_id", "seq")
+        # dead letters (R16): unknown documents, never a failed batch
+        if not missing.isEmpty():
+            missing.withColumn("reason", F.lit("document_not_found")).write.mode(
+                "append"
+            ).parquet(store_path + ".deadletter")
+
+    return write_batch
+
+
 def autotag_sink(
     store: DocumentStore,
     tag: dict[str, str] | None = None,

@@ -82,3 +82,51 @@ def test_stream_to_parquet_upsert(spark, tmp_path):
     got = spark.read.parquet(store)
     assert got.count() == 2
     assert {r["_id"]: r["revision"] for r in got.collect()} == {"a": "r2", "b": "r1"}
+
+
+def test_distributed_autotag_batch_sink(spark, tmp_path):
+    """The fully-DataFrame autotag sink: store as keyed parquet,
+    lookup=join, mutate=tag_upsert expression, writeback=keyed upsert;
+    unknown ids dead-letter; replay is idempotent."""
+    from arc_kinesis_tagging_spark.streaming.sinks import autotag_batch_sink
+
+    TAG = {"slug": "kinesis-autotag", "text": "kinesis autotag"}
+    store = str(tmp_path / "docstore")
+    seed = spark.createDataFrame(
+        [
+            ("a", "r1", None, 0),
+            ("b", "r1", [("politics", "Politics")], 0),
+            ("c", "r1", [(TAG["slug"], TAG["text"])], 0),
+        ],
+        "_id string, revision string, tags array<struct<slug:string,text:string>>, seq long",
+    )
+    seed.write.parquet(store)
+
+    src = str(tmp_path / "src")
+    write_stream_fixture(
+        spark,
+        src,
+        [(story("a", "r2"), 0), (story("c", "r2"), 1), (story("ghost", "r1"), 0)],
+    )
+
+    def run(ck):
+        q = (
+            story_pipeline(read_record_stream(spark, src))
+            .writeStream.foreachBatch(autotag_batch_sink(spark, store))
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    rows = {r["_id"]: [t.asDict() for t in (r["tags"] or [])] for r in spark.read.parquet(store).collect()}
+    assert rows["a"] == [TAG]
+    assert rows["b"] == [{"slug": "politics", "text": "Politics"}]  # untouched
+    assert rows["c"] == [TAG]  # idempotent: already tagged
+    dl = spark.read.parquet(store + ".deadletter").collect()
+    assert {r["_id"] for r in dl} == {"ghost"}
+    # replay with fresh checkpoint: tags unchanged (no duplicates)
+    run("ck2")
+    rows2 = {r["_id"]: [t.asDict() for t in (r["tags"] or [])] for r in spark.read.parquet(store).collect()}
+    assert rows2 == rows
