@@ -78,6 +78,78 @@ def _assign_cells(
     )
 
 
+def build_ivf_index(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: corpus assigned to Voronoi cells and
+    written PARTITIONED BY cell_id, plus a centroids table.
+
+    Partitioning by cell is the point: a query batch that probes
+    ``nprobe`` cells reads only those directories (static partition
+    pruning), so query cost scales with nprobe/nlist of the corpus —
+    the build-once / query-many shape for embedding search at scale.
+    """
+    centroids = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(nlist)
+        .select(
+            F.row_number().over(Window.orderBy(F.col(id_col).asc())).alias("cell_id"),
+            F.col(vec_col).alias("__centroid"),
+        )
+    )
+    assigned = _assign_cells(corpus, F.broadcast(centroids), id_col, vec_col, rank_limit=1)
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path + "/index")
+    centroids.select("cell_id", F.col("__centroid").alias(vec_col)).write.mode(
+        "overwrite"
+    ).parquet(path + "/centroids")
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k against a persisted IVF index: route each query to its
+    ``nprobe`` nearest cells, scan ONLY those cell partitions, score,
+    rank. Returns (query_id, vec_id, cos_sim, rank)."""
+    centroids = F.broadcast(
+        spark.read.parquet(path + "/centroids").select(
+            "cell_id", F.col(vec_col).alias("__centroid")
+        )
+    )
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col))
+    probes = _assign_cells(q, centroids, "query_id", vec_col, rank_limit=nprobe).select(
+        F.col("query_id"), F.col(vec_col).alias("__qvec"), "cell_id"
+    )
+    # the union of probe cells across the batch is tiny -> collect it
+    # and push an IN-list filter so partition pruning skips the rest
+    probe_cells = [r["cell_id"] for r in probes.select("cell_id").distinct().collect()]
+    index = (
+        spark.read.parquet(path + "/index")
+        .filter(F.col("cell_id").isin(probe_cells))
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cvec"), "cell_id")
+    )
+    scored = index.join(probes, "cell_id").withColumn(
+        "cos_sim", cosine_similarity(F.col("__cvec"), F.col("__qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
