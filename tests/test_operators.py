@@ -121,3 +121,16 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     # every query's own vector must be its top hit in both
     for qid in range(10):
         assert (qid, qid) in b and (qid, qid) in i
+
+
+def test_numpy_kernel_matches_hof_topk(spark, sf_dir):
+    """The BLAS scoring kernel and the HOF scorer select identical
+    top-k sets (float accumulation differs at ulp level, far below the
+    similarity gaps between neighbors)."""
+    from arc_kinesis_tagging_spark.operators.similarity import cosine_topk_bruteforce_np
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    hof = {(r["query_id"], r["rank"]): r["vec_id"] for r in cosine_topk_bruteforce(emb, q, k=5).collect()}
+    npk = {(r["query_id"], r["rank"]): r["vec_id"] for r in cosine_topk_bruteforce_np(emb, q, k=5).collect()}
+    assert hof == npk

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from arc_kinesis_tagging_spark.operators.clusters import dedup_keep_best
 from arc_kinesis_tagging_spark.operators.dedup import dedup_exact, minhash_near_duplicates
 from arc_kinesis_tagging_spark.operators.similarity import (
-    cosine_topk_bruteforce,
+    cosine_topk_bruteforce_np,
     cosine_topk_ivf,
 )
 from arc_kinesis_tagging_spark.session import get_session
@@ -124,7 +124,7 @@ def main() -> None:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     t0 = time.perf_counter()
-    report["brute_topk_rows"] = cosine_topk_bruteforce(emb, q, k=5).count()
+    report["brute_topk_rows"] = cosine_topk_bruteforce_np(emb, q, k=5).count()
     report["brute_topk_sec"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     report["ivf_topk_rows"] = cosine_topk_ivf(emb, q, k=5, nlist=32, nprobe=4).count()
