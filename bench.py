@@ -24,6 +24,8 @@ from arc_kinesis_tagging_spark.session import get_session
 # toward the shuffle-heavy ops that dominate at 100 TB.
 HEADLINE = [
     "q_agg_group",        # TPC-H Q1-style scan+agg
+    "q_tpch_q3ish",       # composite: broadcast dim + SMJ + agg + top-k
+    "q_tpch_q5ish",       # composite: 5-way join + agg
     "q_join_smj",         # large-large sort-merge join
     "q_join_broadcast",   # star-schema broadcast enrichment
     "q_join_asof",        # union+window as-of join
