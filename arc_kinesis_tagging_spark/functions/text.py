@@ -27,10 +27,19 @@ def tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as strings (for MinHash / Jaccard dedup)."""
+    """Word n-gram shingles as strings (for MinHash / Jaccard dedup).
+
+    Documents with fewer than ``n`` tokens yield an empty array. The
+    empty case must be guarded explicitly: ``sequence(1, 0)`` in Spark
+    steps DOWN (produces ``[1, 0]``), so the naive
+    ``sequence(1, greatest(m, 0))`` would index past the token array
+    and abort the job on any short document.
+    """
     toks = tokens(text)
-    k = F.size(toks) - F.lit(n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    m = F.size(toks) - F.lit(n - 1)
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
     )
@@ -147,7 +156,12 @@ def fingerprint_expr(text: Column) -> Column:
     hashing the full text is undesirable (e.g. after normalization).
     """
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(0)))
+    # Guard the empty case: sequence(1, 0) steps DOWN to [1, 0], which
+    # would send element_at past the empty token array and abort the
+    # job on any blank/whitespace-only document.
+    idx = F.when(F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks))).otherwise(
+        F.array().cast("array<int>")
+    )
     hashed = F.transform(
         idx, lambda i: stable_hash64(F.concat_ws(":", i.cast("string"), F.element_at(toks, i)))
     )

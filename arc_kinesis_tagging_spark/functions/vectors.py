@@ -33,4 +33,7 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine with a zero-norm guard: a zero embedding scores 0 against
+    everything instead of NaN — Spark orders NaN above every double, so
+    unguarded zero vectors would rank #1 in every similarity top-k."""
+    return dot(a, b) / F.greatest(l2_norm(a) * l2_norm(b), F.lit(1e-12))

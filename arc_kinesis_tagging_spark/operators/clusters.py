@@ -49,10 +49,24 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    # Convergence check: min-label propagation only ever DECREASES
-    # labels, so sum(component) is strictly monotone until fixpoint —
-    # an O(n) aggregation per round instead of a join + count.
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    # Convergence check: ONE aggregation per round over a numeric
+    # surrogate of the label multiset — sum(xxhash64(component)) changes
+    # whenever any label changes (collision of two full label-multiset
+    # sums is vanishingly unlikely) and works for ANY key type. A plain
+    # sum(component) would silently be NULL for string keys (the
+    # reference domain's _id IS a string), making every round compare
+    # None == None and exit after one propagation with wrong components.
+    def _label_sum(lbl: DataFrame):
+        # decimal accumulator: ANSI mode makes a long sum of 64-bit
+        # hashes overflow-error; decimal(38,0) absorbs any node count.
+        return lbl.agg(
+            F.sum(
+                F.xxhash64(F.col("component").cast("string")).cast("decimal(38,0)")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+
+    prev_sum = _label_sum(labels)
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -71,7 +85,7 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        new_sum = _label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
             break
@@ -94,19 +108,23 @@ def dedup_keep_best(
     """
     from pyspark.sql import Window
 
-    comps = connected_components(pairs)
-    clustered = df.join(
-        comps.withColumnRenamed("node", key_col), key_col, "left"
+    comps = connected_components(pairs).withColumnRenamed("node", key_col)
+    # Singletons (the overwhelming majority of a deduped corpus) are
+    # split off BEFORE the window: a single window over a left join
+    # would put every non-clustered row into one `component IS NULL`
+    # partition — a single-task straggler at corpus scale. The anti
+    # join keeps them out of the shuffle entirely.
+    singletons = df.join(comps, key_col, "left_anti").withColumn(
+        "cluster", F.lit(None).cast(dict(comps.dtypes)["component"])
     )
+    clustered = df.join(comps, key_col, "inner")
     w = Window.partitionBy("component").orderBy(
         F.col(score_col).desc(), F.col(key_col).asc()
     )
-    ranked = clustered.withColumn(
-        "__rn",
-        F.when(F.col("component").isNull(), F.lit(1)).otherwise(F.row_number().over(w)),
-    )
-    return (
-        ranked.filter(F.col("__rn") == 1)
+    winners = (
+        clustered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
         .drop("__rn")
         .withColumnRenamed("component", "cluster")
     )
+    return winners.unionByName(singletons.select(*winners.columns))

@@ -80,7 +80,11 @@ def _score_pairs_np(pairs: DataFrame, out_cols: list[str]) -> DataFrame:
             V = np.array(pdf["__cvec"].tolist(), dtype=np.float64)
             Q = np.array(pdf["__qvec"].tolist(), dtype=np.float64)
             dots = np.einsum("ij,ij->i", V, Q)
-            sims = dots / (np.linalg.norm(V, axis=1) * np.linalg.norm(Q, axis=1))
+            # zero-norm guard: without it a zero embedding yields NaN,
+            # and Spark sorts NaN ABOVE every double — zero vectors
+            # would rank #1 for every query. Clamped, they score 0.
+            denom = np.maximum(np.linalg.norm(V, axis=1) * np.linalg.norm(Q, axis=1), 1e-12)
+            sims = dots / denom
             out = pdf[[c.split()[0] for c in out_cols]].copy()
             out["cos_sim"] = sims
             yield out
@@ -139,7 +143,7 @@ def cosine_topk_bruteforce_np(
     qrows = queries.select(query_id_col, vec_col).collect()
     Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     qids = np.array([r[query_id_col] for r in qrows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     b = spark.sparkContext.broadcast((qids, Qn))
 
     def score(batches):
@@ -148,7 +152,7 @@ def cosine_topk_bruteforce_np(
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             S = Vn @ Qn_.T
             n, q = S.shape
             yield pd.DataFrame(

@@ -70,7 +70,11 @@ def upsert_by_key_parquet(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    # materialize before overwrite (can't stream from the file being replaced)
-    winner.cache().count()
+    # Materialize before overwrite (can't stream from the file being
+    # replaced). Must be localCheckpoint, NOT cache(): cache is not a
+    # plan barrier — a partition evicted under memory pressure (or lost
+    # with an executor) recomputes from the source files mid-overwrite,
+    # corrupting the store. localCheckpoint truncates the lineage so
+    # recomputation from the overwritten path is impossible.
+    winner = winner.localCheckpoint(eager=True)
     winner.write.mode("overwrite").parquet(path)
-    winner.unpersist()
