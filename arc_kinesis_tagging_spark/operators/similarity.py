@@ -93,12 +93,20 @@ def _score_pairs_np(pairs: DataFrame, out_cols: list[str]) -> DataFrame:
 
 
 def _assign_cells(
-    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, rank_limit: int
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    rank_limit: int,
+    keep_sim: bool = False,
 ) -> DataFrame:
     """Assign each corpus vector to its ``rank_limit`` nearest centroids
     (1 for indexing, nprobe for query routing). Scoring runs through
     the vectorized kernel: assignment is corpus_size x nlist cosines —
-    the dominant cost of index builds at the HOF's interpreted speed."""
+    the dominant cost of index builds at the HOF's interpreted speed.
+    ``keep_sim`` retains the vector-to-centroid cosine as ``__csim``
+    (used by the threshold join to derive per-cell angular radii
+    without a second scoring pass)."""
     pairs = corpus.select(
         F.col(id_col), F.col(vec_col).alias("__cvec")
     ).join(
@@ -113,10 +121,107 @@ def _assign_cells(
     assigned = (
         scored.withColumn("__crank", F.row_number().over(w))
         .filter(F.col("__crank") <= rank_limit)
-        .drop("__csim", "__crank")
+        .drop("__crank", *([] if keep_sim else ["__csim"]))
     )
     # re-attach the vector column (the kernel projects it away)
     return assigned.join(corpus.select(id_col, vec_col), id_col)
+
+
+def cosine_threshold_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+) -> DataFrame:
+    """EXACT cosine-threshold self-join (all pairs with
+    ``cos(a, b) >= threshold``) without the quadratic cross product.
+
+    Strategy — triangle-inequality pruning over IVF cells:
+
+    1. assign every vector to its nearest of ``nlist`` centroids;
+    2. compute each cell's angular radius ``r_c`` = max angle between a
+       member and its centroid (free: the assignment pass already
+       scored it);
+    3. keep only cell pairs whose centroid angle is <=
+       ``theta_max + r_a + r_b``. For any qualifying vector pair,
+       ``angle(c_a, c_b) <= angle(a, b) + r_a + r_b`` by the triangle
+       inequality on the sphere, so no qualifying pair is ever pruned —
+       the result is exactly the brute-force set, which is why the
+       all-pairs SQL form can stay as this operator's oracle;
+    4. join vectors only through surviving cell pairs and verify with
+       the exact cosine.
+
+    At 100 TB: nlist scales to thousands (cells stay a broadcast-size
+    table — nlist^2 centroid comparisons are metadata-cheap), the big
+    join shuffles on cell_id instead of exploding N^2, and pruning
+    power grows with centroid quality (swap the deterministic seed
+    centroids for a k-means fit offline). Worst case (useless
+    centroids) degrades to the cross join's cost but never to wrong
+    answers.
+
+    Zero-norm vectors score cos 0 against everything (see
+    ``cosine_similarity``), so for thresholds > 0 they can't qualify
+    and their non-metric "angle" can't break the pruning bound.
+    """
+    import math
+
+    if not (-1.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (-1, 1], got {threshold}")
+    # slack absorbs float-ulp disagreement between the numpy assignment
+    # scores and the Catalyst-HOF verification cosine
+    theta_max = math.acos(max(-1.0, threshold - 1e-9)) + 1e-6
+
+    centroids = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(nlist)
+        .select(
+            F.row_number().over(Window.orderBy(F.col(id_col).asc())).alias("cell_id"),
+            F.col(vec_col).alias("__centroid"),
+        )
+    )
+    assigned = _assign_cells(
+        df, F.broadcast(centroids), id_col, vec_col, rank_limit=1, keep_sim=True
+    ).persist()  # reused 3x below; without persist each branch re-scores
+
+    clamp = lambda c: F.least(F.greatest(c, F.lit(-1.0)), F.lit(1.0))
+    radii = assigned.groupBy("cell_id").agg(
+        F.max(F.acos(clamp(F.col("__csim")))).alias("__r")
+    )
+    cells = centroids.join(radii, "cell_id")
+    ca = cells.select(
+        F.col("cell_id").alias("cell_a"), F.col("__centroid").alias("__ca"),
+        F.col("__r").alias("__ra"),
+    )
+    cb = cells.select(
+        F.col("cell_id").alias("cell_b"), F.col("__centroid").alias("__cb"),
+        F.col("__r").alias("__rb"),
+    )
+    cand_cells = (
+        ca.crossJoin(cb)
+        .filter(
+            F.acos(clamp(cosine_similarity(F.col("__ca"), F.col("__cb"))))
+            <= F.lit(theta_max) + F.col("__ra") + F.col("__rb")
+        )
+        .select("cell_a", "cell_b")
+    )
+
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col("cell_id").alias("cell_a"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col("cell_id").alias("cell_b"),
+    )
+    return (
+        a.join(F.broadcast(cand_cells), "cell_a")
+        .join(b, ["cell_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine_similarity(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
 
 
 def cosine_topk_bruteforce_np(

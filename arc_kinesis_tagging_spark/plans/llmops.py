@@ -169,17 +169,21 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (brute force at test SF;
-    the LSH/IVF variants in operators/similarity.py are the scale path).
+    """Embedding-cosine near-duplicate pairs via the EXACT sub-quadratic
+    threshold join (IVF cells + triangle-inequality pruning — see
+    ``cosine_threshold_pairs``). The oracle stays the all-pairs SQL
+    form: pruning is lossless, so results are identical, but the Spark
+    plan shuffles on cell_id instead of exploding N^2 — the shape that
+    survives 100x. Threshold is passed with half-ulp-of-rounding slack
+    (0.3499 < 0.35) so pairs that ROUND to 0.35 survive the exact
+    filter; the final rounded filter matches the oracle's.
     Rounded similarity for cross-engine comparability."""
-    e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    from arc_kinesis_tagging_spark.functions.vectors import cosine_similarity
+    from arc_kinesis_tagging_spark.operators.similarity import cosine_threshold_pairs
 
+    e = _t(spark, sf_dir, "embeddings")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos4", F.round(cosine_similarity(F.col("va"), F.col("vb")), 4))
+        cosine_threshold_pairs(e, threshold=0.3499, nlist=16)
+        .withColumn("cos4", F.round(F.col("cos_sim"), 4))
         .filter(F.col("cos4") >= 0.35)
         .select("id_a", "id_b", "cos4")
     )

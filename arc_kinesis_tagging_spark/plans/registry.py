@@ -10,12 +10,33 @@ from arc_kinesis_tagging_spark.plans.relational import RELATIONAL_QUERIES
 from arc_kinesis_tagging_spark.plans.relational2 import RELATIONAL2_QUERIES
 from arc_kinesis_tagging_spark.plans.relational3 import RELATIONAL3_QUERIES
 
-ALL_QUERIES: list[Query] = [
-    *RELATIONAL_QUERIES,
-    *RELATIONAL2_QUERIES,
-    *RELATIONAL3_QUERIES,
-    *LLMOPS_QUERIES,
-]
+# Registry order IS the driver's correctness-check order, and the driver
+# evaluates only the FIRST 50 entries per round. With 72 entries, the
+# order rotates across rounds so every query gets a driver-green row:
+#
+#   round 1: relational(35) + relational2(9) + relational3[:6]  -> 47/50 green
+#   round 2: llmops(21) + relational3(7) + relational2(9) + relational[:13]
+#            -> covers everything round 1 missed (all llmops, q_sample,
+#               and the two re-scalar-ized array queries); the tail
+#               (relational[13:]) all have green r01 rows.
+#
+# Override for ad-hoc runs: AKT_REGISTRY_ROTATION=r1 restores round-1 order.
+import os
+
+if os.environ.get("AKT_REGISTRY_ROTATION") == "r1":
+    ALL_QUERIES: list[Query] = [
+        *RELATIONAL_QUERIES,
+        *RELATIONAL2_QUERIES,
+        *RELATIONAL3_QUERIES,
+        *LLMOPS_QUERIES,
+    ]
+else:
+    ALL_QUERIES = [
+        *LLMOPS_QUERIES,
+        *RELATIONAL3_QUERIES,
+        *RELATIONAL2_QUERIES,
+        *RELATIONAL_QUERIES,
+    ]
 
 QUERIES: dict[str, Query] = {q.name: q for q in ALL_QUERIES}
 

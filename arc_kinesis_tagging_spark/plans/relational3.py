@@ -16,18 +16,24 @@ def _t(spark, sf_dir, name):
 
 def q_array_funcs(spark, sf_dir):
     """Array family over tokenized documents: sort, slice, size,
-    position, distinct-count, contains, reverse-sort via sort+reverse."""
+    position, distinct-count, contains, reverse-sort via sort+reverse.
+
+    Array-valued columns are serialized with ``concat_ws('|')`` so every
+    output column is scalar-typed: the driver's canonicalizer hashes by
+    pandas ``sort_values``, which cannot sort list cells. Tokens are
+    whitespace-split, so '|' joining is unambiguous.
+    """
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
     toks = tokens(F.col("text"))
     return d.select(
         "doc_id",
-        F.sort_array(toks).alias("sorted_toks"),
-        F.slice(toks, 1, 5).alias("first5"),
+        F.concat_ws("|", F.sort_array(toks)).alias("sorted_toks"),
+        F.concat_ws("|", F.slice(toks, 1, 5)).alias("first5"),
         F.size(toks).cast("long").alias("n"),
         F.array_position(toks, "spark").cast("long").alias("spark_pos"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         F.array_contains(toks, "vector").alias("has_vector"),
-        F.reverse(F.sort_array(toks)).alias("rsorted"),
+        F.concat_ws("|", F.reverse(F.sort_array(toks))).alias("rsorted"),
     )
 
 
@@ -37,13 +43,13 @@ WITH base AS (
   FROM documents WHERE doc_id % 7 = 0
 )
 SELECT doc_id,
-       list_sort(toks) AS sorted_toks,
-       list_slice(toks, 1, 5) AS first5,
+       array_to_string(list_sort(toks), '|') AS sorted_toks,
+       array_to_string(list_slice(toks, 1, 5), '|') AS first5,
        CAST(len(toks) AS BIGINT) AS n,
        CAST(COALESCE(list_position(toks, 'spark'), 0) AS BIGINT) AS spark_pos,
        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
        list_contains(toks, 'vector') AS has_vector,
-       list_reverse_sort(toks) AS rsorted
+       array_to_string(list_reverse_sort(toks), '|') AS rsorted
 FROM base
 """
 
@@ -100,10 +106,15 @@ FROM orders
 
 
 def q_collect_agg(spark, sf_dir):
-    """Aggregate-to-array (sorted for determinism) + string_agg."""
+    """Aggregate-to-array (sorted for determinism) + string_agg.
+
+    The collect_list result is serialized with ``concat_ws('|')`` so the
+    output is scalar-typed (driver canonicalizer cannot hash list cells);
+    the array op itself still runs — serialization is the last step.
+    """
     n = _t(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("nations"),
         F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations_csv"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -111,7 +122,7 @@ def q_collect_agg(spark, sf_dir):
 
 ORACLE_COLLECT = """
 SELECT n_regionkey,
-       list_sort(array_agg(n_name)) AS nations,
+       array_to_string(list_sort(array_agg(n_name)), '|') AS nations,
        list_aggregate(list_sort(array_agg(n_name)), 'string_agg', ',') AS nations_csv,
        COUNT(*) AS n
 FROM nation
@@ -173,14 +184,42 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC),
 
 
 def q_string_distance(spark, sf_dir):
-    """Edit-distance family (fuzzy matching / dedup building block)."""
+    """Edit-distance family (fuzzy matching / dedup building block).
+
+    Length-banded, not all-pairs: ``levenshtein(a,b) >= |len(a)-len(b)|``,
+    so with max distance 8 only pairs within 8 chars of each other can
+    qualify. Each left row explodes into its own length band (width 9)
+    plus both neighbors and equi-joins on the band — same result set as
+    the cross join (the oracle keeps that form), but the plan shuffles
+    on band keys instead of building N^2/2 pairs, then prunes the
+    survivors with the cheap length filter before the O(len^2)
+    levenshtein runs."""
+    max_lev = 8
+    band_w = max_lev + 1
     p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
-    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
-    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.length("p_name").alias("len_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.length("p_name").alias("len_b"),
+        F.floor(F.length("p_name") / band_w).alias("band"),
+    )
+    band_a = F.floor(F.col("len_a") / band_w)
+    a_exploded = a.withColumn(
+        "band", F.explode(F.array(band_a - 1, band_a, band_a + 1))
+    )
     return (
-        a.join(b, F.col("key_a") < F.col("key_b"))
+        a_exploded.join(b, "band")
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_lev)
+        )
         .withColumn("lev", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter(F.col("lev") <= 8)
+        .filter(F.col("lev") <= max_lev)
         .select("key_a", "key_b", "lev")
     )
 

@@ -43,6 +43,17 @@ def canon_rows(df):
     return cols, sorted(rows, key=lambda t: tuple("" if x is None else str(x) for x in t))
 
 
+def driver_canon_check(df):
+    """Replicate the DRIVER's canonicalizer, which sorts raw cells via
+    pandas ``sort_values`` — list/dict/ndarray cells make it throw
+    ``TypeError: unhashable type``. Our own canon stringifies cells, so
+    without this pre-check a query can pass locally and crash the
+    driver's gate (that is exactly what happened to q_array_funcs /
+    q_collect_agg in round 1). Raise here so it fails loudly locally."""
+    if len(df):
+        df.sort_values(by=sorted(df.columns)).head(1)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -64,6 +75,13 @@ def main():
         except Exception:
             print(f"FAIL {name}: spark error")
             traceback.print_exc(limit=3)
+            n_fail += 1
+            continue
+        try:
+            driver_canon_check(sdf)
+        except TypeError as e:
+            print(f"FAIL {name}: driver canonicalizer would crash: {e} "
+                  "(non-scalar output column? serialize it)")
             n_fail += 1
             continue
         if q.oracle is None:
