@@ -29,15 +29,61 @@ def connected_components(
     key_a: str = "key_a",
     key_b: str = "key_b",
     max_iterations: int = 20,
+    driver_edge_limit: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
-    component = min node key of the connected cluster."""
+    component = min node key of the connected cluster.
+
+    Size-adaptive: the candidate-pair graph is tiny relative to the
+    corpus (it holds only suspected duplicates), and iterative label
+    propagation pays full scheduler overhead PER ROUND even on a
+    500-node graph. Below ``driver_edge_limit`` edges the graph is
+    collected and closed with a driver-side union-find — one job, exact
+    same (node, min-key component) result. Above it, distributed
+    min-label propagation runs as before. The count that picks the path
+    is metadata-cheap next to either branch, and 2M edges (~32 MB of
+    key pairs) is far under driver memory.
+    """
     edges = (
         pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
         .unionByName(pairs.select(F.col(key_b).alias("src"), F.col(key_a).alias("dst")))
         .distinct()
         .persist()
     )
+    if edges.count() <= driver_edge_limit:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN key so the root IS the component label,
+                # matching the propagation path's min-label semantics
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(n, find(n)) for n in parent]
+        key_type = pairs.schema[key_a].dataType
+        spark = pairs.sparkSession
+        edges.unpersist()
+        from pyspark.sql.types import StructField, StructType
+
+        return spark.createDataFrame(
+            out,
+            StructType(
+                [StructField("node", key_type), StructField("component", key_type)]
+            ),
+        )
     # localCheckpoint (eager) rather than persist: iterative algorithms
     # must TRUNCATE the logical plan every round, not just cache the
     # physical result — otherwise Catalyst re-analyzes a plan that

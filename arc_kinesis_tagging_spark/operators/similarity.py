@@ -101,30 +101,59 @@ def _assign_cells(
     keep_sim: bool = False,
 ) -> DataFrame:
     """Assign each corpus vector to its ``rank_limit`` nearest centroids
-    (1 for indexing, nprobe for query routing). Scoring runs through
-    the vectorized kernel: assignment is corpus_size x nlist cosines —
-    the dominant cost of index builds at the HOF's interpreted speed.
-    ``keep_sim`` retains the vector-to-centroid cosine as ``__csim``
-    (used by the threshold join to derive per-cell angular radii
-    without a second scoring pass)."""
-    pairs = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("__cvec")
-    ).join(
-        F.broadcast(centroids.select("cell_id", F.col("__centroid").alias("__qvec"))),
-        F.lit(True),
+    (1 for indexing, nprobe for query routing).
+
+    Centroids are broadcast-size by construction, so they are collected
+    into one numpy matrix and the whole assignment is a single NARROW
+    ``mapInPandas`` pass — one matmul per Arrow batch, no shuffle, no
+    window, no join-back (a previous windowed-rank formulation spent
+    more time in its two extra shuffle stages than in all the math).
+    Ties in similarity break toward the lowest cell_id (stable argsort
+    over ascending cell ids). ``keep_sim`` appends the vector-to-chosen-
+    centroid cosine as ``__csim`` (the threshold join derives per-cell
+    angular radii from it for free)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    crows = sorted(
+        centroids.select("cell_id", "__centroid").collect(), key=lambda r: r["cell_id"]
     )
+    cids = np.array([r["cell_id"] for r in crows])
+    C = np.array([r["__centroid"] for r in crows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast((cids, Cn))
+
     id_type = dict(corpus.dtypes)[id_col]
-    scored = _score_pairs_np(pairs, [f"{id_col} {id_type}", "cell_id int"]).withColumnRenamed(
-        "cos_sim", "__csim"
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+    k = min(rank_limit, len(crows))
+    schema = f"{id_col} {id_type}, cell_id int, {vec_col} {vec_type}" + (
+        ", __csim double" if keep_sim else ""
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col("cell_id").asc())
-    assigned = (
-        scored.withColumn("__crank", F.row_number().over(w))
-        .filter(F.col("__crank") <= rank_limit)
-        .drop("__crank", *([] if keep_sim else ["__csim"]))
-    )
-    # re-attach the vector column (the kernel projects it away)
-    return assigned.join(corpus.select(id_col, vec_col), id_col)
+
+    def assign(batches):
+        cids_, Cn_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            S = Vn @ Cn_.T  # n x nlist
+            # stable argsort of -S: ties resolve to the lower cell_id
+            top = np.argsort(-S, axis=1, kind="stable")[:, :k]
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), k),
+                    "cell_id": cids_[top].ravel(),
+                    vec_col: np.repeat(pdf[vec_col].to_numpy(), k),
+                }
+            )
+            if keep_sim:
+                out["__csim"] = np.take_along_axis(S, top, axis=1).ravel()
+            yield out
+
+    return corpus.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
 def cosine_threshold_pairs(
@@ -207,17 +236,61 @@ def cosine_threshold_pairs(
     )
 
     a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__cvec"),
         F.col("cell_id").alias("cell_a"),
     )
     b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__qvec"),
         F.col("cell_id").alias("cell_b"),
     )
+    # Blocked-GEMM verification: materializing one row PER PAIR (each
+    # carrying two full vectors) makes data volume scale with pair
+    # count — at 2k vectors that is already 4 GB through Arrow. Instead
+    # the a-side is replicated once per CANDIDATE CELL (not per pair)
+    # and cogrouped with the cell's members; each group scores as one
+    # numpy matmul, so transfer scales with rows x avg-candidate-cells.
+    # The matmul filter keeps a 1e-6 slack — orders of magnitude above
+    # kernel-vs-HOF float disagreement (<1e-12), so no qualifying pair
+    # can be lost — and only the tiny surviving set is re-scored with
+    # the Catalyst HOF, whose bit-exact value is what callers round and
+    # compare against SQL oracles. At 100 TB, oversized cells sub-chunk
+    # by hashing ids into the group key (bounds per-group memory) —
+    # with each group independent, the shuffle key count grows and the
+    # GEMMs stay cache-sized.
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    a_rep = a.join(F.broadcast(cand_cells), "cell_a").select("cell_b", "id_a", "__cvec")
+    slack = threshold - 1e-6
+
+    def block_score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        V = np.array(left["__cvec"].tolist(), dtype=np.float64)
+        W = np.array(right["__qvec"].tolist(), dtype=np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        Wn = W / np.maximum(np.linalg.norm(W, axis=1, keepdims=True), 1e-12)
+        S = Vn @ Wn.T
+        ids_a = left["id_a"].to_numpy()
+        ids_b = right["id_b"].to_numpy()
+        # id_a < id_b both dedupes (each unordered pair appears in
+        # exactly one direction across the two replicated groups) and
+        # drops self-pairs
+        ia, ib = np.nonzero((S >= slack) & (ids_a[:, None] < ids_b[None, :]))
+        return pd.DataFrame({"id_a": ids_a[ia], "id_b": ids_b[ib]})
+
+    survivors = (
+        a_rep.groupBy("cell_b")
+        .cogroup(b.groupBy("cell_b"))
+        .applyInPandas(block_score, f"id_a {id_type}, id_b {id_type}")
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
-        a.join(F.broadcast(cand_cells), "cell_a")
-        .join(b, ["cell_b"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        F.broadcast(survivors)
+        .join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos_sim", cosine_similarity(F.col("__va"), F.col("__vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
