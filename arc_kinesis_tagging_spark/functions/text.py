@@ -166,3 +166,32 @@ def fingerprint_expr(text: Column) -> Column:
         idx, lambda i: stable_hash64(F.concat_ws(":", i.cast("string"), F.element_at(toks, i)))
     )
     return F.aggregate(hashed, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h))
+
+
+# PII patterns, shared between scrub expressions and their SQL oracles.
+# Keep in sync with the oracle strings in plans/llmops.py.
+PII_PATTERNS = {
+    # (pattern, replacement)
+    "email": (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    "digits": (r"\b\d{6,}\b", "<NUM>"),
+}
+
+
+def pii_scrub_exprs(text: Column) -> dict[str, Column]:
+    """Scrub PII-ish spans (emails, phone shapes, long digit runs) and
+    count what was redacted. Pure ``regexp_replace``/``regexp_count``
+    chain — JVM codegen, order-independent per row, trivially
+    SQL-portable. Patterns are deliberately conservative (a training
+    corpus scrubber should over-match inside its target classes, never
+    rewrite prose): each class replaces with a typed sentinel so
+    downstream token statistics can still see that something was there.
+    """
+    counts = {
+        f"n_{name}": F.regexp_count(text, F.lit(pat)).cast("long")
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+    scrubbed = text
+    for pat, repl in PII_PATTERNS.values():
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return {"scrubbed": scrubbed, **counts}

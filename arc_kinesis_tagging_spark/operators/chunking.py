@@ -1,0 +1,123 @@
+"""Document chunking and sequence packing — the two reshaping steps
+between a cleaned corpus and an LLM training batch.
+
+- ``chunk_documents``: split each document into overlapping token
+  windows (retrieval indexing, long-doc training examples). Pure
+  codegen expressions + one explode; no shuffle, no Python.
+- ``pack_token_spans``: GPT-style sequence packing — concatenate
+  documents in a deterministic order and cut the token stream into
+  fixed-capacity context windows; a document spanning a boundary
+  contributes a span to each window it crosses. Expressed as a running
+  token-offset window + span explode, so the "concatenation" never
+  materializes — each row knows its own [start, end) offsets and which
+  windows it intersects.
+
+Both operators are deterministic and SQL-expressible, so they carry
+full DuckDB oracles in the registry (plans/llmops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from arc_kinesis_tagging_spark.functions.text import tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """One row per (document, chunk): token window of ``chunk_size``
+    starting every ``stride`` tokens (overlap = chunk_size - stride).
+
+    Chunk starts are 1, 1+stride, ... <= n_tokens; the final chunk may
+    be short. Empty documents produce no chunks. The whole operator is
+    a codegen'd projection + explode — at 100 TB it's a map-only stage
+    whose output partitioning follows the input, so a downstream
+    per-chunk embed/group stage is the first shuffle, not this.
+    """
+    if stride < 1 or chunk_size < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # sequence() errors on start > stop with a positive step, so the
+    # empty-document case must short-circuit to an empty array
+    starts = F.when(
+        n >= 1, F.sequence(F.lit(1).cast("int"), n, F.lit(stride).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(
+            F.col(key_col),
+            F.col(text_col),
+            F.explode(starts).alias("chunk_start"),
+        )
+        .select(
+            key_col,
+            F.floor((F.col("chunk_start") - 1) / stride).cast("long").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(tokens(F.col(text_col)), F.col("chunk_start"), F.lit(chunk_size))
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_size),
+                F.size(tokens(F.col(text_col))) - F.col("chunk_start") + 1,
+            )
+            .cast("long")
+            .alias("chunk_tokens"),
+        )
+    )
+
+
+def pack_token_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    part_col: str = "source",
+    capacity: int = 256,
+) -> DataFrame:
+    """Assign each document's token span to fixed-capacity context
+    windows: documents are concatenated per ``part_col`` partition in
+    ``key_col`` order, and the stream is cut every ``capacity`` tokens.
+    Returns one row per (document, window) with how many of the
+    document's tokens land in that window.
+
+    Packing per partition (source/shard) rather than globally is the
+    scale-correct form: a single global ORDER BY is one task, while
+    per-source running offsets shuffle by ``part_col`` and pack in
+    parallel — same training-batch semantics, since window ids are
+    (partition, window_seq) pairs either way.
+    """
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        df.select(F.col(part_col), F.col(key_col), n_tok.alias("n_tok"))
+        .filter(F.col("n_tok") >= 1)
+        .withColumn("end_off", F.sum("n_tok").over(w))
+        .withColumn("start_off", F.col("end_off") - F.col("n_tok"))
+    )
+    first_w = F.floor(F.col("start_off") / capacity).cast("long")
+    last_w = F.floor((F.col("end_off") - 1) / capacity).cast("long")
+    return spans.select(
+        part_col,
+        key_col,
+        F.explode(F.sequence(first_w, last_w)).alias("window_id"),
+        "start_off",
+        "end_off",
+    ).select(
+        part_col,
+        key_col,
+        "window_id",
+        (
+            F.least(F.col("end_off"), (F.col("window_id") + 1) * capacity)
+            - F.greatest(F.col("start_off"), F.col("window_id") * capacity)
+        )
+        .cast("long")
+        .alias("tokens_in_window"),
+    )

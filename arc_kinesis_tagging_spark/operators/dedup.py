@@ -361,3 +361,42 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("key_a", "key_b", "hamming")
     )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    key_col: str,
+    shingle_n: int = 5,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Train/eval contamination check: corpus documents sharing at least
+    ``min_shared`` distinct word ``shingle_n``-grams with any benchmark
+    document. Returns (doc_key, bench_key, n_shared).
+
+    Inverted-index join, benchmark side broadcast: eval sets are tiny
+    (thousands of docs) next to a training corpus, so every corpus
+    shingle checks against the benchmark index without a shuffle —
+    the right shape at 100 TB, where shuffling the exploded corpus
+    shingles (10-100x corpus bytes) is the thing to avoid. Exact by
+    construction; SQL-expressible, so the registry carries a full
+    DuckDB oracle.
+    """
+    def _sh(df: DataFrame, out_key: str) -> DataFrame:
+        return df.select(
+            F.col(key_col).alias(out_key),
+            F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias(
+                "__sh"
+            ),
+        )
+
+    corpus_sh = _sh(corpus, "doc_key")
+    bench_sh = _sh(benchmark, "bench_key")
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "__sh")
+        .filter(F.col("doc_key") != F.col("bench_key"))
+        .groupBy("doc_key", "bench_key")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -595,6 +595,167 @@ GROUP BY d.lang
 """
 
 
+# --- corpus reshaping: chunking / packing / scrubbing / contamination -------
+
+def q_text_chunk(spark, sf_dir):
+    """Overlapping token-window chunking (retrieval indexing / long-doc
+    training examples): 32-token chunks every 24 tokens. Map-only
+    explode — no shuffle; see operators/chunking.py."""
+    from arc_kinesis_tagging_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "text", "doc_id", chunk_size=32, stride=24)
+
+
+ORACLE_TEXT_CHUNK = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), starts AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks), 24)) AS s
+  FROM base WHERE len(toks) >= 1
+)
+SELECT doc_id,
+       CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+       array_to_string(toks[s : s + 31], ' ') AS chunk_text,
+       CAST(least(32, len(toks) - s + 1) AS BIGINT) AS chunk_tokens
+FROM starts
+"""
+
+
+def q_seq_pack(spark, sf_dir):
+    """GPT-style sequence packing: per-source concatenation cut into
+    256-token context windows; one row per (doc, window) span. Running
+    offsets via a partitioned window — packing parallelizes across
+    sources instead of one global sort; see operators/chunking.py."""
+    from arc_kinesis_tagging_spark.operators.chunking import pack_token_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_token_spans(d, "text", "doc_id", "source", capacity=256)
+
+
+ORACLE_SEQ_PACK = """
+WITH spans AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tok,
+         SUM(CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT))
+           OVER (PARTITION BY source ORDER BY doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+  FROM documents
+), offs AS (
+  -- SUM over BIGINT is HUGEINT in DuckDB; generate_series needs BIGINT
+  SELECT source, doc_id, CAST(end_off AS BIGINT) AS end_off,
+         CAST(end_off - n_tok AS BIGINT) AS start_off
+  FROM spans WHERE n_tok >= 1
+)
+SELECT source, doc_id,
+       CAST(w AS BIGINT) AS window_id,
+       CAST(least(end_off, (w + 1) * 256) - greatest(start_off, w * 256) AS BIGINT) AS tokens_in_window
+FROM offs, LATERAL unnest(generate_series(start_off // 256, (end_off - 1) // 256)) AS t(w)
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing over a corpus: emails / phone shapes / long digit
+    runs replaced with typed sentinels, with per-class redaction
+    counts. The synthetic corpus has no PII, so a deterministic
+    contact line derived from doc_id is appended first — the scrubber
+    then provably fires on every row (both engines build the same
+    augmented text)."""
+    from arc_kinesis_tagging_spark.functions.text import pii_scrub_exprs
+
+    d = _t(spark, sf_dir, "documents")
+    augmented = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-01"),
+        F.lpad(F.pmod(F.col("doc_id"), 100).cast("string"), 2, "0"),
+        F.lit("-9876 ref "),
+        F.lpad(F.col("doc_id").cast("string"), 9, "0"),
+    )
+    exprs = pii_scrub_exprs(augmented)
+    return d.select(
+        "doc_id",
+        exprs["scrubbed"].alias("scrubbed"),
+        exprs["n_email"].alias("n_email"),
+        exprs["n_phone"].alias("n_phone"),
+        exprs["n_digits"].alias("n_digits"),
+    )
+
+
+# Patterns mirror functions/text.py PII_PATTERNS (keep in sync).
+ORACLE_PII_SCRUB = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-9876 ref '
+              || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g'),
+         '\\b\\d{6,}\\b', '<NUM>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '\\b\\d{6,}\\b')) AS BIGINT) AS n_digits
+FROM aug
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Train/eval contamination: corpus docs sharing >= 3 distinct
+    3-gram shingles with any 'benchmark' doc (held-out slice
+    doc_id % 97 == 0). Inverted-index join with the benchmark side
+    broadcast; see operators/dedup.py contamination_pairs."""
+    from arc_kinesis_tagging_spark.operators.dedup import contamination_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination_pairs(d, bench, "text", "doc_id", shingle_n=3, min_shared=3)
+
+
+ORACLE_CONTAMINATION = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 0)),
+           i -> array_to_string(tk[i : i + 2], ' ')))) AS s
+  FROM toks
+)
+SELECT a.doc_id AS doc_key, b.doc_id AS bench_key, COUNT(*) AS n_shared
+FROM sh a JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) b
+  ON a.s = b.s AND a.doc_id <> b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3
+"""
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """End-to-end semantic dedup: exact cosine-threshold pairs (IVF
+    triangle-inequality pruning) -> connected components -> one
+    representative per cluster (lowest vec_id). Iterative/adaptive ->
+    rows-only; the pair stage is oracle-checked by q_dedup_embedding
+    and the clustering by union-find model tests."""
+    from arc_kinesis_tagging_spark.operators.clusters import dedup_keep_best
+    from arc_kinesis_tagging_spark.operators.similarity import cosine_threshold_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_threshold_pairs(e, threshold=0.35, nlist=16).select(
+        F.col("id_a").alias("key_a"), F.col("id_b").alias("key_b")
+    )
+    kept = dedup_keep_best(
+        e.select("vec_id").withColumn("__score", F.lit(0)), pairs, "vec_id", "__score"
+    )
+    return kept.select("vec_id", "cluster")
+
+
 LLMOPS_QUERIES = [
     Query("q_array_tag_upsert", q_array_tag_upsert, ORACLE_TAG_UPSERT),
     Query("q_explode", q_explode, ORACLE_EXPLODE),
@@ -624,4 +785,10 @@ LLMOPS_QUERIES = [
     Query("q_multimodal_pipeline", q_multimodal_pipeline, None,
           "decode->resize->frame-sample chain; fake codec -> rows-only"),
     Query("q_pipeline_tag_enrich", q_pipeline_tag_enrich, ORACLE_PIPELINE),
+    Query("q_text_chunk", q_text_chunk, ORACLE_TEXT_CHUNK),
+    Query("q_seq_pack", q_seq_pack, ORACLE_SEQ_PACK),
+    Query("q_pii_scrub", q_pii_scrub, ORACLE_PII_SCRUB),
+    Query("q_contamination", q_contamination, ORACLE_CONTAMINATION),
+    Query("q_dedup_semantic", q_dedup_semantic, None,
+          "threshold pairs + CC + keep-best; components iterative -> rows-only"),
 ]

@@ -179,13 +179,25 @@ class AsyncDocumentStore(DocumentStore):
     def __init__(self, latency_s: float = 0.0) -> None:
         super().__init__()
         self.latency_s = latency_s
+        # overlap telemetry: how many calls were in flight at once —
+        # lets tests assert concurrency deterministically instead of
+        # flaking on wall-clock under load
+        self._in_flight = 0
+        self.max_in_flight = 0
 
     async def aget(self, doc_id: str) -> dict[str, Any] | None:
         import asyncio
 
-        if self.latency_s:
-            await asyncio.sleep(self.latency_s)
-        return self.get(doc_id)
+        with self._lock:
+            self._in_flight += 1
+            self.max_in_flight = max(self.max_in_flight, self._in_flight)
+        try:
+            if self.latency_s:
+                await asyncio.sleep(self.latency_s)
+            return self.get(doc_id)
+        finally:
+            with self._lock:
+                self._in_flight -= 1
 
     async def aput(self, doc_id: str, doc: dict[str, Any]) -> None:
         import asyncio

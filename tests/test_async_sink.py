@@ -2,10 +2,6 @@
 chains with per-record error isolation (the batched/async upgrade the
 reference's own comments ask for, utility/tag.py:57-58)."""
 
-import time
-
-from pyspark.sql import functions as F
-
 from arc_kinesis_tagging_spark.streaming.sinks import (
     AsyncDocumentStore,
     DocumentStore,
@@ -39,18 +35,17 @@ def test_async_sink_tags_and_isolates_errors(spark):
 
 
 def test_async_sink_overlaps_latency(spark):
-    # 40 docs x (10ms GET + 10ms PUT) = 800ms serially; with
-    # max_concurrency=16 the chains overlap and the batch must finish
-    # in a fraction of that (bound is loose for CI jitter).
+    # 40 docs x (10ms GET + 10ms PUT) with max_concurrency=16: the
+    # chains must genuinely overlap. Asserted via the store's in-flight
+    # telemetry (deterministic), not wall-clock (flaky under suite
+    # load): a serial sink would never have 2 GETs in flight at once.
     store = AsyncDocumentStore(latency_s=0.010)
     _seed(store)
     batch = _batch(spark, with_bad=False)
-    batch.collect()  # warm the plan so timing measures only the sink
-    t0 = time.time()
     autotag_sink_async(store, tag=TAG, max_concurrency=16)(batch, 0)
-    elapsed = time.time() - t0
     assert store.put_count == 40
-    assert elapsed < 0.55, f"async sink did not overlap latency: {elapsed:.2f}s"
+    assert store.max_in_flight >= 8, f"no overlap: peak={store.max_in_flight}"
+    assert store.max_in_flight <= 16  # semaphore bound respected
 
 
 def test_async_sink_adapts_sync_store(spark):
