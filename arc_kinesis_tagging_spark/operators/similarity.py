@@ -271,14 +271,28 @@ def cosine_threshold_pairs(
         W = np.array(right["__qvec"].tolist(), dtype=np.float64)
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         Wn = W / np.maximum(np.linalg.norm(W, axis=1, keepdims=True), 1e-12)
-        S = Vn @ Wn.T
         ids_a = left["id_a"].to_numpy()
         ids_b = right["id_b"].to_numpy()
-        # id_a < id_b both dedupes (each unordered pair appears in
-        # exactly one direction across the two replicated groups) and
-        # drops self-pairs
-        ia, ib = np.nonzero((S >= slack) & (ids_a[:, None] < ids_b[None, :]))
-        return pd.DataFrame({"id_a": ids_a[ia], "id_b": ids_b[ib]})
+        # Slab the GEMM: a full |left| x |right| score matrix is
+        # O(na*nb) doubles PER TASK — with weak pruning and 32
+        # concurrent tasks that exhausts executor memory (observed:
+        # 80k x 2.5k = 1.6 GB each). ~4M-cell slabs keep each task's
+        # working set ~32 MB with identical results.
+        step = max(1, 4_000_000 // len(ids_b))
+        hits_a, hits_b = [], []
+        for s in range(0, len(ids_a), step):
+            Sl = Vn[s : s + step] @ Wn.T
+            # id_a < id_b both dedupes (each unordered pair appears in
+            # exactly one direction across the two replicated groups)
+            # and drops self-pairs
+            ia, ib = np.nonzero(
+                (Sl >= slack) & (ids_a[s : s + step, None] < ids_b[None, :])
+            )
+            hits_a.append(ids_a[s : s + step][ia])
+            hits_b.append(ids_b[ib])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(hits_a), "id_b": np.concatenate(hits_b)}
+        )
 
     survivors = (
         a_rep.groupBy("cell_b")

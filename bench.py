@@ -39,6 +39,8 @@ HEADLINE = [
     "q_similarity_topk",  # brute-force cosine top-k
     "q_text_termfreq",    # token explode + agg
     "q_text_quality",     # expression-heavy projection
+    "q_seq_pack",         # running-offset sequence packing
+    "q_contamination",    # broadcast inverted-index overlap join
     "q_pipeline_tag_enrich",  # the flagship reference pipeline
 ]
 

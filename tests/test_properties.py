@@ -92,3 +92,71 @@ def test_asof_join_matches_naive_model(sp, events, orders):
         cand = [os for ok, os in orders if ok == k and os <= s]
         model[i] = (base + timedelta(seconds=max(cand))) if cand else None
     assert got == model
+
+
+# --- chunking / packing properties ------------------------------------------
+
+docs_st = st.lists(
+    st.lists(st.sampled_from(["a", "bb", "ccc", "d0"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=docs_st, chunk_size=st.integers(1, 6), stride=st.integers(1, 6))
+@SETTINGS
+def test_chunk_documents_model(sp, docs, chunk_size, stride):
+    """Chunks == the Python sliding-window model for arbitrary doc
+    lengths (including empty), chunk sizes, and strides."""
+    from arc_kinesis_tagging_spark.operators.chunking import chunk_documents
+
+    df = sp.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_tokens"])
+        for r in chunk_documents(df, chunk_size=chunk_size, stride=stride).collect()
+    }
+    want = {}
+    for i, toks in enumerate(docs):
+        for ci, s in enumerate(range(0, len(toks), stride)):
+            part = toks[s : s + chunk_size]
+            want[(i, ci)] = (" ".join(part), len(part))
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]), st.integers(0, 9)),
+        min_size=1,
+        max_size=14,
+    ),
+    capacity=st.integers(1, 8),
+)
+@SETTINGS
+def test_pack_token_spans_model(sp, docs, capacity):
+    """Span assignment == the Python concat-and-cut model: per source,
+    token count conservation and window capacity both hold for
+    arbitrary doc lengths (including empty docs, which vanish)."""
+    from arc_kinesis_tagging_spark.operators.chunking import pack_token_spans
+
+    df = sp.createDataFrame(
+        [(i, src, " ".join(["t"] * n)) for i, (src, n) in enumerate(docs)],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r["source"], r["doc_id"], r["window_id"]): r["tokens_in_window"]
+        for r in pack_token_spans(df, capacity=capacity).collect()
+    }
+    want = {}
+    offsets: dict = {}
+    for i, (src, n) in enumerate(docs):  # doc_id order == list order
+        if n == 0:
+            continue
+        start = offsets.get(src, 0)
+        for tok_off in range(start, start + n):
+            k = (src, i, tok_off // capacity)
+            want[k] = want.get(k, 0) + 1
+        offsets[src] = start + n
+    assert got == want

@@ -130,6 +130,14 @@ def main() -> None:
     report["ivf_topk_rows"] = cosine_topk_ivf(emb, q, k=5, nlist=32, nprobe=4).count()
     report["ivf_topk_sec"] = round(time.perf_counter() - t0, 2)
 
+    from arc_kinesis_tagging_spark.operators.similarity import cosine_threshold_pairs
+
+    t0 = time.perf_counter()
+    report["threshold_pairs_rows"] = cosine_threshold_pairs(
+        emb, threshold=0.9, nlist=32
+    ).count()
+    report["threshold_pairs_sec"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(report))
 
 
