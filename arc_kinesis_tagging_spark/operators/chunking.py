@@ -42,32 +42,35 @@ def chunk_documents(
     """
     if stride < 1 or chunk_size < 1:
         raise ValueError("chunk_size and stride must be >= 1")
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    # sequence() errors on start > stop with a positive step, so the
-    # empty-document case must short-circuit to an empty array
-    starts = F.when(
-        n >= 1, F.sequence(F.lit(1).cast("int"), n, F.lit(stride).cast("int"))
-    ).otherwise(F.array().cast("array<int>"))
-    return (
-        df.select(
-            F.col(key_col),
-            F.col(text_col),
-            F.explode(starts).alias("chunk_start"),
+
+    # Tokenize ONCE per document: Catalyst's projection collapse would
+    # otherwise re-inline the tokenizer into every chunk column (3
+    # evaluations per exploded row). The single-eval wrapper
+    # element_at(transform(array(expr), fn), 1) binds the token array
+    # to a lambda variable, all chunk structs are built inside that one
+    # scope, and the explode emits finished structs — text is never
+    # re-tokenized after the explode.
+    def build(tk):
+        # sequence() errors on start > stop with a positive step, so
+        # the empty-document case must short-circuit to an empty array
+        starts = F.when(
+            F.size(tk) >= 1,
+            F.sequence(F.lit(1).cast("int"), F.size(tk), F.lit(stride).cast("int")),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                F.concat_ws(" ", F.slice(tk, s, chunk_size)).alias("chunk_text"),
+                F.least(F.lit(chunk_size), F.size(tk) - s + 1)
+                .cast("long")
+                .alias("chunk_tokens"),
+            ),
         )
-        .select(
-            key_col,
-            F.floor((F.col("chunk_start") - 1) / stride).cast("long").alias("chunk_idx"),
-            F.concat_ws(
-                " ", F.slice(tokens(F.col(text_col)), F.col("chunk_start"), F.lit(chunk_size))
-            ).alias("chunk_text"),
-            F.least(
-                F.lit(chunk_size),
-                F.size(tokens(F.col(text_col))) - F.col("chunk_start") + 1,
-            )
-            .cast("long")
-            .alias("chunk_tokens"),
-        )
+
+    chunks = F.element_at(F.transform(F.array(tokens(F.col(text_col))), build), 1)
+    return df.select(F.col(key_col), F.explode(chunks).alias("__c")).select(
+        key_col, "__c.chunk_idx", "__c.chunk_text", "__c.chunk_tokens"
     )
 
 

@@ -162,6 +162,7 @@ def cosine_threshold_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nlist: int = 16,
+    exact_rescore: bool = True,
 ) -> DataFrame:
     """EXACT cosine-threshold self-join (all pairs with
     ``cos(a, b) >= threshold``) without the quadratic cross product.
@@ -192,6 +193,14 @@ def cosine_threshold_pairs(
     Zero-norm vectors score cos 0 against everything (see
     ``cosine_similarity``), so for thresholds > 0 they can't qualify
     and their non-metric "angle" can't break the pruning bound.
+
+    ``exact_rescore=True`` re-scores the surviving pairs with the
+    Catalyst HOF cosine, whose bit-exact value is what SQL oracles
+    compare against — keep it for oracle-checked queries. Pipelines
+    that only consume the PAIR SET (dedup clustering) pass False and
+    take the kernel's cosine directly: at 80k vectors / 1.5M survivors
+    the interpreted re-score plus its join-back is most of the
+    operator's cost, for values that differ below 1e-12.
     """
     import math
 
@@ -279,7 +288,7 @@ def cosine_threshold_pairs(
         # 80k x 2.5k = 1.6 GB each). ~4M-cell slabs keep each task's
         # working set ~32 MB with identical results.
         step = max(1, 4_000_000 // len(ids_b))
-        hits_a, hits_b = [], []
+        hits_a, hits_b, hits_s = [], [], []
         for s in range(0, len(ids_a), step):
             Sl = Vn[s : s + step] @ Wn.T
             # id_a < id_b both dedupes (each unordered pair appears in
@@ -290,19 +299,26 @@ def cosine_threshold_pairs(
             )
             hits_a.append(ids_a[s : s + step][ia])
             hits_b.append(ids_b[ib])
+            hits_s.append(Sl[ia, ib])
         return pd.DataFrame(
-            {"id_a": np.concatenate(hits_a), "id_b": np.concatenate(hits_b)}
+            {
+                "id_a": np.concatenate(hits_a),
+                "id_b": np.concatenate(hits_b),
+                "cos_sim": np.concatenate(hits_s),
+            }
         )
 
     survivors = (
         a_rep.groupBy("cell_b")
         .cogroup(b.groupBy("cell_b"))
-        .applyInPandas(block_score, f"id_a {id_type}, id_b {id_type}")
+        .applyInPandas(block_score, f"id_a {id_type}, id_b {id_type}, cos_sim double")
     )
+    if not exact_rescore:
+        return survivors.filter(F.col("cos_sim") >= threshold)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
-        F.broadcast(survivors)
+        F.broadcast(survivors.drop("cos_sim"))
         .join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cos_sim", cosine_similarity(F.col("__va"), F.col("__vb")))

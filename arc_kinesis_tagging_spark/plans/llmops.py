@@ -747,9 +747,9 @@ def q_dedup_semantic(spark, sf_dir):
     from arc_kinesis_tagging_spark.operators.similarity import cosine_threshold_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    pairs = cosine_threshold_pairs(e, threshold=0.35, nlist=16).select(
-        F.col("id_a").alias("key_a"), F.col("id_b").alias("key_b")
-    )
+    pairs = cosine_threshold_pairs(
+        e, threshold=0.35, nlist=16, exact_rescore=False
+    ).select(F.col("id_a").alias("key_a"), F.col("id_b").alias("key_b"))
     kept = dedup_keep_best(
         e.select("vec_id").withColumn("__score", F.lit(0)), pairs, "vec_id", "__score"
     )
