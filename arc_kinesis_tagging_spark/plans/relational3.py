@@ -233,6 +233,118 @@ WHERE levenshtein(a.p_name, b.p_name) <= 8
 """
 
 
+def q_struct_funcs(spark, sf_dir):
+    """Struct family: named_struct creation, field access, nested
+    access through a struct-of-struct, JSON serialization of a struct.
+    Field order is definition order in both engines, so to_json output
+    strings agree."""
+    c = _t(spark, sf_dir, "customer")
+    s = F.struct(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.struct(F.col("c_acctbal").alias("bal")).alias("acct"),
+    )
+    return c.select(
+        "c_custkey",
+        s.getField("seg").alias("seg"),
+        s.getField("acct").getField("bal").alias("bal"),
+        F.to_json(
+            F.struct(F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg"))
+        ).alias("as_json"),
+    )
+
+
+ORACLE_STRUCT = """
+SELECT c_custkey,
+       struct_extract(struct_pack(k := c_custkey, seg := c_mktsegment,
+                                  acct := struct_pack(bal := c_acctbal)), 'seg') AS seg,
+       struct_extract(struct_extract(struct_pack(k := c_custkey, seg := c_mktsegment,
+                                                 acct := struct_pack(bal := c_acctbal)), 'acct'), 'bal') AS bal,
+       '{"k":' || c_custkey || ',"seg":"' || c_mktsegment || '"}' AS as_json
+FROM customer
+"""
+
+
+def q_url_funcs(spark, sf_dir):
+    """URL parsing family over synthesized URLs (host / path / query
+    parameter extraction). Spark's parse_url is Hive-compatible; the
+    oracle re-derives the same parts with regexes, which doubles as a
+    cross-check that parse_url agrees with the grammar."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    url = F.concat(
+        F.lit("https://cdn"),
+        (F.col("p_partkey") % 5).cast("string"),
+        F.lit(".example.com/parts/"),
+        F.regexp_replace("p_type", r"\s+", "-"),
+        F.lit("?size="),
+        F.col("p_size").cast("string"),
+        F.lit("&brand="),
+        F.regexp_replace("p_brand", "#", ""),
+    )
+    return p.select(
+        "p_partkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("size")).alias("q_size"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("brand")).alias("q_brand"),
+    )
+
+
+ORACLE_URL = """
+WITH u AS (
+  SELECT p_partkey,
+         'https://cdn' || (p_partkey % 5) || '.example.com/parts/'
+           || regexp_replace(p_type, '\\s+', '-', 'g')
+           || '?size=' || p_size || '&brand=' || replace(p_brand, '#', '') AS url
+  FROM part WHERE p_partkey % 20 = 0
+)
+SELECT p_partkey,
+       regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+       regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]size=([^&]*)', 1) AS q_size,
+       regexp_extract(url, '[?&]brand=([^&]*)', 1) AS q_brand
+FROM u
+"""
+
+
+def q_csv_parse(spark, sf_dir):
+    """Inline CSV parsing (from_csv): reconstruct a CSV line, parse it
+    back into typed fields. The round-trip must reproduce the source
+    columns — the oracle just splits the same line."""
+    n = _t(spark, sf_dir, "orders")
+    line = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    parsed = F.from_csv(
+        line,
+        "k bigint, status string, prio string",
+        {"sep": "|"},
+    )
+    return n.select(
+        "o_orderkey",
+        parsed.getField("k").alias("k"),
+        parsed.getField("status").alias("status"),
+        parsed.getField("prio").alias("prio"),
+    )
+
+
+ORACLE_CSV = """
+WITH l AS (
+  SELECT o_orderkey,
+         o_orderkey || '|' || o_orderstatus || '|' || o_orderpriority AS line
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(string_split(line, '|')[1] AS BIGINT) AS k,
+       string_split(line, '|')[2] AS status,
+       string_split(line, '|')[3] AS prio
+FROM l
+"""
+
+
 RELATIONAL3_QUERIES = [
     Query("q_window_analytics", q_window_analytics, ORACLE_WINDOW_ANALYTICS),
     Query("q_string_distance", q_string_distance, ORACLE_STRING_DISTANCE),
@@ -241,4 +353,7 @@ RELATIONAL3_QUERIES = [
     Query("q_date_funcs2", q_date_funcs2, ORACLE_DATE2),
     Query("q_collect_agg", q_collect_agg, ORACLE_COLLECT),
     Query("q_sample", q_sample, None, "seeded sampling; engine-specific RNG -> rows-only"),
+    Query("q_struct_funcs", q_struct_funcs, ORACLE_STRUCT),
+    Query("q_url_funcs", q_url_funcs, ORACLE_URL),
+    Query("q_csv_parse", q_csv_parse, ORACLE_CSV),
 ]
