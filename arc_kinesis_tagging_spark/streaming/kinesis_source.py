@@ -1,0 +1,234 @@
+"""A real custom streaming connector with Kinesis semantics, built on
+Spark 4's Python Data Source API (SPARK-44076).
+
+The file-source emulator (source.py) proves the pipeline; THIS module
+proves the connector shape: a ``DataSourceStreamReader`` whose offsets
+are per-shard sequence numbers, whose ``partitions()`` emits one input
+partition per shard (the reference's shard-parallel consume loop,
+app.py:16-24/89-96, as genuine Spark tasks), and whose options mirror
+the reference's configuration surface:
+
+- ``streamDir``     — the "stream": a directory of shard subdirs
+                      (``shardId-*/``) holding sequence-keyed chunks
+- ``startingPosition`` — TRIM_HORIZON (default) or LATEST. LATEST
+                      reproduces the reference's start-at-now behavior
+                      (app.py:18) — with checkpointed offsets it no
+                      longer loses data on RESTART, only records that
+                      arrived before first start, by definition
+- ``maxRecordsPerShardPerBatch`` — admission control; the analog of
+                      the reference's GetRecords Limit=20 (app.py:22-24)
+
+A production AWS build subclasses ``KinesisEmuStreamReader`` and
+overrides the three storage touchpoints — ``read()`` (GetRecords,
+utility/aws.py:47-65), ``_shard_end_seq`` (GetShardIterator at
+LATEST), ``_shard_dirs`` (ListShards) — and leaves everything else
+untouched: offsets, partitioning, recovery and the pipeline contract
+are already exactly Kinesis-shaped here.
+
+Storage layout written by ``write_kinesis_fixture``:
+
+    <streamDir>/shardId-000000000000/chunk-<firstseq>.parquet
+    <streamDir>/shardId-000000000001/chunk-<firstseq>.parquet
+
+Each chunk holds (data binary, seq long) rows sorted by seq; chunk
+files are immutable and append-only per shard, so ``latestOffset`` is
+a directory listing (shard discovery, R3) plus a footer read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+SCHEMA_DDL = "data binary, shard_id string, seq bigint"
+
+
+def write_kinesis_fixture(stream_dir: str, records) -> int:
+    """Append (payload_bytes, shard:int) records to the stream dir as
+    one new chunk per shard. Sequence numbers continue from the last
+    chunk (monotone per shard, like Kinesis sequence numbers)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    by_shard: dict[str, list[bytes]] = {}
+    for payload, shard in records:
+        by_shard.setdefault(f"shardId-{shard:012d}", []).append(payload)
+    n = 0
+    for shard_id, payloads in by_shard.items():
+        d = os.path.join(stream_dir, shard_id)
+        os.makedirs(d, exist_ok=True)
+        start = _shard_end_seq(d)
+        seqs = list(range(start, start + len(payloads)))
+        table = pa.table(
+            {"data": pa.array(payloads, pa.binary()), "seq": pa.array(seqs, pa.int64())}
+        )
+        pq.write_table(table, os.path.join(d, f"chunk-{start:020d}.parquet"))
+        n += len(payloads)
+    return n
+
+
+def _shard_dirs(stream_dir: str) -> list[str]:
+    if not os.path.isdir(stream_dir):
+        return []
+    return sorted(
+        e for e in os.listdir(stream_dir)
+        if e.startswith("shardId-") and os.path.isdir(os.path.join(stream_dir, e))
+    )
+
+
+def _shard_end_seq(shard_dir: str) -> int:
+    """One past the last sequence number present in the shard."""
+    import pyarrow.parquet as pq
+
+    chunks = sorted(f for f in os.listdir(shard_dir) if f.startswith("chunk-"))
+    if not chunks:
+        return 0
+    last = os.path.join(shard_dir, chunks[-1])
+    md = pq.read_metadata(last)
+    first = int(chunks[-1][len("chunk-"):].split(".")[0])
+    return first + md.num_rows
+
+
+@dataclass
+class ShardRange(InputPartition):
+    shard_dir: str
+    shard_id: str
+    start: int
+    end: int
+
+
+def _dbg(msg: str) -> None:
+    p = os.environ.get("KINESIS_EMU_DEBUG_LOG")
+    if p:
+        with open(p, "a") as f:
+            f.write(msg + "\n")
+
+
+class KinesisEmuStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.stream_dir = options["streamdir"]
+        self.start_pos = options.get("startingposition", "TRIM_HORIZON").upper()
+        self.max_per_shard = int(options.get("maxrecordspershardperbatch", 0)) or None
+        # last offset this reader handed to Spark — the base for
+        # admission control (see latestOffset)
+        self._base: dict | None = None
+
+    # -- offsets: {shard_id: next_seq}, JSON dict -------------------------
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API)
+        shards = _shard_dirs(self.stream_dir)
+        if self.start_pos == "LATEST":
+            out = {s: _shard_end_seq(os.path.join(self.stream_dir, s)) for s in shards}
+        else:
+            out = {s: 0 for s in shards}
+        # NEVER clobber an established base: the engine calls
+        # latestOffset BEFORE initialOffset on a fresh stream (verified
+        # by trace), and resetting the base backward here made
+        # latestOffset regress below the committed offset — Spark then
+        # rewound its offset log and re-read earlier batches.
+        if self._base is None:
+            self._base = dict(out)
+        _dbg(f"initialOffset pid={os.getpid()} id={id(self)} -> {out}")
+        return out
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        # shard discovery happens here: new shard dirs (resharding)
+        # appear as new offset keys starting at 0
+        actual = {}
+        for s in _shard_dirs(self.stream_dir):
+            actual[s] = _shard_end_seq(os.path.join(self.stream_dir, s))
+        if self.max_per_shard is None:
+            _dbg(f"latestOffset-uncapped pid={os.getpid()} id={id(self)} -> {actual}")
+            return actual
+        # Admission control lives HERE, not in partitions(): Spark
+        # checkpoints whatever end offset this returns, so partitions()
+        # must always cover the full [start, end) range — capping there
+        # would permanently skip the records beyond the cap.
+        #
+        # The returned offset is MONOTONE by construction: base is the
+        # last offset this reader handed out, end >= base per shard,
+        # and the base is never reset (see initialOffset). The very
+        # first latestOffset of a reader has no base and returns the
+        # uncapped actual — so pre-existing history enters in one batch
+        # and the cap governs everything that ARRIVES after the stream
+        # starts (including newly discovered shards, which enter capped
+        # from 0). Best-effort first-batch semantics, exact afterwards
+        # — and never a duplicate or a skip.
+        if self._base is None:
+            end = dict(actual)
+        else:
+            base = self._base
+            end = {
+                s: max(
+                    min(a, int(base.get(s, 0)) + self.max_per_shard),
+                    int(base.get(s, 0)),
+                )
+                for s, a in actual.items()
+            }
+        self._base = dict(end)
+        _dbg(f"latestOffset pid={os.getpid()} id={id(self)} -> {end}")
+        return end
+
+    def reportLatestOffset(self) -> dict:  # noqa: N802
+        return self.latestOffset()
+
+    def partitions(self, start: dict, end: dict) -> list[ShardRange]:
+        parts = []
+        for shard_id, end_seq in end.items():
+            s = int(start.get(shard_id, 0))
+            e = int(end_seq)
+            if e > s:
+                parts.append(
+                    ShardRange(
+                        os.path.join(self.stream_dir, shard_id), shard_id, s, e
+                    )
+                )
+        _dbg(f"partitions pid={os.getpid()} id={id(self)} start={start} end={end}")
+        # one partition per shard -> shard-parallel tasks (R2)
+        return parts
+
+    def read(self, partition: ShardRange):
+        import pyarrow.parquet as pq
+
+        chunks = sorted(
+            f for f in os.listdir(partition.shard_dir) if f.startswith("chunk-")
+        )
+        for f in chunks:
+            first = int(f[len("chunk-"):].split(".")[0])
+            table = pq.read_table(os.path.join(partition.shard_dir, f))
+            n = table.num_rows
+            if first >= partition.end or first + n <= partition.start:
+                continue
+            data = table.column("data").to_pylist()
+            seqs = table.column("seq").to_pylist()
+            for blob, seq in zip(data, seqs):
+                if partition.start <= seq < partition.end:
+                    yield (blob, partition.shard_id, seq)
+
+    def commit(self, end: dict) -> None:
+        _dbg(f"commit pid={os.getpid()} id={id(self)} end={end}")  # chunks are retained; offsets live in the checkpoint
+
+    def stop(self) -> None:
+        pass
+
+
+class KinesisEmuDataSource(DataSource):
+    """``spark.readStream.format("kinesis_emu")`` after
+    ``spark.dataSource.register(KinesisEmuDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kinesis_emu"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def streamReader(self, schema: StructType) -> KinesisEmuStreamReader:  # noqa: N802
+        return KinesisEmuStreamReader(self.options)
