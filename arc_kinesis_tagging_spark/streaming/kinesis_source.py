@@ -43,6 +43,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -219,8 +220,33 @@ class KinesisEmuStreamReader(DataSourceStreamReader):
         pass
 
 
+class KinesisEmuBatchReader(DataSourceReader):
+    """Batch mode over the same stream storage (the Kafka-connector
+    parity: a stream you can also ``spark.read`` for replay/backfill).
+    One partition per shard; optional ``startSeq``/``endSeq`` options
+    bound the replay window on every shard."""
+
+    def __init__(self, options: dict) -> None:
+        self.stream_dir = options["streamdir"]
+        self.start_seq = int(options.get("startseq", 0))
+        self.end_seq = int(options.get("endseq", -1))
+
+    def partitions(self) -> list[ShardRange]:
+        parts = []
+        for s in _shard_dirs(self.stream_dir):
+            d = os.path.join(self.stream_dir, s)
+            end = _shard_end_seq(d) if self.end_seq < 0 else self.end_seq
+            if end > self.start_seq:
+                parts.append(ShardRange(d, s, self.start_seq, end))
+        return parts
+
+    def read(self, partition: ShardRange):
+        yield from KinesisEmuStreamReader.read(self, partition)  # same scan
+
+
 class KinesisEmuDataSource(DataSource):
-    """``spark.readStream.format("kinesis_emu")`` after
+    """``spark.readStream.format("kinesis_emu")`` (streaming) or
+    ``spark.read.format("kinesis_emu")`` (replay/backfill) after
     ``spark.dataSource.register(KinesisEmuDataSource)``."""
 
     @classmethod
@@ -232,3 +258,6 @@ class KinesisEmuDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> KinesisEmuStreamReader:  # noqa: N802
         return KinesisEmuStreamReader(self.options)
+
+    def reader(self, schema: StructType) -> KinesisEmuBatchReader:
+        return KinesisEmuBatchReader(self.options)

@@ -170,3 +170,23 @@ def test_pipeline_end_to_end_over_connector(registered, tmp_path):
     assert len(out) == 8
     assert {r["_id"] for r in out} == {f"doc-{i % 2}-{i}" for i in range(8)}
     assert all(r["shard_origination"].startswith("shardId-") for r in out)
+
+
+def test_batch_replay_over_same_storage(registered, tmp_path):
+    spark = registered
+    sd = str(tmp_path / "stream-batch")
+    write_kinesis_fixture(sd, [(_blob(i, i % 2), i % 2) for i in range(12)])
+    df = spark.read.format("kinesis_emu").option("streamDir", sd).load()
+    assert df.count() == 12
+    # bounded replay window applies per shard
+    win = (
+        spark.read.format("kinesis_emu")
+        .option("streamDir", sd)
+        .option("startSeq", 2)
+        .option("endSeq", 5)
+        .load()
+    )
+    rows = win.collect()
+    assert sorted((r["shard_id"][-1], r["seq"]) for r in rows) == [
+        ("0", 2), ("0", 3), ("0", 4), ("1", 2), ("1", 3), ("1", 4),
+    ]
