@@ -502,3 +502,92 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+def srp_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """PROBABILISTIC cosine near-dup candidates: signed-random-projection
+    LSH (Charikar hyperplane hashing) with banding, then exact cosine
+    verification of the candidates.
+
+    This is the complement of ``cosine_threshold_pairs``: the exact
+    cell-bound join guarantees recall 1.0 but its pruning power is
+    data-dependent (zero on unstructured corpora); SRP-LSH prunes on
+    ANY distribution — collision probability per bit is 1 - angle/pi,
+    so a band of width w collides with p^w and recall over L bands is
+    1 - (1 - p^w)^L, tunable via (n_bits, bands) for the target
+    threshold. Use LSH when near-everything is far apart (web-scale
+    dedup at high thresholds); use the exact join when a recall
+    guarantee is required.
+
+    Plan shape: one narrow mapInPandas signature pass (V @ R > 0, R a
+    seed-deterministic hyperplane matrix), band-key explode, bucket
+    self-join on (band, key) — identical shuffle shape to MinHash-LSH
+    (operators/dedup.py), shuffling 8-byte band keys, never vectors —
+    then candidate verification through the numpy kernel.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_bits % bands != 0:
+        raise ValueError("n_bits must divide evenly into bands")
+    width = n_bits // bands
+    spark = df.sparkSession
+    first = df.select(vec_col).first()
+    if first is None:
+        return spark.createDataFrame(
+            [], f"id_a {dict(df.dtypes)[id_col]}, id_b {dict(df.dtypes)[id_col]}, cos_sim double"
+        )
+    dim = len(first[0])
+    R = np.random.default_rng(seed).standard_normal((dim, n_bits))
+    bc = spark.sparkContext.broadcast(R)
+    id_type = dict(df.dtypes)[id_col]
+
+    def signatures(batches):
+        R_ = bc.value
+        weights = (1 << np.arange(width, dtype=np.int64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (V @ R_) > 0  # n x n_bits
+            out = {id_col: pdf[id_col].to_numpy()}
+            cols = {}
+            for b in range(bands):
+                seg = bits[:, b * width : (b + 1) * width].astype(np.int64)
+                cols[f"band{b}"] = seg @ weights
+            yield pd.DataFrame({**out, **cols})
+
+    band_schema = ", ".join([f"{id_col} {id_type}"] + [f"band{b} long" for b in range(bands)])
+    sigs = df.select(id_col, vec_col).mapInPandas(signatures, band_schema)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__cvec"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__qvec"))
+    scored = _score_pairs_np(
+        cands.join(va, "id_a").join(vb, "id_b"),
+        [f"id_a {id_type}", f"id_b {id_type}"],
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)

@@ -737,6 +737,20 @@ HAVING COUNT(*) >= 3
 """
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Probabilistic embedding near-dup candidates: signed-random-
+    projection LSH (hyperplane signatures + banding) with exact cosine
+    verification. The tunable-recall complement of the exact
+    triangle-inequality join (q_dedup_embedding): LSH prunes on ANY
+    data distribution — the web-scale shape at high thresholds.
+    Probabilistic recall -> rows-only; recall vs the exact join is
+    asserted in tests."""
+    from arc_kinesis_tagging_spark.operators.similarity import srp_lsh_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return srp_lsh_pairs(e, threshold=0.35, n_bits=64, bands=16, seed=42)
+
+
 def q_dedup_semantic(spark, sf_dir):
     """End-to-end semantic dedup: exact cosine-threshold pairs (IVF
     triangle-inequality pruning) -> connected components -> one
@@ -791,4 +805,6 @@ LLMOPS_QUERIES = [
     Query("q_contamination", q_contamination, ORACLE_CONTAMINATION),
     Query("q_dedup_semantic", q_dedup_semantic, None,
           "threshold pairs + CC + keep-best; components iterative -> rows-only"),
+    Query("q_dedup_embedding_lsh", q_dedup_embedding_lsh, None,
+          "SRP-LSH candidates; probabilistic recall -> rows-only, recall tested"),
 ]

@@ -141,3 +141,36 @@ def test_cosine_threshold_pairs_matches_bruteforce(spark):
         if S[i, j] >= thr
     }
     assert got == want and len(want) >= 10
+
+
+def test_srp_lsh_recall_vs_exact(spark):
+    from arc_kinesis_tagging_spark.operators.similarity import srp_lsh_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(60, 16))
+    # planted high-similarity pairs (small perturbations)
+    vecs = np.vstack([base, base[:20] + rng.normal(scale=0.03, size=(20, 16))])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    thr = 0.9
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in srp_lsh_pairs(df, thr, n_bits=64, bands=16, seed=7).collect()
+    }
+    Vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    S = Vn @ Vn.T
+    want = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if S[i, j] >= thr
+    }
+    assert len(want) >= 20
+    # every reported pair is a true pair (verification is exact) ...
+    assert got <= want
+    # ... and banding at 16 bands x 4 bits gives near-total recall at
+    # cos >= 0.9 (per-band p ~ 0.52, 1-(1-p^4)^16 ~ 0.93+)
+    recall = len(got & want) / len(want)
+    assert recall >= 0.85, f"recall {recall:.2f}"
