@@ -11,14 +11,15 @@ from arc_kinesis_tagging_spark.plans.relational2 import RELATIONAL2_QUERIES
 from arc_kinesis_tagging_spark.plans.relational3 import RELATIONAL3_QUERIES
 
 # Registry order IS the driver's correctness-check order, and the driver
-# evaluates only the FIRST 50 entries per round. With 72 entries, the
-# order rotates across rounds so every query gets a driver-green row:
+# evaluates only the FIRST 50 entries per round. The order rotates across
+# rounds so every query gets a driver-green row:
 #
 #   round 1: relational(35) + relational2(9) + relational3[:6]  -> 47/50 green
-#   round 2: llmops(21) + relational3(7) + relational2(9) + relational[:13]
-#            -> covers everything round 1 missed (all llmops, q_sample,
-#               and the two re-scalar-ized array queries); the tail
-#               (relational[13:]) all have green r01 rows.
+#   round 2: llmops(27) + relational3(10) + relational2(9) + relational[:4]
+#            -> covers everything round 1 missed (all llmops incl. the
+#               round-2 additions, q_sample, the re-scalar-ized array
+#               queries, and the new scalar families); every displaced
+#               relational entry already has a green r01 row.
 #
 # Override for ad-hoc runs: AKT_REGISTRY_ROTATION=r1 restores round-1 order.
 import os

@@ -13,7 +13,7 @@ from arc_kinesis_tagging_spark.sources.tables import TABLES
 import sys
 
 sys.path.insert(0, "/root/repo")
-from tools.verify_oracle import canon_rows  # noqa: E402
+from tools.verify_oracle import canon_rows, driver_canon_check  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 ORACLE_QUERIES = [name for name, q in QUERIES.items() if q.oracle is not None]
@@ -30,7 +30,10 @@ def duck():
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_match(spark, duck, name):
     q = QUERIES[name]
-    scols, srows = canon_rows(q.builder(spark, SF).toPandas())
+    sdf = q.builder(spark, SF).toPandas()
+    # the external driver sorts raw cells; non-scalar outputs crash it
+    driver_canon_check(sdf)
+    scols, srows = canon_rows(sdf)
     ocols, orows = canon_rows(duck.execute(q.oracle).df())
     assert scols == ocols
     assert srows == orows
