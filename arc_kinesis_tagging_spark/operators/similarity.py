@@ -206,6 +206,9 @@ def cosine_threshold_pairs(
 
     if not (-1.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (-1, 1], got {threshold}")
+    # null embeddings would crash the numpy kernels (object arrays);
+    # they can't qualify for any positive threshold, so drop up front
+    df = df.filter(F.col(vec_col).isNotNull())
     # slack absorbs float-ulp disagreement between the numpy assignment
     # scores and the Catalyst-HOF verification cosine
     theta_max = math.acos(max(-1.0, threshold - 1e-9)) + 1e-6
@@ -348,7 +351,11 @@ def cosine_topk_bruteforce_np(
     import pandas as pd
 
     spark = corpus.sparkSession
-    qrows = queries.select(query_id_col, vec_col).collect()
+    # null vectors crash the numpy kernels and can't rank anyway
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    qrows = queries.filter(F.col(vec_col).isNotNull()).select(
+        query_id_col, vec_col
+    ).collect()
     Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     qids = np.array([r[query_id_col] for r in qrows])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
@@ -540,6 +547,9 @@ def srp_lsh_pairs(
         raise ValueError("n_bits must divide evenly into bands")
     width = n_bits // bands
     spark = df.sparkSession
+    # null embeddings would crash the signature kernel; they can't be
+    # near-duplicates of anything, so drop up front
+    df = df.filter(F.col(vec_col).isNotNull())
     first = df.select(vec_col).first()
     if first is None:
         return spark.createDataFrame(

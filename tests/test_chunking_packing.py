@@ -174,3 +174,23 @@ def test_srp_lsh_recall_vs_exact(spark):
     # cos >= 0.9 (per-band p ~ 0.52, 1-(1-p^4)^16 ~ 0.93+)
     recall = len(got & want) / len(want)
     assert recall >= 0.85, f"recall {recall:.2f}"
+
+
+def test_null_embeddings_ignored_not_crashing(spark):
+    from arc_kinesis_tagging_spark.operators.similarity import (
+        cosine_topk_bruteforce_np,
+        srp_lsh_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.99, 0.01]), (4, None)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cosine_threshold_pairs(df, 0.9, nlist=2).collect()}
+    assert pairs == {(1, 3)}
+    lsh = {(r["id_a"], r["id_b"]) for r in srp_lsh_pairs(df, 0.9, n_bits=32, bands=8).collect()}
+    assert lsh <= {(1, 3)}
+    q = spark.createDataFrame([(9, [1.0, 0.0]), (10, None)], "query_id long, embedding array<double>")
+    top = cosine_topk_bruteforce_np(df, q, k=2).collect()
+    assert {r["query_id"] for r in top} == {9}
+    assert {r["vec_id"] for r in top} == {1, 3}
