@@ -345,6 +345,63 @@ FROM l
 """
 
 
+def q_tpch_q18ish(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): HAVING-filtered
+    aggregate as a semi-join driver, then a 3-way join re-aggregated.
+
+    Scale shape: the HAVING aggregate runs FIRST and produces a tiny
+    key set (204 of ~15k orders at sf0.01), which then drives a
+    left-semi join so lineitem/orders are filtered before the wide
+    join — the classic magic-set reduction Catalyst won't invent on
+    its own when written naively as IN (subquery) over a big build
+    side. Decimal sums + unique tiebreak per plans/common.py.
+    """
+    from arc_kinesis_tagging_spark.plans.common import dsum
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+ORACLE_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 RELATIONAL3_QUERIES = [
     Query("q_window_analytics", q_window_analytics, ORACLE_WINDOW_ANALYTICS),
     Query("q_string_distance", q_string_distance, ORACLE_STRING_DISTANCE),
@@ -356,4 +413,5 @@ RELATIONAL3_QUERIES = [
     Query("q_struct_funcs", q_struct_funcs, ORACLE_STRUCT),
     Query("q_url_funcs", q_url_funcs, ORACLE_URL),
     Query("q_csv_parse", q_csv_parse, ORACLE_CSV),
+    Query("q_tpch_q18ish", q_tpch_q18ish, ORACLE_TPCH_Q18),
 ]
