@@ -345,6 +345,59 @@ FROM l
 """
 
 
+def q_window_range_frame(spark, sf_dir):
+    """RANGE window frames (value-based bounds, vs the ROWS frames of
+    q_window_frame): running aggregates over a +-5 acctbal band around
+    each row's value within its segment."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").asc())
+        .rangeBetween(-5, 5)
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.count(F.lit(1)).over(w).alias("n_in_band"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).over(w).cast("double").alias("band_sum"),
+    )
+
+
+ORACLE_WINDOW_RANGE = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       COUNT(*) OVER w AS n_in_band,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE) AS band_sum
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC
+             RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+"""
+
+
+def q_unpivot(spark, sf_dir):
+    """UNPIVOT (wide -> long): part measures melted into (metric,
+    value) rows — the inverse of q_pivot."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    ).unpivot(
+        "p_partkey", ["size", "retailprice"], "metric", "value"
+    )
+
+
+ORACLE_UNPIVOT = """
+SELECT p_partkey, metric, value FROM (
+  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+         CAST(p_retailprice AS DOUBLE) AS retailprice
+  FROM part
+) UNPIVOT (value FOR metric IN (size, retailprice))
+"""
+
+
 def q_tpch_q18ish(spark, sf_dir):
     """TPC-H Q18 shape (large-volume customers): HAVING-filtered
     aggregate as a semi-join driver, then a 3-way join re-aggregated.
@@ -414,4 +467,6 @@ RELATIONAL3_QUERIES = [
     Query("q_url_funcs", q_url_funcs, ORACLE_URL),
     Query("q_csv_parse", q_csv_parse, ORACLE_CSV),
     Query("q_tpch_q18ish", q_tpch_q18ish, ORACLE_TPCH_Q18),
+    Query("q_window_range_frame", q_window_range_frame, ORACLE_WINDOW_RANGE),
+    Query("q_unpivot", q_unpivot, ORACLE_UNPIVOT),
 ]
