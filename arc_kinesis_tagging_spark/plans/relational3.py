@@ -345,6 +345,67 @@ FROM l
 """
 
 
+def q_hof_funcs(spark, sf_dir):
+    """Higher-order array functions as first-class surface: transform,
+    filter, aggregate (fold), zip_with, exists, forall. These power the
+    engine's dedup/vector internals; this row makes the family itself
+    oracle-checked."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    toks = tokens(F.col("text"))
+    lens = F.transform(toks, lambda t: F.length(t).cast("long"))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).cast("long").alias("n_long"),
+        F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x).alias("total_len"),
+        F.concat_ws(
+            "|", F.zip_with(toks, lens, lambda t, n: F.concat_ws(":", t, n.cast("string")))
+        ).alias("tagged"),
+        F.exists(toks, lambda t: t == F.lit("spark")).alias("has_spark"),
+        F.forall(toks, lambda t: F.length(t) >= 1).alias("all_nonempty"),
+    )
+
+
+ORACLE_HOF = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT doc_id,
+       CAST(len(list_filter(toks, t -> len(t) > 4)) AS BIGINT) AS n_long,
+       CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS total_len,
+       array_to_string(list_transform(toks, t -> t || ':' || len(t)), '|') AS tagged,
+       list_contains(toks, 'spark') AS has_spark,
+       coalesce(list_aggregate(list_transform(toks, t -> len(t) >= 1), 'bool_and'), TRUE) AS all_nonempty
+FROM base
+"""
+
+
+# One SQL text, two engines: executed verbatim by spark.sql over temp
+# views AND by DuckDB over the same parquet — the dialect-portable
+# subset is the query language contract.
+SQL_DIRECT = """
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name
+ORDER BY total_price DESC, nation ASC
+"""
+
+
+def q_sql_direct(spark, sf_dir):
+    """The SQL entry path: the exact oracle text runs through
+    spark.sql() over temp views — demonstrating that the engine's SQL
+    surface accepts the same ANSI dialect the oracle runs, not just
+    the DataFrame API."""
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_DIRECT)
+
+
 def q_window_range_frame(spark, sf_dir):
     """RANGE window frames (value-based bounds, vs the ROWS frames of
     q_window_frame): running aggregates over a +-5 acctbal band around
@@ -469,4 +530,6 @@ RELATIONAL3_QUERIES = [
     Query("q_tpch_q18ish", q_tpch_q18ish, ORACLE_TPCH_Q18),
     Query("q_window_range_frame", q_window_range_frame, ORACLE_WINDOW_RANGE),
     Query("q_unpivot", q_unpivot, ORACLE_UNPIVOT),
+    Query("q_hof_funcs", q_hof_funcs, ORACLE_HOF),
+    Query("q_sql_direct", q_sql_direct, SQL_DIRECT),
 ]
