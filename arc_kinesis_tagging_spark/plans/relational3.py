@@ -43,13 +43,15 @@ WITH base AS (
   FROM documents WHERE doc_id % 7 = 0
 )
 SELECT doc_id,
-       array_to_string(list_sort(toks), '|') AS sorted_toks,
-       array_to_string(list_slice(toks, 1, 5), '|') AS first5,
+       -- coalesce: array_to_string of an empty list is NULL in DuckDB;
+       -- Spark's concat_ws gives '' (empty documents hit this)
+       coalesce(array_to_string(list_sort(toks), '|'), '') AS sorted_toks,
+       coalesce(array_to_string(list_slice(toks, 1, 5), '|'), '') AS first5,
        CAST(len(toks) AS BIGINT) AS n,
        CAST(COALESCE(list_position(toks, 'spark'), 0) AS BIGINT) AS spark_pos,
        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
        list_contains(toks, 'vector') AS has_vector,
-       array_to_string(list_reverse_sort(toks), '|') AS rsorted
+       coalesce(array_to_string(list_reverse_sort(toks), '|'), '') AS rsorted
 FROM base
 """
 
@@ -372,8 +374,12 @@ WITH base AS (
 )
 SELECT doc_id,
        CAST(len(list_filter(toks, t -> len(t) > 4)) AS BIGINT) AS n_long,
-       CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS total_len,
-       array_to_string(list_transform(toks, t -> t || ':' || len(t)), '|') AS tagged,
+       -- coalesce: list_sum over an empty list is NULL in DuckDB, but
+       -- Spark's aggregate() fold returns its 0 seed on empty docs
+       CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT) AS total_len,
+       -- coalesce: array_to_string of an empty list is NULL in DuckDB
+       -- (concat_ws in Spark gives '')
+       coalesce(array_to_string(list_transform(toks, t -> t || ':' || len(t)), '|'), '') AS tagged,
        list_contains(toks, 'spark') AS has_spark,
        coalesce(list_aggregate(list_transform(toks, t -> len(t) >= 1), 'bool_and'), TRUE) AS all_nonempty
 FROM base
