@@ -306,7 +306,9 @@ SELECT doc_id,
          / GREATEST(len(toks), 1) AS stopword_ratio,
        CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / GREATEST(length(text), 1) AS punct_ratio,
        CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / GREATEST(length(text), 1) AS alpha_ratio,
-       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / GREATEST(len(toks), 1) AS mean_word_len
+       -- coalesce: list_sum over an empty list is NULL in DuckDB; the
+       -- Spark fold returns its 0 seed for empty documents
+       CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE) / GREATEST(len(toks), 1) AS mean_word_len
 FROM base
 """
 
@@ -347,11 +349,17 @@ WITH toks AS (
     SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
     FROM documents
   )
+), fp AS (
+  SELECT doc_id,
+         COALESCE(bit_xor(CAST(('0x' || substr(md5(CAST(pos AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT)), 0) AS fingerprint
+  FROM toks
+  GROUP BY doc_id
 )
-SELECT doc_id,
-       COALESCE(bit_xor(CAST(('0x' || substr(md5(CAST(pos AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT)), 0) AS fingerprint
-FROM toks
-GROUP BY doc_id
+-- left join back to documents: UNNEST over an empty token list emits
+-- ZERO rows, so a token-only formulation silently drops empty docs —
+-- Spark's guarded fingerprint_expr emits 0 for them
+SELECT d.doc_id, COALESCE(fp.fingerprint, 0) AS fingerprint
+FROM documents d LEFT JOIN fp USING (doc_id)
 """
 
 
