@@ -224,8 +224,13 @@ def q_similarity_topk(spark, sf_dir):
 
 ORACLE_SIMILARITY_TOPK = """
 WITH scored AS (
+  -- explicit clamped cosine, NOT list_cosine_similarity: a zero-norm
+  -- vector must score 0.0 (the engine's guard convention) rather than
+  -- NULL/NaN, whose sort position differs between engines
   SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos4
+         ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+               / GREATEST(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+                        * sqrt(list_sum(list_transform(CAST(q.embedding AS DOUBLE[]), x -> x * x))), 1e-12), 4) AS cos4
   FROM embeddings e
   CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
 ), ranked AS (

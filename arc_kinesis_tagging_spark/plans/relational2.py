@@ -219,14 +219,21 @@ GROUP BY label, pos
 def q_vector_normalize(spark, sf_dir):
     """L2-normalized embeddings, exploded (vec_id, pos, nv rounded) —
     the projection every cosine pipeline does once upfront so queries
-    become plain dot products."""
+    become plain dot products.
+
+    The norm denominator is clamped (greatest(norm, 1e-12)): a zero
+    vector would otherwise abort the whole job under ANSI mode
+    (DIVIDE_BY_ZERO) — with the clamp it normalizes to all-zero, the
+    same convention as cosine_similarity's zero-norm guard. The oracle
+    mirrors the clamp."""
     from arc_kinesis_tagging_spark.functions.vectors import l2_norm
 
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    denom = F.greatest(l2_norm(F.col("embedding")), F.lit(1e-12))
     normed = e.select(
         "vec_id",
         F.transform(
-            "embedding", lambda v: F.round(v.cast("double") / l2_norm(F.col("embedding")), 6)
+            "embedding", lambda v: F.round(v.cast("double") / denom, 6)
         ).alias("nv"),
     )
     return normed.select("vec_id", F.posexplode("nv").alias("pos0", "nv")).select(
@@ -237,7 +244,7 @@ def q_vector_normalize(spark, sf_dir):
 ORACLE_VECTOR_NORMALIZE = """
 WITH norms AS (
   SELECT vec_id, embedding,
-         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+         GREATEST(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 1e-12) AS nrm
   FROM embeddings WHERE vec_id < 100
 )
 SELECT vec_id, CAST(pos AS INTEGER) AS pos, ROUND(CAST(v AS DOUBLE) / nrm, 6) AS nv

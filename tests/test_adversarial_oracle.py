@@ -83,3 +83,53 @@ def test_adversarial_oracle_parity(spark, adversarial_dir, adversarial_duck, nam
     ocols, orows = canon_rows(odf)
     assert scols == ocols
     assert srows == orows
+
+
+# --- embeddings-reading queries ---------------------------------------------
+
+ADVERSARIAL_VECS = [
+    # zero vector (ANSI divide-by-zero + NaN-sort traps), exact dup,
+    # near dup, all-negative components
+    (0, [0.0, 0.0, 0.0, 0.0], "a"),
+    (1, [1.0, 0.0, 0.0, 0.0], "a"),
+    (2, [1.0, 0.0, 0.0, 0.0], "b"),
+    (3, [0.99, 0.01, 0.0, 0.0], "b"),
+    (4, [-1.0, -1.0, -1.0, -1.0], "a"),
+]
+
+EMB_QUERIES = [
+    "q_dedup_embedding",
+    "q_similarity_topk",
+    "q_vector_centroid",
+    "q_vector_normalize",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("adversarial-emb"))
+    spark.createDataFrame(
+        ADVERSARIAL_VECS, "vec_id long, embedding array<double>, label string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb_duck(adversarial_emb_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{adversarial_emb_dir}/embeddings.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_adversarial_embedding_parity(spark, adversarial_emb_dir, adversarial_emb_duck, name):
+    q = QUERIES[name]
+    sdf = q.builder(spark, adversarial_emb_dir).toPandas()
+    driver_canon_check(sdf)
+    if q.oracle is None:
+        return
+    odf = adversarial_emb_duck.execute(q.oracle).df()
+    assert canon_rows(sdf) == canon_rows(odf)
