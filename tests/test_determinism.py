@@ -1,0 +1,48 @@
+"""Partitioning-independence of the aggregation-heavy queries: the
+same query must produce the IDENTICAL canonical result under a
+different shuffle-partition count (different partial-aggregation
+grouping and merge order). This is the property the decimal-internal
+sum rules in plans/common.py exist to guarantee — float sums are not
+associative, so a query summing raw doubles would hash differently
+across partitionings and fail the driver's value-hash gate
+nondeterministically."""
+
+import pytest
+
+from arc_kinesis_tagging_spark.plans.registry import QUERIES
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+from tools.verify_oracle import canon_rows  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+AGG_QUERIES = [
+    "q_agg_group",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_tpch_q3ish",
+    "q_tpch_q5ish",
+    "q_tpch_q18ish",
+    "q_vector_centroid",
+    "q_text_tfidf",
+    "q_seq_pack",
+    "q_collect_agg",
+    "q_window_tumbling",
+    "q_sql_direct",
+]
+
+
+@pytest.mark.parametrize("name", AGG_QUERIES)
+def test_partitioning_independence(spark, name):
+    q = QUERIES[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = canon_rows(q.builder(spark, SF).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = canon_rows(q.builder(spark, SF).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
