@@ -37,8 +37,13 @@ class Query:
 
 
 def dec(col: Column | str, scale: int = 2) -> Column:
+    # precision 38, not 18: under ANSI mode a value that does not fit
+    # the decimal ABORTS the job (NUMERIC_VALUE_OUT_OF_RANGE), and 18
+    # digits is only ~1e12 at scale 6 — an outlier metric kills the
+    # query. 38 is Spark's max and matches DuckDB's exact-sum result
+    # type, so oracle parity is unaffected.
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal(18,{scale})")
+    return c.cast(f"decimal(38,{scale})")
 
 
 def dsum(col: Column | str, scale: int = 2) -> Column:

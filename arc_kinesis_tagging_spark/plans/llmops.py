@@ -599,7 +599,7 @@ ORACLE_PIPELINE = """
 SELECT d.lang AS doc_lang,
        COUNT(*) AS n_events,
        COUNT(DISTINCT e.user_id) AS n_users,
-       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
        CAST(1 AS BIGINT) AS max_tags
 FROM events e
 JOIN documents d ON d.doc_id = CAST(json_extract_string(e.props, '$.k') AS BIGINT)

@@ -262,10 +262,10 @@ def q_agg_group(spark, sf_dir):
 
 ORACLE_AGG_GROUP = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2)) * (CAST(1 AS DECIMAL(38,2)) - CAST(l_discount AS DECIMAL(38,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -302,7 +302,7 @@ def q_agg_rollup(spark, sf_dir):
 
 ORACLE_ROLLUP = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -407,7 +407,7 @@ def q_window_frame(spark, sf_dir):
 
 ORACLE_WINDOW_FRAME = """
 SELECT o_orderkey, o_custkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
 FROM orders
@@ -521,7 +521,7 @@ def q_math_funcs(spark, sf_dir):
 
 ORACLE_MATH = """
 SELECT l_orderkey, l_linenumber,
-       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * (CAST(1 AS DECIMAL(38,2)) - CAST(l_discount AS DECIMAL(38,2))) AS DOUBLE) AS revenue,
        ABS(l_discount - 0.05) AS disc_dev,
        CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
        CAST(CEIL(l_tax) AS BIGINT) AS tax_ceil,
@@ -572,7 +572,7 @@ def q_window_tumbling(spark, sf_dir):
 
 ORACLE_TUMBLING = """
 SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS ws, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1
 """
@@ -634,7 +634,7 @@ marked AS (
   FROM marked
 )
 SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
 FROM numbered
 GROUP BY user_id, sid
 """
@@ -664,7 +664,7 @@ def q_tpch_q3ish(spark, sf_dir):
 
 ORACLE_TPCH_Q3 = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2)) * (CAST(1 AS DECIMAL(38,2)) - CAST(l_discount AS DECIMAL(38,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -698,7 +698,7 @@ def q_tpch_q5ish(spark, sf_dir):
 
 ORACLE_TPCH_Q5 = """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2)) * (CAST(1 AS DECIMAL(38,2)) - CAST(l_discount AS DECIMAL(38,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -739,8 +739,12 @@ RELATIONAL_QUERIES = [
     Query("q_filter_project", q_filter_project,
           "SELECT event_id, user_id, value, value * 0.92 AS value_eur "
           "FROM events WHERE event_type = 'purchase' AND value > 50.0"),
+    # json_valid guard: Spark's get_json_object returns NULL for
+    # malformed JSON; DuckDB's json_extract_string ERRORS and would
+    # abort the oracle on one corrupt row
     Query("q_json_extract", q_json_extract,
-          "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"),
+          "SELECT event_id, CASE WHEN json_valid(props) THEN "
+          "CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k FROM events"),
     Query("q_corrupt_routing", q_corrupt_routing, ORACLE_CORRUPT),
     Query("q_join_broadcast", q_join_broadcast,
           "SELECT c_custkey, c_name, n_name, r_name FROM customer "

@@ -28,9 +28,9 @@ def q_pivot(spark, sf_dir):
 
 ORACLE_PIVOT = """
 SELECT o_orderpriority,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus='F') AS DOUBLE) AS "F",
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus='O') AS DOUBLE) AS "O",
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus='P') AS DOUBLE) AS "P"
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) FILTER (WHERE o_orderstatus='F') AS DOUBLE) AS "F",
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) FILTER (WHERE o_orderstatus='O') AS DOUBLE) AS "O",
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) FILTER (WHERE o_orderstatus='P') AS DOUBLE) AS "P"
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -166,7 +166,11 @@ def q_cast_funcs(spark, sf_dir):
     return ev.select(
         "event_id",
         F.col("event_id").cast("string").alias("id_str"),
-        F.col("value").cast("string").alias("val_str"),
+        # double -> string via decimal: raw double rendering diverges
+        # between engines at large magnitudes (Spark '1.0E15' vs
+        # DuckDB '1000000000000000.0'); fixed-scale decimal text is
+        # identical in both
+        F.col("value").cast("decimal(38,6)").cast("string").alias("val_str"),
         mixed.try_cast("long").alias("maybe_num"),
         F.col("ts").cast("date").cast("string").alias("day_str"),
     )
@@ -175,7 +179,7 @@ def q_cast_funcs(spark, sf_dir):
 ORACLE_CAST = """
 SELECT event_id,
        CAST(event_id AS VARCHAR) AS id_str,
-       CAST(value AS VARCHAR) AS val_str,
+       CAST(CAST(value AS DECIMAL(38,6)) AS VARCHAR) AS val_str,
        TRY_CAST(CASE WHEN event_id % 4 = 0 THEN 'not-a-number'
                      ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS maybe_num,
        CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day_str

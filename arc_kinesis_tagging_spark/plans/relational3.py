@@ -392,7 +392,7 @@ FROM base
 SQL_DIRECT = """
 SELECT n.n_name AS nation,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -429,14 +429,14 @@ def q_window_range_frame(spark, sf_dir):
         "c_mktsegment",
         "c_acctbal",
         F.count(F.lit(1)).over(w).alias("n_in_band"),
-        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).over(w).cast("double").alias("band_sum"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,2)")).over(w).cast("double").alias("band_sum"),
     )
 
 
 ORACLE_WINDOW_RANGE = """
 SELECT c_custkey, c_mktsegment, c_acctbal,
        COUNT(*) OVER w AS n_in_band,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE) AS band_sum
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) OVER w AS DOUBLE) AS band_sum
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC
              RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)
@@ -483,7 +483,7 @@ def q_tpch_q18ish(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("__q"))
         .filter(F.col("__q") > 250)
         .select("l_orderkey")
     )
@@ -509,12 +509,12 @@ def q_tpch_q18ish(spark, sf_dir):
 ORACLE_TPCH_Q18 = """
 SELECT c_name, c_custkey, o_orderkey,
        CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_totalprice,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
 FROM customer, orders, lineitem
 WHERE o_orderkey IN (
         SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey
-        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        HAVING SUM(CAST(l_quantity AS DECIMAL(38,2))) > 250)
   AND c_custkey = o_custkey AND o_orderkey = l_orderkey
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 ORDER BY o_totalprice DESC, o_orderkey ASC

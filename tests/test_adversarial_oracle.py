@@ -18,6 +18,8 @@ import sys
 sys.path.insert(0, "/root/repo")
 from tools.verify_oracle import canon_rows, driver_canon_check  # noqa: E402
 
+SF_BASE = "/root/testdata/sf0.001"
+
 ADVERSARIAL_DOCS = [
     # (doc_id, text, lang, source, n_chars)
     (0, "", "en", "s0", 0),
@@ -132,4 +134,74 @@ def test_adversarial_embedding_parity(spark, adversarial_emb_dir, adversarial_em
     if q.oracle is None:
         return
     odf = adversarial_emb_duck.execute(q.oracle).df()
+    assert canon_rows(sdf) == canon_rows(odf)
+
+
+# --- events-reading queries --------------------------------------------------
+
+import datetime
+
+_T0 = datetime.datetime(2024, 1, 1)
+ADVERSARIAL_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (0, _T0, 1, "purchase", 10.5, '{"k": 87}'),
+    (1, _T0 + datetime.timedelta(minutes=3), 1, "purchase", 0.0, "{k: 87"),
+    (2, _T0 + datetime.timedelta(minutes=7), 2, "error", -5.25, None),
+    (3, _T0 + datetime.timedelta(minutes=9), None, "signup", None, ""),
+    (4, _T0 + datetime.timedelta(minutes=11), 3, None, 1e15, '{"k": null}'),
+    (5, _T0 + datetime.timedelta(minutes=15), 3, "café", 2.5, '{"k": -1, "extra": [1,2]}'),
+]
+
+EVENT_QUERIES = [
+    "q_json_extract",      # malformed JSON: PERMISSIVE null vs strict error
+    "q_corrupt_routing",
+    "q_map_funcs",
+    "q_cast_funcs",        # 1e15: double->string rendering divergence
+    "q_window_lag",
+    "q_window_tumbling",   # 1e15: decimal(18,6) overflow abort
+    "q_window_sliding",
+    "q_window_session",
+    "q_join_asof",
+    "q_join_interval",
+    "q_filter_project",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_ev_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("adversarial-ev"))
+    from arc_kinesis_tagging_spark.sources.tables import TABLES
+
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{SF_BASE}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    spark.createDataFrame(
+        ADVERSARIAL_EVENTS,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def adversarial_ev_duck(adversarial_ev_dir):
+    from arc_kinesis_tagging_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        suffix = "/*.parquet" if t == "events" else ""
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{adversarial_ev_dir}/{t}.parquet{suffix}')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_adversarial_event_parity(spark, adversarial_ev_dir, adversarial_ev_duck, name):
+    q = QUERIES[name]
+    sdf = q.builder(spark, adversarial_ev_dir).toPandas()
+    driver_canon_check(sdf)
+    if q.oracle is None:
+        return
+    odf = adversarial_ev_duck.execute(q.oracle).df()
     assert canon_rows(sdf) == canon_rows(odf)
