@@ -205,3 +205,80 @@ def test_adversarial_event_parity(spark, adversarial_ev_dir, adversarial_ev_duck
         return
     odf = adversarial_ev_duck.execute(q.oracle).df()
     assert canon_rows(sdf) == canon_rows(odf)
+
+
+# --- part/customer string & window families ---------------------------------
+
+ADVERSARIAL_PART = [
+    (0, "", "M", "B#1", "", 1, "C", 0.0, ""),
+    (10, "CAFÉ naïve Ünïcode", "M", "B#2", "PROMO x", 5, "C", 1.5, "ünï"),
+    (20, "dots.and*stars+plus[brackets]", "M", "B#3", "STD (paren)", 10, "C", 2.5, "x"),
+    (30, "pink red pink", "M", "B#4", "tiny pink", 30, "C", 99.99, "ok"),
+    (40, "a  double  spaced  name", "M", "B#5", "SMALL", 50, "C", 1e6, "y"),
+]
+PART_SCHEMA = ("p_partkey long, p_name string, p_mfgr string, p_brand string, "
+               "p_type string, p_size int, p_container string, "
+               "p_retailprice double, p_comment string")
+PART_QUERIES = ["q_scan_parquet", "q_regex_funcs", "q_string_distance",
+                "q_url_funcs", "q_unpivot"]
+
+ADVERSARIAL_CUSTOMER = [
+    (0, "", 0, "11-111", 0.0, "BUILDING", ""),
+    (1, "Ünïcode Nàme", 1, "22-222", -10.5, "BUILDING", "café comment"),
+    (2, "O'Brien \"quoted\"", 2, "33-333", 999.99, "MACHINERY", "x"),
+    (3, "tab\there", 3, "44-444", 1e6, "AUTOMOBILE", "y"),
+    (4, "plain name", 4, "55-555", 50.0, "MACHINERY", "z"),
+]
+CUSTOMER_SCHEMA = ("c_custkey long, c_name string, c_nationkey int, c_phone string, "
+                   "c_acctbal double, c_mktsegment string, c_comment string")
+CUSTOMER_QUERIES = ["q_string_funcs", "q_string_funcs2", "q_window_analytics",
+                    "q_window_range_frame", "q_struct_funcs", "q_join_broadcast"]
+
+
+def _family_fixture(spark, tmp_path_factory, table, rows, schema):
+    from arc_kinesis_tagging_spark.sources.tables import TABLES
+
+    d = str(tmp_path_factory.mktemp(f"adversarial-{table}"))
+    for t in TABLES:
+        if t != table:
+            os.symlink(f"{SF_BASE}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, f"{table}.parquet")
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        suffix = "/*.parquet" if t == table else ""
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet{suffix}')"
+        )
+    return d, con
+
+
+@pytest.fixture(scope="module")
+def adversarial_part(spark, tmp_path_factory):
+    return _family_fixture(spark, tmp_path_factory, "part", ADVERSARIAL_PART, PART_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def adversarial_customer(spark, tmp_path_factory):
+    return _family_fixture(
+        spark, tmp_path_factory, "customer", ADVERSARIAL_CUSTOMER, CUSTOMER_SCHEMA
+    )
+
+
+@pytest.mark.parametrize("name", PART_QUERIES)
+def test_adversarial_part_parity(spark, adversarial_part, name):
+    d, con = adversarial_part
+    q = QUERIES[name]
+    sdf = q.builder(spark, d).toPandas()
+    driver_canon_check(sdf)
+    assert canon_rows(sdf) == canon_rows(con.execute(q.oracle).df())
+
+
+@pytest.mark.parametrize("name", CUSTOMER_QUERIES)
+def test_adversarial_customer_parity(spark, adversarial_customer, name):
+    d, con = adversarial_customer
+    q = QUERIES[name]
+    sdf = q.builder(spark, d).toPandas()
+    driver_canon_check(sdf)
+    assert canon_rows(sdf) == canon_rows(con.execute(q.oracle).df())
