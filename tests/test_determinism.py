@@ -31,6 +31,8 @@ AGG_QUERIES = [
     "q_collect_agg",
     "q_window_tumbling",
     "q_sql_direct",
+    "q_agg_salted",
+    "q_shuffle_shard",
 ]
 
 
