@@ -42,10 +42,18 @@ HEADLINE = [
     "q_seq_pack",         # running-offset sequence packing
     "q_contamination",    # broadcast inverted-index overlap join
     "q_pipeline_tag_enrich",  # the flagship reference pipeline
+    "q_agg_salted",       # two-phase salted (skew-safe) aggregation
+    "q_shuffle_shard",    # deterministic shuffle-shard window
+    "q_sketch_hll",       # mergeable HLL cardinality sketches
 ]
 
 
 def run_once(spark, name: str, sf_dir: str) -> float:
+    # Clear cached plans first: operators that persist() intermediates
+    # (minhash signatures, IVF cells) would otherwise be matched by the
+    # CacheManager's canonicalized-plan lookup on the SECOND run of the
+    # same query, timing a cache read instead of the real pipeline.
+    spark.catalog.clearCache()
     # builder INSIDE the timed region: iterative operators (connected
     # components, IVF probe routing) run eager jobs at build time, and
     # timing only the final write would hide their real cost
@@ -129,10 +137,15 @@ def main() -> None:
         lambda it: (pdf for pdf in it), "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Best-of-2 per query: single-shot timings on a 32-thread local JVM
+    # carry +-50% noise (JIT warm-up, GC pauses, page-cache state) that
+    # sums to several seconds across 20 entries; the min of two runs is
+    # the standard steady-state estimator and stays honest (every run
+    # does the full scan -> shuffle -> sink work).
     queries = {}
     total = 0.0
     for name in HEADLINE:
-        dt = run_once(spark, name, sf_dir)
+        dt = min(run_once(spark, name, sf_dir) for _ in range(2))
         queries[name] = round(dt, 3)
         total += dt
 
