@@ -1,19 +1,31 @@
-"""Table maintenance: small-file compaction.
+"""Table maintenance and physical data layout: small-file compaction,
+hive-partitioned writes (partition pruning), and z-order clustering
+(row-group skipping on multi-column predicates).
 
-At 100 TB the silent killer is millions of small files from streaming
-micro-batches and over-parallel writes: every query pays file-listing
-and per-file open cost. Compaction rewrites a directory into
-right-sized files (target ~128-512 MB on a cluster). With a real table
-format (Delta/Iceberg) this is OPTIMIZE/rewrite_data_files; for plain
-parquet directories this rewrite is the equivalent.
+At 100 TB the silent killers are (a) millions of small files from
+streaming micro-batches — every query pays file-listing and per-file
+open cost; (b) full scans that a layout-aware write would have turned
+into reads of 1% of the files. Compaction rewrites a directory into
+right-sized files (~128-512 MB on a cluster). Partitioned writes let
+the planner prune whole directories from equality/range predicates on
+the partition column (PartitionFilters in the scan node). Z-ordering
+sorts by an interleaved-bit key so parquet row-group min/max stats
+become selective on EVERY interleaved dimension at once — a sort by
+(a, b) concentrates only `a`; the z-curve concentrates both. With a
+real table format (Delta/Iceberg) these are OPTIMIZE / ZORDER BY /
+partitionedBy; for plain parquet directories these rewrites are the
+equivalent.
 """
 
 from __future__ import annotations
 
 import math
 import os
+from functools import reduce
+from typing import Sequence
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def parquet_file_count(path: str) -> int:
@@ -37,8 +49,92 @@ def compact_parquet(
     n = df.count()
     n_files = max(1, math.ceil(n / target_rows_per_file))
     compacted = df.repartition(n_files)
-    # materialize before overwriting the input directory
-    compacted.cache().count()
+    # localCheckpoint, NOT cache(): the write overwrites the directory
+    # being read, and a cached partition evicted mid-write would
+    # recompute from the replaced files. Checkpointing truncates the
+    # lineage so nothing can reach back to the input paths.
+    compacted = compacted.localCheckpoint(eager=True)
     compacted.write.mode("overwrite").parquet(path)
-    compacted.unpersist()
     return n_files
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """Hive-style partitioned parquet write: one directory per distinct
+    partition value. Reads that filter on the partition column prune at
+    PLAN time (PartitionFilters on the scan — zero I/O for pruned
+    directories, the difference between scanning 100 TB and one day's
+    slice). Keep partition cardinality bounded (dates, tenants —
+    thousands, not millions: each directory is a file-listing unit)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
+    """Interleaved-bit (Morton / z-curve) sort key over non-negative
+    integer columns, ``bits`` bits each. Bit i of column j lands at
+    output bit ``i * n_cols + j``, so a sort by the key clusters rows
+    that are close in EVERY dimension simultaneously — parquet row
+    groups then carry tight min/max ranges on each dimension and a
+    filter on any of them skips most groups. Pure codegen arithmetic
+    (shifts and masks), no UDF. Callers with doubles/strings first
+    quantize to integer ranks (percent_rank * (2^bits - 1))."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(cs)
+    terms = [
+        F.shiftleft(
+            F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)), i * n + j
+        )
+        for i in range(bits)
+        for j, c in enumerate(cs)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Rewrite ``df`` as parquet clustered on the z-curve of ``cols``
+    (numeric columns are min-max scaled to ``bits``-bit integers
+    first). repartitionByRange on the key gives each output file a
+    disjoint z-range; sortWithinPartitions orders row groups inside
+    the file — both levels of min/max skipping engage.
+
+    Quantization is linear min-max scaling: one aggregate computes all
+    column bounds (fully distributed; a percent_rank window would be a
+    single-task global sort — the straggler this repo bans). Heavily
+    skewed columns get coarser effective resolution; the equi-depth
+    alternative is ``approxQuantile`` boundaries + ``width_bucket``,
+    same key construction."""
+    scale = (1 << bits) - 1
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    ranked = df
+    rank_cols = []
+    for c in cols:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        width = (mx - mn) or 1.0
+        rc = f"__zr_{c}"
+        ranked = ranked.withColumn(
+            rc,
+            F.least(
+                F.floor((F.col(c).cast("double") - mn) / width * scale),
+                F.lit(scale),
+            ).cast("long"),
+        )
+        rank_cols.append(rc)
+    keyed = ranked.withColumn("__zkey", zorder_key(rank_cols, bits))
+    part = (
+        keyed.repartitionByRange(n_files, "__zkey")
+        if n_files
+        else keyed.repartitionByRange("__zkey")
+    )
+    part.sortWithinPartitions("__zkey").drop("__zkey", *rank_cols).write.mode(
+        "overwrite"
+    ).parquet(path)
