@@ -710,6 +710,94 @@ GROUP BY n_name
 """
 
 
+def q_tpch_q7ish(spark, sf_dir):
+    """Q7-shaped (volume shipping): revenue flowing between two named
+    nations in either direction, by supplier-nation / customer-nation /
+    year. Two broadcast copies of nation (tiny dim, one per role) prune
+    the fact join early via the OR-pair filter; the lineitem⋈orders⋈
+    customer spine stays a shuffle join. Decimal revenue for
+    order-independence."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("s_nkey"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2)) * (CAST(1 AS DECIMAL(38,2)) - CAST(l_discount AS DECIMAL(38,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+def q_tpch_q10ish(spark, sf_dir):
+    """Q10-shaped (returned-item reporting): top-20 customers by
+    revenue lost to returns in a 6-month window. Date+flag filters push
+    to the scans; nation broadcasts; TakeOrderedAndProject caps the
+    result with c_custkey as the deterministic tiebreaker."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TPCH_Q10 = """
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2)) * (CAST(1 AS DECIMAL(38,2)) - CAST(l_discount AS DECIMAL(38,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 def q_agg_percentile(spark, sf_dir):
     """Exact continuous percentiles (median/p90) — linear interpolation,
     identical formula in Spark percentile() and DuckDB quantile_cont."""
@@ -798,6 +886,8 @@ RELATIONAL_QUERIES = [
     Query("q_map_funcs", q_map_funcs, ORACLE_MAP),
     Query("q_tpch_q3ish", q_tpch_q3ish, ORACLE_TPCH_Q3),
     Query("q_tpch_q5ish", q_tpch_q5ish, ORACLE_TPCH_Q5),
+    Query("q_tpch_q7ish", q_tpch_q7ish, ORACLE_TPCH_Q7),
+    Query("q_tpch_q10ish", q_tpch_q10ish, ORACLE_TPCH_Q10),
     Query("q_agg_percentile", q_agg_percentile, ORACLE_PERCENTILE),
     Query("q_window_tumbling", q_window_tumbling, ORACLE_TUMBLING),
     Query("q_window_sliding", q_window_sliding, ORACLE_SLIDING),

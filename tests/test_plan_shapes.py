@@ -1,0 +1,95 @@
+"""Physical-plan regression gate: the perf-critical plan properties —
+broadcast choices, shuffle (Exchange) counts, pushed filters, top-k
+operators — asserted as code so a refactor that silently degrades a
+plan (extra shuffle, lost broadcast, un-pushed filter) fails CI, not a
+100 TB run. Counting uses the `formatted` explain's numbered node
+headers, where every physical node appears exactly once."""
+
+import re
+
+import pytest
+
+from arc_kinesis_tagging_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(spark, name):
+    df = QUERIES[name].builder(spark, SF)
+    jvm = spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _n_nodes(plan, node):
+    return len(re.findall(rf"^\(\d+\) {node}\b", plan, flags=re.M))
+
+
+# (query, max Exchange nodes): map-side-only ops must show ZERO
+# shuffles; the two-phase agg exactly its two; the window shard its one.
+EXCHANGE_BUDGET = [
+    ("q_sample_stratified", 0),
+    ("q_split_assign", 0),
+    ("q_embed_quantize", 0),
+    ("q_text_quality", 0),
+    ("q_pii_scrub", 0),
+    ("q_shuffle_shard", 1),
+    ("q_dedup_exact", 1),
+    ("q_agg_group", 1),
+    ("q_agg_salted", 2),
+]
+
+
+@pytest.mark.parametrize("name,budget", EXCHANGE_BUDGET)
+def test_exchange_budget(spark, name, budget):
+    plan = _formatted_plan(spark, name)
+    got = _n_nodes(plan, "Exchange")
+    assert got <= budget, f"{name}: {got} Exchange nodes, budget {budget}\n{plan}"
+
+
+# Star-schema composites must broadcast their small dimensions, never
+# shuffle them into a SortMergeJoin.
+BROADCAST_QUERIES = ["q_join_broadcast", "q_tpch_q3ish", "q_tpch_q5ish",
+                     "q_tpch_q7ish", "q_tpch_q10ish"]
+
+
+@pytest.mark.parametrize("name", BROADCAST_QUERIES)
+def test_dims_are_broadcast(spark, name):
+    plan = _formatted_plan(spark, name)
+    assert _n_nodes(plan, "BroadcastHashJoin") >= 1, plan
+
+
+def test_join_broadcast_has_no_shuffle_join(spark):
+    plan = _formatted_plan(spark, "q_join_broadcast")
+    assert _n_nodes(plan, "SortMergeJoin") == 0, plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """LIMIT-after-ORDER BY must plan as TakeOrderedAndProject (per-
+    partition top-k + merge), never a global sort."""
+    for name in ("q_topk", "q_tpch_q3ish", "q_tpch_q10ish"):
+        plan = _formatted_plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+
+
+def test_scan_filter_pushdown(spark):
+    """Scan-level predicates must reach the parquet reader as
+    PushedFilters, and the pruned column set must reach ReadSchema."""
+    plan = _formatted_plan(spark, "q_scan_parquet")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "GreaterThan(p_size" in m.group(1), plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    # projection pruning: only the three selected columns are read
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {
+        "p_partkey", "p_name", "p_size"
+    }, plan
+
+
+def test_agg_has_partial_phase(spark):
+    """Aggregations must run map-side partial aggregation (two
+    HashAggregate nodes around one Exchange), the thing that keeps a
+    100 TB groupBy from shuffling raw rows."""
+    plan = _formatted_plan(spark, "q_agg_group")
+    assert _n_nodes(plan, "HashAggregate") >= 2, plan
+    assert "partial_" in plan, plan
