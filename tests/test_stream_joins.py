@@ -98,3 +98,101 @@ def test_stream_stream_interval_join(spark, events_dir, tmp_path):
     # purchase 1 (10:00) -> error 2 (10:20) same user within 1h;
     # purchase 5 (11:10) has no later error; purchase 3 (10:30) -> none.
     assert got == {(1, 2)}
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched pairs emit immediately;
+    unmatched left rows emit with nulls only after the watermark passes
+    their join window (the engine holds them exactly that long —
+    bounded state WITH guaranteed emission). Two runs over one
+    checkpoint model the live stream: run 1 ingests the working set;
+    run 2's late events advance the watermark past the earlier
+    purchases' windows and the trailing no-data micro-batch flushes
+    their null rows. The newest purchase's own window stays open, so
+    it must NOT emit."""
+    src = str(tmp_path / "louter-src")
+    ck = str(tmp_path / "louter-ck")
+    batch1 = [
+        (1, datetime(2024, 1, 1, 10, 0), 1, "purchase"),
+        (2, datetime(2024, 1, 1, 10, 20), 1, "error"),
+        (3, datetime(2024, 1, 1, 10, 30), 1, "purchase"),
+        (5, datetime(2024, 1, 1, 11, 10), 2, "purchase"),
+    ]
+    spark.createDataFrame(batch1, EV_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def run_once():
+        purchases = (
+            spark.readStream.schema(EV_SCHEMA)
+            .parquet(src)
+            .filter(F.col("kind") == "purchase")
+            .select(
+                F.col("event_id").alias("p_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "10 minutes")
+        )
+        errors = (
+            spark.readStream.schema(EV_SCHEMA)
+            .parquet(src)
+            .filter(F.col("kind") == "error")
+            .select(
+                F.col("event_id").alias("e_id"),
+                F.col("user_id").alias("e_user"),
+                F.col("ts").alias("e_ts"),
+            )
+            .withWatermark("e_ts", "10 minutes")
+        )
+        joined = purchases.join(
+            errors,
+            (F.col("p_user") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("p_ts"))
+            & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftOuter",
+        )
+        # foreachBatch, not the memory sink: memory-sink queries cannot
+        # recover from a checkpoint, and run 2 must resume run 1's state
+        def sink(bdf, _bid):
+            emitted.extend(
+                (r["p_id"], r["e_id"]) for r in bdf.select("p_id", "e_id").collect()
+            )
+
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    emitted: list = []
+    run_once()
+    got1 = set(emitted)
+    assert (1, 2) in got1  # match emits immediately
+    # watermark after run 1 = 11:10 - 10min = 11:00; purchase 3's join
+    # window closes 11:30 -> still held, no nulls yet
+    assert not {p for p, e in got1 if e is None}
+
+    # Late events far in the future advance the watermark to 12:50,
+    # past the windows of purchases 3 (11:30) and 5 (12:10). The
+    # subtlety this test pins down: the global watermark is the MIN
+    # across all watermarked inputs, so BOTH sides need a late event —
+    # an idle side holds the whole join's state forever. Eviction then
+    # happens in the trailing no-data micro-batch of the same run.
+    spark.createDataFrame(
+        [
+            (6, datetime(2024, 1, 1, 13, 0), 3, "purchase"),
+            (60, datetime(2024, 1, 1, 13, 0), 99, "error"),
+        ],
+        EV_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got2 = set(emitted)
+    unmatched = {p for p, e in got2 if e is None}
+    # 3 and 5 flush with nulls; 1 already matched (no null row);
+    # purchase 6's window (until 14:00) is still open: must be held
+    assert unmatched == {3, 5}, got2
+    assert (6, None) not in got2
