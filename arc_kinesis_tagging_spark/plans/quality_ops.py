@@ -1,0 +1,255 @@
+"""Round-3 corpus-quality and time-series operators.
+
+The monitoring/reshaping primitives that run alongside the dedup and
+sampling passes of a 100 TB training-corpus pipeline:
+
+- **column profiling** (``q_profile_columns``): the per-source health
+  table a pipeline publishes after every ingest — row counts, empty
+  documents, language cardinality, char-length extremes, token means.
+  One partial+final hash aggregation over the scan; at 100 TB this is
+  the cheapest full-corpus pass there is, so it is the first thing to
+  run on new data.
+- **token-length histogram** (``q_token_histogram``): fixed-width
+  bucketing of per-document token counts with a cumulative column —
+  the input to context-length planning (how much of the corpus fits a
+  2k/8k/32k window). Bucketing is a map-side projection; the agg output
+  is bounded at 16 rows, so the cumulative window costs nothing.
+- **domain balancing** (``q_domain_balance``): undersample every
+  language to the size of the smallest one, selecting by the portable
+  md5 hash order so the kept SET is engine- and run-stable. The rank
+  window partitions by lang; at corpus scale a dominant language makes
+  that window skewed — the scale path replaces exact ranking with a
+  per-lang hash-threshold cut (quantile of the hash), which this
+  module's docstring records as the documented degradation. The exact
+  form stays the oracle.
+- **time-series gap-fill** (``q_ts_gapfill``): per-user daily activity
+  with missing days zero-filled from a generated date spine
+  (``sequence`` + ``explode``) — the densification step before any
+  rolling-window feature. Spine size = sum of per-user day spans, so
+  it scales with user count, not with the cross product of users and
+  the global date range.
+
+Reference parity: the reference has no analytics at all (SURVEY §2.B);
+these extend the engine surface the same way the round-2/3 corpus ops
+do, each oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arc_kinesis_tagging_spark.functions.text import stable_hash64, tokens
+from arc_kinesis_tagging_spark.plans.common import Query, dec
+from arc_kinesis_tagging_spark.sources.tables import load_table
+
+_DUCK_H64 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# --- per-source column profiling --------------------------------------------
+
+def q_profile_columns(spark, sf_dir):
+    """Per-source data-quality profile: the post-ingest health check.
+    Counts, empty-document count (zero tokens after whitespace split),
+    language cardinality, char-length extremes, exact mean tokens per
+    doc. Single partial+final HashAggregate over one scan — every
+    metric is computed in the same pass so the corpus is read once.
+    Mean = CAST(SUM)/CAST(COUNT) as doubles in both engines (integer
+    sums are exact, the division is one deterministic rounding)."""
+    d = _t(spark, sf_dir, "documents")
+    tok_cnt = F.size(tokens(F.col("text")))
+    return (
+        d.select("source", "lang", "n_chars", tok_cnt.alias("tc"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("tc") == 0, 1).otherwise(0)).alias("n_empty"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            (
+                F.sum("tc").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_tokens"),
+        )
+    )
+
+
+ORACLE_PROFILE_COLUMNS = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
+                                          t -> t <> '')) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> ''))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+FROM documents
+GROUP BY source
+"""
+
+
+# --- token-count histogram ---------------------------------------------------
+
+def q_token_histogram(spark, sf_dir):
+    """Token-count histogram: 32-token-wide buckets, capped at bucket
+    15 (512+ tokens), with document counts and a cumulative count.
+    The bucket id is a map-side projection; the aggregate emits at
+    most 16 rows, so the cumulative window (single partition, 16 rows)
+    is free — the one place a global window is acceptable is over an
+    aggregation output whose size is a constant, not a function of the
+    data."""
+    d = _t(spark, sf_dir, "documents")
+    tok_cnt = F.size(tokens(F.col("text")))
+    bucket = F.least(F.floor(tok_cnt / 32), F.lit(15)).cast("long")
+    hist = (
+        d.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        "bucket",
+        (F.col("bucket") * 32).cast("long").alias("lo_tokens"),
+        "n_docs",
+        F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+    )
+
+
+ORACLE_TOKEN_HISTOGRAM = """
+WITH b AS (
+  SELECT LEAST(CAST(floor(len(list_filter(string_split_regex(text, '\\s+'),
+                                          t -> t <> '')) / 32) AS BIGINT),
+               15) AS bucket
+  FROM documents
+), h AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM b GROUP BY bucket
+)
+SELECT bucket, CAST(bucket * 32 AS BIGINT) AS lo_tokens, n_docs,
+       CAST(SUM(n_docs) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs
+FROM h
+"""
+
+
+# --- domain balancing --------------------------------------------------------
+
+def q_domain_balance(spark, sf_dir):
+    """Undersample every language to the smallest language's size.
+    Selection order is the portable md5 hash of doc_id (doc_id as
+    tiebreaker), so the kept set is a pure function of the data —
+    stable across engines, reruns, and repartitions. The cap comes
+    from one tiny aggregate (min over per-lang counts) broadcast onto
+    the ranked rows. SCALE NOTE: rank-per-lang is exact but the
+    dominant language's window partition is a straggler at corpus
+    scale; the 100 TB degradation is a hash-threshold cut (keep rows
+    whose hash falls below the lang's k/n quantile, estimated from a
+    sample) — same statistical effect, fully map-side. The exact form
+    here doubles as that variant's correctness oracle."""
+    d = _t(spark, sf_dir, "documents")
+    h = stable_hash64(F.concat(F.lit("balance:"), F.col("doc_id").cast("string")))
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    cap = counts.agg(F.min("n").alias("cap"))
+    w = Window.partitionBy("lang").orderBy("__h", "doc_id")
+    ranked = (
+        d.select("doc_id", "lang", h.alias("__h"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cap))
+        .filter(F.col("rk") <= F.col("cap"))
+        .select("doc_id", "lang", "rk")
+    )
+
+
+ORACLE_DOMAIN_BALANCE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY lang
+             ORDER BY {_DUCK_H64.format(expr="'balance:' || CAST(doc_id AS VARCHAR)")},
+                      doc_id) AS BIGINT) AS rk
+  FROM documents
+), cap AS (
+  SELECT MIN(n) AS cap FROM (SELECT COUNT(*) AS n FROM documents GROUP BY lang)
+)
+SELECT doc_id, lang, rk FROM ranked, cap WHERE rk <= cap
+"""
+
+
+# --- time-series gap-fill ----------------------------------------------------
+
+def q_ts_gapfill(spark, sf_dir):
+    """Per-user daily activity, densified: every day between a user's
+    first and last event appears, with zero rows for silent days — the
+    preprocessing step before rolling-window features (a 7-day moving
+    average over a sparse series is wrong without the zeros). The
+    spine is generated per user with ``sequence(min_day, max_day,
+    1 day)`` + ``explode``: its size is the sum of per-user spans, so
+    it never materializes the users x global-range cross product. The
+    daily aggregate shuffles once on (user_id, day); the spine join is
+    a second shuffle on the same key — co-partitioned by AQE. Value
+    sums are exact decimals cast to double (order-independence)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "value",
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 6)).alias("pv"),
+        )
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(d0, d1, interval 1 day)")
+            ).alias("day"),
+        )
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce(F.col("pv").cast("double"), F.lit(0.0)).alias("day_value"),
+        )
+    )
+
+
+ORACLE_TS_GAPFILL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(value AS DECIMAL(38,6))) AS pv
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+), spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id)
+)
+SELECT s.user_id, s.day,
+       COALESCE(d.n_events, 0) AS n_events,
+       COALESCE(CAST(d.pv AS DOUBLE), 0.0) AS day_value
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+QUALITY_QUERIES = [
+    Query("q_profile_columns", q_profile_columns, ORACLE_PROFILE_COLUMNS),
+    Query("q_token_histogram", q_token_histogram, ORACLE_TOKEN_HISTOGRAM),
+    Query("q_domain_balance", q_domain_balance, ORACLE_DOMAIN_BALANCE),
+    Query("q_ts_gapfill", q_ts_gapfill, ORACLE_TS_GAPFILL),
+]

@@ -7,6 +7,7 @@ from __future__ import annotations
 from arc_kinesis_tagging_spark.plans.common import Query
 from arc_kinesis_tagging_spark.plans.llmops import LLMOPS_QUERIES
 from arc_kinesis_tagging_spark.plans.pipeline_ops import PIPELINE_QUERIES
+from arc_kinesis_tagging_spark.plans.quality_ops import QUALITY_QUERIES
 from arc_kinesis_tagging_spark.plans.relational import RELATIONAL_QUERIES
 from arc_kinesis_tagging_spark.plans.relational2 import RELATIONAL2_QUERIES
 from arc_kinesis_tagging_spark.plans.relational3 import RELATIONAL3_QUERIES
@@ -24,6 +25,8 @@ from arc_kinesis_tagging_spark.plans.relational3 import RELATIONAL3_QUERIES
 #            llmops/relational3 window is retained (their rows may not
 #            exist yet); the new pipeline_ops queries lead; the displaced
 #            relational2/relational tail all carries green r01 rows.
+#   round 4 (planned): quality_ops + the round-3 relational additions +
+#            whatever round 3's CORRECTNESS run leaves unverified.
 #
 # Override for ad-hoc runs: AKT_REGISTRY_ROTATION=r1|r2 restores old orders.
 import os
@@ -36,6 +39,7 @@ if _ROT == "r1":
         *RELATIONAL3_QUERIES,
         *LLMOPS_QUERIES,
         *PIPELINE_QUERIES,
+        *QUALITY_QUERIES,
     ]
 elif _ROT == "r2":
     ALL_QUERIES = [
@@ -44,6 +48,7 @@ elif _ROT == "r2":
         *RELATIONAL2_QUERIES,
         *RELATIONAL_QUERIES,
         *PIPELINE_QUERIES,
+        *QUALITY_QUERIES,
     ]
 else:
     ALL_QUERIES = [
@@ -52,6 +57,7 @@ else:
         *RELATIONAL3_QUERIES,
         *RELATIONAL2_QUERIES,
         *RELATIONAL_QUERIES,
+        *QUALITY_QUERIES,
     ]
 
 QUERIES: dict[str, Query] = {q.name: q for q in ALL_QUERIES}

@@ -798,6 +798,111 @@ LIMIT 20
 """
 
 
+def q_tpch_q14ish(spark, sf_dir):
+    """Q14-shaped (promotion effect): share of revenue from PROMO-type
+    parts, by ship month. The part dim broadcasts; the date filter
+    pushes to the lineitem scan; promo vs total revenue are two
+    conditional branches of ONE decimal aggregation pass (no second
+    scan, no self-join). The share division happens once on the two
+    exact sums — `100.0 * promo / total` in the same operand order in
+    both engines, so the single double rounding agrees."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(38,4)")
+    )
+    agg = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(promo_rev).alias("pr"),
+            F.sum(rev).alias("tr"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        F.col("pr").cast("double").alias("promo_rev"),
+        F.col("tr").cast("double").alias("total_rev"),
+        (
+            F.lit(100.0) * F.col("pr").cast("double") / F.col("tr").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+ORACLE_TPCH_Q14 = """
+WITH a AS (
+  SELECT date_trunc('month', l_shipdate) AS ship_month,
+         SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(38,2)) * (CAST(1 AS DECIMAL(38,2)) - CAST(l_discount AS DECIMAL(38,2)))
+             ELSE CAST(0 AS DECIMAL(38,4)) END) AS pr,
+         SUM(CAST(l_extendedprice AS DECIMAL(38,2)) * (CAST(1 AS DECIMAL(38,2)) - CAST(l_discount AS DECIMAL(38,2)))) AS tr
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY date_trunc('month', l_shipdate)
+)
+SELECT ship_month,
+       CAST(pr AS DOUBLE) AS promo_rev,
+       CAST(tr AS DOUBLE) AS total_rev,
+       100.0 * CAST(pr AS DOUBLE) / CAST(tr AS DOUBLE) AS promo_pct
+FROM a
+"""
+
+
+def q_tpch_q19ish(spark, sf_dir):
+    """Q19-shaped (discounted revenue, disjunctive predicates): revenue
+    from three OR'd brand/size/quantity bands — the classic test that
+    an engine evaluates a disjunction of conjunctions as ONE join pass
+    with a residual filter, not three scans unioned. The part dim
+    broadcasts; the disjunction references both sides so it stays a
+    post-join residual, while `p_partkey = l_partkey` remains the
+    hash key. Grouped by brand so the result exercises the residual's
+    routing, with decimal sums for order-independence."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    bands = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1.0, 30.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10.0, 40.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20.0, 50.0)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .filter(bands)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_TPCH_Q19 = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2)) * (CAST(1 AS DECIMAL(38,2)) - CAST(l_discount AS DECIMAL(38,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1.0 AND 30.0)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10.0 AND 40.0)
+   OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20.0 AND 50.0)
+GROUP BY p_brand
+"""
+
+
 def q_agg_percentile(spark, sf_dir):
     """Exact continuous percentiles (median/p90) — linear interpolation,
     identical formula in Spark percentile() and DuckDB quantile_cont."""
@@ -888,6 +993,8 @@ RELATIONAL_QUERIES = [
     Query("q_tpch_q5ish", q_tpch_q5ish, ORACLE_TPCH_Q5),
     Query("q_tpch_q7ish", q_tpch_q7ish, ORACLE_TPCH_Q7),
     Query("q_tpch_q10ish", q_tpch_q10ish, ORACLE_TPCH_Q10),
+    Query("q_tpch_q14ish", q_tpch_q14ish, ORACLE_TPCH_Q14),
+    Query("q_tpch_q19ish", q_tpch_q19ish, ORACLE_TPCH_Q19),
     Query("q_agg_percentile", q_agg_percentile, ORACLE_PERCENTILE),
     Query("q_window_tumbling", q_window_tumbling, ORACLE_TUMBLING),
     Query("q_window_sliding", q_window_sliding, ORACLE_SLIDING),

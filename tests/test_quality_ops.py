@@ -1,0 +1,112 @@
+"""Property tests for the corpus-quality / time-series operators
+(plans/quality_ops.py). Oracle equality is covered by the parametrized
+gate in test_oracles.py; these assert the semantic properties the
+oracles cannot express: histogram completeness, balance exactness,
+spine density, and repartition-invariance of the hash selection."""
+
+from pyspark.sql import functions as F
+
+from arc_kinesis_tagging_spark.plans.quality_ops import (
+    q_domain_balance,
+    q_profile_columns,
+    q_token_histogram,
+    q_ts_gapfill,
+)
+from arc_kinesis_tagging_spark.sources.tables import load_table
+
+
+def test_profile_accounts_for_every_document(spark, sf_dir):
+    prof = q_profile_columns(spark, sf_dir).collect()
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    assert sum(r["n_docs"] for r in prof) == n_docs
+    for r in prof:
+        assert 0 <= r["n_empty"] <= r["n_docs"]
+        assert r["n_langs"] >= 1
+        assert r["min_chars"] <= r["max_chars"]
+        assert r["avg_tokens"] >= 0.0
+
+
+def test_token_histogram_is_a_partition_of_the_corpus(spark, sf_dir):
+    rows = sorted(
+        q_token_histogram(spark, sf_dir).collect(), key=lambda r: r["bucket"]
+    )
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert rows[-1]["cum_docs"] == n_docs
+    running = 0
+    for r in rows:
+        assert r["lo_tokens"] == r["bucket"] * 32
+        running += r["n_docs"]
+        assert r["cum_docs"] == running  # cumulative is exact, in order
+
+
+def test_domain_balance_equalizes_langs(spark, sf_dir):
+    """Every language must end up at exactly the smallest language's
+    size, and the kept set must be a subset selected by rank."""
+    kept = q_domain_balance(spark, sf_dir)
+    langs = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, "documents", sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    cap = min(langs.values())
+    per = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per) == set(langs)
+    assert all(n == cap for n in per.values()), per
+    assert kept.agg(F.max("rk")).first()[0] == cap
+
+
+def test_domain_balance_is_repartition_invariant(spark, sf_dir):
+    """The kept doc_id set is a pure function of the data — shuffling
+    the input into a different partitioning must not change it."""
+    base = {r["doc_id"] for r in q_domain_balance(spark, sf_dir).collect()}
+    docs = load_table(spark, "documents", sf_dir).repartition(7, "lang")
+    docs.createOrReplaceTempView("__qb_docs")
+    # rebuild through the same expressions over the repartitioned input
+    from arc_kinesis_tagging_spark.functions.text import stable_hash64
+    from pyspark.sql import Window
+
+    h = stable_hash64(F.concat(F.lit("balance:"), F.col("doc_id").cast("string")))
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    cap = counts.agg(F.min("n").alias("cap"))
+    w = Window.partitionBy("lang").orderBy("__h", "doc_id")
+    ranked = docs.select("doc_id", "lang", h.alias("__h")).withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    )
+    again = {
+        r["doc_id"]
+        for r in ranked.crossJoin(F.broadcast(cap))
+        .filter(F.col("rk") <= F.col("cap"))
+        .collect()
+    }
+    assert again == base
+
+
+def test_gapfill_spine_is_dense_and_preserves_totals(spark, sf_dir):
+    out = q_ts_gapfill(spark, sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    # totals preserved: the spine adds zero rows, never drops events
+    assert out.agg(F.sum("n_events")).first()[0] == ev.count()
+    # per user: day count == span in days + 1 (dense), endpoints active
+    per = (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.min("day").alias("d0"),
+            F.max("day").alias("d1"),
+        )
+        .withColumn("span", F.datediff("d1", "d0") + 1)
+        .collect()
+    )
+    assert per  # non-empty
+    for r in per:
+        assert r["n_days"] == r["span"], r
+    # zero-filled days exist iff some user has a silent day inside
+    # their span; verify the zero rows carry zero value too
+    zeros = out.filter(F.col("n_events") == 0)
+    assert zeros.filter(F.col("day_value") != 0.0).count() == 0
