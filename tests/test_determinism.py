@@ -33,6 +33,9 @@ AGG_QUERIES = [
     "q_sql_direct",
     "q_agg_salted",
     "q_shuffle_shard",
+    "q_profile_columns",
+    "q_ts_gapfill",
+    "q_tpch_q14ish",
 ]
 
 
