@@ -51,7 +51,8 @@ def test_exchange_budget(spark, name, budget):
 # Star-schema composites must broadcast their small dimensions, never
 # shuffle them into a SortMergeJoin.
 BROADCAST_QUERIES = ["q_join_broadcast", "q_tpch_q3ish", "q_tpch_q5ish",
-                     "q_tpch_q7ish", "q_tpch_q10ish"]
+                     "q_tpch_q7ish", "q_tpch_q10ish", "q_tpch_q14ish",
+                     "q_tpch_q19ish"]
 
 
 @pytest.mark.parametrize("name", BROADCAST_QUERIES)
@@ -84,6 +85,28 @@ def test_scan_filter_pushdown(spark):
     assert m and set(re.findall(r"(\w+):", m.group(1))) <= {
         "p_partkey", "p_name", "p_size"
     }, plan
+
+
+def test_disjunctive_join_pushes_per_side_filters(spark):
+    """q_tpch_q19ish's OR-of-conjunctions must stay ONE join pass AND
+    Catalyst must derive per-side pushed filters from the disjunction:
+    the quantity bands reach the lineitem scan, the brand/size bands
+    the part scan. Losing this derivation silently turns a row-group-
+    skipping scan into a full read at 100 TB."""
+    plan = _formatted_plan(spark, "q_tpch_q19ish")
+    assert _n_nodes(plan, "BroadcastHashJoin") == 1, plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_quantity" in p and "Or(" in p for p in pushed), pushed
+    assert any("p_brand" in p and "Or(" in p for p in pushed), pushed
+
+
+def test_gapfill_joins_on_aggregated_sides(spark):
+    """q_ts_gapfill must build its spine from the DAILY aggregate (not
+    re-scan raw events for bounds) and join spine-to-daily without a
+    cartesian: no BroadcastNestedLoopJoin/CartesianProduct nodes."""
+    plan = _formatted_plan(spark, "q_ts_gapfill")
+    assert _n_nodes(plan, "CartesianProduct") == 0, plan
+    assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
 
 
 def test_agg_has_partial_phase(spark):
