@@ -926,6 +926,44 @@ GROUP BY o_orderstatus
 """
 
 
+def q_agg_stats(spark, sf_dir):
+    """Statistical aggregate family: sample stddev/variance,
+    covariance, Pearson correlation, and least-squares regression
+    slope/intercept of price on quantity, per return flag. All are
+    single-pass mergeable aggregates (partial+final, like sum/count) —
+    the scalable form; a naive two-pass mean-then-deviation would scan
+    twice. Float caveat: these merge DOUBLE partials, so the last bits
+    depend on merge order — every output is rounded to 6 decimals,
+    which absorbs the ulp-level wobble in both engines (the repo's
+    float-determinism rule from plans/common.py applied to the one
+    aggregate family that cannot be computed in decimal)."""
+    li = _t(spark, sf_dir, "lineitem")
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        r6(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        r6(F.var_samp("l_quantity")).alias("var_qty"),
+        r6(F.covar_samp("l_quantity", "l_extendedprice")).alias("cov_qp"),
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
+        r6(F.regr_slope("l_extendedprice", "l_quantity")).alias("slope"),
+        r6(F.regr_intercept("l_extendedprice", "l_quantity")).alias("intercept"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+    )
+
+
+ORACLE_AGG_STATS = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 RELATIONAL_QUERIES = [
     Query("q_scan_parquet", q_scan_parquet,
           "SELECT p_partkey, p_name, p_size FROM part WHERE p_size > 30"),
@@ -996,6 +1034,7 @@ RELATIONAL_QUERIES = [
     Query("q_tpch_q14ish", q_tpch_q14ish, ORACLE_TPCH_Q14),
     Query("q_tpch_q19ish", q_tpch_q19ish, ORACLE_TPCH_Q19),
     Query("q_agg_percentile", q_agg_percentile, ORACLE_PERCENTILE),
+    Query("q_agg_stats", q_agg_stats, ORACLE_AGG_STATS),
     Query("q_window_tumbling", q_window_tumbling, ORACLE_TUMBLING),
     Query("q_window_sliding", q_window_sliding, ORACLE_SLIDING),
     Query("q_window_session", q_window_session, ORACLE_SESSION),

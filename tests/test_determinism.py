@@ -36,6 +36,7 @@ AGG_QUERIES = [
     "q_profile_columns",
     "q_ts_gapfill",
     "q_tpch_q14ish",
+    "q_agg_stats",
 ]
 
 
