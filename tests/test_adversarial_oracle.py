@@ -50,6 +50,13 @@ DOC_QUERIES = [
     "q_text_tfidf",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
+    # round-3 corpus ops (documents-only readers)
+    "q_sample_stratified",
+    "q_split_assign",
+    "q_shuffle_shard",
+    "q_profile_columns",
+    "q_token_histogram",
+    "q_domain_balance",
 ]
 
 
@@ -164,6 +171,7 @@ EVENT_QUERIES = [
     "q_join_asof",
     "q_join_interval",
     "q_filter_project",
+    "q_ts_gapfill",        # NULL user_id: NULL group + non-matching equi-join
 ]
 
 
