@@ -247,9 +247,38 @@ FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 """
 
 
+# --- iterative graph ranking -------------------------------------------------
+
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank over the part→supplier purchase graph (lineitem rows
+    as directed edges, multiplicity = weight): top-20 nodes. The
+    iterative operator is ``operators/graph.py:pagerank`` — join+agg
+    per round with localCheckpoint lineage truncation. Iterative loops
+    are not SQL-expressible → rows-only at the driver; exact numeric
+    parity vs a numpy power-iteration model is asserted in
+    tests/test_graph.py. Ranks rounded to 6 dp (double merge-order
+    wobble), node id as the ordering tiebreaker."""
+    from arc_kinesis_tagging_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    ranks = pagerank(edges, iterations=8)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(20)
+    )
+
+
 QUALITY_QUERIES = [
     Query("q_profile_columns", q_profile_columns, ORACLE_PROFILE_COLUMNS),
     Query("q_token_histogram", q_token_histogram, ORACLE_TOKEN_HISTOGRAM),
     Query("q_domain_balance", q_domain_balance, ORACLE_DOMAIN_BALANCE),
     Query("q_ts_gapfill", q_ts_gapfill, ORACLE_TS_GAPFILL),
+    Query("q_graph_pagerank", q_graph_pagerank, None,
+          "iterative power iteration is not SQL-expressible -> rows-only; "
+          "numpy-model parity asserted in tests/test_graph.py"),
 ]
