@@ -7,6 +7,7 @@ from arc_kinesis_tagging_spark.operators.clusters import (
     connected_components,
     dedup_keep_best,
 )
+from arc_kinesis_tagging_spark.operators.graph import pagerank
 from arc_kinesis_tagging_spark.operators.dedup import (
     contamination_pairs,
     dedup_exact,
@@ -28,6 +29,7 @@ __all__ = [
     "pack_token_spans",
     "connected_components",
     "dedup_keep_best",
+    "pagerank",
     "contamination_pairs",
     "dedup_exact",
     "minhash_near_duplicates",
