@@ -29,6 +29,12 @@ sampling passes of a 100 TB training-corpus pipeline:
   it scales with user count, not with the cross product of users and
   the global date range.
 
+- **corpus-pipeline composite** (``q_corpus_pipeline``): the daily
+  refresh pass — quality gate -> exact dedup -> split -> per-split
+  stats — as one declarative tree, so Catalyst fuses the map-side
+  stages and the job runs exactly two shuffles (digest partition +
+  bounded final agg) regardless of corpus size.
+
 Reference parity: the reference has no analytics at all (SURVEY §2.B);
 these extend the engine surface the same way the round-2/3 corpus ops
 do, each oracle-checked against DuckDB.
@@ -39,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arc_kinesis_tagging_spark.functions.text import stable_hash64, tokens
+from arc_kinesis_tagging_spark.functions.text import STOPWORDS, stable_hash64, tokens
 from arc_kinesis_tagging_spark.plans.common import Query, dec
 from arc_kinesis_tagging_spark.sources.tables import load_table
 
@@ -273,6 +279,99 @@ def q_graph_pagerank(spark, sf_dir):
     )
 
 
+# --- end-to-end corpus pipeline composite ------------------------------------
+
+def q_corpus_pipeline(spark, sf_dir):
+    """The whole daily corpus-refresh pass as ONE declarative plan:
+    C4-style quality gate -> exact dedup (keep min doc_id per content
+    digest) -> deterministic train/val/test split -> per-(split, lang)
+    summary stats. Composes `q_quality_filter`, `dedup_exact`, and
+    `q_split_assign` semantics end-to-end so Catalyst sees a single
+    tree and can pipeline the stages.
+
+    Scale shape: the gate and split are map-side projections fused into
+    the scan; the ONLY shuffles are the dedup hash-partition on the
+    content digest and the bounded final aggregation (partial+final,
+    output <= n_splits x n_langs rows). Chars summed as decimal for
+    order-independence (see plans/common.py)."""
+    from arc_kinesis_tagging_spark.functions.text import text_metrics_struct
+    from arc_kinesis_tagging_spark.plans.common import dsum
+
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id", "lang", "text", "n_chars",
+        text_metrics_struct(F.col("text")).alias("m"),
+    )
+    kept = s.filter(
+        (F.col("n_chars") >= 80)
+        & (F.col("m.n_tokens") >= 15)
+        & (F.col("m.mean_word_len") <= 12.0)
+        & (F.col("m.stopword_ratio") <= 0.6)
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    uniq = (
+        kept.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    bucket = F.pmod(
+        stable_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        uniq.select(split.alias("split"), "lang", "n_chars", F.col("m.n_tokens").alias("n_tokens"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dsum("n_chars", 0).alias("total_chars"),
+            F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias("avg_tokens"),
+        )
+    )
+
+
+# Oracle stopword list generated from the engine's own STOPWORDS so the
+# two can never drift.
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+ORACLE_CORPUS_PIPELINE = f"""
+WITH m AS (
+  SELECT doc_id, lang, n_chars, text,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, n_chars, text,
+         len(toks) AS n_tokens,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+           / GREATEST(len(toks), 1) AS mwl,
+         CAST(len(list_filter(toks,
+              t -> list_contains([{_STOP_SQL}], lower(t)))) AS DOUBLE)
+           / GREATEST(len(toks), 1) AS swr
+  FROM m
+), kept AS (
+  SELECT doc_id, lang, n_chars, text, n_tokens FROM s
+  WHERE n_chars >= 80 AND n_tokens >= 15 AND mwl <= 12.0 AND swr <= 0.6
+), uniq AS (
+  SELECT doc_id, lang, n_chars, n_tokens FROM kept
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+), assigned AS (
+  SELECT lang, n_chars, n_tokens,
+         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+  FROM uniq
+)
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS total_chars,
+       ROUND(AVG(CAST(n_tokens AS DOUBLE)), 6) AS avg_tokens
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
 QUALITY_QUERIES = [
     Query("q_profile_columns", q_profile_columns, ORACLE_PROFILE_COLUMNS),
     Query("q_token_histogram", q_token_histogram, ORACLE_TOKEN_HISTOGRAM),
@@ -281,4 +380,5 @@ QUALITY_QUERIES = [
     Query("q_graph_pagerank", q_graph_pagerank, None,
           "iterative power iteration is not SQL-expressible -> rows-only; "
           "numpy-model parity asserted in tests/test_graph.py"),
+    Query("q_corpus_pipeline", q_corpus_pipeline, ORACLE_CORPUS_PIPELINE),
 ]

@@ -7,6 +7,7 @@ spine density, and repartition-invariance of the hash selection."""
 from pyspark.sql import functions as F
 
 from arc_kinesis_tagging_spark.plans.quality_ops import (
+    q_corpus_pipeline,
     q_domain_balance,
     q_profile_columns,
     q_token_histogram,
@@ -110,3 +111,42 @@ def test_gapfill_spine_is_dense_and_preserves_totals(spark, sf_dir):
     # their span; verify the zero rows carry zero value too
     zeros = out.filter(F.col("n_events") == 0)
     assert zeros.filter(F.col("day_value") != 0.0).count() == 0
+
+
+def test_corpus_pipeline_composes_its_stages(spark, sf_dir):
+    """The composite's totals must equal what running the component
+    queries in sequence produces: gate (q_quality_filter semantics) ->
+    exact dedup -> split -> count."""
+    from arc_kinesis_tagging_spark.plans.llmops import q_quality_filter
+    from arc_kinesis_tagging_spark.plans.pipeline_ops import q_split_assign
+
+    out = q_corpus_pipeline(spark, sf_dir)
+    rows = out.collect()
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept_ids = q_quality_filter(spark, sf_dir).filter("kept").select("doc_id")
+    kept = docs.join(kept_ids, "doc_id")
+    # exact dedup on content among the kept docs
+    w_uniq = (
+        kept.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    splits = q_split_assign(spark, sf_dir).select("doc_id", "split")
+    expected = (
+        w_uniq.join(docs, "doc_id")
+        .join(splits, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    )
+    exp = {(r["split"], r["lang"]): r["n_docs"] for r in expected}
+    got = {(r["split"], r["lang"]): r["n_docs"] for r in rows}
+    assert got == exp
+    # all three splits materialize and train dominates (80/10/10 carve)
+    per_split = {}
+    for r in rows:
+        per_split[r["split"]] = per_split.get(r["split"], 0) + r["n_docs"]
+    assert set(per_split) == {"train", "val", "test"}
+    assert per_split["train"] > per_split["val"]
+    assert per_split["train"] > per_split["test"]
