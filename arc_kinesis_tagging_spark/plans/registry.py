@@ -4,6 +4,8 @@ note for non-SQL-expressible ops)."""
 
 from __future__ import annotations
 
+import os
+
 from arc_kinesis_tagging_spark.plans.common import Query
 from arc_kinesis_tagging_spark.plans.llmops import LLMOPS_QUERIES
 from arc_kinesis_tagging_spark.plans.pipeline_ops import PIPELINE_QUERIES
@@ -17,30 +19,85 @@ from arc_kinesis_tagging_spark.plans.relational3 import RELATIONAL3_QUERIES
 # rounds so every query gets a driver-green row:
 #
 #   round 1: relational(35) + relational2(9) + relational3[:6]  -> 47/50 green
-#   round 2: llmops(27) + relational3(10) + relational2(9) + relational[:4]
-#            -> covers everything round 1 missed; every displaced
-#               relational entry already has a green r01 row.
-#   round 3: pipeline_ops(8) + llmops(27) + relational3(15) = exactly 50.
-#            The round-2 CORRECTNESS artifact was never delivered, so the
-#            llmops/relational3 window is retained (their rows may not
-#            exist yet); the new pipeline_ops queries lead; the displaced
-#            relational2/relational tail all carries green r01 rows.
-#   round 4 (planned): quality_ops + the round-3 relational additions +
-#            whatever round 3's CORRECTNESS run leaves unverified.
+#   round 2: pipeline_ops + llmops + relational3 head            -> 50/50 green
+#   round 3 (CURRENT): the 11 queries with NO driver row yet lead the
+#            window (TPC-H Q7/Q10/Q14/Q19, q_agg_stats, the quality_ops
+#            family, q_graph_pagerank, q_corpus_pipeline), followed by
+#            every NEW round-3 query (so new work is verified the round
+#            it lands), then rows-only entries worth re-confirming; the
+#            displaced tail all carries green r01/r02 rows.
 #
 # Override for ad-hoc runs: AKT_REGISTRY_ROTATION=r1|r2 restores old orders.
-import os
+
+_CANONICAL: list[Query] = [
+    *RELATIONAL_QUERIES,
+    *RELATIONAL2_QUERIES,
+    *RELATIONAL3_QUERIES,
+    *LLMOPS_QUERIES,
+    *PIPELINE_QUERIES,
+    *QUALITY_QUERIES,
+]
+
+_BY_NAME: dict[str, Query] = {q.name: q for q in _CANONICAL}
+assert len(_BY_NAME) == len(_CANONICAL), "duplicate query names in registry"
+
+# Head of the round-3 driver window, in priority order. Names listed
+# here but not (yet) registered are skipped, so new queries can be
+# pre-listed before their module lands.
+_R3_HEAD = [
+    # -- the 11 with no driver CORRECTNESS row across r01+r02 --
+    "q_tpch_q7ish",
+    "q_tpch_q10ish",
+    "q_tpch_q14ish",
+    "q_tpch_q19ish",
+    "q_agg_stats",
+    "q_profile_columns",
+    "q_token_histogram",
+    "q_domain_balance",
+    "q_ts_gapfill",
+    "q_graph_pagerank",
+    "q_corpus_pipeline",
+    # -- NEW round-3 queries: verified the round they land --
+    "q_domain_balance_hash",
+    "q_multimodal_ppm",
+    "q_dedup_cluster_star",
+    "q_tpch_q2ish",
+    "q_tpch_q4ish",
+    "q_tpch_q6ish",
+    "q_tpch_q8ish",
+    "q_tpch_q12ish",
+    "q_tpch_q16ish",
+    "q_tpch_q17ish",
+    "q_tpch_q20ish",
+    "q_tpch_q22ish",
+    "q_minhash_vs_exact",
+    "q_ann_recall",
+    "q_text_normalize",
+    "q_doc_stats_sketch",
+    # -- rows-only entries worth a re-confirming row this round --
+    "q_sketch_hll",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_similarity_ivf",
+    "q_dedup_cluster",
+    "q_agg_approx_percentile",
+    "q_udf_decompress",
+    "q_multimodal_pipeline",
+    "q_dedup_semantic",
+    "q_dedup_embedding_lsh",
+    "q_sample",
+]
+
+
+def _ordered(head: list[str]) -> list[Query]:
+    seen = [n for n in head if n in _BY_NAME]
+    rest = [q.name for q in _CANONICAL if q.name not in set(seen)]
+    return [_BY_NAME[n] for n in [*seen, *rest]]
+
 
 _ROT = os.environ.get("AKT_REGISTRY_ROTATION")
 if _ROT == "r1":
-    ALL_QUERIES: list[Query] = [
-        *RELATIONAL_QUERIES,
-        *RELATIONAL2_QUERIES,
-        *RELATIONAL3_QUERIES,
-        *LLMOPS_QUERIES,
-        *PIPELINE_QUERIES,
-        *QUALITY_QUERIES,
-    ]
+    ALL_QUERIES: list[Query] = list(_CANONICAL)
 elif _ROT == "r2":
     ALL_QUERIES = [
         *LLMOPS_QUERIES,
@@ -51,14 +108,7 @@ elif _ROT == "r2":
         *QUALITY_QUERIES,
     ]
 else:
-    ALL_QUERIES = [
-        *PIPELINE_QUERIES,
-        *LLMOPS_QUERIES,
-        *RELATIONAL3_QUERIES,
-        *RELATIONAL2_QUERIES,
-        *RELATIONAL_QUERIES,
-        *QUALITY_QUERIES,
-    ]
+    ALL_QUERIES = _ordered(_R3_HEAD)
 
 QUERIES: dict[str, Query] = {q.name: q for q in ALL_QUERIES}
 
