@@ -189,6 +189,59 @@ SELECT doc_id, lang, rk FROM ranked, cap WHERE rk <= cap
 """
 
 
+_H60 = 1 << 60  # exclusive upper bound of stable_hash64's range
+
+
+def q_domain_balance_hash(spark, sf_dir):
+    """Map-side hash-threshold domain balancing — the 100 TB form of
+    ``q_domain_balance``. Instead of an exact per-lang rank window
+    (whose dominant-language partition is a single-task straggler at
+    corpus scale), keep each row iff its portable hash falls below the
+    language's keep-ratio threshold::
+
+        keep  <=>  h / 2^60  <  cap / n_lang
+
+    evaluated in exact integer arithmetic (``h * n_lang < cap * 2^60``
+    as decimal(38,0) / HUGEINT — no float rounding to disagree across
+    engines). ``cap`` = size of the smallest language, ``n_lang`` from
+    one tiny count aggregate broadcast back onto the scan, so the whole
+    keep decision is a broadcast join + filter: no window, no per-lang
+    shuffle, no straggler. Kept counts are Binomial(n_lang, cap/n_lang)
+    ≈ cap ± sqrt(cap) rather than exactly cap — the documented,
+    statistically equivalent degradation; tests/test_quality_ops.py
+    bounds the deviation and test_plan_shapes.py asserts the plan has
+    no WindowExec. Fully deterministic => exact DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents")
+    h = stable_hash64(F.concat(F.lit("balance:"), F.col("doc_id").cast("string")))
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    cap = counts.agg(F.min("n").alias("cap"))
+    thresholds = counts.crossJoin(F.broadcast(cap))  # n_langs rows
+    return (
+        d.select("doc_id", "lang", h.alias("__h"))
+        .join(F.broadcast(thresholds), "lang")
+        .filter(
+            F.col("__h").cast("decimal(38,0)") * F.col("n")
+            < F.col("cap").cast("decimal(38,0)") * F.lit(_H60).cast("decimal(38,0)")
+        )
+        .select("doc_id", "lang")
+    )
+
+
+ORACLE_DOMAIN_BALANCE_HASH = f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), cap AS (
+  SELECT MIN(n) AS cap FROM counts
+)
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN counts c ON d.lang = c.lang
+CROSS JOIN cap
+WHERE CAST({_DUCK_H64.format(expr="'balance:' || CAST(d.doc_id AS VARCHAR)")} AS HUGEINT) * c.n
+      < CAST(cap.cap AS HUGEINT) * {_H60}
+"""
+
+
 # --- time-series gap-fill ----------------------------------------------------
 
 def q_ts_gapfill(spark, sf_dir):
@@ -376,6 +429,7 @@ QUALITY_QUERIES = [
     Query("q_profile_columns", q_profile_columns, ORACLE_PROFILE_COLUMNS),
     Query("q_token_histogram", q_token_histogram, ORACLE_TOKEN_HISTOGRAM),
     Query("q_domain_balance", q_domain_balance, ORACLE_DOMAIN_BALANCE),
+    Query("q_domain_balance_hash", q_domain_balance_hash, ORACLE_DOMAIN_BALANCE_HASH),
     Query("q_ts_gapfill", q_ts_gapfill, ORACLE_TS_GAPFILL),
     Query("q_graph_pagerank", q_graph_pagerank, None,
           "iterative power iteration is not SQL-expressible -> rows-only; "

@@ -109,6 +109,18 @@ def test_gapfill_joins_on_aggregated_sides(spark):
     assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
 
 
+def test_domain_balance_hash_has_no_window(spark):
+    """The map-side balance variant exists precisely to avoid the
+    per-lang rank window (dominant-language straggler at corpus
+    scale): its plan must contain no Window node and must broadcast
+    the tiny threshold table, never shuffle-join the corpus on lang."""
+    plan = _formatted_plan(spark, "q_domain_balance_hash")
+    assert _n_nodes(plan, "Window") == 0, plan
+    assert _n_nodes(plan, "WindowExec") == 0, plan
+    assert _n_nodes(plan, "BroadcastHashJoin") >= 1, plan
+    assert _n_nodes(plan, "SortMergeJoin") == 0, plan
+
+
 def test_agg_has_partial_phase(spark):
     """Aggregations must run map-side partial aggregation (two
     HashAggregate nodes around one Exchange), the thing that keeps a

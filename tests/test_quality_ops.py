@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from arc_kinesis_tagging_spark.plans.quality_ops import (
     q_corpus_pipeline,
     q_domain_balance,
+    q_domain_balance_hash,
     q_profile_columns,
     q_token_histogram,
     q_ts_gapfill,
@@ -83,6 +84,58 @@ def test_domain_balance_is_repartition_invariant(spark, sf_dir):
         r["doc_id"]
         for r in ranked.crossJoin(F.broadcast(cap))
         .filter(F.col("rk") <= F.col("cap"))
+        .collect()
+    }
+    assert again == base
+
+
+def test_domain_balance_hash_tracks_exact_balance(spark, sf_dir):
+    """The map-side hash-threshold variant keeps Binomial(n, cap/n)
+    rows per language — expectation cap, sd sqrt(cap). Bound each
+    language's deviation at 5 sigma (false-alarm ~1e-6 per lang) and
+    require the kept set to be a subset of the corpus with every
+    language still represented."""
+    import math
+
+    kept = q_domain_balance_hash(spark, sf_dir)
+    langs = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, "documents", sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    cap = min(langs.values())
+    per = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    tol = max(5.0 * math.sqrt(cap), 3.0)
+    for lang in langs:
+        got = per.get(lang, 0)
+        assert abs(got - cap) <= tol, (lang, got, cap, tol)
+        assert got <= langs[lang]
+
+
+def test_domain_balance_hash_is_repartition_invariant(spark, sf_dir):
+    """Keep decision is a pure function of (doc_id, lang counts) —
+    input partitioning must not change the kept set."""
+    base = {r["doc_id"] for r in q_domain_balance_hash(spark, sf_dir).collect()}
+    from arc_kinesis_tagging_spark.functions.text import stable_hash64
+
+    docs = load_table(spark, "documents", sf_dir).repartition(11, "doc_id")
+    h = stable_hash64(F.concat(F.lit("balance:"), F.col("doc_id").cast("string")))
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    cap = counts.agg(F.min("n").alias("cap"))
+    thresholds = counts.crossJoin(F.broadcast(cap))
+    again = {
+        r["doc_id"]
+        for r in docs.select("doc_id", "lang", h.alias("__h"))
+        .join(F.broadcast(thresholds), "lang")
+        .filter(
+            F.col("__h").cast("decimal(38,0)") * F.col("n")
+            < F.col("cap").cast("decimal(38,0)") * F.lit(1 << 60).cast("decimal(38,0)")
+        )
         .collect()
     }
     assert again == base
