@@ -44,13 +44,21 @@ def connected_components(
     is metadata-cheap next to either branch, and 2M edges (~32 MB of
     key pairs) is far under driver memory.
     """
+    # The pairs subtree appears TWICE in the symmetrized edge union;
+    # without a persist the upstream candidate-pair pipeline (MinHash
+    # explode + band join — the expensive part) executes twice when
+    # edges first materializes. Persist pairs for exactly that window:
+    # the count below materializes edges, after which pairs can go.
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
         .unionByName(pairs.select(F.col(key_b).alias("src"), F.col(key_a).alias("dst")))
         .distinct()
         .persist()
     )
-    if edges.count() <= driver_edge_limit:
+    n_edges = edges.count()
+    pairs.unpersist()
+    if n_edges <= driver_edge_limit:
         rows = edges.collect()
         parent: dict = {}
 
