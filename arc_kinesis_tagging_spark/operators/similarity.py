@@ -217,6 +217,9 @@ def cosine_threshold_pairs(
         df.orderBy(F.col(id_col).asc())
         .limit(nlist)
         .select(
+            # unpartitioned window over a .limit(nlist) input: nlist<=16
+            # rows by construction, a constant — never corpus-sized
+            # (see tests/test_plan_shapes.py::test_global_window_allowlist)
             F.row_number().over(Window.orderBy(F.col(id_col).asc())).alias("cell_id"),
             F.col(vec_col).alias("__centroid"),
         )
@@ -409,6 +412,9 @@ def build_ivf_index(
         corpus.orderBy(F.col(id_col).asc())
         .limit(nlist)
         .select(
+            # unpartitioned window over a .limit(nlist) input: nlist<=16
+            # rows by construction, a constant — never corpus-sized
+            # (see tests/test_plan_shapes.py::test_global_window_allowlist)
             F.row_number().over(Window.orderBy(F.col(id_col).asc())).alias("cell_id"),
             F.col(vec_col).alias("__centroid"),
         )

@@ -119,6 +119,9 @@ def q_token_histogram(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+    # Unpartitioned window: input is the 16-row-bounded bucket aggregate
+    # (bucket = least(floor(tc/32), 15)), a CONSTANT independent of corpus
+    # size. Audited by tests/test_plan_shapes.py::test_global_window_allowlist.
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return hist.select(
         "bucket",

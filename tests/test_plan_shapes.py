@@ -121,6 +121,56 @@ def test_domain_balance_hash_has_no_window(spark):
     assert _n_nodes(plan, "SortMergeJoin") == 0, plan
 
 
+# Global (unpartitioned) windows move every row into ONE task —
+# acceptable only over inputs whose size is a CONSTANT (an aggregate of
+# bounded cardinality: the 16-bucket histogram, nlist<=16 centroid
+# numbering), never a function of corpus size. This audit walks every
+# registry query's optimized logical plan and fails on any unpartitioned
+# Window outside the allowlist, so the benign WindowExec warnings those
+# bounded sites emit can never mask a new, real straggler window.
+GLOBAL_WINDOW_ALLOWLIST = {
+    "q_token_histogram",  # cumulative over the <=16-row bucket aggregate
+}
+
+# Builders that launch eager Spark jobs at build time (iterative loops,
+# IVF index builds, driver union-find) — too slow for a full-registry
+# sweep here; their window discipline is covered by their operator tests.
+_EAGER_BUILDERS = {
+    "q_graph_pagerank", "q_dedup_cluster", "q_dedup_cluster_star",
+    "q_similarity_ivf", "q_ann_recall", "q_dedup_embedding",
+    "q_dedup_semantic", "q_dedup_embedding_lsh", "q_minhash_vs_exact",
+}
+
+
+def _unpartitioned_windows(df):
+    def walk(n):
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    plan = df._jdf.queryExecution().optimizedPlan()
+    return [
+        n for n in walk(plan)
+        if n.getClass().getSimpleName() == "Window" and n.partitionSpec().isEmpty()
+    ]
+
+
+def test_global_window_allowlist(spark):
+    offenders = {}
+    for name, q in QUERIES.items():
+        if name in _EAGER_BUILDERS:
+            continue
+        n = len(_unpartitioned_windows(q.builder(spark, SF)))
+        if n and name not in GLOBAL_WINDOW_ALLOWLIST:
+            offenders[name] = n
+    assert not offenders, (
+        f"unpartitioned Window outside the bounded-input allowlist: {offenders}; "
+        "either partition the window or prove the input is constant-bounded "
+        "and extend GLOBAL_WINDOW_ALLOWLIST"
+    )
+
+
 def test_agg_has_partial_phase(spark):
     """Aggregations must run map-side partial aggregation (two
     HashAggregate nodes around one Exchange), the thing that keeps a
