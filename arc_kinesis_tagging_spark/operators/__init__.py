@@ -5,6 +5,7 @@ from arc_kinesis_tagging_spark.operators.chunking import (
 )
 from arc_kinesis_tagging_spark.operators.clusters import (
     connected_components,
+    connected_components_star,
     dedup_keep_best,
 )
 from arc_kinesis_tagging_spark.operators.graph import pagerank
@@ -28,6 +29,7 @@ __all__ = [
     "chunk_documents",
     "pack_token_spans",
     "connected_components",
+    "connected_components_star",
     "dedup_keep_best",
     "pagerank",
     "contamination_pairs",

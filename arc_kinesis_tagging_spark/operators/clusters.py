@@ -148,21 +148,120 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+    max_iterations: int = 40,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the closure to use when the candidate graph exceeds the driver
+    union-find limit AND may contain adversarially long chains, where
+    min-label propagation needs diameter rounds. Star rounds contract
+    the graph toward component-min stars in O(log^2 n) rounds worst
+    case, O(log n) in practice (a 10k-node path closes in ~7 rounds —
+    tests/test_clusters.py).
+
+    Per round: large-star connects every strictly-larger neighbor of u
+    to min(Gamma(u) u {u}); small-star orients edges large->small and
+    connects the smaller neighborhood (plus u) to its min. Each star is
+    one groupBy-min + one join — two shuffles/round — with
+    ``localCheckpoint`` truncating lineage (same discipline as the
+    min-label path). Convergence = edge-multiset hash-sum stable.
+    ``stats['rounds']`` reports rounds when a dict is passed.
+    """
+    E = (
+        pairs.select(F.col(key_a).alias("u"), F.col(key_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(e: DataFrame):
+        # decimal accumulator over a 64-bit hash of the edge — stable
+        # across engines/orderings; same rationale as _label_sum above
+        return e.agg(
+            F.sum(
+                F.xxhash64(
+                    F.col("u").cast("string"), F.col("v").cast("string")
+                ).cast("decimal(38,0)")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+
+    prev = _sig(E)
+    rounds = 0
+    for _ in range(max_iterations):
+        # -- large-star: (v, m(u)) for every neighbor v > u ------------
+        sym = E.unionByName(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least(F.col("__mn"), F.col("u")).alias("m"))
+        )
+        E = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # -- small-star: orient big->small, attach Gamma- u {u} to min -
+        oriented = E.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        m = oriented.groupBy("u").agg(F.min("v").alias("m"))  # m < u
+        E = (
+            oriented.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        sig = _sig(E)
+        if sig == prev:
+            break
+        prev = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    # Converged: every edge is (node, component-min). Roots label
+    # themselves; size-1 components never appear in `pairs` by contract
+    # (same as connected_components).
+    labels = E.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        labels.select(F.col("component").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    return labels.unionByName(roots)
+
+
 def dedup_keep_best(
     df: DataFrame,
     pairs: DataFrame,
     key_col: str,
     score_col: str,
+    cc_fn=None,
 ) -> DataFrame:
     """Drop near-duplicates, keeping the best-scoring row per cluster
     (ties break toward the lower key). Rows in no cluster are kept.
 
     Returns ``df`` filtered to representatives, plus a ``cluster``
-    column (null for singletons).
+    column (null for singletons). ``cc_fn`` picks the closure strategy
+    (default size-adaptive min-label ``connected_components``; pass
+    ``connected_components_star`` for adversarial-diameter graphs).
     """
     from pyspark.sql import Window
 
-    comps = connected_components(pairs).withColumnRenamed("node", key_col)
+    comps = (cc_fn or connected_components)(pairs).withColumnRenamed("node", key_col)
     # Singletons (the overwhelming majority of a deduped corpus) are
     # split off BEFORE the window: a single window over a left join
     # would put every non-clustered row into one `component IS NULL`

@@ -386,6 +386,33 @@ def q_dedup_cluster(spark, sf_dir):
     return kept.select("doc_id", "cluster", "n_chars")
 
 
+def q_dedup_cluster_star(spark, sf_dir):
+    """q_dedup_cluster with the large-star/small-star closure
+    (operators/clusters.py:connected_components_star) instead of the
+    size-adaptive min-label path: the variant for candidate graphs that
+    are both too big for the driver union-find AND adversarially deep
+    (long chains), where min-label needs diameter rounds but star
+    contraction closes in O(log n). Same MinHash pairs, same keep-best
+    selection — component labels and survivors must be identical to
+    q_dedup_cluster (star and min-label both canonicalize to the
+    component min; equality asserted in tests/test_clusters.py).
+    Iterative -> rows-only at the driver."""
+    from arc_kinesis_tagging_spark.operators.clusters import (
+        connected_components_star,
+        dedup_keep_best,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, "text", "doc_id", n_hashes=32, bands=8, shingle_n=3, jaccard_threshold=0.3
+    )
+    kept = dedup_keep_best(
+        d.select("doc_id", "n_chars"), pairs, "doc_id", "n_chars",
+        cc_fn=connected_components_star,
+    )
+    return kept.select("doc_id", "cluster", "n_chars")
+
+
 def q_quality_filter(spark, sf_dir):
     """C4-style quality gate: documents pass/fail with a reason column —
     the filter stage every training-data pipeline runs before dedup.
@@ -802,6 +829,9 @@ LLMOPS_QUERIES = [
     Query("q_text_fingerprint", q_text_fingerprint, ORACLE_FINGERPRINT),
     Query("q_dedup_cluster", q_dedup_cluster, None,
           "iterative label propagation; verified vs union-find in tests"),
+    Query("q_dedup_cluster_star", q_dedup_cluster_star, None,
+          "iterative large-star/small-star closure; verified vs union-find "
+          "and vs the min-label path in tests"),
     Query("q_quality_filter", q_quality_filter, ORACLE_QUALITY_FILTER),
     Query("q_text_tfidf", q_text_tfidf, ORACLE_TFIDF),
     Query("q_agg_approx_percentile", q_agg_approx_percentile, None,

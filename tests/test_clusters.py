@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from arc_kinesis_tagging_spark.operators.clusters import (
     connected_components,
+    connected_components_star,
     dedup_keep_best,
 )
 
@@ -42,6 +43,86 @@ def test_connected_components_matches_union_find(spark):
     # canonical component = min member, same as min-label propagation
     expected = union_find(PAIRS)
     assert got == expected
+
+
+def test_star_components_match_union_find(spark):
+    pairs = spark.createDataFrame(PAIRS, "key_a long, key_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == union_find(PAIRS)
+
+
+def test_star_components_random_graphs_match_model(spark):
+    """Deterministic pseudo-random graphs (LCG over node ids) across
+    densities; star closure must agree with the union-find model and
+    with the min-label path on every one."""
+    for seed, n_nodes, n_edges in [(7, 60, 40), (11, 80, 120), (13, 50, 200)]:
+        x = seed
+        edges = []
+        for _ in range(n_edges):
+            x = (1103515245 * x + 12345) % (2**31)
+            a = x % n_nodes
+            x = (1103515245 * x + 12345) % (2**31)
+            b = x % n_nodes
+            if a != b:
+                edges.append((a, b))
+        pairs = spark.createDataFrame(edges, "key_a long, key_b long")
+        model = union_find(edges)
+        star = {
+            r["node"]: r["component"]
+            for r in connected_components_star(pairs).collect()
+        }
+        assert star == model, (seed, n_nodes, n_edges)
+
+
+def test_star_components_string_keys(spark):
+    """The reference domain's _id is a string — closure must work on
+    string keys (component = lexicographic min)."""
+    edges = [("d2", "d1"), ("d2", "d3"), ("x9", "x8")]
+    pairs = spark.createDataFrame(edges, "key_a string, key_b string")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == union_find(edges)
+
+
+def test_star_components_path_graph_logarithmic_rounds(spark):
+    """The reason this operator exists: a 10k-node path graph has
+    diameter 10k, so min-label needs ~10k rounds; star contraction
+    must close it in O(log n) — assert <= 16 rounds (2*log2(10k))
+    and assert every node lands in the single component."""
+    n = 10_000
+    edges = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(edges, "key_a long, key_b long")
+    stats = {}
+    labels = connected_components_star(pairs, stats=stats).collect()
+    assert stats["rounds"] <= 16, stats
+    comps = {r["component"] for r in labels}
+    assert comps == {0}
+    assert len({r["node"] for r in labels}) == n
+
+
+def test_star_cluster_query_matches_minlabel_query(spark, sf_dir):
+    """q_dedup_cluster_star must produce byte-identical survivors and
+    cluster labels to q_dedup_cluster — both closures canonicalize to
+    the component-min label, so the keep-best selection is the same."""
+    from arc_kinesis_tagging_spark.plans.llmops import (
+        q_dedup_cluster,
+        q_dedup_cluster_star,
+    )
+
+    base = {
+        (r["doc_id"], r["cluster"], r["n_chars"])
+        for r in q_dedup_cluster(spark, sf_dir).collect()
+    }
+    star = {
+        (r["doc_id"], r["cluster"], r["n_chars"])
+        for r in q_dedup_cluster_star(spark, sf_dir).collect()
+    }
+    assert star == base
 
 
 def test_dedup_keep_best(spark):
