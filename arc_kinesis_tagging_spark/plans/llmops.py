@@ -561,6 +561,35 @@ FROM documents
 """
 
 
+def q_multimodal_ppm(spark, sf_dir):
+    """REAL image-format decode through the batched path: generate a
+    binary Netpbm P6 image per document (deterministic pixels from the
+    doc_id), then decode it — header parse + numpy pixel reshape — and
+    emit per-channel means (operators/multimodal.py:decode_ppm). The
+    oracle derives the analytic means (base + (w-1)/2 + (h-1)/2 per
+    channel ramp), all exactly-representable doubles, so a decoder that
+    mis-parses the header or mis-lays-out the pixel buffer hash-fails."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_ppm_media,
+        decode_ppm,
+    )
+
+    d = attach_ppm_media(_t(spark, sf_dir, "documents"), "doc_id")
+    return decode_ppm(d, "media_id", "media")
+
+
+ORACLE_MULTIMODAL_PPM = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 16 + 4 AS INTEGER) AS width,
+       CAST(doc_id % 12 + 4 AS INTEGER) AS height,
+       CAST(doc_id % 64 AS DOUBLE)
+         + (doc_id % 16 + 3) / 2.0 + (doc_id % 12 + 3) / 2.0 AS mean_r,
+       CAST(doc_id % 32 AS DOUBLE) + CAST(doc_id % 16 + 3 AS DOUBLE) AS mean_g,
+       CAST(doc_id % 16 AS DOUBLE) + 1.5 * (doc_id % 12 + 3) AS mean_b
+FROM documents
+"""
+
+
 # --- flagship pipeline ------------------------------------------------------
 
 def q_multimodal_pipeline(spark, sf_dir):
@@ -839,6 +868,7 @@ LLMOPS_QUERIES = [
     Query("q_udf_decompress", q_udf_decompress, None,
           "gzip pandas UDF round-trip; rows-only"),
     Query("q_multimodal_decode", q_multimodal_decode, ORACLE_MULTIMODAL),
+    Query("q_multimodal_ppm", q_multimodal_ppm, ORACLE_MULTIMODAL_PPM),
     Query("q_multimodal_pipeline", q_multimodal_pipeline, None,
           "decode->resize->frame-sample chain; fake codec -> rows-only"),
     Query("q_pipeline_tag_enrich", q_pipeline_tag_enrich, ORACLE_PIPELINE),

@@ -65,3 +65,48 @@ def test_frame_sample_media(spark, sf_dir):
         idxs = sorted(f["frame_index"] for f in doc_frames)
         assert idxs == list(range(0, doc_frames[0]["n_frames"], 3))
         assert all(len(f["frame_sha"]) == 64 for f in doc_frames)
+
+
+def test_ppm_decode_real_format_and_isolation(spark):
+    """decode_ppm parses REAL P6 bytes: a hand-built 2x2 image decodes
+    to its exact channel means; corrupt payloads (truncated header,
+    wrong magic, short pixel buffer) yield null rows, never a failed
+    job — the per-record isolation contract."""
+    from arc_kinesis_tagging_spark.operators.multimodal import decode_ppm
+
+    good = b"P6\n2 2\n255\n" + bytes([10, 20, 30, 10, 20, 30, 50, 20, 30, 50, 20, 30])
+    rows = spark.createDataFrame(
+        [
+            (1, good),
+            (2, b"P5\n2 2\n255\n" + b"\x00" * 12),   # wrong magic
+            (3, b"P6\n2 2\n255\n" + b"\x00" * 5),    # short pixel buffer
+            (4, None),                                 # null payload
+        ],
+        "media_id long, media binary",
+    )
+    got = {r["media_id"]: r for r in decode_ppm(rows).collect()}
+    assert got[1]["width"] == 2 and got[1]["height"] == 2
+    assert got[1]["mean_r"] == 30.0 and got[1]["mean_g"] == 20.0 and got[1]["mean_b"] == 30.0
+    for bad in (2, 3, 4):
+        assert got[bad]["width"] is None and got[bad]["mean_r"] is None
+
+
+def test_ppm_roundtrip_means_match_analytic_form(spark, sf_dir):
+    """Generator + decoder round-trip on real corpus ids: decoded means
+    must equal the analytic base + ramp means exactly (integer channel
+    sums are exact in double)."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_ppm_media,
+        decode_ppm,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).limit(50)
+    out = decode_ppm(attach_ppm_media(docs, "doc_id")).collect()
+    assert len(out) == 50
+    for r in out:
+        i = r["media_id"]
+        w, h = i % 16 + 4, i % 12 + 4
+        assert r["width"] == w and r["height"] == h
+        assert r["mean_r"] == i % 64 + (w - 1) / 2 + (h - 1) / 2
+        assert r["mean_g"] == i % 32 + (w - 1)
+        assert r["mean_b"] == i % 16 + 1.5 * (h - 1)
