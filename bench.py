@@ -45,6 +45,7 @@ HEADLINE = [
     "q_agg_salted",       # two-phase salted (skew-safe) aggregation
     "q_shuffle_shard",    # deterministic shuffle-shard window
     "q_sketch_hll",       # mergeable HLL cardinality sketches
+    "q_corpus_pipeline",  # end-to-end refresh: gate -> dedup -> split -> stats
 ]
 
 
@@ -125,6 +126,30 @@ def bench_stream_pipeline(spark, sf_dir: str, n_records: int = 20000) -> tuple[f
     return dt, n_records / dt
 
 
+def compare_block(queries: dict, baseline_path: str) -> dict:
+    """Per-query deltas vs a prior BENCH_r*.json: ratio = now/then.
+    Queries >1.5x slower are listed under `regressions` so a real plan
+    regression is distinguishable from sub-second jitter (jitter is
+    flagged when the absolute delta is under 0.25s even if the ratio
+    trips)."""
+    with open(baseline_path) as fh:
+        raw = json.load(fh)
+    # driver-recorded BENCH_r*.json wraps our JSON line under "parsed"
+    base = raw.get("queries") or raw.get("parsed", {}).get("queries", {})
+    deltas, regressions = {}, []
+    for name, now in queries.items():
+        then = base.get(name)
+        if then is None:
+            deltas[name] = {"then": None, "now": now, "ratio": None}
+            continue
+        ratio = round(now / then, 3) if then > 0 else None
+        deltas[name] = {"then": then, "now": now, "ratio": ratio}
+        if ratio is not None and ratio > 1.5 and (now - then) >= 0.25:
+            regressions.append(name)
+    return {"baseline": os.path.basename(baseline_path),
+            "deltas": deltas, "regressions": regressions}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -153,17 +178,32 @@ def main() -> None:
     queries["stream_pipeline_20k"] = round(stream_s, 3)
     total += stream_s
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": queries,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # --compare <prior BENCH.json> (or the newest BENCH_r*.json in the
+    # repo root by default) adds a per-query delta block; regressions
+    # >1.5x AND >0.25s absolute fail the run so a silent plan
+    # degradation breaks the bench, not a 100 TB job.
+    baseline = None
+    if "--compare" in sys.argv:
+        baseline = sys.argv[sys.argv.index("--compare") + 1]
+    else:
+        import glob
+
+        prior = sorted(glob.glob(os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "BENCH_r*.json")))
+        if prior:
+            baseline = prior[-1]
+    if baseline and os.path.exists(baseline):
+        out["compare"] = compare_block(queries, baseline)
+    print(json.dumps(out))
+    if out.get("compare", {}).get("regressions") and "--compare" in sys.argv:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
