@@ -13,6 +13,7 @@ from arc_kinesis_tagging_spark.plans.quality_ops import QUALITY_QUERIES
 from arc_kinesis_tagging_spark.plans.relational import RELATIONAL_QUERIES
 from arc_kinesis_tagging_spark.plans.relational2 import RELATIONAL2_QUERIES
 from arc_kinesis_tagging_spark.plans.relational3 import RELATIONAL3_QUERIES
+from arc_kinesis_tagging_spark.plans.tpch2 import TPCH2_QUERIES
 
 # Registry order IS the driver's correctness-check order, and the driver
 # evaluates only the FIRST 50 entries per round. The order rotates across
@@ -36,6 +37,7 @@ _CANONICAL: list[Query] = [
     *LLMOPS_QUERIES,
     *PIPELINE_QUERIES,
     *QUALITY_QUERIES,
+    *TPCH2_QUERIES,
 ]
 
 _BY_NAME: dict[str, Query] = {q.name: q for q in _CANONICAL}
@@ -65,10 +67,15 @@ _R3_HEAD = [
     "q_tpch_q4ish",
     "q_tpch_q6ish",
     "q_tpch_q8ish",
+    "q_tpch_q9ish",
+    "q_tpch_q11ish",
     "q_tpch_q12ish",
+    "q_tpch_q13ish",
+    "q_tpch_q15ish",
     "q_tpch_q16ish",
     "q_tpch_q17ish",
     "q_tpch_q20ish",
+    "q_tpch_q21ish",
     "q_tpch_q22ish",
     "q_minhash_vs_exact",
     "q_ann_recall",

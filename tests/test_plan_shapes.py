@@ -52,7 +52,8 @@ def test_exchange_budget(spark, name, budget):
 # shuffle them into a SortMergeJoin.
 BROADCAST_QUERIES = ["q_join_broadcast", "q_tpch_q3ish", "q_tpch_q5ish",
                      "q_tpch_q7ish", "q_tpch_q10ish", "q_tpch_q14ish",
-                     "q_tpch_q19ish"]
+                     "q_tpch_q19ish", "q_tpch_q2ish", "q_tpch_q8ish",
+                     "q_tpch_q9ish", "q_tpch_q21ish"]
 
 
 @pytest.mark.parametrize("name", BROADCAST_QUERIES)
@@ -98,6 +99,18 @@ def test_disjunctive_join_pushes_per_side_filters(spark):
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("l_quantity" in p and "Or(" in p for p in pushed), pushed
     assert any("p_brand" in p and "Or(" in p for p in pushed), pushed
+
+
+def test_q6_pushes_all_three_predicates(spark):
+    """Q6-ish is the pushdown query: date window, discount band, and
+    quantity cap must ALL reach the parquet scan as PushedFilters —
+    at 100 TB row-group skipping is the whole plan."""
+    plan = _formatted_plan(spark, "q_tpch_q6ish")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
 
 
 def test_gapfill_joins_on_aggregated_sides(spark):
