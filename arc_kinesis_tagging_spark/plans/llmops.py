@@ -253,6 +253,98 @@ def q_similarity_ivf(spark, sf_dir):
     return cosine_topk_ivf(e, q, k=5, nlist=16, nprobe=4)
 
 
+def q_minhash_vs_exact(spark, sf_dir):
+    """Measure, don't guess: one-row precision/recall of the MinHash-LSH
+    candidate pipeline against exact n-gram Jaccard at the same
+    threshold — the harness that justifies every banded-LSH parameter
+    choice (n_hashes/bands) with a number. Pair keys canonicalized
+    (least, greatest) before the set comparison. Probabilistic-but-
+    deterministic (fixed hash seeds) -> rows-only at the driver; the
+    recall floor is asserted in tests/test_scale_ops.py."""
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+
+    def canon(pairs):
+        return pairs.select(
+            F.least(F.col("key_a"), F.col("key_b")).alias("a"),
+            F.greatest(F.col("key_a"), F.col("key_b")).alias("b"),
+        ).distinct()
+
+    exact = canon(
+        ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.3, shingle_n=3)
+    )
+    mh = canon(
+        minhash_near_duplicates(
+            d, "text", "doc_id",
+            n_hashes=32, bands=8, shingle_n=3, jaccard_threshold=0.3,
+        )
+    )
+    inter = mh.join(exact, ["a", "b"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_exact")
+    )
+    n_mh = mh.agg(F.count(F.lit(1)).alias("n")).select(F.col("n").alias("n_minhash"))
+    n_int = inter.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_intersect")
+    )
+    return (
+        n_exact.crossJoin(n_mh)
+        .crossJoin(n_int)
+        .select(
+            "n_exact", "n_minhash", "n_intersect",
+            (F.col("n_intersect").cast("double")
+             / F.greatest(F.col("n_minhash").cast("double"), F.lit(1.0))
+             ).alias("precision"),
+            (F.col("n_intersect").cast("double")
+             / F.greatest(F.col("n_exact").cast("double"), F.lit(1.0))
+             ).alias("recall"),
+        )
+    )
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@5 of the IVF approximate top-k against the brute-force
+    exact top-k, averaged over the probe set — the number that sets
+    nprobe. Rank ties broken identically (similarity desc, vec_id asc)
+    in both variants, so recall measures cell pruning only. Iterative
+    index build -> rows-only at the driver."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    from arc_kinesis_tagging_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    exact = cosine_topk_bruteforce(e, q, k=5).select("query_id", "vec_id")
+    approx = cosine_topk_ivf(e, q, k=5, nlist=16, nprobe=4).select(
+        "query_id", "vec_id"
+    )
+    hits = approx.join(exact, ["query_id", "vec_id"], "left_semi")
+    per_q = (
+        exact.select("query_id").distinct()
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id", "left",
+        )
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.lit(5.0)
+             ).alias("recall_at_5"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall_at_5"), 6).alias("mean_recall_at_5"),
+        F.min("recall_at_5").alias("min_recall_at_5"),
+    )
+
+
 # --- text analysis ----------------------------------------------------------
 
 def q_text_termfreq(spark, sf_dir):
@@ -850,6 +942,12 @@ LLMOPS_QUERIES = [
           "SimHash banding; verified in tests"),
     Query("q_dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
     Query("q_similarity_topk", q_similarity_topk, ORACLE_SIMILARITY_TOPK),
+    Query("q_minhash_vs_exact", q_minhash_vs_exact, None,
+          "LSH-vs-exact precision/recall harness; deterministic but the "
+          "candidate pipeline is the thing under test -> rows-only"),
+    Query("q_ann_recall", q_ann_recall, None,
+          "IVF-vs-bruteforce recall@5 harness; iterative index build -> "
+          "rows-only"),
     Query("q_similarity_ivf", q_similarity_ivf, None,
           "approximate recall by design; judged against brute force in tests"),
     Query("q_text_termfreq", q_text_termfreq, ORACLE_TERMFREQ),

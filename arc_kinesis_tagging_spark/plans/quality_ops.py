@@ -309,6 +309,125 @@ FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 """
 
 
+# --- text normalization ------------------------------------------------------
+
+def q_text_normalize(spark, sf_dir):
+    """Canonical text normalization — the pass that runs before any
+    hashing/dedup so near-identical documents collide: lowercase,
+    collapse every non-alphanumeric run to one space, trim. Map-only
+    projection (fuses into the scan); token count guards the empty
+    string."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias("n_norm_tokens"),
+    )
+
+
+ORACLE_TEXT_NORMALIZE = """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm_text,
+       CAST(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                 THEN 0
+                 ELSE len(string_split(
+                     trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+            END AS BIGINT) AS n_norm_tokens
+FROM documents
+"""
+
+
+# --- mergeable distinct-token sketch (integer KMV / stochastic minima) -------
+
+_KMV_T = 32
+_KMV_NUM = (_KMV_T - 1) * (1 << 53)  # fits a BIGINT: 31 * 2^53 < 2^58
+
+
+def q_doc_stats_sketch(spark, sf_dir):
+    """Per-source distinct-token ESTIMATE from a t=32 KMV (k-minimum-
+    values) sketch, alongside the exact count it approximates. The
+    t-th smallest hash U_(t) of the distinct token set inverts to
+    ``(t-1) * R / U_(t)`` distinct values; everything stays in INTEGER
+    arithmetic (hashes right-shifted to 53 bits so the numerator fits a
+    BIGINT) — no float sum-order or decimal rounding-mode hazards, so
+    the DuckDB oracle matches bit-for-bit. Sources with vocabulary <= t
+    report the exact count (standard KMV behavior). The rank window
+    partitions by source over the DISTINCT (source, token) set —
+    vocabulary-bounded, not corpus-bounded; at 100 TB you'd pre-filter
+    hashes under a constant threshold first (vocab >> t makes that
+    safe), which keeps the same estimator. Relative error ~1/sqrt(t-1)
+    (~18%); bounded in tests/test_quality_ops.py."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    h53 = F.expr(
+        f"({_DUCK_H64_SPARK}) DIV 128"
+    )
+    hashed = toks.select("source", h53.alias("h"))
+    w = Window.partitionBy("source").orderBy("h")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _KMV_T)
+        .select("source", F.col("h").alias("kth"))
+    )
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("n_distinct_tokens")
+    )
+    n_docs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        n_docs.join(exact, "source")
+        .join(kth, "source", "left")
+        .select(
+            "source", "n_docs", "n_distinct_tokens",
+            F.when(
+                F.col("kth").isNull(), F.col("n_distinct_tokens")
+            )
+            .otherwise(F.expr(f"{_KMV_NUM} DIV (kth + 1)"))
+            .cast("long")
+            .alias("est_distinct_tokens"),
+        )
+    )
+
+
+# the engine-side portable hash, as a SQL expression usable in F.expr:
+# first 15 md5 hex chars -> 60-bit integer (same as stable_hash64)
+_DUCK_H64_SPARK = "CAST(conv(substring(md5(concat('tok:', tok)), 1, 15), 16, 10) AS BIGINT)"
+
+
+ORACLE_DOC_STATS_SKETCH = f"""
+WITH toks AS (
+  SELECT DISTINCT source,
+         UNNEST(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT source, {_DUCK_H64.format(expr="'tok:' || tok")} // 128 AS h
+  FROM toks
+), kth AS (
+  SELECT source, h AS kth FROM (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn = {_KMV_T}
+), exact AS (
+  SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+  FROM toks GROUP BY source
+), nd AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+)
+SELECT nd.source, n_docs, n_distinct_tokens,
+       CAST(CASE WHEN kth.kth IS NULL THEN n_distinct_tokens
+                 ELSE {_KMV_NUM} // (kth.kth + 1) END AS BIGINT)
+         AS est_distinct_tokens
+FROM nd JOIN exact ON nd.source = exact.source
+LEFT JOIN kth ON nd.source = kth.source
+"""
+
+
 # --- iterative graph ranking -------------------------------------------------
 
 def q_graph_pagerank(spark, sf_dir):
@@ -433,6 +552,8 @@ QUALITY_QUERIES = [
     Query("q_token_histogram", q_token_histogram, ORACLE_TOKEN_HISTOGRAM),
     Query("q_domain_balance", q_domain_balance, ORACLE_DOMAIN_BALANCE),
     Query("q_domain_balance_hash", q_domain_balance_hash, ORACLE_DOMAIN_BALANCE_HASH),
+    Query("q_text_normalize", q_text_normalize, ORACLE_TEXT_NORMALIZE),
+    Query("q_doc_stats_sketch", q_doc_stats_sketch, ORACLE_DOC_STATS_SKETCH),
     Query("q_ts_gapfill", q_ts_gapfill, ORACLE_TS_GAPFILL),
     Query("q_graph_pagerank", q_graph_pagerank, None,
           "iterative power iteration is not SQL-expressible -> rows-only; "

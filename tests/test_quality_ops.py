@@ -141,6 +141,36 @@ def test_domain_balance_hash_is_repartition_invariant(spark, sf_dir):
     assert again == base
 
 
+def test_doc_stats_sketch_estimates_large_vocabulary(spark, tmp_path):
+    """The KMV estimation path (vocabulary > t): a 4000-token synthetic
+    vocabulary must estimate within the sketch's statistical error
+    (~1/sqrt(31) => assert 35%); a small-vocab source must fall back to
+    the exact count."""
+    from arc_kinesis_tagging_spark.plans.quality_ops import q_doc_stats_sketch
+
+    rows = []
+    # big vocab: 200 docs x 20 unique tokens each -> 4000 distinct
+    for d in range(200):
+        rows.append(
+            (d, "big", " ".join(f"tok{d}_{j}" for j in range(20)), 0)
+        )
+    # small vocab: 10 docs over 12 shared tokens (vocab 12 < t=32)
+    for d in range(10):
+        rows.append((1000 + d, "small", " ".join(f"w{j}" for j in range(12)), 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {r["source"]: r for r in q_doc_stats_sketch(spark, sf).collect()}
+    assert out["small"]["n_distinct_tokens"] == 12
+    assert out["small"]["est_distinct_tokens"] == 12  # exact fallback
+    big = out["big"]
+    assert big["n_distinct_tokens"] == 4000
+    rel = abs(big["est_distinct_tokens"] - 4000) / 4000
+    assert rel < 0.35, (big["est_distinct_tokens"], rel)
+
+
 def test_gapfill_spine_is_dense_and_preserves_totals(spark, sf_dir):
     out = q_ts_gapfill(spark, sf_dir)
     ev = load_table(spark, "events", sf_dir)

@@ -71,3 +71,29 @@ def test_tokenize_udtf(spark):
         "SELECT t.pos, t.token FROM (SELECT 'a b c' AS txt), LATERAL tokenize(txt) t"
     ).collect()
     assert [(r["pos"], r["token"]) for r in rows] == [(0, "a"), (1, "b"), (2, "c")]
+
+
+def test_minhash_vs_exact_harness_bounds(spark, sf_dir):
+    """The LSH-quality harness must report coherent set arithmetic
+    (intersection <= both sides) and a recall the banded parameters
+    are tuned for (>= 0.5 on the synthetic near-dup corpus)."""
+    from arc_kinesis_tagging_spark.plans.llmops import q_minhash_vs_exact
+
+    r = q_minhash_vs_exact(spark, sf_dir).collect()[0]
+    assert r["n_intersect"] <= r["n_minhash"]
+    assert r["n_intersect"] <= r["n_exact"]
+    assert 0.0 <= r["precision"] <= 1.0
+    assert 0.0 <= r["recall"] <= 1.0
+    if r["n_exact"] > 0:
+        assert r["recall"] >= 0.5, r
+
+
+def test_ann_recall_harness_bounds(spark, sf_dir):
+    """IVF recall@5 over the probe set: per-query recall in [0,1],
+    nprobe=4/16 cells must beat random cell selection (>= 0.5 mean)."""
+    from arc_kinesis_tagging_spark.plans.llmops import q_ann_recall
+
+    r = q_ann_recall(spark, sf_dir).collect()[0]
+    assert r["n_queries"] > 0
+    assert 0.0 <= r["min_recall_at_5"] <= 1.0
+    assert r["mean_recall_at_5"] >= 0.5, r
