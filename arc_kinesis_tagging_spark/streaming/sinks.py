@@ -151,7 +151,11 @@ def autotag_sink(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Bulk-collect the micro-batch's keyed records once (vs the
-        # reference's per-record serial HTTP round-trips).
+        # reference's per-record serial HTTP round-trips). SAFETY: this
+        # driver-side collect is bounded by source admission control —
+        # maxRecordsPerShardPerBatch (streaming/kinesis_source.py) caps
+        # a micro-batch at shards x maxRecords ids; without such a cap
+        # on the source, collect() here would be corpus-sized.
         rows = batch_df.select("_id").distinct().collect()
         for row in rows:
             doc_id = row["_id"]
@@ -236,6 +240,8 @@ def autotag_sink_async(
     has_async = hasattr(store, "aget") and hasattr(store, "aput")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # bounded by source admission control (maxRecordsPerShardPerBatch)
+        # — see the sync sink's safety note above
         rows = batch_df.select("_id").distinct().collect()
 
         async def tag_one(sem: "asyncio.Semaphore", doc_id) -> None:

@@ -38,6 +38,15 @@ EXCHANGE_BUDGET = [
     ("q_dedup_exact", 1),
     ("q_agg_group", 1),
     ("q_agg_salted", 2),
+    # the end-to-end refresh composite: ONLY the dedup digest partition
+    # + the bounded final agg shuffle, regardless of corpus size — the
+    # docstring's central scale claim, held here
+    ("q_corpus_pipeline", 2),
+    # map-side balance: all three exchanges sit on the TINY side (lang
+    # counts partial/final + 1-row cap agg); the corpus side reaches
+    # the filter broadcast-only — no corpus-sized shuffle, no window
+    ("q_domain_balance_hash", 3),
+    ("q_text_normalize", 0),
 ]
 
 
