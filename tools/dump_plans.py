@@ -99,6 +99,35 @@ COMMENTARY = {
         "table), sequence+explode spine, and a join back on "
         "(user, day). Spine size = sum of per-user spans."
     ),
+    "q_domain_balance_hash": (
+        "Map-side domain balancing: every Exchange in this plan sits "
+        "on the TINY side (lang counts partial+final, 1-row cap); the "
+        "corpus reaches the keep-filter through broadcast joins only — "
+        "no window, no per-lang shuffle, no dominant-language "
+        "straggler. The exact rank-window form (q_domain_balance) is "
+        "the semantics oracle; this is the 100 TB execution."
+    ),
+    "q_corpus_pipeline": (
+        "The daily refresh composite (gate -> exact dedup -> split -> "
+        "stats) as ONE declarative tree: Catalyst fuses the gate and "
+        "split projections into the scan, leaving exactly two "
+        "shuffles — the dedup digest partition and the bounded final "
+        "aggregate — regardless of corpus size (CI-gated in "
+        "test_plan_shapes.py)."
+    ),
+    "q_tpch_q6ish": (
+        "The pushdown query: date window, discount band, and quantity "
+        "cap ALL reach the parquet scan as PushedFilters, so at 100 TB "
+        "row-group statistics skip almost everything before any CPU "
+        "is spent. One partial+final agg over the survivors."
+    ),
+    "q_tpch_q21ish": (
+        "Multi-EXISTS compiled to one pass: instead of two correlated "
+        "probes of lineitem per row (exists other-supplier, not-exists "
+        "other-returner), one per-order aggregate computes both "
+        "distinct counts, then joins back to the returned lines — two "
+        "shuffles on orderkey total, supplier dim broadcast."
+    ),
 }
 
 
