@@ -253,6 +253,46 @@ def q_similarity_ivf(spark, sf_dir):
     return cosine_topk_ivf(e, q, k=5, nlist=16, nprobe=4)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental (cross-batch) exact dedup — the shape every daily
+    ingest runs: dedup today's batch against itself (keep the lowest
+    doc_id per content digest), then drop anything whose digest already
+    exists in the established corpus. Batch split is deterministic
+    (doc_id % 10: 0-7 prior corpus, 8-9 today's batch). Two hash
+    shuffles on the digest: the in-batch group and the anti join. At
+    100 TB the prior-corpus digest table lives bucketed on digest
+    (sources/maintenance.py:write_bucketed), making the corpus side of
+    the anti join shuffle-free; Spark's runtime Bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter, on by default in the
+    session) prunes corpus row groups by the batch's digest set before
+    the join."""
+    d = _t(spark, sf_dir, "documents")
+    prior = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 8)
+    batch = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 8)
+    bd = batch.select("doc_id", "lang", "n_chars", F.md5("text").alias("digest"))
+    keep = bd.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    fresh = bd.join(keep, ["digest", "doc_id"], "left_semi")
+    prior_digests = prior.select(F.md5("text").alias("digest")).distinct()
+    return fresh.join(prior_digests, "digest", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH batch AS (
+  SELECT doc_id, lang, n_chars, md5(text) AS digest
+  FROM documents WHERE doc_id % 10 >= 8
+), keep AS (
+  SELECT digest, MIN(doc_id) AS doc_id FROM batch GROUP BY digest
+), fresh AS (
+  SELECT b.* FROM batch b JOIN keep k ON b.digest = k.digest AND b.doc_id = k.doc_id
+)
+SELECT doc_id, lang, n_chars
+FROM fresh
+WHERE digest NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 10 < 8)
+"""
+
+
 def q_minhash_vs_exact(spark, sf_dir):
     """Measure, don't guess: one-row precision/recall of the MinHash-LSH
     candidate pipeline against exact n-gram Jaccard at the same
@@ -942,6 +982,7 @@ LLMOPS_QUERIES = [
           "SimHash banding; verified in tests"),
     Query("q_dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
     Query("q_similarity_topk", q_similarity_topk, ORACLE_SIMILARITY_TOPK),
+    Query("q_dedup_incremental", q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     Query("q_minhash_vs_exact", q_minhash_vs_exact, None,
           "LSH-vs-exact precision/recall harness; deterministic but the "
           "candidate pipeline is the thing under test -> rows-only"),

@@ -77,6 +77,7 @@ _R3_HEAD = [
     "q_tpch_q20ish",
     "q_tpch_q21ish",
     "q_tpch_q22ish",
+    "q_dedup_incremental",
     "q_minhash_vs_exact",
     "q_ann_recall",
     "q_text_normalize",
