@@ -57,6 +57,13 @@ DOC_QUERIES = [
     "q_profile_columns",
     "q_token_histogram",
     "q_domain_balance",
+    # round-3 driver-window additions (documents-only readers)
+    "q_domain_balance_hash",
+    "q_text_normalize",
+    "q_doc_stats_sketch",
+    "q_multimodal_ppm",
+    "q_dedup_incremental",
+    "q_corpus_pipeline",
 ]
 
 
