@@ -37,6 +37,14 @@ AGG_QUERIES = [
     "q_ts_gapfill",
     "q_tpch_q14ish",
     "q_agg_stats",
+    # round-3 driver-window additions
+    "q_tpch_q8ish",
+    "q_tpch_q9ish",
+    "q_tpch_q17ish",
+    "q_tpch_q21ish",
+    "q_corpus_pipeline",
+    "q_doc_stats_sketch",
+    "q_domain_balance_hash",
 ]
 
 
