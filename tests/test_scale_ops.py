@@ -97,3 +97,47 @@ def test_ann_recall_harness_bounds(spark, sf_dir):
     assert r["n_queries"] > 0
     assert 0.0 <= r["min_recall_at_5"] <= 1.0
     assert r["mean_recall_at_5"] >= 0.5, r
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session's AQE skew-join claim, held as code: a join where one
+    key carries ~97% of the rows must execute with the hot partition
+    SPLIT at runtime (SortMergeJoin(skew=true) in the final adaptive
+    plan) — the defense that makes un-salted joins survive real-world
+    key skew at 100 TB. Thresholds are lowered (and restored) so the
+    tiny test dataset crosses the skew detection bar; the mechanism is
+    identical at production sizes."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 203100).select(
+            F.when(F.col("id") < 200000, F.lit(0))
+            .otherwise((F.col("id") % 31) + 1)
+            .alias("k"),
+            F.concat(
+                F.lit("payload-padding-padding-"), F.col("id").cast("string")
+            ).alias("pad"),
+        )
+        right = spark.range(0, 32).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 203100  # no row lost/duplicated by the split
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert re.search(r"skew=true", plan), plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
