@@ -82,6 +82,7 @@ _R3_HEAD = [
     "q_ann_recall",
     "q_text_normalize",
     "q_doc_stats_sketch",
+    "q_window_ntile",
     # -- rows-only entries worth a re-confirming row this round --
     "q_sketch_hll",
     "q_dedup_minhash",

@@ -522,8 +522,46 @@ LIMIT 100
 """
 
 
+def q_window_ntile(spark, sf_dir):
+    """Distribution window functions — the last uncovered corner of the
+    window family: ntile (equi-depth bucketing), percent_rank and
+    cume_dist (distribution positions), nth_value (positional lookup
+    under the default RANGE UNBOUNDED PRECEDING frame, null before the
+    nth row). Ordering is (c_acctbal, c_custkey) — unique, so ranks,
+    tile boundaries, and peer groups are identical across engines; the
+    percent_rank/cume_dist doubles are single divisions of identical
+    integers."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(8).over(w).alias("octile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("c_custkey", 3).over(w).alias("third_key"),
+    )
+
+
+ORACLE_WINDOW_NTILE = """
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(8) OVER w AS INTEGER) AS octile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       nth_value(c_custkey, 3) OVER w AS third_key
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
 RELATIONAL3_QUERIES = [
     Query("q_window_analytics", q_window_analytics, ORACLE_WINDOW_ANALYTICS),
+    Query("q_window_ntile", q_window_ntile, ORACLE_WINDOW_NTILE),
     Query("q_string_distance", q_string_distance, ORACLE_STRING_DISTANCE),
     Query("q_array_funcs", q_array_funcs, ORACLE_ARRAY),
     Query("q_regex_funcs", q_regex_funcs, ORACLE_REGEX),

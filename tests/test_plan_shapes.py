@@ -193,6 +193,37 @@ def test_global_window_allowlist(spark):
     )
 
 
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Runtime Bloom-filter pruning (on by default in the session): a
+    shuffle join whose build side carries a selective filter must get a
+    bloom_filter_agg subquery injected on the probe side, so at 100 TB
+    the lineitem scan drops non-matching rows BEFORE the shuffle.
+    Thresholds are lowered (and restored) so the sf0.001 tables qualify;
+    the injection rule under test is the production one."""
+    from pyspark.sql import functions as F
+
+    from arc_kinesis_tagging_spark.sources.tables import load_table
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, "orders", SF).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = load_table(spark, "lineitem", SF)
+        j = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_agg_has_partial_phase(spark):
     """Aggregations must run map-side partial aggregation (two
     HashAggregate nodes around one Exchange), the thing that keeps a
