@@ -428,6 +428,77 @@ LEFT JOIN kth ON nd.source = kth.source
 """
 
 
+# --- sequential funnel analysis ----------------------------------------------
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): per user, the
+    earliest view, the earliest click strictly after it, the earliest
+    purchase strictly after that — event-sequence matching expressed as
+    three conditional min-aggregates chained by theta joins on user_id
+    (AQE co-partitions the shuffles), not a per-user sort window: at
+    100 TB the per-stage aggregates shrink the data before every join,
+    and a heavy user costs an agg not a sort. stage_reached counts
+    completed stages."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stage(name):
+        return ev.filter(F.col("event_type") == name).select(
+            "user_id", F.col("ts").alias("__ts")
+        )
+
+    v = stage("view").groupBy("user_id").agg(F.min("__ts").alias("view_ts"))
+    c = (
+        stage("click")
+        .join(v, "user_id")
+        .filter(F.col("__ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("__ts").alias("click_ts"))
+    )
+    p = (
+        stage("purchase")
+        .join(c, "user_id")
+        .filter(F.col("__ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("__ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "view_ts", "click_ts", "purchase_ts",
+            (
+                F.lit(1)
+                + F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
+            ).cast("int").alias("stage_reached"),
+        )
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id
+)
+SELECT v.user_id, view_ts, click_ts, purchase_ts,
+       CAST(1 + (CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+         AS stage_reached
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
 # --- iterative graph ranking -------------------------------------------------
 
 def q_graph_pagerank(spark, sf_dir):
@@ -555,6 +626,7 @@ QUALITY_QUERIES = [
     Query("q_text_normalize", q_text_normalize, ORACLE_TEXT_NORMALIZE),
     Query("q_doc_stats_sketch", q_doc_stats_sketch, ORACLE_DOC_STATS_SKETCH),
     Query("q_ts_gapfill", q_ts_gapfill, ORACLE_TS_GAPFILL),
+    Query("q_events_funnel", q_events_funnel, ORACLE_EVENTS_FUNNEL),
     Query("q_graph_pagerank", q_graph_pagerank, None,
           "iterative power iteration is not SQL-expressible -> rows-only; "
           "numpy-model parity asserted in tests/test_graph.py"),

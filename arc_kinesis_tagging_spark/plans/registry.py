@@ -83,6 +83,7 @@ _R3_HEAD = [
     "q_text_normalize",
     "q_doc_stats_sketch",
     "q_window_ntile",
+    "q_events_funnel",
     # -- rows-only entries worth a re-confirming row this round --
     "q_sketch_hll",
     "q_dedup_minhash",

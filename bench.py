@@ -46,6 +46,8 @@ HEADLINE = [
     "q_shuffle_shard",    # deterministic shuffle-shard window
     "q_sketch_hll",       # mergeable HLL cardinality sketches
     "q_corpus_pipeline",  # end-to-end refresh: gate -> dedup -> split -> stats
+    "q_tpch_q6ish",       # pushdown-dominated scan aggregate
+    "q_tpch_q21ish",      # multi-exists as one per-order aggregate
 ]
 
 
