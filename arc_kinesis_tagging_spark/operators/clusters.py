@@ -30,6 +30,8 @@ def connected_components(
     key_b: str = "key_b",
     max_iterations: int = 20,
     driver_edge_limit: int = 2_000_000,
+    driver_byte_limit: int = 64 << 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
     component = min node key of the connected cluster.
@@ -37,28 +39,58 @@ def connected_components(
     Size-adaptive: the candidate-pair graph is tiny relative to the
     corpus (it holds only suspected duplicates), and iterative label
     propagation pays full scheduler overhead PER ROUND even on a
-    500-node graph. Below ``driver_edge_limit`` edges the graph is
-    collected and closed with a driver-side union-find — one job, exact
-    same (node, min-key component) result. Above it, distributed
-    min-label propagation runs as before. The count that picks the path
-    is metadata-cheap next to either branch, and 2M edges (~32 MB of
-    key pairs) is far under driver memory.
+    500-node graph. Below ``driver_edge_limit`` edges AND
+    ``driver_byte_limit`` total key bytes the graph is collected and
+    closed with a driver-side union-find — one job, exact same
+    (node, min-key component) result. The byte cap matters for string
+    keys: 2M edges of 200-char URLs is ~800 MB of raw keys (several GB
+    as Python objects), far past what an edge COUNT admits. Above the
+    byte cap the graph routes to ``connected_components_star`` (bounded
+    O(log n) rounds at any diameter); above only the edge count it runs
+    distributed min-label propagation as before. The sizing aggregate
+    that picks the path is metadata-cheap next to either branch.
+    ``stats['cc_path']`` reports the chosen branch when a dict is given.
     """
     # The pairs subtree appears TWICE in the symmetrized edge union;
     # without a persist the upstream candidate-pair pipeline (MinHash
     # explode + band join — the expensive part) executes twice when
-    # edges first materializes. Persist pairs for exactly that window:
-    # the count below materializes edges, after which pairs can go.
-    pairs = pairs.persist()
+    # edges first materializes. Persist pairs for exactly that window —
+    # unless the CALLER already persisted it, in which case evicting
+    # their cache on the way out would be a side effect they never
+    # asked for (ADVICE r03).
+    lvl = pairs.storageLevel
+    we_persisted = not (lvl.useMemory or lvl.useDisk)
+    if we_persisted:
+        pairs = pairs.persist()
     edges = (
         pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
         .unionByName(pairs.select(F.col(key_b).alias("src"), F.col(key_a).alias("dst")))
         .distinct()
         .persist()
     )
-    n_edges = edges.count()
-    pairs.unpersist()
+    # one job sizes the graph in both dimensions (row count + key bytes)
+    size_row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.length(F.col("src").cast("string"))
+            + F.length(F.col("dst").cast("string"))
+        ).alias("key_bytes"),
+    ).collect()[0]
+    n_edges, key_bytes = size_row["n"], size_row["key_bytes"] or 0
+    if we_persisted:
+        pairs.unpersist()
+    if key_bytes > driver_byte_limit:
+        if stats is not None:
+            stats["cc_path"] = "star"
+        try:
+            # edges is persisted and star's first localCheckpoint is
+            # eager, so the symmetrized graph is read once from cache
+            return connected_components_star(edges, "src", "dst")
+        finally:
+            edges.unpersist()
     if n_edges <= driver_edge_limit:
+        if stats is not None:
+            stats["cc_path"] = "driver"
         rows = edges.collect()
         parent: dict = {}
 
@@ -92,6 +124,8 @@ def connected_components(
                 [StructField("node", key_type), StructField("component", key_type)]
             ),
         )
+    if stats is not None:
+        stats["cc_path"] = "minlabel"
     # localCheckpoint (eager) rather than persist: iterative algorithms
     # must TRUNCATE the logical plan every round, not just cache the
     # physical result — otherwise Catalyst re-analyzes a plan that
@@ -193,6 +227,7 @@ def connected_components_star(
 
     prev = _sig(E)
     rounds = 0
+    converged = False
     for _ in range(max_iterations):
         # -- large-star: (v, m(u)) for every neighbor v > u ------------
         sym = E.unionByName(
@@ -228,10 +263,22 @@ def connected_components_star(
         rounds += 1
         sig = _sig(E)
         if sig == prev:
+            converged = True
             break
         prev = sig
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        # A partially contracted edge set is NOT a labeling — returning
+        # it would hand dedup_keep_best wrong clusters with no error.
+        # Star contraction halves component diameter per round, so 40
+        # rounds covers any graph this engine can hold; reaching here
+        # means the input violates that bound and must be surfaced.
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_iterations} rounds; raise max_iterations"
+        )
     # Converged: every edge is (node, component-min). Roots label
     # themselves; size-1 components never appear in `pairs` by contract
     # (same as connected_components).

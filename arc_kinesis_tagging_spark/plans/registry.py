@@ -99,26 +99,57 @@ _R3_HEAD = [
 ]
 
 
+# Round-4 driver window: freshness rotation. Every query passed the
+# full local oracle sweep this round, but 40 queries' newest DRIVER row
+# is r01-vintage and 39 are r02-vintage; a silent regression could hide
+# behind a stale green. Order: (a) queries NEW or REWIRED in round 4 —
+# verified the round they land, (b) all 40 r01-vintage rows, (c) as many
+# r02-vintage rows as fit (the rest lead round 5's window).
+_R4_HEAD = [
+    # -- (a) new / rewired this round --
+    "q_multimodal_png",       # stdlib PNG decode (new)
+    "q_events_funnel_k",      # generalized k-stage funnel (new)
+    "q_dedup_incremental",    # rewired to the bucketed-digest corpus path
+    # -- (b) newest driver row is r01 --
+    "q_join_broadcast", "q_join_smj", "q_join_semi", "q_join_anti",
+    "q_join_outer", "q_join_theta", "q_join_interval", "q_join_asof",
+    "q_agg_group", "q_agg_distinct", "q_agg_approx_distinct",
+    "q_agg_rollup", "q_agg_cube", "q_agg_grouping_sets",
+    "q_window_rank", "q_window_lag", "q_window_frame", "q_topk",
+    "q_union", "q_intersect", "q_except",
+    "q_string_funcs", "q_date_funcs", "q_math_funcs", "q_map_funcs",
+    "q_tpch_q3ish", "q_tpch_q5ish", "q_agg_percentile",
+    "q_window_tumbling", "q_window_sliding", "q_window_session",
+    "q_pivot", "q_scalar_subquery", "q_recursive_cte",
+    "q_string_funcs2", "q_conditional_funcs", "q_bitwise_funcs",
+    "q_cast_funcs", "q_vector_centroid", "q_vector_normalize",
+    # -- (c) newest driver row is r02: highest-value plans first --
+    "q_pipeline_tag_enrich", "q_dedup_exact", "q_contamination",
+    "q_dedup_embedding", "q_similarity_topk", "q_agg_salted",
+    "q_tpch_q18ish",
+]
+
+
 def _ordered(head: list[str]) -> list[Query]:
     seen = [n for n in head if n in _BY_NAME]
     rest = [q.name for q in _CANONICAL if q.name not in set(seen)]
     return [_BY_NAME[n] for n in [*seen, *rest]]
 
 
+# Rotation only REORDERS _CANONICAL — every rotation must contain every
+# query (bench.py's HEADLINE indexes QUERIES by name regardless of
+# rotation, and a dropped entry would KeyError there).
 _ROT = os.environ.get("AKT_REGISTRY_ROTATION")
 if _ROT == "r1":
     ALL_QUERIES: list[Query] = list(_CANONICAL)
 elif _ROT == "r2":
-    ALL_QUERIES = [
-        *LLMOPS_QUERIES,
-        *RELATIONAL3_QUERIES,
-        *RELATIONAL2_QUERIES,
-        *RELATIONAL_QUERIES,
-        *PIPELINE_QUERIES,
-        *QUALITY_QUERIES,
-    ]
-else:
+    ALL_QUERIES = _ordered(
+        [q.name for q in [*LLMOPS_QUERIES, *RELATIONAL3_QUERIES]]
+    )
+elif _ROT == "r3":
     ALL_QUERIES = _ordered(_R3_HEAD)
+else:
+    ALL_QUERIES = _ordered(_R4_HEAD)
 
 QUERIES: dict[str, Query] = {q.name: q for q in ALL_QUERIES}
 

@@ -136,8 +136,11 @@ def compare_block(queries: dict, baseline_path: str) -> dict:
     trips)."""
     with open(baseline_path) as fh:
         raw = json.load(fh)
-    # driver-recorded BENCH_r*.json wraps our JSON line under "parsed"
-    base = raw.get("queries") or raw.get("parsed", {}).get("queries", {})
+    # driver-recorded BENCH_r*.json wraps our JSON line under "parsed";
+    # either key may exist but hold null, so coalesce defensively
+    base = (raw.get("queries")
+            or (raw.get("parsed") or {}).get("queries")
+            or {})
     deltas, regressions = {}, []
     for name, now in queries.items():
         then = base.get(name)
@@ -152,9 +155,46 @@ def compare_block(queries: dict, baseline_path: str) -> dict:
             "deltas": deltas, "regressions": regressions}
 
 
+def settle(max_wait: float = 45.0, load_per_cpu: float = 0.5) -> float:
+    """Wait for the machine to quiesce before timing. Running bench
+    right after the full pytest suite measures ~+40% across the board
+    (page-cache churn + leftover JVM GC); waiting for the 1-minute load
+    average to drop below load_per_cpu*ncpus removes that artifact."""
+    ncpus = os.cpu_count() or 8
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < max_wait:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            return 0.0
+        if load1 < load_per_cpu * ncpus:
+            break
+        time.sleep(2.0)
+    return round(time.perf_counter() - t0, 1)
+
+
+def pick_baseline() -> str | None:
+    """Resolve the comparison baseline BEFORE running the suite so a
+    bad --compare invocation fails fast instead of losing the run."""
+    if "--compare" in sys.argv:
+        idx = sys.argv.index("--compare") + 1
+        if idx >= len(sys.argv):
+            print("usage: bench.py [--compare <BENCH_r*.json>]",
+                  file=sys.stderr)
+            sys.exit(2)
+        return sys.argv[idx]
+    import glob
+
+    prior = sorted(glob.glob(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "BENCH_r*.json")))
+    return prior[-1] if prior else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    baseline = pick_baseline()
+    settled = settle()
     spark = get_session("bench")
     # warm-up: JVM + parquet footer caches, plus the Python worker pool
     # (first Arrow-UDF stage in a session pays 32x interpreter spin-up +
@@ -186,26 +226,38 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # throughput is the first-class streaming number (the reference's
+        # ceiling is ~13.3 rec/s); seconds alone hides rate drift
+        "stream": {"records": 20000, "seconds": round(stream_s, 3),
+                   "rec_per_sec": round(stream_rps, 1)},
+        "settle_wait_s": settled,
     }
     # --compare <prior BENCH.json> (or the newest BENCH_r*.json in the
     # repo root by default) adds a per-query delta block; regressions
     # >1.5x AND >0.25s absolute fail the run so a silent plan
     # degradation breaks the bench, not a 100 TB job.
-    baseline = None
-    if "--compare" in sys.argv:
-        baseline = sys.argv[sys.argv.index("--compare") + 1]
-    else:
-        import glob
-
-        prior = sorted(glob.glob(os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "BENCH_r*.json")))
-        if prior:
-            baseline = prior[-1]
     if baseline and os.path.exists(baseline):
-        out["compare"] = compare_block(queries, baseline)
+        try:
+            cmp_full = compare_block(queries, baseline)
+            # Full per-query deltas go to a side file: r03's inline
+            # deltas pushed the stdout JSON line past the driver's
+            # tail-capture window, so the driver recorded parsed:null.
+            # The printed line carries only the compact verdict.
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_compare_latest.json"), "w") as fh:
+                json.dump(cmp_full, fh, indent=1)
+            out["compare"] = {"baseline": cmp_full["baseline"],
+                              "regressions": cmp_full["regressions"],
+                              "n_compared": sum(
+                                  1 for d in cmp_full["deltas"].values()
+                                  if d["ratio"] is not None)}
+        except Exception as exc:  # malformed baseline: degrade, don't lose the run
+            out["compare"] = {"baseline": os.path.basename(baseline),
+                              "error": str(exc)[:120]}
     print(json.dumps(out))
     if out.get("compare", {}).get("regressions") and "--compare" in sys.argv:
         sys.exit(1)
+    spark.stop()
 
 
 if __name__ == "__main__":

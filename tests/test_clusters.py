@@ -125,6 +125,55 @@ def test_star_cluster_query_matches_minlabel_query(spark, sf_dir):
     assert star == base
 
 
+def test_byte_cap_routes_wide_string_keys_off_the_driver(spark):
+    """VERDICT r03 #5: the driver union-find admission must be
+    byte-aware, not edge-count-aware. A graph of few edges but very
+    wide string keys (200-char URLs) must route to the star path even
+    though the edge COUNT is tiny, and still produce union-find-exact
+    labels."""
+    wide = [(f"url-{'x' * 200}-{a}", f"url-{'x' * 200}-{b}") for a, b in PAIRS]
+    pairs = spark.createDataFrame(wide, "key_a string, key_b string")
+    stats = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            pairs, driver_byte_limit=1_000, stats=stats
+        ).collect()
+    }
+    assert stats["cc_path"] == "star", stats
+    assert got == union_find(wide)
+    # same graph under the default 64 MB cap stays on the fast driver path
+    stats2 = {}
+    connected_components(pairs, stats=stats2).collect()
+    assert stats2["cc_path"] == "driver", stats2
+
+
+def test_connected_components_leaves_caller_cache_alone(spark):
+    """ADVICE r03: a caller that persisted `pairs` for reuse must not
+    have its cache evicted by connected_components' internal
+    persist/unpersist discipline."""
+    pairs = spark.createDataFrame(PAIRS, "key_a long, key_b long").persist()
+    try:
+        pairs.count()
+        connected_components(pairs).collect()
+        lvl = pairs.storageLevel
+        assert lvl.useMemory or lvl.useDisk
+    finally:
+        pairs.unpersist()
+
+
+def test_star_raises_instead_of_returning_partial_contraction(spark):
+    """ADVICE r03: exhausting max_iterations before the edge-multiset
+    signature stabilizes must raise, not silently hand back labels from
+    a partially contracted graph."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(500)]
+    pairs = spark.createDataFrame(edges, "key_a long, key_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(pairs, max_iterations=1).collect()
+
+
 def test_dedup_keep_best(spark):
     docs = spark.createDataFrame(
         [(i, float(i % 7)) for i in [1, 2, 3, 10, 11, 20, 21, 22, 99]],
