@@ -289,13 +289,223 @@ def decode_ppm(
     return df.select(id_col, media_col).mapInPandas(dec, PPM_DECODED_SCHEMA)
 
 
+# --- real-format decode #2: PNG (RFC 2083 / ISO 15948), pure stdlib ----------
+# zlib IS in the stdlib, and PNG's pixel model for 8-bit truecolor is
+# chunk framing + one inflate + five per-scanline filters — all
+# implementable exactly from the public spec. This gives the batched
+# media path a second REAL format (after Netpbm P6) with compression
+# and inter-scanline prediction, which P6 lacks.
+
+import struct
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a, b, c):
+    """Vectorized Paeth predictor (PNG spec §6.6): nearest of
+    left/above/upper-left to a+b-c, ties left > above > upper-left."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png_rgb8(px) -> bytes:
+    """Minimal 8-bit truecolor PNG encoder (fixture generator for the
+    decode path). Each scanline is filtered with type y % 5, so decoding
+    our own output exercises ALL five unfilter branches — None, Sub, Up,
+    Average, Paeth — on every image taller than 4 rows; the IDAT stream
+    is split across two chunks to exercise multi-chunk reassembly."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    raw = bytearray()
+    prior = np.zeros(w * 3, np.int32)
+    zeros3 = np.zeros(3, np.int32)
+    for y in range(h):
+        row = px[y].reshape(-1).astype(np.int32)
+        left = np.concatenate([zeros3, row[:-3]])
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = (row - left) % 256
+        elif ft == 2:  # Up
+            filt = (row - prior) % 256
+        elif ft == 3:  # Average
+            filt = (row - (left + prior) // 2) % 256
+        else:  # Paeth
+            ul = np.concatenate([zeros3, prior[:-3]])
+            filt = (row - _paeth_vec(left, prior, ul)) % 256
+        raw.append(ft)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prior = row
+    comp = zlib.compress(bytes(raw), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    mid = len(comp) // 2
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:mid])
+        + _png_chunk(b"IDAT", comp[mid:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb8_bytes(b: bytes):
+    """Decode an 8-bit truecolor non-interlaced PNG to an (h, w, 3)
+    uint8 array: chunk walk with CRC verification, IDAT concatenation,
+    one zlib inflate, then per-scanline unfiltering. Sub is three
+    interleaved prefix sums (vectorized cumsum); Up is one vector add;
+    Average/Paeth carry an intra-row sequential dependency by
+    definition, so they run as per-byte loops over the (short)
+    scanline — at Spark level the parallelism is across IMAGES in the
+    Arrow batch, not within one scanline."""
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat = 8, bytearray()
+    w = h = None
+    while pos + 12 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, ctcode, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctcode != 2 or interlace != 0:
+                raise ValueError("only 8-bit RGB non-interlaced supported")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    out = np.empty((h, stride), np.int32)
+    prior = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: per-channel prefix sum mod 256
+            rec = (np.cumsum(row.reshape(-1, 3), axis=0).reshape(-1)) % 256
+        elif ft == 2:  # Up
+            rec = (row + prior) % 256
+        elif ft == 3:  # Average
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - 3] if x >= 3 else 0
+                rec[x] = (row[x] + (left + int(prior[x])) // 2) % 256
+        elif ft == 4:  # Paeth
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = int(rec[x - 3]) if x >= 3 else 0
+                c = int(prior[x - 3]) if x >= 3 else 0
+                up = int(prior[x])
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out[y] = rec
+        prior = rec
+    return out.reshape(h, w, 3).astype(np.uint8)
+
+
+def _png_pixels(i: int):
+    """Deterministic test image for doc i: w = i%12+4, h = i%10+4,
+    pixel (x, y) = (i%64 + x + y, i%32 + 2x, i%16 + 3y); all values
+    < 256 by construction and the analytic channel means (base +
+    (w-1)/2 + (h-1)/2 etc.) are exact dyadic rationals, so the DuckDB
+    oracle can check the full encode->decode->aggregate path
+    bit-for-bit."""
+    import numpy as np
+
+    w, h = i % 12 + 4, i % 10 + 4
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    return np.stack(
+        [i % 64 + xs + ys, i % 32 + 2 * xs + 0 * ys, i % 16 + 0 * xs + 3 * ys],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Generate a REAL compressed PNG per row (deterministic pixels from
+    the id, all five scanline filters exercised — see
+    ``encode_png_rgb8``)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64").to_numpy()
+            blobs = [encode_png_rgb8(_png_pixels(int(i))) for i in ids]
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "media_id long, media binary")
+
+
+def decode_png(
+    df: DataFrame, id_col: str = "media_id", media_col: str = "media"
+) -> DataFrame:
+    """Real compressed-image decode, Arrow-batched: CRC-checked chunk
+    walk -> inflate -> unfilter -> per-channel means, through the
+    identical mapInPandas plumbing as ``decode_ppm``/``decode_media``.
+    Per-record error isolation: a corrupt payload (bad CRC, truncated
+    IDAT, wrong color type) yields a null row, never a failed job."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    px = decode_png_rgb8_bytes(bytes(blob)).astype("float64")
+                    h, w, _ = px.shape
+                    out.append(
+                        (int(mid), w, h,
+                         px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean())
+                    )
+                except Exception:
+                    out.append((int(mid), None, None, None, None, None))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(dec, PPM_DECODED_SCHEMA)
+
+
 def decode_image_real(*_args, **_kwargs):
-    """Production image decode (PIL/opencv) — unavailable in this
-    container. ``decode_ppm`` above IS a real-format decode (Netpbm P6)
-    over the same batched plumbing; swap its body for PIL to handle
-    JPEG/PNG in production."""
+    """Production JPEG decode (PIL/opencv) — unavailable in this
+    container. ``decode_ppm`` (Netpbm P6) and ``decode_png`` (stdlib
+    zlib PNG) above ARE real-format decodes over the same batched
+    plumbing; swap the body for PIL to handle JPEG in production."""
     raise NotImplementedError(
-        "JPEG/PNG decoding requires PIL/opencv, not installed here; "
-        "decode_ppm() decodes a real format (P6) through the identical "
-        "Spark plumbing"
+        "JPEG decoding requires PIL/opencv, not installed here; "
+        "decode_ppm()/decode_png() decode real formats through the "
+        "identical Spark plumbing"
     )

@@ -722,6 +722,38 @@ FROM documents
 """
 
 
+def q_multimodal_png(spark, sf_dir):
+    """REAL compressed-image decode through the batched path: generate
+    a genuine PNG per document (deterministic pixels, all five scanline
+    filter types, IDAT split across chunks), then decode it with the
+    pure-stdlib decoder — CRC-checked chunk walk + zlib inflate +
+    per-scanline unfilter (operators/multimodal.py:decode_png) — and
+    emit per-channel means. The oracle derives the analytic means
+    (exact dyadic rationals), so a decoder that mis-unfilters ANY of
+    the five filter types, drops an IDAT chunk, or mis-lays-out the
+    pixel buffer hash-fails. Second real format after Netpbm P6
+    (q_multimodal_ppm); narrows the codec stub to JPEG only."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_png_media,
+        decode_png,
+    )
+
+    d = attach_png_media(_t(spark, sf_dir, "documents"), "doc_id")
+    return decode_png(d, "media_id", "media")
+
+
+ORACLE_MULTIMODAL_PNG = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 12 + 4 AS INTEGER) AS width,
+       CAST(doc_id % 10 + 4 AS INTEGER) AS height,
+       CAST(doc_id % 64 AS DOUBLE)
+         + (doc_id % 12 + 3) / 2.0 + (doc_id % 10 + 3) / 2.0 AS mean_r,
+       CAST(doc_id % 32 AS DOUBLE) + CAST(doc_id % 12 + 3 AS DOUBLE) AS mean_g,
+       CAST(doc_id % 16 AS DOUBLE) + 1.5 * (doc_id % 10 + 3) AS mean_b
+FROM documents
+"""
+
+
 # --- flagship pipeline ------------------------------------------------------
 
 def q_multimodal_pipeline(spark, sf_dir):
@@ -1008,6 +1040,7 @@ LLMOPS_QUERIES = [
           "gzip pandas UDF round-trip; rows-only"),
     Query("q_multimodal_decode", q_multimodal_decode, ORACLE_MULTIMODAL),
     Query("q_multimodal_ppm", q_multimodal_ppm, ORACLE_MULTIMODAL_PPM),
+    Query("q_multimodal_png", q_multimodal_png, ORACLE_MULTIMODAL_PNG),
     Query("q_multimodal_pipeline", q_multimodal_pipeline, None,
           "decode->resize->frame-sample chain; fake codec -> rows-only"),
     Query("q_pipeline_tag_enrich", q_pipeline_tag_enrich, ORACLE_PIPELINE),

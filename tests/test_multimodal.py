@@ -91,6 +91,105 @@ def test_ppm_decode_real_format_and_isolation(spark):
         assert got[bad]["width"] is None and got[bad]["mean_r"] is None
 
 
+def _unfilter_reference(ftype, row, prior, bpp=3):
+    """Independent per-byte unfilter transcribed directly from the PNG
+    spec (§6, Recon(x) formulas) — deliberately naive so a shared bug
+    with the vectorized decoder is implausible."""
+    rec = []
+    for x in range(len(row)):
+        a = rec[x - bpp] if x >= bpp else 0          # left
+        b = prior[x]                                  # above
+        c = prior[x - bpp] if x >= bpp else 0         # upper-left
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        rec.append((row[x] + pred) % 256)
+    return rec
+
+
+def test_png_decoder_matches_spec_reference():
+    """The production decoder's vectorized unfilter must agree
+    byte-for-byte with a naive spec transcription on every filter type,
+    and round-trip the encoder exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        _png_pixels,
+        decode_png_rgb8_bytes,
+        encode_png_rgb8,
+    )
+
+    for i in [0, 3, 17, 64, 255]:
+        px = _png_pixels(i)
+        blob = encode_png_rgb8(px)
+        assert np.array_equal(decode_png_rgb8_bytes(blob), px), i
+        # replay the filtered stream through the spec-reference unfilter
+        h, w, _ = px.shape
+        pos, idat = 8, b""
+        while pos + 12 <= len(blob):
+            (ln,) = struct.unpack(">I", blob[pos : pos + 4])
+            if blob[pos + 4 : pos + 8] == b"IDAT":
+                idat += blob[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+        raw = zlib.decompress(idat)
+        stride = w * 3
+        prior, rows = [0] * stride, []
+        for y in range(h):
+            ft = raw[y * (stride + 1)]
+            row = list(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+            prior = _unfilter_reference(ft, row, prior)
+            rows.append(prior)
+        assert np.array_equal(
+            np.array(rows, np.uint8).reshape(h, w, 3), px
+        ), i
+
+
+def test_png_decode_isolation_and_multichunk(spark):
+    """decode_png through the Spark path: valid PNGs decode to exact
+    means; corrupt payloads (flipped IDAT byte -> CRC fail, truncated
+    stream, wrong signature, null) yield null rows, never a failed
+    job."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        _png_pixels,
+        decode_png,
+        encode_png_rgb8,
+    )
+
+    good = encode_png_rgb8(_png_pixels(7))
+    flipped = bytearray(good)
+    flipped[60] ^= 0xFF
+    rows = spark.createDataFrame(
+        [
+            (7, good),
+            (2, bytes(flipped)),
+            (3, good[: len(good) // 2]),
+            (4, b"GIF89a" + good[6:]),
+            (5, None),
+        ],
+        "media_id long, media binary",
+    )
+    got = {r["media_id"]: r for r in decode_png(rows).collect()}
+    i, w, h = 7, 7 % 12 + 4, 7 % 10 + 4
+    assert got[7]["width"] == w and got[7]["height"] == h
+    assert got[7]["mean_r"] == i % 64 + (w - 1) / 2 + (h - 1) / 2
+    assert got[7]["mean_g"] == i % 32 + (w - 1)
+    assert got[7]["mean_b"] == i % 16 + 1.5 * (h - 1)
+    for bad in (2, 3, 4, 5):
+        assert got[bad]["width"] is None and got[bad]["mean_r"] is None, bad
+
+
 def test_ppm_roundtrip_means_match_analytic_form(spark, sf_dir):
     """Generator + decoder round-trip on real corpus ids: decoded means
     must equal the analytic base + ramp means exactly (integer channel
