@@ -400,3 +400,32 @@ def contamination_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def fresh_against_corpus(
+    batch: DataFrame, corpus_digests: DataFrame, digest_col: str = "digest"
+) -> DataFrame:
+    """Batch rows whose ``digest_col`` does NOT appear in the corpus
+    digest table — the cross-batch half of incremental dedup, shaped
+    for a 100 TB corpus side.
+
+    A naive ``batch.join(corpus, 'left_anti')`` is correct but Spark's
+    runtime Bloom-filter rule does not fire on LeftAnti, so the corpus
+    scan reads every row group. Instead the corpus is passed ONCE
+    through a LEFT SEMI join against the batch's digests — that shape
+    both (a) gets a Bloom filter built from the (small) batch side and
+    injected directly above the corpus scan (``might_contain`` over the
+    FileScan, pruning row groups before the join), and (b) runs with
+    ZERO Exchange on the corpus side when the digest table is bucketed
+    on ``digest_col`` (operators/skew.py:write_bucketed). The semi
+    output — digests present in both — is bounded by the batch size, so
+    the final anti join against it broadcasts. Proven in
+    tests/test_plan_shapes.py.
+
+    The ``merge`` hint pins SMJ so the bucketing is exercised at test
+    scale; at corpus scale SMJ is what the planner picks anyway.
+    """
+    matched = corpus_digests.hint("merge").join(
+        batch.select(digest_col), digest_col, "left_semi"
+    )
+    return batch.join(F.broadcast(matched), digest_col, "left_anti")

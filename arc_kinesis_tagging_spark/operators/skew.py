@@ -66,7 +66,22 @@ def write_bucketed(
 ) -> None:
     """Persist a table bucketed + sorted by the join key: subsequent
     equi-joins between tables bucketed the same way plan with ZERO
-    Exchange nodes (verified in tests)."""
+    Exchange nodes (verified in tests).
+
+    The default catalog is session-scoped (in-memory), so a warehouse
+    directory can survive from a session whose catalog entry died with
+    it; ``saveAsTable`` refuses to adopt such an orphaned location.
+    Clear it first — overwrite semantics are what the caller asked for
+    either way."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table_name):
+        import os
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = os.path.join(wh.removeprefix("file:"), table_name.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, *bucket_cols)

@@ -258,22 +258,38 @@ def q_dedup_incremental(spark, sf_dir):
     ingest runs: dedup today's batch against itself (keep the lowest
     doc_id per content digest), then drop anything whose digest already
     exists in the established corpus. Batch split is deterministic
-    (doc_id % 10: 0-7 prior corpus, 8-9 today's batch). Two hash
-    shuffles on the digest: the in-batch group and the anti join. At
-    100 TB the prior-corpus digest table lives bucketed on digest
-    (sources/maintenance.py:write_bucketed), making the corpus side of
-    the anti join shuffle-free; Spark's runtime Bloom filter
-    (spark.sql.optimizer.runtime.bloomFilter, on by default in the
-    session) prunes corpus row groups by the batch's digest set before
-    the join."""
+    (doc_id % 10: 0-7 prior corpus, 8-9 today's batch).
+
+    This runs the PRODUCTION corpus path end-to-end, not a stand-in:
+    the prior-corpus digests are materialized as a parquet table
+    bucketed on digest (operators/skew.py:write_bucketed — the daily
+    job maintains that table incrementally), and the cross-batch check
+    is operators/dedup.py:fresh_against_corpus — a corpus-side LEFT
+    SEMI that reads the bucketed table with zero Exchange and gets a
+    runtime Bloom filter from the batch digests injected above the
+    corpus scan, followed by a broadcast anti join against the
+    (batch-bounded) matched set. Plan pinned in
+    tests/test_plan_shapes.py."""
+    import os as _os
+
+    from arc_kinesis_tagging_spark.operators.dedup import fresh_against_corpus
+    from arc_kinesis_tagging_spark.operators.skew import write_bucketed
+
     d = _t(spark, sf_dir, "documents")
     prior = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 8)
     batch = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 8)
     bd = batch.select("doc_id", "lang", "n_chars", F.md5("text").alias("digest"))
     keep = bd.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
     fresh = bd.join(keep, ["digest", "doc_id"], "left_semi")
-    prior_digests = prior.select(F.md5("text").alias("digest")).distinct()
-    return fresh.join(prior_digests, "digest", "left_anti").select(
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table = f"akt_corpus_digests_{tag}"
+    write_bucketed(
+        prior.select(F.md5("text").alias("digest")).distinct(),
+        table,
+        ["digest"],
+        n_buckets=16,
+    )
+    return fresh_against_corpus(fresh, spark.table(table)).select(
         "doc_id", "lang", "n_chars"
     )
 
