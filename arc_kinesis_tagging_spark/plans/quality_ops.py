@@ -434,44 +434,31 @@ def q_events_funnel(spark, sf_dir):
     """Ordered funnel (view -> click -> purchase): per user, the
     earliest view, the earliest click strictly after it, the earliest
     purchase strictly after that — event-sequence matching expressed as
-    three conditional min-aggregates chained by theta joins on user_id
-    (AQE co-partitions the shuffles), not a per-user sort window: at
-    100 TB the per-stage aggregates shrink the data before every join,
-    and a heavy user costs an agg not a sort. stage_reached counts
-    completed stages."""
-    ev = _t(spark, sf_dir, "events")
+    chained conditional min-aggregates (operators/funnel.py:funnel),
+    not a per-user sort window: at 100 TB the per-stage aggregates
+    shrink the data before every join, and a heavy user costs an agg
+    not a sort. stage_reached counts completed stages."""
+    from arc_kinesis_tagging_spark.operators.funnel import funnel
 
-    def stage(name):
-        return ev.filter(F.col("event_type") == name).select(
-            "user_id", F.col("ts").alias("__ts")
-        )
+    return funnel(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        out_cols=["view_ts", "click_ts", "purchase_ts"],
+    )
 
-    v = stage("view").groupBy("user_id").agg(F.min("__ts").alias("view_ts"))
-    c = (
-        stage("click")
-        .join(v, "user_id")
-        .filter(F.col("__ts") > F.col("view_ts"))
-        .groupBy("user_id")
-        .agg(F.min("__ts").alias("click_ts"))
-    )
-    p = (
-        stage("purchase")
-        .join(c, "user_id")
-        .filter(F.col("__ts") > F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("__ts").alias("purchase_ts"))
-    )
-    return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            "user_id", "view_ts", "click_ts", "purchase_ts",
-            (
-                F.lit(1)
-                + F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)
-                + F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
-            ).cast("int").alias("stage_reached"),
-        )
+
+def q_events_funnel_k(spark, sf_dir):
+    """The k-stage generalization exercised at k=5 (signup -> view ->
+    click -> purchase -> error): same chained conditional-min plan —
+    k aggregates + k-1 inner joins, every shuffle on user_id — factored
+    as operators/funnel.py:funnel rather than hand-unrolled. Property-
+    tested against a per-user Python reference model in
+    tests/test_quality_ops.py."""
+    from arc_kinesis_tagging_spark.operators.funnel import funnel
+
+    return funnel(
+        _t(spark, sf_dir, "events"),
+        ["signup", "view", "click", "purchase", "error"],
     )
 
 
@@ -496,6 +483,41 @@ SELECT v.user_id, view_ts, click_ts, purchase_ts,
          AS stage_reached
 FROM v LEFT JOIN c ON v.user_id = c.user_id
 LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+ORACLE_EVENTS_FUNNEL_K = """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS s0_signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS s1_view_ts
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'view' AND e.ts > s0.s0_signup_ts GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS s2_click_ts
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.s1_view_ts GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS s3_purchase_ts
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.s2_click_ts GROUP BY e.user_id
+), s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS s4_error_ts
+  FROM events e JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'error' AND e.ts > s3.s3_purchase_ts GROUP BY e.user_id
+)
+SELECT s0.user_id, s0_signup_ts, s1_view_ts, s2_click_ts, s3_purchase_ts,
+       s4_error_ts,
+       CAST(1 + (CASE WHEN s1_view_ts IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN s2_click_ts IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN s3_purchase_ts IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN s4_error_ts IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+         AS stage_reached
+FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+LEFT JOIN s2 ON s0.user_id = s2.user_id
+LEFT JOIN s3 ON s0.user_id = s3.user_id
+LEFT JOIN s4 ON s0.user_id = s4.user_id
 """
 
 
@@ -627,6 +649,7 @@ QUALITY_QUERIES = [
     Query("q_doc_stats_sketch", q_doc_stats_sketch, ORACLE_DOC_STATS_SKETCH),
     Query("q_ts_gapfill", q_ts_gapfill, ORACLE_TS_GAPFILL),
     Query("q_events_funnel", q_events_funnel, ORACLE_EVENTS_FUNNEL),
+    Query("q_events_funnel_k", q_events_funnel_k, ORACLE_EVENTS_FUNNEL_K),
     Query("q_graph_pagerank", q_graph_pagerank, None,
           "iterative power iteration is not SQL-expressible -> rows-only; "
           "numpy-model parity asserted in tests/test_graph.py"),

@@ -233,3 +233,64 @@ def test_corpus_pipeline_composes_its_stages(spark, sf_dir):
     assert set(per_split) == {"train", "val", "test"}
     assert per_split["train"] > per_split["val"]
     assert per_split["train"] > per_split["test"]
+
+
+def test_funnel_k_matches_python_model(spark):
+    """The generalized k-stage funnel operator vs a per-user greedy
+    reference model, across stage counts 1-5 and a REPEATED stage name
+    (view -> click -> view), on a deterministic pseudo-random event
+    log dense enough that ties, dead-ends, and partial completions all
+    occur."""
+    from arc_kinesis_tagging_spark.operators.funnel import funnel, funnel_model
+
+    types = ["signup", "view", "click", "purchase", "error"]
+    rows, x = [], 41
+    for i in range(4000):
+        x = (1103515245 * x + 12345) % (2**31)
+        u = x % 80
+        x = (1103515245 * x + 12345) % (2**31)
+        et = types[x % 5]
+        x = (1103515245 * x + 12345) % (2**31)
+        ts = x % 500  # dense -> plenty of equal-ts edge cases
+        rows.append((u, et, ts))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    for stages in (
+        ["view"],
+        ["view", "click"],
+        ["signup", "view", "click", "purchase", "error"],
+        ["view", "click", "view"],  # repeated stage -> positional cols
+    ):
+        model = funnel_model(rows, stages)
+        got = {}
+        out = funnel(ev, stages).collect()
+        cols = [f"s{i}_{s}_ts" for i, s in enumerate(stages)]
+        for r in out:
+            got[r["user_id"]] = (
+                tuple(r[c] for c in cols), r["stage_reached"]
+            )
+        assert got == model, stages
+
+
+def test_funnel_k_query_schema(spark, sf_dir):
+    """q_events_funnel_k emits one row per signup user with monotone
+    non-null prefix timestamps."""
+    from arc_kinesis_tagging_spark.plans.quality_ops import q_events_funnel_k
+
+    rows = q_events_funnel_k(spark, sf_dir).collect()
+    assert rows
+    cols = ["s0_signup_ts", "s1_view_ts", "s2_click_ts",
+            "s3_purchase_ts", "s4_error_ts"]
+    for r in rows:
+        ts = [r[c] for c in cols]
+        assert ts[0] is not None
+        seen_null = False
+        prev = None
+        for t in ts:
+            if t is None:
+                seen_null = True
+            else:
+                assert not seen_null  # nulls only as a suffix
+                if prev is not None:
+                    assert t > prev
+                prev = t
+        assert r["stage_reached"] == sum(1 for t in ts if t is not None)
