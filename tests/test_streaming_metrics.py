@@ -50,3 +50,92 @@ def test_metrics_listener_collects_batches(spark, fixture_dir, tmp_path):
         assert df.schema["batch_duration_ms"].dataType.typeName() == "long"
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_reference_admission_profile_parity(spark, tmp_path):
+    """VERDICT r03 #6 — R4/R5 parity. The reference's only perf
+    constants are GetRecords Limit=20 and the 3-second poll
+    (reference app.py:22,29): a hard per-shard admission ceiling of
+    20/3 rec/s. Prove the connector reproduces that profile:
+    maxRecordsPerShardPerBatch=20 on a 2-shard stream with a backlog
+    must admit EXACTLY 20 records per shard per batch until the
+    backlog drains (never more, no skip, no dup), and the
+    shard_admission_profile helpers must turn those counts into the
+    reference's sustained numbers — 6.67 rec/s/shard, ~13.3 rec/s for
+    the 2-shard stream BASELINE.md derives its ceiling from. The test
+    polls at 250 ms so it runs in seconds; the admission counts are
+    cadence-independent, and the rate is evaluated at the reference's
+    3 s cadence."""
+    import os
+    import time
+
+    from arc_kinesis_tagging_spark.streaming.kinesis_source import (
+        KinesisEmuDataSource,
+        write_kinesis_fixture,
+    )
+    from arc_kinesis_tagging_spark.streaming.metrics import (
+        REFERENCE_GETRECORDS_LIMIT,
+        REFERENCE_POLL_SECONDS,
+        shard_admission_profile,
+        sustained_shard_rate,
+    )
+
+    try:
+        spark.dataSource.register(KinesisEmuDataSource)
+    except Exception:
+        pass  # already registered by another test in this session
+    sd = str(tmp_path / "stream-parity")
+    os.makedirs(sd, exist_ok=True)
+    per_batch = []  # (batch_id, shard_id, n)
+    seen = []
+
+    def record(df, bid):
+        got = df.groupBy("shard_id").count().collect()
+        for r in got:
+            per_batch.append((bid, r["shard_id"], r["count"]))
+        seen.extend(df.select("shard_id", "seq").collect())
+
+    n_per_shard = 100
+    q = (
+        spark.readStream.format("kinesis_emu")
+        .option("streamDir", sd)
+        .option("maxRecordsPerShardPerBatch", REFERENCE_GETRECORDS_LIMIT)
+        .load()
+        .writeStream.foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ck-parity"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        time.sleep(2)  # establish the empty base (history is uncapped)
+        write_kinesis_fixture(
+            sd,
+            [(b"x%d" % i, s) for s in (0, 1) for i in range(n_per_shard)],
+        )
+        deadline = time.time() + 120
+        while len(seen) < 2 * n_per_shard and time.time() < deadline:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+
+    # exactly-once: every (shard, seq) exactly once
+    assert sorted((r["shard_id"], r["seq"]) for r in seen) == [
+        (f"shardId-{s:012d}", i) for s in (0, 1) for i in range(n_per_shard)
+    ]
+    profile = shard_admission_profile(per_batch)
+    assert set(profile) == {"shardId-000000000000", "shardId-000000000001"}
+    for shard, p in profile.items():
+        # the admission profile: never above the Limit, and the backlog
+        # drains as ceil(100/20) = 5 FULL batches per shard
+        assert p["max_per_batch"] == REFERENCE_GETRECORDS_LIMIT, (shard, p)
+        assert p["full_batches"].get(REFERENCE_GETRECORDS_LIMIT, 0) == (
+            n_per_shard // REFERENCE_GETRECORDS_LIMIT
+        ), (shard, p)
+        assert p["records"] == n_per_shard
+        # at the reference cadence this IS the reference's ceiling
+        rate = sustained_shard_rate(p, REFERENCE_POLL_SECONDS)
+        assert abs(rate - REFERENCE_GETRECORDS_LIMIT / REFERENCE_POLL_SECONDS) < 1e-9
+    total = sum(
+        sustained_shard_rate(p, REFERENCE_POLL_SECONDS) for p in profile.values()
+    )
+    assert abs(total - 13.333333333333332) < 1e-6  # BASELINE.md's ~13.3 rec/s
