@@ -163,6 +163,7 @@ def cosine_threshold_pairs(
     vec_col: str = "embedding",
     nlist: int = 16,
     exact_rescore: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """EXACT cosine-threshold self-join (all pairs with
     ``cos(a, b) >= threshold``) without the quadratic cross product.
@@ -249,6 +250,12 @@ def cosine_threshold_pairs(
         )
         .select("cell_a", "cell_b")
     )
+    if stats is not None:
+        # metadata-size audit hook (tests assert the surviving cell-pair
+        # set stays << nlist^2 at realistic nlist); one cheap extra job
+        # over an nlist^2-bounded frame, only when a dict is passed
+        stats["nlist"] = nlist
+        stats["n_cell_pairs"] = cand_cells.count()
 
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__cvec"),

@@ -141,3 +141,86 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _clustered_vectors(spark, n, dim=16, n_centers=256, seed=9):
+    """n deterministic vectors in ~n_centers tight clusters, generated
+    executor-side (no driver materialization): center from a per-cluster
+    LCG stream, member = 0.9*center + 0.1*noise."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for i in ids:
+                i = int(i)
+                rng_c = np.random.default_rng(seed + (i % n_centers))
+                center = rng_c.standard_normal(dim)
+                rng_i = np.random.default_rng(seed * 1_000_003 + i)
+                v = 0.9 * center + 0.1 * rng_i.standard_normal(dim)
+                rows.append(v.tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": rows})
+
+    return (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(gen, "vec_id long, embedding array<double>")
+    )
+
+
+def test_ivf_realistic_nlist_scale(spark):
+    """VERDICT r03 #8: every prior IVF test ran at nlist <= 16; at
+    corpus scale nlist is 10^2-10^5 and the two driver-side structures
+    — the centroid collect() and the nlist^2 cell-pair metadata — must
+    stay metadata-sized while recall holds. 50k clustered vectors,
+    nlist=256:
+
+    - cosine_topk_ivf(nprobe=16) recall@5 vs the exact brute-force
+      kernel >= 0.9 on 40 probe queries;
+    - cosine_threshold_pairs at nlist=256 reports its surviving
+      cell-pair count: bounded by nlist^2 = 65,536 rows of metadata
+      and, on clustered data, pruned to a small fraction of it —
+      the triangle-inequality bound doing its job at realistic nlist.
+    """
+    from arc_kinesis_tagging_spark.operators.similarity import (
+        cosine_threshold_pairs,
+        cosine_topk_bruteforce_np,
+        cosine_topk_ivf,
+    )
+
+    n, nlist = 50_000, 256
+    corpus = _clustered_vectors(spark, n).persist()
+    try:
+        queries = corpus.filter(F.col("vec_id") % 1250 == 7).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = cosine_topk_bruteforce_np(corpus, queries, k=5).collect()
+        approx = cosine_topk_ivf(
+            corpus, queries, k=5, nlist=nlist, nprobe=16
+        ).collect()
+        truth, got = {}, {}
+        for r in exact:
+            truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for r in approx:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        assert len(truth) == 40
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        recall = hits / sum(len(v) for v in truth.values())
+        assert recall >= 0.9, recall
+
+        stats = {}
+        pairs = cosine_threshold_pairs(
+            corpus, 0.97, nlist=nlist, exact_rescore=False, stats=stats
+        )
+        n_pairs = pairs.count()
+        assert stats["nlist"] == nlist
+        assert stats["n_cell_pairs"] <= nlist * nlist
+        # pruning must bite: on 256 tight clusters the surviving cell
+        # pairs are a band around the diagonal, not the full cross
+        assert stats["n_cell_pairs"] < 0.25 * nlist * nlist, stats
+        # sanity: threshold pairs found the intra-cluster structure
+        assert n_pairs > 0
+    finally:
+        corpus.unpersist()
