@@ -281,7 +281,11 @@ def q_dedup_incremental(spark, sf_dir):
     bd = batch.select("doc_id", "lang", "n_chars", F.md5("text").alias("digest"))
     keep = bd.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
     fresh = bd.join(keep, ["digest", "doc_id"], "left_semi")
-    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # table identifiers admit only [a-z0-9_]; sf_dir basenames include
+    # dots (sf0.01) and test harnesses pass arbitrary tmp dirs
+    import re as _re
+
+    tag = _re.sub(r"[^a-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")).lower())
     table = f"akt_corpus_digests_{tag}"
     write_bucketed(
         prior.select(F.md5("text").alias("digest")).distinct(),

@@ -341,6 +341,108 @@ FROM documents
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Repetition-based quality gate (the Gopher/MassiveText family of
+    signals): per document, the duplicate-word fraction
+    ((n_tokens - n_distinct) / n_tokens), the top-word fraction
+    (most frequent token / n_tokens), and the top-bigram fraction —
+    the signals that catch boilerplate, keyword stuffing, and
+    degenerate generations that length/stopword ratios miss.
+
+    Plan: one explode + two-level aggregate per signal family —
+    (doc, token) counts then per-doc max/sum/count — all shuffles on
+    doc_id, all arithmetic on exact integers until the final division
+    (IEEE int/int division is engine-deterministic, so the oracle
+    hash-matches without rounding). Bigrams come from zip_with over the
+    token array (codegen, no UDF). ``kept`` applies fixed thresholds
+    the way a corpus refresh would."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+    word_counts = (
+        toks.select("doc_id", F.explode("__toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    words = word_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                    F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_count"))
+    )
+    dup_frac = (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens")
+    top_frac = F.col("top_count") / F.col("n_tokens")
+    bg_frac = F.coalesce(
+        F.col("top_bigram_count") / F.col("n_bigrams"), F.lit(0.0)
+    )
+    return (
+        words.join(bigrams, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_frac.alias("dup_word_frac"),
+            top_frac.alias("top_word_frac"),
+            bg_frac.alias("top_bigram_frac"),
+            (
+                (dup_frac <= F.lit(0.7))
+                & (top_frac <= F.lit(0.3))
+                & (bg_frac <= F.lit(0.18))
+            ).alias("kept"),
+        )
+    )
+
+
+ORACLE_TEXT_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), wc AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY doc_id, tok
+), words AS (
+  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_count
+  FROM wc GROUP BY doc_id
+), bgc AS (
+  SELECT doc_id, bg, COUNT(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])) AS bg
+    FROM toks
+  )
+  GROUP BY doc_id, bg
+), bigrams AS (
+  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_count
+  FROM bgc GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(w.n_tokens AS BIGINT) AS n_tokens,
+       (w.n_tokens - w.n_distinct) / CAST(w.n_tokens AS DOUBLE) AS dup_word_frac,
+       w.top_count / CAST(w.n_tokens AS DOUBLE) AS top_word_frac,
+       COALESCE(b.top_bigram_count / CAST(b.n_bigrams AS DOUBLE), 0.0)
+         AS top_bigram_frac,
+       ((w.n_tokens - w.n_distinct) / CAST(w.n_tokens AS DOUBLE) <= 0.7
+        AND w.top_count / CAST(w.n_tokens AS DOUBLE) <= 0.3
+        AND COALESCE(b.top_bigram_count / CAST(b.n_bigrams AS DOUBLE), 0.0) <= 0.18)
+         AS kept
+FROM words w LEFT JOIN bigrams b ON w.doc_id = b.doc_id
+"""
+
+
 # --- mergeable distinct-token sketch (integer KMV / stochastic minima) -------
 
 _KMV_T = 32
@@ -646,6 +748,7 @@ QUALITY_QUERIES = [
     Query("q_domain_balance", q_domain_balance, ORACLE_DOMAIN_BALANCE),
     Query("q_domain_balance_hash", q_domain_balance_hash, ORACLE_DOMAIN_BALANCE_HASH),
     Query("q_text_normalize", q_text_normalize, ORACLE_TEXT_NORMALIZE),
+    Query("q_text_repetition", q_text_repetition, ORACLE_TEXT_REPETITION),
     Query("q_doc_stats_sketch", q_doc_stats_sketch, ORACLE_DOC_STATS_SKETCH),
     Query("q_ts_gapfill", q_ts_gapfill, ORACLE_TS_GAPFILL),
     Query("q_events_funnel", q_events_funnel, ORACLE_EVENTS_FUNNEL),

@@ -109,6 +109,7 @@ _R4_HEAD = [
     # -- (a) new / rewired this round --
     "q_multimodal_png",       # stdlib PNG decode (new)
     "q_events_funnel_k",      # generalized k-stage funnel (new)
+    "q_text_repetition",      # Gopher-style repetition gate (new)
     "q_dedup_incremental",    # rewired to the bucketed-digest corpus path
     # -- (b) newest driver row is r01 --
     "q_join_broadcast", "q_join_smj", "q_join_semi", "q_join_anti",

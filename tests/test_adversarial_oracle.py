@@ -64,6 +64,9 @@ DOC_QUERIES = [
     "q_multimodal_ppm",
     "q_dedup_incremental",
     "q_corpus_pipeline",
+    # round-4 additions (documents-only readers)
+    "q_multimodal_png",
+    "q_text_repetition",
 ]
 
 

@@ -45,6 +45,10 @@ AGG_QUERIES = [
     "q_corpus_pipeline",
     "q_doc_stats_sketch",
     "q_domain_balance_hash",
+    # round-4 additions
+    "q_text_repetition",
+    "q_events_funnel_k",
+    "q_dedup_incremental",
 ]
 
 
