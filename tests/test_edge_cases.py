@@ -97,3 +97,30 @@ def test_zero_norm_cosine_expr_is_zero(spark):
         ).alias("cos")
     )
     assert df.collect()[0]["cos"] == 0.0
+
+
+def test_registry_rotations_are_reorderings():
+    """Every rotation must contain the full canonical query set —
+    bench.py's headline indexes QUERIES by name regardless of rotation,
+    and the legacy r2 rotation once dropped the TPC-H family (ADVICE
+    r03). Re-import the registry module under each rotation env value
+    and compare name sets."""
+    import importlib
+    import os
+
+    import arc_kinesis_tagging_spark.plans.registry as reg
+
+    baseline = {q.name for q in reg.ALL_QUERIES}
+    saved = os.environ.get("AKT_REGISTRY_ROTATION")
+    try:
+        for rot in ("r1", "r2", "r3"):
+            os.environ["AKT_REGISTRY_ROTATION"] = rot
+            importlib.reload(reg)
+            assert {q.name for q in reg.ALL_QUERIES} == baseline, rot
+            assert len(reg.ALL_QUERIES) == len(reg.QUERIES), rot
+    finally:
+        if saved is None:
+            os.environ.pop("AKT_REGISTRY_ROTATION", None)
+        else:
+            os.environ["AKT_REGISTRY_ROTATION"] = saved
+        importlib.reload(reg)
