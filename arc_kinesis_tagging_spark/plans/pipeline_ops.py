@@ -334,7 +334,60 @@ def q_sketch_hll(spark, sf_dir):
     return per.unionByName(glob)
 
 
+def q_source_mixing(spark, sf_dir):
+    """Temperature-based source mixing — the corpus-assembly step that
+    decides how many rows each source contributes to a training mix.
+    Raw proportional sampling lets one giant crawl drown the small
+    high-quality sources; temperature alpha=0.5 reweights source s to
+    n_s^0.5 / sum_t n_t^0.5 (the multilingual-sampling convention), and
+    a 10,000-row budget turns weights into per-source target counts.
+
+    Everything stays in INTEGER arithmetic so the oracle matches
+    bit-for-bit: sqrt is IEEE correctly-rounded (the one transcendental
+    that is), scaling by 2^20 is exact, floor lands on a BIGINT; the
+    denominator is an integer sum (order-free) and the final targets
+    use integer multiply-divide. Plan: one count aggregate per source
+    (map-side partial), a 1-row broadcast total, map-side arithmetic —
+    no window, no second shuffle; at 100 TB this costs one pass over
+    source ids."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1048576)).cast(
+        "long"
+    )
+    weighted = per.select("source", "n_docs", w.alias("__w"))
+    denom = weighted.agg(F.sum("__w").alias("__denom"))
+    return (
+        weighted.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            # `div`, not `/`: long / long in Spark is DOUBLE division,
+            # and a quotient like 123.999… would floor-cast to 123
+            # where exact integer division says 124
+            F.expr("__w * 1000000L div __denom").alias("weight_ppm"),
+            F.expr("__w * 10000L div __denom").alias("target_rows"),
+        )
+    )
+
+
+ORACLE_SOURCE_MIXING = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), weighted AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1048576) AS BIGINT) AS w
+  FROM per
+)
+SELECT source, n_docs,
+       CAST(w * 1000000 // (SELECT SUM(w) FROM weighted) AS BIGINT) AS weight_ppm,
+       CAST(w * 10000 // (SELECT SUM(w) FROM weighted) AS BIGINT) AS target_rows
+FROM weighted
+"""
+
+
 PIPELINE_QUERIES = [
+    Query("q_source_mixing", q_source_mixing, ORACLE_SOURCE_MIXING),
     Query("q_sample_stratified", q_sample_stratified, ORACLE_SAMPLE_STRATIFIED),
     Query("q_split_assign", q_split_assign, ORACLE_SPLIT_ASSIGN),
     Query("q_shuffle_shard", q_shuffle_shard, ORACLE_SHUFFLE_SHARD),

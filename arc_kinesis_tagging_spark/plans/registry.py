@@ -110,6 +110,7 @@ _R4_HEAD = [
     "q_multimodal_png",       # stdlib PNG decode (new)
     "q_events_funnel_k",      # generalized k-stage funnel (new)
     "q_text_repetition",      # Gopher-style repetition gate (new)
+    "q_source_mixing",        # temperature-weighted corpus mixing (new)
     "q_dedup_incremental",    # rewired to the bucketed-digest corpus path
     # -- (b) newest driver row is r01 --
     "q_join_broadcast", "q_join_smj", "q_join_semi", "q_join_anti",

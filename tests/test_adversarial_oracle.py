@@ -67,6 +67,7 @@ DOC_QUERIES = [
     # round-4 additions (documents-only readers)
     "q_multimodal_png",
     "q_text_repetition",
+    "q_source_mixing",
 ]
 
 

@@ -49,6 +49,7 @@ AGG_QUERIES = [
     "q_text_repetition",
     "q_events_funnel_k",
     "q_dedup_incremental",
+    "q_source_mixing",
 ]
 
 
