@@ -125,10 +125,10 @@ _R4_HEAD = [
     "q_pivot", "q_scalar_subquery", "q_recursive_cte",
     "q_string_funcs2", "q_conditional_funcs", "q_bitwise_funcs",
     "q_cast_funcs", "q_vector_centroid", "q_vector_normalize",
-    # -- (c) newest driver row is r02: highest-value plans first --
+    # -- (c) newest driver row is r02: highest-value plans, exactly
+    #    filling the 50-entry window (the rest lead round 5) --
     "q_pipeline_tag_enrich", "q_dedup_exact", "q_contamination",
-    "q_dedup_embedding", "q_similarity_topk", "q_agg_salted",
-    "q_tpch_q18ish",
+    "q_dedup_embedding", "q_similarity_topk",
 ]
 
 
