@@ -78,3 +78,26 @@ def upsert_by_key_parquet(
     # recomputation from the overwritten path is impossible.
     winner = winner.localCheckpoint(eager=True)
     winner.write.mode("overwrite").parquet(path)
+
+
+def read_parquet_evolving(
+    spark: SparkSession, path: str, expected_schema: str | None = None
+) -> DataFrame:
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas (daily drops gain columns over time) as one DataFrame:
+    ``mergeSchema=true`` unions the per-file footers, and files missing
+    a column read it as null — the standard additive-evolution contract.
+
+    Cost note for 100 TB: schema merging reads EVERY file footer at
+    planning time (a namenode/listing-bound distributed job, not data
+    I/O). Production tables should pin the merged schema once it
+    stabilizes — pass ``expected_schema`` and this reads WITHOUT the
+    footer sweep while keeping the same null-fill semantics, because
+    parquet vectorized readers fill absent columns from the requested
+    read schema. Column renames/type changes are NOT additive evolution
+    and belong in a table format (Delta/Iceberg) with real schema
+    tracking.
+    """
+    if expected_schema is not None:
+        return spark.read.schema(expected_schema).parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)

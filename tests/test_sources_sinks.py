@@ -62,3 +62,33 @@ def test_upsert_by_key_parquet(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert got == {"a": (1, "first"), "b": (2, "updated"), "c": (1, "new")}
+
+
+def test_parquet_schema_evolution_reads(spark, tmp_path):
+    """Additive schema evolution over a parquet directory: day-1 files
+    lack the column day-2 files added. mergeSchema must union the
+    schemas with null fill; pinning the stabilized schema must give the
+    same rows WITHOUT the footer sweep; and a filter on the new column
+    must still allow the old files' rows to be reasoned about
+    (IS NULL selects exactly the day-1 rows)."""
+    from arc_kinesis_tagging_spark.sources.readers import read_parquet_evolving
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 0.7)], "id long, name string, score double"
+    ).write.mode("append").parquet(d)
+
+    merged = read_parquet_evolving(spark, d)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: 0.5, 4: 0.7}
+
+    pinned = read_parquet_evolving(
+        spark, d, "id long, name string, score double"
+    )
+    assert {r["id"]: r["score"] for r in pinned.collect()} == rows
+    old_only = {r["id"] for r in pinned.filter("score IS NULL").collect()}
+    assert old_only == {1, 2}
