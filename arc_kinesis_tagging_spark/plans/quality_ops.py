@@ -443,6 +443,135 @@ FROM words w LEFT JOIN bigrams b ON w.doc_id = b.doc_id
 """
 
 
+def q_corpus_pipeline2(spark, sf_dir):
+    """The round-4 corpus refresh as ONE declarative plan, composing
+    this round's operators end-to-end: repetition quality gate
+    (dup-word + top-word fractions) -> exact content dedup (min doc_id
+    per md5 digest) -> temperature-based source mixing (alpha=0.5
+    integer weights over SURVIVOR counts, 10k-row budget) -> a
+    deterministic hash-ranked take of each source's target rows ->
+    per-source summary.
+
+    Scale shape: the gate is one explode + two-level aggregate (all
+    shuffles on doc_id), dedup is one digest-partitioned window, the
+    mixing weights reduce to one tiny broadcast, and the take ranks
+    WITHIN each source partition by the portable md5 hash (spread
+    across the cluster — never a global sort). Chars summed as decimal
+    for order independence."""
+    from arc_kinesis_tagging_spark.functions.text import stable_hash64
+    from arc_kinesis_tagging_spark.plans.common import dsum
+
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    words = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_dis"),
+        F.max("c").alias("top"),
+    )
+    gated = words.filter(
+        ((F.col("n_tok") - F.col("n_dis")) / F.col("n_tok") <= 0.7)
+        & (F.col("top") / F.col("n_tok") <= 0.3)
+    ).select("doc_id")
+    kept = d.join(gated, "doc_id", "left_semi")
+    uniq = (
+        kept.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    per = uniq.groupBy("source").agg(F.count(F.lit(1)).alias("n_survivors"))
+    weighted = per.select(
+        "source",
+        "n_survivors",
+        F.floor(F.sqrt(F.col("n_survivors").cast("double")) * F.lit(1048576))
+        .cast("long")
+        .alias("__w"),
+    )
+    targets = (
+        weighted.crossJoin(
+            F.broadcast(weighted.agg(F.sum("__w").alias("__denom")))
+        )
+        .select(
+            "source",
+            "n_survivors",
+            F.expr("__w * 10000L div __denom").alias("target_rows"),
+        )
+    )
+    mix_hash = stable_hash64(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    )
+    ranked = uniq.withColumn(
+        "__mrk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(mix_hash, F.col("doc_id"))
+        ),
+    )
+    sampled = ranked.join(F.broadcast(targets), "source").filter(
+        F.col("__mrk") <= F.col("target_rows")
+    )
+    return sampled.groupBy("source", "n_survivors", "target_rows").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        dsum("n_chars", 0).alias("sampled_chars"),
+    )
+
+
+ORACLE_CORPUS_PIPELINE2 = """
+WITH wc AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), words AS (
+  SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_dis, MAX(c) AS top
+  FROM wc GROUP BY doc_id
+), gated AS (
+  SELECT doc_id FROM words
+  WHERE (n_tok - n_dis) / CAST(n_tok AS DOUBLE) <= 0.7
+    AND top / CAST(n_tok AS DOUBLE) <= 0.3
+), kept AS (
+  SELECT d.* FROM documents d JOIN gated g ON d.doc_id = g.doc_id
+), uniq AS (
+  SELECT * FROM (
+    SELECT k.*, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+    FROM kept k
+  ) WHERE rk = 1
+), per AS (
+  SELECT source, COUNT(*) AS n_survivors FROM uniq GROUP BY source
+), weighted AS (
+  SELECT source, n_survivors,
+         CAST(FLOOR(SQRT(CAST(n_survivors AS DOUBLE)) * 1048576) AS BIGINT) AS w
+  FROM per
+), targets AS (
+  SELECT source, n_survivors,
+         CAST(w * 10000 // (SELECT SUM(w) FROM weighted) AS BIGINT) AS target_rows
+  FROM weighted
+), ranked AS (
+  SELECT u.source, u.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY u.source
+           ORDER BY CAST(('0x' || substr(md5('mix:' || CAST(u.doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    u.doc_id
+         ) AS mrk
+  FROM uniq u
+)
+SELECT t.source,
+       CAST(t.n_survivors AS BIGINT) AS n_survivors,
+       t.target_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(CAST(r.n_chars AS DECIMAL(38, 0))) AS DOUBLE) AS sampled_chars
+FROM ranked r JOIN targets t ON r.source = t.source
+WHERE r.mrk <= t.target_rows
+GROUP BY t.source, t.n_survivors, t.target_rows
+"""
+
+
 # --- mergeable distinct-token sketch (integer KMV / stochastic minima) -------
 
 _KMV_T = 32
@@ -749,6 +878,7 @@ QUALITY_QUERIES = [
     Query("q_domain_balance_hash", q_domain_balance_hash, ORACLE_DOMAIN_BALANCE_HASH),
     Query("q_text_normalize", q_text_normalize, ORACLE_TEXT_NORMALIZE),
     Query("q_text_repetition", q_text_repetition, ORACLE_TEXT_REPETITION),
+    Query("q_corpus_pipeline2", q_corpus_pipeline2, ORACLE_CORPUS_PIPELINE2),
     Query("q_doc_stats_sketch", q_doc_stats_sketch, ORACLE_DOC_STATS_SKETCH),
     Query("q_ts_gapfill", q_ts_gapfill, ORACLE_TS_GAPFILL),
     Query("q_events_funnel", q_events_funnel, ORACLE_EVENTS_FUNNEL),

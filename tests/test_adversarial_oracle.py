@@ -68,6 +68,7 @@ DOC_QUERIES = [
     "q_multimodal_png",
     "q_text_repetition",
     "q_source_mixing",
+    "q_corpus_pipeline2",
 ]
 
 

@@ -50,6 +50,7 @@ AGG_QUERIES = [
     "q_events_funnel_k",
     "q_dedup_incremental",
     "q_source_mixing",
+    "q_corpus_pipeline2",
 ]
 
 
