@@ -48,6 +48,10 @@ HEADLINE = [
     "q_corpus_pipeline",  # end-to-end refresh: gate -> dedup -> split -> stats
     "q_tpch_q6ish",       # pushdown-dominated scan aggregate
     "q_tpch_q21ish",      # multi-exists as one per-order aggregate
+    # round-4 additions
+    "q_text_repetition",  # explode + two-level agg repetition gate
+    "q_multimodal_png",   # stdlib PNG decode through mapInPandas
+    "q_corpus_pipeline2", # gate -> dedup -> mixing -> ranked take
 ]
 
 
