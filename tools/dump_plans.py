@@ -15,6 +15,33 @@ from arc_kinesis_tagging_spark.plans.registry import QUERIES
 from arc_kinesis_tagging_spark.session import get_session
 
 COMMENTARY = {
+    "q_dedup_incremental": (
+        "The round-4 production shape: the prior-corpus digest table is "
+        "read as a BUCKETED scan (Bucketed: true, zero Exchange on the "
+        "corpus side) through a LEFT SEMI join that receives a runtime "
+        "Bloom filter built from the batch digests; the final anti join "
+        "broadcasts the batch-bounded matched set. At 100 TB the corpus "
+        "never shuffles and its scan is row-group-pruned by the Bloom "
+        "probe before the join."
+    ),
+    "q_text_repetition": (
+        "Repetition gate: explode + two-level aggregate per signal "
+        "family, every shuffle on doc_id with map-side partial "
+        "aggregation; bigrams come from zip_with inside codegen, so no "
+        "Python in the plan."
+    ),
+    "q_corpus_pipeline2": (
+        "Composite refresh: gate -> digest-window dedup -> one-row "
+        "broadcast mixing weights -> per-source hash-ranked take. Every "
+        "window is partitioned (digest, source); the only broadcast is "
+        "metadata-sized; no global sort anywhere."
+    ),
+    "q_source_mixing": (
+        "Temperature mixing compiles to one partial+final count "
+        "aggregate, a single-row broadcast cross join, and map-side "
+        "integer arithmetic - the whole query is one pass over source "
+        "ids."
+    ),
     "q_scan_parquet": (
         "Filter and projection reach the scan (PushedFilters + 3-column "
         "ReadSchema): at 100 TB this is the difference between reading "
