@@ -302,3 +302,89 @@ def test_adversarial_customer_parity(spark, adversarial_customer, name):
     sdf = q.builder(spark, d).toPandas()
     driver_canon_check(sdf)
     assert canon_rows(sdf) == canon_rows(con.execute(q.oracle).df())
+
+
+# --- funnel-semantics adversarial events -------------------------------------
+# Complements the null/malformed-value events corpus above: THIS corpus
+# is built from ORDERING traps — tied timestamps at funnel stage
+# boundaries (strictly-after must exclude the tie), out-of-order
+# arrival, duplicate rows, users missing the entry stage, events
+# exactly on window edges.
+
+from datetime import datetime  # noqa: E402
+
+
+def _fts(s):
+    return datetime.fromisoformat(s)
+
+
+ADVERSARIAL_FUNNEL_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    # user 1: later-stage events with NO entry stage -> funnels exclude
+    (1, _fts("2024-01-01 00:00:00"), 1, "click", 1.0, '{"k": 1}'),
+    (2, _fts("2024-01-01 00:01:00"), 1, "purchase", 2.5, '{"k": 2}'),
+    # user 2: view and click at the SAME timestamp (strictly-after must
+    # exclude the tied click), then a later click and purchase
+    (3, _fts("2024-01-01 00:05:00"), 2, "view", 0.0, '{"k": 3}'),
+    (4, _fts("2024-01-01 00:05:00"), 2, "click", -1.0, '{"k": 4}'),
+    (5, _fts("2024-01-01 00:07:30"), 2, "click", 10.0, '{"k": 5}'),
+    (6, _fts("2024-01-01 00:10:00"), 2, "purchase", 327.53, '{"k": 6}'),
+    # user 3: all five types, arriving out of order in the file
+    (7, _fts("2024-01-01 01:00:00"), 3, "error", 0.5, '{"k": 7}'),
+    (8, _fts("2024-01-01 00:20:00"), 3, "signup", 0.5, '{"k": 8}'),
+    (9, _fts("2024-01-01 00:40:00"), 3, "click", 0.5, '{"k": 9}'),
+    (10, _fts("2024-01-01 00:30:00"), 3, "view", 0.5, '{"k": 10}'),
+    (11, _fts("2024-01-01 00:50:00"), 3, "purchase", 0.5, '{"k": 11}'),
+    # user 4: exact duplicate rows except event_id; window-boundary ts
+    (12, _fts("2024-01-01 00:05:00"), 4, "view", 7.0, '{"k": 12}'),
+    (13, _fts("2024-01-01 00:05:00"), 4, "view", 7.0, '{"k": 12}'),
+    # user 5: a single event exactly at midnight (window lower edge)
+    (14, _fts("2024-01-01 00:00:00"), 5, "signup", 1e6, '{"k": 0}'),
+]
+
+FUNNEL_EVENT_QUERIES = [
+    "q_events_funnel",
+    "q_events_funnel_k",
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_window_session",
+    "q_ts_gapfill",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_funnel_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("adversarial-funnel"))
+    spark.createDataFrame(
+        ADVERSARIAL_FUNNEL_EVENTS,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def adversarial_funnel_duck(adversarial_funnel_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{adversarial_funnel_dir}/events.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", FUNNEL_EVENT_QUERIES)
+def test_adversarial_funnel_oracle_parity(
+    spark, adversarial_funnel_dir, adversarial_funnel_duck, name
+):
+    q = QUERIES[name]
+    sdf = q.builder(spark, adversarial_funnel_dir).toPandas()
+    driver_canon_check(sdf)
+    if q.oracle is None:
+        return
+    odf = adversarial_funnel_duck.execute(q.oracle).df()
+    scols, srows = canon_rows(sdf)
+    ocols, orows = canon_rows(odf)
+    assert scols == ocols
+    assert srows == orows
