@@ -193,6 +193,43 @@ def test_global_window_allowlist(spark):
     )
 
 
+# Queries whose physical plan legitimately contains a
+# BroadcastNestedLoopJoin: every one is a crossJoin against a
+# BOUNDED broadcast side — a 1-row global aggregate (mixing
+# denominators, domain-balance caps, sample fractions, Q11/Q22
+# scalar-subquery thresholds) or nlist^2 cell-pair metadata
+# (threshold-join pruning). A BNLJ against anything data-sized is a
+# scale killer and fails this gate.
+BNLJ_ALLOWLIST = {
+    "q_source_mixing", "q_corpus_pipeline2", "q_dedup_embedding",
+    "q_sample", "q_similarity_topk", "q_minhash_vs_exact",
+    "q_ann_recall", "q_domain_balance", "q_domain_balance_hash",
+    "q_tpch_q11ish", "q_tpch_q22ish",
+}
+
+
+def test_no_cartesian_and_bnlj_allowlist(spark):
+    """Registry-wide scale-killer gate: no query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin may appear only in
+    the bounded-broadcast allowlist above."""
+    offenders = {}
+    for name, q in QUERIES.items():
+        if name in _EAGER_BUILDERS:
+            continue
+        plan = q.builder(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        nodes = [n for n in ("CartesianProduct", "BroadcastNestedLoopJoin")
+                 if n in plan]
+        if "CartesianProduct" in nodes:
+            offenders[name] = nodes
+        elif nodes and name not in BNLJ_ALLOWLIST:
+            offenders[name] = nodes
+    assert not offenders, (
+        f"unbounded join shapes outside the allowlist: {offenders}; "
+        "either bound the broadcast side and extend BNLJ_ALLOWLIST, or "
+        "re-plan the join"
+    )
+
+
 def test_runtime_bloom_filter_injects_on_selective_join(spark):
     """Runtime Bloom-filter pruning (on by default in the session): a
     shuffle join whose build side carries a selective filter must get a
