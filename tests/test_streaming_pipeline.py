@@ -162,3 +162,53 @@ def test_modify_tags_unit():
     assert modify_tags({"taxonomy": {"tags": [TAG]}}, TAG)["taxonomy"]["tags"] == [TAG]
     other = {"slug": "a", "text": "A"}
     assert modify_tags({"taxonomy": {"tags": [other]}}, TAG)["taxonomy"]["tags"] == [other, TAG]
+
+
+def test_two_stream_union_topology(spark, tmp_path):
+    """Stream migration/resharding topology: two independent record
+    streams (e.g. the old and new Kinesis stream during a cutover)
+    union into ONE pipeline and one checkpointed sink. Structured
+    Streaming tracks offsets per source, so each stream's records are
+    delivered exactly once through the shared downstream plan; lineage
+    (shard_origination) still identifies the origin stream."""
+    d1 = str(tmp_path / "stream-a")
+    d2 = str(tmp_path / "stream-b")
+    write_stream_fixture(spark, d1, [(story(f"a-{i}"), 0) for i in range(4)])
+    write_stream_fixture(spark, d2, [(story(f"b-{i}"), 1) for i in range(3)])
+
+    from arc_kinesis_tagging_spark.streaming.source import read_record_stream
+
+    merged = story_pipeline(
+        read_record_stream(spark, d1).unionByName(read_record_stream(spark, d2))
+    )
+    got = []
+
+    def collect_batch(df, _bid):
+        got.extend(df.collect())
+
+    q = (
+        merged.writeStream.foreachBatch(collect_batch)
+        .option("checkpointLocation", str(tmp_path / "ck-union"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["_id"] for r in got)
+    assert ids == sorted([f"a-{i}" for i in range(4)] + [f"b-{i}" for i in range(3)])
+    shards = {r["_id"]: r["shard_origination"] for r in got}
+    assert all(shards[f"a-{i}"] == "shardId-000000000000" for i in range(4))
+    assert all(shards[f"b-{i}"] == "shardId-000000000001" for i in range(3))
+    # restart from the checkpoint with no new data: nothing re-delivered
+    got2 = []
+
+    def collect_batch2(df, _bid):
+        got2.extend(df.collect())
+
+    q2 = (
+        merged.writeStream.foreachBatch(collect_batch2)
+        .option("checkpointLocation", str(tmp_path / "ck-union"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert got2 == []
