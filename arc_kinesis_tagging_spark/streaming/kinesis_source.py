@@ -71,7 +71,15 @@ def write_kinesis_fixture(stream_dir: str, records) -> int:
         table = pa.table(
             {"data": pa.array(payloads, pa.binary()), "seq": pa.array(seqs, pa.int64())}
         )
-        pq.write_table(table, os.path.join(d, f"chunk-{start:020d}.parquet"))
+        # write-then-rename: a concurrently polling reader lists this
+        # directory from another process, and pq.write_table is not
+        # atomic — a half-written footer would crash _shard_end_seq
+        # mid-poll. The dotfile is invisible to the chunk listing
+        # (startswith("chunk-")) and the rename is atomic on POSIX.
+        final = os.path.join(d, f"chunk-{start:020d}.parquet")
+        tmp = os.path.join(d, f".chunk-{start:020d}.parquet.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)
         n += len(payloads)
     return n
 
