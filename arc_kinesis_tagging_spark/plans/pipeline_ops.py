@@ -334,6 +334,43 @@ def q_sketch_hll(spark, sf_dir):
     return per.unionByName(glob)
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    priority sampling: each row draws a deterministic uniform u from
+    the portable hash and gets priority u^(1/w) (equivalently ranked by
+    ln(u)/w, monotone and overflow-free); the global top-k by priority
+    IS a weighted sample without replacement — longer documents
+    (w = n_chars + 1) proportionally likelier, yet any row possible.
+    The standard way to subsample a corpus by quality/length weight in
+    ONE distributed pass: priorities are map-side arithmetic and the
+    top-k is TakeOrderedAndProject (no global sort). u is the same
+    64-bit-derived double in both engines, so ordering agrees; the
+    printed priority is rounded for float-format stability."""
+    d = _t(spark, sf_dir, "documents")
+    u = (_doc_hash("wsample") + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    prio = F.log(u) / (F.col("n_chars") + F.lit(1)).cast("double")
+    return (
+        d.select("doc_id", "n_chars", prio.alias("__p"))
+        .orderBy(F.col("__p").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", "n_chars", F.round("__p", 9).alias("priority9"))
+    )
+
+
+ORACLE_SAMPLE_WEIGHTED = f"""
+WITH pri AS (
+  SELECT doc_id, n_chars,
+         ln(CAST({_duck_doc_hash('wsample')} + 1 AS DOUBLE) / 1152921504606846976.0)
+           / CAST(n_chars + 1 AS DOUBLE) AS p
+  FROM documents
+)
+SELECT doc_id, n_chars, ROUND(p, 9) AS priority9
+FROM pri
+ORDER BY p DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 def q_source_mixing(spark, sf_dir):
     """Temperature-based source mixing — the corpus-assembly step that
     decides how many rows each source contributes to a training mix.
@@ -388,6 +425,7 @@ FROM weighted
 
 PIPELINE_QUERIES = [
     Query("q_source_mixing", q_source_mixing, ORACLE_SOURCE_MIXING),
+    Query("q_sample_weighted", q_sample_weighted, ORACLE_SAMPLE_WEIGHTED),
     Query("q_sample_stratified", q_sample_stratified, ORACLE_SAMPLE_STRATIFIED),
     Query("q_split_assign", q_split_assign, ORACLE_SPLIT_ASSIGN),
     Query("q_shuffle_shard", q_shuffle_shard, ORACLE_SHUFFLE_SHARD),

@@ -112,6 +112,7 @@ _R4_HEAD = [
     "q_text_repetition",      # Gopher-style repetition gate (new)
     "q_source_mixing",        # temperature-weighted corpus mixing (new)
     "q_corpus_pipeline2",     # round-4 composite refresh (new)
+    "q_sample_weighted",      # Efraimidis-Spirakis weighted sampling (new)
     "q_dedup_incremental",    # rewired to the bucketed-digest corpus path
     # -- (b) newest driver row is r01 --
     "q_join_broadcast", "q_join_smj", "q_join_semi", "q_join_anti",
@@ -129,7 +130,6 @@ _R4_HEAD = [
     # -- (c) newest driver row is r02: highest-value plans, exactly
     #    filling the 50-entry window (the rest lead round 5) --
     "q_pipeline_tag_enrich", "q_dedup_exact", "q_contamination",
-    "q_dedup_embedding",
 ]
 
 

@@ -69,6 +69,7 @@ DOC_QUERIES = [
     "q_text_repetition",
     "q_source_mixing",
     "q_corpus_pipeline2",
+    "q_sample_weighted",
 ]
 
 

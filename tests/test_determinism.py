@@ -51,6 +51,7 @@ AGG_QUERIES = [
     "q_dedup_incremental",
     "q_source_mixing",
     "q_corpus_pipeline2",
+    "q_sample_weighted",
 ]
 
 
