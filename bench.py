@@ -52,6 +52,7 @@ HEADLINE = [
     "q_text_repetition",  # explode + two-level agg repetition gate
     "q_multimodal_png",   # stdlib PNG decode through mapInPandas
     "q_corpus_pipeline2", # gate -> dedup -> mixing -> ranked take
+    "q_events_funnel_k",  # 5-stage chained conditional-min funnel
 ]
 
 
