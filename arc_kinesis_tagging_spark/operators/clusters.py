@@ -72,8 +72,8 @@ def connected_components(
     size_row = edges.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
-            F.length(F.col("src").cast("string"))
-            + F.length(F.col("dst").cast("string"))
+            F.octet_length(F.col("src").cast("string"))
+            + F.octet_length(F.col("dst").cast("string"))
         ).alias("key_bytes"),
     ).collect()[0]
     n_edges, key_bytes = size_row["n"], size_row["key_bytes"] or 0

@@ -104,13 +104,14 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                mid_out = None if pd.isna(mid) else int(mid)
                 try:
                     mt, w, h, payload = _decode_fake(bytes(blob))
                     out.append(
-                        (int(mid), mt, w, h, len(payload), hashlib.sha256(payload).hexdigest())
+                        (mid_out, mt, w, h, len(payload), hashlib.sha256(payload).hexdigest())
                     )
                 except Exception:
-                    out.append((int(mid), None, None, None, None, None))
+                    out.append((mid_out, None, None, None, None, None))
             yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
 
     return df.select(id_col, media_col).mapInPandas(decode, DECODED_SCHEMA)
@@ -136,6 +137,7 @@ def resize_media(
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                mid_out = None if pd.isna(mid) else int(mid)
                 try:
                     mt, w, h, payload = _decode_fake(bytes(blob))
                     scale = max(1, -(-max(w, h) // max_dim))  # ceil div
@@ -145,10 +147,10 @@ def resize_media(
                         f"AKTS;t={mt};w={nw};h={nh};n={len(npayload)};".encode()
                     )
                     out.append(
-                        (int(mid), w, h, (nw, nh, len(npayload)), header + npayload)
+                        (mid_out, w, h, (nw, nh, len(npayload)), header + npayload)
                     )
                 except Exception:
-                    out.append((int(mid), None, None, None, None))
+                    out.append((mid_out, None, None, None, None))
             yield pd.DataFrame(
                 out, columns=["media_id", "width", "height", "resized", "media"]
             )
@@ -179,6 +181,7 @@ def frame_sample_media(
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                mid_out = None if pd.isna(mid) else int(mid)
                 try:
                     _mt, _w, _h, payload = _decode_fake(bytes(blob))
                     frames = [
@@ -188,14 +191,14 @@ def frame_sample_media(
                     for fi in range(0, len(frames), every_n):
                         out.append(
                             (
-                                int(mid),
+                                mid_out,
                                 fi,
                                 len(frames),
                                 hashlib.sha256(frames[fi]).hexdigest(),
                             )
                         )
                 except Exception:
-                    out.append((int(mid), None, None, None))
+                    out.append((mid_out, None, None, None))
             yield pd.DataFrame(
                 out, columns=["media_id", "frame_index", "n_frames", "frame_sha"]
             )
@@ -264,6 +267,7 @@ def decode_ppm(
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                mid_out = None if pd.isna(mid) else int(mid)
                 try:
                     b = bytes(blob)
                     m = _PPM_RE.match(b)
@@ -276,11 +280,11 @@ def decode_ppm(
                         .astype(np.float64)
                     )
                     out.append(
-                        (int(mid), w, h,
+                        (mid_out, w, h,
                          px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean())
                     )
                 except Exception:
-                    out.append((int(mid), None, None, None, None, None))
+                    out.append((mid_out, None, None, None, None, None))
             yield pd.DataFrame(
                 out,
                 columns=["media_id", "width", "height", "mean_r", "mean_g", "mean_b"],
@@ -482,15 +486,19 @@ def decode_png(
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                # id computed defensively BEFORE the try: a null/NaN id
+                # inside the except handler would otherwise raise and
+                # fail the whole job, breaking the isolation contract
+                mid_out = None if pd.isna(mid) else int(mid)
                 try:
                     px = decode_png_rgb8_bytes(bytes(blob)).astype("float64")
                     h, w, _ = px.shape
                     out.append(
-                        (int(mid), w, h,
+                        (mid_out, w, h,
                          px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean())
                     )
                 except Exception:
-                    out.append((int(mid), None, None, None, None, None))
+                    out.append((mid_out, None, None, None, None, None))
             yield pd.DataFrame(
                 out,
                 columns=["media_id", "width", "height", "mean_r", "mean_g", "mean_b"],

@@ -253,6 +253,11 @@ def q_similarity_ivf(spark, sf_dir):
     return cosine_topk_ivf(e, q, k=5, nlist=16, nprobe=4)
 
 
+# (session id, absolute sf_dir) pairs whose corpus digest table has
+# already been written this process — see q_dedup_incremental
+_DIGEST_TABLES_WRITTEN: set = set()
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental (cross-batch) exact dedup — the shape every daily
     ingest runs: dedup today's batch against itself (keep the lowest
@@ -282,17 +287,28 @@ def q_dedup_incremental(spark, sf_dir):
     keep = bd.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
     fresh = bd.join(keep, ["digest", "doc_id"], "left_semi")
     # table identifiers admit only [a-z0-9_]; sf_dir basenames include
-    # dots (sf0.01) and test harnesses pass arbitrary tmp dirs
+    # dots (sf0.01) and test harnesses pass arbitrary tmp dirs. The full
+    # path is hashed into the tag so two directories sharing a basename
+    # (/a/sf0.01 vs /b/sf0.01) never overwrite each other's table.
+    import hashlib as _hashlib
     import re as _re
 
-    tag = _re.sub(r"[^a-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")).lower())
+    norm = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = _re.sub(r"[^a-z0-9_]", "_", _os.path.basename(norm).lower())
+    tag += "_" + _hashlib.md5(norm.encode()).hexdigest()[:8]
     table = f"akt_corpus_digests_{tag}"
-    write_bucketed(
-        prior.select(F.md5("text").alias("digest")).distinct(),
-        table,
-        ["digest"],
-        n_buckets=16,
-    )
+    # building this DataFrame materializes the corpus digest table (a
+    # real Spark write job) — memoized per (session, path) so repeated
+    # builds in one session pay the write once
+    key = (id(spark), norm)
+    if key not in _DIGEST_TABLES_WRITTEN:
+        write_bucketed(
+            prior.select(F.md5("text").alias("digest")).distinct(),
+            table,
+            ["digest"],
+            n_buckets=16,
+        )
+        _DIGEST_TABLES_WRITTEN.add(key)
     return fresh_against_corpus(fresh, spark.table(table)).select(
         "doc_id", "lang", "n_chars"
     )

@@ -133,6 +133,27 @@ def bench_stream_pipeline(spark, sf_dir: str, n_records: int = 20000) -> tuple[f
     return dt, n_records / dt
 
 
+def _recover_from_tail(raw: dict) -> dict:
+    """Salvage per-query seconds from a driver artifact whose stdout
+    tail-capture truncated the JSON line (BENCH_r03.json: parsed=null,
+    tail starts mid-queries-map). The `"q_name": 1.23` pairs survive in
+    the tail text; stop at the "compare" block so prior-round delta
+    values are never mistaken for timings."""
+    import re
+
+    tail = raw.get("tail") or ""
+    cut = tail.find('"compare"')
+    if cut >= 0:
+        tail = tail[:cut]
+    out: dict = {}
+    for name, val in re.findall(
+        r'"(q_[A-Za-z0-9_]+|stream_pipeline_20k)":\s*([0-9]+(?:\.[0-9]+)?)',
+        tail,
+    ):
+        out.setdefault(name, float(val))
+    return out
+
+
 def compare_block(queries: dict, baseline_path: str) -> dict:
     """Per-query deltas vs a prior BENCH_r*.json: ratio = now/then.
     Queries >1.5x slower are listed under `regressions` so a real plan
@@ -142,10 +163,12 @@ def compare_block(queries: dict, baseline_path: str) -> dict:
     with open(baseline_path) as fh:
         raw = json.load(fh)
     # driver-recorded BENCH_r*.json wraps our JSON line under "parsed";
-    # either key may exist but hold null, so coalesce defensively
+    # either key may exist but hold null, so coalesce defensively, and
+    # fall back to regex-recovering the tail text (r04 lesson: a
+    # truncated baseline made --compare silently compare ZERO queries)
     base = (raw.get("queries")
             or (raw.get("parsed") or {}).get("queries")
-            or {})
+            or _recover_from_tail(raw))
     deltas, regressions = {}, []
     for name, now in queries.items():
         then = base.get(name)
@@ -260,9 +283,20 @@ def main() -> None:
             out["compare"] = {"baseline": os.path.basename(baseline),
                               "error": str(exc)[:120]}
     print(json.dumps(out))
-    if out.get("compare", {}).get("regressions") and "--compare" in sys.argv:
-        sys.exit(1)
+    # Tear the JVM down BEFORE deciding the exit code: the failure
+    # paths below must not skip cleanup (r04 advice).
     spark.stop()
+    if "--compare" in sys.argv:
+        cmp_out = out.get("compare", {})
+        if cmp_out.get("regressions"):
+            sys.exit(1)
+        # an empty comparison is indistinguishable from "zero
+        # regressions" in the one-line summary — make it loud (r04:
+        # a truncated baseline silently compared nothing)
+        if cmp_out.get("n_compared", 0) == 0:
+            print("bench: --compare matched 0 queries against "
+                  f"{os.path.basename(baseline or '?')}", file=sys.stderr)
+            sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,20 @@ def test_corrupt_payload_isolated(spark):
     assert rows[2]["media_type"] is None
 
 
+def test_null_id_isolated(spark):
+    # a null id alongside a corrupt payload must not fail the job: the
+    # id is computed before the try so the except path never raises
+    from arc_kinesis_tagging_spark.operators.multimodal import decode_png
+
+    df = spark.createDataFrame(
+        [(None, bytearray(b"junk")), (7, None)], "doc_id long, media binary"
+    )
+    rows = decode_media(df, "doc_id", "media").collect()
+    assert len(rows) == 2 and all(r["media_type"] is None for r in rows)
+    png_rows = decode_png(df, "doc_id", "media").collect()
+    assert len(png_rows) == 2 and all(r["width"] is None for r in png_rows)
+
+
 def test_resize_media(spark, sf_dir):
     from arc_kinesis_tagging_spark.operators.multimodal import resize_media
 

@@ -161,6 +161,8 @@ _EAGER_BUILDERS = {
     "q_graph_pagerank", "q_dedup_cluster", "q_dedup_cluster_star",
     "q_similarity_ivf", "q_ann_recall", "q_dedup_embedding",
     "q_dedup_semantic", "q_dedup_embedding_lsh", "q_minhash_vs_exact",
+    # materializes the bucketed corpus-digest table at build time
+    "q_dedup_incremental",
 }
 
 
