@@ -133,6 +133,39 @@ _R4_HEAD = [
 ]
 
 
+# Round-5 driver window: after the r04 rotation, zero r01-vintage rows
+# remain; the stalest greens are the 36 r02-vintage rows below. Order:
+# (a) queries NEW in round 5 (pre-listed; skipped until registered),
+# (b) all 36 r02-vintage rows, (c) 8 highest-value r03 rows — the
+# iterative/sketch pipelines plus q_tpch_q21ish (the one bench entry
+# that drifted in r04) — filling the 50-entry window exactly.
+_R5_HEAD = [
+    # -- (a) new this round --
+    "q_multimodal_jpeg",      # stdlib baseline JPEG decode
+    "q_dedup_lines",          # C4-style cross-document line dedup
+    "q_cohort_retention",     # cohort/retention matrix over events
+    "q_text_entropy",         # character-entropy quality gate
+    "q_window_cume",          # percent_rank / cume_dist / nth_value
+    "q_heavy_hitters",        # exact heavy-hitters via two-level agg
+    # -- (b) newest driver row is r02 --
+    "q_window_analytics", "q_string_distance", "q_array_funcs",
+    "q_regex_funcs", "q_date_funcs2", "q_collect_agg",
+    "q_sample_stratified", "q_split_assign", "q_shuffle_shard",
+    "q_join_salted", "q_agg_salted", "q_lateral_topk",
+    "q_embed_quantize", "q_array_tag_upsert", "q_explode",
+    "q_dedup_ngram_jaccard", "q_dedup_embedding", "q_similarity_topk",
+    "q_text_termfreq", "q_text_quality", "q_text_langid",
+    "q_text_fingerprint", "q_quality_filter", "q_text_tfidf",
+    "q_multimodal_decode", "q_text_chunk", "q_seq_pack", "q_pii_scrub",
+    "q_struct_funcs", "q_url_funcs", "q_csv_parse", "q_tpch_q18ish",
+    "q_window_range_frame", "q_unpivot", "q_hof_funcs", "q_sql_direct",
+    # -- (c) r03 rows worth re-confirming --
+    "q_dedup_minhash", "q_dedup_cluster", "q_similarity_ivf",
+    "q_corpus_pipeline", "q_graph_pagerank", "q_tpch_q21ish",
+    "q_minhash_vs_exact", "q_ann_recall",
+]
+
+
 def _ordered(head: list[str]) -> list[Query]:
     seen = [n for n in head if n in _BY_NAME]
     rest = [q.name for q in _CANONICAL if q.name not in set(seen)]
@@ -151,8 +184,10 @@ elif _ROT == "r2":
     )
 elif _ROT == "r3":
     ALL_QUERIES = _ordered(_R3_HEAD)
-else:
+elif _ROT == "r4":
     ALL_QUERIES = _ordered(_R4_HEAD)
+else:
+    ALL_QUERIES = _ordered(_R5_HEAD)
 
 QUERIES: dict[str, Query] = {q.name: q for q in ALL_QUERIES}
 

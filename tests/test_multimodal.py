@@ -223,3 +223,110 @@ def test_ppm_roundtrip_means_match_analytic_form(spark, sf_dir):
         assert r["mean_r"] == i % 64 + (w - 1) / 2 + (h - 1) / 2
         assert r["mean_g"] == i % 32 + (w - 1)
         assert r["mean_b"] == i % 16 + 1.5 * (h - 1)
+
+
+# --- JPEG (baseline sequential, ITU-T T.81) ---------------------------------
+
+
+def test_jpeg_zigzag_matches_algorithmic_walk():
+    """Guard against a PAIRED encoder/decoder zig-zag bug: the table
+    constant must equal an independently generated diagonal walk (up on
+    even anti-diagonals, down on odd), transcribed from the spec's
+    Figure 5 definition rather than copied from the same constant."""
+    from arc_kinesis_tagging_spark.operators.multimodal import _JPG_ZZ
+
+    order = []
+    for s in range(15):  # anti-diagonal index s = x + y
+        cells = [(x, s - x) for x in range(8) if 0 <= s - x < 8]
+        if s % 2 == 1:
+            cells.reverse()  # odd diagonals walk top-right -> bottom-left
+        order.extend(y * 8 + x for x, y in cells)
+    assert list(_JPG_ZZ) == order
+
+
+def test_jpeg_huffman_tables_are_canonical_prefix_codes():
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        _JPG_AC_BITS,
+        _JPG_AC_VALS,
+        _JPG_DC_BITS,
+        _JPG_DC_VALS,
+        _jpg_canonical_codes,
+    )
+
+    for bits, vals in [(_JPG_DC_BITS, _JPG_DC_VALS), (_JPG_AC_BITS, _JPG_AC_VALS)]:
+        enc = _jpg_canonical_codes(bits, vals)
+        assert len(enc) == len(vals) == sum(bits)
+        # prefix-freeness: no code is a prefix of a longer one
+        codes = sorted((ln, code) for ln, code in enc.values())
+        for i, (ln1, c1) in enumerate(codes):
+            for ln2, c2 in codes[i + 1 :]:
+                assert not (ln2 > ln1 and (c2 >> (ln2 - ln1)) == c1)
+    # spec Annex K.3.1 spot values: DC category 0 -> '00' (len 2),
+    # category 11 -> '111111110' (len 9)
+    dc = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    assert dc[0] == (2, 0b00) and dc[11] == (9, 0b111111110)
+
+
+def test_jpeg_constant_blocks_roundtrip_exact():
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_gray,
+    )
+
+    for i in [0, 7, 123, 4567]:
+        w, h = 8 * (i % 3 + 1), 8 * (i % 2 + 1)
+        base = i % 200
+        px = np.empty((h, w))
+        for k in range((h // 8) * (w // 8)):
+            r, c = divmod(k, w // 8)
+            px[8 * r : 8 * r + 8, 8 * c : 8 * c + 8] = base + k
+        dec = decode_jpeg_bytes(encode_jpeg_gray(px))
+        assert dec.shape == (h, w) and np.array_equal(dec, px), i
+
+
+def test_jpeg_ac_path_and_quant_tables():
+    """Arbitrary images drive the AC run-length/ZRL/EOB machinery:
+    quant=1 must round-trip within the +-1 float-IDCT rounding bound;
+    a coarse quant table must actually coarsen (proving DQT is parsed
+    and applied, not ignored)."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (19, 30)).astype(np.float64)
+    dec = decode_jpeg_bytes(encode_jpeg_gray(px))
+    assert np.abs(dec - px).max() <= 1.0
+    coarse = decode_jpeg_bytes(encode_jpeg_gray(px, np.full(64, 64)))
+    err = np.abs(coarse - px).mean()
+    assert 1.0 < err < 64.0, err
+
+
+def test_jpeg_decode_isolation(spark):
+    """Corrupt payloads, null ids, and honestly-unsupported streams
+    (progressive SOF2) all yield null rows, never a failed job."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_jpeg_media,
+        decode_jpeg,
+    )
+
+    ids = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    good = attach_jpeg_media(ids, "doc_id")
+    rows = {r["media_id"]: r for r in decode_jpeg(good).collect()}
+    for i in range(6):
+        nb = (i % 3 + 1) * (i % 2 + 1)
+        assert rows[i]["width"] == 8 * (i % 3 + 1)
+        assert rows[i]["mean_gray"] == i % 200 + (nb - 1) / 2
+    # progressive marker (SOF2) + garbage + null id
+    bad = spark.createDataFrame(
+        [(100, bytearray(b"\xff\xd8\xff\xc2\x00\x04\x08\x00")),
+         (101, bytearray(b"not-a-jpeg")), (None, None)],
+        "media_id long, media binary",
+    )
+    out = decode_jpeg(bad).collect()
+    assert len(out) == 3 and all(r["width"] is None for r in out)
