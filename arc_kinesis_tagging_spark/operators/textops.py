@@ -40,3 +40,126 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_guess", language_id_expr(F.col(text_col))).withColumn(
         "fingerprint", fingerprint_expr(F.col(text_col))
     )
+
+
+def dedup_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """Cross-document segment-level exact dedup (the C4/RefinedWeb
+    "line dedup" pass, with fixed ``seg_tokens``-token segments standing
+    in for newline-delimited lines on single-line corpora): a segment
+    occurring in several documents is kept only in the lowest-id one,
+    and each document's surviving segments are reassembled in order.
+
+    Plan shape at 100 TB: segmentation is a map-side ``transform`` over
+    ``sequence`` (no explode until the per-segment rows are needed);
+    the only shuffles are the segment-key aggregate (partial map-side
+    combine, carrying ~distinct-segment rows), the join back, and the
+    per-document reassembly — all keyed, none quadratic. Reassembly
+    order is made engine-stable by sorting the collected
+    (seg_idx, seg) structs, never by relying on collect order.
+    """
+    tk = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), tk.alias("tk")
+    ).withColumn("n_segs", F.ceil(F.size("tk") / F.lit(seg_tokens)).cast("long"))
+    seg_arr = F.when(
+        F.col("n_segs") > 0,
+        F.transform(
+            F.sequence(F.lit(0), (F.col("n_segs") - 1).cast("int")),
+            lambda i: F.array_join(
+                F.slice(F.col("tk"), i * seg_tokens + 1, seg_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    segs = base.select(
+        id_col, F.posexplode(seg_arr).alias("seg_idx", "seg")
+    )
+    firsts = segs.groupBy("seg").agg(F.min(id_col).alias("first_doc"))
+    kept = segs.join(firsts, "seg").filter(F.col(id_col) == F.col("first_doc"))
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select(id_col, "n_segs")
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_segs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    phi: float = 0.02,
+) -> DataFrame:
+    """Exact heavy hitters (tokens with frequency > phi * total) via the
+    classic two-pass distributed pattern: Misra-Gries candidate
+    generation per partition, then exact verification of the bounded
+    candidate set.
+
+    Pass 1 runs a k-counter Misra-Gries summary (k = ceil(1/phi)) over
+    each partition's token stream inside one Arrow-batched
+    ``mapInPandas`` — O(k) memory per task, no shuffle of token
+    occurrences. Pigeonhole guarantees the union of per-partition
+    candidates is a superset of every global heavy hitter (a token
+    above phi*n globally must be above phi*n_p in some partition), so
+    pass 2 — an exact count restricted to candidates by a broadcast
+    left-semi join — never misses. The full token aggregate is never
+    materialized; the shuffle carries only candidate tokens.
+    """
+    import math
+
+    import pandas as pd
+
+    k = max(1, math.ceil(1.0 / phi))
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:  # decrement-all step, dropping zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = toks.mapInPandas(mg, "token string").distinct()
+    # total as a broadcast 1-row aggregate, not a driver-side count():
+    # the whole operator stays one declarative plan with no eager jobs
+    total = toks.agg(F.count(F.lit(1)).alias("__total"))
+    exact = (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") > phi * F.col("__total"))
+    )
+    return exact.select(
+        "token",
+        "freq",
+        F.round(F.col("freq") / F.col("__total").cast("double"), 6).alias("frac"),
+    ).orderBy(F.col("freq").desc(), F.col("token"))

@@ -879,7 +879,247 @@ GROUP BY 1, 2
 """
 
 
+
+
+# --- round-5 additions ------------------------------------------------------
+
+def q_text_entropy(spark, sf_dir):
+    """Character-entropy quality gate: Shannon entropy of the per-doc
+    character distribution — the classic gibberish/boilerplate signal
+    (low entropy = repeated filler, high = random noise). Computed as
+    H = log2(n) - (1/n)*sum(c*log2 c) from integer character counts;
+    explode -> two-level hash aggregate, all codegen. Rounded to 3
+    decimals: the sum of c*log2(c) terms is float and the addition
+    order differs between engines, so micro-ulp drift must be far
+    below the rounding granularity (1e-12 vs 5e-4) for the oracle
+    hash to be stable."""
+    d = _t(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(F.col("c") * F.log2("c")).alias("clog"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars_total"),
+        F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
+        F.round(F.log2("n") - F.col("clog") / F.col("n"), 3).alias("char_entropy"),
+    )
+
+
+ORACLE_TEXT_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents
+), counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+), per_doc AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct_chars,
+         SUM(c * log2(c)) AS clog
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_total,
+       CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+       ROUND(log2(n) - clog / n, 3) AS char_entropy
+FROM per_doc
+"""
+
+
+def q_dedup_lines(spark, sf_dir):
+    """C4/RefinedWeb-style cross-document line dedup
+    (operators/textops.py:dedup_segments): fixed 10-token segments
+    stand in for newline-delimited lines on this single-line corpus; a
+    segment appearing in several documents survives only in the
+    lowest-id one, and documents are reassembled from their surviving
+    segments in order. The 100 TB shape: map-side segmentation, one
+    distinct-segment aggregate, a keyed join back, and an ordered
+    struct-sort reassembly — no window over the corpus, nothing
+    quadratic."""
+    from arc_kinesis_tagging_spark.operators.textops import dedup_segments
+
+    return dedup_segments(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", seg_tokens=10
+    )
+
+
+ORACLE_DEDUP_LINES = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), base AS (
+  SELECT doc_id, tk, CAST(ceil(len(tk) / 10.0) AS BIGINT) AS n_segs FROM toks
+), segs AS (
+  SELECT doc_id,
+         UNNEST(range(n_segs)) AS seg_idx,
+         UNNEST(list_transform(range(n_segs),
+                i -> array_to_string(tk[(i*10+1):(i*10+10)], ' '))) AS seg
+  FROM base
+), marked AS (
+  SELECT doc_id, seg_idx, seg,
+         MIN(doc_id) OVER (PARTITION BY seg) AS first_doc
+  FROM segs
+), re AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+  FROM marked WHERE doc_id = first_doc GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_segs,
+       COALESCE(re.n_kept, 0) AS n_kept,
+       COALESCE(re.clean_text, '') AS clean_text
+FROM base b LEFT JOIN re USING (doc_id)
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix over the event stream: users are
+    cohorted by the epoch-week of their first event, and each
+    (cohort_week, week_offset) cell counts distinct active users and
+    events. Weeks are floor(epoch/604800) — pure integer arithmetic,
+    immune to engine week-truncation conventions. Two keyed shuffles
+    (per-user min, then the bounded cohort-cell aggregate); the cohort
+    side joins back on user_id, which AQE broadcast-converts whenever
+    the distinct-user aggregate is small enough."""
+    ev = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; the session TZ is pinned UTC, so the
+    # ntz -> timestamp -> long chain is the exact naive epoch
+    wk = ev.select(
+        "user_id",
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) DIV 604800").alias("week"),
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH wk AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+)
+SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+       COUNT(DISTINCT w.user_id) AS n_users, COUNT(*) AS n_events
+FROM wk w JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters (tokens above 2% of all occurrences)
+    via Misra-Gries candidate generation + exact verification
+    (operators/textops.py:heavy_hitters). The oracle is the plain
+    exact-threshold SQL; hash-matching it proves the sketch pass's
+    candidate superset really did contain every heavy hitter — the
+    2-pass pattern a 100 TB vocabulary scan uses instead of a full
+    token aggregate."""
+    from arc_kinesis_tagging_spark.operators.textops import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "documents"), "text", phi=0.02)
+
+
+ORACLE_HEAVY_HITTERS = """
+WITH toks AS (
+  SELECT UNNEST(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+  FROM documents
+), tot AS (
+  SELECT COUNT(*) AS total FROM toks
+)
+SELECT token, COUNT(*) AS freq,
+       ROUND(COUNT(*) / (SELECT CAST(total AS DOUBLE) FROM tot), 6) AS frac
+FROM toks GROUP BY token
+HAVING COUNT(*) > 0.02 * (SELECT total FROM tot)
+"""
+
+
+
+
+def q_session_stats(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity cut) with
+    per-session stats — the lag/cumulative-flag formulation every event
+    warehouse runs, complementing q_window_session's declarative
+    ``session_window``: a new session starts where the gap to the
+    previous event exceeds 1800 s, session ids are the running count of
+    starts, and each (user, session) aggregates its span and value.
+    Both windows partition by user_id and order by the unique
+    (ts, event_id), so session boundaries are engine-identical; value
+    sums go through the exact-decimal rule. One shuffle: the session
+    aggregate reuses the user_id partitioning the windows installed."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT)").alias("epoch"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("epoch").over(w).isNull()
+            | (F.col("epoch") - F.lag("epoch").over(w) > 1800),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    flagged = flagged.withColumn("sess_id", F.col("sess_id").cast("long"))
+    return flagged.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("epoch").alias("sess_start"),
+        (F.max("epoch") - F.min("epoch")).alias("duration_s"),
+        F.sum(dec("value", 6)).cast("double").alias("sum_value"),
+    )
+
+
+ORACLE_SESSION_STATS = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch, value
+  FROM events
+), flagged AS (
+  SELECT *,
+         CASE WHEN lag(epoch) OVER w IS NULL
+                   OR epoch - lag(epoch) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch, event_id)
+), sess AS (
+  SELECT *,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY epoch, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+  FROM flagged
+)
+SELECT user_id, sess_id, COUNT(*) AS n_events,
+       MIN(epoch) AS sess_start,
+       MAX(epoch) - MIN(epoch) AS duration_s,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sess_id
+"""
+
+
 QUALITY_QUERIES = [
+    Query("q_session_stats", q_session_stats, ORACLE_SESSION_STATS),
+    Query("q_text_entropy", q_text_entropy, ORACLE_TEXT_ENTROPY),
+    Query("q_dedup_lines", q_dedup_lines, ORACLE_DEDUP_LINES),
+    Query("q_cohort_retention", q_cohort_retention, ORACLE_COHORT_RETENTION),
+    Query("q_heavy_hitters", q_heavy_hitters, ORACLE_HEAVY_HITTERS),
     Query("q_profile_columns", q_profile_columns, ORACLE_PROFILE_COLUMNS),
     Query("q_token_histogram", q_token_histogram, ORACLE_TOKEN_HISTOGRAM),
     Query("q_domain_balance", q_domain_balance, ORACLE_DOMAIN_BALANCE),

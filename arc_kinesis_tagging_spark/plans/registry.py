@@ -145,7 +145,7 @@ _R5_HEAD = [
     "q_dedup_lines",          # C4-style cross-document line dedup
     "q_cohort_retention",     # cohort/retention matrix over events
     "q_text_entropy",         # character-entropy quality gate
-    "q_window_cume",          # percent_rank / cume_dist / nth_value
+    "q_session_stats",        # 30-min-gap sessionization + per-session stats
     "q_heavy_hitters",        # exact heavy-hitters via two-level agg
     # -- (b) newest driver row is r02 --
     "q_window_analytics", "q_string_distance", "q_array_funcs",

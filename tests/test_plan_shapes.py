@@ -207,6 +207,8 @@ BNLJ_ALLOWLIST = {
     "q_sample", "q_similarity_topk", "q_minhash_vs_exact",
     "q_ann_recall", "q_domain_balance", "q_domain_balance_hash",
     "q_tpch_q11ish", "q_tpch_q22ish",
+    # 1-row total-token-count broadcast onto the candidate aggregate
+    "q_heavy_hitters",
 }
 
 

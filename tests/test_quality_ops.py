@@ -294,3 +294,88 @@ def test_funnel_k_query_schema(spark, sf_dir):
                     assert t > prev
                 prev = t
         assert r["stage_reached"] == sum(1 for t in ts if t is not None)
+
+
+# --- round-5 operators ------------------------------------------------------
+
+
+def test_dedup_lines_properties(spark):
+    """Semantic invariants the oracle can't state: every surviving
+    segment is globally unique-or-first, reassembly preserves order,
+    and a document sharing no segments is untouched."""
+    from arc_kinesis_tagging_spark.operators.textops import dedup_segments
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(25))),          # 3 segments
+            (2, " ".join(f"w{i}" for i in range(10)) + " " +    # seg 0 dups doc 1
+                " ".join(f"x{i}" for i in range(10))),
+            (3, " ".join(f"y{i}" for i in range(7))),           # unique short doc
+            (4, ""),                                             # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_segments(docs, seg_tokens=10).collect()}
+    assert rows[1]["n_segs"] == 3 and rows[1]["n_kept"] == 3
+    assert rows[1]["clean_text"] == " ".join(f"w{i}" for i in range(25))
+    # doc 2 loses its first segment (kept in doc 1) but keeps the x-seg
+    assert rows[2]["n_segs"] == 2 and rows[2]["n_kept"] == 1
+    assert rows[2]["clean_text"] == " ".join(f"x{i}" for i in range(10))
+    assert rows[3]["n_kept"] == 1 and rows[3]["clean_text"].startswith("y0")
+    assert rows[4]["n_segs"] == 0 and rows[4]["clean_text"] == ""
+
+
+def test_dedup_lines_partitioning_independent(spark, sf_dir):
+    from arc_kinesis_tagging_spark.operators.textops import dedup_segments
+    from arc_kinesis_tagging_spark.sources.tables import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    a = dedup_segments(d).orderBy("doc_id").collect()
+    b = dedup_segments(d.repartition(13)).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_heavy_hitters_matches_exact_under_adversarial_partitioning(spark):
+    """The Misra-Gries candidate pass must be a superset of the true
+    heavy hitters regardless of how rows are partitioned — including a
+    skewed layout where one partition holds most of a token's mass."""
+    from arc_kinesis_tagging_spark.operators.textops import heavy_hitters
+
+    rows = []
+    # 'hot' = 30% of tokens, 'warm' = 5%, the rest a long uniform tail
+    for i in range(200):
+        rows.append((i, "hot hot hot warm " + " ".join(f"t{i}_{j}" for j in range(6))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for layout in (docs, docs.repartition(1), docs.repartition(32, "doc_id")):
+        got = {r["token"]: r["freq"] for r in heavy_hitters(layout, phi=0.04).collect()}
+        assert got == {"hot": 600, "warm": 200}, got
+
+
+def test_session_stats_boundaries(spark):
+    """Hand-built stream: two users, one with a gap exactly at 1800s
+    (NOT a new session — the cut is strictly greater) and one crossing
+    it."""
+    from arc_kinesis_tagging_spark.plans.quality_ops import q_session_stats
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sess-")
+    base = 1_700_000_000
+    ev = spark.createDataFrame(
+        [
+            (1, base + 0, 10, "click", 1.0, "{}"),
+            (2, base + 1800, 10, "click", 2.0, "{}"),   # gap == 1800: same session
+            (3, base + 3601, 10, "click", 3.0, "{}"),   # gap 1801: new session
+            (4, base + 0, 20, "view", 5.0, "{}"),
+        ],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts")).cast("timestamp_ntz"))
+    ev.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    got = {
+        (r["user_id"], r["sess_id"]): r
+        for r in q_session_stats(spark, tmp).collect()
+    }
+    assert set(got) == {(10, 1), (10, 2), (20, 1)}
+    assert got[(10, 1)]["n_events"] == 2 and got[(10, 1)]["duration_s"] == 1800
+    assert got[(10, 2)]["n_events"] == 1 and got[(10, 2)]["sum_value"] == 3.0
+    assert got[(20, 1)]["n_events"] == 1
