@@ -614,3 +614,78 @@ def srp_lsh_pairs(
         [f"id_a {id_type}", f"id_b {id_type}"],
     )
     return scored.filter(F.col("cos_sim") >= threshold)
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    quant: int = 10_000,
+) -> DataFrame:
+    """Exact covariance matrix of an embedding column — the one-pass
+    Gram-matrix aggregate behind PCA whitening, drift monitoring, and
+    dimension pruning on a 100 TB embedding store.
+
+    Each partition computes an integer Gram block with one numpy
+    matmul (Q^T Q over elements quantized to floor(v*quant) — exact
+    int64, no float drift), plus per-dimension sums and a count; the
+    shuffle then carries ONE d x d block per partition, never rows.
+    The final covariance (n*Sij - Si*Sj) / (n^2 * quant^2) is a single
+    deterministic double division of exact integers, so the result is
+    bit-identical across engines, run orders, and partitionings.
+
+    For d in the thousands the d^2-per-partition block still beats any
+    row-explode formulation (which would shuffle d^2 rows per VECTOR);
+    the quantization trades ~1/quant absolute precision for exactness,
+    the same trick q_vector_centroid uses.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gram(batches):
+        g = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * quant
+            ).astype(np.int64)
+            if g is None:
+                d = q.shape[1]
+                g = np.zeros((d, d), np.int64)
+                s = np.zeros(d, np.int64)
+            g += q.T @ q
+            s += q.sum(axis=0)
+            n += q.shape[0]
+        if g is None:
+            return
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": iu + 1,
+                "j": ju + 1,
+                "sij": g[iu, ju],
+                "si": s[iu],
+                "sj": s[ju],
+                "n": np.full(len(iu), n, np.int64),
+            }
+        )
+
+    partials = df.select(vec_col).mapInPandas(
+        gram, "i int, j int, sij long, si long, sj long, n long"
+    )
+    agg = partials.groupBy("i", "j").agg(
+        F.sum("sij").alias("sij"),
+        F.sum("si").alias("si"),
+        F.sum("sj").alias("sj"),
+        F.sum("n").alias("n"),
+    )
+    denom = F.col("n").cast("double") * F.col("n") * float(quant) * quant
+    return agg.select(
+        "i",
+        "j",
+        ((F.col("n") * F.col("sij") - F.col("si") * F.col("sj")).cast("double")
+         / denom).alias("cov"),
+    )

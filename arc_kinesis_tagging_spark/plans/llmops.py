@@ -821,6 +821,42 @@ FROM documents
 """
 
 
+def q_embed_covariance(spark, sf_dir):
+    """Exact embedding covariance matrix (upper triangle) via
+    per-partition integer Gram blocks
+    (operators/similarity.py:embedding_covariance): one numpy matmul
+    per partition over quantized int64 elements, a shuffle of one
+    d x d block per partition (never rows), and a final double
+    division of exact integers — bit-identical across engines and
+    partitionings. The aggregate behind PCA/whitening/drift checks at
+    corpus scale."""
+    from arc_kinesis_tagging_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    return embedding_covariance(_t(spark, sf_dir, "embeddings"), "embedding")
+
+
+ORACLE_EMBED_COVARIANCE = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv
+  FROM embeddings
+), pairs AS (
+  SELECT a.pos AS i, b.pos AS j, a.qv AS qa, b.qv AS qb
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+), stats AS (
+  SELECT i, j, COUNT(*) AS n, SUM(qa * qb) AS sij,
+         SUM(qa) AS si, SUM(qb) AS sj
+  FROM pairs GROUP BY i, j
+)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       CAST(CAST(n * sij - si * sj AS BIGINT) AS DOUBLE)
+         / (CAST(n AS DOUBLE) * n * 10000.0 * 10000.0) AS cov
+FROM stats
+"""
+
+
 # --- flagship pipeline ------------------------------------------------------
 
 def q_multimodal_pipeline(spark, sf_dir):
@@ -1109,6 +1145,7 @@ LLMOPS_QUERIES = [
     Query("q_multimodal_ppm", q_multimodal_ppm, ORACLE_MULTIMODAL_PPM),
     Query("q_multimodal_png", q_multimodal_png, ORACLE_MULTIMODAL_PNG),
     Query("q_multimodal_jpeg", q_multimodal_jpeg, ORACLE_MULTIMODAL_JPEG),
+    Query("q_embed_covariance", q_embed_covariance, ORACLE_EMBED_COVARIANCE),
     Query("q_multimodal_pipeline", q_multimodal_pipeline, None,
           "decode->resize->frame-sample chain; fake codec -> rows-only"),
     Query("q_pipeline_tag_enrich", q_pipeline_tag_enrich, ORACLE_PIPELINE),

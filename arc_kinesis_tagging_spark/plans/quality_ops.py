@@ -979,10 +979,11 @@ def q_cohort_retention(spark, sf_dir):
     cohorted by the epoch-week of their first event, and each
     (cohort_week, week_offset) cell counts distinct active users and
     events. Weeks are floor(epoch/604800) — pure integer arithmetic,
-    immune to engine week-truncation conventions. Two keyed shuffles
-    (per-user min, then the bounded cohort-cell aggregate); the cohort
-    side joins back on user_id, which AQE broadcast-converts whenever
-    the distinct-user aggregate is small enough."""
+    immune to engine week-truncation conventions. Exactly two keyed
+    shuffles at any scale: the cohort week is a MIN window over the
+    user_id partition (no self-join back, no second pass over the
+    events), then the bounded cohort-cell aggregate. Per-user windows
+    are bounded by per-user event counts, so no straggler partition."""
     ev = _t(spark, sf_dir, "events")
     # ts is TIMESTAMP_NTZ; the session TZ is pinned UTC, so the
     # ntz -> timestamp -> long chain is the exact naive epoch
@@ -990,9 +991,9 @@ def q_cohort_retention(spark, sf_dir):
         "user_id",
         F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) DIV 604800").alias("week"),
     )
-    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    w = Window.partitionBy("user_id")
     return (
-        wk.join(cohort, "user_id")
+        wk.withColumn("cohort_week", F.min("week").over(w))
         .groupBy(
             "cohort_week",
             (F.col("week") - F.col("cohort_week")).alias("week_offset"),
@@ -1114,7 +1115,87 @@ FROM sess GROUP BY user_id, sess_id
 """
 
 
+
+
+def q_text_perplexity(spark, sf_dir):
+    """CCNet-style LM quality score, self-trained: a character-bigram
+    model with add-one smoothing is estimated from the corpus itself
+    (bigram counts, unigram-context counts, vocabulary size), then
+    every document is scored with its mean negative log2 probability —
+    bits per character, the perplexity proxy used to rank web text
+    against a reference corpus. Model tables are vocabulary-sized, so
+    they ride broadcast joins; the only data-sized shuffle is the
+    per-document score aggregate. Bigrams are built map-side
+    (transform over sequence — no join on position). Rounded to 3
+    decimals: per-document log sums are float, and cross-engine
+    addition-order drift (~1e-12) must sit far below the rounding
+    granularity."""
+    d = _t(spark, sf_dir, "documents")
+    cs = F.split(F.col("text"), "")
+    bigrams = F.when(
+        F.size(cs) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(cs) - 1),
+            lambda i: F.struct(
+                F.element_at(cs, i).alias("ca"),
+                F.element_at(cs, i + 1).alias("cb"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<ca:string,cb:string>>"))
+    bg = d.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", F.col("b.ca").alias("ca"), F.col("b.cb").alias("cb")
+    )
+    cab = bg.groupBy("ca", "cb").agg(F.count(F.lit(1)).alias("nab"))
+    ca = bg.groupBy("ca").agg(F.count(F.lit(1)).alias("na"))
+    vocab = d.select(
+        F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).agg(F.countDistinct("ch").alias("vsize"))
+    scored = (
+        bg.join(F.broadcast(cab), ["ca", "cb"])
+        .join(F.broadcast(ca), "ca")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "bits",
+            -F.log2(
+                (F.col("nab") + F.lit(1.0))
+                / (F.col("na") + F.col("vsize")).cast("double")
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("bits") / F.count(F.lit(1)), 3).alias("bits_per_char"),
+    )
+
+
+ORACLE_TEXT_PERPLEXITY = """
+WITH ch AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ''), 1) AS pos,
+         UNNEST(string_split(text, '')) AS c
+  FROM documents
+), bg AS (
+  SELECT a.doc_id, a.c AS ca, b.c AS cb
+  FROM ch a JOIN ch b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), cab AS (
+  SELECT ca, cb, COUNT(*) AS nab FROM bg GROUP BY ca, cb
+), cactx AS (
+  SELECT ca, COUNT(*) AS na FROM bg GROUP BY ca
+), v AS (
+  SELECT COUNT(DISTINCT c) AS vsize FROM ch
+)
+SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(SUM(-log2((cab.nab + 1.0) / (cactx.na + v.vsize))) / COUNT(*),
+             3) AS bits_per_char
+FROM bg
+JOIN cab USING (ca, cb)
+JOIN cactx USING (ca)
+CROSS JOIN v
+GROUP BY bg.doc_id
+"""
+
+
 QUALITY_QUERIES = [
+    Query("q_text_perplexity", q_text_perplexity, ORACLE_TEXT_PERPLEXITY),
     Query("q_session_stats", q_session_stats, ORACLE_SESSION_STATS),
     Query("q_text_entropy", q_text_entropy, ORACLE_TEXT_ENTROPY),
     Query("q_dedup_lines", q_dedup_lines, ORACLE_DEDUP_LINES),

@@ -146,7 +146,9 @@ _R5_HEAD = [
     "q_cohort_retention",     # cohort/retention matrix over events
     "q_text_entropy",         # character-entropy quality gate
     "q_session_stats",        # 30-min-gap sessionization + per-session stats
-    "q_heavy_hitters",        # exact heavy-hitters via two-level agg
+    "q_heavy_hitters",        # Misra-Gries candidates + exact verify
+    "q_text_perplexity",      # self-trained char-bigram LM quality score
+    "q_embed_covariance",     # integer-Gram covariance matrix
     # -- (b) newest driver row is r02 --
     "q_window_analytics", "q_string_distance", "q_array_funcs",
     "q_regex_funcs", "q_date_funcs2", "q_collect_agg",
@@ -159,10 +161,10 @@ _R5_HEAD = [
     "q_multimodal_decode", "q_text_chunk", "q_seq_pack", "q_pii_scrub",
     "q_struct_funcs", "q_url_funcs", "q_csv_parse", "q_tpch_q18ish",
     "q_window_range_frame", "q_unpivot", "q_hof_funcs", "q_sql_direct",
-    # -- (c) r03 rows worth re-confirming --
+    # -- (c) r03 rows worth re-confirming (trimmed to keep the head at
+    #    exactly 50 once the 8 new queries registered) --
     "q_dedup_minhash", "q_dedup_cluster", "q_similarity_ivf",
     "q_corpus_pipeline", "q_graph_pagerank", "q_tpch_q21ish",
-    "q_minhash_vs_exact", "q_ann_recall",
 ]
 
 

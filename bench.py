@@ -53,6 +53,10 @@ HEADLINE = [
     "q_multimodal_png",   # stdlib PNG decode through mapInPandas
     "q_corpus_pipeline2", # gate -> dedup -> mixing -> ranked take
     "q_events_funnel_k",  # 5-stage chained conditional-min funnel
+    # round-5 additions
+    "q_dedup_lines",      # cross-document segment dedup + reassembly
+    "q_heavy_hitters",    # Misra-Gries candidates + exact verify
+    "q_multimodal_jpeg",  # stdlib baseline JPEG decode
 ]
 
 

@@ -379,3 +379,56 @@ def test_session_stats_boundaries(spark):
     assert got[(10, 1)]["n_events"] == 2 and got[(10, 1)]["duration_s"] == 1800
     assert got[(10, 2)]["n_events"] == 1 and got[(10, 2)]["sum_value"] == 3.0
     assert got[(20, 1)]["n_events"] == 1
+
+
+def test_embedding_covariance_matches_numpy(spark, sf_dir):
+    """The distributed integer-Gram covariance must match a dense numpy
+    covariance of the SAME quantized values exactly, and be invariant
+    under repartitioning (the partial-Gram merge is exact integer
+    arithmetic)."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.similarity import (
+        embedding_covariance,
+    )
+    from arc_kinesis_tagging_spark.sources.tables import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    got = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(e).collect()}
+    x = np.stack([r["embedding"] for r in e.select("embedding").collect()])
+    q = np.floor(x.astype(np.float64) * 10_000).astype(np.int64)
+    n, d = q.shape
+    g = q.T @ q
+    s = q.sum(axis=0)
+    for (i, j), cov in got.items():
+        expect = (n * g[i - 1, j - 1] - s[i - 1] * s[j - 1]) / (
+            float(n) * n * 10_000.0 * 10_000.0
+        )
+        assert cov == expect, (i, j)
+    assert len(got) == d * (d + 1) // 2
+    got2 = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(e.repartition(17)).collect()
+    }
+    assert got == got2
+
+
+def test_text_perplexity_orders_gibberish_last(spark):
+    """Semantic sanity the oracle can't state: documents made of
+    corpus-typical bigrams must score fewer bits/char than a document
+    of bigrams the corpus has never seen."""
+    import os
+    import tempfile
+
+    from arc_kinesis_tagging_spark.plans.quality_ops import q_text_perplexity
+
+    tmp = tempfile.mkdtemp(prefix="perp-")
+    common = "the quick brown fox jumps over the lazy dog and runs on"
+    docs = spark.createDataFrame(
+        [(i, common, "en", "web", len(common)) for i in range(20)]
+        + [(99, "zq xv qj wz vx jq zx qv", "xx", "web", 23)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    rows = {r["doc_id"]: r["bits_per_char"] for r in q_text_perplexity(spark, tmp).collect()}
+    assert rows[99] > rows[0] + 1.0, rows

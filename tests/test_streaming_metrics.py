@@ -107,7 +107,17 @@ def test_reference_admission_profile_parity(spark, tmp_path):
         .start()
     )
     try:
-        time.sleep(2)  # establish the empty base (history is uncapped)
+        # Establish the empty base BEFORE the backlog lands (history is
+        # uncapped): wait for an actually-completed micro-batch, not a
+        # wall-clock sleep — under heavy machine load a fixed 2 s can
+        # elapse before the source snapshots its initial offsets, and
+        # the backlog would then be admitted uncapped as "history".
+        base_deadline = time.time() + 60
+        while time.time() < base_deadline:
+            lp = q.lastProgress
+            if lp is not None and lp["batchId"] >= 1:
+                break
+            time.sleep(0.25)
         write_kinesis_fixture(
             sd,
             [(b"x%d" % i, s) for s in (0, 1) for i in range(n_per_shard)],

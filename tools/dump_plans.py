@@ -15,6 +15,38 @@ from arc_kinesis_tagging_spark.plans.registry import QUERIES
 from arc_kinesis_tagging_spark.session import get_session
 
 COMMENTARY = {
+    "q_dedup_lines": (
+        "Cross-document segment dedup: segmentation is a map-side "
+        "transform-over-sequence (no explode until per-segment rows are "
+        "needed); the shuffles are the distinct-segment aggregate (with "
+        "map-side partial combine), the keyed join back, and the "
+        "per-document struct-sort reassembly. No global window, nothing "
+        "quadratic — the segment aggregate carries ~distinct-segment "
+        "rows, not corpus rows."
+    ),
+    "q_heavy_hitters": (
+        "Two-pass heavy hitters: per-partition Misra-Gries summaries in "
+        "one Arrow-batched mapInPandas (O(k) memory, no shuffle of token "
+        "occurrences), candidate union distinct, then exact counting "
+        "restricted by a broadcast LEFT SEMI and a 1-row broadcast total. "
+        "The full token aggregate never materializes; at 100 TB the "
+        "shuffle carries only candidate tokens."
+    ),
+    "q_session_stats": (
+        "Gap sessionization: both windows and the session aggregate hang "
+        "off the same user_id hashpartitioning — ONE Exchange total. "
+        "Window partitions are bounded by per-user event counts."
+    ),
+    "q_cohort_retention": (
+        "Cohort matrix: the cohort week is a MIN window over the user_id "
+        "partition (re-planned from a join form that cost 4 Exchanges); "
+        "exactly two keyed shuffles at any scale."
+    ),
+    "q_multimodal_jpeg": (
+        "Baseline JPEG decode: pure map-side mapInPandas, parallel "
+        "across Arrow batches of images, no shuffle at all; per-record "
+        "isolation keeps one corrupt payload from failing a task."
+    ),
     "q_dedup_incremental": (
         "The round-4 production shape: the prior-corpus digest table is "
         "read as a BUCKETED scan (Bucketed: true, zero Exchange on the "
