@@ -689,3 +689,108 @@ def embedding_covariance(
         ((F.col("n") * F.col("sij") - F.col("si") * F.col("sj")).cast("double")
          / denom).alias("cov"),
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    max_iters: int = 10,
+    quant: int = 1_000_000,
+):
+    """Distributed Lloyd's k-means — the real centroid trainer behind
+    IVF cells (``build_ivf_index`` uses a deterministic id sample; this
+    is the production-quality upgrade the module docstring promised).
+
+    Per iteration: (1) assignment is one numpy matmul per Arrow batch
+    against the broadcast centroid matrix (argmin squared Euclidean;
+    ties break to the lowest cell id via stable argsort) — map-side,
+    zero shuffle; (2) the update emits ONE (k x d) integer partial-sum
+    block per partition (elements quantized to floor(v*quant), exact
+    int64 — the q_vector_centroid trick), merged on the driver. Driver
+    traffic is k*P*d ints per iteration — bounded by partition count,
+    never by rows. Centroid means are exact-integer divisions, so the
+    whole trajectory is bit-deterministic across engines, reruns, and
+    partitionings. Stops early when no quantized centroid moves.
+
+    Init is deterministic: the k lowest-id vectors. Returns
+    (assignments DataFrame with cell_id, centroid numpy matrix,
+    n_iters_run). Empty cells keep their previous centroid.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    init_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    C = np.array([r[vec_col] for r in init_rows], dtype=np.float64)
+    d = C.shape[1]
+    base = df.select(id_col, vec_col)
+
+    def make_update(bc):
+        def update(batches):
+            C_ = bc.value
+            sums = np.zeros((len(C_), d), np.int64)
+            counts = np.zeros(len(C_), np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                # squared Euclidean argmin via the expanded form; the
+                # stable argsort tie-break matches _assign_cells
+                d2 = (V * V).sum(1, keepdims=True) - 2 * V @ C_.T + (
+                    C_ * C_
+                ).sum(1)
+                cell = np.argsort(d2, axis=1, kind="stable")[:, 0]
+                Q = np.floor(V * quant).astype(np.int64)
+                np.add.at(sums, cell, Q)
+                np.add.at(counts, cell, 1)
+            rows = [
+                (int(c), sums[c].tolist(), int(counts[c]))
+                for c in range(len(C_))
+                if counts[c] > 0
+            ]
+            yield pd.DataFrame(rows, columns=["cell_id", "qsums", "n"])
+
+        return update
+
+    iters_run = 0
+    for _ in range(max_iters):
+        bc = spark.sparkContext.broadcast(C)
+        partials = base.mapInPandas(
+            make_update(bc), "cell_id int, qsums array<long>, n long"
+        ).collect()
+        iters_run += 1
+        sums = np.zeros((k, d), np.int64)
+        counts = np.zeros(k, np.int64)
+        for r in partials:
+            sums[r["cell_id"]] += np.array(r["qsums"], np.int64)
+            counts[r["cell_id"]] += r["n"]
+        newC = C.copy()
+        nz = counts > 0
+        newC[nz] = sums[nz] / counts[nz, None] / float(quant)
+        if np.array_equal(
+            np.floor(newC * quant).astype(np.int64),
+            np.floor(C * quant).astype(np.int64),
+        ):
+            C = newC
+            break
+        C = newC
+
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        C_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = (V * V).sum(1, keepdims=True) - 2 * V @ C_.T + (C_ * C_).sum(1)
+            cell = np.argsort(d2, axis=1, kind="stable")[:, 0]
+            yield pd.DataFrame({id_col: pdf[id_col], "cell_id": cell})
+
+    id_type = dict(df.dtypes)[id_col]
+    assignments = base.mapInPandas(assign, f"{id_col} {id_type}, cell_id int")
+    return assignments, C, iters_run

@@ -857,6 +857,31 @@ FROM stats
 """
 
 
+def q_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embeddings table
+    (operators/similarity.py:kmeans_lloyd): deterministic lowest-id
+    init, map-side matmul assignment, integer-quantized partial-sum
+    updates merged on the driver (k*P*d ints per iteration — bounded by
+    partition count, never rows). Iterative -> rows-only at the driver;
+    bit-exact numpy parity is asserted in tests/test_scale_ops.py.
+    Output: per-cell sizes plus the first four centroid coordinates."""
+    from arc_kinesis_tagging_spark.operators.similarity import kmeans_lloyd
+
+    e = _t(spark, sf_dir, "embeddings")
+    assignments, C, _iters = kmeans_lloyd(e, k=8, max_iters=10)
+    sizes = assignments.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_vecs"))
+    cent = [
+        (int(c), float(C[c, 0]), float(C[c, 1]), float(C[c, 2]), float(C[c, 3]))
+        for c in range(C.shape[0])
+    ]
+    cdf = spark.createDataFrame(cent, "cell_id int, c0 double, c1 double, c2 double, c3 double")
+    return sizes.join(cdf, "cell_id").select(
+        "cell_id", "n_vecs",
+        F.round("c0", 6).alias("c0"), F.round("c1", 6).alias("c1"),
+        F.round("c2", 6).alias("c2"), F.round("c3", 6).alias("c3"),
+    )
+
+
 # --- flagship pipeline ------------------------------------------------------
 
 def q_multimodal_pipeline(spark, sf_dir):
@@ -1146,6 +1171,9 @@ LLMOPS_QUERIES = [
     Query("q_multimodal_png", q_multimodal_png, ORACLE_MULTIMODAL_PNG),
     Query("q_multimodal_jpeg", q_multimodal_jpeg, ORACLE_MULTIMODAL_JPEG),
     Query("q_embed_covariance", q_embed_covariance, ORACLE_EMBED_COVARIANCE),
+    Query("q_kmeans", q_kmeans, None,
+          "iterative Lloyd refinement is not SQL-expressible -> rows-only; "
+          "bit-exact numpy parity in tests/test_scale_ops.py"),
     Query("q_multimodal_pipeline", q_multimodal_pipeline, None,
           "decode->resize->frame-sample chain; fake codec -> rows-only"),
     Query("q_pipeline_tag_enrich", q_pipeline_tag_enrich, ORACLE_PIPELINE),

@@ -163,6 +163,8 @@ _EAGER_BUILDERS = {
     "q_dedup_semantic", "q_dedup_embedding_lsh", "q_minhash_vs_exact",
     # materializes the bucketed corpus-digest table at build time
     "q_dedup_incremental",
+    # iterative Lloyd loop runs jobs at build time
+    "q_kmeans",
 }
 
 

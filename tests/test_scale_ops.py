@@ -224,3 +224,50 @@ def test_ivf_realistic_nlist_scale(spark):
         assert n_pairs > 0
     finally:
         corpus.unpersist()
+
+
+def test_kmeans_lloyd_numpy_parity_and_partition_invariance(spark, sf_dir):
+    """The distributed Lloyd loop must track a single-machine numpy
+    model BIT-EXACTLY (same init, same quantized-integer updates, same
+    stable tie-breaks), and be invariant under repartitioning — the
+    property the integer partial-sum merge exists to provide."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.similarity import kmeans_lloyd
+    from arc_kinesis_tagging_spark.sources.tables import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    k, iters, quant = 8, 4, 1_000_000
+    rows = e.select("vec_id", "embedding").orderBy("vec_id").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+
+    # reference numpy Lloyd with the identical arithmetic
+    C = X[:k].copy()
+    for _ in range(iters):
+        d2 = (X * X).sum(1, keepdims=True) - 2 * X @ C.T + (C * C).sum(1)
+        cell = np.argsort(d2, axis=1, kind="stable")[:, 0]
+        Q = np.floor(X * quant).astype(np.int64)
+        newC = C.copy()
+        for c in range(k):
+            m = cell == c
+            if m.any():
+                newC[c] = Q[m].sum(0) / m.sum() / quant
+        if np.array_equal(
+            np.floor(newC * quant).astype(np.int64),
+            np.floor(C * quant).astype(np.int64),
+        ):
+            C = newC
+            break
+        C = newC
+    d2 = (X * X).sum(1, keepdims=True) - 2 * X @ C.T + (C * C).sum(1)
+    expect_cells = dict(zip(ids, np.argsort(d2, axis=1, kind="stable")[:, 0]))
+
+    for layout in (e, e.repartition(7)):
+        assign, Cd, n_iters = kmeans_lloyd(
+            layout, k=k, max_iters=iters, quant=quant
+        )
+        assert np.array_equal(Cd, C), np.abs(Cd - C).max()
+        got = {r["vec_id"]: r["cell_id"] for r in assign.collect()}
+        assert got == expect_cells
+        assert 1 <= n_iters <= iters
