@@ -406,6 +406,8 @@ def build_ivf_index(
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train: str = "sample",
+    kmeans_iters: int = 5,
 ) -> None:
     """Persist an IVF index: corpus assigned to Voronoi cells and
     written PARTITIONED BY cell_id, plus a centroids table.
@@ -414,18 +416,37 @@ def build_ivf_index(
     ``nprobe`` cells reads only those directories (static partition
     pruning), so query cost scales with nprobe/nlist of the corpus —
     the build-once / query-many shape for embedding search at scale.
+
+    ``train="sample"`` (default) seeds cells from the nlist lowest-id
+    vectors — deterministic and build-cheap. ``train="kmeans"`` refines
+    that same seed with ``kmeans_lloyd`` (bit-deterministic Lloyd
+    iterations), which evens out cell populations so worst-case probe
+    cost drops — the production setting when build time is amortized
+    over many query batches.
     """
-    centroids = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(nlist)
-        .select(
-            # unpartitioned window over a .limit(nlist) input: nlist<=16
-            # rows by construction, a constant — never corpus-sized
-            # (see tests/test_plan_shapes.py::test_global_window_allowlist)
-            F.row_number().over(Window.orderBy(F.col(id_col).asc())).alias("cell_id"),
-            F.col(vec_col).alias("__centroid"),
+    if train == "kmeans":
+        import pandas as pd  # noqa: F401 — kmeans_lloyd dependency
+
+        _assignments, C, _iters = kmeans_lloyd(
+            corpus, id_col=id_col, vec_col=vec_col, k=nlist,
+            max_iters=kmeans_iters,
         )
-    )
+        centroids = spark.createDataFrame(
+            [(i + 1, C[i].tolist()) for i in range(C.shape[0])],
+            f"cell_id int, __centroid {corpus.schema[vec_col].dataType.simpleString()}",
+        )
+    else:
+        centroids = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(nlist)
+            .select(
+                # unpartitioned window over a .limit(nlist) input: nlist<=16
+                # rows by construction, a constant — never corpus-sized
+                # (see tests/test_plan_shapes.py::test_global_window_allowlist)
+                F.row_number().over(Window.orderBy(F.col(id_col).asc())).alias("cell_id"),
+                F.col(vec_col).alias("__centroid"),
+            )
+        )
     assigned = _assign_cells(corpus, F.broadcast(centroids), id_col, vec_col, rank_limit=1)
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path + "/index")
     centroids.select("cell_id", F.col("__centroid").alias(vec_col)).write.mode(
