@@ -86,3 +86,81 @@ def streaming_dedup_ttl(
         outputMode="append",
         timeMode="ProcessingTime",
     )
+
+
+def streaming_heavy_hitters(
+    tokens: DataFrame,
+    token_col: str = "token",
+    n_shards: int = 8,
+    k: int = 64,
+) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state: a SpaceSaving
+    summary (k counters) per token-hash shard, maintained with
+    ``applyInPandasWithState``. The batch analog is
+    ``operators/textops.py:heavy_hitters`` (Misra-Gries + exact
+    verify); streams can't take a second verification pass, so this
+    keeps the SpaceSaving overestimate interval instead: for every
+    emitted token, true_count <= est and est - err <= true_count —
+    and any token with true frequency > n_shard/k is guaranteed
+    present in its shard's summary.
+
+    Sharding by token hash keeps per-shard state at k entries (total
+    state = n_shards * k counters, CONSTANT for the stream's life) and
+    spreads update work across tasks; each token lives in exactly one
+    shard, so summaries union without overlap. Output mode "update":
+    each trigger re-emits the summaries of shards that changed.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from arc_kinesis_tagging_spark.functions.text import stable_hash64
+
+    sharded = tokens.select(
+        F.col(token_col).alias("token"),
+        F.pmod(stable_hash64(F.col(token_col)), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    )
+
+    out_schema = "shard int, token string, est long, err long"
+    state_schema = "toks array<string>, counts array<long>, errs array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            toks, counts, errs = state.get
+            summary = {
+                t: [c, e] for t, c, e in zip(toks, counts, errs)
+            }
+        else:
+            summary = {}
+        for pdf in pdfs:
+            for tok in pdf["token"]:
+                if tok in summary:
+                    summary[tok][0] += 1
+                elif len(summary) < k:
+                    summary[tok] = [1, 0]
+                else:  # SpaceSaving eviction: replace the min-count entry
+                    victim = min(summary, key=lambda t: summary[t][0])
+                    vcount = summary.pop(victim)[0]
+                    summary[tok] = [vcount + 1, vcount]
+        items = sorted(summary.items())
+        state.update(
+            (
+                [t for t, _ in items],
+                [c for _, (c, _e) in items],
+                [e for _, (_c, e) in items],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(items),
+                "token": [t for t, _ in items],
+                "est": [c for _, (c, _e) in items],
+                "err": [e for _, (_c, e) in items],
+            }
+        )
+
+    return sharded.groupBy("shard").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

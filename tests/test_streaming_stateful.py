@@ -117,3 +117,46 @@ def test_apply_in_pandas_with_state_running_count(spark, stream_dir, tmp_path):
     ).collect()
     got = {r["user_id"]: (r["n"], r["total"]) for r in rows}
     assert got == {1: (4, 90.0), 2: (2, 70.0), 3: (1, 60.0)}
+
+
+def test_streaming_heavy_hitters_bounded_state(spark, tmp_path):
+    """SpaceSaving-per-shard streaming heavy hitters: the true heavy
+    token is present with true <= est <= true + err, the per-shard
+    summary never exceeds k entries (bounded state), and a uniform
+    long tail forces evictions without evicting the heavy token."""
+    from arc_kinesis_tagging_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    src = str(tmp_path / "hh-src")
+    # 120 'hot' tokens + 300 distinct tail tokens in one shard space
+    rows = [("hot",)] * 120 + [(f"tail{i}",) for i in range(300)]
+    spark.createDataFrame(rows, "token string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("token string").parquet(src)
+    result = streaming_heavy_hitters(stream, "token", n_shards=4, k=8)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("hh_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hh-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select shard, token, max(est) as est, max(err) as err "
+        "from hh_stream group by shard, token"
+    ).collect()
+    got = {r["token"]: r for r in rows}
+    assert "hot" in got
+    hot = got["hot"]
+    assert hot["est"] >= 120 and hot["est"] - hot["err"] <= 120
+    # bounded state: no shard summary larger than k
+    from collections import Counter
+
+    per_shard = Counter(r["shard"] for r in rows)
+    assert all(n <= 8 for n in per_shard.values()), per_shard
+    # every estimate respects the SpaceSaving interval est >= err
+    assert all(r["est"] >= r["err"] for r in rows)
