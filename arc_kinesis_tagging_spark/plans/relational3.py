@@ -3,6 +3,7 @@ extended dates, collect/agg-to-array, sampling."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from arc_kinesis_tagging_spark.plans.common import Query
@@ -559,7 +560,175 @@ WINDOW w AS (PARTITION BY c_mktsegment
 """
 
 
+
+
+# --- round-5 warehouse surface ----------------------------------------------
+
+def q_merge_upsert(spark, sf_dir):
+    """Batch MERGE semantics (the Delta/Iceberg MERGE INTO shape) as a
+    pure DataFrame plan: target = established docs, source = a change
+    batch; matched rows take the source's values (update), unmatched
+    source rows insert, unmatched target rows persist — one full outer
+    join on the key, action tagged per row. At 100 TB both sides
+    shuffle once on the merge key (or zero times if the target is
+    bucketed on it, operators/skew.py:write_bucketed); there is no
+    row-at-a-time upsert loop anywhere."""
+    d = load_table(spark, "documents", sf_dir)
+    target = d.filter(F.col("doc_id") % 10 < 8).select("doc_id", "lang", "n_chars")
+    source = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.lit("xx").alias("lang"),
+        (F.col("n_chars") + 1000).alias("n_chars"),
+    )
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col("t.doc_id") == F.col("s.doc_id"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("t.doc_id"), F.col("s.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("s.lang"), F.col("t.lang")).alias("lang"),
+        F.coalesce(F.col("s.n_chars"), F.col("t.n_chars")).alias("n_chars"),
+        F.when(F.col("t.doc_id").isNull(), F.lit("insert"))
+        .when(F.col("s.doc_id").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH target AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 < 8
+), source AS (
+  SELECT doc_id, 'xx' AS lang, n_chars + 1000 AS n_chars
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
+       COALESCE(s.lang, t.lang) AS lang,
+       COALESCE(s.n_chars, t.n_chars) AS n_chars,
+       CASE WHEN t.doc_id IS NULL THEN 'insert'
+            WHEN s.doc_id IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM target t FULL OUTER JOIN source s ON t.doc_id = s.doc_id
+"""
+
+
+def q_events_pathing(spark, sf_dir):
+    """User pathing: first-order Markov transition counts between
+    consecutive event types per user (lag over the unique
+    (ts, event_id) order), with each transition's share of its source
+    state — the "what do users do next" table behind funnel design.
+    One window shuffle on user_id, one bounded aggregate
+    (|event_types|^2 rows max)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wsrc = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(wsrc).cast("double"), 6
+        ).alias("share"),
+    )
+
+
+ORACLE_EVENTS_PATHING = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS next_type
+  FROM events
+), trans AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE),
+             6) AS share
+FROM trans
+"""
+
+
+def q_scd2_update(spark, sf_dir):
+    """Slowly-changing-dimension type 2: apply a change batch to a
+    current dimension — changed keys close their old row
+    (valid_to = batch ts, is_current = false) and open a new one;
+    unchanged keys pass through. One keyed join of dim and batch plus
+    a union of the three row classes; both legs reuse the same join,
+    so the dim scans once. The no-op-change guard (same lang) keeps
+    idempotent re-deliveries from churning rows."""
+    d = load_table(spark, "documents", sf_dir)
+    batch_ts = 1_700_000_000
+    dim = d.select(
+        "doc_id",
+        "lang",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.upper(F.col("lang")).alias("new_lang")
+    )
+    j = dim.join(changes, "doc_id", "left")
+    changed = j.filter(
+        F.col("new_lang").isNotNull() & (F.col("new_lang") != F.col("lang"))
+    )
+    unchanged = j.filter(
+        F.col("new_lang").isNull() | (F.col("new_lang") == F.col("lang"))
+    ).select("doc_id", "lang", "valid_from", "valid_to", "is_current")
+    closed = changed.select(
+        "doc_id",
+        "lang",
+        "valid_from",
+        F.lit(batch_ts).cast("long").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = changed.select(
+        "doc_id",
+        F.col("new_lang").alias("lang"),
+        F.lit(batch_ts).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionByName(closed).unionByName(opened)
+
+
+ORACLE_SCD2_UPDATE = """
+WITH dim AS (
+  SELECT doc_id, lang, CAST(0 AS BIGINT) AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+  FROM documents
+), changes AS (
+  SELECT doc_id, upper(lang) AS new_lang FROM documents WHERE doc_id % 7 = 0
+), j AS (
+  SELECT dim.*, c.new_lang FROM dim LEFT JOIN changes c USING (doc_id)
+)
+SELECT doc_id, lang, valid_from, valid_to, is_current
+FROM j WHERE new_lang IS NULL OR new_lang = lang
+UNION ALL
+SELECT doc_id, lang, valid_from, CAST(1700000000 AS BIGINT), FALSE
+FROM j WHERE new_lang IS NOT NULL AND new_lang <> lang
+UNION ALL
+SELECT doc_id, new_lang, CAST(1700000000 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+FROM j WHERE new_lang IS NOT NULL AND new_lang <> lang
+"""
+
+
 RELATIONAL3_QUERIES = [
+    Query("q_merge_upsert", q_merge_upsert, ORACLE_MERGE_UPSERT),
+    Query("q_events_pathing", q_events_pathing, ORACLE_EVENTS_PATHING),
+    Query("q_scd2_update", q_scd2_update, ORACLE_SCD2_UPDATE),
     Query("q_window_analytics", q_window_analytics, ORACLE_WINDOW_ANALYTICS),
     Query("q_window_ntile", q_window_ntile, ORACLE_WINDOW_NTILE),
     Query("q_string_distance", q_string_distance, ORACLE_STRING_DISTANCE),
