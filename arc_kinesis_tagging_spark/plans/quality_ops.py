@@ -1009,12 +1009,16 @@ ORACLE_COHORT_RETENTION = """
 WITH wk AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
   FROM events
-), cohort AS (
-  SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+), c AS (
+  -- window form, NOT an equi-join back: a NULL user_id must cohort as
+  -- its own partition (Spark window semantics), not silently drop
+  SELECT user_id, week,
+         MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM wk
 )
-SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
-       COUNT(DISTINCT w.user_id) AS n_users, COUNT(*) AS n_events
-FROM wk w JOIN cohort c USING (user_id)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM c
 GROUP BY 1, 2
 """
 

@@ -70,6 +70,14 @@ DOC_QUERIES = [
     "q_source_mixing",
     "q_corpus_pipeline2",
     "q_sample_weighted",
+    # round-5 additions (documents-only readers)
+    "q_multimodal_jpeg",
+    "q_dedup_lines",
+    "q_heavy_hitters",
+    "q_text_entropy",
+    "q_text_perplexity",
+    "q_merge_upsert",
+    "q_scd2_update",
 ]
 
 
@@ -124,6 +132,7 @@ EMB_QUERIES = [
     "q_similarity_topk",
     "q_vector_centroid",
     "q_vector_normalize",
+    "q_embed_covariance",
 ]
 
 
@@ -185,6 +194,10 @@ EVENT_QUERIES = [
     "q_join_interval",
     "q_filter_project",
     "q_ts_gapfill",        # NULL user_id: NULL group + non-matching equi-join
+    # round-5 additions (event readers)
+    "q_cohort_retention",
+    "q_session_stats",
+    "q_events_pathing",
 ]
 
 
