@@ -92,3 +92,38 @@ def pagerank(
             .localCheckpoint(eager=True)  # truncate lineage every round
         )
     return ranks
+
+
+def triangle_enumeration(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Enumerate all triangles in an undirected graph — the motif
+    behind clustering-coefficient and community diagnostics over
+    co-occurrence graphs (which documents/users cluster together after
+    dedup).
+
+    The classic two-join shape with the degree-free ordering trick:
+    canonicalize every edge to (lo, hi) with lo < hi and keep the set
+    distinct; then triangles are exactly the paths lo<mid<hi where
+    (lo,mid), (mid,hi), (lo,hi) are all edges — each triangle is
+    produced ONCE, no post-hoc dedup of 6 permutations. Both joins are
+    keyed shuffles on a vertex; at scale the standard refinement is to
+    orient edges by degree (low-degree vertex first) so the join fan-out
+    on hub vertices collapses — noted here, not needed at test sizes.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    e1 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = canon.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    paths = e1.join(e2, "b")
+    closing = canon.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    return (
+        paths.join(closing, ["a", "c"], "left_semi")
+        .select(F.col("a").alias("va"), F.col("b").alias("vb"), F.col("c").alias("vc"))
+    )

@@ -1198,7 +1198,61 @@ GROUP BY bg.doc_id
 """
 
 
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Triangle enumeration over the user co-activity graph: vertices
+    are users, an edge connects two users active in the same
+    (event_type, epoch-day) bucket, and the result lists each triangle
+    once as va < vb < vc (operators/graph.py:triangle_enumeration —
+    canonical-edge two-join + closing semi join, no permutation
+    dedup). Complements PageRank (ranking) and connected components
+    (clustering) with the motif-counting member of the graph family.
+    Every stage is a keyed shuffle; co-occurrence fan-out is bounded
+    by (type, day) group sizes."""
+    from arc_kinesis_tagging_spark.operators.graph import triangle_enumeration
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    act = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) DIV 86400").alias("day"),
+    ).distinct()
+    a = act.alias("a")
+    b = act.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+        .distinct()
+    )
+    return triangle_enumeration(edges, "src", "dst")
+
+
+ORACLE_GRAPH_TRIANGLES = """
+WITH act AS (
+  SELECT DISTINCT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events WHERE user_id IS NOT NULL
+), edges AS (
+  SELECT DISTINCT a.user_id AS lo, b.user_id AS hi
+  FROM act a JOIN act b
+    ON a.event_type = b.event_type AND a.day = b.day
+   AND a.user_id < b.user_id
+)
+SELECT e1.lo AS va, e1.hi AS vb, e2.hi AS vc
+FROM edges e1
+JOIN edges e2 ON e2.lo = e1.hi
+JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+"""
+
+
 QUALITY_QUERIES = [
+    Query("q_graph_triangles", q_graph_triangles, ORACLE_GRAPH_TRIANGLES),
     Query("q_text_perplexity", q_text_perplexity, ORACLE_TEXT_PERPLEXITY),
     Query("q_session_stats", q_session_stats, ORACLE_SESSION_STATS),
     Query("q_text_entropy", q_text_entropy, ORACLE_TEXT_ENTROPY),

@@ -153,6 +153,7 @@ _R5_HEAD = [
     "q_merge_upsert",         # MERGE INTO semantics via full outer join
     "q_events_pathing",       # Markov transition counts + shares
     "q_scd2_update",          # SCD type-2 close/open/pass-through
+    "q_graph_triangles",      # triangle enumeration (two-join + semi)
     # -- (b) newest driver row is r02 --
     "q_window_analytics", "q_string_distance", "q_array_funcs",
     "q_regex_funcs", "q_date_funcs2", "q_collect_agg",
@@ -169,7 +170,7 @@ _R5_HEAD = [
     #    exactly 50 once the 12 new queries registered; the displaced
     #    rows-only r03 entries stay pytest-verified and within the
     #    two-round freshness target) --
-    "q_corpus_pipeline", "q_tpch_q21ish",
+    "q_tpch_q21ish",
 ]
 
 

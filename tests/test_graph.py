@@ -79,3 +79,21 @@ def test_pagerank_query_partitioning_independent(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_triangle_enumeration_hand_graph(spark):
+    """K4 plus a pendant edge and reversed/duplicate inputs: K4 yields
+    exactly its four triangles, each enumerated once in canonical
+    order; the pendant vertex joins none."""
+    from arc_kinesis_tagging_spark.operators.graph import triangle_enumeration
+
+    edges = spark.createDataFrame(
+        # K4 on {1,2,3,4} with mixed orientations + dup, pendant 5
+        [(1, 2), (2, 1), (1, 3), (1, 4), (3, 2), (2, 4), (3, 4), (4, 5)],
+        "src long, dst long",
+    )
+    got = sorted(
+        (r["va"], r["vb"], r["vc"])
+        for r in triangle_enumeration(edges).collect()
+    )
+    assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
