@@ -1203,20 +1203,21 @@ GROUP BY bg.doc_id
 def q_graph_triangles(spark, sf_dir):
     """Triangle enumeration over the user co-activity graph: vertices
     are users, an edge connects two users active in the same
-    (event_type, epoch-day) bucket, and the result lists each triangle
+    (event_type, epoch-hour) bucket, and the result lists each triangle
     once as va < vb < vc (operators/graph.py:triangle_enumeration —
     canonical-edge two-join + closing semi join, no permutation
     dedup). Complements PageRank (ranking) and connected components
     (clustering) with the motif-counting member of the graph family.
     Every stage is a keyed shuffle; co-occurrence fan-out is bounded
-    by (type, day) group sizes."""
+    by (type, hour) group sizes (day buckets make this synthetic
+    corpus a near-complete graph — all C(n,3) triples)."""
     from arc_kinesis_tagging_spark.operators.graph import triangle_enumeration
 
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     act = ev.select(
         "user_id",
         "event_type",
-        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) DIV 86400").alias("day"),
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) DIV 3600").alias("day"),
     ).distinct()
     a = act.alias("a")
     b = act.alias("b")
@@ -1236,7 +1237,7 @@ def q_graph_triangles(spark, sf_dir):
 ORACLE_GRAPH_TRIANGLES = """
 WITH act AS (
   SELECT DISTINCT user_id, event_type,
-         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS day
   FROM events WHERE user_id IS NOT NULL
 ), edges AS (
   SELECT DISTINCT a.user_id AS lo, b.user_id AS hi
