@@ -211,6 +211,8 @@ BNLJ_ALLOWLIST = {
     "q_tpch_q11ish", "q_tpch_q22ish",
     # 1-row total-token-count broadcast onto the candidate aggregate
     "q_heavy_hitters",
+    # 1-row vocabulary-size broadcast onto the scored bigrams
+    "q_text_perplexity",
 }
 
 
