@@ -1252,7 +1252,80 @@ JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
 """
 
 
+
+
+def q_anomaly_zscore(spark, sf_dir):
+    """Per-user anomaly flags: z-score of each event's value against
+    its user's distribution, |z| > 2 flagged — the declarative twin of
+    the applyInPandas grouped_zscore (operators/pandas_ops.py), proving
+    the Arrow path against pure Catalyst. All statistics come from
+    INTEGER-quantized exact sums (floor(value*1000); the n·Σq² and
+    (Σq)² terms ride decimal(38,0) so nothing overflows, and the only
+    floats are one cast, one division, and one IEEE-correctly-rounded
+    sqrt — bit-identical across engines and partitionings). The domain
+    guard |value| < 1e6 bounds the quantized magnitudes; z is rounded
+    to 3 decimals. One user-partitioned shuffle shared by the window
+    and nothing else."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.abs(F.col("value")) < 1e6)
+    )
+    q = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 1000).cast("decimal(38,0)").alias("vq"),
+    )
+    w = Window.partitionBy("user_id")
+    stats = (
+        q.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s", F.sum("vq").over(w))
+        .withColumn("ss", F.sum(F.col("vq") * F.col("vq")).over(w))
+    )
+    var_q = (
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("n") * F.col("n")).cast("double")
+    )
+    sd_q = F.sqrt(var_q)
+    z = F.when(sd_q > 0,
+               (F.col("vq").cast("double") - F.col("s").cast("double") / F.col("n"))
+               / sd_q).otherwise(F.lit(0.0))
+    # + 0.0 collapses IEEE negative zero (round(-1e-4, 3) -> -0.0)
+    z3 = F.round(z, 3) + F.lit(0.0)
+    return stats.select(
+        "event_id",
+        "user_id",
+        z3.alias("z"),
+        (F.abs(z3) > 2.0).alias("is_outlier"),
+    )
+
+
+ORACLE_ANOMALY_ZSCORE = """
+WITH q AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value * 1000) AS HUGEINT) AS vq
+  FROM events WHERE value IS NOT NULL AND abs(value) < 1e6
+), stats AS (
+  SELECT event_id, user_id, vq,
+         COUNT(*) OVER w AS n,
+         SUM(vq) OVER w AS s,
+         SUM(vq * vq) OVER w AS ss
+  FROM q
+  WINDOW w AS (PARTITION BY user_id)
+), z AS (
+  SELECT event_id, user_id,
+         CASE WHEN (n*ss - s*s) > 0
+              THEN (CAST(vq AS DOUBLE) - CAST(s AS DOUBLE)/n)
+                   / sqrt(CAST(n*ss - s*s AS DOUBLE)/CAST(n*n AS DOUBLE))
+              ELSE 0.0 END AS zval
+  FROM stats
+)
+SELECT event_id, user_id, ROUND(zval, 3) + 0.0 AS z,
+       abs(ROUND(zval, 3) + 0.0) > 2.0 AS is_outlier
+FROM z
+"""
+
+
 QUALITY_QUERIES = [
+    Query("q_anomaly_zscore", q_anomaly_zscore, ORACLE_ANOMALY_ZSCORE),
     Query("q_graph_triangles", q_graph_triangles, ORACLE_GRAPH_TRIANGLES),
     Query("q_text_perplexity", q_text_perplexity, ORACLE_TEXT_PERPLEXITY),
     Query("q_session_stats", q_session_stats, ORACLE_SESSION_STATS),

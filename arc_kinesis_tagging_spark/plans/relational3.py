@@ -725,7 +725,88 @@ FROM j WHERE new_lang IS NOT NULL AND new_lang <> lang
 """
 
 
+
+
+def q_dedup_url(spark, sf_dir):
+    """Crawl-frontier URL dedup: canonicalize messy URL variants
+    (scheme/host case, explicit :443, www prefix, utm_* tracking
+    params, fragments, trailing slash) and keep one representative per
+    canonical URL — the first dedup pass of any web-scale corpus, run
+    BEFORE fetching so it must be pure string canonicalization. Four
+    deterministic variants are synthesized per key; three collapse to
+    one canonical form, the ?id= variant stays distinct (non-tracking
+    query params are preserved). All regexes are RE2-safe (no
+    lookahead) so Spark and DuckDB agree; the whole pass is codegen
+    projections plus ONE canonical-key aggregate. Host-only lowering
+    (vs whole-URL) is the production refinement for case-significant
+    paths; this corpus's paths are lowercase by construction."""
+    d = load_table(spark, "documents", sf_dir)
+    k = (F.col("doc_id") / 4).cast("long")
+    variant = F.col("doc_id") % 4
+    site = F.concat(F.lit("site"), (k % 7).cast("string"))
+    path_ = F.concat(F.lit("/path/"), k.cast("string"))
+    url = (
+        F.when(variant == 0, F.concat(F.lit("https://www."), F.upper(site),
+                                      F.lit(".example.com"), path_,
+                                      F.lit("/?utm_source=x#frag")))
+        .when(variant == 1, F.concat(F.lit("HTTPS://"), site,
+                                     F.lit(".EXAMPLE.com:443"), path_))
+        .when(variant == 2, F.concat(F.lit("https://"), site,
+                                     F.lit(".example.com"), path_, F.lit("/")))
+        .otherwise(F.concat(F.lit("https://"), site, F.lit(".example.com"),
+                            path_, F.lit("?id=1&utm_campaign=y")))
+    )
+    canon = url
+    canon = F.regexp_replace(canon, r"#.*$", "")            # fragment
+    canon = F.lower(canon)                                   # case (see doc)
+    canon = F.regexp_replace(canon, r"://www\.", "://")      # www prefix
+    canon = F.regexp_replace(canon, r":443/", "/")           # default port
+    canon = F.regexp_replace(canon, r":443$", "")
+    canon = F.regexp_replace(canon, r"[?&]utm_[^&]*", "")    # tracking params
+    canon = F.regexp_replace(canon, r"\?&", "?")             # dangling repair
+    canon = F.regexp_replace(canon, r"[?/]+$", "")           # trailing ? and /
+    return (
+        d.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("keeper"),
+             F.count(F.lit(1)).alias("n_variants"))
+    )
+
+
+ORACLE_DEDUP_URL = """
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://www.' || upper('site' || ((doc_id // 4) % 7))
+                       || '.example.com/path/' || (doc_id // 4) || '/?utm_source=x#frag'
+           WHEN 1 THEN 'HTTPS://site' || ((doc_id // 4) % 7)
+                       || '.EXAMPLE.com:443/path/' || (doc_id // 4)
+           WHEN 2 THEN 'https://site' || ((doc_id // 4) % 7)
+                       || '.example.com/path/' || (doc_id // 4) || '/'
+           ELSE 'https://site' || ((doc_id // 4) % 7)
+                       || '.example.com/path/' || (doc_id // 4) || '?id=1&utm_campaign=y'
+         END AS url
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(
+             lower(regexp_replace(url, '#.*$', '')),
+           '://www\.', '://'),
+           ':443/', '/'),
+           ':443$', ''),
+           '[?&]utm_[^&]*', '', 'g'),
+           '\?&', '?'),
+           '[?/]+$', '') AS canonical_url
+  FROM u
+)
+SELECT canonical_url, MIN(doc_id) AS keeper, COUNT(*) AS n_variants
+FROM c GROUP BY canonical_url
+"""
+
+
 RELATIONAL3_QUERIES = [
+    Query("q_dedup_url", q_dedup_url, ORACLE_DEDUP_URL),
     Query("q_merge_upsert", q_merge_upsert, ORACLE_MERGE_UPSERT),
     Query("q_events_pathing", q_events_pathing, ORACLE_EVENTS_PATHING),
     Query("q_scd2_update", q_scd2_update, ORACLE_SCD2_UPDATE),

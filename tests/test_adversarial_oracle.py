@@ -78,6 +78,7 @@ DOC_QUERIES = [
     "q_text_perplexity",
     "q_merge_upsert",
     "q_scd2_update",
+    "q_dedup_url",
 ]
 
 
@@ -198,6 +199,8 @@ EVENT_QUERIES = [
     "q_cohort_retention",
     "q_session_stats",
     "q_events_pathing",
+    "q_anomaly_zscore",    # 1e15 hits the quantization domain guard
+    "q_graph_triangles",
 ]
 
 
