@@ -47,6 +47,25 @@ COMMENTARY = {
         "across Arrow batches of images, no shuffle at all; per-record "
         "isolation keeps one corrupt payload from failing a task."
     ),
+    "q_graph_triangles": (
+        "Triangle enumeration: canonical (lo<hi) distinct edges, one "
+        "equi-join on the middle vertex, closing edge as a LEFT SEMI — "
+        "each triangle produced once, no 6-permutation dedup. At scale "
+        "the degree-orientation refinement collapses hub fan-out; all "
+        "stages are keyed shuffles."
+    ),
+    "q_merge_upsert": (
+        "MERGE INTO semantics: ONE full outer join on the key with "
+        "action tagging — no row-at-a-time upsert. With the target "
+        "bucketed on the merge key (operators/skew.py) the target side "
+        "reads with zero Exchange."
+    ),
+    "q_anomaly_zscore": (
+        "Grouped z-score flags: a single user-partitioned window "
+        "computes count/sum/sum-of-squares over integer-quantized "
+        "values in one pass — one shuffle, exact integer stats, one "
+        "IEEE sqrt at output."
+    ),
     "q_dedup_incremental": (
         "The round-4 production shape: the prior-corpus digest table is "
         "read as a BUCKETED scan (Bucketed: true, zero Exchange on the "
