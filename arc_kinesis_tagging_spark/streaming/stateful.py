@@ -164,3 +164,67 @@ def streaming_heavy_hitters(
     return sharded.groupBy("shard").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming funnel progression with per-user state — the
+    streaming analog of operators/funnel.py:funnel (which recomputes
+    the whole chained conditional-min per batch; this carries each
+    user's furthest stage across micro-batches in O(1) state per
+    user).
+
+    State = (stage_reached, ts of each completed stage so far). Events
+    are applied in event-time order WITHIN each micro-batch; a stage
+    advances only when the next expected stage type arrives at or
+    after the previous stage's timestamp. Completions emit a row with
+    all stage timestamps and reset the user's state so repeat
+    conversions count. Cross-batch out-of-order arrival resolves to
+    at-least-once progression (the documented trade-off of stateful
+    stream processing without a full reorder buffer; bound it upstream
+    with a watermark if exactness is required).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n = len(stages)
+    if n == 0:
+        raise ValueError("funnel needs at least one stage")
+    ts_fields = ", ".join(f"s{i}_ts timestamp" for i in range(n))
+    out_schema = f"{user_col} long, {ts_fields}"
+    state_schema = "stage int, ts_list array<timestamp>"
+
+    def update(key, pdfs, state: GroupState):
+        stage, ts_list = (state.get if state.exists else (0, []))
+        ts_list = list(ts_list)
+        completions = []
+        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else None
+        if batch is not None and len(batch):
+            for _, row in batch.sort_values(ts_col).iterrows():
+                expected = stages[stage]
+                ts = row[ts_col]
+                if row[event_col] == expected and (
+                    stage == 0 or ts >= ts_list[-1]
+                ):
+                    ts_list.append(ts)
+                    stage += 1
+                    if stage == n:
+                        completions.append(list(ts_list))
+                        stage, ts_list = 0, []
+        state.update((stage, ts_list))
+        if completions:
+            yield pd.DataFrame(
+                [[key[0], *c] for c in completions],
+                columns=[user_col] + [f"s{i}_ts" for i in range(n)],
+            )
+
+    return events.select(user_col, event_col, ts_col).groupBy(
+        user_col
+    ).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -160,3 +160,62 @@ def test_streaming_heavy_hitters_bounded_state(spark, tmp_path):
     assert all(n <= 8 for n in per_shard.values()), per_shard
     # every estimate respects the SpaceSaving interval est >= err
     assert all(r["est"] >= r["err"] for r in rows)
+
+
+def test_streaming_funnel_cross_batch_progression(spark, tmp_path):
+    """Funnel state must carry across micro-batches: user 1 completes
+    view->click->buy with stages split over two files (two triggers via
+    maxFilesPerTrigger=1), user 2 stalls mid-funnel, user 3 completes
+    twice (state resets after each conversion)."""
+    import os
+    from datetime import datetime as DT
+
+    from arc_kinesis_tagging_spark.streaming.stateful import streaming_funnel
+
+    src = str(tmp_path / "funnel-src")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, event_type string, ts timestamp"
+
+    def write(name, rows):
+        spark.createDataFrame(
+            [(u, e, DT.fromisoformat(t)) for u, e, t in rows], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write("f1", [
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:05:00"),
+        (2, "view", "2024-01-01 10:00:00"),
+        (3, "view", "2024-01-01 09:00:00"),
+        (3, "click", "2024-01-01 09:01:00"),
+        (3, "buy", "2024-01-01 09:02:00"),      # completion 1
+    ])
+    write("f2", [
+        (1, "buy", "2024-01-01 10:30:00"),       # completes across batches
+        (2, "buy", "2024-01-01 10:10:00"),       # wrong stage: still stalled
+        (3, "view", "2024-01-01 11:00:00"),
+        (3, "click", "2024-01-01 11:01:00"),
+        (3, "buy", "2024-01-01 11:02:00"),       # completion 2 after reset
+    ])
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        streaming_funnel(stream, ["view", "click", "buy"])
+        .writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "funnel-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select * from funnel_stream order by user_id, s0_ts"
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == {1, 3}, by_user          # user 2 never converts
+    assert len(by_user[1]) == 1 and by_user[1][0]["s2_ts"].minute == 30
+    assert len(by_user[3]) == 2                      # reset allowed a repeat
+    assert by_user[3][0]["s0_ts"].hour == 9 and by_user[3][1]["s0_ts"].hour == 11
