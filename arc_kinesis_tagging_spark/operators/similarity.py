@@ -425,8 +425,6 @@ def build_ivf_index(
     over many query batches.
     """
     if train == "kmeans":
-        import pandas as pd  # noqa: F401 — kmeans_lloyd dependency
-
         _assignments, C, _iters = kmeans_lloyd(
             corpus, id_col=id_col, vec_col=vec_col, k=nlist,
             max_iters=kmeans_iters,
