@@ -1324,7 +1324,82 @@ FROM z
 """
 
 
+
+
+def q_corpus_pipeline3(spark, sf_dir):
+    """Round-5 composite refresh: the new quality gates feeding the
+    new dedup — character-entropy gate (>= 4.0) AND bigram-LM
+    perplexity gate (<= 2.6 bits/char, model trained on the full
+    corpus) -> cross-document segment dedup of the survivors ->
+    per-source stats (docs, kept segments, clean chars) — composed as
+    ONE declarative plan from the verified pieces (q_text_entropy,
+    q_text_perplexity, dedup_segments), so Catalyst fuses the gates
+    and the whole refresh carries a full SQL oracle. Both gate
+    thresholds compare identical rounded doubles in both engines."""
+    from arc_kinesis_tagging_spark.operators.textops import dedup_segments
+
+    d = _t(spark, sf_dir, "documents")
+    ent = q_text_entropy(spark, sf_dir).select("doc_id", "char_entropy")
+    perp = q_text_perplexity(spark, sf_dir).select("doc_id", "bits_per_char")
+    gated = (
+        d.join(ent, "doc_id")
+        .join(perp, "doc_id")
+        .filter((F.col("char_entropy") >= 4.0) & (F.col("bits_per_char") <= 2.6))
+        .select("doc_id", "text", "source")
+    )
+    deduped = dedup_segments(gated.select("doc_id", "text"), "doc_id", "text")
+    survivors = deduped.filter(F.col("n_kept") >= 1).join(
+        gated.select("doc_id", "source"), "doc_id"
+    )
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_kept").alias("kept_segments"),
+        F.sum(F.length("clean_text")).alias("clean_chars"),
+    )
+
+
+ORACLE_CORPUS_PIPELINE3 = f"""
+WITH ent AS ({ORACLE_TEXT_ENTROPY.strip()}),
+perp AS ({ORACLE_TEXT_PERPLEXITY.strip()}),
+gated AS (
+  SELECT d.doc_id, d.text, d.source
+  FROM documents d
+  JOIN ent ON ent.doc_id = d.doc_id
+  JOIN perp ON perp.doc_id = d.doc_id
+  WHERE ent.char_entropy >= 4.0 AND perp.bits_per_char <= 2.6
+), toks3 AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM gated
+), base3 AS (
+  SELECT doc_id, source, tk,
+         CAST(ceil(len(tk) / 10.0) AS BIGINT) AS n_segs
+  FROM toks3
+), segs3 AS (
+  SELECT doc_id, source,
+         UNNEST(range(n_segs)) AS seg_idx,
+         UNNEST(list_transform(range(n_segs),
+                i -> array_to_string(tk[(i*10+1):(i*10+10)], ' '))) AS seg
+  FROM base3
+), marked3 AS (
+  SELECT doc_id, source, seg_idx, seg,
+         MIN(doc_id) OVER (PARTITION BY seg) AS first_doc
+  FROM segs3
+), re3 AS (
+  SELECT doc_id, source, COUNT(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+  FROM marked3 WHERE doc_id = first_doc GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_kept) AS BIGINT) AS kept_segments,
+       CAST(SUM(len(clean_text)) AS BIGINT) AS clean_chars
+FROM re3 WHERE n_kept >= 1
+GROUP BY source
+"""
+
+
 QUALITY_QUERIES = [
+    Query("q_corpus_pipeline3", q_corpus_pipeline3, ORACLE_CORPUS_PIPELINE3),
     Query("q_anomaly_zscore", q_anomaly_zscore, ORACLE_ANOMALY_ZSCORE),
     Query("q_graph_triangles", q_graph_triangles, ORACLE_GRAPH_TRIANGLES),
     Query("q_text_perplexity", q_text_perplexity, ORACLE_TEXT_PERPLEXITY),

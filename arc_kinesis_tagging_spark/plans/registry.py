@@ -156,6 +156,7 @@ _R5_HEAD = [
     "q_graph_triangles",      # triangle enumeration (two-join + semi)
     "q_dedup_url",            # crawl-frontier URL canonicalization dedup
     "q_anomaly_zscore",       # exact-integer grouped z-score flags
+    "q_corpus_pipeline3",     # entropy+perplexity gate -> segment dedup
     # -- (b) newest driver row is r02 --
     "q_window_analytics", "q_string_distance", "q_array_funcs",
     "q_regex_funcs", "q_date_funcs2", "q_collect_agg",
@@ -167,10 +168,10 @@ _R5_HEAD = [
     "q_text_fingerprint", "q_quality_filter", "q_text_tfidf",
     "q_multimodal_decode", "q_text_chunk", "q_seq_pack", "q_pii_scrub",
     "q_struct_funcs", "q_url_funcs", "q_csv_parse", "q_tpch_q18ish",
-    "q_window_range_frame", "q_unpivot", "q_hof_funcs",
-    # q_sql_direct (r02-vintage, a literal SQL passthrough whose oracle
-    # is its own definition) leads round 6's window to fit 15 new + 35
-    # r02 in the 50 slots
+    "q_window_range_frame", "q_unpivot",
+    # q_sql_direct and q_hof_funcs (r02-vintage scalar families with
+    # low regression risk) lead round 6's window to fit the 16 new
+    # queries + 34 r02 rows in the 50 slots
     # (the 15 new queries + 36 r02-vintage rows fill the 50-entry
     # window exactly; q_tpch_q21ish's r04 bench drift was settled by a
     # standalone re-measure — 0.93x its r03 time — and bench.py times

@@ -212,7 +212,7 @@ BNLJ_ALLOWLIST = {
     # 1-row total-token-count broadcast onto the candidate aggregate
     "q_heavy_hitters",
     # 1-row vocabulary-size broadcast onto the scored bigrams
-    "q_text_perplexity",
+    "q_text_perplexity", "q_corpus_pipeline3",
 }
 
 
