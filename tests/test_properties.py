@@ -160,3 +160,73 @@ def test_pack_token_spans_model(sp, docs, capacity):
             want[k] = want.get(k, 0) + 1
         offsets[src] = start + n
     assert got == want
+
+
+# --- round-5: JPEG codec and segment dedup against Python models ------------
+
+px_dims = st.tuples(st.integers(1, 40), st.integers(1, 40))
+
+
+@given(dims=px_dims, seed=st.integers(0, 2**31 - 1),
+       qscale=st.sampled_from([1, 1, 1, 8, 32]))
+@settings(max_examples=20, deadline=None)
+def test_jpeg_roundtrip_error_bound(dims, seed, qscale):
+    """Pure-Python property (no Spark): ANY image shape — including
+    non-multiple-of-8 edges that exercise the padding/crop path —
+    round-trips within the quantization error bound: +-1 at quant=1
+    (float-IDCT rounding only), and mean error well under the quant
+    step otherwise."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_gray,
+    )
+
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w)).astype(np.float64)
+    dec = decode_jpeg_bytes(encode_jpeg_gray(px, np.full(64, qscale)))
+    assert dec.shape == (h, w)
+    if qscale == 1:
+        assert np.abs(dec - px).max() <= 1.0
+    else:
+        assert np.abs(dec - px).mean() <= qscale
+
+
+def _dedup_segments_model(docs, seg_tokens=10):
+    """Naive single-machine reference for dedup_segments."""
+    segs = {}
+    out = {}
+    for doc_id, text in sorted(docs):
+        toks = [t for t in text.split() if t]
+        parts = [" ".join(toks[i:i + seg_tokens])
+                 for i in range(0, len(toks), seg_tokens)]
+        out[doc_id] = {"n_segs": len(parts), "kept": []}
+        for idx, s in enumerate(parts):
+            segs.setdefault(s, doc_id)
+        for idx, s in enumerate(parts):
+            if segs[s] == doc_id:
+                out[doc_id]["kept"].append(s)
+    return out
+
+
+word = st.sampled_from(["alpha", "beta", "gamma", "delta", "x"])
+doc_text = st.lists(word, min_size=0, max_size=35).map(" ".join)
+
+
+@given(texts=st.lists(doc_text, min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dedup_segments_matches_python_model(spark, texts):
+    from arc_kinesis_tagging_spark.operators.textops import dedup_segments
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_segments(df, seg_tokens=10).collect()}
+    model = _dedup_segments_model(docs)
+    assert set(got) == set(model)
+    for doc_id, m in model.items():
+        assert got[doc_id]["n_segs"] == m["n_segs"], doc_id
+        assert got[doc_id]["n_kept"] == len(m["kept"]), doc_id
+        assert got[doc_id]["clean_text"] == " ".join(m["kept"]), doc_id
