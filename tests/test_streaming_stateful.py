@@ -219,3 +219,57 @@ def test_streaming_funnel_cross_batch_progression(spark, tmp_path):
     assert len(by_user[1]) == 1 and by_user[1][0]["s2_ts"].minute == 30
     assert len(by_user[3]) == 2                      # reset allowed a repeat
     assert by_user[3][0]["s0_ts"].hour == 9 and by_user[3][1]["s0_ts"].hour == 11
+
+
+def test_streaming_funnel_state_survives_restart(spark, tmp_path):
+    """State recovery across query LIFETIMES, not just micro-batches:
+    run to completion on a partial stream, stop, append the completing
+    events, start a NEW query on the same checkpoint — the user's
+    mid-funnel state must be restored from the state store, yielding
+    exactly one completion row overall."""
+    import os
+    from datetime import datetime as DT
+
+    from arc_kinesis_tagging_spark.streaming.stateful import streaming_funnel
+
+    src = str(tmp_path / "rf-src")
+    ck = str(tmp_path / "rf-ck")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, event_type string, ts timestamp"
+
+    def write(rows):
+        spark.createDataFrame(
+            [(u, e, DT.fromisoformat(t)) for u, e, t in rows], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    emitted = []
+
+    def run_query():
+        # foreachBatch, not the memory sink: memory does not support
+        # restarting from a checkpoint, which is the point of this test
+        q = (
+            streaming_funnel(
+                spark.readStream.schema(schema).parquet(src),
+                ["view", "click", "buy"],
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: emitted.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write([(1, "view", "2024-01-01 10:00:00"),
+           (1, "click", "2024-01-01 10:05:00")])
+    run_query()  # first lifetime: user 1 parked at stage 2
+    assert emitted == []
+
+    write([(1, "buy", "2024-01-01 10:30:00")])
+    run_query()  # second lifetime: recovered state completes the funnel
+    assert len(emitted) == 1
+    r = emitted[0]
+    assert r["user_id"] == 1
+    assert (r["s0_ts"].minute, r["s1_ts"].minute, r["s2_ts"].minute) == (0, 5, 30)
