@@ -167,35 +167,13 @@ def minhash_near_duplicates(
     distinct candidate pairs -> exact Jaccard on shingle sets ->
     threshold filter. Returns (key_a, key_b, jaccard).
     """
-    rows = n_hashes // bands
     # Persist the signature table: it feeds the band explode AND both
     # sides of the bucket self-join AND the final verification joins —
     # without the persist, Catalyst's projection collapse would inline
     # (and recompute) the hashing pipeline at every use site.
     sigs = _minhash_sigs(df, text_col, key_col, n_hashes, shingle_n).persist()
     # Band keys only — shingle arrays must not ride the join shuffle.
-    banded = sigs.select(
-        "__key",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("__sig", b * rows + r + 1).cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__band"),
-    ).select("__key", "__band.band", "__band.bkey")
+    banded = _band_keys(sigs, n_hashes, bands)
 
     # Skew guard: drop pathological buckets (boilerplate shingles).
     # Shaped as groupBy + broadcast ANTI join rather than a count()
@@ -438,3 +416,132 @@ def fresh_against_corpus(
         batch.select(digest_col), digest_col, "left_semi"
     )
     return batch.join(F.broadcast(matched), digest_col, "left_anti")
+
+
+def _band_keys(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(__key, band, bkey) banded LSH keys from a signature table —
+    the shared banding step of the self-join (minhash_near_duplicates)
+    and cross-batch (minhash_fresh_against_corpus) paths."""
+    rows = n_hashes // bands
+    return sigs.select(
+        "__key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("__sig", b * rows + r + 1).cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select("__key", "__band.band", "__band.bkey")
+
+
+def write_minhash_corpus(
+    spark,
+    corpus: DataFrame,
+    table_prefix: str,
+    text_col: str,
+    key_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    n_buckets: int = 16,
+) -> None:
+    """Materialize the corpus side of incremental NEAR-dup dedup: the
+    banded LSH keys bucketed on the band hash (so batch-probe joins
+    read them with zero Exchange) and the shingle-hash sets bucketed on
+    the document key (so candidate verification co-locates). The daily
+    job maintains both incrementally by appending each accepted batch's
+    rows — the approximate counterpart of the exact digest table that
+    operators/dedup.py:fresh_against_corpus consumes."""
+    from arc_kinesis_tagging_spark.operators.skew import write_bucketed
+
+    sigs = _minhash_sigs(corpus, text_col, key_col, n_hashes, shingle_n).persist()
+    try:
+        write_bucketed(
+            _band_keys(sigs, n_hashes, bands),
+            f"{table_prefix}_bands",
+            ["bkey"],
+            n_buckets=n_buckets,
+        )
+        write_bucketed(
+            sigs.select("__key", "__sh_hashes"),
+            f"{table_prefix}_shingles",
+            ["__key"],
+            n_buckets=n_buckets,
+        )
+    finally:
+        sigs.unpersist()
+
+
+def minhash_fresh_against_corpus(
+    spark,
+    batch: DataFrame,
+    table_prefix: str,
+    text_col: str,
+    key_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Batch rows with NO near-duplicate (exact Jaccard >= threshold,
+    LSH-candidated) in the materialized corpus — cross-batch
+    incremental near-dup dedup, shaped for a 100 TB corpus side:
+
+    - the batch's banded keys BROADCAST onto the bucketed corpus band
+      table (zero corpus Exchange, no corpus self-join ever);
+    - only colliding (batch, corpus) candidate pairs are verified, by
+      exact Jaccard over shingle-hash sets — corpus sets read from the
+      key-bucketed table, batch sets broadcast;
+    - precision is exact (every dropped row truly has a >= threshold
+      neighbor); recall is the standard LSH band guarantee, and exact
+      duplicates (jaccard 1.0) collide in EVERY band, so they are
+      never missed.
+    """
+    bsigs = _minhash_sigs(batch, text_col, key_col, n_hashes, shingle_n).persist()
+    bands_df = _band_keys(bsigs, n_hashes, bands).select(
+        F.col("__key").alias("__batch_key"), "band", "bkey"
+    )
+    corpus_bands = spark.table(f"{table_prefix}_bands").select(
+        F.col("__key").alias("__corpus_key"), "band", "bkey"
+    )
+    cands = (
+        corpus_bands.join(F.broadcast(bands_df), ["band", "bkey"])
+        .select("__batch_key", "__corpus_key")
+        .dropDuplicates(["__batch_key", "__corpus_key"])
+    )
+    corpus_sh = spark.table(f"{table_prefix}_shingles").select(
+        F.col("__key").alias("__corpus_key"), F.col("__sh_hashes").alias("__sh_c")
+    )
+    batch_sh = bsigs.select(
+        F.col("__key").alias("__batch_key"), F.col("__sh_hashes").alias("__sh_b")
+    )
+    inter = F.size(F.array_intersect("__sh_b", "__sh_c")).cast("double")
+    union = F.size(F.array_union("__sh_b", "__sh_c")).cast("double")
+    stale = (
+        cands.join(corpus_sh, "__corpus_key")
+        .join(F.broadcast(batch_sh), "__batch_key")
+        .filter(union > 0)
+        .filter((inter / union) >= jaccard_threshold)
+        .select("__batch_key")
+        .distinct()
+    )
+    out = batch.join(
+        F.broadcast(stale),
+        batch[key_col] == stale["__batch_key"],
+        "left_anti",
+    )
+    bsigs.unpersist()
+    return out

@@ -329,6 +329,43 @@ WHERE digest NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 10 < 8)
 """
 
 
+def q_dedup_incremental_mh(spark, sf_dir):
+    """Incremental cross-batch NEAR-dup dedup — the approximate
+    counterpart of q_dedup_incremental: the established corpus's
+    MinHash band keys and shingle sets live in bucketed tables
+    (operators/dedup.py:write_minhash_corpus; the daily job appends
+    accepted batches), and today's batch drops any doc whose banded
+    signature collides with the corpus AND verifies at exact Jaccard
+    >= 0.5 (operators/dedup.py:minhash_fresh_against_corpus). The
+    corpus never self-joins and never shuffles: batch bands broadcast
+    onto the bucketed band table. Batch split doc_id % 10 (0-7 corpus,
+    8-9 batch). LSH recall is probabilistic -> rows-only; precision
+    and the exact-dup guarantee are pinned in tests."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        minhash_fresh_against_corpus,
+        write_minhash_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    prior = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 8)
+    batch = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 8)
+    norm = _os.path.abspath(sf_dir.rstrip("/"))
+    prefix = "akt_mh_corpus_" + _hashlib.md5(norm.encode()).hexdigest()[:8]
+    key = (id(spark), norm, "mh")
+    if key not in _DIGEST_TABLES_WRITTEN:
+        write_minhash_corpus(
+            spark, prior, prefix, "text", "doc_id", n_hashes=16, bands=8
+        )
+        _DIGEST_TABLES_WRITTEN.add(key)
+    return minhash_fresh_against_corpus(
+        spark, batch, prefix, "text", "doc_id",
+        n_hashes=16, bands=8, jaccard_threshold=0.5,
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_minhash_vs_exact(spark, sf_dir):
     """Measure, don't guess: one-row precision/recall of the MinHash-LSH
     candidate pipeline against exact n-gram Jaccard at the same
@@ -1143,6 +1180,9 @@ LLMOPS_QUERIES = [
     Query("q_dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
     Query("q_similarity_topk", q_similarity_topk, ORACLE_SIMILARITY_TOPK),
     Query("q_dedup_incremental", q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
+    Query("q_dedup_incremental_mh", q_dedup_incremental_mh, None,
+          "LSH candidate recall is probabilistic -> rows-only; precision "
+          "and the exact-dup guarantee pinned in tests/test_ttl_dedup.py"),
     Query("q_minhash_vs_exact", q_minhash_vs_exact, None,
           "LSH-vs-exact precision/recall harness; deterministic but the "
           "candidate pipeline is the thing under test -> rows-only"),

@@ -157,6 +157,7 @@ _R5_HEAD = [
     "q_dedup_url",            # crawl-frontier URL canonicalization dedup
     "q_anomaly_zscore",       # exact-integer grouped z-score flags
     "q_corpus_pipeline3",     # entropy+perplexity gate -> segment dedup
+    "q_dedup_incremental_mh", # cross-batch NEAR-dup vs bucketed LSH corpus
     # -- (b) newest driver row is r02 --
     "q_window_analytics", "q_string_distance", "q_array_funcs",
     "q_regex_funcs", "q_date_funcs2", "q_collect_agg",
@@ -168,10 +169,10 @@ _R5_HEAD = [
     "q_text_fingerprint", "q_quality_filter", "q_text_tfidf",
     "q_multimodal_decode", "q_text_chunk", "q_seq_pack", "q_pii_scrub",
     "q_struct_funcs", "q_url_funcs", "q_csv_parse", "q_tpch_q18ish",
-    "q_window_range_frame", "q_unpivot",
-    # q_sql_direct and q_hof_funcs (r02-vintage scalar families with
-    # low regression risk) lead round 6's window to fit the 16 new
-    # queries + 34 r02 rows in the 50 slots
+    "q_window_range_frame",
+    # q_sql_direct, q_hof_funcs, q_unpivot (r02-vintage scalar-family
+    # refreshes with low regression risk) lead round 6's window to fit
+    # the 17 new queries + 33 r02 rows in the 50 slots
     # (the 15 new queries + 36 r02-vintage rows fill the 50-entry
     # window exactly; q_tpch_q21ish's r04 bench drift was settled by a
     # standalone re-measure — 0.93x its r03 time — and bench.py times

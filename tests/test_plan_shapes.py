@@ -165,6 +165,8 @@ _EAGER_BUILDERS = {
     "q_dedup_incremental",
     # iterative Lloyd loop runs jobs at build time
     "q_kmeans",
+    # materializes the corpus LSH band/shingle tables at build time
+    "q_dedup_incremental_mh",
 }
 
 
