@@ -138,6 +138,50 @@ def main() -> None:
     ).count()
     report["threshold_pairs_sec"] = round(time.perf_counter() - t0, 2)
 
+    # --- round-5 operators on the amplified corpus ---
+    from arc_kinesis_tagging_spark.operators.textops import (
+        dedup_segments,
+        heavy_hitters,
+    )
+
+    t0 = time.perf_counter()
+    seg = dedup_segments(docs, "doc_id", "text").agg(
+        F.count(F.lit(1)), F.sum("n_kept")
+    ).collect()[0]
+    report["segment_dedup_docs"] = seg[0]
+    report["segment_dedup_kept"] = int(seg[1])
+    report["segment_dedup_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    report["heavy_hitters_rows"] = heavy_hitters(docs, "text", phi=0.02).count()
+    report["heavy_hitters_sec"] = round(time.perf_counter() - t0, 2)
+
+    from arc_kinesis_tagging_spark.operators.similarity import kmeans_lloyd
+
+    t0 = time.perf_counter()
+    _assign, _C, iters = kmeans_lloyd(emb, k=32, max_iters=5)
+    report["kmeans_iters"] = iters
+    report["kmeans_sec"] = round(time.perf_counter() - t0, 2)
+
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        minhash_fresh_against_corpus,
+        write_minhash_corpus,
+    )
+
+    t0 = time.perf_counter()
+    corpus_side = docs.filter(F.col("doc_id") % k != 0)
+    batch_side = docs.filter(F.col("doc_id") % k == 0)
+    write_minhash_corpus(
+        spark, corpus_side, "akt_smoke_mh", "text", "doc_id",
+        n_hashes=16, bands=8,
+    )
+    report["incremental_mh_fresh"] = minhash_fresh_against_corpus(
+        spark, batch_side, "akt_smoke_mh", "text", "doc_id",
+        n_hashes=16, bands=8, jaccard_threshold=0.5,
+    ).count()
+    report["incremental_mh_batch"] = batch_side.count()
+    report["incremental_mh_sec"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(report))
 
 
