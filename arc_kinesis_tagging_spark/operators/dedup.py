@@ -510,7 +510,13 @@ def minhash_fresh_against_corpus(
       duplicates (jaccard 1.0) collide in EVERY band, so they are
       never missed.
     """
-    bsigs = _minhash_sigs(batch, text_col, key_col, n_hashes, shingle_n).persist()
+    # localCheckpoint(eager) rather than persist+unpersist: this is a
+    # builder — no action runs before return, so an unpersist here
+    # would drop the cache before it ever filled, and a bare persist
+    # would leak. The checkpoint materializes the (small) batch
+    # signature table once, both use sites read the materialized RDD,
+    # and the ContextCleaner reclaims it when the plan is GC'd.
+    bsigs = _minhash_sigs(batch, text_col, key_col, n_hashes, shingle_n).localCheckpoint(eager=True)
     bands_df = _band_keys(bsigs, n_hashes, bands).select(
         F.col("__key").alias("__batch_key"), "band", "bkey"
     )
@@ -538,10 +544,8 @@ def minhash_fresh_against_corpus(
         .select("__batch_key")
         .distinct()
     )
-    out = batch.join(
+    return batch.join(
         F.broadcast(stale),
         batch[key_col] == stale["__batch_key"],
         "left_anti",
     )
-    bsigs.unpersist()
-    return out

@@ -603,8 +603,12 @@ class _BitWriter:
 
 
 class _BitReader:
-    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
-    real marker (0xFF followed by non-zero, non-RST byte)."""
+    """Entropy-segment bit reader with 0xFF00 unstuffing. Restart
+    markers are NOT consumed here — per T.81 F.2.1.3.1 the decoder
+    must byte-align, consume the RSTn, and reset its DC predictors at
+    exactly the restart-interval boundary, so ``restart()`` below does
+    all three under the decode loop's control; an RST encountered
+    mid-stream is a real error."""
 
     def __init__(self, data, pos):
         self.data = data
@@ -621,18 +625,22 @@ class _BitReader:
             nxt = d[p + 1] if p + 1 < len(d) else None
             if nxt == 0x00:
                 self.pos = p + 2  # stuffed literal 0xFF
-            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
-                self.pos = p + 2  # restart marker: reset bit state
-                self.acc = 0
-                self.nbits = 0
-                self._fill()
-                return
             else:
                 raise ValueError("hit marker inside entropy segment")
         else:
             self.pos = p + 1
         self.acc = (self.acc << 8) | b
         self.nbits += 8
+
+    def restart(self):
+        """Byte-align (discarding the encoder's 1-fill pad bits) and
+        consume the expected RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d, p = self.data, self.pos
+        if p + 1 >= len(d) or d[p] != 0xFF or not (0xD0 <= d[p + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos = p + 2
 
     def bit(self):
         if self.nbits == 0:
@@ -671,13 +679,16 @@ def _jpg_receive_extend(bits, cat):
     return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
 
 
-def encode_jpeg_gray(px, quant=None) -> bytes:
+def encode_jpeg_gray(px, quant=None, restart_interval: int = 0) -> bytes:
     """Real baseline-sequential JPEG encoder for 8-bit grayscale
     (fixture generator for the decode path): level shift -> 8x8 forward
     DCT -> quantize -> zig-zag -> DC-differential + AC run-length
     Huffman coding with the spec's Annex K tables. Edge-replication
     padding to the block grid; default quant table is all-ones (the
-    exactly-invertible configuration the oracle fixture relies on)."""
+    exactly-invertible configuration the oracle fixture relies on).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (byte-aligned, DC predictors reset) — the camera/
+    libjpeg-style stream shape the decoder's restart path handles."""
     import numpy as np
 
     if quant is None:
@@ -703,7 +714,13 @@ def encode_jpeg_gray(px, quant=None) -> bytes:
     ac_enc = _jpg_canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
-    for blk in zz:
+    rst_n = 0
+    for blk_i, blk in enumerate(zz):
+        if restart_interval and blk_i and blk_i % restart_interval == 0:
+            bw.flush()  # byte-align with 1-fill, then the raw marker
+            bw.out.extend([0xFF, 0xD0 + rst_n])
+            rst_n = (rst_n + 1) % 8
+            prev_dc = 0
         diff = int(blk[0]) - prev_dc
         prev_dc = int(blk[0])
         cat = _jpg_category(diff)
@@ -740,9 +757,12 @@ def encode_jpeg_gray(px, quant=None) -> bytes:
     dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)) + seg(
         0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)
     )
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (
-        b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bw.out) + b"\xff\xd9"
     )
 
 
@@ -763,6 +783,7 @@ def decode_jpeg_bytes(b: bytes):
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode map
     comps = None
     h = w = 0
+    restart_interval = 0
     while True:
         if b[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -805,8 +826,8 @@ def decode_jpeg_bytes(b: bytes):
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG")
-        elif marker == 0xDD:  # DRI — restart handling is in _BitReader
-            pass
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            restart_interval = struct.unpack_from(">H", payload, 0)[0]
         elif marker == 0xDA:  # SOS
             if comps is None:
                 raise ValueError("SOS before SOF")
@@ -828,6 +849,10 @@ def decode_jpeg_bytes(b: bytes):
     zz = np.zeros((ncomp, bh * bw_, 64), np.int64)
     prev_dc = [0] * ncomp
     for blk in range(bh * bw_):
+        if restart_interval and blk and blk % restart_interval == 0:
+            # T.81 F.2.1.3.1: byte-align, eat RSTn, reset DC predictors
+            reader.restart()
+            prev_dc = [0] * ncomp
         for ci, (comp, dct, act) in enumerate(scan):
             cat = reader.huff(dct)
             prev_dc[ci] += _jpg_receive_extend(reader.bits(cat), cat)

@@ -695,19 +695,23 @@ def embedding_covariance(
     partials = df.select(vec_col).mapInPandas(
         gram, "i int, j int, sij long, si long, sj long, n long"
     )
+    # global sums and the n*Sij - Si*Sj numerator ride decimal(38,0):
+    # per-partition int64 blocks are safe (bounded by partition size,
+    # documented above), but at corpus scale Si*Sj ~ (quant*n)^2 blows
+    # through int64 — the exactness guarantee must hold at exactly the
+    # scale this operator advertises (same rule as q_anomaly_zscore)
+    d0 = "decimal(38,0)"
     agg = partials.groupBy("i", "j").agg(
-        F.sum("sij").alias("sij"),
-        F.sum("si").alias("si"),
-        F.sum("sj").alias("sj"),
+        F.sum(F.col("sij").cast(d0)).alias("sij"),
+        F.sum(F.col("si").cast(d0)).alias("si"),
+        F.sum(F.col("sj").cast(d0)).alias("sj"),
         F.sum("n").alias("n"),
     )
+    numer = (
+        F.col("n").cast(d0) * F.col("sij") - F.col("si") * F.col("sj")
+    ).cast("double")
     denom = F.col("n").cast("double") * F.col("n") * float(quant) * quant
-    return agg.select(
-        "i",
-        "j",
-        ((F.col("n") * F.col("sij") - F.col("si") * F.col("sj")).cast("double")
-         / denom).alias("cov"),
-    )
+    return agg.select("i", "j", (numer / denom).alias("cov"))
 
 
 def kmeans_lloyd(
@@ -744,6 +748,11 @@ def kmeans_lloyd(
     init_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
+    if not init_rows:
+        raise ValueError("kmeans_lloyd: input has no rows")
+    # fewer rows than requested clusters: clamp k (each row its own
+    # cluster) — mirrors build_ivf_index's limit(nlist) behavior
+    k = len(init_rows)
     C = np.array([r[vec_col] for r in init_rows], dtype=np.float64)
     d = C.shape[1]
     base = df.select(id_col, vec_col)

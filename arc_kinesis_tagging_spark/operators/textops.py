@@ -131,8 +131,10 @@ def heavy_hitters(
 
     def mg(batches):
         counters: dict[str, int] = {}
+        n_seen = 0
         for pdf in batches:
             for tok in pdf["token"]:
+                n_seen += 1
                 if tok in counters:
                     counters[tok] += 1
                 elif len(counters) < k:
@@ -145,12 +147,19 @@ def heavy_hitters(
                             dead.append(key)
                     for key in dead:
                         del counters[key]
-        yield pd.DataFrame({"token": list(counters.keys())})
+        # one marker row per partition carries its token count, so the
+        # grand total falls out of THIS pass — the corpus is scanned
+        # exactly twice (candidates + verification), the 2-pass minimum
+        yield pd.DataFrame(
+            {"token": list(counters.keys()) + [None],
+             "part_total": [0] * len(counters) + [n_seen]}
+        )
 
-    candidates = toks.mapInPandas(mg, "token string").distinct()
-    # total as a broadcast 1-row aggregate, not a driver-side count():
-    # the whole operator stays one declarative plan with no eager jobs
-    total = toks.agg(F.count(F.lit(1)).alias("__total"))
+    partials = toks.mapInPandas(mg, "token string, part_total long").persist()
+    candidates = partials.filter(F.col("token").isNotNull()).select("token").distinct()
+    # total as a broadcast 1-row aggregate over the TINY partials table
+    # (k rows per partition), not a third corpus scan
+    total = partials.agg(F.sum("part_total").alias("__total"))
     exact = (
         toks.join(F.broadcast(candidates), "token", "left_semi")
         .groupBy("token")

@@ -253,9 +253,20 @@ def q_similarity_ivf(spark, sf_dir):
     return cosine_topk_ivf(e, q, k=5, nlist=16, nprobe=4)
 
 
-# (session id, absolute sf_dir) pairs whose corpus digest table has
-# already been written this process — see q_dedup_incremental
-_DIGEST_TABLES_WRITTEN: set = set()
+def _session_memo(spark) -> set:
+    """Per-SparkSession memo of corpus tables already written. Stored
+    ON the session object (not keyed by id(spark): CPython recycles
+    ids after GC, and the table lives in the session-scoped in-memory
+    catalog — a recycled id could skip a REQUIRED write for a fresh
+    session). A new Python wrapper over the same JVM session starts
+    empty and merely re-pays the write, never skips it. Regenerating
+    sf_dir's data mid-session requires a new session (or clearing the
+    attribute) — the driver regenerates per-process."""
+    memo = getattr(spark, "_akt_corpus_tables_written", None)
+    if memo is None:
+        memo = set()
+        spark._akt_corpus_tables_written = memo
+    return memo
 
 
 def q_dedup_incremental(spark, sf_dir):
@@ -300,15 +311,15 @@ def q_dedup_incremental(spark, sf_dir):
     # building this DataFrame materializes the corpus digest table (a
     # real Spark write job) — memoized per (session, path) so repeated
     # builds in one session pay the write once
-    key = (id(spark), norm)
-    if key not in _DIGEST_TABLES_WRITTEN:
+    memo = _session_memo(spark)
+    if norm not in memo:
         write_bucketed(
             prior.select(F.md5("text").alias("digest")).distinct(),
             table,
             ["digest"],
             n_buckets=16,
         )
-        _DIGEST_TABLES_WRITTEN.add(key)
+        memo.add(norm)
     return fresh_against_corpus(fresh, spark.table(table)).select(
         "doc_id", "lang", "n_chars"
     )
@@ -354,12 +365,12 @@ def q_dedup_incremental_mh(spark, sf_dir):
     batch = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 8)
     norm = _os.path.abspath(sf_dir.rstrip("/"))
     prefix = "akt_mh_corpus_" + _hashlib.md5(norm.encode()).hexdigest()[:8]
-    key = (id(spark), norm, "mh")
-    if key not in _DIGEST_TABLES_WRITTEN:
+    memo = _session_memo(spark)
+    if (norm, "mh") not in memo:
         write_minhash_corpus(
             spark, prior, prefix, "text", "doc_id", n_hashes=16, bands=8
         )
-        _DIGEST_TABLES_WRITTEN.add(key)
+        memo.add((norm, "mh"))
     return minhash_fresh_against_corpus(
         spark, batch, prefix, "text", "doc_id",
         n_hashes=16, bands=8, jaccard_threshold=0.5,

@@ -134,11 +134,12 @@ _R4_HEAD = [
 
 
 # Round-5 driver window: after the r04 rotation, zero r01-vintage rows
-# remain; the stalest greens are the 36 r02-vintage rows below. Order:
-# (a) queries NEW in round 5 (pre-listed; skipped until registered),
-# (b) all 36 r02-vintage rows, (c) 8 highest-value r03 rows — the
-# iterative/sketch pipelines plus q_tpch_q21ish (the one bench entry
-# that drifted in r04) — filling the 50-entry window exactly.
+# remain; the stalest greens are the 36 r02-vintage rows. Final round-5
+# shape: (a) the 17 queries NEW this round (new work is verified the
+# round it lands), then (b) 33 of the 36 r02-vintage rows — exactly 50.
+# The three displaced r02 scalar families (q_sql_direct, q_hof_funcs,
+# q_unpivot) plus the r03 rows lead round 6's window; all remain
+# pytest/local-sweep green meanwhile.
 _R5_HEAD = [
     # -- (a) new this round --
     "q_multimodal_jpeg",      # stdlib baseline JPEG decode
@@ -172,11 +173,9 @@ _R5_HEAD = [
     "q_window_range_frame",
     # q_sql_direct, q_hof_funcs, q_unpivot (r02-vintage scalar-family
     # refreshes with low regression risk) lead round 6's window to fit
-    # the 17 new queries + 33 r02 rows in the 50 slots
-    # (the 15 new queries + 36 r02-vintage rows fill the 50-entry
-    # window exactly; q_tpch_q21ish's r04 bench drift was settled by a
-    # standalone re-measure — 0.93x its r03 time — and bench.py times
-    # it every round regardless)
+    # the 17 new queries + 33 r02 rows in the 50 slots. q_tpch_q21ish's
+    # r04 bench drift was settled by a standalone re-measure (0.93x its
+    # r03 time); bench.py times it every round regardless.
 ]
 
 

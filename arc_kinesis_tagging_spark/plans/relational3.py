@@ -575,7 +575,9 @@ def q_merge_upsert(spark, sf_dir):
     row-at-a-time upsert loop anywhere."""
     d = load_table(spark, "documents", sf_dir)
     target = d.filter(F.col("doc_id") % 10 < 8).select("doc_id", "lang", "n_chars")
-    source = d.filter(F.col("doc_id") % 5 == 0).select(
+    # source %3: doc_ids ending in 9 (e.g. 9, 39, 69) miss the target,
+    # so the INSERT branch is genuinely exercised alongside update/keep
+    source = d.filter(F.col("doc_id") % 3 == 0).select(
         "doc_id",
         F.lit("xx").alias("lang"),
         (F.col("n_chars") + 1000).alias("n_chars"),
@@ -599,7 +601,7 @@ WITH target AS (
   SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 < 8
 ), source AS (
   SELECT doc_id, 'xx' AS lang, n_chars + 1000 AS n_chars
-  FROM documents WHERE doc_id % 5 = 0
+  FROM documents WHERE doc_id % 3 = 0
 )
 SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
        COALESCE(s.lang, t.lang) AS lang,

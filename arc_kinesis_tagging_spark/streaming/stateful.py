@@ -172,6 +172,7 @@ def streaming_funnel(
     user_col: str = "user_id",
     event_col: str = "event_type",
     ts_col: str = "ts",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Streaming funnel progression with per-user state — the
     streaming analog of operators/funnel.py:funnel (which recomputes
@@ -205,7 +206,8 @@ def streaming_funnel(
         completions = []
         batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else None
         if batch is not None and len(batch):
-            for _, row in batch.sort_values(ts_col).iterrows():
+            sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+            for _, row in batch.sort_values(sort_cols, kind="stable").iterrows():
                 expected = stages[stage]
                 ts = row[ts_col]
                 if row[event_col] == expected and (
@@ -223,7 +225,10 @@ def streaming_funnel(
                 columns=[user_col] + [f"s{i}_ts" for i in range(n)],
             )
 
-    return events.select(user_col, event_col, ts_col).groupBy(
+    cols = [user_col, event_col, ts_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    return events.select(*cols).groupBy(
         user_col
     ).applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

@@ -330,3 +330,31 @@ def test_jpeg_decode_isolation(spark):
     )
     out = decode_jpeg(bad).collect()
     assert len(out) == 3 and all(r["width"] is None for r in out)
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn handling per T.81 F.2.1.3.1: byte-aligned restart
+    markers with DC-predictor resets must round-trip at several
+    interval sizes — including interval 1 (a marker between every
+    MCU), the maximal-stress shape."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (19, 30)).astype(np.float64)
+    for ri in (1, 2, 5):
+        blob = encode_jpeg_gray(px, restart_interval=ri)
+        assert b"\xff\xdd" in blob and b"\xff\xd0" in blob  # DRI + RST0
+        assert np.abs(decode_jpeg_bytes(blob) - px).max() <= 1.0, ri
+    # a truncated stream that ends where an RST was expected must raise
+    blob = encode_jpeg_gray(px, restart_interval=2)
+    cut = blob.index(b"\xff\xd0")
+    try:
+        decode_jpeg_bytes(blob[:cut] + b"\x00\x00" + blob[cut + 2 :])
+        raise AssertionError("expected restart-marker error")
+    except ValueError:
+        pass
