@@ -47,6 +47,18 @@ EXCHANGE_BUDGET = [
     # the filter broadcast-only — no corpus-sized shuffle, no window
     ("q_domain_balance_hash", 3),
     ("q_text_normalize", 0),
+    # round-5 docstring claims, held as budgets: sessionization's one
+    # user shuffle shared by windows and aggregate; cohort's exactly
+    # two; z-score's single user window; URL dedup's one canonical-key
+    # aggregate; covariance's one tiny block shuffle
+    ("q_session_stats", 1),
+    ("q_cohort_retention", 2),
+    ("q_text_entropy", 2),
+    ("q_anomaly_zscore", 1),
+    ("q_dedup_url", 1),
+    ("q_embed_covariance", 1),
+    ("q_dedup_lines", 4),
+    ("q_merge_upsert", 2),
 ]
 
 
