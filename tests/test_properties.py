@@ -230,3 +230,27 @@ def test_dedup_segments_matches_python_model(spark, texts):
         assert got[doc_id]["n_segs"] == m["n_segs"], doc_id
         assert got[doc_id]["n_kept"] == len(m["kept"]), doc_id
         assert got[doc_id]["clean_text"] == " ".join(m["kept"]), doc_id
+
+
+@given(
+    hot_n=st.integers(30, 80),
+    tail_n=st.integers(0, 60),
+    phi=st.sampled_from([0.05, 0.1]),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_heavy_hitters_matches_exact_model(spark, hot_n, tail_n, phi):
+    """Random corpora: the Misra-Gries + verify pipeline must equal the
+    exact heavy-hitter set computed by a Python counter."""
+    from collections import Counter
+
+    from arc_kinesis_tagging_spark.operators.textops import heavy_hitters
+
+    toks = ["hot"] * hot_n + [f"t{i}" for i in range(tail_n)]
+    docs = [(i, " ".join(toks[i::7])) for i in range(7)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    counts = Counter(t for _, text in docs for t in text.split())
+    total = sum(counts.values())
+    expect = {t: c for t, c in counts.items() if c > phi * total}
+    got = {r["token"]: r["freq"] for r in heavy_hitters(df, phi=phi).collect()}
+    assert got == expect
