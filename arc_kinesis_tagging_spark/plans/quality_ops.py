@@ -1398,7 +1398,32 @@ GROUP BY source
 """
 
 
+
+
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer training over the corpus
+    (operators/bpe.py:bpe_train): the corpus is read ONCE into a
+    vocabulary-sized word-frequency table, then every merge iteration
+    (pair explode -> weighted aggregate -> deterministic argmax with
+    lexicographic tie-break -> Arrow-batched merge application) runs
+    on that corpus-size-independent table. Returns the learned merge
+    table (rank, left, right, weighted_freq). Iterative -> rows-only;
+    exact merge-sequence parity with a single-machine Sennrich-style
+    reference is pinned in tests/test_quality_ops.py."""
+    from arc_kinesis_tagging_spark.operators.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges, _vocab = bpe_train(d, "text", n_merges=16, min_freq=2)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, weighted_freq long",
+    )
+
+
 QUALITY_QUERIES = [
+    Query("q_bpe_train", q_bpe_train, None,
+          "iterative merge learning is not SQL-expressible -> rows-only; "
+          "exact reference parity in tests/test_quality_ops.py"),
     Query("q_corpus_pipeline3", q_corpus_pipeline3, ORACLE_CORPUS_PIPELINE3),
     Query("q_anomaly_zscore", q_anomaly_zscore, ORACLE_ANOMALY_ZSCORE),
     Query("q_graph_triangles", q_graph_triangles, ORACLE_GRAPH_TRIANGLES),

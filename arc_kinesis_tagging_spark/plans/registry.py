@@ -173,7 +173,10 @@ _R5_HEAD = [
     "q_window_range_frame",
     # q_sql_direct, q_hof_funcs, q_unpivot (r02-vintage scalar-family
     # refreshes with low regression risk) lead round 6's window to fit
-    # the 17 new queries + 33 r02 rows in the 50 slots. q_tpch_q21ish's
+    # the 17 new queries + 33 r02 rows in the 50 slots, together with
+    # q_bpe_train (late round-5; its correctness evidence is the exact
+    # reference-parity pytest, stronger than a rows-only driver row).
+    # q_tpch_q21ish's
     # r04 bench drift was settled by a standalone re-measure (0.93x its
     # r03 time); bench.py times it every round regardless.
 ]

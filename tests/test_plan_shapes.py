@@ -179,6 +179,8 @@ _EAGER_BUILDERS = {
     "q_kmeans",
     # materializes the corpus LSH band/shingle tables at build time
     "q_dedup_incremental_mh",
+    # iterative merge-learning loop runs jobs at build time
+    "q_bpe_train",
 }
 
 

