@@ -113,3 +113,63 @@ def bpe_train(
             _apply_merge(left, right), "syms array<string>, freq long"
         ).localCheckpoint(eager=True)
     return merges, state
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list to the corpus — the tokenize-apply
+    half of the loop. Per word: start from chars + ``</w>`` and apply
+    the merges in rank order (exactly the training-side replacement,
+    so encoding any training-corpus word reproduces the final training
+    vocabulary's symbol sequence — the self-consistency invariant the
+    tests pin). Map-only: the merge list is closure-captured (it is
+    rank-bounded metadata), words are memoized per Arrow batch, and no
+    shuffle happens at any scale. Emits per-document subword stats."""
+    pairs = [(left, right) for left, right, *_ in merges]
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        cache: dict[str, list[str]] = {}
+
+        def encode_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                syms = list(w) + [END]
+                for left, right in pairs:
+                    i, out = 0, []
+                    n = len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                            out.append(left + right)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                cache[w] = got = syms
+            return got
+
+        for pdf in batches:
+            rows = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in re.split(r"\s+", text or "") if w]
+                n_sub = 0
+                sample: list[str] = []
+                for w in words:
+                    syms = encode_word(w)
+                    n_sub += len(syms)
+                    if len(sample) < 10:
+                        sample.extend(syms[: 10 - len(sample)])
+                rows.append((rid, len(words), n_sub, "|".join(sample)))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_words", "n_subwords", "sample_tokens"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        enc, f"{id_col} long, n_words long, n_subwords long, sample_tokens string"
+    )

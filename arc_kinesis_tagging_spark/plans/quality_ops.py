@@ -1420,7 +1420,28 @@ def q_bpe_train(spark, sf_dir):
     )
 
 
+
+
+def q_bpe_encode(spark, sf_dir):
+    """The tokenize-apply half of the BPE loop: train 16 merges on the
+    corpus (q_bpe_train's path), then encode every document with them
+    (operators/bpe.py:bpe_encode — map-only, merge list closure-
+    captured, per-batch word memoization, zero shuffle) and emit
+    per-document subword statistics. Iterative training upstream ->
+    rows-only; the train/apply self-consistency invariant (encoding a
+    training word reproduces the final vocab's symbols) is pinned in
+    tests."""
+    from arc_kinesis_tagging_spark.operators.bpe import bpe_encode, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges, _vocab = bpe_train(d, "text", n_merges=16, min_freq=2)
+    return bpe_encode(d, merges, "text", "doc_id")
+
+
 QUALITY_QUERIES = [
+    Query("q_bpe_encode", q_bpe_encode, None,
+          "trains merges upstream (iterative) -> rows-only; train/apply "
+          "self-consistency pinned in tests/test_quality_ops.py"),
     Query("q_bpe_train", q_bpe_train, None,
           "iterative merge learning is not SQL-expressible -> rows-only; "
           "exact reference parity in tests/test_quality_ops.py"),

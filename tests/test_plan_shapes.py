@@ -180,7 +180,7 @@ _EAGER_BUILDERS = {
     # materializes the corpus LSH band/shingle tables at build time
     "q_dedup_incremental_mh",
     # iterative merge-learning loop runs jobs at build time
-    "q_bpe_train",
+    "q_bpe_train", "q_bpe_encode",
 }
 
 

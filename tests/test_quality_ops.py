@@ -494,3 +494,36 @@ def test_bpe_train_matches_reference_implementation(spark):
         syms = {s for r in final_vocab.collect() for s in r["syms"]}
         assert all((l + r) in syms or True for l, r, _ in merges)
         assert any(len(s) > 2 for s in syms)  # real multi-char subwords
+
+
+def test_bpe_encode_self_consistent_with_training(spark):
+    """Encoding any training-corpus word with the learned merges must
+    reproduce the final training vocabulary's symbol sequence exactly
+    — train and apply are the same replacement semantics."""
+    from arc_kinesis_tagging_spark.operators.bpe import (
+        END,
+        bpe_encode,
+        bpe_train,
+    )
+
+    texts = ["low lower lowest low low", "newer newest new new newer",
+             "wider wide widest wider", "low newer wide low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, vocab = bpe_train(df, "text", n_merges=12)
+    # reconstruct per-word symbol sequences from the final vocab state
+    final = {
+        "".join(r["syms"]).replace(END, ""): list(r["syms"])
+        for r in vocab.collect()
+    }
+    enc = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    for i, t in enumerate(texts):
+        words = t.split()
+        expect_sub = sum(len(final[w]) for w in words)
+        assert enc[i]["n_words"] == len(words)
+        assert enc[i]["n_subwords"] == expect_sub, (i, enc[i])
+    # empty/missing text safe
+    edge = spark.createDataFrame([(9, ""), (10, None)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in bpe_encode(edge, merges).collect()}
+    assert rows[9]["n_words"] == 0 and rows[10]["n_subwords"] == 0
