@@ -1438,7 +1438,88 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode(d, merges, "text", "doc_id")
 
 
+
+
+# fixed demonstration merge table for the SQL-oracled BPE application:
+# rank-ordered, over this corpus's vocabulary. The \x01 separator trick
+# makes greedy left-to-right merge application expressible as a chain
+# of literal replaces in BOTH engines: a word becomes
+# "c<SEP>h<SEP>a<SEP>r<SEP></w>", and applying merge (l, r) is
+# replace("l<SEP>r" -> "lr") — string replace consumes non-overlapping
+# occurrences left-to-right, exactly the scan-replace semantics of
+# operators/bpe.py.
+BPE_FIXED_MERGES = [
+    ("t", "h"), ("th", "e"), ("the", "</w>"),
+    ("d", "a"), ("da", "t"), ("dat", "a"), ("data", "</w>"),
+    ("s", "p"), ("sp", "a"), ("r", "k"),
+]
+_BPE_SEP = "\u0001"
+
+
+def q_bpe_subwords(spark, sf_dir):
+    """BPE application with a FIXED merge table — the hash-checkable
+    face of the tokenizer loop (q_bpe_train/q_bpe_encode learn
+    data-dependent merges and are rows-only; here the merge table is a
+    constant, so the whole computation is a codegen replace-chain with
+    a full DuckDB oracle). Per document: word count, total subword
+    count under the fixed merges, and the exact bytes-per-subword
+    compression proxy. Map-side explode + one doc-keyed aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    enc = F.concat(
+        F.array_join(F.split(F.col("w"), ""), _BPE_SEP),
+        F.lit(_BPE_SEP + "</w>"),
+    )
+    for left, right in BPE_FIXED_MERGES:
+        enc = F.replace(
+            enc, F.lit(left + _BPE_SEP + right), F.lit(left + right)
+        )
+    n_sub = (
+        F.length(enc) - F.length(F.replace(enc, F.lit(_BPE_SEP), F.lit("")))
+        + F.lit(1)
+    )
+    return (
+        w.select("doc_id", n_sub.alias("ns"), F.length("w").alias("wl"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("ns").alias("n_subwords"),
+            F.round(
+                F.sum("wl").cast("double") / F.sum("ns"), 6
+            ).alias("chars_per_subword"),
+        )
+    )
+
+
+def _bpe_oracle_sql() -> str:
+    enc = "array_to_string(string_split(w, ''), chr(1)) || chr(1) || '</w>'"
+    for left, right in BPE_FIXED_MERGES:
+        enc = (
+            f"replace({enc}, '{left}' || chr(1) || '{right}', '{left}{right}')"
+        )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS w
+  FROM documents
+), enc AS (
+  SELECT doc_id, w, {enc} AS e FROM words
+)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(length(e) - length(replace(e, chr(1), '')) + 1) AS BIGINT)
+         AS n_subwords,
+       ROUND(CAST(SUM(length(w)) AS DOUBLE)
+             / SUM(length(e) - length(replace(e, chr(1), '')) + 1),
+             6) AS chars_per_subword
+FROM enc GROUP BY doc_id
+"""
+
+
+ORACLE_BPE_SUBWORDS = _bpe_oracle_sql()
+
+
 QUALITY_QUERIES = [
+    Query("q_bpe_subwords", q_bpe_subwords, ORACLE_BPE_SUBWORDS),
     Query("q_bpe_encode", q_bpe_encode, None,
           "trains merges upstream (iterative) -> rows-only; train/apply "
           "self-consistency pinned in tests/test_quality_ops.py"),

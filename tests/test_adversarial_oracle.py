@@ -79,6 +79,7 @@ DOC_QUERIES = [
     "q_merge_upsert",
     "q_scd2_update",
     "q_dedup_url",
+    "q_bpe_subwords",
 ]
 
 
