@@ -59,6 +59,8 @@ EXCHANGE_BUDGET = [
     ("q_embed_covariance", 1),
     ("q_dedup_lines", 4),
     ("q_merge_upsert", 2),
+    # fixed-merge BPE: explode + one doc-keyed aggregate
+    ("q_bpe_subwords", 1),
 ]
 
 

@@ -66,6 +66,12 @@ COMMENTARY = {
         "values in one pass — one shuffle, exact integer stats, one "
         "IEEE sqrt at output."
     ),
+    "q_bpe_subwords": (
+        "Fixed-merge BPE application: the separator trick turns greedy "
+        "merge application into a codegen literal-replace chain — "
+        "map-side explode plus ONE doc-keyed aggregate, no Python in "
+        "the plan, full SQL oracle."
+    ),
     "q_dedup_incremental": (
         "The round-4 production shape: the prior-corpus digest table is "
         "read as a BUCKETED scan (Bucketed: true, zero Exchange on the "
