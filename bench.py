@@ -57,6 +57,9 @@ HEADLINE = [
     "q_dedup_lines",      # cross-document segment dedup + reassembly
     "q_heavy_hitters",    # Misra-Gries candidates + exact verify
     "q_multimodal_jpeg",  # stdlib baseline JPEG decode
+    "q_session_stats",    # one-shuffle gap sessionization
+    "q_cohort_retention", # two-shuffle cohort matrix
+    "q_bpe_subwords",     # codegen replace-chain BPE application
 ]
 
 
