@@ -951,3 +951,162 @@ def decode_jpeg(
             )
 
     return df.select(id_col, media_col).mapInPandas(dec, JPEG_DECODED_SCHEMA)
+
+
+# --- PNG grayscale (color type 0) -------------------------------------------
+# Same chunk/inflate/unfilter machinery as the truecolor path with
+# bpp=1; kept as separate entry points so each decoder's contract
+# (expected color type) stays explicit and the proven RGB code is
+# untouched.
+
+
+def encode_png_gray8(px) -> bytes:
+    """8-bit grayscale PNG encoder (fixture generator): scanline y uses
+    filter type y % 5, IDAT split across two chunks — the same
+    all-filters / multi-chunk stress shape as encode_png_rgb8."""
+    import numpy as np
+
+    h, w = px.shape
+    raw = bytearray()
+    prior = np.zeros(w, np.int32)
+    for y in range(h):
+        row = px[y].astype(np.int32)
+        left = np.concatenate([[0], row[:-1]])
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = (row - left) % 256
+        elif ft == 2:  # Up
+            filt = (row - prior) % 256
+        elif ft == 3:  # Average
+            filt = (row - (left + prior) // 2) % 256
+        else:  # Paeth
+            ul = np.concatenate([[0], prior[:-1]])
+            filt = (row - _paeth_vec(left, prior, ul)) % 256
+        raw.append(ft)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prior = row
+    comp = zlib.compress(bytes(raw), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # color type 0
+    mid = len(comp) // 2
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:mid])
+        + _png_chunk(b"IDAT", comp[mid:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray8_bytes(b: bytes):
+    """Decode an 8-bit grayscale non-interlaced PNG to an (h, w) uint8
+    array — the bpp=1 instantiation of the truecolor decoder's CRC
+    walk + inflate + per-scanline unfilter."""
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat = 8, bytearray()
+    w = h = None
+    while pos + 12 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, ctcode, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctcode != 0 or interlace != 0:
+                raise ValueError("only 8-bit grayscale non-interlaced supported")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("IDAT length mismatch")
+    out = np.empty((h, w), np.int32)
+    prior = np.zeros(w, np.int32)
+    for y in range(h):
+        ft = raw[y * (w + 1)]
+        row = np.frombuffer(raw, np.uint8, w, y * (w + 1) + 1).astype(np.int32)
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: one prefix sum at bpp=1
+            rec = np.cumsum(row) % 256
+        elif ft == 2:  # Up
+            rec = (row + prior) % 256
+        elif ft == 3:  # Average
+            rec = np.empty(w, np.int32)
+            for x in range(w):
+                left = rec[x - 1] if x >= 1 else 0
+                rec[x] = (row[x] + (left + int(prior[x])) // 2) % 256
+        elif ft == 4:  # Paeth
+            rec = np.empty(w, np.int32)
+            for x in range(w):
+                a = int(rec[x - 1]) if x >= 1 else 0
+                c = int(prior[x - 1]) if x >= 1 else 0
+                up = int(prior[x])
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out[y] = rec
+        prior = rec
+    return out.astype(np.uint8)
+
+
+def attach_png_gray_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic grayscale PNG per row: w = id%10+4, h = id%8+4,
+    pixel (x, y) = id%128 + x + 2y (max 158 < 256). Analytic mean =
+    id%128 + (w-1)/2 + (h-1) — exact dyadic, so the DuckDB oracle
+    checks the full gray encode->decode->aggregate path."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64").to_numpy()
+            blobs = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 10 + 4, i % 8 + 4
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                px = (i % 128 + xs + 2 * ys).astype(np.uint8)
+                blobs.append(encode_png_gray8(px))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "media_id long, media binary")
+
+
+def decode_png_gray(
+    df: DataFrame, id_col: str = "media_id", media_col: str = "media"
+) -> DataFrame:
+    """Grayscale PNG decode through the identical batched path; null
+    rows on corrupt/unsupported payloads."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                mid_out = None if pd.isna(mid) else int(mid)
+                try:
+                    px = decode_png_gray8_bytes(bytes(blob)).astype("float64")
+                    h, w = px.shape
+                    out.append((mid_out, w, h, px.mean()))
+                except Exception:
+                    out.append((mid_out, None, None, None))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "mean_gray"]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(dec, JPEG_DECODED_SCHEMA)

@@ -160,6 +160,7 @@ _R5_HEAD = [
     "q_corpus_pipeline3",     # entropy+perplexity gate -> segment dedup
     "q_dedup_incremental_mh", # cross-batch NEAR-dup vs bucketed LSH corpus
     "q_bpe_subwords",         # fixed-merge BPE application (hash-green)
+    "q_multimodal_png_gray",  # grayscale PNG decode (bpp=1 family member)
     # -- (b) newest driver row is r02 --
     "q_window_analytics", "q_string_distance", "q_array_funcs",
     "q_regex_funcs", "q_date_funcs2", "q_collect_agg",
@@ -170,11 +171,11 @@ _R5_HEAD = [
     "q_text_termfreq", "q_text_quality", "q_text_langid",
     "q_text_fingerprint", "q_quality_filter", "q_text_tfidf",
     "q_multimodal_decode", "q_text_chunk", "q_seq_pack", "q_pii_scrub",
-    "q_struct_funcs", "q_url_funcs", "q_csv_parse", "q_tpch_q18ish",
-    # q_sql_direct, q_hof_funcs, q_unpivot, q_window_range_frame
-    # (r02-vintage scalar-family
+    "q_url_funcs", "q_csv_parse", "q_tpch_q18ish",
+    # q_sql_direct, q_hof_funcs, q_unpivot, q_window_range_frame,
+    # q_struct_funcs (r02-vintage scalar-family
     # refreshes with low regression risk) lead round 6's window to fit
-    # the 18 new queries + 32 r02 rows in the 50 slots, together with
+    # the 19 new queries + 31 r02 rows in the 50 slots, together with
     # q_bpe_train (late round-5; its correctness evidence is the exact
     # reference-parity pytest, stronger than a rows-only driver row).
     # q_tpch_q21ish's

@@ -80,6 +80,7 @@ DOC_QUERIES = [
     "q_scd2_update",
     "q_dedup_url",
     "q_bpe_subwords",
+    "q_multimodal_png_gray",
 ]
 
 

@@ -358,3 +358,35 @@ def test_jpeg_restart_markers_roundtrip():
         raise AssertionError("expected restart-marker error")
     except ValueError:
         pass
+
+
+def test_png_gray_roundtrip_and_isolation(spark):
+    """Grayscale PNG: exact roundtrip on random images across all five
+    filters (heights >= 5), and per-record isolation for a truecolor
+    PNG fed to the grayscale decoder (wrong color type -> null row,
+    not a failed job)."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        _png_pixels,
+        decode_png_gray,
+        decode_png_gray8_bytes,
+        encode_png_gray8,
+        encode_png_rgb8,
+    )
+
+    rng = np.random.default_rng(5)
+    for dims in [(5, 7), (11, 13), (8, 4)]:
+        px = rng.integers(0, 256, dims).astype(np.uint8)
+        assert np.array_equal(
+            decode_png_gray8_bytes(encode_png_gray8(px)), px
+        ), dims
+    gray = encode_png_gray8(rng.integers(0, 256, (6, 6)).astype(np.uint8))
+    rgb = encode_png_rgb8(_png_pixels(3))
+    rows = spark.createDataFrame(
+        [(1, gray), (2, rgb), (3, None)], "media_id long, media binary"
+    )
+    got = {r["media_id"]: r for r in decode_png_gray(rows).collect()}
+    assert got[1]["width"] == 6 and got[1]["mean_gray"] is not None
+    assert got[2]["width"] is None  # color type 2 rejected -> isolated
+    assert got[3]["width"] is None
