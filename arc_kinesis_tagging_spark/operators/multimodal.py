@@ -889,6 +889,16 @@ def decode_jpeg_bytes(b: bytes):
         planes.append(np.clip(np.round(plane + 128.0), 0, 255)[:h, :w])
     if ncomp == 1:
         return planes[0]
+    if ncomp == 3:
+        # JFIF YCbCr -> RGB (BT.601 constants); planes are already the
+        # interleaved 4:4:4 MCU decode, so no upsampling is needed
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bl = y + 1.772 * (cb - 128.0)
+        return np.clip(
+            np.round(np.stack([r, g, bl], axis=2)), 0, 255
+        )
     return np.stack(planes, axis=2)
 
 
@@ -1110,3 +1120,92 @@ def decode_png_gray(
             )
 
     return df.select(id_col, media_col).mapInPandas(dec, JPEG_DECODED_SCHEMA)
+
+
+def encode_jpeg_color444(rgb, quant=None) -> bytes:
+    """Baseline 4:4:4 color JPEG encoder (fixture generator for the
+    color decode path): JFIF RGB->YCbCr (BT.601), per-component 8x8
+    DCT/quant, and per-MCU interleaved entropy coding (Y, Cb, Cr block
+    per position, per-component DC predictors) with the Annex K luma
+    tables for all components (legal, if suboptimal). With the
+    all-ones quant table the only loss is the two color-transform
+    roundings, so roundtrip error is bounded by ~3 levels."""
+    import numpy as np
+
+    if quant is None:
+        quant = np.ones(64, np.int64)
+    quant = np.asarray(quant, np.int64).reshape(64)
+    h, w, _ = rgb.shape
+    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    planes = [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    c = _dct8_matrix()
+    qraster = np.empty(64, np.int64)
+    qraster[_JPG_ZZ] = quant
+    comp_zz = []
+    for p in planes:
+        padded = np.empty((ph, pw), np.float64)
+        padded[:h, :w] = p
+        padded[h:, :w] = p[h - 1 : h, :]
+        padded[:, w:] = padded[:, w - 1 : w]
+        blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = np.einsum("ux,rcxy,vy->rcuv", c, blocks, c)
+        q = np.round(coef.reshape(-1, 64) / qraster).astype(np.int64)
+        comp_zz.append(q[:, _JPG_ZZ])
+
+    dc_enc = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_enc = _jpg_canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    n_blocks = comp_zz[0].shape[0]
+    for blk_i in range(n_blocks):
+        for ci in range(3):
+            blk = comp_zz[ci][blk_i]
+            diff = int(blk[0]) - prev_dc[ci]
+            prev_dc[ci] = int(blk[0])
+            cat = _jpg_category(diff)
+            length, code = dc_enc[cat]
+            bw.put(code, length)
+            if cat:
+                bw.put(_jpg_extend_bits(diff, cat), cat)
+            run = 0
+            last_nz = (
+                int(np.nonzero(blk[1:])[0].max()) + 1 if np.any(blk[1:]) else 0
+            )
+            for i in range(1, last_nz + 1):
+                v = int(blk[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = ac_enc[0xF0]
+                    bw.put(code, length)
+                    run -= 16
+                cat = _jpg_category(v)
+                length, code = ac_enc[(run << 4) | cat]
+                bw.put(code, length)
+                bw.put(_jpg_extend_bits(v, cat), cat)
+                run = 0
+            if last_nz < 63:
+                length, code = ac_enc[0x00]
+                bw.put(code, length)
+    bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(quant[i]) for i in range(64)))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"

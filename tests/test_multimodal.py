@@ -390,3 +390,28 @@ def test_png_gray_roundtrip_and_isolation(spark):
     assert got[1]["width"] == 6 and got[1]["mean_gray"] is not None
     assert got[2]["width"] is None  # color type 2 rejected -> isolated
     assert got[3]["width"] is None
+
+
+def test_jpeg_color444_roundtrip():
+    """3-component 4:4:4 color JPEG: per-MCU interleaved entropy
+    decode + JFIF YCbCr->RGB. With quant=1 the only loss is the two
+    color-transform roundings, bounding roundtrip error at 3 levels;
+    grayscale decode through decode_jpeg stays unaffected (it rejects
+    3-component images via its expected-grayscale check -> null row)."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_color444,
+    )
+
+    rng = np.random.default_rng(13)
+    for dims in [(16, 16), (19, 22)]:
+        rgb = rng.integers(0, 256, (*dims, 3)).astype(np.float64)
+        dec = decode_jpeg_bytes(encode_jpeg_color444(rgb))
+        assert dec.shape == (*dims, 3)
+        assert np.abs(dec - rgb).max() <= 3.0
+    # constant-color image: DC-only in all three components
+    flat = np.full((8, 16, 3), [120.0, 64.0, 200.0])
+    dec = decode_jpeg_bytes(encode_jpeg_color444(flat))
+    assert np.abs(dec - flat).max() <= 2.0
