@@ -170,6 +170,11 @@ def bpe_encode(
                 rows, columns=[id_col, "n_words", "n_subwords", "sample_tokens"]
             )
 
+    # derive the id column's type from the input rather than hardcoding
+    # `long` (a string doc_id would otherwise fail or miscast)
+    id_type = dict(df.dtypes)[id_col]
     return df.select(id_col, text_col).mapInPandas(
-        enc, f"{id_col} long, n_words long, n_subwords long, sample_tokens string"
+        enc,
+        f"{id_col} {id_type}, n_words long, n_subwords long, "
+        "sample_tokens string",
     )

@@ -421,7 +421,17 @@ def fresh_against_corpus(
 def _band_keys(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     """(__key, band, bkey) banded LSH keys from a signature table —
     the shared banding step of the self-join (minhash_near_duplicates)
-    and cross-batch (minhash_fresh_against_corpus) paths."""
+    and cross-batch (minhash_fresh_against_corpus) paths.
+
+    Banding must tile the signature exactly: a remainder would silently
+    drop trailing hashes, and bands > n_hashes would make every band key
+    md5('') so ALL documents collide in every band (quadratic candidate
+    blowup)."""
+    if bands <= 0 or bands > n_hashes or n_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide n_hashes={n_hashes} "
+            "(and satisfy 0 < bands <= n_hashes)"
+        )
     rows = n_hashes // bands
     return sigs.select(
         "__key",

@@ -155,7 +155,14 @@ def heavy_hitters(
              "part_total": [0] * len(counters) + [n_seen]}
         )
 
-    partials = toks.mapInPandas(mg, "token string, part_total long").persist()
+    # localCheckpoint(eager) instead of persist(): this is a builder (we
+    # return before any action, so there is no safe unpersist point) and
+    # the ContextCleaner reclaims checkpointed blocks once the returned
+    # plan is garbage-collected — persist() here would leak cache for
+    # the session lifetime on every call.
+    partials = toks.mapInPandas(
+        mg, "token string, part_total long"
+    ).localCheckpoint(eager=True)
     candidates = partials.filter(F.col("token").isNotNull()).select("token").distinct()
     # total as a broadcast 1-row aggregate over the TINY partials table
     # (k rows per partition), not a third corpus scan

@@ -135,11 +135,11 @@ _R4_HEAD = [
 
 # Round-5 driver window: after the r04 rotation, zero r01-vintage rows
 # remain; the stalest greens are the 36 r02-vintage rows. Final round-5
-# shape: (a) the 17 queries NEW this round (new work is verified the
-# round it lands), then (b) 33 of the 36 r02-vintage rows — exactly 50.
-# The three displaced r02 scalar families (q_sql_direct, q_hof_funcs,
-# q_unpivot) plus the r03 rows lead round 6's window; all remain
-# pytest/local-sweep green meanwhile.
+# shape: (a) the 19 queries NEW this round (new work is verified the
+# round it lands), then (b) 31 of the 36 r02-vintage rows — exactly 50.
+# The five displaced r02 scalar families (q_sql_direct, q_hof_funcs,
+# q_unpivot, q_struct_funcs, q_window_range_frame) plus the r03 rows
+# lead round 6's window; all remain pytest/local-sweep green meanwhile.
 _R5_HEAD = [
     # -- (a) new this round --
     "q_multimodal_jpeg",      # stdlib baseline JPEG decode
@@ -184,6 +184,51 @@ _R5_HEAD = [
 ]
 
 
+# Round-6 driver window: the r05 rotation left vintages at
+# 50 r05 + 50 r04 + 49 r03 + 5 r02 (+ q_bpe_train / q_bpe_encode with
+# no driver row ever). Shape: (a) queries NEW this round, (b) the 5
+# remaining r02-vintage scalar families, (c) the two never-driver-rowed
+# BPE entries (rows-only by nature — their correctness evidence is the
+# exact Sennrich-reference-parity pytest), (d) r03-vintage rows filling
+# the remaining slots of the 50-entry window (stalest-first order from
+# CORRECTNESS_r03); whatever r03 rows don't fit lead round 7.
+_R6_HEAD = [
+    # -- (a) new this round --
+    "q_multimodal_jpeg420",   # 4:2:0 chroma-subsampled JPEG decode
+    "q_ann_persisted",        # build-once/query-many persisted-IVF probe
+    "q_doc_minwise_sim",      # all-pairs doc similarity estimate (KMV)
+    "q_ngram_lm_score",       # token-bigram LM scoring gate
+    "q_robots_gate",          # robots/noindex-style crawl admission gate
+    "q_window_cume",          # cumulative-distribution window family
+    "q_rollup_hier",          # hierarchy rollup (page->section->site)
+    "q_array_stats",          # per-row array analytics (HOF, no explode)
+    "q_json_flatten",         # recursive JSON flatten to typed columns
+    "q_dedup_suffix",         # suffix-array-free exact substring dedup
+    # -- (b) newest driver row is r02 --
+    "q_sql_direct", "q_hof_funcs", "q_unpivot", "q_struct_funcs",
+    "q_window_range_frame",
+    # -- (c) never had a driver row (rows-only by nature) --
+    "q_bpe_train", "q_bpe_encode",
+    # -- (d) newest driver row is r03 --
+    "q_scan_parquet", "q_filter_project", "q_json_extract",
+    "q_corrupt_routing", "q_sketch_hll", "q_dedup_minhash",
+    "q_dedup_simhash", "q_similarity_ivf", "q_dedup_cluster",
+    "q_agg_approx_percentile", "q_udf_decompress",
+    "q_multimodal_pipeline", "q_dedup_semantic", "q_dedup_embedding_lsh",
+    "q_sample", "q_tpch_q7ish", "q_tpch_q10ish", "q_tpch_q14ish",
+    "q_tpch_q19ish", "q_agg_stats", "q_profile_columns",
+    "q_token_histogram", "q_domain_balance", "q_ts_gapfill",
+    "q_graph_pagerank", "q_corpus_pipeline", "q_domain_balance_hash",
+    "q_multimodal_ppm", "q_dedup_cluster_star", "q_tpch_q2ish",
+    "q_tpch_q4ish", "q_tpch_q6ish", "q_tpch_q8ish", "q_tpch_q9ish",
+    "q_tpch_q11ish", "q_tpch_q12ish", "q_tpch_q13ish", "q_tpch_q15ish",
+    "q_tpch_q16ish", "q_tpch_q17ish", "q_tpch_q20ish", "q_tpch_q21ish",
+    "q_tpch_q22ish", "q_minhash_vs_exact", "q_ann_recall",
+    "q_text_normalize", "q_doc_stats_sketch", "q_window_ntile",
+    "q_events_funnel",
+]
+
+
 def _ordered(head: list[str]) -> list[Query]:
     seen = [n for n in head if n in _BY_NAME]
     rest = [q.name for q in _CANONICAL if q.name not in set(seen)]
@@ -204,8 +249,10 @@ elif _ROT == "r3":
     ALL_QUERIES = _ordered(_R3_HEAD)
 elif _ROT == "r4":
     ALL_QUERIES = _ordered(_R4_HEAD)
-else:
+elif _ROT == "r5":
     ALL_QUERIES = _ordered(_R5_HEAD)
+else:
+    ALL_QUERIES = _ordered(_R6_HEAD)
 
 QUERIES: dict[str, Query] = {q.name: q for q in ALL_QUERIES}
 

@@ -775,7 +775,7 @@ def q_dedup_url(spark, sf_dir):
     )
 
 
-ORACLE_DEDUP_URL = """
+ORACLE_DEDUP_URL = r"""
 WITH u AS (
   SELECT doc_id,
          CASE doc_id % 4

@@ -197,7 +197,10 @@ def streaming_funnel(
     if n == 0:
         raise ValueError("funnel needs at least one stage")
     ts_fields = ", ".join(f"s{i}_ts timestamp" for i in range(n))
-    out_schema = f"{user_col} long, {ts_fields}"
+    # derive the key column's type from the input (a string user_id
+    # stream would fail or miscast with a hardcoded `long`)
+    user_type = dict(events.dtypes)[user_col]
+    out_schema = f"{user_col} {user_type}, {ts_fields}"
     state_schema = "stage int, ts_list array<timestamp>"
 
     def update(key, pdfs, state: GroupState):

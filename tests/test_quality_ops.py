@@ -490,9 +490,17 @@ def test_bpe_train_matches_reference_implementation(spark):
     for layout in (df, df.repartition(5)):
         merges, final_vocab = bpe_train(layout, "text", n_merges=12)
         assert merges == expect, (merges, expect)
-        # every learned merge symbol actually appears in the final vocab
+        # Merge symbols may be fully absorbed by later merges, so the
+        # strong "every merged symbol survives" claim can legitimately
+        # fail; assert the weaker invariant that every final vocab
+        # symbol is buildable from the merge sequence (i.e. is either a
+        # single char, the END marker, or some merge's concatenation).
         syms = {s for r in final_vocab.collect() for s in r["syms"]}
-        assert all((l + r) in syms or True for l, r, _ in merges)
+        buildable = {l + r for l, r, _ in merges}
+        from arc_kinesis_tagging_spark.operators.bpe import END
+        assert all(
+            len(s.replace(END, "")) <= 1 or s in buildable for s in syms
+        ), sorted(syms - buildable)
         assert any(len(s) > 2 for s in syms)  # real multi-char subwords
 
 
