@@ -461,10 +461,17 @@ def query_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Top-k against a persisted IVF index: route each query to its
     ``nprobe`` nearest cells, scan ONLY those cell partitions, score,
-    rank. Returns (query_id, vec_id, cos_sim, rank)."""
+    rank. Returns (query_id, vec_id, cos_sim, rank).
+
+    ``round_dp`` switches the final ranking to the ``round_dp``-rounded
+    similarity (column ``cos{round_dp}``) with vec_id tiebreak, making
+    the selected set bit-identical across engines despite float ulp
+    differences — the cross-engine-oracle convention shared with
+    ``q_similarity_topk``."""
     centroids = F.broadcast(
         spark.read.parquet(path + "/centroids").select(
             "cell_id", F.col(vec_col).alias("__centroid")
@@ -485,11 +492,16 @@ def query_ivf_index(
     scored = _score_pairs_np(
         index.join(probes, "cell_id"), ["query_id long", "vec_id long"]
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    if round_dp is not None:
+        sim = f"cos{round_dp}"
+        scored = scored.withColumn(sim, F.round(F.col("cos_sim"), round_dp))
+    else:
+        sim = "cos_sim"
+    w = Window.partitionBy("query_id").orderBy(F.col(sim).desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos_sim", "rank")
+        .select("query_id", "vec_id", sim, "rank")
     )
 
 
