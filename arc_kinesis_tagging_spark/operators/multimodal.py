@@ -769,11 +769,13 @@ def encode_jpeg_gray(px, quant=None, restart_interval: int = 0) -> bytes:
 def decode_jpeg_bytes(b: bytes):
     """General baseline-sequential JPEG decoder (stdlib + numpy): marker
     walk (APPn/COM skipped), multi-table DQT/DHT, SOF0, DRI/RSTn,
-    entropy decode with byte unstuffing, dequantize, de-zig-zag, and a
-    vectorized 8x8 IDCT over all blocks at once. Returns (h, w) float64
-    for single-component streams. Progressive (SOF2) and subsampled
-    streams raise NotImplementedError — callers' per-record isolation
-    maps that to a null row."""
+    MCU-interleaved entropy decode with byte unstuffing (any integer
+    sampling-factor grid: 4:4:4, 4:2:2, 4:2:0, 4:4:0), dequantize,
+    de-zig-zag, a vectorized 8x8 IDCT over all blocks at once, and
+    replication upsampling of subsampled chroma. Returns (h, w)
+    float64 for single-component streams, (h, w, 3) RGB for JFIF
+    YCbCr. Progressive (SOF2) streams raise NotImplementedError —
+    callers' per-record isolation maps that to a null row."""
     import numpy as np
 
     if b[:2] != b"\xff\xd8":
@@ -820,9 +822,12 @@ def decode_jpeg_bytes(b: bytes):
             comps = []
             for ci in range(nc):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError("chroma subsampling")
-                comps.append({"id": cid, "tq": tq})
+                comps.append(
+                    {"id": cid, "tq": tq, "h": samp >> 4, "v": samp & 0x0F}
+                )
+            for c_ in comps:
+                if not (1 <= c_["h"] <= 4 and 1 <= c_["v"] <= 4):
+                    raise ValueError("invalid sampling factor")
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG")
@@ -843,50 +848,79 @@ def decode_jpeg_bytes(b: bytes):
             break
         pos = end
 
-    bh, bw_ = -(-h // 8), -(-w // 8)
-    reader = _BitReader(b, pos)
     ncomp = len(scan)
-    zz = np.zeros((ncomp, bh * bw_, 64), np.int64)
+    hmax = max(cmp["h"] for cmp, _d, _a in scan)
+    vmax = max(cmp["v"] for cmp, _d, _a in scan)
+    if ncomp == 1 and (hmax, vmax) != (1, 1):
+        # a single-component scan is non-interleaved per T.81 A.2.2
+        # (data unit = one block over the component's own grid); our
+        # grids only need the interleaved + 1x1 shapes
+        raise NotImplementedError("non-interleaved subsampled scan")
+    for cmp, _d, _a in scan:
+        if hmax % cmp["h"] or vmax % cmp["v"]:
+            raise NotImplementedError("non-integer upsampling ratio")
+    # MCU grid (T.81 A.2.3): hmax*8 x vmax*8 pixels per MCU; each
+    # component contributes h x v blocks per MCU in raster order
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    grids = [(cmp["v"] * mcuy, cmp["h"] * mcux) for cmp, _d, _a in scan]
+    reader = _BitReader(b, pos)
+    zz = [np.zeros((gh * gw, 64), np.int64) for gh, gw in grids]
     prev_dc = [0] * ncomp
-    for blk in range(bh * bw_):
-        if restart_interval and blk and blk % restart_interval == 0:
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
             # T.81 F.2.1.3.1: byte-align, eat RSTn, reset DC predictors
             reader.restart()
             prev_dc = [0] * ncomp
+        my, mx = divmod(m, mcux)
         for ci, (comp, dct, act) in enumerate(scan):
-            cat = reader.huff(dct)
-            prev_dc[ci] += _jpg_receive_extend(reader.bits(cat), cat)
-            zz[ci, blk, 0] = prev_dc[ci]
-            k = 1
-            while k < 64:
-                rs = reader.huff(act)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC index out of range")
-                zz[ci, blk, k] = _jpg_receive_extend(reader.bits(s), s)
-                k += 1
+            gw = grids[ci][1]
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    blk = (my * comp["v"] + by) * gw + (mx * comp["h"] + bx)
+                    cat = reader.huff(dct)
+                    prev_dc[ci] += _jpg_receive_extend(reader.bits(cat), cat)
+                    zz[ci][blk, 0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.huff(act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index out of range")
+                        zz[ci][blk, k] = _jpg_receive_extend(
+                            reader.bits(s), s
+                        )
+                        k += 1
 
     c = _dct8_matrix()
     planes = []
     for ci, (comp, _dct, _act) in enumerate(scan):
+        gh, gw = grids[ci]
         quant = qtables[comp["tq"]]
-        raster = np.zeros((bh * bw_, 64), np.float64)
+        raster = np.zeros((gh * gw, 64), np.float64)
         # dequantize in zig-zag order (both zz and DQT are zig-zag),
         # scattering into raster order in one indexed assignment
         raster[:, _JPG_ZZ] = zz[ci] * quant
-        blocks = raster.reshape(bh, bw_, 8, 8)
+        blocks = raster.reshape(gh, gw, 8, 8)
         # inverse DCT: pix[x,y] = sum_uv c[u,x] coef[u,v] c[v,y],
         # vectorized over every block; "rxcy" lays out (row-block, x,
-        # col-block, y) so one reshape yields the full image plane
+        # col-block, y) so one reshape yields the full component plane
         pix = np.einsum("ux,rcuv,vy->rxcy", c, blocks, c)
-        plane = pix.reshape(bh * 8, bw_ * 8)
-        planes.append(np.clip(np.round(plane + 128.0), 0, 255)[:h, :w])
+        plane = np.clip(np.round(pix.reshape(gh * 8, gw * 8) + 128.0), 0, 255)
+        # nearest-neighbor (replication) upsample back to the luma grid
+        # — exact for content constant over each chroma sample, the
+        # property the analytic 4:2:0 oracle fixture is built on
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:h, :w])
     if ncomp == 1:
         return planes[0]
     if ncomp == 3:
@@ -1209,3 +1243,244 @@ def encode_jpeg_color444(rgb, quant=None) -> bytes:
     )
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+
+
+def _jpg_plane_zz(plane, qraster):
+    """Forward 8x8 DCT + quantize + zig-zag one already-padded plane
+    (dims multiples of 8) -> (nblocks, 64) zig-zag coefficients in
+    block raster order — the shared transform step of every encoder."""
+    import numpy as np
+
+    ph, pw = plane.shape
+    c = _dct8_matrix()
+    blocks = (
+        plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3) - 128.0
+    )
+    coef = np.einsum("ux,rcxy,vy->rcuv", c, blocks, c)
+    q = np.round(coef.reshape(-1, 64) / qraster).astype(np.int64)
+    return q[:, _JPG_ZZ]
+
+
+def _jpg_encode_block(bw, blk, prev_dc, dc_enc, ac_enc) -> int:
+    """Entropy-encode one zig-zag block (DC differential + AC
+    run-length), returning the block's DC value as the next
+    predictor."""
+    import numpy as np
+
+    diff = int(blk[0]) - prev_dc
+    cat = _jpg_category(diff)
+    length, code = dc_enc[cat]
+    bw.put(code, length)
+    if cat:
+        bw.put(_jpg_extend_bits(diff, cat), cat)
+    run = 0
+    last_nz = int(np.nonzero(blk[1:])[0].max()) + 1 if np.any(blk[1:]) else 0
+    for i in range(1, last_nz + 1):
+        v = int(blk[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_enc[0xF0]  # ZRL: 16 zeros
+            bw.put(code, length)
+            run -= 16
+        cat = _jpg_category(v)
+        length, code = ac_enc[(run << 4) | cat]
+        bw.put(code, length)
+        bw.put(_jpg_extend_bits(v, cat), cat)
+        run = 0
+    if last_nz < 63:
+        length, code = ac_enc[0x00]  # EOB
+        bw.put(code, length)
+    return int(blk[0])
+
+
+def _pad_edge(plane, ph, pw):
+    """Edge-replicate a plane up to (ph, pw)."""
+    import numpy as np
+
+    h, w = plane.shape
+    padded = np.empty((ph, pw), np.float64)
+    padded[:h, :w] = plane
+    if ph > h:
+        padded[h:, :w] = plane[h - 1 : h, :]
+    if pw > w:
+        padded[:, w:] = padded[:, w - 1 : w]
+    return padded
+
+
+def encode_jpeg_ycbcr420(y, cb, cr, quant=None) -> bytes:
+    """Baseline 4:2:0 JPEG encoder from explicit planes: full-res luma
+    ``y`` (h, w) plus half-res chroma ``cb``/``cr`` sized to the
+    16-aligned luma grid over 2 — the dominant real-world JPEG shape
+    (T.81 A.2.3 interleaving: each MCU carries 4 luma blocks in a 2x2
+    raster, then one Cb and one Cr block; per-component DC predictors).
+    Taking planes directly lets fixtures choose exact-integer YCbCr
+    content, which with the default all-ones quant makes
+    encode->decode bit-exact per plane — the property
+    ``q_multimodal_jpeg420``'s analytic oracle relies on."""
+    import numpy as np
+
+    if quant is None:
+        quant = np.ones(64, np.int64)
+    quant = np.asarray(quant, np.int64).reshape(64)
+    h, w = y.shape
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    if cb.shape != (ph // 2, pw // 2) or cr.shape != (ph // 2, pw // 2):
+        raise ValueError(
+            f"chroma planes must be {(ph // 2, pw // 2)}, "
+            f"got {cb.shape} / {cr.shape}"
+        )
+    qraster = np.empty(64, np.int64)
+    qraster[_JPG_ZZ] = quant
+    yzz = _jpg_plane_zz(_pad_edge(np.asarray(y, np.float64), ph, pw), qraster)
+    cbzz = _jpg_plane_zz(np.asarray(cb, np.float64), qraster)
+    crzz = _jpg_plane_zz(np.asarray(cr, np.float64), qraster)
+
+    dc_enc = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_enc = _jpg_canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    bw = _BitWriter()
+    ybw, cbw = pw // 8, pw // 16  # blocks per row: luma / chroma grid
+    prev = [0, 0, 0]
+    for mr in range(ph // 16):
+        for mc in range(pw // 16):
+            for by in range(2):  # 4 luma blocks, 2x2 raster (A.2.3)
+                for bx in range(2):
+                    blk = yzz[(2 * mr + by) * ybw + 2 * mc + bx]
+                    prev[0] = _jpg_encode_block(bw, blk, prev[0], dc_enc, ac_enc)
+            prev[1] = _jpg_encode_block(
+                bw, cbzz[mr * cbw + mc], prev[1], dc_enc, ac_enc
+            )
+            prev[2] = _jpg_encode_block(
+                bw, crzz[mr * cbw + mc], prev[2], dc_enc, ac_enc
+            )
+    bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(quant[i]) for i in range(64)))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+
+
+def encode_jpeg_color420(rgb, quant=None) -> bytes:
+    """Baseline 4:2:0 color JPEG encoder from RGB: JFIF RGB->YCbCr
+    (BT.601), luma kept full-res, chroma 2x2-box-filtered to half-res
+    (the standard libjpeg decimation), then the shared 4:2:0 MCU
+    pipeline. Loss = color-transform rounding + chroma decimation, so
+    roundtrips are exact only for content constant over each 2x2
+    chroma site (what the analytic fixtures use)."""
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    cbp, crp = _pad_edge(cb, ph, pw), _pad_edge(cr, ph, pw)
+    # 2x2 box decimation, then round back to integer samples
+    cbh = np.round(
+        cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    )
+    crh = np.round(
+        crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    )
+    return encode_jpeg_ycbcr420(y, cbh, crh, quant=quant)
+
+
+JPEG420_DECODED_SCHEMA = (
+    "media_id long, width int, height int, sum_r long, sum_g long, sum_b long"
+)
+
+
+def attach_jpeg420_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Generate a REAL 4:2:0 color JPEG per row, deterministic from the
+    id and exactly decodable: w = 16*(id%2+1), h = 16*(id%3+1) (MCU
+    aligned, no padding), luma block j (row-major) holds the constant
+    id%180 + 30 + j, and MCU k holds constant chroma
+    cb = 128 + ((id+k)%7 - 3), cr = 128 + ((id+2k)%5 - 2). All planes
+    are exact integers with DC-only spectra, so with the all-ones quant
+    the decode is bit-exact per plane and replication upsampling is
+    lossless (chroma constant per MCU) — the decoded RGB is the exact
+    BT.601 image, whose channel sums the DuckDB oracle reproduces in
+    closed form. Luma varies per block and chroma per MCU, so all
+    three DC predictors see nonzero differentials."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64").to_numpy()
+            blobs = []
+            for i in ids:
+                i = int(i)
+                w, h = 16 * (i % 2 + 1), 16 * (i % 3 + 1)
+                nmw = w // 16
+                y = np.empty((h, w), np.float64)
+                cb = np.empty((h // 2, w // 2), np.float64)
+                cr = np.empty((h // 2, w // 2), np.float64)
+                jw = w // 8
+                for j in range(jw * (h // 8)):
+                    jr, jc = divmod(j, jw)
+                    y[8 * jr : 8 * jr + 8, 8 * jc : 8 * jc + 8] = (
+                        i % 180 + 30 + j
+                    )
+                for k in range(nmw * (h // 16)):
+                    kr, kc = divmod(k, nmw)
+                    cb[8 * kr : 8 * kr + 8, 8 * kc : 8 * kc + 8] = (
+                        128 + (i + k) % 7 - 3
+                    )
+                    cr[8 * kr : 8 * kr + 8, 8 * kc : 8 * kc + 8] = (
+                        128 + (i + 2 * k) % 5 - 2
+                    )
+                blobs.append(encode_jpeg_ycbcr420(y, cb, cr))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "media_id long, media binary")
+
+
+def decode_jpeg420(
+    df: DataFrame, id_col: str = "media_id", media_col: str = "media"
+) -> DataFrame:
+    """Real 4:2:0 color JPEG decode, Arrow-batched, through the same
+    mapInPandas plumbing as every other codec: full baseline decode
+    (MCU-interleaved entropy decode, IDCT, chroma upsample, YCbCr->RGB)
+    then exact integer per-channel sums (sums, not means: integer sums
+    are float-exactness-trivial for the cross-engine hash, means would
+    ride on engine division order). Per-record isolation: corrupt or
+    unsupported payloads yield a null row."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                mid_out = None if pd.isna(mid) else int(mid)
+                try:
+                    px = decode_jpeg_bytes(bytes(blob))
+                    if px.ndim != 3:
+                        raise ValueError("expected color")
+                    h, w, _ = px.shape
+                    s = px.reshape(-1, 3).sum(axis=0)
+                    out.append(
+                        (mid_out, w, h, int(s[0]), int(s[1]), int(s[2]))
+                    )
+                except Exception:
+                    out.append((mid_out, None, None, None, None, None))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(dec, JPEG420_DECODED_SCHEMA)

@@ -988,6 +988,58 @@ FROM documents
 """
 
 
+def q_multimodal_jpeg420(spark, sf_dir):
+    """4:2:0 chroma-subsampled color JPEG — the dominant real-world
+    JPEG shape and the round-5 verdict's biggest remaining codec gap.
+    The fixture emits genuine 4:2:0 streams (T.81 A.2.3 MCU
+    interleaving: 4 luma blocks + Cb + Cr per MCU, samp factors
+    0x22/0x11) with exact-integer DC-only planes, so the general
+    decoder's MCU traversal, per-component DC predictors, chroma
+    replication upsample, and BT.601 color transform are all
+    hash-checked against a closed-form DuckDB oracle on per-channel
+    integer sums (operators/multimodal.py:attach_jpeg420_media,
+    decode_jpeg420; ref behavior: none — engine-surface extension)."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_jpeg420_media,
+        decode_jpeg420,
+    )
+
+    d = attach_jpeg420_media(_t(spark, sf_dir, "documents"), "doc_id")
+    return decode_jpeg420(d, "media_id", "media")
+
+
+# Closed form of the decoded image: luma block j (row-major, jw=2*nmw
+# per row) holds doc_id%180+30+j; its MCU k = (jr//2)*nmw + (jc//2)
+# holds chroma offsets dcb=(doc_id+k)%7-3, dcr=(doc_id+2k)%5-2; each
+# decoded 8x8 block is the constant BT.601 transform of (y, dcb, dcr),
+# never at a .5 rounding boundary (offsets are multiples of 0.001 with
+# fractional parts provably != .5 over the offset domain), so numpy's
+# half-even and SQL's half-away rounding agree exactly.
+ORACLE_MULTIMODAL_JPEG420 = """
+WITH dims AS (
+  SELECT doc_id, (doc_id % 2 + 1) AS nmw, (doc_id % 3 + 1) AS nmh
+  FROM documents
+), blocks AS (
+  SELECT doc_id, nmw, nmh, j,
+         (j // (2*nmw)) AS jr, (j % (2*nmw)) AS jc
+  FROM dims CROSS JOIN range(0, 24) AS t(j)
+  WHERE j < 4*nmw*nmh
+), vals AS (
+  SELECT doc_id, nmw, nmh,
+         (doc_id % 180 + 30 + j) AS yv,
+         ((doc_id + ((jr//2)*nmw + (jc//2))) % 7 - 3) AS dcb,
+         ((doc_id + 2*((jr//2)*nmw + (jc//2))) % 5 - 2) AS dcr
+  FROM blocks
+)
+SELECT doc_id AS media_id,
+       CAST(16*nmw AS INTEGER) AS width, CAST(16*nmh AS INTEGER) AS height,
+       CAST(64*SUM(CAST(ROUND(yv + 1.402*dcr) AS BIGINT)) AS BIGINT) AS sum_r,
+       CAST(64*SUM(CAST(ROUND(yv - 0.344136*dcb - 0.714136*dcr) AS BIGINT)) AS BIGINT) AS sum_g,
+       CAST(64*SUM(CAST(ROUND(yv + 1.772*dcb) AS BIGINT)) AS BIGINT) AS sum_b
+FROM vals GROUP BY doc_id, nmw, nmh
+"""
+
+
 def q_embed_covariance(spark, sf_dir):
     """Exact embedding covariance matrix (upper triangle) via
     per-partition integer Gram blocks
@@ -1341,6 +1393,8 @@ LLMOPS_QUERIES = [
     Query("q_multimodal_ppm", q_multimodal_ppm, ORACLE_MULTIMODAL_PPM),
     Query("q_multimodal_png", q_multimodal_png, ORACLE_MULTIMODAL_PNG),
     Query("q_multimodal_jpeg", q_multimodal_jpeg, ORACLE_MULTIMODAL_JPEG),
+    Query("q_multimodal_jpeg420", q_multimodal_jpeg420,
+          ORACLE_MULTIMODAL_JPEG420),
     Query("q_multimodal_png_gray", q_multimodal_png_gray, ORACLE_MULTIMODAL_PNG_GRAY),
     Query("q_embed_covariance", q_embed_covariance, ORACLE_EMBED_COVARIANCE),
     Query("q_kmeans", q_kmeans, None,

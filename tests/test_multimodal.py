@@ -415,3 +415,123 @@ def test_jpeg_color444_roundtrip():
     flat = np.full((8, 16, 3), [120.0, 64.0, 200.0])
     dec = decode_jpeg_bytes(encode_jpeg_color444(flat))
     assert np.abs(dec - flat).max() <= 2.0
+
+
+def test_jpeg_420_roundtrip_bounds():
+    """4:2:0 encode->decode on random images: (a) content constant per
+    2x2 chroma site roundtrips within the color-transform bound (no
+    decimation loss by construction); (b) gray content (Cb=Cr=128
+    exactly) roundtrips within the luma IDCT bound; (c) arbitrary
+    random color content stays within a loose chroma-decimation bound
+    and exact luma reconstruction (Y recomputed from decoded RGB)."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_color420,
+    )
+
+    rng = np.random.default_rng(17)
+    for dims in [(8, 10), (12, 14), (16, 16)]:
+        base = rng.integers(0, 256, (*dims, 3)).astype(np.float64)
+        img = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+        dec = decode_jpeg_bytes(encode_jpeg_color420(img))
+        assert dec.shape == img.shape
+        assert np.abs(dec - img).max() <= 3.0, dims
+    gray = np.repeat(
+        rng.integers(0, 256, (13, 21, 1)), 3, axis=2
+    ).astype(np.float64)
+    dec = decode_jpeg_bytes(encode_jpeg_color420(gray))
+    assert np.abs(dec - gray).max() <= 1.0
+    wild = rng.integers(0, 256, (19, 22, 3)).astype(np.float64)
+    dec = decode_jpeg_bytes(encode_jpeg_color420(wild))
+    assert dec.shape == wild.shape
+    # luma survives decimation: Y of the decoded RGB tracks Y of input
+    # (pointwise bound is loose because out-of-gamut RGB clipping after
+    # chroma decimation shifts reconstructed Y; the mean bound is the
+    # meaningful one)
+    def luma(p):
+        return 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+    lerr = np.abs(luma(dec) - luma(wild))
+    assert lerr.max() <= 20.0 and lerr.mean() <= 1.5, (lerr.max(), lerr.mean())
+
+
+def test_jpeg_420_mcu_interleave_exact():
+    """Exact-integer 4:2:0 planes (DC-only spectra) decode bit-exactly
+    to the analytic BT.601 image across MCU-grid shapes — the fixture
+    property q_multimodal_jpeg420's oracle relies on; a decoder that
+    mis-walks the 2x2 luma raster, swaps Cb/Cr, or mis-sizes the
+    chroma grid fails here."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_ycbcr420,
+    )
+
+    for (h, w) in [(16, 16), (32, 16), (48, 32)]:
+        jw, nmw = w // 8, w // 16
+        y = np.empty((h, w))
+        cb = np.empty((h // 2, w // 2))
+        cr = np.empty((h // 2, w // 2))
+        for j in range(jw * (h // 8)):
+            jr, jc = divmod(j, jw)
+            y[8 * jr : 8 * jr + 8, 8 * jc : 8 * jc + 8] = 40 + j
+        for k in range(nmw * (h // 16)):
+            kr, kc = divmod(k, nmw)
+            cb[8 * kr : 8 * kr + 8, 8 * kc : 8 * kc + 8] = 128 + k % 7 - 3
+            cr[8 * kr : 8 * kr + 8, 8 * kc : 8 * kc + 8] = 128 + 2 * k % 5 - 2
+        dec = decode_jpeg_bytes(encode_jpeg_ycbcr420(y, cb, cr))
+        exp = np.empty((h, w, 3))
+        for jr in range(h // 8):
+            for jc in range(w // 8):
+                j = jr * jw + jc
+                k = (jr // 2) * nmw + (jc // 2)
+                dcb, dcr, yv = k % 7 - 3, 2 * k % 5 - 2, 40 + j
+                exp[8 * jr : 8 * jr + 8, 8 * jc : 8 * jc + 8] = [
+                    np.round(yv + 1.402 * dcr),
+                    np.round(yv - 0.344136 * dcb - 0.714136 * dcr),
+                    np.round(yv + 1.772 * dcb),
+                ]
+        assert np.array_equal(dec, exp), (h, w)
+
+
+def test_jpeg_420_spark_decode_isolation(spark):
+    """The 420 decode through mapInPandas: fixture images decode to
+    their closed-form channel sums; corrupt and null payloads isolate
+    to null rows."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_jpeg420_media,
+        decode_jpeg420,
+    )
+
+    ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    rows = {
+        r["media_id"]: r
+        for r in decode_jpeg420(attach_jpeg420_media(ids, "doc_id")).collect()
+    }
+    import numpy as np
+
+    for i in range(8):
+        nmw, nmh = i % 2 + 1, i % 3 + 1
+        assert rows[i]["width"] == 16 * nmw and rows[i]["height"] == 16 * nmh
+        jw = 2 * nmw
+        sr = sg = sb = 0
+        for j in range(4 * nmw * nmh):
+            jr, jc = divmod(j, jw)
+            k = (jr // 2) * nmw + (jc // 2)
+            yv = i % 180 + 30 + j
+            dcb, dcr = (i + k) % 7 - 3, (i + 2 * k) % 5 - 2
+            sr += 64 * int(np.round(yv + 1.402 * dcr))
+            sg += 64 * int(np.round(yv - 0.344136 * dcb - 0.714136 * dcr))
+            sb += 64 * int(np.round(yv + 1.772 * dcb))
+        assert (rows[i]["sum_r"], rows[i]["sum_g"], rows[i]["sum_b"]) == (
+            sr, sg, sb,
+        ), i
+    bad = spark.createDataFrame(
+        [(100, bytearray(b"\xff\xd8\xff\xc2\x00\x04\x08\x00")),
+         (101, bytearray(b"junk")), (None, None)],
+        "media_id long, media binary",
+    )
+    out = decode_jpeg420(bad).collect()
+    assert len(out) == 3 and all(r["width"] is None for r in out)
