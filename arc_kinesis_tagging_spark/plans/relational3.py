@@ -662,33 +662,34 @@ FROM trans
 """
 
 
-def q_scd2_update(spark, sf_dir):
-    """Slowly-changing-dimension type 2: apply a change batch to a
-    current dimension — changed keys close their old row
-    (valid_to = batch ts, is_current = false) and open a new one;
-    unchanged keys pass through. One keyed join of dim and batch plus
-    a union of the three row classes; both legs reuse the same join,
-    so the dim scans once. The no-op-change guard (same lang) keeps
-    idempotent re-deliveries from churning rows."""
-    d = load_table(spark, "documents", sf_dir)
-    batch_ts = 1_700_000_000
-    dim = d.select(
-        "doc_id",
-        "lang",
-        F.lit(0).cast("long").alias("valid_from"),
-        F.lit(None).cast("long").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    changes = d.filter(F.col("doc_id") % 7 == 0).select(
-        "doc_id", F.upper(F.col("lang")).alias("new_lang")
-    )
+def scd2_apply(dim: DataFrame, changes: DataFrame, batch_ts: int) -> DataFrame:
+    """Apply one change batch to an SCD2 dimension table.
+
+    ``dim`` = (doc_id, lang, valid_from, valid_to, is_current);
+    ``changes`` = (doc_id, new_lang). Current rows whose key appears in
+    the batch with a DIFFERENT attribute close (valid_to = batch_ts,
+    is_current = false) and open a successor; everything else — closed
+    history rows, unchanged keys, keys absent from the batch — passes
+    through untouched. One keyed join plus a union of the three row
+    classes; both legs reuse the same join so the dim scans once.
+
+    The no-op-change guard (new_lang == lang) is what makes
+    re-delivery IDEMPOTENT: applying the same batch twice yields a
+    byte-identical table, because the second application sees the
+    already-opened rows as no-ops (pinned in
+    tests/test_tag_upsert.py::test_scd2_redelivery_idempotent)."""
+    # closed history rows never match the change predicate again
+    # (is_current guard), so re-deliveries cannot double-close
     j = dim.join(changes, "doc_id", "left")
-    changed = j.filter(
-        F.col("new_lang").isNotNull() & (F.col("new_lang") != F.col("lang"))
+    change_hit = (
+        F.col("is_current")
+        & F.col("new_lang").isNotNull()
+        & (F.col("new_lang") != F.col("lang"))
     )
-    unchanged = j.filter(
-        F.col("new_lang").isNull() | (F.col("new_lang") == F.col("lang"))
-    ).select("doc_id", "lang", "valid_from", "valid_to", "is_current")
+    unchanged = j.filter(~change_hit).select(
+        "doc_id", "lang", "valid_from", "valid_to", "is_current"
+    )
+    changed = j.filter(change_hit)
     closed = changed.select(
         "doc_id",
         "lang",
@@ -704,6 +705,27 @@ def q_scd2_update(spark, sf_dir):
         F.lit(True).alias("is_current"),
     )
     return unchanged.unionByName(closed).unionByName(opened)
+
+
+def q_scd2_update(spark, sf_dir):
+    """Slowly-changing-dimension type 2: apply a change batch to a
+    current dimension — changed keys close their old row
+    (valid_to = batch ts, is_current = false) and open a new one;
+    unchanged keys pass through (scd2_apply above). The no-op-change
+    guard (same lang) keeps idempotent re-deliveries from churning
+    rows — property-tested under double delivery."""
+    d = load_table(spark, "documents", sf_dir)
+    dim = d.select(
+        "doc_id",
+        "lang",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.upper(F.col("lang")).alias("new_lang")
+    )
+    return scd2_apply(dim, changes, 1_700_000_000)
 
 
 ORACLE_SCD2_UPDATE = """
