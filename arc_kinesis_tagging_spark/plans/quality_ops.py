@@ -1518,7 +1518,264 @@ FROM enc GROUP BY doc_id
 ORACLE_BPE_SUBWORDS = _bpe_oracle_sql()
 
 
+def q_ngram_lm_score(spark, sf_dir):
+    """Token-bigram LM quality gate — the word-level sibling of
+    q_text_perplexity's character model, the form actually used to
+    rank web documents against a reference corpus (KenLM-style): an
+    add-one-smoothed token-bigram model is self-trained on the corpus
+    (bigram counts, context counts, token vocabulary size), every
+    document is scored with mean -log2 P(b|a) = bits per token, and a
+    fixed threshold gates outliers. Model tables are vocabulary-sized
+    (broadcast); bigrams are built map-side (transform over sequence);
+    the only data-sized shuffle is the per-document aggregate. Docs
+    with fewer than two tokens carry no bigram and are absent from the
+    output (the gate upstream of this score handles empty docs).
+    Rounded to 3 decimals so cross-engine float addition-order drift
+    sits far below the comparison granularity."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.struct(
+                F.element_at(ts, i).alias("ta"),
+                F.element_at(ts, i + 1).alias("tb"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<ta:string,tb:string>>"))
+    bg = d.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", F.col("b.ta").alias("ta"), F.col("b.tb").alias("tb")
+    )
+    nab = bg.groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("nab"))
+    na = bg.groupBy("ta").agg(F.count(F.lit(1)).alias("na"))
+    vocab = d.select(F.explode(ts).alias("t")).agg(
+        F.countDistinct("t").alias("vsize")
+    )
+    scored = (
+        bg.join(F.broadcast(nab), ["ta", "tb"])
+        .join(F.broadcast(na), "ta")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "bits",
+            -F.log2(
+                (F.col("nab") + F.lit(1.0))
+                / (F.col("na") + F.col("vsize")).cast("double")
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("bits") / F.count(F.lit(1)), 3).alias("bits_per_token"),
+    )
+    return per_doc.select(
+        "doc_id", "n_bigrams", "bits_per_token",
+        (F.col("bits_per_token") <= F.lit(13.0)).alias("kept"),
+    )
+
+
+ORACLE_NGRAM_LM_SCORE = """
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         UNNEST(string_split(text, ' ')) AS t
+  FROM documents
+), bg AS (
+  SELECT a.doc_id, a.t AS ta, b.t AS tb
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), nab AS (
+  SELECT ta, tb, COUNT(*) AS nab FROM bg GROUP BY ta, tb
+), na AS (
+  SELECT ta, COUNT(*) AS na FROM bg GROUP BY ta
+), v AS (
+  SELECT COUNT(DISTINCT t) AS vsize FROM tok
+), per_doc AS (
+  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+         ROUND(SUM(-log2((nab.nab + 1.0) / (na.na + v.vsize))) / COUNT(*),
+               3) AS bits_per_token
+  FROM bg
+  JOIN nab USING (ta, tb)
+  JOIN na USING (ta)
+  CROSS JOIN v
+  GROUP BY bg.doc_id
+)
+SELECT doc_id, n_bigrams, bits_per_token,
+       bits_per_token <= 13.0 AS kept
+FROM per_doc
+"""
+
+
+_MINWISE_K = 256
+
+
+def q_doc_minwise_sim(spark, sf_dir):
+    """Corpus-pair vocabulary similarity from bottom-k (KMV) minwise
+    sketches — the sketch family's PAIRWISE member (q_doc_stats_sketch
+    is its cardinality sibling): for every language pair, estimate the
+    Jaccard similarity of their token vocabularies from the k smallest
+    token hashes, alongside the exact value the estimator approximates.
+
+    Estimator: with S = the k smallest hashes of A∪B's vocabulary,
+    J_est = |S ∩ A ∩ B| / |S| — the standard bottom-k estimate, exact
+    when |A∪B| <= k. Everything is deterministic (md5 lexicographic
+    order, no RNG), so the driver hash-checks both the estimate and
+    the exact baseline. At 100 TB only the per-language sketches (k
+    rows each) are ever combined — the exact columns here are the
+    test-scale verification baseline, and the (lang,token) distinct is
+    vocabulary-bounded, not corpus-bounded."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .select("lang", F.md5(F.concat(F.lit("mh:"), F.col("tok"))).alias("h"))
+    )
+    langs = vocab.select("lang").distinct()
+    pairs = (
+        langs.alias("x")
+        .join(langs.alias("y"), F.col("x.lang") < F.col("y.lang"))
+        .select(F.col("x.lang").alias("la"), F.col("y.lang").alias("lb"))
+    )
+    tagged = vocab.join(
+        F.broadcast(pairs),
+        (F.col("lang") == F.col("la")) | (F.col("lang") == F.col("lb")),
+    )
+    sides = tagged.groupBy("la", "lb", "h").agg(
+        F.countDistinct("lang").alias("n_sides")
+    )
+    w = Window.partitionBy("la", "lb").orderBy("h")
+    ranked = sides.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("la", "lb").agg(
+        F.sum(
+            F.when(
+                (F.col("rn") <= _MINWISE_K) & (F.col("n_sides") == 2), 1
+            ).otherwise(0)
+        ).alias("k_common"),
+        F.least(F.count(F.lit(1)), F.lit(_MINWISE_K)).alias("k_eff"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("rn") <= _MINWISE_K) & (F.col("n_sides") == 2), 1
+                ).otherwise(0)
+            )
+            / F.least(F.count(F.lit(1)), F.lit(_MINWISE_K)).cast("double"),
+            6,
+        ).alias("jaccard_est"),
+        F.round(
+            F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("jaccard_exact"),
+    )
+
+
+ORACLE_DOC_MINWISE_SIM = f"""
+WITH vocab AS (
+  SELECT DISTINCT lang,
+         md5('mh:' || tok) AS h
+  FROM (
+    SELECT lang,
+           UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents
+  )
+), pairs AS (
+  SELECT x.lang AS la, y.lang AS lb
+  FROM (SELECT DISTINCT lang FROM vocab) x
+  JOIN (SELECT DISTINCT lang FROM vocab) y ON x.lang < y.lang
+), sides AS (
+  SELECT p.la, p.lb, v.h, COUNT(DISTINCT v.lang) AS n_sides
+  FROM vocab v JOIN pairs p ON v.lang = p.la OR v.lang = p.lb
+  GROUP BY p.la, p.lb, v.h
+), ranked AS (
+  SELECT la, lb, n_sides,
+         ROW_NUMBER() OVER (PARTITION BY la, lb ORDER BY h) AS rn
+  FROM sides
+)
+SELECT la, lb,
+       CAST(SUM(CASE WHEN rn <= {_MINWISE_K} AND n_sides = 2
+                THEN 1 ELSE 0 END) AS BIGINT) AS k_common,
+       CAST(LEAST(COUNT(*), {_MINWISE_K}) AS BIGINT) AS k_eff,
+       ROUND(SUM(CASE WHEN rn <= {_MINWISE_K} AND n_sides = 2
+                 THEN 1 ELSE 0 END)
+             / CAST(LEAST(COUNT(*), {_MINWISE_K}) AS DOUBLE),
+             6) AS jaccard_est,
+       ROUND(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS jaccard_exact
+FROM ranked GROUP BY la, lb
+"""
+
+
+def q_dedup_prefix(spark, sf_dir):
+    """Exact prefix-containment dedup — the crawl-snapshot case where
+    one capture is a truncation of a longer capture of the same page:
+    a document whose text is a STRICT prefix of another document's
+    text is subsumed. The classic sort-adjacency reduction makes this
+    one sort, not a quadratic join: over DISTINCT texts ordered
+    lexicographically, if A is a prefix of any B then A is a prefix of
+    its IMMEDIATE successor (any S with A < S <= B would otherwise
+    diverge from A at some position and sort after B), so a single
+    lead() comparison decides subsumption. Windows partition by first
+    character — a prefix shares its whole text with its superstring,
+    so adjacency never crosses a first-char boundary; at 100 TB the
+    partitioner becomes rangepartition-on-text with boundary-row
+    exchange, same per-partition logic. Each doc derives a fragment
+    (id-dependent truncation) so the synthetic corpus's duplicate
+    texts yield genuine strict-prefix pairs at differing lengths."""
+    d = _t(spark, sf_dir, "documents")
+    frags = d.select(
+        "doc_id",
+        F.substring(F.col("text"), 1, 30 + (F.col("doc_id") % 5) * 30)
+        .cast("string")
+        .alias("frag"),
+    )
+    texts = frags.select("frag").distinct()
+    w = Window.partitionBy(F.substring(F.col("frag"), 1, 1)).orderBy("frag")
+    marks = texts.withColumn("nxt", F.lead("frag").over(w)).select(
+        "frag",
+        (
+            F.col("nxt").isNotNull()
+            & (F.length("frag") > 0)
+            & (F.col("nxt") != F.col("frag"))
+            & (
+                F.expr("substring(nxt, 1, length(frag))") == F.col("frag")
+            )
+        ).alias("subsumed"),
+    )
+    return (
+        frags.join(marks, "frag")
+        .select(
+            "doc_id",
+            F.length("frag").alias("n_frag_chars"),
+            "subsumed",
+        )
+    )
+
+
+ORACLE_DEDUP_PREFIX = """
+WITH frags AS (
+  SELECT doc_id,
+         substr(text, 1, CAST(30 + (doc_id % 5) * 30 AS INT)) AS frag
+  FROM documents
+), texts AS (
+  SELECT DISTINCT frag FROM frags
+), marks AS (
+  SELECT frag,
+         lead(frag) OVER (PARTITION BY substr(frag, 1, 1)
+                          ORDER BY frag) AS nxt
+  FROM texts
+)
+SELECT f.doc_id,
+       CAST(length(f.frag) AS INTEGER) AS n_frag_chars,
+       (m.nxt IS NOT NULL AND length(f.frag) > 0
+        AND m.nxt <> f.frag
+        AND substr(m.nxt, 1, length(f.frag)) = f.frag) AS subsumed
+FROM frags f JOIN marks m ON f.frag = m.frag
+"""
+
+
 QUALITY_QUERIES = [
+    Query("q_dedup_prefix", q_dedup_prefix, ORACLE_DEDUP_PREFIX),
+    Query("q_doc_minwise_sim", q_doc_minwise_sim, ORACLE_DOC_MINWISE_SIM),
+    Query("q_ngram_lm_score", q_ngram_lm_score, ORACLE_NGRAM_LM_SCORE),
     Query("q_bpe_subwords", q_bpe_subwords, ORACLE_BPE_SUBWORDS),
     Query("q_bpe_encode", q_bpe_encode, None,
           "trains merges upstream (iterative) -> rows-only; train/apply "

@@ -196,14 +196,11 @@ _R6_HEAD = [
     # -- (a) new this round --
     "q_multimodal_jpeg420",   # 4:2:0 chroma-subsampled JPEG decode
     "q_ann_persisted",        # build-once/query-many persisted-IVF probe
-    "q_doc_minwise_sim",      # all-pairs doc similarity estimate (KMV)
+    "q_doc_minwise_sim",      # bottom-k minwise corpus-pair Jaccard
     "q_ngram_lm_score",       # token-bigram LM scoring gate
-    "q_robots_gate",          # robots/noindex-style crawl admission gate
-    "q_window_cume",          # cumulative-distribution window family
-    "q_rollup_hier",          # hierarchy rollup (page->section->site)
-    "q_array_stats",          # per-row array analytics (HOF, no explode)
-    "q_json_flatten",         # recursive JSON flatten to typed columns
-    "q_dedup_suffix",         # suffix-array-free exact substring dedup
+    "q_robots_gate",          # robots longest-match crawl admission gate
+    "q_json_flatten",         # nested-JSON flatten to typed columns
+    "q_dedup_prefix",         # sort-adjacency prefix-containment dedup
     # -- (b) newest driver row is r02 --
     "q_sql_direct", "q_hof_funcs", "q_unpivot", "q_struct_funcs",
     "q_window_range_frame",

@@ -829,7 +829,187 @@ FROM c GROUP BY canonical_url
 """
 
 
+def q_json_flatten(spark, sf_dir):
+    """Nested-JSON flatten to typed columns — the semi-structured ETL
+    step (events-with-payload, API logs) done with the declarative
+    parser, not string hacks: a nested payload (object-in-object,
+    array, boolean) is parsed ONCE with from_json against an explicit
+    schema and every field projects out typed (struct dot-paths, array
+    indexing, array aggregate via the aggregate HOF). The payload
+    string itself is constructed deterministically from event columns
+    with plain concat so Spark's parser and DuckDB's JSON extractor
+    read the IDENTICAL byte sequence — the comparison exercises the
+    two engines' parse+cast paths, not a shared serializer. One
+    map-side projection, no shuffle, no UDF."""
+    ev = load_table(spark, "events", sf_dir)
+    js = F.concat(
+        F.lit('{"user":{"id":'),
+        F.coalesce(F.col("user_id"), F.lit(-1)).cast("string"),
+        F.lit(',"seg":"s'),
+        (F.coalesce(F.col("user_id"), F.lit(-1)) % 5).cast("string"),
+        F.lit('"},"items":['),
+        (F.col("event_id") % 10).cast("string"),
+        F.lit(","),
+        (F.coalesce(F.col("user_id"), F.lit(-1)) % 7).cast("string"),
+        F.lit('],"flag":'),
+        F.when(F.col("event_id") % 2 == 0, F.lit("true")).otherwise(
+            F.lit("false")
+        ),
+        F.lit("}"),
+    )
+    schema = (
+        "user struct<id:bigint,seg:string>, items array<bigint>, "
+        "flag boolean"
+    )
+    parsed = ev.select(
+        "event_id", F.from_json(js, schema).alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.user.id").alias("uid"),
+        F.col("p.user.seg").alias("seg"),
+        F.element_at("p.items", 1).alias("item0"),
+        F.element_at("p.items", 2).alias("item1"),
+        F.aggregate(
+            "p.items", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("items_sum"),
+        F.col("p.flag").alias("flag"),
+    )
+
+
+ORACLE_JSON_FLATTEN = """
+WITH payload AS (
+  SELECT event_id,
+         '{"user":{"id":' || COALESCE(user_id, -1)
+         || ',"seg":"s' || (COALESCE(user_id, -1) % 5)
+         || '"},"items":[' || (event_id % 10)
+         || ',' || (COALESCE(user_id, -1) % 7)
+         || '],"flag":' || (CASE WHEN event_id % 2 = 0 THEN 'true'
+                                 ELSE 'false' END)
+         || '}' AS js
+  FROM events
+)
+SELECT event_id,
+       CAST(js ->> '$.user.id' AS BIGINT) AS uid,
+       js ->> '$.user.seg' AS seg,
+       CAST(js ->> '$.items[0]' AS BIGINT) AS item0,
+       CAST(js ->> '$.items[1]' AS BIGINT) AS item1,
+       CAST(js ->> '$.items[0]' AS BIGINT)
+         + CAST(js ->> '$.items[1]' AS BIGINT) AS items_sum,
+       CAST(js ->> '$.flag' AS BOOLEAN) AS flag
+FROM payload
+"""
+
+
+def q_robots_gate(spark, sf_dir):
+    """Crawl-frontier admission gate with robots.txt LONGEST-MATCH
+    semantics: every candidate URL (deterministic per doc, mirroring
+    q_dedup_url's fixture style) is checked against a per-host rule
+    table of (path_prefix, allow) entries; the longest matching prefix
+    decides, default allow — RFC 9309's rule-precedence model. The
+    rule table is broadcast (robots rules are KB-sized per host, never
+    corpus-sized), the match is a broadcast theta-join on host +
+    prefix, and precedence is one ranked window over the match fanout
+    (bounded by rules-per-host). At 100 TB the frontier shuffles
+    nothing: scan -> broadcast join -> local rank."""
+    d = load_table(spark, "documents", sf_dir)
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 7).cast("string")
+        ).alias("host"),
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit("/admin/"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("/public/"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("/tmp/cache/"))
+            .otherwise(F.lit("/posts/")),
+            F.floor(F.col("doc_id") / 4).cast("long").cast("string"),
+        ).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        [
+            # (host, prefix, allow): /admin disallowed everywhere;
+            # /tmp disallowed on even sites but /tmp/cache re-allowed
+            # on site2 (the longest-match override robots is famous
+            # for); site5 disallows everything except /public
+            *[(f"site{h}", "/admin/", False) for h in range(7)],
+            *[(f"site{h}", "/tmp/", False) for h in (0, 2, 4, 6)],
+            ("site2", "/tmp/cache/", True),
+            ("site5", "/", False),
+            ("site5", "/public/", True),
+        ],
+        "host string, prefix string, allow boolean",
+    )
+    m = urls.join(
+        F.broadcast(rules),
+        (urls["host"] == rules["host"])
+        & (F.expr("substring(path, 1, length(prefix))") == F.col("prefix")),
+        "left",
+    ).select(
+        "doc_id",
+        urls["host"].alias("host"),
+        "path",
+        "prefix",
+        "allow",
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("prefix").desc_nulls_last(), F.col("prefix").asc_nulls_last()
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            F.coalesce(F.col("allow"), F.lit(True)).alias("admitted"),
+            F.coalesce(F.col("prefix"), F.lit("<default>")).alias(
+                "matched_rule"
+            ),
+        )
+    )
+
+
+ORACLE_ROBOTS_GATE = """
+WITH urls AS (
+  SELECT doc_id,
+         'site' || (doc_id % 7) AS host,
+         (CASE doc_id % 4 WHEN 0 THEN '/admin/' WHEN 1 THEN '/public/'
+                          WHEN 2 THEN '/tmp/cache/' ELSE '/posts/' END)
+           || (doc_id // 4) AS path
+  FROM documents
+), rules AS (
+  SELECT * FROM (VALUES
+    ('site0', '/admin/', FALSE), ('site1', '/admin/', FALSE),
+    ('site2', '/admin/', FALSE), ('site3', '/admin/', FALSE),
+    ('site4', '/admin/', FALSE), ('site5', '/admin/', FALSE),
+    ('site6', '/admin/', FALSE),
+    ('site0', '/tmp/', FALSE), ('site2', '/tmp/', FALSE),
+    ('site4', '/tmp/', FALSE), ('site6', '/tmp/', FALSE),
+    ('site2', '/tmp/cache/', TRUE),
+    ('site5', '/', FALSE), ('site5', '/public/', TRUE)
+  ) AS t(host, prefix, allow)
+), m AS (
+  SELECT u.doc_id, u.host, u.path, r.prefix, r.allow,
+         ROW_NUMBER() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY length(r.prefix) DESC NULLS LAST,
+                    r.prefix ASC NULLS LAST
+         ) AS rn
+  FROM urls u
+  LEFT JOIN rules r
+    ON u.host = r.host AND substr(u.path, 1, length(r.prefix)) = r.prefix
+)
+SELECT doc_id, host, path,
+       COALESCE(allow, TRUE) AS admitted,
+       COALESCE(prefix, '<default>') AS matched_rule
+FROM m WHERE rn = 1
+"""
+
+
 RELATIONAL3_QUERIES = [
+    Query("q_json_flatten", q_json_flatten, ORACLE_JSON_FLATTEN),
+    Query("q_robots_gate", q_robots_gate, ORACLE_ROBOTS_GATE),
     Query("q_dedup_url", q_dedup_url, ORACLE_DEDUP_URL),
     Query("q_merge_upsert", q_merge_upsert, ORACLE_MERGE_UPSERT),
     Query("q_events_pathing", q_events_pathing, ORACLE_EVENTS_PATHING),

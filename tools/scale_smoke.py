@@ -93,6 +93,39 @@ def amplify_embeddings(spark, k: int):
     )
 
 
+def amplify_events(spark, k: int):
+    """Replicate every user K times, shifting each replica's clock by
+    `rep` years. Per-user event sequences (funnels, paths) are
+    preserved exactly; (event_type, hour) co-activity buckets stay
+    their ORIGINAL size because replicas live in disjoint hours — so
+    graph stages scale linearly in K instead of K^2 edges / K^3
+    triangles, which is the bounded-bucket shape a real pipeline
+    enforces anyway."""
+    ev = load_table(spark, "events", SF_DIR)
+    reps = spark.range(k).withColumnRenamed("id", "rep")
+    return (
+        ev.crossJoin(F.broadcast(reps))
+        .withColumn("user_id", F.col("user_id") * k + F.col("rep"))
+        .withColumn("event_id", F.col("event_id") * k + F.col("rep"))
+        .withColumn("ts", F.expr("timestampadd(YEAR, CAST(rep AS INT), ts)"))
+        .drop("rep")
+    )
+
+
+def amplified_sf_dir(spark, k: int) -> str:
+    """Write the amplified documents + events as a registry-compatible
+    sf_dir so ladder stages run the EXACT registry query code."""
+    import os
+
+    amp = f"/tmp/akt_amp_k{k}"
+    docs_p, ev_p = f"{amp}/documents.parquet", f"{amp}/events.parquet"
+    if not os.path.exists(docs_p):
+        amplify_docs(spark, k).write.mode("overwrite").parquet(docs_p)
+    if not os.path.exists(ev_p):
+        amplify_events(spark, k).write.mode("overwrite").parquet(ev_p)
+    return amp
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_session("scale-smoke")
@@ -181,6 +214,59 @@ def main() -> None:
     ).count()
     report["incremental_mh_batch"] = batch_side.count()
     report["incremental_mh_sec"] = round(time.perf_counter() - t0, 2)
+
+    # --- round-6 ladder fill (VERDICT r05 #4): registry queries over a
+    # written amplified sf_dir, so the measured code is the exact
+    # query code, and media decode throughput ---
+    from arc_kinesis_tagging_spark.plans.registry import QUERIES
+
+    amp = amplified_sf_dir(spark, k)
+    for qname in (
+        "q_text_repetition",
+        "q_corpus_pipeline2",
+        "q_events_funnel_k",
+        "q_events_pathing",
+    ):
+        t0 = time.perf_counter()
+        report[f"{qname}_rows"] = QUERIES[qname].builder(spark, amp).count()
+        report[f"{qname}_sec"] = round(time.perf_counter() - t0, 2)
+
+    # triangles: the sf0.1 co-activity graph is near-complete (hour
+    # buckets x 1500 users), so the OUTPUT is ~200M triples per K unit
+    # — the cost driver is result size, not the plan. The year-shifted
+    # amplification makes growth exactly linear in K (replicas never
+    # co-occur), so measure at min(k, 4) and extrapolate; K=2 vs K=4
+    # doubling is the no-superlinear-blowup evidence.
+    k_tri = min(k, 4)
+    tri_amp = amplified_sf_dir(spark, k_tri) if k_tri != k else amp
+    t0 = time.perf_counter()
+    report["q_graph_triangles_k"] = k_tri
+    report["q_graph_triangles_rows"] = (
+        QUERIES["q_graph_triangles"].builder(spark, tri_amp).count()
+    )
+    report["q_graph_triangles_sec"] = round(time.perf_counter() - t0, 2)
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_jpeg420_media,
+        attach_jpeg_media,
+        attach_png_media,
+        decode_jpeg,
+        decode_jpeg420,
+        decode_png,
+    )
+
+    n_img = 500 * k
+    ids = spark.range(n_img).withColumnRenamed("id", "doc_id")
+    for name, attach, dec in (
+        ("jpeg", attach_jpeg_media, decode_jpeg),
+        ("jpeg420", attach_jpeg420_media, decode_jpeg420),
+        ("png", attach_png_media, decode_png),
+    ):
+        t0 = time.perf_counter()
+        n = dec(attach(ids, "doc_id")).count()
+        dt = time.perf_counter() - t0
+        report[f"{name}_images"] = n
+        report[f"{name}_images_per_sec"] = round(n / dt, 1)
 
     print(json.dumps(report))
 
