@@ -61,6 +61,13 @@ EXCHANGE_BUDGET = [
     ("q_merge_upsert", 2),
     # fixed-merge BPE: explode + one doc-keyed aggregate
     ("q_bpe_subwords", 1),
+    # round-6 docstring claims: JSON flatten is a pure map-side
+    # projection; the robots gate shuffles only the per-doc precedence
+    # window (rules ride a broadcast join); prefix dedup = the distinct
+    # + one sort-window + the frag join-back
+    ("q_json_flatten", 0),
+    ("q_robots_gate", 1),
+    ("q_dedup_prefix", 4),
 ]
 
 
@@ -396,3 +403,15 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path):
     # correctness survives pruning: each query still finds itself
     got = {(r["query_id"], r["vec_id"]) for r in probe.collect()}
     assert all((i, i) in got for i in range(4)), sorted(got)
+
+
+def test_robots_rules_are_broadcast(spark):
+    """The robots rule table must ride a BroadcastNestedLoopJoin /
+    broadcast hash join, never shuffle the frontier against it."""
+    plan = _formatted_plan(spark, "q_robots_gate")
+    assert (
+        _n_nodes(plan, "BroadcastHashJoin")
+        + _n_nodes(plan, "BroadcastNestedLoopJoin")
+        >= 1
+    ), plan
+    assert _n_nodes(plan, "SortMergeJoin") == 0, plan

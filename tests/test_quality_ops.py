@@ -535,3 +535,63 @@ def test_bpe_encode_self_consistent_with_training(spark):
     edge = spark.createDataFrame([(9, ""), (10, None)], "doc_id long, text string")
     rows = {r["doc_id"]: r for r in bpe_encode(edge, merges).collect()}
     assert rows[9]["n_words"] == 0 and rows[10]["n_subwords"] == 0
+
+
+def test_minwise_estimate_tracks_exact(spark, sf_dir):
+    """The bottom-k Jaccard estimate must sit within the standard
+    KMV error envelope of the exact value it approximates — and be
+    EXACT whenever the union vocabulary fits inside k (k_eff < k)."""
+    from arc_kinesis_tagging_spark.plans.quality_ops import (
+        _MINWISE_K,
+        q_doc_minwise_sim,
+    )
+
+    rows = q_doc_minwise_sim(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        est, exact = r["jaccard_est"], r["jaccard_exact"]
+        if r["k_eff"] < _MINWISE_K:
+            assert est == exact, r  # sketch degenerates to exact
+        else:
+            # ~3 sigma of the bottom-k estimator's sqrt(J(1-J)/k) std
+            bound = 3.0 * (max(exact * (1 - exact), 0.01) / _MINWISE_K) ** 0.5
+            assert abs(est - exact) <= bound, (r, bound)
+
+
+def test_prefix_dedup_matches_bruteforce(spark):
+    """Sort-adjacency subsumption must equal the O(n^2) definition
+    (strict prefix of ANY other text) on a corpus constructed to
+    stress it: chains of nested prefixes, shared first chars without
+    prefix relations, exact duplicates, and an empty string."""
+    from pyspark.sql import functions as F
+
+    from arc_kinesis_tagging_spark.plans.quality_ops import q_dedup_prefix
+
+    texts = [
+        "alpha", "alpha beta", "alpha beta gamma",   # nested chain
+        "alp",                                        # prefix of all three
+        "alphax",                                     # shares chars, no prefix
+        "beta", "beta", "betamax",                    # exact dup + superstring
+        "zeta",                                       # singleton
+        "",                                           # empty: never subsumed
+    ]
+    # run the REGISTRY query against a temp sf_dir so the exact
+    # production code path (fragmentation included) is what's tested:
+    # doc_id % 5 == 0 keeps fragment == full text for short docs
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(
+            [(i * 5, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        df.write.mode("overwrite").parquet(td + "/documents.parquet")
+        got = {
+            r["doc_id"]: r["subsumed"]
+            for r in q_dedup_prefix(spark, td).collect()
+        }
+    expect = {}
+    for i, t in enumerate(texts):
+        expect[i * 5] = any(
+            o != t and o.startswith(t) and len(t) > 0 for o in texts
+        )
+    assert got == expect, (got, expect)
