@@ -1484,3 +1484,221 @@ def decode_jpeg420(
             )
 
     return df.select(id_col, media_col).mapInPandas(dec, JPEG420_DECODED_SCHEMA)
+
+
+# --- PNG paletted (color type 3) --------------------------------------------
+# Indexed-color PNG: scanlines carry 8-bit palette indices (bpp=1, so
+# the unfilter is the grayscale shape), a PLTE chunk carries up to 256
+# RGB triples, and decoding maps indices through the palette.
+
+
+def encode_png_palette8(idx, palette) -> bytes:
+    """8-bit paletted PNG encoder (fixture generator): ``idx`` (h, w)
+    uint8 palette indices, ``palette`` (n, 3) uint8 RGB. Scanline y
+    uses filter type y % 5 and the IDAT stream is split across two
+    chunks — the same all-filters / multi-chunk stress shape as the
+    other PNG encoders."""
+    import numpy as np
+
+    h, w = idx.shape
+    n = len(palette)
+    if not 1 <= n <= 256:
+        raise ValueError("palette must have 1..256 entries")
+    if int(idx.max()) >= n:
+        raise ValueError("index out of palette range")
+    raw = bytearray()
+    prior = np.zeros(w, np.int32)
+    for y in range(h):
+        row = idx[y].astype(np.int32)
+        left = np.concatenate([[0], row[:-1]])
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = (row - left) % 256
+        elif ft == 2:  # Up
+            filt = (row - prior) % 256
+        elif ft == 3:  # Average
+            filt = (row - (left + prior) // 2) % 256
+        else:  # Paeth
+            ul = np.concatenate([[0], prior[:-1]])
+            filt = (row - _paeth_vec(left, prior, ul)) % 256
+        raw.append(ft)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prior = row
+    comp = zlib.compress(bytes(raw), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)  # color type 3
+    plte = bytes(
+        int(v) for rgb in np.asarray(palette, np.int64) for v in rgb
+    )
+    mid = len(comp) // 2
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", comp[:mid])
+        + _png_chunk(b"IDAT", comp[mid:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_palette8_bytes(b: bytes):
+    """Decode an 8-bit paletted non-interlaced PNG to an (h, w, 3)
+    uint8 RGB array: CRC chunk walk, PLTE parse (length must be a
+    multiple of 3, spec 11.2.3), inflate, bpp=1 per-scanline unfilter,
+    then one fancy-index palette lookup. An index beyond the palette
+    is a stream error (raises, -> null row under isolation)."""
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat = 8, bytearray()
+    w = h = None
+    palette = None
+    while pos + 12 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, ctcode, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctcode != 3 or interlace != 0:
+                raise ValueError("only 8-bit paletted non-interlaced supported")
+        elif ctype == b"PLTE":
+            if length % 3 != 0 or not 3 <= length <= 768:
+                raise ValueError("bad PLTE length")
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or palette is None:
+        raise ValueError("missing IHDR or PLTE")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("IDAT length mismatch")
+    out = np.empty((h, w), np.int32)
+    prior = np.zeros(w, np.int32)
+    for y in range(h):
+        ft = raw[y * (w + 1)]
+        row = np.frombuffer(raw, np.uint8, w, y * (w + 1) + 1).astype(np.int32)
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: one prefix sum at bpp=1
+            rec = np.cumsum(row) % 256
+        elif ft == 2:  # Up
+            rec = (row + prior) % 256
+        elif ft == 3:  # Average
+            rec = np.empty(w, np.int32)
+            for x in range(w):
+                left = rec[x - 1] if x >= 1 else 0
+                rec[x] = (row[x] + (left + int(prior[x])) // 2) % 256
+        elif ft == 4:  # Paeth
+            rec = np.empty(w, np.int32)
+            for x in range(w):
+                a = int(rec[x - 1]) if x >= 1 else 0
+                c = int(prior[x - 1]) if x >= 1 else 0
+                up = int(prior[x])
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out[y] = rec
+        prior = rec
+    if int(out.max()) >= len(palette):
+        raise ValueError("palette index out of range")
+    return palette[out]
+
+
+PNG_PALETTE_DECODED_SCHEMA = (
+    "media_id long, width int, height int, n_palette int, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def attach_png_palette_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic paletted PNG per row: w = id%12+4, h = id%10+4,
+    palette size n = 8 + id%9 with entry j = ((7j+3)%256, (11j+5)%256,
+    (13j+1)%256), and pixel at flat position p (row-major) holds index
+    (p + id) % n. Index residues therefore tile the image evenly —
+    residue r appears floor((w*h - 1 - (r - id) mod n)/n) + 1 times —
+    so the decoded channel SUMS have a closed form the DuckDB oracle
+    reproduces with one bounded range join (the JPEG420 oracle's
+    shape)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64").to_numpy()
+            blobs = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 12 + 4, i % 10 + 4
+                n = 8 + i % 9
+                pal = np.stack(
+                    [
+                        (7 * np.arange(n) + 3) % 256,
+                        (11 * np.arange(n) + 5) % 256,
+                        (13 * np.arange(n) + 1) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                idx = ((np.arange(w * h) + i) % n).reshape(h, w).astype(
+                    np.uint8
+                )
+                blobs.append(encode_png_palette8(idx, pal))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "media_id long, media binary")
+
+
+def decode_png_palette(
+    df: DataFrame, id_col: str = "media_id", media_col: str = "media"
+) -> DataFrame:
+    """Real paletted-PNG decode, Arrow-batched, through the same
+    mapInPandas plumbing as every other codec: full decode (CRC walk,
+    PLTE, inflate, unfilter, palette lookup) then exact integer
+    per-channel sums. Per-record isolation: corrupt or unsupported
+    payloads yield a null row."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                mid_out = None if pd.isna(mid) else int(mid)
+                try:
+                    bb = bytes(blob)
+                    px = decode_png_palette8_bytes(bb)
+                    h, w, _ = px.shape
+                    # n_palette re-derived from the PLTE chunk length
+                    plte_at = bb.index(b"PLTE")
+                    (plen,) = struct.unpack(
+                        ">I", bb[plte_at - 4 : plte_at]
+                    )
+                    s = px.reshape(-1, 3).astype("int64").sum(axis=0)
+                    out.append(
+                        (mid_out, w, h, plen // 3,
+                         int(s[0]), int(s[1]), int(s[2]))
+                    )
+                except Exception:
+                    out.append(
+                        (mid_out, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "n_palette",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        dec, PNG_PALETTE_DECODED_SCHEMA
+    )

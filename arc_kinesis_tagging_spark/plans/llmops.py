@@ -1040,6 +1040,48 @@ FROM vals GROUP BY doc_id, nmw, nmh
 """
 
 
+def q_multimodal_png_palette(spark, sf_dir):
+    """Paletted (indexed-color) PNG — color type 3, the remaining
+    common PNG shape after truecolor and grayscale: per doc, a genuine
+    paletted stream (PLTE chunk, bpp=1 scanlines cycling all five
+    filter types, two IDAT chunks) is decoded end-to-end — CRC walk,
+    PLTE parse, inflate, unfilter, palette lookup — and the exact
+    per-channel integer sums are hash-checked against the closed-form
+    residue-count oracle (indices tile the image as (pos + id) % n,
+    so residue j appears a floor-expressible number of times;
+    operators/multimodal.py:attach_png_palette_media,
+    decode_png_palette)."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_png_palette_media,
+        decode_png_palette,
+    )
+
+    d = attach_png_palette_media(_t(spark, sf_dir, "documents"), "doc_id")
+    return decode_png_palette(d, "media_id", "media")
+
+
+ORACLE_MULTIMODAL_PNG_PALETTE = """
+WITH dims AS (
+  SELECT doc_id,
+         (doc_id % 12 + 4) AS w, (doc_id % 10 + 4) AS h,
+         (8 + doc_id % 9) AS n
+  FROM documents
+), counts AS (
+  SELECT doc_id, w, h, n, j,
+         ((w * h - 1 - (((j - doc_id) % n + n) % n)) // n + 1) AS cnt
+  FROM dims CROSS JOIN range(0, 17) AS t(j)
+  WHERE j < n
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(n AS INTEGER) AS n_palette,
+       CAST(SUM(cnt * ((7 * j + 3) % 256)) AS BIGINT) AS sum_r,
+       CAST(SUM(cnt * ((11 * j + 5) % 256)) AS BIGINT) AS sum_g,
+       CAST(SUM(cnt * ((13 * j + 1) % 256)) AS BIGINT) AS sum_b
+FROM counts GROUP BY doc_id, w, h, n
+"""
+
+
 def q_embed_covariance(spark, sf_dir):
     """Exact embedding covariance matrix (upper triangle) via
     per-partition integer Gram blocks
@@ -1395,6 +1437,8 @@ LLMOPS_QUERIES = [
     Query("q_multimodal_jpeg", q_multimodal_jpeg, ORACLE_MULTIMODAL_JPEG),
     Query("q_multimodal_jpeg420", q_multimodal_jpeg420,
           ORACLE_MULTIMODAL_JPEG420),
+    Query("q_multimodal_png_palette", q_multimodal_png_palette,
+          ORACLE_MULTIMODAL_PNG_PALETTE),
     Query("q_multimodal_png_gray", q_multimodal_png_gray, ORACLE_MULTIMODAL_PNG_GRAY),
     Query("q_embed_covariance", q_embed_covariance, ORACLE_EMBED_COVARIANCE),
     Query("q_kmeans", q_kmeans, None,
