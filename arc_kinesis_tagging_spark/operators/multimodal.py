@@ -1702,3 +1702,184 @@ def decode_png_palette(
     return df.select(id_col, media_col).mapInPandas(
         dec, PNG_PALETTE_DECODED_SCHEMA
     )
+
+
+# --- PNG 16-bit grayscale (color type 0, depth 16) ---------------------------
+# Scanlines carry big-endian 2-byte samples; PNG filters operate on
+# BYTES with the filter offset equal to the bytes-per-pixel (2), per
+# spec 7.3 — the high and low bytes of one sample are filtered against
+# the corresponding bytes one PIXEL to the left, not one byte.
+
+
+def encode_png_gray16(px) -> bytes:
+    """16-bit grayscale PNG encoder (fixture generator): ``px`` (h, w)
+    uint16. Scanline y uses filter type y % 5 over the byte stream
+    with bpp=2; IDAT split across two chunks — the same stress shape
+    as the 8-bit encoders."""
+    import numpy as np
+
+    h, w = px.shape
+    raw = bytearray()
+    stride = w * 2
+    prior = np.zeros(stride, np.int32)
+    for y in range(h):
+        row = (
+            np.asarray(px[y], np.uint16)
+            .astype(">u2")
+            .tobytes()
+        )
+        row = np.frombuffer(row, np.uint8).astype(np.int32)
+        left = np.concatenate([np.zeros(2, np.int32), row[:-2]])
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = (row - left) % 256
+        elif ft == 2:  # Up
+            filt = (row - prior) % 256
+        elif ft == 3:  # Average
+            filt = (row - (left + prior) // 2) % 256
+        else:  # Paeth
+            ul = np.concatenate([np.zeros(2, np.int32), prior[:-2]])
+            filt = (row - _paeth_vec(left, prior, ul)) % 256
+        raw.append(ft)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prior = row
+    comp = zlib.compress(bytes(raw), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    mid = len(comp) // 2
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:mid])
+        + _png_chunk(b"IDAT", comp[mid:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray16_bytes(b: bytes):
+    """Decode a 16-bit grayscale non-interlaced PNG to an (h, w)
+    uint16 array: CRC chunk walk, inflate, bpp=2 byte-level
+    unfiltering, then big-endian sample reassembly."""
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat = 8, bytearray()
+    w = h = None
+    while pos + 12 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, ctcode, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 16 or ctcode != 0 or interlace != 0:
+                raise ValueError(
+                    "only 16-bit grayscale non-interlaced supported"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 2
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    out = np.empty((h, stride), np.int32)
+    prior = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: two interleaved prefix sums (bpp=2)
+            rec = (np.cumsum(row.reshape(-1, 2), axis=0).reshape(-1)) % 256
+        elif ft == 2:  # Up
+            rec = (row + prior) % 256
+        elif ft == 3:  # Average
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - 2] if x >= 2 else 0
+                rec[x] = (row[x] + (left + int(prior[x])) // 2) % 256
+        elif ft == 4:  # Paeth
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = int(rec[x - 2]) if x >= 2 else 0
+                c = int(prior[x - 2]) if x >= 2 else 0
+                up = int(prior[x])
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out[y] = rec
+        prior = rec
+    by = out.astype(np.uint8).reshape(h, w, 2).astype(np.uint32)
+    return (by[:, :, 0] * 256 + by[:, :, 1]).astype(np.uint16)
+
+
+PNG16_DECODED_SCHEMA = "media_id long, width int, height int, sum_val long"
+
+
+def attach_png_gray16_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 16-bit grayscale PNG per row: w = id%10+4,
+    h = id%8+4, pixel (x, y) = id*257 % 60000 + 17x + 29y (max
+    < 65536). The channel SUM has the closed form
+    w*h*base + 17*h*w*(w-1)/2 + 29*w*h*(h-1)/2 — exact integers end to
+    end, so the DuckDB oracle checks the full 16-bit byte-filter path
+    (a decoder that filters with bpp=1, drops the high byte, or
+    mis-orders endianness fails the hash)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64").to_numpy()
+            blobs = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 10 + 4, i % 8 + 4
+                base = i * 257 % 60000
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                px = (base + 17 * xs + 29 * ys).astype(np.uint16)
+                blobs.append(encode_png_gray16(px))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "media_id long, media binary")
+
+
+def decode_png_gray16(
+    df: DataFrame, id_col: str = "media_id", media_col: str = "media"
+) -> DataFrame:
+    """Real 16-bit grayscale PNG decode, Arrow-batched, with exact
+    integer sums and per-record isolation."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                mid_out = None if pd.isna(mid) else int(mid)
+                try:
+                    px = decode_png_gray16_bytes(bytes(blob))
+                    h, w = px.shape
+                    out.append(
+                        (mid_out, w, h, int(px.astype("int64").sum()))
+                    )
+                except Exception:
+                    out.append((mid_out, None, None, None))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "sum_val"]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(dec, PNG16_DECODED_SCHEMA)

@@ -1082,6 +1082,40 @@ FROM counts GROUP BY doc_id, w, h, n
 """
 
 
+def q_multimodal_png16(spark, sf_dir):
+    """16-bit grayscale PNG (depth 16) — the high-dynamic-range member
+    of the PNG family (medical/scientific/depth-map imagery): byte
+    stream filters with bpp=2 (each sample's two bytes filter against
+    the bytes one PIXEL left, PNG spec 7.3), big-endian sample
+    reassembly. Affine fixture content gives closed-form exact integer
+    sums, so a decoder that filters at bpp=1, drops the high byte, or
+    flips endianness hash-fails
+    (operators/multimodal.py:attach_png_gray16_media,
+    decode_png_gray16)."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_png_gray16_media,
+        decode_png_gray16,
+    )
+
+    d = attach_png_gray16_media(_t(spark, sf_dir, "documents"), "doc_id")
+    return decode_png_gray16(d, "media_id", "media")
+
+
+ORACLE_MULTIMODAL_PNG16 = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 10 + 4 AS INTEGER) AS width,
+       CAST(doc_id % 8 + 4 AS INTEGER) AS height,
+       CAST(
+         (doc_id % 10 + 4) * (doc_id % 8 + 4) * ((doc_id * 257) % 60000)
+         + 17 * (doc_id % 8 + 4)
+              * ((doc_id % 10 + 4) * (doc_id % 10 + 3) // 2)
+         + 29 * (doc_id % 10 + 4)
+              * ((doc_id % 8 + 4) * (doc_id % 8 + 3) // 2)
+       AS BIGINT) AS sum_val
+FROM documents
+"""
+
+
 def q_embed_covariance(spark, sf_dir):
     """Exact embedding covariance matrix (upper triangle) via
     per-partition integer Gram blocks
@@ -1439,6 +1473,8 @@ LLMOPS_QUERIES = [
           ORACLE_MULTIMODAL_JPEG420),
     Query("q_multimodal_png_palette", q_multimodal_png_palette,
           ORACLE_MULTIMODAL_PNG_PALETTE),
+    Query("q_multimodal_png16", q_multimodal_png16,
+          ORACLE_MULTIMODAL_PNG16),
     Query("q_multimodal_png_gray", q_multimodal_png_gray, ORACLE_MULTIMODAL_PNG_GRAY),
     Query("q_embed_covariance", q_embed_covariance, ORACLE_EMBED_COVARIANCE),
     Query("q_kmeans", q_kmeans, None,

@@ -202,6 +202,7 @@ _R6_HEAD = [
     "q_json_flatten",         # nested-JSON flatten to typed columns
     "q_dedup_prefix",         # sort-adjacency prefix-containment dedup
     "q_multimodal_png_palette",  # paletted (indexed-color) PNG decode
+    "q_multimodal_png16",     # 16-bit grayscale PNG decode
     # -- (b) newest driver row is r02 --
     "q_sql_direct", "q_hof_funcs", "q_unpivot", "q_struct_funcs",
     "q_window_range_frame",

@@ -590,3 +590,49 @@ def test_png_palette_roundtrip_and_isolation(spark):
         idx = (np.arange(w * h) + i) % n
         assert got[i]["width"] == w and got[i]["n_palette"] == n
         assert got[i]["sum_r"] == int(pal_r[idx].sum()), i
+
+
+def test_png16_roundtrip_and_isolation(spark):
+    """16-bit grayscale PNG: random uint16 images roundtrip bit-exactly
+    through all five byte-level bpp=2 filters; 8-bit streams, corrupt
+    payloads, and nulls isolate to null rows through the Spark path."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_png_gray16_media,
+        decode_png_gray16,
+        decode_png_gray16_bytes,
+        encode_png_gray8,
+        encode_png_gray16,
+    )
+
+    rng = np.random.default_rng(31)
+    for dims in [(5, 5), (12, 9), (7, 16)]:
+        px = rng.integers(0, 65536, dims).astype(np.uint16)
+        assert np.array_equal(
+            decode_png_gray16_bytes(encode_png_gray16(px)), px
+        ), dims
+    bad = spark.createDataFrame(
+        [(1, bytearray(encode_png_gray8(
+            rng.integers(0, 256, (4, 4)).astype(np.uint8)))),
+         (2, bytearray(b"x")), (None, None)],
+        "media_id long, media binary",
+    )
+    out = decode_png_gray16(bad).collect()
+    assert len(out) == 3 and all(r["width"] is None for r in out)
+    ids = spark.range(0, 5).withColumnRenamed("id", "doc_id")
+    got = {
+        r["media_id"]: r
+        for r in decode_png_gray16(
+            attach_png_gray16_media(ids, "doc_id")
+        ).collect()
+    }
+    for i in range(5):
+        w, h = i % 10 + 4, i % 8 + 4
+        base = i * 257 % 60000
+        expect = (
+            w * h * base
+            + 17 * h * (w * (w - 1) // 2)
+            + 29 * w * (h * (h - 1) // 2)
+        )
+        assert got[i]["sum_val"] == expect, i
