@@ -766,16 +766,180 @@ def encode_jpeg_gray(px, quant=None, restart_interval: int = 0) -> bytes:
     )
 
 
+def _jpg_next_marker(b: bytes, pos: int) -> int:
+    """Advance past any remaining entropy bytes/pad to the next real
+    marker (skipping stuffed 0xFF00 and RSTn), returning the position
+    of its 0xFF byte."""
+    n = len(b)
+    while pos + 1 < n:
+        if b[pos] == 0xFF and b[pos + 1] != 0x00:
+            if 0xD0 <= b[pos + 1] <= 0xD7:  # stray RST: skip
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("ran off the stream looking for a marker")
+
+
+def _jpg_prog_scan(reader, scan, zz, grids, Ss, Se, Ah, Al,
+                   restart_interval, mcux, mcuy, hmax, vmax, w, h):
+    """Decode ONE progressive scan (T.81 G.2) into the persistent
+    coefficient arrays: DC first / DC refine (Ss=0), AC first / AC
+    refine (Ss>0, always single-component). ``scan`` is a list of
+    (comp_index, comp, dc_table, ac_table). Restart markers reset DC
+    predictors AND the EOB run."""
+    ns = len(scan)
+    eobrun = 0
+    preds = [0] * ns
+
+    def dc_first(si, ci, blk):
+        nonlocal preds
+        _c, comp, dct, _a = scan[si]
+        cat = reader.huff(dct)
+        preds[si] += _jpg_receive_extend(reader.bits(cat), cat)
+        zz[ci][blk, 0] = preds[si] << Al
+
+    def dc_refine(ci, blk):
+        if reader.bit():
+            zz[ci][blk, 0] |= 1 << Al
+
+    def ac_first(ci, act, blk):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = Ss
+        while k <= Se:
+            rs = reader.huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.bits(r)
+                break
+            k += r
+            if k > Se:
+                raise ValueError("AC index out of band")
+            zz[ci][blk, k] = _jpg_receive_extend(reader.bits(s), s) << Al
+            k += 1
+
+    def ac_refine(ci, act, blk):
+        # T.81 G.1.2.3 correction-bit pass (the libjpeg-documented
+        # control flow): newly-nonzero coefficients arrive as +-1<<Al
+        # with a sign bit; history coefficients absorb one correction
+        # bit each as the scan passes over them, INCLUDING while
+        # skipping inside ZRL runs and EOB runs.
+        nonlocal eobrun
+        p1, m1 = 1 << Al, -1 << Al
+        row = zz[ci]
+        k = Ss
+        if eobrun == 0:
+            while k <= Se:
+                rs = reader.huff(act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.bits(r)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("refinement size must be 1")
+                    val = p1 if reader.bit() else m1
+                while k <= Se:
+                    cur = int(row[blk, k])
+                    if cur != 0:
+                        if reader.bit():
+                            if (cur & p1) == 0:
+                                row[blk, k] = cur + (p1 if cur >= 0 else m1)
+                    else:
+                        if r == 0:
+                            if val:
+                                row[blk, k] = val
+                            k += 1
+                            break
+                        r -= 1
+                        k += 1
+                        continue
+                    k += 1
+        if eobrun > 0:
+            while k <= Se:
+                cur = int(row[blk, k])
+                if cur != 0:
+                    if reader.bit():
+                        if (cur & p1) == 0:
+                            row[blk, k] = cur + (p1 if cur >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    def do_block(si, ci, act, blk):
+        if Ss == 0:
+            if Ah == 0:
+                dc_first(si, ci, blk)
+            else:
+                dc_refine(ci, blk)
+        else:
+            if Ah == 0:
+                ac_first(ci, act, blk)
+            else:
+                ac_refine(ci, act, blk)
+
+    if ns == 1:
+        # non-interleaved: traverse the component's OWN ceil grid
+        # (T.81 A.2.2), mapping into the interleaved storage grid;
+        # comp sample dims are ceil(w*h_i/hmax) x ceil(h*v_i/vmax)
+        _ci0, comp, _dct, act = scan[0]
+        sx = -(-w * comp["h"] // hmax)
+        sy = -(-h * comp["v"] // vmax)
+        bw_, bh_ = -(-sx // 8), -(-sy // 8)
+        gw = grids[_ci0][1]
+        unit = 0
+        for r in range(bh_):
+            for c in range(bw_):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.restart()
+                    preds = [0] * ns
+                    eobrun = 0
+                do_block(0, _ci0, act, r * gw + c)
+                unit += 1
+    else:
+        if Ss != 0:
+            raise ValueError("interleaved AC scan is illegal (B.2.3)")
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                reader.restart()
+                preds = [0] * ns
+                eobrun = 0
+            my, mx = divmod(m, mcux)
+            for si, (ci, comp, _dct, act) in enumerate(scan):
+                gw = grids[ci][1]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        blk = (
+                            (my * comp["v"] + by) * gw
+                            + (mx * comp["h"] + bx)
+                        )
+                        do_block(si, ci, act, blk)
+
+
 def decode_jpeg_bytes(b: bytes):
-    """General baseline-sequential JPEG decoder (stdlib + numpy): marker
-    walk (APPn/COM skipped), multi-table DQT/DHT, SOF0, DRI/RSTn,
-    MCU-interleaved entropy decode with byte unstuffing (any integer
-    sampling-factor grid: 4:4:4, 4:2:2, 4:2:0, 4:4:0), dequantize,
-    de-zig-zag, a vectorized 8x8 IDCT over all blocks at once, and
-    replication upsampling of subsampled chroma. Returns (h, w)
-    float64 for single-component streams, (h, w, 3) RGB for JFIF
-    YCbCr. Progressive (SOF2) streams raise NotImplementedError —
-    callers' per-record isolation maps that to a null row."""
+    """General JPEG decoder (stdlib + numpy), baseline-sequential AND
+    progressive: marker walk (APPn/COM skipped), multi-table DQT/DHT,
+    SOF0/1/2, DRI/RSTn, MCU-interleaved entropy decode with byte
+    unstuffing (any integer sampling-factor grid: 4:4:4, 4:2:2, 4:2:0,
+    4:4:0), progressive spectral-selection + successive-approximation
+    scan accumulation (T.81 G.2: DC first/refine, AC first/refine with
+    EOB runs and correction bits), dequantize, de-zig-zag, a vectorized
+    8x8 IDCT over all blocks at once, and replication upsampling of
+    subsampled chroma. Returns (h, w) float64 for single-component
+    streams, (h, w, 3) RGB for JFIF YCbCr. Unsupported frame types
+    (lossless, arithmetic, hierarchical) raise — callers' per-record
+    isolation maps that to a null row."""
     import numpy as np
 
     if b[:2] != b"\xff\xd8":
@@ -786,6 +950,9 @@ def decode_jpeg_bytes(b: bytes):
     comps = None
     h = w = 0
     restart_interval = 0
+    progressive = False
+    pzz = pgrids = None  # persistent progressive coefficient state
+    pmcux = pmcuy = phmax = pvmax = 0
     while True:
         if b[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -794,6 +961,8 @@ def decode_jpeg_bytes(b: bytes):
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and pzz is not None:
+                break  # all progressive scans accumulated
             raise ValueError("no scan data before EOI")
         seg_len = struct.unpack_from(">H", b, pos)[0]
         payload = b[pos + 2 : pos + seg_len]
@@ -817,8 +986,9 @@ def decode_jpeg_bytes(b: bytes):
                 vals = list(payload[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _jpg_decode_map(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             _prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            progressive = marker == 0xC2
             comps = []
             for ci in range(nc):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
@@ -828,7 +998,7 @@ def decode_jpeg_bytes(b: bytes):
             for c_ in comps:
                 if not (1 <= c_["h"] <= 4 and 1 <= c_["v"] <= 4):
                     raise ValueError("invalid sampling factor")
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG")
         elif marker == 0xDD:  # DRI: restart interval in MCUs
@@ -837,17 +1007,60 @@ def decode_jpeg_bytes(b: bytes):
             if comps is None:
                 raise ValueError("SOS before SOF")
             ns = payload[0]
-            scan = []
+            if not progressive:
+                scan = []
+                for si in range(ns):
+                    cs, tdta = payload[1 + 2 * si], payload[2 + 2 * si]
+                    comp = next(c for c in comps if c["id"] == cs)
+                    scan.append(
+                        (comp, htables[(0, tdta >> 4)],
+                         htables[(1, tdta & 0x0F)])
+                    )
+                pos = end
+                break
+            # progressive: accumulate this scan into persistent state
+            if pzz is None:
+                phmax = max(c_["h"] for c_ in comps)
+                pvmax = max(c_["v"] for c_ in comps)
+                pmcux, pmcuy = -(-w // (8 * phmax)), -(-h // (8 * pvmax))
+                pgrids = [
+                    (c_["v"] * pmcuy, c_["h"] * pmcux) for c_ in comps
+                ]
+                pzz = [
+                    np.zeros((gh * gw, 64), np.int64) for gh, gw in pgrids
+                ]
+            pscan = []
             for si in range(ns):
                 cs, tdta = payload[1 + 2 * si], payload[2 + 2 * si]
-                comp = next(c for c in comps if c["id"] == cs)
-                scan.append(
-                    (comp, htables[(0, tdta >> 4)], htables[(1, tdta & 0x0F)])
-                )
-            pos = end
-            break
+                ci = next(i for i, c_ in enumerate(comps) if c_["id"] == cs)
+                # DC scans use table class 0, AC scans class 1; a scan
+                # only references the class it needs (B.2.3)
+                dct = htables.get((0, tdta >> 4))
+                act = htables.get((1, tdta & 0x0F))
+                pscan.append((ci, comps[ci], dct, act))
+            Ss, Se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            reader = _BitReader(b, end)
+            _jpg_prog_scan(
+                reader, pscan, pzz, pgrids, Ss, Se, ahal >> 4, ahal & 0x0F,
+                restart_interval, pmcux, pmcuy, phmax, pvmax, w, h,
+            )
+            pos = _jpg_next_marker(b, reader.pos)
+            continue
         pos = end
 
+    if progressive:
+        # scans already accumulated into pzz during the walk; expose
+        # them under the names the shared IDCT section uses
+        scan = [(c_, None, None) for c_ in comps]
+        ncomp = len(comps)
+        hmax, vmax = phmax, pvmax
+        for cmp, _d, _a in scan:
+            if hmax % cmp["h"] or vmax % cmp["v"]:
+                raise NotImplementedError("non-integer upsampling ratio")
+        grids, zz = pgrids, pzz
+        return _jpg_idct_assemble(
+            np, scan, grids, zz, qtables, hmax, vmax, h, w
+        )
     ncomp = len(scan)
     hmax = max(cmp["h"] for cmp, _d, _a in scan)
     vmax = max(cmp["v"] for cmp, _d, _a in scan)
@@ -897,8 +1110,16 @@ def decode_jpeg_bytes(b: bytes):
                         )
                         k += 1
 
+    return _jpg_idct_assemble(np, scan, grids, zz, qtables, hmax, vmax, h, w)
+
+
+def _jpg_idct_assemble(np, scan, grids, zz, qtables, hmax, vmax, h, w):
+    """Shared decoder tail (baseline + progressive): dequantize,
+    de-zig-zag, vectorized IDCT per component, replication upsample,
+    JFIF YCbCr->RGB for 3-component streams."""
     c = _dct8_matrix()
     planes = []
+    ncomp = len(scan)
     for ci, (comp, _dct, _act) in enumerate(scan):
         gh, gw = grids[ci]
         quant = qtables[comp["tq"]]
@@ -1883,3 +2104,223 @@ def decode_png_gray16(
             )
 
     return df.select(id_col, media_col).mapInPandas(dec, PNG16_DECODED_SCHEMA)
+
+
+# --- Progressive JPEG (SOF2) encoder ----------------------------------------
+# Fixture generator for the progressive decode path. Progressive AC
+# scans need EOBn symbols (r<<4, r=0..14) that the baseline Annex K
+# table does not define, so the encoder carries its own flat canonical
+# AC table: every symbol it can emit at 8 bits (208 symbols < 255, so
+# the all-ones code stays unused as the spec's generator guarantees).
+
+_JPG_PROG_AC_VALS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 13)}
+    | {r << 4 for r in range(15)}
+    | {0xF0}
+)
+_JPG_PROG_AC_BITS = [0] * 7 + [len(_JPG_PROG_AC_VALS)] + [0] * 8
+
+
+def encode_jpeg_gray_progressive(
+    px, quant=None, band_split: int = 6, dc_al: int = 1, ac_al: int = 1
+) -> bytes:
+    """Progressive (SOF2) grayscale JPEG encoder: spectral selection
+    into bands (1..band_split-1, band_split..63) and successive
+    approximation (DC first at Al=dc_al + refine scans; AC first at
+    Al=ac_al + refine scans with buffered correction bits and EOB
+    runs, T.81 G.1.2.3). With the default all-ones quant, decode is
+    coefficient-lossless, so the output must decode IDENTICALLY to
+    the baseline encoding of the same pixels — the equality the
+    roundtrip tests pin."""
+    import numpy as np
+
+    if quant is None:
+        quant = np.ones(64, np.int64)
+    quant = np.asarray(quant, np.int64).reshape(64)
+    h, w = px.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    qraster = np.empty(64, np.int64)
+    qraster[_JPG_ZZ] = quant
+    zz = _jpg_plane_zz(_pad_edge(np.asarray(px, np.float64), ph, pw), qraster)
+
+    dc_enc = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_enc = _jpg_canonical_codes(_JPG_PROG_AC_BITS, _JPG_PROG_AC_VALS)
+    n_blocks = zz.shape[0]
+
+    def scan_dc_first(al):
+        bw = _BitWriter()
+        prev = 0
+        for i in range(n_blocks):
+            v = int(zz[i, 0]) >> al
+            diff = v - prev
+            prev = v
+            cat = _jpg_category(diff)
+            length, code = dc_enc[cat]
+            bw.put(code, length)
+            if cat:
+                bw.put(_jpg_extend_bits(diff, cat), cat)
+        bw.flush()
+        return bytes(bw.out), (0, 0, 0, al)
+
+    def scan_dc_refine(al):
+        bw = _BitWriter()
+        for i in range(n_blocks):
+            bw.put((int(zz[i, 0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out), (0, 0, al + 1, al)
+
+    def scan_ac_first(ss, se, al):
+        bw = _BitWriter()
+        state = {"eobrun": 0}
+
+        def flush_eobrun():
+            n = state["eobrun"]
+            if n:
+                r = n.bit_length() - 1
+                length, code = ac_enc[r << 4]
+                bw.put(code, length)
+                if r:
+                    bw.put(n - (1 << r), r)
+                state["eobrun"] = 0
+
+        for i in range(n_blocks):
+            band = [int(v) for v in zz[i, ss : se + 1]]
+            t = [
+                (abs(v) >> al) * (1 if v >= 0 else -1) for v in band
+            ]
+            last = max((j for j, v in enumerate(t) if v), default=-1)
+            if last < 0:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            run = 0
+            for j in range(last + 1):
+                v = t[j]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = ac_enc[0xF0]
+                    bw.put(code, length)
+                    run -= 16
+                cat = _jpg_category(v)
+                length, code = ac_enc[(run << 4) | cat]
+                bw.put(code, length)
+                bw.put(_jpg_extend_bits(v, cat), cat)
+                run = 0
+            if last < se - ss:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    flush_eobrun()
+        flush_eobrun()
+        bw.flush()
+        return bytes(bw.out), (ss, se, 0, al)
+
+    def scan_ac_refine(ss, se, al):
+        bw = _BitWriter()
+        state = {"eobrun": 0, "be": []}
+
+        def flush_eobrun():
+            n = state["eobrun"]
+            if n:
+                r = n.bit_length() - 1
+                length, code = ac_enc[r << 4]
+                bw.put(code, length)
+                if r:
+                    bw.put(n - (1 << r), r)
+                for bit in state["be"]:
+                    bw.put(bit, 1)
+                state["be"] = []
+                state["eobrun"] = 0
+
+        for i in range(n_blocks):
+            band = [int(v) for v in zz[i, ss : se + 1]]
+            absv = [abs(v) >> al for v in band]
+            signs = [1 if v >= 0 else 0 for v in band]
+            r, br = 0, []
+            for j, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                if t > 1:  # history coefficient: buffer a correction bit
+                    br.append(t & 1)
+                    continue
+                # t == 1: newly nonzero at this precision
+                flush_eobrun()
+                while r > 15:
+                    length, code = ac_enc[0xF0]
+                    bw.put(code, length)
+                    r -= 16
+                    for bit in br:
+                        bw.put(bit, 1)
+                    br = []
+                length, code = ac_enc[(r << 4) | 1]
+                bw.put(code, length)
+                bw.put(signs[j], 1)
+                for bit in br:
+                    bw.put(bit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                state["eobrun"] += 1
+                state["be"].extend(br)
+                if state["eobrun"] == 0x7FFF:
+                    flush_eobrun()
+        flush_eobrun()
+        bw.flush()
+        return bytes(bw.out), (ss, se, al + 1, al)
+
+    scans = [scan_dc_first(dc_al)]
+    for al in range(dc_al - 1, -1, -1):
+        scans.append(scan_dc_refine(al))
+    bands = [(1, band_split - 1), (band_split, 63)]
+    for ss, se in bands:
+        scans.append(scan_ac_first(ss, se, ac_al))
+    for al in range(ac_al - 1, -1, -1):
+        for ss, se in bands:
+            scans.append(scan_ac_refine(ss, se, al))
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(quant[i]) for i in range(64)))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS))
+    out += seg(
+        0xC4,
+        bytes([0x10]) + bytes(_JPG_PROG_AC_BITS) + bytes(_JPG_PROG_AC_VALS),
+    )
+    for data, (ss, se, ah, al) in scans:
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def attach_jpeg_prog_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The q_multimodal_jpeg constant-block content, encoded as a
+    6-scan PROGRESSIVE stream (DC first/refine + two AC bands
+    first/refine): DC-only spectra decode bit-exactly, so the mean
+    keeps the closed form id%200 + (nblocks-1)/2 while the driver row
+    exercises the whole SOF2 multi-scan path."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64").to_numpy()
+            blobs = []
+            for i in ids:
+                i = int(i)
+                w, h = 8 * (i % 3 + 1), 8 * (i % 2 + 1)
+                base = i % 200
+                px = np.empty((h, w), np.float64)
+                for k in range((h // 8) * (w // 8)):
+                    r, cix = divmod(k, w // 8)
+                    px[8 * r : 8 * r + 8, 8 * cix : 8 * cix + 8] = base + k
+                blobs.append(encode_jpeg_gray_progressive(px))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "media_id long, media binary")

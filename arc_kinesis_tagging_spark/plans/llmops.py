@@ -1082,6 +1082,40 @@ FROM counts GROUP BY doc_id, w, h, n
 """
 
 
+def q_multimodal_jpeg_prog(spark, sf_dir):
+    """Progressive (SOF2) JPEG — the final member of the JPEG family
+    and the last codec-long-tail item: per doc, the SAME constant-block
+    content as q_multimodal_jpeg is encoded as a 6-scan progressive
+    stream (DC first at Al=1 + DC refinement, two spectral-selection
+    AC bands first at Al=1 + their refinement scans) and decoded
+    through the general decoder's scan-accumulation path — SOF2 parse,
+    per-scan entropy segments, successive-approximation bit ORs, EOB
+    runs with length bits spanning many blocks
+    (operators/multimodal.py:encode_jpeg_gray_progressive,
+    _jpg_prog_scan). Constant blocks keep the mean closed-form (DC-only
+    spectra decode bit-exactly), so the driver hash-checks the whole
+    multi-scan plumbing; FULL AC-path coverage (nonzero bands,
+    correction bits, ZRL-in-refine) is pinned by the
+    progressive==baseline bit-equality pytest on random images."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_jpeg_prog_media,
+        decode_jpeg,
+    )
+
+    d = attach_jpeg_prog_media(_t(spark, sf_dir, "documents"), "doc_id")
+    return decode_jpeg(d, "media_id", "media")
+
+
+ORACLE_MULTIMODAL_JPEG_PROG = """
+SELECT doc_id AS media_id,
+       CAST(8 * (doc_id % 3 + 1) AS INTEGER) AS width,
+       CAST(8 * (doc_id % 2 + 1) AS INTEGER) AS height,
+       CAST(doc_id % 200 AS DOUBLE)
+         + ((doc_id % 3 + 1) * (doc_id % 2 + 1) - 1) / 2.0 AS mean_gray
+FROM documents
+"""
+
+
 def q_multimodal_png16(spark, sf_dir):
     """16-bit grayscale PNG (depth 16) — the high-dynamic-range member
     of the PNG family (medical/scientific/depth-map imagery): byte
@@ -1475,6 +1509,8 @@ LLMOPS_QUERIES = [
           ORACLE_MULTIMODAL_PNG_PALETTE),
     Query("q_multimodal_png16", q_multimodal_png16,
           ORACLE_MULTIMODAL_PNG16),
+    Query("q_multimodal_jpeg_prog", q_multimodal_jpeg_prog,
+          ORACLE_MULTIMODAL_JPEG_PROG),
     Query("q_multimodal_png_gray", q_multimodal_png_gray, ORACLE_MULTIMODAL_PNG_GRAY),
     Query("q_embed_covariance", q_embed_covariance, ORACLE_EMBED_COVARIANCE),
     Query("q_kmeans", q_kmeans, None,

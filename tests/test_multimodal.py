@@ -636,3 +636,71 @@ def test_png16_roundtrip_and_isolation(spark):
             + 29 * w * (h * (h - 1) // 2)
         )
         assert got[i]["sum_val"] == expect, i
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive encode->decode must be COEFFICIENT-LOSSLESS: with
+    the same quant table, decoding the progressive stream of any image
+    yields bit-identical pixels to decoding its baseline encoding —
+    across spectral splits, successive-approximation depths (including
+    none), and content with long EOB runs, ZRL-in-refine, and
+    correction bits."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(71)
+    for dims in [(8, 8), (24, 16), (19, 30)]:
+        for (bs, dal, aal) in [(6, 1, 1), (2, 2, 2), (33, 1, 2), (6, 0, 0)]:
+            px = rng.integers(0, 256, dims).astype(np.float64)
+            base = decode_jpeg_bytes(encode_jpeg_gray(px))
+            prog = decode_jpeg_bytes(
+                encode_jpeg_gray_progressive(
+                    px, band_split=bs, dc_al=dal, ac_al=aal
+                )
+            )
+            assert np.array_equal(prog, base), (dims, bs, dal, aal)
+    # sparse content drives maximal EOB runs (many all-zero AC blocks)
+    flat = np.full((40, 40), 77.0)
+    flat[8:16, 8:16] = 200.0
+    assert np.array_equal(
+        decode_jpeg_bytes(encode_jpeg_gray_progressive(flat)),
+        decode_jpeg_bytes(encode_jpeg_gray(flat)),
+    )
+
+
+def test_jpeg_progressive_spark_decode(spark):
+    """The progressive fixture decodes through decode_jpeg to the same
+    closed-form means as the baseline fixture; truncated SOF2 headers
+    and mid-scan truncations isolate to null rows."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_jpeg_prog_media,
+        decode_jpeg,
+        encode_jpeg_gray_progressive,
+    )
+
+    ids = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    rows = {
+        r["media_id"]: r
+        for r in decode_jpeg(attach_jpeg_prog_media(ids, "doc_id")).collect()
+    }
+    for i in range(6):
+        nb = (i % 3 + 1) * (i % 2 + 1)
+        assert rows[i]["width"] == 8 * (i % 3 + 1)
+        assert rows[i]["mean_gray"] == i % 200 + (nb - 1) / 2
+    import numpy as np
+
+    good = encode_jpeg_gray_progressive(
+        np.full((8, 8), 100.0)
+    )
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xc2\x00\x04\x08\x00")),
+         (2, bytearray(good[: len(good) // 2])), (None, None)],
+        "media_id long, media binary",
+    )
+    out = decode_jpeg(bad).collect()
+    assert len(out) == 3 and all(r["width"] is None for r in out)

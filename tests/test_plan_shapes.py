@@ -238,6 +238,13 @@ BNLJ_ALLOWLIST = {
     "q_heavy_hitters",
     # 1-row vocabulary-size broadcast onto the scored bigrams
     "q_text_perplexity", "q_corpus_pipeline3",
+    # 1-row token-vocabulary-size broadcast (the word-level sibling)
+    "q_ngram_lm_score",
+    # language-pair metadata: the theta self-join of DISTINCT langs
+    # (L^2 rows, L ~ 5) and the OR-condition broadcast of those pairs
+    # onto the vocab — both sides bounded by language count, never
+    # corpus-sized
+    "q_doc_minwise_sim",
 }
 
 
