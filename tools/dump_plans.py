@@ -212,6 +212,48 @@ COMMENTARY = {
         "distinct counts, then joins back to the returned lines — two "
         "shuffles on orderkey total, supplier dim broadcast."
     ),
+    "q_ann_persisted": (
+        "Build-once/query-many IVF probe: the index FileScan carries the "
+        "probe-cell IN-list as a static PartitionFilter, so only "
+        "nprobe-adjacent cell directories are read — probe cost scales "
+        "with nprobe/nlist of the corpus, and the one-time build is "
+        "amortized across every query batch (plan-gated in "
+        "test_plan_shapes.py::test_ivf_probe_prunes_partitions)."
+    ),
+    "q_robots_gate": (
+        "Crawl-frontier admission: the robots rule table rides a "
+        "broadcast join (rules are KB-sized per host, never corpus-"
+        "sized); longest-match precedence is one per-doc ranked window "
+        "over the bounded rule fanout. The frontier itself never "
+        "shuffles — scan, broadcast theta-join, local rank."
+    ),
+    "q_dedup_prefix": (
+        "Sort-adjacency prefix subsumption: one distinct + one "
+        "first-char-partitioned sort window replaces the quadratic "
+        "startswith self-join; a doc is subsumed iff its lexicographic "
+        "successor extends it. At 100 TB the partitioner becomes range-"
+        "partition-on-text with boundary-row exchange — the per-"
+        "partition logic is unchanged."
+    ),
+    "q_ngram_lm_score": (
+        "Self-trained token-bigram LM: model tables (bigram counts, "
+        "context counts, vocab size) are vocabulary-sized and broadcast; "
+        "bigrams are built map-side via transform-over-sequence; the "
+        "only data-sized shuffle is the per-document score aggregate."
+    ),
+    "q_doc_minwise_sim": (
+        "Bottom-k minwise corpus-pair similarity: after the vocabulary-"
+        "bounded distinct, everything joins against language-pair "
+        "metadata (L^2 rows) by broadcast; the rank window partitions by "
+        "pair over per-pair vocabulary unions. At production scale only "
+        "the k-row-per-language sketches are combined."
+    ),
+    "q_json_flatten": (
+        "Nested-JSON flatten: from_json against an explicit schema is a "
+        "pure map-side projection — zero Exchange (plan-gated); dot-"
+        "paths, array indexing, and the aggregate HOF all stay in "
+        "whole-stage codegen."
+    ),
 }
 
 
