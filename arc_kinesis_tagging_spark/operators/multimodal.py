@@ -2121,6 +2121,115 @@ _JPG_PROG_AC_VALS = sorted(
 _JPG_PROG_AC_BITS = [0] * 7 + [len(_JPG_PROG_AC_VALS)] + [0] * 8
 
 
+def _jpg_prog_ac_first_scan(zz, ss, se, al, ac_enc) -> bytes:
+    """Entropy bytes of one AC-first progressive scan over one
+    component's zig-zag blocks (EOB runs across blocks)."""
+    bw = _BitWriter()
+    state = {"eobrun": 0}
+
+    def flush_eobrun():
+        n = state["eobrun"]
+        if n:
+            r = n.bit_length() - 1
+            length, code = ac_enc[r << 4]
+            bw.put(code, length)
+            if r:
+                bw.put(n - (1 << r), r)
+            state["eobrun"] = 0
+
+    for i in range(zz.shape[0]):
+        band = [int(v) for v in zz[i, ss : se + 1]]
+        t = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in band]
+        last = max((j for j, v in enumerate(t) if v), default=-1)
+        if last < 0:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                flush_eobrun()
+            continue
+        flush_eobrun()
+        run = 0
+        for j in range(last + 1):
+            v = t[j]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac_enc[0xF0]
+                bw.put(code, length)
+                run -= 16
+            cat = _jpg_category(v)
+            length, code = ac_enc[(run << 4) | cat]
+            bw.put(code, length)
+            bw.put(_jpg_extend_bits(v, cat), cat)
+            run = 0
+        if last < se - ss:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _jpg_prog_ac_refine_scan(zz, ss, se, al, ac_enc) -> bytes:
+    """Entropy bytes of one AC-refinement progressive scan (T.81
+    G.1.2.3): newly-nonzero coefficients with sign bits, buffered
+    correction bits for history coefficients, EOB runs carrying the
+    pending corrections."""
+    bw = _BitWriter()
+    state = {"eobrun": 0, "be": []}
+
+    def flush_eobrun():
+        n = state["eobrun"]
+        if n:
+            r = n.bit_length() - 1
+            length, code = ac_enc[r << 4]
+            bw.put(code, length)
+            if r:
+                bw.put(n - (1 << r), r)
+            for bit in state["be"]:
+                bw.put(bit, 1)
+            state["be"] = []
+            state["eobrun"] = 0
+
+    for i in range(zz.shape[0]):
+        band = [int(v) for v in zz[i, ss : se + 1]]
+        absv = [abs(v) >> al for v in band]
+        signs = [1 if v >= 0 else 0 for v in band]
+        r, br = 0, []
+        for j, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            if t > 1:  # history coefficient: buffer a correction bit
+                br.append(t & 1)
+                continue
+            # t == 1: newly nonzero at this precision
+            flush_eobrun()
+            while r > 15:
+                length, code = ac_enc[0xF0]
+                bw.put(code, length)
+                r -= 16
+                for bit in br:
+                    bw.put(bit, 1)
+                br = []
+            length, code = ac_enc[(r << 4) | 1]
+            bw.put(code, length)
+            bw.put(signs[j], 1)
+            for bit in br:
+                bw.put(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            state["eobrun"] += 1
+            state["be"].extend(br)
+            if state["eobrun"] == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+    bw.flush()
+    return bytes(bw.out)
+
+
 def encode_jpeg_gray_progressive(
     px, quant=None, band_split: int = 6, dc_al: int = 1, ac_al: int = 1
 ) -> bytes:
@@ -2170,107 +2279,13 @@ def encode_jpeg_gray_progressive(
         return bytes(bw.out), (0, 0, al + 1, al)
 
     def scan_ac_first(ss, se, al):
-        bw = _BitWriter()
-        state = {"eobrun": 0}
-
-        def flush_eobrun():
-            n = state["eobrun"]
-            if n:
-                r = n.bit_length() - 1
-                length, code = ac_enc[r << 4]
-                bw.put(code, length)
-                if r:
-                    bw.put(n - (1 << r), r)
-                state["eobrun"] = 0
-
-        for i in range(n_blocks):
-            band = [int(v) for v in zz[i, ss : se + 1]]
-            t = [
-                (abs(v) >> al) * (1 if v >= 0 else -1) for v in band
-            ]
-            last = max((j for j, v in enumerate(t) if v), default=-1)
-            if last < 0:
-                state["eobrun"] += 1
-                if state["eobrun"] == 0x7FFF:
-                    flush_eobrun()
-                continue
-            flush_eobrun()
-            run = 0
-            for j in range(last + 1):
-                v = t[j]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    length, code = ac_enc[0xF0]
-                    bw.put(code, length)
-                    run -= 16
-                cat = _jpg_category(v)
-                length, code = ac_enc[(run << 4) | cat]
-                bw.put(code, length)
-                bw.put(_jpg_extend_bits(v, cat), cat)
-                run = 0
-            if last < se - ss:
-                state["eobrun"] += 1
-                if state["eobrun"] == 0x7FFF:
-                    flush_eobrun()
-        flush_eobrun()
-        bw.flush()
-        return bytes(bw.out), (ss, se, 0, al)
+        return _jpg_prog_ac_first_scan(zz, ss, se, al, ac_enc), (ss, se, 0, al)
 
     def scan_ac_refine(ss, se, al):
-        bw = _BitWriter()
-        state = {"eobrun": 0, "be": []}
-
-        def flush_eobrun():
-            n = state["eobrun"]
-            if n:
-                r = n.bit_length() - 1
-                length, code = ac_enc[r << 4]
-                bw.put(code, length)
-                if r:
-                    bw.put(n - (1 << r), r)
-                for bit in state["be"]:
-                    bw.put(bit, 1)
-                state["be"] = []
-                state["eobrun"] = 0
-
-        for i in range(n_blocks):
-            band = [int(v) for v in zz[i, ss : se + 1]]
-            absv = [abs(v) >> al for v in band]
-            signs = [1 if v >= 0 else 0 for v in band]
-            r, br = 0, []
-            for j, t in enumerate(absv):
-                if t == 0:
-                    r += 1
-                    continue
-                if t > 1:  # history coefficient: buffer a correction bit
-                    br.append(t & 1)
-                    continue
-                # t == 1: newly nonzero at this precision
-                flush_eobrun()
-                while r > 15:
-                    length, code = ac_enc[0xF0]
-                    bw.put(code, length)
-                    r -= 16
-                    for bit in br:
-                        bw.put(bit, 1)
-                    br = []
-                length, code = ac_enc[(r << 4) | 1]
-                bw.put(code, length)
-                bw.put(signs[j], 1)
-                for bit in br:
-                    bw.put(bit, 1)
-                br = []
-                r = 0
-            if r > 0 or br:
-                state["eobrun"] += 1
-                state["be"].extend(br)
-                if state["eobrun"] == 0x7FFF:
-                    flush_eobrun()
-        flush_eobrun()
-        bw.flush()
-        return bytes(bw.out), (ss, se, al + 1, al)
+        return (
+            _jpg_prog_ac_refine_scan(zz, ss, se, al, ac_enc),
+            (ss, se, al + 1, al),
+        )
 
     scans = [scan_dc_first(dc_al)]
     for al in range(dc_al - 1, -1, -1):
@@ -2324,3 +2339,93 @@ def attach_jpeg_prog_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "media": blobs})
 
     return df.select(id_col).mapInPandas(gen, "media_id long, media binary")
+
+
+def encode_jpeg_color444_progressive(
+    rgb, quant=None, dc_al: int = 1, ac_al: int = 1
+) -> bytes:
+    """Progressive 4:4:4 color JPEG encoder: INTERLEAVED 3-component
+    DC scans (first + refinement — the multi-component progressive
+    path the gray fixture cannot reach) followed by per-component
+    non-interleaved AC band scans (first + refinement). Same
+    coefficient-lossless property as the gray variant at quant=1, so
+    decode must equal the baseline 4:4:4 encoding bit-for-bit."""
+    import numpy as np
+
+    if quant is None:
+        quant = np.ones(64, np.int64)
+    quant = np.asarray(quant, np.int64).reshape(64)
+    h, w, _ = rgb.shape
+    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    planes = [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    qraster = np.empty(64, np.int64)
+    qraster[_JPG_ZZ] = quant
+    comp_zz = [
+        _jpg_plane_zz(_pad_edge(p, ph, pw), qraster) for p in planes
+    ]
+    dc_enc = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_enc = _jpg_canonical_codes(_JPG_PROG_AC_BITS, _JPG_PROG_AC_VALS)
+    n_blocks = comp_zz[0].shape[0]
+
+    def dc_first_interleaved(al):
+        bw = _BitWriter()
+        prev = [0, 0, 0]
+        for i in range(n_blocks):
+            for ci in range(3):
+                v = int(comp_zz[ci][i, 0]) >> al
+                diff = v - prev[ci]
+                prev[ci] = v
+                cat = _jpg_category(diff)
+                length, code = dc_enc[cat]
+                bw.put(code, length)
+                if cat:
+                    bw.put(_jpg_extend_bits(diff, cat), cat)
+        bw.flush()
+        return bytes(bw.out)
+
+    def dc_refine_interleaved(al):
+        bw = _BitWriter()
+        for i in range(n_blocks):
+            for ci in range(3):
+                bw.put((int(comp_zz[ci][i, 0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(quant[i]) for i in range(64)))
+    out += seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS))
+    out += seg(
+        0xC4,
+        bytes([0x10]) + bytes(_JPG_PROG_AC_BITS) + bytes(_JPG_PROG_AC_VALS),
+    )
+    sos3 = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00])
+    out += seg(0xDA, sos3 + bytes([0, 0, (0 << 4) | dc_al]))
+    out += dc_first_interleaved(dc_al)
+    for al in range(dc_al - 1, -1, -1):
+        out += seg(0xDA, sos3 + bytes([0, 0, ((al + 1) << 4) | al]))
+        out += dc_refine_interleaved(al)
+    for ci in range(3):
+        out += seg(
+            0xDA, bytes([1, ci + 1, 0x00, 1, 63, (0 << 4) | ac_al])
+        )
+        out += _jpg_prog_ac_first_scan(comp_zz[ci], 1, 63, ac_al, ac_enc)
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(3):
+            out += seg(
+                0xDA, bytes([1, ci + 1, 0x00, 1, 63, ((al + 1) << 4) | al])
+            )
+            out += _jpg_prog_ac_refine_scan(comp_zz[ci], 1, 63, al, ac_enc)
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -704,3 +704,29 @@ def test_jpeg_progressive_spark_decode(spark):
     )
     out = decode_jpeg(bad).collect()
     assert len(out) == 3 and all(r["width"] is None for r in out)
+
+
+def test_jpeg_progressive_color_equals_baseline():
+    """Color (3-component) progressive JPEG: INTERLEAVED DC scans +
+    per-component non-interleaved AC band scans must decode
+    bit-identically to the baseline 4:4:4 encoding of the same image —
+    the multi-component paths of the progressive decoder (per-scan
+    component subsets, interleaved predictors, per-comp EOB runs) that
+    the grayscale fixture cannot reach."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_color444,
+        encode_jpeg_color444_progressive,
+    )
+
+    rng = np.random.default_rng(19)
+    for dims in [(16, 16), (19, 22)]:
+        for (dal, aal) in [(1, 1), (2, 2), (0, 0)]:
+            rgb = rng.integers(0, 256, (*dims, 3)).astype(np.float64)
+            base = decode_jpeg_bytes(encode_jpeg_color444(rgb))
+            prog = decode_jpeg_bytes(
+                encode_jpeg_color444_progressive(rgb, dc_al=dal, ac_al=aal)
+            )
+            assert np.array_equal(prog, base), (dims, dal, aal)
