@@ -1772,7 +1772,127 @@ FROM frags f JOIN marks m ON f.frag = m.frag
 """
 
 
+_SUBSTR_W = 16  # duplicated-window width in tokens
+
+
+def q_dedup_substring(spark, sf_dir):
+    """Duplicated-SUBSTRING detection — the fixed-width practical form
+    of suffix-array training-data dedup (flag every w-token window
+    whose content appears more than once ANYWHERE in the corpus, then
+    report each document's duplicated-token coverage): rolling
+    w-token windows are built map-side (transform over sequence, no
+    join on position), duplicate window CONTENT is found with one
+    hash aggregate, and per-document coverage merges overlapping
+    duplicate windows into spans with the classic
+    cummax-interval-merge window (flag = start beyond every previous
+    end; group = running flag sum; coverage = sum of merged span
+    lengths). Shuffles carry (doc, window-hash) rows — linear in
+    token count, the inherent cost of substring-level dedup — plus
+    one doc-keyed window. Output: per-doc token count, duplicated
+    window count, merged duplicated-token coverage and fraction."""
+    d = _t(spark, sf_dir, "documents")
+    w = _SUBSTR_W
+    ts = F.split(F.col("text"), " ")
+    n = F.size(ts)
+    wins = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - w + 1),
+            lambda i: F.struct(
+                i.alias("s"),
+                F.md5(
+                    F.concat_ws(" ", F.slice(ts, i, F.lit(w)))
+                ).alias("wh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<s:int,wh:string>>"))
+    base = d.select("doc_id", n.alias("n_tokens"), wins.alias("__w"))
+    windows = base.select(
+        "doc_id", "n_tokens", F.explode("__w").alias("x")
+    ).select("doc_id", "n_tokens", F.col("x.s").alias("s"), F.col("x.wh").alias("wh"))
+    dup = (
+        windows.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("wh")
+    )
+    dw = windows.join(dup, "wh", "left_semi")
+    ww = Window.partitionBy("doc_id").orderBy("s")
+    prev_end = F.max(F.col("s") + w).over(
+        ww.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dw.withColumn(
+        "new_span",
+        F.when(
+            prev_end.isNull() | (F.col("s") > prev_end), 1
+        ).otherwise(0),
+    ).withColumn("gid", F.sum("new_span").over(ww))
+    spans = flagged.groupBy("doc_id", "n_tokens", "gid").agg(
+        F.min("s").alias("s0"),
+        F.max(F.col("s") + w).alias("e1"),
+        F.count(F.lit(1)).alias("n_wins"),
+    )
+    per_doc = spans.groupBy("doc_id", "n_tokens").agg(
+        F.sum("n_wins").alias("n_dup_windows"),
+        F.sum(F.col("e1") - F.col("s0")).alias("dup_token_coverage"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_windows",
+        F.col("dup_token_coverage").cast("long").alias("dup_token_coverage"),
+        F.round(
+            F.col("dup_token_coverage") / F.col("n_tokens").cast("double"), 6
+        ).alias("dup_fraction"),
+    )
+
+
+ORACLE_DEDUP_SUBSTRING = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), windows AS (
+  SELECT doc_id, n_tokens, s,
+         md5(array_to_string(list_slice(toks, s, s + {_SUBSTR_W} - 1), ' ')) AS wh
+  FROM base CROSS JOIN range(1, 10000) AS t(s)
+  WHERE n_tokens >= {_SUBSTR_W} AND s <= n_tokens - {_SUBSTR_W} + 1
+), dup AS (
+  SELECT wh FROM windows GROUP BY wh HAVING COUNT(*) > 1
+), dw AS (
+  SELECT w.doc_id, w.n_tokens, w.s FROM windows w JOIN dup USING (wh)
+), flagged AS (
+  SELECT doc_id, n_tokens, s,
+         CASE WHEN max(s + {_SUBSTR_W}) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR s > max(s + {_SUBSTR_W}) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              )
+         THEN 1 ELSE 0 END AS new_span
+  FROM dw
+), grouped AS (
+  SELECT doc_id, n_tokens, s,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY s) AS gid
+  FROM flagged
+), spans AS (
+  SELECT doc_id, n_tokens, gid,
+         MIN(s) AS s0, MAX(s + {_SUBSTR_W}) AS e1, COUNT(*) AS n_wins
+  FROM grouped GROUP BY doc_id, n_tokens, gid
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(SUM(n_wins) AS BIGINT) AS n_dup_windows,
+       CAST(SUM(e1 - s0) AS BIGINT) AS dup_token_coverage,
+       ROUND(SUM(e1 - s0) / CAST(n_tokens AS DOUBLE), 6) AS dup_fraction
+FROM spans GROUP BY doc_id, n_tokens
+"""
+
+
 QUALITY_QUERIES = [
+    Query("q_dedup_substring", q_dedup_substring, ORACLE_DEDUP_SUBSTRING),
     Query("q_dedup_prefix", q_dedup_prefix, ORACLE_DEDUP_PREFIX),
     Query("q_doc_minwise_sim", q_doc_minwise_sim, ORACLE_DOC_MINWISE_SIM),
     Query("q_ngram_lm_score", q_ngram_lm_score, ORACLE_NGRAM_LM_SCORE),

@@ -68,6 +68,9 @@ EXCHANGE_BUDGET = [
     ("q_json_flatten", 0),
     ("q_robots_gate", 1),
     ("q_dedup_prefix", 4),
+    # substring dedup: window-hash aggregate (partial+final counted
+    # once each), the semi join back, and the doc-keyed span window
+    ("q_dedup_substring", 4),
 ]
 
 

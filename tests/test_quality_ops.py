@@ -595,3 +595,43 @@ def test_prefix_dedup_matches_bruteforce(spark):
             o != t and o.startswith(t) and len(t) > 0 for o in texts
         )
     assert got == expect, (got, expect)
+
+
+def test_dedup_substring_known_spans(spark):
+    """Duplicated-window coverage on a constructed corpus: two docs
+    sharing an identical 20-token run must flag exactly that run
+    (merged into ONE span despite 5 overlapping windows at w=16), a
+    unique doc must not appear, and within-doc repetition counts too."""
+    import tempfile
+
+    from arc_kinesis_tagging_spark.plans.quality_ops import (
+        _SUBSTR_W,
+        q_dedup_substring,
+    )
+
+    assert _SUBSTR_W == 16
+    shared = " ".join(f"s{i}" for i in range(20))
+    docs = [
+        (0, f"{' '.join(f'a{i}' for i in range(10))} {shared} "
+            f"{' '.join(f'b{i}' for i in range(10))}"),       # 40 toks
+        (1, f"{' '.join(f'c{i}' for i in range(5))} {shared} "
+            f"{' '.join(f'd{i}' for i in range(15))}"),       # 40 toks
+        (2, " ".join(f"u{i}" for i in range(40))),            # unique
+        (3, " ".join(["r"] * 40)),                            # self-repeat
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(td + "/documents.parquet")
+        got = {r["doc_id"]: r for r in q_dedup_substring(spark, td).collect()}
+    # doc 2 has no duplicated window anywhere
+    assert 2 not in got
+    # docs 0 and 1: the 20 shared tokens give 5 window starts (w=16),
+    # merging into one span of exactly 20 tokens
+    for d in (0, 1):
+        assert got[d]["n_dup_windows"] == 5, got[d]
+        assert got[d]["dup_token_coverage"] == 20, got[d]
+        assert abs(got[d]["dup_fraction"] - 0.5) < 1e-9
+    # doc 3 is one long self-repeat: every window identical -> all 25
+    # starts duplicated, one span covering the whole doc
+    assert got[3]["n_dup_windows"] == 25 and got[3]["dup_token_coverage"] == 40
