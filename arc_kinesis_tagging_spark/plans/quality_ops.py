@@ -1891,7 +1891,72 @@ FROM spans GROUP BY doc_id, n_tokens
 """
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Corpus snapshot delta — the op that drives every incremental
+    pipeline (which documents were added / removed / changed between
+    two crawl snapshots, and how churny is each source): the two
+    snapshots (derived deterministically here by doc_id split and a
+    content perturbation) full-outer-join on doc_id with content
+    digests compared, each doc classified, then per-source counts.
+    One keyed join plus one bounded aggregate; at 100 TB both
+    snapshot scans are digest-projected (two columns) and the join
+    shuffles digests, not documents."""
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", "source", F.md5("text").alias("digest")
+    )
+    new = d.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text"))
+        ).alias("digest"),
+    )
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.doc_id") == F.col("n.doc_id"), "full"
+    )
+    status = (
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("o.digest") != F.col("n.digest"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("o.source"), F.col("n.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_CORPUS_DIFF = """
+WITH old AS (
+  SELECT doc_id, source, md5(text) AS digest
+  FROM documents WHERE doc_id % 11 <> 0
+), new AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                  ELSE text END) AS digest
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT COALESCE(o.source, n.source) AS source,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.digest <> n.digest THEN 'changed'
+            ELSE 'same' END AS status,
+       COUNT(*) AS n_docs
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+GROUP BY 1, 2
+"""
+
+
 QUALITY_QUERIES = [
+    Query("q_corpus_diff", q_corpus_diff, ORACLE_CORPUS_DIFF),
     Query("q_dedup_substring", q_dedup_substring, ORACLE_DEDUP_SUBSTRING),
     Query("q_dedup_prefix", q_dedup_prefix, ORACLE_DEDUP_PREFIX),
     Query("q_doc_minwise_sim", q_doc_minwise_sim, ORACLE_DOC_MINWISE_SIM),
