@@ -1552,9 +1552,14 @@ def q_ngram_lm_score(spark, sf_dir):
     vocab = d.select(F.explode(ts).alias("t")).agg(
         F.countDistinct("t").alias("vsize")
     )
+    # nab/na are NOT hinted broadcast: unlike the char model, the
+    # token-bigram and token-context tables grow with vocabulary and
+    # can be corpus-scale; the joins key on (ta,tb)/(ta) and AQE picks
+    # broadcast only while they actually fit. Only the 1-row vsize is
+    # forced broadcast.
     scored = (
-        bg.join(F.broadcast(nab), ["ta", "tb"])
-        .join(F.broadcast(na), "ta")
+        bg.join(nab, ["ta", "tb"])
+        .join(na, "ta")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "bits",

@@ -66,6 +66,8 @@ HEADLINE = [
     # later rep probes only — min-of-reps therefore times the PROBE,
     # the number that matters for the amortized production shape
     "q_ann_persisted",
+    "q_dedup_substring",  # rolling-window hash agg + span merge
+    "q_ngram_lm_score",   # token-bigram LM train + score
 ]
 
 
