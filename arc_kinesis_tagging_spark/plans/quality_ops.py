@@ -1960,7 +1960,81 @@ GROUP BY 1, 2
 """
 
 
+def q_corpus_pipeline4(spark, sf_dir):
+    """Round-6 composite refresh — the new admission, quality, and
+    dedup stages chained as ONE declarative plan: robots longest-match
+    admission (q_robots_gate) -> token-bigram LM gate
+    (q_ngram_lm_score, kept = bits/token <= 13.0; docs too short to
+    score carry no bigram and are excluded by the gate's contract) ->
+    duplicated-substring budget (q_dedup_substring coverage <= 0.5 of
+    tokens; docs with NO duplicated window pass with 0) -> per-source
+    summary (docs, tokens, mean bits/token, mean dup fraction).
+    Catalyst fuses the stages; every piece is individually hash-green
+    and the composite carries a full SQL oracle built from the same
+    fragments. Aggregated means are computed over 3-dp-rounded
+    per-doc scores, keeping cross-engine float drift far below the
+    output rounding."""
+    from arc_kinesis_tagging_spark.plans.relational3 import q_robots_gate
+
+    d = _t(spark, sf_dir, "documents")
+    adm = (
+        q_robots_gate(spark, sf_dir)
+        .filter(F.col("admitted"))
+        .select("doc_id", "host")
+    )
+    lm = q_ngram_lm_score(spark, sf_dir).filter(F.col("kept")).select(
+        "doc_id", "n_bigrams", "bits_per_token"
+    )
+    sub = q_dedup_substring(spark, sf_dir).select("doc_id", "dup_fraction")
+    kept = (
+        d.select("doc_id", "source")
+        .join(adm, "doc_id")
+        .join(lm, "doc_id")
+        .join(sub, "doc_id", "left")
+        .withColumn("dupf", F.coalesce(F.col("dup_fraction"), F.lit(0.0)))
+        .filter(F.col("dupf") <= 0.5)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_bigrams") + 1).alias("n_tokens"),
+        F.round(F.avg("bits_per_token"), 3).alias("mean_bits_per_token"),
+        F.round(F.avg("dupf"), 4).alias("mean_dup_fraction"),
+    )
+
+
+def _pipeline4_oracle() -> str:
+    from arc_kinesis_tagging_spark.plans.relational3 import ORACLE_ROBOTS_GATE
+
+    return f"""
+WITH adm AS (
+  SELECT doc_id FROM ({ORACLE_ROBOTS_GATE.strip()}) WHERE admitted
+), lm AS (
+  SELECT doc_id, n_bigrams, bits_per_token
+  FROM ({ORACLE_NGRAM_LM_SCORE.strip()}) WHERE kept
+), sub AS (
+  SELECT doc_id, dup_fraction FROM ({ORACLE_DEDUP_SUBSTRING.strip()})
+), kept AS (
+  SELECT d.doc_id, d.source, lm.n_bigrams, lm.bits_per_token,
+         COALESCE(sub.dup_fraction, 0.0) AS dupf
+  FROM documents d
+  JOIN adm USING (doc_id)
+  JOIN lm USING (doc_id)
+  LEFT JOIN sub USING (doc_id)
+  WHERE COALESCE(sub.dup_fraction, 0.0) <= 0.5
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_bigrams + 1) AS BIGINT) AS n_tokens,
+       ROUND(AVG(bits_per_token), 3) AS mean_bits_per_token,
+       ROUND(AVG(dupf), 4) AS mean_dup_fraction
+FROM kept GROUP BY source
+"""
+
+
+ORACLE_CORPUS_PIPELINE4 = _pipeline4_oracle()
+
+
 QUALITY_QUERIES = [
+    Query("q_corpus_pipeline4", q_corpus_pipeline4, ORACLE_CORPUS_PIPELINE4),
     Query("q_corpus_diff", q_corpus_diff, ORACLE_CORPUS_DIFF),
     Query("q_dedup_substring", q_dedup_substring, ORACLE_DEDUP_SUBSTRING),
     Query("q_dedup_prefix", q_dedup_prefix, ORACLE_DEDUP_PREFIX),

@@ -206,6 +206,7 @@ _R6_HEAD = [
     "q_multimodal_jpeg_prog", # progressive (SOF2) JPEG decode
     "q_dedup_substring",      # duplicated w-token-window coverage
     "q_corpus_diff",          # snapshot delta (added/removed/changed)
+    "q_corpus_pipeline4",     # robots -> LM gate -> substring budget
     # -- (b) newest driver row is r02 --
     "q_sql_direct", "q_hof_funcs", "q_unpivot", "q_struct_funcs",
     "q_window_range_frame",
