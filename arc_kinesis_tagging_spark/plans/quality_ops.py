@@ -1575,7 +1575,7 @@ def q_ngram_lm_score(spark, sf_dir):
     )
     return per_doc.select(
         "doc_id", "n_bigrams", "bits_per_token",
-        (F.col("bits_per_token") <= F.lit(13.0)).alias("kept"),
+        (F.col("bits_per_token") <= F.lit(5.0)).alias("kept"),
     )
 
 
@@ -1604,7 +1604,7 @@ WITH tok AS (
   GROUP BY bg.doc_id
 )
 SELECT doc_id, n_bigrams, bits_per_token,
-       bits_per_token <= 13.0 AS kept
+       bits_per_token <= 5.0 AS kept
 FROM per_doc
 """
 
@@ -1964,7 +1964,7 @@ def q_corpus_pipeline4(spark, sf_dir):
     """Round-6 composite refresh — the new admission, quality, and
     dedup stages chained as ONE declarative plan: robots longest-match
     admission (q_robots_gate) -> token-bigram LM gate
-    (q_ngram_lm_score, kept = bits/token <= 13.0; docs too short to
+    (q_ngram_lm_score, kept = bits/token <= 5.0; docs too short to
     score carry no bigram and are excluded by the gate's contract) ->
     duplicated-substring budget (q_dedup_substring coverage <= 0.5 of
     tokens; docs with NO duplicated window pass with 0) -> per-source
