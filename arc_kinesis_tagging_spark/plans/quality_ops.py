@@ -1859,6 +1859,10 @@ WITH base AS (
          len(string_split(text, ' ')) AS n_tokens
   FROM documents
 ), windows AS (
+  -- bounded range stands in for a lateral series (DuckDB's range()
+  -- rejects lateral column bounds); 10000 exceeds every test-corpus
+  -- token count, and a longer doc would lose windows and FAIL the
+  -- row hash rather than silently pass
   SELECT doc_id, n_tokens, s,
          md5(array_to_string(list_slice(toks, s, s + {_SUBSTR_W} - 1), ' ')) AS wh
   FROM base CROSS JOIN range(1, 10000) AS t(s)

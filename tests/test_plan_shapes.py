@@ -241,8 +241,9 @@ BNLJ_ALLOWLIST = {
     "q_heavy_hitters",
     # 1-row vocabulary-size broadcast onto the scored bigrams
     "q_text_perplexity", "q_corpus_pipeline3",
-    # 1-row token-vocabulary-size broadcast (the word-level sibling)
-    "q_ngram_lm_score",
+    # 1-row token-vocabulary-size broadcast (the word-level sibling,
+    # and the round-6 composite that embeds it)
+    "q_ngram_lm_score", "q_corpus_pipeline4",
     # language-pair metadata: the theta self-join of DISTINCT langs
     # (L^2 rows, L ~ 5) and the OR-condition broadcast of those pairs
     # onto the vocab — both sides bounded by language count, never
