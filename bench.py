@@ -264,7 +264,13 @@ def main() -> None:
         queries[name] = round(dt, 3)
         total += dt
 
-    stream_s, stream_rps = bench_stream_pipeline(spark, sf_dir)
+    # same min-of-reps policy as the batch queries: the first stream
+    # run pays one-time streaming-infra setup (state store, sink
+    # wiring) that the steady-state number should not carry
+    stream_s, stream_rps = min(
+        (bench_stream_pipeline(spark, sf_dir) for _ in range(2)),
+        key=lambda t: t[0],
+    )
     queries["stream_pipeline_20k"] = round(stream_s, 3)
     total += stream_s
 
