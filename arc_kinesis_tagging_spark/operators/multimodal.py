@@ -2429,3 +2429,61 @@ def encode_jpeg_color444_progressive(
             out += _jpg_prog_ac_refine_scan(comp_zz[ci], 1, 63, al, ac_enc)
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_ycbcr422(y, cb, cr, quant=None) -> bytes:
+    """Baseline 4:2:2 JPEG encoder from explicit planes (samp 0x21:
+    two luma blocks side by side per MCU, chroma halved horizontally
+    only) — the broadcast/video-frame sampling shape, completing the
+    encoder family over every grid the decoder's general MCU walk
+    supports. ``y`` is (h, w); ``cb``/``cr`` are (ceil(h/8)*8,
+    ceil(w/16)*8): full vertical, half horizontal resolution."""
+    import numpy as np
+
+    if quant is None:
+        quant = np.ones(64, np.int64)
+    quant = np.asarray(quant, np.int64).reshape(64)
+    h, w = y.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 16) * 16
+    if cb.shape != (ph, pw // 2) or cr.shape != (ph, pw // 2):
+        raise ValueError(
+            f"chroma planes must be {(ph, pw // 2)}, got {cb.shape}"
+        )
+    qraster = np.empty(64, np.int64)
+    qraster[_JPG_ZZ] = quant
+    yzz = _jpg_plane_zz(_pad_edge(np.asarray(y, np.float64), ph, pw), qraster)
+    cbzz = _jpg_plane_zz(np.asarray(cb, np.float64), qraster)
+    crzz = _jpg_plane_zz(np.asarray(cr, np.float64), qraster)
+
+    dc_enc = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_enc = _jpg_canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    bw = _BitWriter()
+    ybw, cbw = pw // 8, pw // 16
+    prev = [0, 0, 0]
+    for mr in range(ph // 8):
+        for mc in range(pw // 16):
+            for bx in range(2):  # 2 luma blocks per MCU, raster order
+                blk = yzz[mr * ybw + 2 * mc + bx]
+                prev[0] = _jpg_encode_block(bw, blk, prev[0], dc_enc, ac_enc)
+            prev[1] = _jpg_encode_block(
+                bw, cbzz[mr * cbw + mc], prev[1], dc_enc, ac_enc
+            )
+            prev[2] = _jpg_encode_block(
+                bw, crzz[mr * cbw + mc], prev[2], dc_enc, ac_enc
+            )
+    bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(quant[i]) for i in range(64)))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"

@@ -730,3 +730,43 @@ def test_jpeg_progressive_color_equals_baseline():
                 encode_jpeg_color444_progressive(rgb, dc_al=dal, ac_al=aal)
             )
             assert np.array_equal(prog, base), (dims, dal, aal)
+
+
+def test_jpeg_422_exact_planes():
+    """4:2:2 (samp 0x21) — the remaining sampling grid: two luma
+    blocks per MCU with horizontally-halved chroma. Exact integer
+    DC-only planes decode bit-exactly to the analytic BT.601 image,
+    proving the general MCU walk's 2x1 traversal and the
+    horizontal-only replication upsample."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_ycbcr422,
+    )
+
+    for (h, w) in [(8, 16), (16, 32), (24, 16)]:
+        jw, nmw = w // 8, w // 16
+        y = np.zeros((h, w))
+        cb = np.zeros((h, w // 2))
+        cr = np.zeros((h, w // 2))
+        for j in range(jw * (h // 8)):
+            jr, jc = divmod(j, jw)
+            y[8 * jr : 8 * jr + 8, 8 * jc : 8 * jc + 8] = 50 + j
+        for k in range(nmw * (h // 8)):
+            kr, kc = divmod(k, nmw)
+            cb[8 * kr : 8 * kr + 8, 8 * kc : 8 * kc + 8] = 128 + k % 7 - 3
+            cr[8 * kr : 8 * kr + 8, 8 * kc : 8 * kc + 8] = 128 + 2 * k % 5 - 2
+        dec = decode_jpeg_bytes(encode_jpeg_ycbcr422(y, cb, cr))
+        exp = np.empty((h, w, 3))
+        for jr in range(h // 8):
+            for jc in range(jw):
+                j = jr * jw + jc
+                k = jr * nmw + (jc // 2)
+                dcb, dcr, yv = k % 7 - 3, 2 * k % 5 - 2, 50 + j
+                exp[8 * jr : 8 * jr + 8, 8 * jc : 8 * jc + 8] = [
+                    np.round(yv + 1.402 * dcr),
+                    np.round(yv - 0.344136 * dcb - 0.714136 * dcr),
+                    np.round(yv + 1.772 * dcb),
+                ]
+        assert np.array_equal(dec, exp), (h, w)
