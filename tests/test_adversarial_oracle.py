@@ -81,6 +81,18 @@ DOC_QUERIES = [
     "q_dedup_url",
     "q_bpe_subwords",
     "q_multimodal_png_gray",
+    # round-6 additions (documents-only readers)
+    "q_ngram_lm_score",
+    "q_doc_minwise_sim",
+    "q_dedup_prefix",
+    "q_robots_gate",
+    "q_dedup_substring",
+    "q_corpus_diff",
+    "q_corpus_pipeline4",
+    "q_multimodal_jpeg420",
+    "q_multimodal_png_palette",
+    "q_multimodal_png16",
+    "q_multimodal_jpeg_prog",
 ]
 
 
