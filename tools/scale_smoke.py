@@ -226,6 +226,12 @@ def main() -> None:
         "q_corpus_pipeline2",
         "q_events_funnel_k",
         "q_events_pathing",
+        # round-6 operators
+        "q_ngram_lm_score",
+        "q_dedup_prefix",
+        "q_robots_gate",
+        "q_dedup_substring",
+        "q_corpus_pipeline4",
     ):
         t0 = time.perf_counter()
         report[f"{qname}_rows"] = QUERIES[qname].builder(spark, amp).count()
