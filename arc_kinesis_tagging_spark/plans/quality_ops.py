@@ -1556,9 +1556,15 @@ def q_ngram_lm_score(spark, sf_dir):
     # token-bigram and token-context tables grow with vocabulary and
     # can be corpus-scale; the joins key on (ta,tb)/(ta) and AQE picks
     # broadcast only while they actually fit. Only the 1-row vsize is
-    # forced broadcast.
+    # forced broadcast. Documents are scored on their DISTINCT bigrams
+    # with multiplicity (sum m*bits == sum over occurrences), so the
+    # model join carries per-doc-distinct rows, not occurrences — the
+    # standard compression for repetitive text.
+    bgc = bg.groupBy("doc_id", "ta", "tb").agg(
+        F.count(F.lit(1)).alias("m")
+    )
     scored = (
-        bg.join(nab, ["ta", "tb"])
+        bgc.join(nab, ["ta", "tb"])
         .join(na, "ta")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
@@ -1570,8 +1576,10 @@ def q_ngram_lm_score(spark, sf_dir):
         )
     )
     per_doc = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.sum("bits") / F.count(F.lit(1)), 3).alias("bits_per_token"),
+        F.sum("m").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("m") * F.col("bits")) / F.sum("m"), 3
+        ).alias("bits_per_token"),
     )
     return per_doc.select(
         "doc_id", "n_bigrams", "bits_per_token",
@@ -1593,15 +1601,17 @@ WITH tok AS (
   SELECT ta, COUNT(*) AS na FROM bg GROUP BY ta
 ), v AS (
   SELECT COUNT(DISTINCT t) AS vsize FROM tok
+), bgc AS (
+  SELECT doc_id, ta, tb, COUNT(*) AS m FROM bg GROUP BY doc_id, ta, tb
 ), per_doc AS (
-  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
-         ROUND(SUM(-log2((nab.nab + 1.0) / (na.na + v.vsize))) / COUNT(*),
-               3) AS bits_per_token
-  FROM bg
+  SELECT bgc.doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+         ROUND(SUM(m * (-log2((nab.nab + 1.0) / (na.na + v.vsize))))
+               / SUM(m), 3) AS bits_per_token
+  FROM bgc
   JOIN nab USING (ta, tb)
   JOIN na USING (ta)
   CROSS JOIN v
-  GROUP BY bg.doc_id
+  GROUP BY bgc.doc_id
 )
 SELECT doc_id, n_bigrams, bits_per_token,
        bits_per_token <= 5.0 AS kept
