@@ -423,7 +423,63 @@ FROM weighted
 """
 
 
+def q_quant_calibrate(spark, sf_dir):
+    """Per-DIMENSION asymmetric-quantization calibration — the
+    companion pass to q_embed_quantize's per-vector symmetric codes:
+    before exporting a corpus to uint8, each embedding dimension needs
+    its own (min, max, scale, zero_point) from a calibration sweep
+    (per-dim ranges differ by orders of magnitude in real encoders;
+    one global scale wastes most of the 8-bit range). One posexplode +
+    one dimension-keyed aggregate — d groups total, trivially
+    parallel, map-side partials carry (min,max) pairs only. Integer
+    1e6-quantization of the float outputs keeps the cross-engine hash
+    exact; zero_point uses floor (tie-free in both engines)."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("dim", "v")
+    )
+    agg = dims.groupBy("dim").agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    scale = (F.col("vmax") - F.col("vmin")) / F.lit(255.0)
+    zp = F.floor(
+        -F.col("vmin") / F.greatest(scale, F.lit(1e-30)) + F.lit(0.5)
+    )
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        F.floor(F.col("vmin") * 1e6).cast("long").alias("vmin_q6"),
+        F.floor(F.col("vmax") * 1e6).cast("long").alias("vmax_q6"),
+        F.floor(scale * 1e9).cast("long").alias("scale_q9"),
+        zp.cast("long").alias("zero_point"),
+    )
+
+
+ORACLE_QUANT_CALIBRATE = """
+WITH dims AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(UNNEST(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), agg AS (
+  SELECT dim, MIN(v) AS vmin, MAX(v) AS vmax, COUNT(*) AS n
+  FROM dims GROUP BY dim
+)
+SELECT CAST(dim AS INTEGER) AS dim, n,
+       CAST(FLOOR(vmin * 1e6) AS BIGINT) AS vmin_q6,
+       CAST(FLOOR(vmax * 1e6) AS BIGINT) AS vmax_q6,
+       CAST(FLOOR((vmax - vmin) / 255.0 * 1e9) AS BIGINT) AS scale_q9,
+       CAST(FLOOR(-vmin / GREATEST((vmax - vmin) / 255.0, 1e-30) + 0.5)
+            AS BIGINT) AS zero_point
+FROM agg
+"""
+
+
 PIPELINE_QUERIES = [
+    Query("q_quant_calibrate", q_quant_calibrate, ORACLE_QUANT_CALIBRATE),
     Query("q_source_mixing", q_source_mixing, ORACLE_SOURCE_MIXING),
     Query("q_sample_weighted", q_sample_weighted, ORACLE_SAMPLE_WEIGHTED),
     Query("q_sample_stratified", q_sample_stratified, ORACLE_SAMPLE_STRATIFIED),

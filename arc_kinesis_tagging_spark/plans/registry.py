@@ -207,6 +207,7 @@ _R6_HEAD = [
     "q_dedup_substring",      # duplicated w-token-window coverage
     "q_corpus_diff",          # snapshot delta (added/removed/changed)
     "q_corpus_pipeline4",     # robots -> LM gate -> substring budget
+    "q_quant_calibrate",      # per-dimension uint8 calibration sweep
     # -- (b) newest driver row is r02 --
     "q_sql_direct", "q_hof_funcs", "q_unpivot", "q_struct_funcs",
     "q_window_range_frame",
