@@ -242,6 +242,56 @@ SELECT query_id, vec_id, cos4, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per query, the
+    vectors ranked JUST BELOW the positive band (ranks m+1..m+k by
+    cosine, self excluded) — similar enough to be informative
+    negatives, far enough to be wrong answers. The selection is the
+    brute-force scored rank band with the engine-stable rounded
+    ordering (4-dp cosine, vec_id tiebreak); at corpus scale the
+    scoring side swaps to the IVF probe (same band logic over probe
+    candidates). m=5, k=5 over the first five vectors as queries."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    from arc_kinesis_tagging_spark.functions.vectors import cosine_similarity
+
+    scored = (
+        e.select(F.col("vec_id"), F.col("embedding").alias("ce"))
+        .join(F.broadcast(q.withColumnRenamed("embedding", "qe")), F.lit(True))
+        .filter(F.col("vec_id") != F.col("query_id"))  # self is no negative
+        .withColumn("cos4", F.round(cosine_similarity(F.col("ce"), F.col("qe")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos4").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter((F.col("rank") > 5) & (F.col("rank") <= 10))
+        .select("query_id", "vec_id", "cos4", "rank")
+    )
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+               / GREATEST(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+                        * sqrt(list_sum(list_transform(CAST(q.embedding AS DOUBLE[]), x -> x * x))), 1e-12), 4) AS cos4
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+  WHERE e.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, cos4,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos4 DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos4, rank FROM ranked
+WHERE rank > 5 AND rank <= 10
+"""
+
+
 def q_similarity_ivf(spark, sf_dir):
     """IVF-bucketed approximate top-k (the scale path; recall < 1 by
     design -> rows-only check, judged against the brute-force baseline
@@ -1484,6 +1534,7 @@ LLMOPS_QUERIES = [
     Query("q_similarity_ivf", q_similarity_ivf, None,
           "approximate recall by design; judged against brute force in tests"),
     Query("q_ann_persisted", q_ann_persisted, ORACLE_ANN_PERSISTED),
+    Query("q_hard_negatives", q_hard_negatives, ORACLE_HARD_NEGATIVES),
     Query("q_text_termfreq", q_text_termfreq, ORACLE_TERMFREQ),
     Query("q_text_quality", q_text_quality, ORACLE_TEXT_QUALITY),
     Query("q_text_langid", q_text_langid, ORACLE_LANGID),

@@ -208,6 +208,7 @@ _R6_HEAD = [
     "q_corpus_diff",          # snapshot delta (added/removed/changed)
     "q_corpus_pipeline4",     # robots -> LM gate -> substring budget
     "q_quant_calibrate",      # per-dimension uint8 calibration sweep
+    "q_hard_negatives",       # contrastive rank-band negative mining
     # -- (b) newest driver row is r02 --
     "q_sql_direct", "q_hof_funcs", "q_unpivot", "q_struct_funcs",
     "q_window_range_frame",
