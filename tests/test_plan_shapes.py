@@ -234,7 +234,8 @@ def test_global_window_allowlist(spark):
 # scale killer and fails this gate.
 BNLJ_ALLOWLIST = {
     "q_source_mixing", "q_corpus_pipeline2", "q_dedup_embedding",
-    "q_sample", "q_similarity_topk", "q_minhash_vs_exact",
+    "q_sample", "q_similarity_topk", "q_hard_negatives",
+    "q_minhash_vs_exact",
     "q_ann_recall", "q_domain_balance", "q_domain_balance_hash",
     "q_tpch_q11ish", "q_tpch_q22ish",
     # 1-row total-token-count broadcast onto the candidate aggregate
