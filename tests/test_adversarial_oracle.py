@@ -148,6 +148,10 @@ EMB_QUERIES = [
     "q_vector_centroid",
     "q_vector_normalize",
     "q_embed_covariance",
+    # round-6 embedding readers (zero-vector + exact-dup + negative
+    # components stress the rounded ranking and per-dim calibration)
+    "q_hard_negatives",
+    "q_quant_calibrate",
 ]
 
 
