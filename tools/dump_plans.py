@@ -254,6 +254,19 @@ COMMENTARY = {
         "paths, array indexing, and the aggregate HOF all stay in "
         "whole-stage codegen."
     ),
+    "q_quant_calibrate": (
+        "Per-dimension calibration: one posexplode + one d-group "
+        "aggregate whose map-side partials carry (min,max) pairs only — "
+        "shuffle volume is d rows per partition regardless of corpus "
+        "size."
+    ),
+    "q_hard_negatives": (
+        "Rank-band negative mining: broadcast query side, one scored "
+        "pass, per-query rank window on the 4-dp-rounded cosine; the "
+        "band filter (5 < rank <= 10) replaces top-k. At corpus scale "
+        "the scoring side swaps to the IVF probe with identical band "
+        "logic."
+    ),
 }
 
 
