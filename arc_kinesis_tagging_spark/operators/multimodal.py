@@ -2173,9 +2173,20 @@ def _jpg_prog_ac_first_scan(zz, ss, se, al, ac_enc) -> bytes:
 
 def _jpg_prog_ac_refine_scan(zz, ss, se, al, ac_enc) -> bytes:
     """Entropy bytes of one AC-refinement progressive scan (T.81
-    G.1.2.3): newly-nonzero coefficients with sign bits, buffered
-    correction bits for history coefficients, EOB runs carrying the
-    pending corrections."""
+    G.1.2.3, the libjpeg jcphuff.c control flow): newly-nonzero
+    coefficients with sign bits, buffered correction bits for history
+    coefficients, EOB runs carrying the pending corrections.
+
+    ZRL discipline (the subtle part): a decoder absorbs correction
+    bits for nonzero-history coefficients only while skipping inside a
+    16-zero ZRL run, so the encoder must emit any required ZRLs at
+    EVERY nonzero coefficient — history or newly-nonzero — before
+    buffering/emitting that coefficient's bit, as long as the scan has
+    not passed the last newly-nonzero coefficient (``eob``); zeros and
+    corrections beyond ``eob`` fold into the EOB run instead. Deferring
+    ZRL emission to the next newly-nonzero coefficient (an earlier
+    revision's shape) desyncs the decoder whenever a history
+    coefficient sits at or past the 16th zero of a run."""
     bw = _BitWriter()
     state = {"eobrun": 0, "be": []}
 
@@ -2196,23 +2207,30 @@ def _jpg_prog_ac_refine_scan(zz, ss, se, al, ac_enc) -> bytes:
         band = [int(v) for v in zz[i, ss : se + 1]]
         absv = [abs(v) >> al for v in band]
         signs = [1 if v >= 0 else 0 for v in band]
+        # position of the last NEWLY-nonzero coefficient: ZRLs are only
+        # emitted up to here; later zeros fold into the EOB run
+        eob = max((j for j, t in enumerate(absv) if t == 1), default=-1)
         r, br = 0, []
         for j, t in enumerate(absv):
             if t == 0:
                 r += 1
                 continue
-            if t > 1:  # history coefficient: buffer a correction bit
-                br.append(t & 1)
-                continue
-            # t == 1: newly nonzero at this precision
-            flush_eobrun()
-            while r > 15:
+            # emit required ZRLs (unless foldable into the EOB run),
+            # each followed by the correction bits buffered so far
+            while r > 15 and j <= eob:
+                flush_eobrun()
                 length, code = ac_enc[0xF0]
                 bw.put(code, length)
                 r -= 16
                 for bit in br:
                     bw.put(bit, 1)
                 br = []
+            if t > 1:  # history coefficient: buffer a correction bit
+                br.append(t & 1)
+                continue
+            # t == 1: newly nonzero at this precision. j <= eob here by
+            # construction, so the while above already forced r <= 15.
+            flush_eobrun()
             length, code = ac_enc[(r << 4) | 1]
             bw.put(code, length)
             bw.put(signs[j], 1)

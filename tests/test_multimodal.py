@@ -770,3 +770,71 @@ def test_jpeg_422_exact_planes():
                     np.round(yv + 1.772 * dcb),
                 ]
         assert np.array_equal(dec, exp), (h, w)
+
+
+def test_jpeg_progressive_refine_zrl_history():
+    """Crafted AC-refinement interleavings the random fixtures never
+    reach (T.81 G.1.2.3 / libjpeg jcphuff.c): a history coefficient
+    (|v|>=2) sitting at or past the 16th zero of a run forces the
+    encoder to emit the ZRL *at the history coefficient* and flush the
+    correction bits buffered so far — deferring the ZRL to the next
+    newly-nonzero coefficient either decodes wrong pixels or desyncs
+    the stream entirely. Each pattern is planted as exact post-quant
+    coefficients via the inverse DCT, verified to survive the FDCT
+    round-trip, then pinned progressive == baseline."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        _JPG_ZZ,
+        _dct8_matrix,
+        _jpg_plane_zz,
+        decode_jpeg_bytes,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    c = _dct8_matrix()
+    band0 = 6  # default band_split: refine band covers zz 6..63
+
+    def px_from_zz(zz_blocks):
+        """(n,64) zig-zag coefficient blocks -> float pixel strip whose
+        FDCT@quant=1 reproduces them exactly (asserted)."""
+        n = len(zz_blocks)
+        px = np.empty((8, 8 * n), np.float64)
+        for i, zzb in enumerate(zz_blocks):
+            raster = np.zeros(64, np.float64)
+            raster[_JPG_ZZ] = np.asarray(zzb, np.float64)
+            px[:, 8 * i : 8 * i + 8] = c.T @ raster.reshape(8, 8) @ c + 128.0
+        got = _jpg_plane_zz(px, np.ones(64, np.int64))
+        assert np.array_equal(got, np.asarray(zz_blocks, np.int64)), "FDCT drift"
+        return px
+
+    def blk(**at):
+        z = [0] * 64
+        for k, v in at.items():
+            z[band0 + int(k[1:])] = v  # p<i>: band-local position i
+        return z
+
+    cases = [
+        # 16 zeros then history(+-2) then newly-nonzero(+-1)
+        [blk(p16=2, p17=1)],
+        [blk(p16=-2, p17=-1)],
+        # history past the 16th zero (r=20 at the history coefficient),
+        # odd history value => correction bit 1
+        [blk(p20=3, p23=-1)],
+        # new first, trailing history folds into the EOB run's bits
+        [blk(p0=1, p17=2)],
+        # r > 31: two ZRLs forced at one history coefficient
+        [blk(p33=2, p34=1)],
+        # cross-block: history-only block's correction rides the EOB
+        # run flushed by the next block's newly-nonzero coefficient
+        [blk(p16=2), blk(p0=1)],
+        [blk(p16=3), blk(p5=-1, p30=2)],
+        # dense mix: multiple runs, histories at run boundaries
+        [blk(p15=2, p16=1, p33=-3, p34=-1, p57=1)],
+    ]
+    for i, zz_blocks in enumerate(cases):
+        px = px_from_zz(zz_blocks)
+        base = decode_jpeg_bytes(encode_jpeg_gray(px))
+        prog = decode_jpeg_bytes(encode_jpeg_gray_progressive(px))
+        assert np.array_equal(prog, base), f"case {i}"
