@@ -121,6 +121,15 @@ def heavy_hitters(
     pass 2 — an exact count restricted to candidates by a broadcast
     left-semi join — never misses. The full token aggregate is never
     materialized; the shuffle carries only candidate tokens.
+
+    Builder laziness / fault-tolerance note: the Misra-Gries partials
+    are pinned with ``localCheckpoint(eager=False)`` so BUILDING the
+    plan runs no Spark job (lineage is truncated at the first action,
+    when both consumers of the partials exist); checkpoint blocks are
+    non-replicated, so an executor lost after materialization
+    recomputes the partials from source instead of reading a replica —
+    the standard local-checkpoint trade-off, accepted here because the
+    partials are k rows per partition and cheap to rebuild.
     """
     import math
 
@@ -155,14 +164,16 @@ def heavy_hitters(
              "part_total": [0] * len(counters) + [n_seen]}
         )
 
-    # localCheckpoint(eager) instead of persist(): this is a builder (we
+    # localCheckpoint instead of persist(): this is a builder (we
     # return before any action, so there is no safe unpersist point) and
     # the ContextCleaner reclaims checkpointed blocks once the returned
     # plan is garbage-collected — persist() here would leak cache for
-    # the session lifetime on every call.
+    # the session lifetime on every call. eager=False keeps the builder
+    # lazy (no job until the caller acts); see docstring for the
+    # non-replicated-block trade-off.
     partials = toks.mapInPandas(
         mg, "token string, part_total long"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     candidates = partials.filter(F.col("token").isNotNull()).select("token").distinct()
     # total as a broadcast 1-row aggregate over the TINY partials table
     # (k rows per partition), not a third corpus scan

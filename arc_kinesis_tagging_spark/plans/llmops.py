@@ -331,16 +331,61 @@ def q_ann_persisted(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # Path key = sf_dir path AND a content fingerprint (size+mtime of
+    # the embeddings parquet files): regenerated data under the same
+    # sf_dir lands at a NEW index path instead of silently probing a
+    # stale index. Concurrent sessions on the same corpus build into a
+    # pid-unique temp dir and atomically rename into place, so a
+    # half-written index is never visible to another session's probe;
+    # the rename loser discards its build and probes the winner's.
     norm = _os.path.abspath(sf_dir.rstrip("/"))
     path = _os.path.join(
         _tempfile.gettempdir(),
-        "akt_ivf_" + _hashlib.md5(norm.encode()).hexdigest()[:8],
+        "akt_ivf_"
+        + _hashlib.md5(norm.encode()).hexdigest()[:8]
+        + "_"
+        + _table_fingerprint(sf_dir, "embeddings"),
     )
     memo = _session_memo(spark)
-    if (norm, "ivf") not in memo:
-        build_ivf_index(spark, e, path, nlist=16)
-        memo.add((norm, "ivf"))
+    if (path, "ivf") not in memo:
+        if not _os.path.isdir(path):
+            import shutil as _shutil
+
+            tmp = f"{path}.tmp-{_os.getpid()}"
+            build_ivf_index(spark, e, tmp, nlist=16)
+            try:
+                _os.rename(tmp, path)
+            except OSError:  # lost the race: another session renamed first
+                _shutil.rmtree(tmp, ignore_errors=True)
+        memo.add((path, "ivf"))
     return query_ivf_index(spark, path, q, k=5, nprobe=4, round_dp=4)
+
+
+def _table_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint of a testdata table: md5 over the sorted
+    (path, size, mtime_ns) of its parquet file(s). Cheap (stat only, no
+    reads) and changes whenever the data is regenerated — the cache key
+    ingredient that invalidates persisted derived artifacts (IVF
+    indexes) when their source changes."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os as _os
+
+    p = _os.path.join(_os.path.abspath(sf_dir.rstrip("/")), table + ".parquet")
+    files = (
+        sorted(_glob.glob(_os.path.join(p, "**", "*"), recursive=True))
+        if _os.path.isdir(p)
+        else [p]
+    )
+    h = _hashlib.md5()
+    for f in files:
+        try:
+            st = _os.stat(f)
+        except OSError:
+            continue
+        h.update(f.encode())
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:10]
 
 
 # Full IVF replica: centroids = the 16 lowest-vec_id vectors; every
