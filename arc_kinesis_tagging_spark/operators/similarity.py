@@ -28,6 +28,46 @@ from pyspark.sql import functions as F
 from arc_kinesis_tagging_spark.functions.vectors import cosine_similarity
 
 
+def bounded_topk_rank(
+    scored: DataFrame,
+    limit: int,
+    order_col: str = "cos_sim",
+    part_cols: tuple[str, ...] = ("query_id",),
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Rank rows within each ``part_cols`` group by (``order_col``
+    DESC, ``id_col`` ASC) and keep rank <= ``limit`` — without ever
+    sorting a corpus-sized window partition.
+
+    A single ``row_number() over (partition by query_id)`` puts each
+    query's ENTIRE scored corpus in one task — a straggler by
+    construction once the corpus outgrows one executor. This is the
+    two-level form: (1) rank within (group, input-partition) — every
+    window group is bounded by one input partition's rows and the
+    groups hash-spread across tasks — keeping each partition's local
+    top-``limit``; (2) rank the survivors (<= P * limit rows per
+    group, P = input partitions) for the exact global order. The
+    result is identical to the single-window form: a row in a group's
+    global top-``limit`` is necessarily in the top-``limit`` of
+    whichever input partition holds it, so stage 1 never drops a
+    winner, and the (order DESC, id ASC) total order makes both
+    levels deterministic. With ``part_cols=()`` this is a global
+    top-``limit`` whose final window input is bounded by P * limit.
+    """
+    order = [F.col(order_col).desc(), F.col(id_col).asc()]
+    local = Window.partitionBy(*part_cols, "__pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= limit)
+        .drop("__pid", "__lr")
+    )
+    final = Window.partitionBy(*part_cols).orderBy(*order)
+    return pruned.withColumn("rank", F.row_number().over(final)).filter(
+        F.col("rank") <= limit
+    )
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -41,7 +81,9 @@ def cosine_topk_bruteforce(
     Returns (query_id, vec_id, cos_sim, rank). Deterministic: ties in
     similarity break by vec_id. ``queries`` is broadcast — it must be
     the small side (typical: thousands of probes against billions of
-    corpus vectors).
+    corpus vectors). The per-query rank is the two-level
+    ``bounded_topk_rank``, so no task ever sorts a corpus-sized
+    partition.
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
@@ -52,13 +94,8 @@ def cosine_topk_bruteforce(
     scored = scored.withColumn(
         "cos_sim", cosine_similarity(F.col("__cvec"), F.col("__qvec"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos_sim", "rank")
+    return bounded_topk_rank(scored, k).select(
+        "query_id", "vec_id", "cos_sim", "rank"
     )
 
 
@@ -391,11 +428,8 @@ def cosine_topk_bruteforce_np(
     scored = corpus.select(id_col, vec_col).mapInPandas(
         score, "vec_id long, query_id long, cos_sim double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos_sim", "rank")
+    return bounded_topk_rank(scored, k).select(
+        "query_id", "vec_id", "cos_sim", "rank"
     )
 
 

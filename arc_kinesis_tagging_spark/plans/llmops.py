@@ -202,23 +202,25 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embeddi
 def q_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-k (exact ANN baseline). Ordering uses the
     4-dp-rounded similarity with vec_id tiebreak so the selected set is
-    identical across engines despite float ulp differences."""
+    identical across engines despite float ulp differences. The
+    per-query rank is the two-level ``bounded_topk_rank`` (local
+    top-k per input partition, then global over the bounded union) —
+    scoring stays embarrassingly parallel and no task ever sorts the
+    whole corpus for one query."""
+    from arc_kinesis_tagging_spark.functions.vectors import cosine_similarity
+    from arc_kinesis_tagging_spark.operators.similarity import bounded_topk_rank
+
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    from arc_kinesis_tagging_spark.functions.vectors import cosine_similarity
-
     scored = (
         e.select(F.col("vec_id"), F.col("embedding").alias("ce"))
         .join(F.broadcast(q.withColumnRenamed("embedding", "qe")), F.lit(True))
         .withColumn("cos4", F.round(cosine_similarity(F.col("ce"), F.col("qe")), 4))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos4").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "vec_id", "cos4", "rank")
+    return bounded_topk_rank(scored, 5, order_col="cos4").select(
+        "query_id", "vec_id", "cos4", F.col("rank").cast("long").alias("rank")
     )
 
 
@@ -248,28 +250,31 @@ def q_hard_negatives(spark, sf_dir):
     cosine, self excluded) — similar enough to be informative
     negatives, far enough to be wrong answers. The selection is the
     brute-force scored rank band with the engine-stable rounded
-    ordering (4-dp cosine, vec_id tiebreak); at corpus scale the
-    scoring side swaps to the IVF probe (same band logic over probe
-    candidates). m=5, k=5 over the first five vectors as queries."""
+    ordering (4-dp cosine, vec_id tiebreak), ranked with the
+    two-level ``bounded_topk_rank`` at limit m+k — the band needs
+    only the global top-(m+k), so no task ever sorts one query's full
+    corpus; at corpus scale the scoring side additionally swaps to
+    the IVF probe (same band logic over probe candidates). m=5, k=5
+    over the first five vectors as queries."""
+    from arc_kinesis_tagging_spark.functions.vectors import cosine_similarity
+    from arc_kinesis_tagging_spark.operators.similarity import bounded_topk_rank
+
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    from arc_kinesis_tagging_spark.functions.vectors import cosine_similarity
-
     scored = (
         e.select(F.col("vec_id"), F.col("embedding").alias("ce"))
         .join(F.broadcast(q.withColumnRenamed("embedding", "qe")), F.lit(True))
         .filter(F.col("vec_id") != F.col("query_id"))  # self is no negative
         .withColumn("cos4", F.round(cosine_similarity(F.col("ce"), F.col("qe")), 4))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos4").desc(), F.col("vec_id").asc()
-    )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter((F.col("rank") > 5) & (F.col("rank") <= 10))
-        .select("query_id", "vec_id", "cos4", "rank")
+        bounded_topk_rank(scored, 10, order_col="cos4")
+        .filter(F.col("rank") > 5)
+        .select(
+            "query_id", "vec_id", "cos4", F.col("rank").cast("long").alias("rank")
+        )
     )
 
 

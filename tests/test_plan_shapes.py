@@ -253,6 +253,52 @@ BNLJ_ALLOWLIST = {
 }
 
 
+# Rank windows partitioned SOLELY by a bounded query-id set over a
+# corpus-sized input sort the entire corpus per query in ONE task — a
+# straggler by construction at 100x (round-6 verdict finding #1). The
+# scale-safe shapes are (a) the two-level bounded_topk_rank — a local
+# per-input-partition prune (window keyed by query_id + spark_partition_id)
+# below the final query_id-only window, whose input is then bounded by
+# P * k — or (b) an input already restricted to the probed IVF cells (a
+# corpus fraction chosen by nprobe/nlist, the documented scale knob).
+PER_QUERY_WINDOW_ALLOWLIST = {
+    # IVF probe: the window's input is the probed-cells candidate set,
+    # not the corpus (cell routing happens before scoring)
+    "q_similarity_ivf", "q_ann_persisted", "q_ann_recall",
+}
+
+
+def test_no_corpus_sized_per_query_rank_window(spark):
+    """Every Window keyed only by query_id must either sit above the
+    two-level local prune (a descendant Window keyed by query_id +
+    SPARK_PARTITION_ID bounds its input) or be allowlisted as
+    IVF-probe-restricted."""
+    def walk(n):
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    offenders = {}
+    for name, q in QUERIES.items():
+        if name in _EAGER_BUILDERS or name in PER_QUERY_WINDOW_ALLOWLIST:
+            continue
+        plan = q.builder(spark, SF)._jdf.queryExecution().optimizedPlan()
+        for n in walk(plan):
+            if n.getClass().getSimpleName() != "Window":
+                continue
+            spec = n.partitionSpec()
+            if spec.size() == 1 and "query_id" in spec.toString():
+                sub = n.toString()
+                if "SPARK_PARTITION_ID" not in sub.upper():
+                    offenders[name] = offenders.get(name, 0) + 1
+    assert not offenders, (
+        f"corpus-sized per-query rank window: {offenders}; use "
+        "bounded_topk_rank (two-level top-k) or restrict the input to "
+        "probed IVF cells and extend PER_QUERY_WINDOW_ALLOWLIST"
+    )
+
+
 def test_no_cartesian_and_bnlj_allowlist(spark):
     """Registry-wide scale-killer gate: no query may plan a
     CartesianProduct, and BroadcastNestedLoopJoin may appear only in
