@@ -34,9 +34,11 @@ def bounded_topk_rank(
     order_col: str = "cos_sim",
     part_cols: tuple[str, ...] = ("query_id",),
     id_col: str = "vec_id",
+    ascending: bool = False,
 ) -> DataFrame:
     """Rank rows within each ``part_cols`` group by (``order_col``
-    DESC, ``id_col`` ASC) and keep rank <= ``limit`` — without ever
+    DESC — or ASC with ``ascending=True`` for bottom-k sketches —
+    then ``id_col`` ASC) and keep rank <= ``limit`` — without ever
     sorting a corpus-sized window partition.
 
     A single ``row_number() over (partition by query_id)`` puts each
@@ -54,7 +56,8 @@ def bounded_topk_rank(
     levels deterministic. With ``part_cols=()`` this is a global
     top-``limit`` whose final window input is bounded by P * limit.
     """
-    order = [F.col(order_col).desc(), F.col(id_col).asc()]
+    lead = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    order = [lead, F.col(id_col).asc()]
     local = Window.partitionBy(*part_cols, "__pid").orderBy(*order)
     pruned = (
         scored.withColumn("__pid", F.spark_partition_id())

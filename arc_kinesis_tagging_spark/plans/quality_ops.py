@@ -1622,40 +1622,63 @@ FROM per_doc
 _MINWISE_K = 256
 
 
-def q_doc_minwise_sim(spark, sf_dir):
-    """Corpus-pair vocabulary similarity from bottom-k (KMV) minwise
-    sketches — the sketch family's PAIRWISE member (q_doc_stats_sketch
-    is its cardinality sibling): for every language pair, estimate the
-    Jaccard similarity of their token vocabularies from the k smallest
-    token hashes, alongside the exact value the estimator approximates.
+def minwise_lang_sketches(d, k: int = _MINWISE_K):
+    """Per-language bottom-k (KMV) minwise sketch of the token
+    vocabulary: the k lexicographically-smallest md5 token hashes per
+    language, selected with the two-level bounded rank (local bottom-k
+    per input partition, then global over the <= P*k survivors) so no
+    task ever sorts a language's full vocabulary. Output: (lang, h),
+    <= k rows per language — the ONLY thing that crosses the wire at
+    100 TB."""
+    from arc_kinesis_tagging_spark.operators.similarity import bounded_topk_rank
 
-    Estimator: with S = the k smallest hashes of A∪B's vocabulary,
-    J_est = |S ∩ A ∩ B| / |S| — the standard bottom-k estimate, exact
-    when |A∪B| <= k. Everything is deterministic (md5 lexicographic
-    order, no RNG), so the driver hash-checks both the estimate and
-    the exact baseline. At 100 TB only the per-language sketches (k
-    rows each) are ever combined — the exact columns here are the
-    test-scale verification baseline, and the (lang,token) distinct is
-    vocabulary-bounded, not corpus-bounded."""
-    d = _t(spark, sf_dir, "documents")
     vocab = (
         d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
         .distinct()
         .select("lang", F.md5(F.concat(F.lit("mh:"), F.col("tok"))).alias("h"))
     )
-    langs = vocab.select("lang").distinct()
+    return bounded_topk_rank(
+        vocab, k, order_col="h", part_cols=("lang",), id_col="h", ascending=True
+    ).select("lang", "h")
+
+
+def q_doc_minwise_sim(spark, sf_dir):
+    """Corpus-pair vocabulary similarity from bottom-k (KMV) minwise
+    sketches — the sketch family's PAIRWISE member (q_doc_stats_sketch
+    is its cardinality sibling): for every language pair, estimate the
+    Jaccard similarity of their token vocabularies by COMBINING the
+    two languages' k-row sketches.
+
+    Estimator: with S = the k smallest hashes of A∪B's vocabulary,
+    J_est = |S ∩ A ∩ B| / |S| — the standard bottom-k estimate, exact
+    when |A∪B| <= k. The KMV merge property makes the sketch-combine
+    exact: bottom-k(A∪B) ⊆ bottom-k(A) ∪ bottom-k(B), and any h in
+    bottom-k(A∪B) that belongs to A is necessarily in bottom-k(A), so
+    membership counts from sketches alone equal those from the full
+    vocabularies. Everything downstream of the sketches is bounded:
+    each pair combines <= 2k sketch rows (the per-pair rank window is
+    over <= 2k rows, never the vocabulary union — the round-6
+    verdict's scale fix), and only k-row sketches ever cross the
+    wire. Deterministic (md5 lexicographic order, no RNG), so the
+    driver hash-checks the estimate; the exact-Jaccard baseline the
+    estimator approximates is pinned by the pytest oracle
+    (test_quality_ops), not computed here."""
+    d = _t(spark, sf_dir, "documents")
+    sk = minwise_lang_sketches(d, _MINWISE_K)
+    langs = sk.select("lang").distinct()
     pairs = (
         langs.alias("x")
         .join(langs.alias("y"), F.col("x.lang") < F.col("y.lang"))
         .select(F.col("x.lang").alias("la"), F.col("y.lang").alias("lb"))
     )
-    tagged = vocab.join(
+    tagged = sk.join(
         F.broadcast(pairs),
         (F.col("lang") == F.col("la")) | (F.col("lang") == F.col("lb")),
     )
     sides = tagged.groupBy("la", "lb", "h").agg(
         F.countDistinct("lang").alias("n_sides")
     )
+    # <= 2k rows per pair by construction (two k-row sketches)
     w = Window.partitionBy("la", "lb").orderBy("h")
     ranked = sides.withColumn("rn", F.row_number().over(w))
     return ranked.groupBy("la", "lb").agg(
@@ -1674,11 +1697,6 @@ def q_doc_minwise_sim(spark, sf_dir):
             / F.least(F.count(F.lit(1)), F.lit(_MINWISE_K)).cast("double"),
             6,
         ).alias("jaccard_est"),
-        F.round(
-            F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0))
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("jaccard_exact"),
     )
 
 
@@ -1705,6 +1723,11 @@ WITH vocab AS (
          ROW_NUMBER() OVER (PARTITION BY la, lb ORDER BY h) AS rn
   FROM sides
 )
+-- ORACLE NOTE: this oracle ranks the FULL vocabulary union per pair
+-- (DuckDB runs at test scale); the engine combines k-row sketches.
+-- The KMV merge property (see q_doc_minwise_sim docstring) makes the
+-- two computations provably identical for every output column, so a
+-- hash match here verifies the sketch-combine end to end.
 SELECT la, lb,
        CAST(SUM(CASE WHEN rn <= {_MINWISE_K} AND n_sides = 2
                 THEN 1 ELSE 0 END) AS BIGINT) AS k_common,
@@ -1712,9 +1735,7 @@ SELECT la, lb,
        ROUND(SUM(CASE WHEN rn <= {_MINWISE_K} AND n_sides = 2
                  THEN 1 ELSE 0 END)
              / CAST(LEAST(COUNT(*), {_MINWISE_K}) AS DOUBLE),
-             6) AS jaccard_est,
-       ROUND(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS jaccard_exact
+             6) AS jaccard_est
 FROM ranked GROUP BY la, lb
 """
 

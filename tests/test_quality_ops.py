@@ -540,18 +540,44 @@ def test_bpe_encode_self_consistent_with_training(spark):
 def test_minwise_estimate_tracks_exact(spark, sf_dir):
     """The bottom-k Jaccard estimate must sit within the standard
     KMV error envelope of the exact value it approximates — and be
-    EXACT whenever the union vocabulary fits inside k (k_eff < k)."""
+    EXACT whenever the union vocabulary fits inside k (k_eff < k).
+    The exact baseline lives HERE (computed from the full per-language
+    vocabularies at test scale), not in the query: the production
+    operator combines only k-row sketches (round-6 verdict fix)."""
+    from pyspark.sql import functions as F
+
+    from arc_kinesis_tagging_spark.functions.text import tokens
     from arc_kinesis_tagging_spark.plans.quality_ops import (
         _MINWISE_K,
+        minwise_lang_sketches,
         q_doc_minwise_sim,
     )
+    from arc_kinesis_tagging_spark.sources.tables import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    # the combinable artifact really is k-row-bounded per language
+    sizes = (
+        minwise_lang_sketches(d, _MINWISE_K)
+        .groupBy("lang").count().collect()
+    )
+    assert sizes and all(r["count"] <= _MINWISE_K for r in sizes), sizes
 
     rows = q_doc_minwise_sim(spark, sf_dir).collect()
     assert rows
+    vocab = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .collect()
+    )
+    by_lang: dict = {}
+    for v in vocab:
+        by_lang.setdefault(v["lang"], set()).add(v["tok"])
     for r in rows:
-        est, exact = r["jaccard_est"], r["jaccard_exact"]
+        a, b = by_lang[r["la"]], by_lang[r["lb"]]
+        exact = len(a & b) / len(a | b)
+        est = r["jaccard_est"]
         if r["k_eff"] < _MINWISE_K:
-            assert est == exact, r  # sketch degenerates to exact
+            assert abs(est - exact) < 1e-6, r  # sketch degenerates to exact
         else:
             # ~3 sigma of the bottom-k estimator's sqrt(J(1-J)/k) std
             bound = 3.0 * (max(exact * (1 - exact), 0.01) / _MINWISE_K) ** 0.5
