@@ -190,3 +190,62 @@ def heavy_hitters(
         "freq",
         F.round(F.col("freq") / F.col("__total").cast("double"), 6).alias("frac"),
     ).orderBy(F.col("freq").desc(), F.col("token"))
+
+
+def prefix_subsumed_marks(
+    texts: DataFrame, col: str = "frag", num_partitions: int = 32
+) -> DataFrame:
+    """Mark each DISTINCT text that is a STRICT prefix of another text
+    (crawl-truncation subsumption) with the sort-adjacency reduction:
+    over texts ordered lexicographically, A is a prefix of some B iff
+    A is a prefix of its IMMEDIATE successor, so one lead() decides.
+
+    Scale shape (round-6 verdict fix): partitioning the adjacency
+    window by FIRST CHARACTER puts most of a Zipfian corpus ("the…")
+    in one partition. Here the distinct texts are RANGE-partitioned on
+    the full text (sampling-based boundaries split even a shared first
+    character across partitions), adjacency is a per-partition lead(),
+    and the boundary rows are exchanged through a num_partitions-row
+    side table: partition p's LAST row takes as successor the minimum
+    first-row among partitions > p. The partition ids are pinned with
+    a lazy localCheckpoint so the window branch and the boundary
+    branch see the same range split. Global sorted adjacency is
+    recovered exactly; per-partition work is balanced by row count
+    regardless of first-character skew.
+
+    Returns (col, subsumed). Input need not be distinct; output is
+    one row per distinct text.
+    """
+    from pyspark.sql import Window
+
+    t = (
+        texts.select(col)
+        .distinct()
+        .repartitionByRange(num_partitions, F.col(col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("__pid").orderBy(col)
+    marked = t.withColumn("__nxt_local", F.lead(col).over(w))
+    # boundary side table: one row per NON-EMPTY partition; the global
+    # window below runs over <= num_partitions rows by construction
+    firsts = t.groupBy("__pid").agg(F.min(col).alias("__first"))
+    wnext = Window.orderBy(F.col("__pid").asc()).rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    boundaries = firsts.select(
+        "__pid", F.min("__first").over(wnext).alias("__next_first")
+    )
+    nxt = F.coalesce(F.col("__nxt_local"), F.col("__next_first"))
+    return (
+        marked.join(F.broadcast(boundaries), "__pid", "left")
+        .select(
+            col,
+            (
+                nxt.isNotNull()
+                & (F.length(col) > 0)
+                & (nxt != F.col(col))
+                & (F.expr(f"substring(coalesce(__nxt_local, __next_first), 1, length({col}))") == F.col(col))
+            ).alias("subsumed"),
+        )
+    )

@@ -1749,13 +1749,16 @@ def q_dedup_prefix(spark, sf_dir):
     lexicographically, if A is a prefix of any B then A is a prefix of
     its IMMEDIATE successor (any S with A < S <= B would otherwise
     diverge from A at some position and sort after B), so a single
-    lead() comparison decides subsumption. Windows partition by first
-    character — a prefix shares its whole text with its superstring,
-    so adjacency never crosses a first-char boundary; at 100 TB the
-    partitioner becomes rangepartition-on-text with boundary-row
-    exchange, same per-partition logic. Each doc derives a fragment
-    (id-dependent truncation) so the synthetic corpus's duplicate
-    texts yield genuine strict-prefix pairs at differing lengths."""
+    lead() comparison decides subsumption. The adjacency runs over a
+    RANGE partition of the full text with boundary-row exchange
+    (operators/textops.py:prefix_subsumed_marks) — balanced by row
+    count even on a Zipfian first-character corpus, unlike the
+    first-char-partitioned window it replaces (round-6 verdict fix).
+    Each doc derives a fragment (id-dependent truncation) so the
+    synthetic corpus's duplicate texts yield genuine strict-prefix
+    pairs at differing lengths."""
+    from arc_kinesis_tagging_spark.operators.textops import prefix_subsumed_marks
+
     d = _t(spark, sf_dir, "documents")
     frags = d.select(
         "doc_id",
@@ -1763,19 +1766,7 @@ def q_dedup_prefix(spark, sf_dir):
         .cast("string")
         .alias("frag"),
     )
-    texts = frags.select("frag").distinct()
-    w = Window.partitionBy(F.substring(F.col("frag"), 1, 1)).orderBy("frag")
-    marks = texts.withColumn("nxt", F.lead("frag").over(w)).select(
-        "frag",
-        (
-            F.col("nxt").isNotNull()
-            & (F.length("frag") > 0)
-            & (F.col("nxt") != F.col("frag"))
-            & (
-                F.expr("substring(nxt, 1, length(frag))") == F.col("frag")
-            )
-        ).alias("subsumed"),
-    )
+    marks = prefix_subsumed_marks(frags, "frag")
     return (
         frags.join(marks, "frag")
         .select(

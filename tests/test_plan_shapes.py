@@ -176,6 +176,10 @@ def test_domain_balance_hash_has_no_window(spark):
 # bounded sites emit can never mask a new, real straggler window.
 GLOBAL_WINDOW_ALLOWLIST = {
     "q_token_histogram",  # cumulative over the <=16-row bucket aggregate
+    # boundary-row exchange of the range-partitioned prefix dedup: the
+    # unpartitioned window runs over the per-partition-firsts side
+    # table, <= num_partitions rows by construction
+    "q_dedup_prefix",
 }
 
 # Builders that launch eager Spark jobs at build time (iterative loops,

@@ -661,3 +661,46 @@ def test_dedup_substring_known_spans(spark):
     # doc 3 is one long self-repeat: every window identical -> all 25
     # starts duplicated, one span covering the whole doc
     assert got[3]["n_dup_windows"] == 25 and got[3]["dup_token_coverage"] == 40
+
+
+def test_prefix_dedup_zipfian_skew_balanced(spark):
+    """A corpus where 85% of distinct texts share the first word
+    ("the ...") must (a) still mark subsumption exactly (vs the O(n^2)
+    definition) and (b) spread the adjacency work across range
+    partitions instead of piling the shared-first-char mass into one —
+    the failure mode of the first-character partitioning this operator
+    replaced."""
+    from pyspark.sql import functions as F
+
+    from arc_kinesis_tagging_spark.operators.textops import prefix_subsumed_marks
+
+    texts = []
+    for i in range(850):  # Zipf head: all start with "the "
+        base = f"the topic {i:04d} body"
+        texts.append(base)
+        if i % 3 == 0:
+            texts.append(base[: 10 + i % 8])  # strict prefixes
+    for i in range(150):  # tail: varied first chars
+        texts.append(f"{chr(97 + i % 26)}tail {i:03d}")
+    uniq = sorted(set(texts))
+    df = spark.createDataFrame([(t,) for t in texts], "frag string")
+
+    n_parts = 8
+    marks = prefix_subsumed_marks(df, "frag", num_partitions=n_parts)
+    got = {r["frag"]: r["subsumed"] for r in marks.collect()}
+    want = {
+        a: any(b != a and b.startswith(a) for b in uniq) and len(a) > 0
+        for a in uniq
+    }
+    assert got == want
+
+    # balance: no range partition holds more than ~3x the mean of the
+    # distinct texts (first-char partitioning would put 85% in one)
+    dist = (
+        df.select("frag").distinct()
+        .repartitionByRange(n_parts, F.col("frag"))
+        .groupBy(F.spark_partition_id().alias("pid")).count()
+        .collect()
+    )
+    counts = [r["count"] for r in dist]
+    assert max(counts) <= 3 * (len(uniq) / n_parts), counts
