@@ -169,12 +169,20 @@ def _recover_from_tail(raw: dict) -> dict:
     return out
 
 
+CANARY = "q_topk"  # trivial, code-stable query; moves only with the host
+
+
 def compare_block(queries: dict, baseline_path: str) -> dict:
-    """Per-query deltas vs a prior BENCH_r*.json: ratio = now/then.
-    Queries >1.5x slower are listed under `regressions` so a real plan
-    regression is distinguishable from sub-second jitter (jitter is
-    flagged when the absolute delta is under 0.25s even if the ratio
-    trips)."""
+    """Per-query deltas vs a prior BENCH_r*.json: ratio = now/then,
+    plus a CANARY-NORMALIZED ratio (round-6 lesson: an external-host-
+    load incident inflated every query ~1.2x uniformly, costing the
+    round its cross-round comparability). The canary is a trivial
+    query measured in the same run; environment inflation moves it by
+    the same factor as real queries, so ratio_norm = ratio /
+    (canary_now / canary_then) cancels uniform host drift while a
+    genuine plan regression (one query moving, canary flat) survives.
+    Queries whose NORMALIZED ratio is >1.5x (and >0.25s absolute) are
+    listed under `regressions`; raw ratios stay in the deltas block."""
     with open(baseline_path) as fh:
         raw = json.load(fh)
     # driver-recorded BENCH_r*.json wraps our JSON line under "parsed";
@@ -184,17 +192,29 @@ def compare_block(queries: dict, baseline_path: str) -> dict:
     base = (raw.get("queries")
             or (raw.get("parsed") or {}).get("queries")
             or _recover_from_tail(raw))
+    canary_now, canary_then = queries.get(CANARY), base.get(CANARY)
+    canary_factor = (
+        round(canary_now / canary_then, 3)
+        if canary_now and canary_then else None
+    )
     deltas, regressions = {}, []
     for name, now in queries.items():
         then = base.get(name)
         if then is None:
-            deltas[name] = {"then": None, "now": now, "ratio": None}
+            deltas[name] = {"then": None, "now": now, "ratio": None,
+                            "ratio_norm": None}
             continue
         ratio = round(now / then, 3) if then > 0 else None
-        deltas[name] = {"then": then, "now": now, "ratio": ratio}
-        if ratio is not None and ratio > 1.5 and (now - then) >= 0.25:
+        norm = (round(ratio / canary_factor, 3)
+                if ratio is not None and canary_factor else None)
+        deltas[name] = {"then": then, "now": now, "ratio": ratio,
+                        "ratio_norm": norm}
+        eff = norm if norm is not None else ratio
+        if eff is not None and eff > 1.5 and (now - then) >= 0.25:
             regressions.append(name)
     return {"baseline": os.path.basename(baseline_path),
+            "canary": {"name": CANARY, "now": canary_now,
+                       "then": canary_then, "factor": canary_factor},
             "deltas": deltas, "regressions": regressions}
 
 
@@ -302,6 +322,7 @@ def main() -> None:
                 json.dump(cmp_full, fh, indent=1)
             out["compare"] = {"baseline": cmp_full["baseline"],
                               "regressions": cmp_full["regressions"],
+                              "canary_factor": cmp_full["canary"]["factor"],
                               "n_compared": sum(
                                   1 for d in cmp_full["deltas"].values()
                                   if d["ratio"] is not None)}
