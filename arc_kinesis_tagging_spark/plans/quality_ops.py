@@ -42,6 +42,8 @@ do, each oracle-checked against DuckDB.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1619,6 +1621,130 @@ FROM per_doc
 """
 
 
+_LM_TOP_V = 512  # pruned model: top-V bigrams kept, tail backs off
+
+
+def q_ngram_lm_pruned(spark, sf_dir):
+    """Tail-pruned token-bigram LM gate — the production form of
+    q_ngram_lm_score (round-6 verdict item #5): instead of joining
+    documents against the FULL bigram table (corpus-like when the
+    vocabulary is), the model keeps only the top-V bigrams by count
+    (V fixed => the model is BOUNDED BY CONSTRUCTION and broadcast),
+    and every pruned-out bigram backs off to its add-one floor
+    1/(na+vsize) — exactly the unpruned formula with nab=0, the
+    additive analog of a KenLM-style pruned model's backoff weight.
+    Selection is deterministic across engines: rank by (count DESC,
+    ta||sep||tb ASC) with a sub-token separator, via the two-level
+    bounded_topk_rank (no task sorts the full bigram table). The
+    unigram context table stays vocabulary-sized (AQE-sized join),
+    as in the unpruned form. Output adds n_model_hits — bigram
+    occurrences scored from the kept model — so the pruning rate is
+    observable."""
+    from arc_kinesis_tagging_spark.operators.similarity import bounded_topk_rank
+
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.struct(
+                F.element_at(ts, i).alias("ta"),
+                F.element_at(ts, i + 1).alias("tb"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<ta:string,tb:string>>"))
+    bg = d.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", F.col("b.ta").alias("ta"), F.col("b.tb").alias("tb")
+    )
+    nab = bg.groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("nab"))
+    # top-V prune: \x01 sorts below every token character, so the
+    # composite key's string order equals the (ta, tb) pair order —
+    # the oracle ranks with the identical composite
+    keyed = nab.withColumn(
+        "tkey", F.concat_ws("\x01", F.col("ta"), F.col("tb"))
+    )
+    model = (
+        bounded_topk_rank(
+            keyed, _LM_TOP_V, order_col="nab", id_col="tkey"
+            , part_cols=()
+        )
+        .select("ta", "tb", F.col("nab").alias("nab_kept"))
+    )
+    na = bg.groupBy("ta").agg(F.count(F.lit(1)).alias("na"))
+    vocab = d.select(F.explode(ts).alias("t")).agg(
+        F.countDistinct("t").alias("vsize")
+    )
+    bgc = bg.groupBy("doc_id", "ta", "tb").agg(F.count(F.lit(1)).alias("m"))
+    scored = (
+        bgc.join(F.broadcast(model), ["ta", "tb"], "left")
+        .join(na, "ta")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "bits",
+            -F.log2(
+                (F.coalesce(F.col("nab_kept"), F.lit(0)) + F.lit(1.0))
+                / (F.col("na") + F.col("vsize")).cast("double")
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        F.sum(
+            F.when(F.col("nab_kept").isNotNull(), F.col("m")).otherwise(F.lit(0))
+        ).alias("n_model_hits"),
+        F.round(F.sum(F.col("m") * F.col("bits")) / F.sum("m"), 3).alias(
+            "bits_per_token"
+        ),
+    )
+    return per_doc.select(
+        "doc_id", "n_bigrams", "n_model_hits", "bits_per_token",
+        (F.col("bits_per_token") <= F.lit(6.0)).alias("kept"),
+    )
+
+
+ORACLE_NGRAM_LM_PRUNED = f"""
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         UNNEST(string_split(text, ' ')) AS t
+  FROM documents
+), bg AS (
+  SELECT a.doc_id, a.t AS ta, b.t AS tb
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), nab AS (
+  SELECT ta, tb, COUNT(*) AS nab FROM bg GROUP BY ta, tb
+), model AS (
+  SELECT ta, tb, nab AS nab_kept FROM (
+    SELECT ta, tb, nab,
+           ROW_NUMBER() OVER (ORDER BY nab DESC,
+                              ta || chr(1) || tb ASC) AS rn
+    FROM nab
+  ) WHERE rn <= {_LM_TOP_V}
+), na AS (
+  SELECT ta, COUNT(*) AS na FROM bg GROUP BY ta
+), v AS (
+  SELECT COUNT(DISTINCT t) AS vsize FROM tok
+), bgc AS (
+  SELECT doc_id, ta, tb, COUNT(*) AS m FROM bg GROUP BY doc_id, ta, tb
+), per_doc AS (
+  SELECT bgc.doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CASE WHEN model.nab_kept IS NOT NULL THEN m ELSE 0 END)
+              AS BIGINT) AS n_model_hits,
+         ROUND(SUM(m * (-log2((COALESCE(model.nab_kept, 0) + 1.0)
+                              / (na.na + v.vsize))))
+               / SUM(m), 3) AS bits_per_token
+  FROM bgc
+  LEFT JOIN model USING (ta, tb)
+  JOIN na USING (ta)
+  CROSS JOIN v
+  GROUP BY bgc.doc_id
+)
+SELECT doc_id, n_bigrams, n_model_hits, bits_per_token,
+       bits_per_token <= 6.0 AS kept
+FROM per_doc
+"""
+
+
 _MINWISE_K = 256
 
 
@@ -1816,23 +1942,43 @@ def q_dedup_substring(spark, sf_dir):
     lengths). Shuffles carry (doc, window-hash) rows — linear in
     token count, the inherent cost of substring-level dedup — plus
     one doc-keyed window. Output: per-doc token count, duplicated
-    window count, merged duplicated-token coverage and fraction."""
+    window count, merged duplicated-token coverage and fraction.
+
+    Window-hash budget flag: ``AKT_SUBSTR_HASH=xxhash64`` switches the
+    rolling-window digest from md5 (32-char hex string) to xxhash64
+    (8-byte long) — ~5x less hashing CPU and a quarter of the shuffle
+    bytes per window row. The OUTPUT is hash-agnostic (the digest only
+    groups identical window content), so both variants return
+    identical rows — pinned by test_substring_hash_variants_agree —
+    but the driver oracle replicates md5, so md5 stays the default."""
+    return _substring_dedup(
+        spark, sf_dir, _os.environ.get("AKT_SUBSTR_HASH", "md5")
+    )
+
+
+def _substring_dedup(spark, sf_dir, hash_fn: str = "md5"):
     d = _t(spark, sf_dir, "documents")
     w = _SUBSTR_W
     ts = F.split(F.col("text"), " ")
     n = F.size(ts)
+    if hash_fn == "xxhash64":
+        digest = lambda c: F.xxhash64(c)  # noqa: E731
+        wh_type = "bigint"
+    else:
+        digest = lambda c: F.md5(c)  # noqa: E731
+        wh_type = "string"
     wins = F.when(
         n >= w,
         F.transform(
             F.sequence(F.lit(1), n - w + 1),
             lambda i: F.struct(
                 i.alias("s"),
-                F.md5(
+                digest(
                     F.concat_ws(" ", F.slice(ts, i, F.lit(w)))
                 ).alias("wh"),
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<s:int,wh:string>>"))
+    ).otherwise(F.array().cast(f"array<struct<s:int,wh:{wh_type}>>"))
     base = d.select("doc_id", n.alias("n_tokens"), wins.alias("__w"))
     windows = base.select(
         "doc_id", "n_tokens", F.explode("__w").alias("x")
@@ -2066,6 +2212,7 @@ QUALITY_QUERIES = [
     Query("q_dedup_prefix", q_dedup_prefix, ORACLE_DEDUP_PREFIX),
     Query("q_doc_minwise_sim", q_doc_minwise_sim, ORACLE_DOC_MINWISE_SIM),
     Query("q_ngram_lm_score", q_ngram_lm_score, ORACLE_NGRAM_LM_SCORE),
+    Query("q_ngram_lm_pruned", q_ngram_lm_pruned, ORACLE_NGRAM_LM_PRUNED),
     Query("q_bpe_subwords", q_bpe_subwords, ORACLE_BPE_SUBWORDS),
     Query("q_bpe_encode", q_bpe_encode, None,
           "trains merges upstream (iterative) -> rows-only; train/apply "

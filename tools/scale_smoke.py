@@ -228,6 +228,9 @@ def main() -> None:
         "q_events_pathing",
         # round-6 operators
         "q_ngram_lm_score",
+        # round-7: tail-pruned model — the bounded-model-join twin,
+        # expected sub-linear in K where the unpruned join is linear+
+        "q_ngram_lm_pruned",
         "q_dedup_prefix",
         "q_robots_gate",
         "q_dedup_substring",
