@@ -142,3 +142,216 @@ def dead_letters(records: DataFrame) -> DataFrame:
     the dead-letter/url classes (R8/R16), kept instead of dropped."""
     d = decode_and_route(records)
     return d.filter(F.col("route") != "ok").select("shard_id", "seq", "route", "url")
+
+
+# --- corpus-quality admission gates, streaming-composable -------------------
+# The batch registry forms (plans/relational3.py:q_robots_gate,
+# plans/quality_ops.py:q_ngram_lm_pruned) rank with windows / train the
+# model in-query — shapes a micro-batch stream cannot run in append
+# mode. These stages are the PRODUCTION streaming forms: the models
+# (robots rules, pruned LM) are bounded by construction, frozen into
+# literal expressions, and evaluated entirely map-side — no shuffle, no
+# state, identical results to the batch formulations (pinned by the
+# golden parity tests in tests/test_streaming_gates.py).
+
+_LM_SEP = "\x01"  # sorts below every token character
+
+
+def make_robots_gate(rules, host_col: str = "host", path_col: str = "path"):
+    """Build a streaming-safe robots admission stage from a bounded
+    rule list [(host, path_prefix, allow), ...] (robots rules are
+    KB-sized per host, RFC 9309). Longest-match precedence is computed
+    per row with a HOF fold over the host's rule array — the
+    expression equivalent of the batch form's ranked window, legal in
+    append-mode streaming because it is a pure projection. Adds
+    ``admitted`` and ``matched_rule`` columns; unmatched paths default
+    to allow."""
+    by_host: dict = {}
+    for host, prefix, allow in rules:
+        by_host.setdefault(host, []).append((prefix, allow))
+    entries = []
+    for host, rs in sorted(by_host.items()):
+        entries.append(F.lit(host))
+        entries.append(
+            F.array(
+                *[
+                    F.struct(F.lit(p).alias("prefix"), F.lit(a).alias("allow"))
+                    for p, a in sorted(rs)
+                ]
+            )
+        )
+    rules_map = F.create_map(*entries)
+    empty = F.array().cast("array<struct<prefix:string,allow:boolean>>")
+
+    def stage(df: DataFrame) -> DataFrame:
+        cand = F.filter(
+            F.coalesce(F.element_at(rules_map, F.col(host_col)), empty),
+            lambda r: F.col(path_col).startswith(r["prefix"]),
+        )
+        init = F.struct(
+            F.lit(-1).alias("plen"),
+            F.lit(True).alias("allow"),
+            F.lit("<default>").alias("prefix"),
+        )
+        best = F.aggregate(
+            cand,
+            init,
+            lambda acc, r: F.when(
+                F.length(r["prefix"]) > acc["plen"],
+                F.struct(
+                    F.length(r["prefix"]).alias("plen"),
+                    r["allow"].alias("allow"),
+                    r["prefix"].alias("prefix"),
+                ),
+            ).otherwise(acc),
+        )
+        return df.withColumn("admitted", best["allow"]).withColumn(
+            "matched_rule", best["prefix"]
+        )
+
+    return stage
+
+
+def make_lm_gate(
+    bigram_counts: dict,
+    context_counts: dict,
+    vsize: int,
+    text_col: str = "text",
+    threshold: float = 6.0,
+):
+    """Build a streaming-safe token-bigram LM scoring stage from a
+    FROZEN bounded model: ``bigram_counts`` {(ta, tb): count} is the
+    top-V pruned bigram table (bounded by construction — the
+    q_ngram_lm_pruned model shape), ``context_counts`` {ta: count}
+    the (optionally pruned) unigram contexts, ``vsize`` the training
+    vocabulary size. Scoring is add-one with nab=0 backoff for
+    pruned-out bigrams and na=0 for pruned-out contexts — evaluated
+    per row with literal-map lookups and a HOF sum, so the stage is a
+    pure projection (append-mode safe, zero shuffle). Adds
+    ``n_bigrams``, ``bits_per_token`` (null when < 2 tokens) and
+    ``lm_kept``."""
+    if bigram_counts:
+        bmap = F.create_map(
+            *[
+                x
+                for (ta, tb), c in sorted(bigram_counts.items())
+                for x in (F.lit(f"{ta}{_LM_SEP}{tb}"), F.lit(int(c)))
+            ]
+        )
+    else:
+        bmap = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<int>")
+        )
+    if context_counts:
+        nmap = F.create_map(
+            *[
+                x
+                for ta, c in sorted(context_counts.items())
+                for x in (F.lit(ta), F.lit(int(c)))
+            ]
+        )
+    else:
+        nmap = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<int>")
+        )
+
+    def stage(df: DataFrame) -> DataFrame:
+        ts = F.split(F.col(text_col), " ")
+        n = F.size(ts)
+        bits = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: -F.log2(
+                    (
+                        F.coalesce(
+                            F.element_at(
+                                bmap,
+                                F.concat(
+                                    F.element_at(ts, i),
+                                    F.lit(_LM_SEP),
+                                    F.element_at(ts, i + 1),
+                                ),
+                            ),
+                            F.lit(0),
+                        )
+                        + F.lit(1.0)
+                    )
+                    / (
+                        F.coalesce(
+                            F.element_at(nmap, F.element_at(ts, i)), F.lit(0)
+                        )
+                        + F.lit(vsize)
+                    ).cast("double")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<double>"))
+        out = df.withColumn("__bits", bits)
+        bpt = F.round(
+            F.aggregate(
+                F.col("__bits"), F.lit(0.0), lambda acc, x: acc + x
+            )
+            / F.size("__bits"),
+            3,
+        )
+        return (
+            out.withColumn("n_bigrams", F.size("__bits").cast("long"))
+            .withColumn(
+                "bits_per_token", F.when(F.col("n_bigrams") > 0, bpt)
+            )
+            .withColumn(
+                "lm_kept",
+                F.coalesce(
+                    F.col("bits_per_token") <= F.lit(threshold), F.lit(False)
+                ),
+            )
+            .drop("__bits")
+        )
+
+    return stage
+
+
+def train_pruned_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_v: int = 512,
+    top_u: int = 512,
+):
+    """Batch-train the frozen bounded model make_lm_gate consumes:
+    top-V bigrams and top-U unigram contexts by count (deterministic
+    tie-break on the token key, selected with the two-level
+    bounded_topk_rank — no global sort of the bigram table), plus the
+    vocabulary size. The collects are bounded by top_v/top_u rows."""
+    from arc_kinesis_tagging_spark.operators.similarity import bounded_topk_rank
+
+    ts = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.struct(
+                F.element_at(ts, i).alias("ta"),
+                F.element_at(ts, i + 1).alias("tb"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<ta:string,tb:string>>"))
+    bg = docs.select(F.explode(bigrams).alias("b")).select("b.ta", "b.tb")
+    nab = bg.groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("c"))
+    na = bg.groupBy("ta").agg(F.count(F.lit(1)).alias("c"))
+    top_bg = bounded_topk_rank(
+        nab.withColumn("tkey", F.concat_ws(_LM_SEP, "ta", "tb")),
+        top_v, order_col="c", id_col="tkey", part_cols=(),
+    ).collect()
+    top_na = bounded_topk_rank(
+        na, top_u, order_col="c", id_col="ta", part_cols=()
+    ).collect()
+    vsize = (
+        docs.select(F.explode(ts).alias("t"))
+        .agg(F.countDistinct("t"))
+        .first()[0]
+    )
+    return (
+        {(r["ta"], r["tb"]): r["c"] for r in top_bg},
+        {r["ta"]: r["c"] for r in top_na},
+        int(vsize or 0),
+    )

@@ -1,0 +1,166 @@
+"""Round-7 streaming parity for the corpus-quality admission gates:
+the robots longest-match gate and the pruned token-bigram LM gate run
+as PURE-PROJECTION streaming stages (streaming/pipeline.py) — golden-
+tested against their batch registry formulations, then driven e2e
+through the file-backed record stream: decode -> project -> robots
+gate -> LM gate -> dedup -> foreachBatch sink."""
+
+from pyspark.sql import functions as F
+
+from arc_kinesis_tagging_spark.sources.tables import load_table
+from arc_kinesis_tagging_spark.streaming.pipeline import (
+    make_lm_gate,
+    make_robots_gate,
+    story_pipeline,
+    train_pruned_lm,
+)
+from arc_kinesis_tagging_spark.streaming.source import (
+    read_record_stream,
+    write_stream_fixture,
+)
+
+SF = "/root/testdata/sf0.001"
+
+# the exact q_robots_gate rule fixture (plans/relational3.py)
+ROBOTS_RULES = [
+    *[(f"site{h}", "/admin/", False) for h in range(7)],
+    *[(f"site{h}", "/tmp/", False) for h in (0, 2, 4, 6)],
+    ("site2", "/tmp/cache/", True),
+    ("site5", "/", False),
+    ("site5", "/public/", True),
+]
+
+
+def _urls(spark):
+    d = load_table(spark, "documents", SF)
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit("/admin/"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("/public/"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("/tmp/cache/"))
+            .otherwise(F.lit("/posts/")),
+            F.floor(F.col("doc_id") / 4).cast("long").cast("string"),
+        ).alias("path"),
+    )
+
+
+def test_robots_stage_matches_batch_query(spark):
+    """The HOF-fold longest-match stage must agree row-for-row with
+    the ranked-window batch formulation on the registry fixture."""
+    from arc_kinesis_tagging_spark.plans.relational3 import q_robots_gate
+
+    batch = {
+        r["doc_id"]: (r["admitted"], r["matched_rule"])
+        for r in q_robots_gate(spark, SF).collect()
+    }
+    stage = make_robots_gate(ROBOTS_RULES)
+    got = {
+        r["doc_id"]: (r["admitted"], r["matched_rule"])
+        for r in stage(_urls(spark)).collect()
+    }
+    assert got == batch
+
+
+def test_lm_gate_matches_pruned_query_scores(spark):
+    """With the same frozen model (top-512 bigrams = _LM_TOP_V, all
+    unigram contexts), the map-side stage must reproduce
+    q_ngram_lm_pruned's bits-per-token within the 3-dp rounding
+    granularity (float addition order differs)."""
+    from arc_kinesis_tagging_spark.plans.quality_ops import q_ngram_lm_pruned
+
+    d = load_table(spark, "documents", SF)
+    bmap, nmap, vsize = train_pruned_lm(d, "text", top_v=512, top_u=10**6)
+    assert len(bmap) <= 512 and vsize > 0
+    stage = make_lm_gate(bmap, nmap, vsize, text_col="text", threshold=6.0)
+    got = {
+        r["doc_id"]: r
+        for r in stage(d.select("doc_id", "text")).collect()
+        if r["n_bigrams"] > 0
+    }
+    want = {r["doc_id"]: r for r in q_ngram_lm_pruned(spark, SF).collect()}
+    assert set(got) == set(want)
+    for doc_id, w in want.items():
+        g = got[doc_id]
+        assert g["n_bigrams"] == w["n_bigrams"], doc_id
+        assert abs(g["bits_per_token"] - w["bits_per_token"]) <= 0.0011, doc_id
+
+
+def _gate_story(doc_id, headline):
+    return {
+        "id": doc_id,
+        "operation": "insert-story",
+        "published": True,
+        "created": False,
+        "type": "story",
+        "trigger": {"referent_update": True},
+        "body": {"headlines": {"basic": headline}, "revision": "r1"},
+    }
+
+
+def test_streaming_gates_dedup_sink_e2e(spark, tmp_path):
+    """Full micro-batch path: gzip'd records -> decode/route/filter/
+    project -> robots gate -> LM gate -> stateful dedup -> foreachBatch
+    sink, compared against the batch golden over the same records."""
+    fluent = "the quick brown fox jumps over the lazy dog"
+    gibberish = "zx qv jk wq xz vq kj qw zv xq"
+    fixture = [
+        (_gate_story("a-1", fluent), 0),
+        (_gate_story("a-1", fluent), 1),            # duplicate id -> dedup
+        (_gate_story("a-2", fluent + " again"), 0),
+        (_gate_story("a-3", gibberish), 1),         # LM gate drops
+        (_gate_story("b-1", fluent), 0),            # robots gate drops host b
+        (_gate_story("a-4", fluent), 1),
+    ]
+    src = str(tmp_path / "gate-stream")
+    write_stream_fixture(spark, src, fixture)
+
+    # frozen models: robots rules for the two hosts; LM trained on the
+    # fluent corpus only, so gibberish scores all-backoff bits
+    robots = make_robots_gate(
+        [("a", "/", True), ("b", "/", False)], host_col="host", path_col="path"
+    )
+    train = spark.createDataFrame(
+        [(fluent,), (fluent + " again",), (fluent,)], "text string"
+    )
+    bmap, nmap, vsize = train_pruned_lm(train, "text")
+    lm = make_lm_gate(bmap, nmap, vsize, text_col="headline", threshold=2.5)
+
+    def gated(df):
+        withurl = df.withColumn(
+            "host", F.split(F.col("_id"), "-").getItem(0)
+        ).withColumn("path", F.concat(F.lit("/posts/"), F.col("_id")))
+        return (
+            lm(robots(withurl))
+            .filter(F.col("admitted") & F.col("lm_kept"))
+            .select("_id", "headline", "matched_rule", "bits_per_token")
+        )
+
+    # batch golden over the same records
+    golden = {
+        r["_id"]: r
+        for r in gated(story_pipeline(spark.read.parquet(src))).collect()
+    }
+    assert set(golden) == {"a-1", "a-2", "a-4"}  # a-3 LM-dropped, b-1 robots-dropped
+
+    got = []
+
+    def sink(df, _bid):
+        got.extend(df.collect())
+
+    q = (
+        gated(story_pipeline(read_record_stream(spark, src)))
+        .dropDuplicates(["_id"])
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["_id"] for r in got) == ["a-1", "a-2", "a-4"]
+    for r in got:
+        g = golden[r["_id"]]
+        assert (r["matched_rule"], r["bits_per_token"]) == (
+            g["matched_rule"], g["bits_per_token"]
+        )
