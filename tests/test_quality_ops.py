@@ -704,3 +704,19 @@ def test_prefix_dedup_zipfian_skew_balanced(spark):
     )
     counts = [r["count"] for r in dist]
     assert max(counts) <= 3 * (len(uniq) / n_parts), counts
+
+
+def test_substring_hash_variants_agree(spark, sf_dir, monkeypatch):
+    """The window digest only groups identical window content, so the
+    md5 (oracle-parity default) and xxhash64 (budget flag) variants
+    must return identical rows."""
+    from arc_kinesis_tagging_spark.plans.quality_ops import q_dedup_substring
+
+    def rows(variant):
+        monkeypatch.setenv("AKT_SUBSTR_HASH", variant)
+        return sorted(
+            map(tuple, q_dedup_substring(spark, sf_dir).collect())
+        )
+
+    md5_rows, xx_rows = rows("md5"), rows("xxhash64")
+    assert md5_rows and md5_rows == xx_rows
