@@ -2505,3 +2505,212 @@ def encode_jpeg_ycbcr422(y, cb, cr, quant=None) -> bytes:
     )
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+
+
+# --- Adam7 interlaced PNG ----------------------------------------------------
+# The last PNG shape the tree lacked (PNG spec §8.2 "Interlace and
+# pass extraction"): seven passes, each an independently filtered
+# sub-image over the (x0 + i*dx, y0 + j*dy) pixel lattice, all
+# concatenated into ONE zlib stream. Empty passes (zero width or
+# height) contribute no bytes at all — not even filter bytes.
+
+_ADAM7 = [  # (x0, y0, dx, dy) per pass
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_filter_rows(rows, bpp: int, ft_start: int) -> bytes:
+    """Filter a pass sub-image ((ph, stride) int array) with filter
+    type (ft_start + y) % 5 per scanline — cycling so every pass
+    exercises multiple filter branches. Prior row starts at zero (each
+    pass filters independently per spec)."""
+    import numpy as np
+
+    ph, stride = rows.shape
+    zerosb = np.zeros(bpp, np.int32)
+    prior = np.zeros(stride, np.int32)
+    out = bytearray()
+    for y in range(ph):
+        row = rows[y].astype(np.int32)
+        left = np.concatenate([zerosb, row[:-bpp]])
+        ft = (ft_start + y) % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = (row - left) % 256
+        elif ft == 2:  # Up
+            filt = (row - prior) % 256
+        elif ft == 3:  # Average
+            filt = (row - (left + prior) // 2) % 256
+        else:  # Paeth
+            ul = np.concatenate([zerosb, prior[:-bpp]])
+            filt = (row - _paeth_vec(left, prior, ul)) % 256
+        out.append(ft)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prior = row
+    return bytes(out)
+
+
+def _png_unfilter_rows(raw: bytes, offset: int, ph: int, stride: int, bpp: int):
+    """Unfilter ``ph`` scanlines of ``stride`` bytes starting at
+    ``offset`` (shared five-branch logic, bpp-parameterized). Returns
+    ((ph, stride) int32 array, bytes consumed)."""
+    import numpy as np
+
+    out = np.empty((ph, stride), np.int32)
+    prior = np.zeros(stride, np.int32)
+    pos = offset
+    for y in range(ph):
+        ft = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: per-channel prefix sum mod 256
+            rec = np.cumsum(row.reshape(-1, bpp), axis=0).reshape(-1) % 256
+        elif ft == 2:  # Up
+            rec = (row + prior) % 256
+        elif ft == 3:  # Average
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (row[x] + (left + int(prior[x])) // 2) % 256
+        elif ft == 4:  # Paeth
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                up = int(prior[x])
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out[y] = rec
+        prior = rec
+    return out, pos - offset
+
+
+def encode_png_rgb8_adam7(px) -> bytes:
+    """8-bit truecolor Adam7-INTERLACED PNG encoder (fixture for the
+    interlaced decode path): seven pass sub-images extracted on the
+    spec lattice, each filtered independently with cycling filter
+    types (pass index offsets the cycle so the filter/pass coverage
+    matrix is dense), one zlib stream, IDAT split across chunks."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    raw = bytearray()
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        sub = px[y0::dy, x0::dx, :]
+        ph, pw = sub.shape[0], sub.shape[1]
+        if ph == 0 or pw == 0:
+            continue
+        rows = sub.reshape(ph, pw * 3).astype(np.int32)
+        raw.extend(_png_filter_rows(rows, 3, pi))
+    comp = zlib.compress(bytes(raw), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    mid = len(comp) // 2
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:mid])
+        + _png_chunk(b"IDAT", comp[mid:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb8_adam7_bytes(b: bytes):
+    """Decode an 8-bit truecolor Adam7-interlaced PNG to (h, w, 3)
+    uint8: CRC-checked chunk walk, one inflate, then per-pass
+    unfilter + lattice scatter into the output grid."""
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat = 8, bytearray()
+    w = h = None
+    while pos + 12 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, ctcode, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctcode != 2 or interlace != 1:
+                raise ValueError("only 8-bit RGB Adam7-interlaced supported")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    out = np.empty((h, w, 3), np.int32)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        ph = -(-(h - y0) // dy) if h > y0 else 0
+        pw = -(-(w - x0) // dx) if w > x0 else 0
+        if ph == 0 or pw == 0:
+            continue
+        rows, used = _png_unfilter_rows(raw, off, ph, pw * 3, 3)
+        off += used
+        out[y0::dy, x0::dx, :] = rows.reshape(ph, pw, 3)
+    if off != len(raw):
+        raise ValueError("IDAT length mismatch")
+    return out.astype(np.uint8)
+
+
+def attach_png_adam7_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The q_multimodal_png pixel content (analytic channel means),
+    encoded Adam7-interlaced."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64").to_numpy()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media": [
+                        encode_png_rgb8_adam7(_png_pixels(int(i))) for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, "media_id long, media binary")
+
+
+def decode_png_adam7(
+    df: DataFrame, id_col: str = "media_id", media_col: str = "media"
+) -> DataFrame:
+    """Adam7-interlaced PNG decode through the identical mapInPandas
+    plumbing as ``decode_png``; per-record error isolation to null
+    rows."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                mid_out = None if pd.isna(mid) else int(mid)
+                try:
+                    px = decode_png_rgb8_adam7_bytes(bytes(blob)).astype("float64")
+                    hh, ww, _ = px.shape
+                    out.append(
+                        (mid_out, ww, hh,
+                         px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean())
+                    )
+                except Exception:
+                    out.append((mid_out, None, None, None, None, None))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(dec, PPM_DECODED_SCHEMA)

@@ -1032,6 +1032,27 @@ FROM documents
 """
 
 
+def q_multimodal_png_adam7(spark, sf_dir):
+    """Adam7-INTERLACED truecolor PNG decode — the last PNG shape the
+    tree lacked (round-6 verdict listed it as the only deprioritized
+    codec): seven independently-filtered pass sub-images on the spec
+    lattice, one zlib stream, per-pass unfilter + lattice scatter
+    (operators/multimodal.py:decode_png_rgb8_adam7_bytes). Pixel
+    content and therefore the analytic-mean oracle are identical to
+    q_multimodal_png, so a decoder that mislays any pass lattice,
+    mis-sizes an edge pass, or drops an empty pass hash-fails."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_png_adam7_media,
+        decode_png_adam7,
+    )
+
+    d = attach_png_adam7_media(_t(spark, sf_dir, "documents"), "doc_id")
+    return decode_png_adam7(d, "media_id", "media")
+
+
+ORACLE_MULTIMODAL_PNG_ADAM7 = ORACLE_MULTIMODAL_PNG
+
+
 def q_multimodal_png_gray(spark, sf_dir):
     """Grayscale (color type 0) PNG decode — the bpp=1 member of the
     PNG family, same CRC walk / inflate / five-filter unfilter with a
@@ -1603,6 +1624,8 @@ LLMOPS_QUERIES = [
     Query("q_multimodal_decode", q_multimodal_decode, ORACLE_MULTIMODAL),
     Query("q_multimodal_ppm", q_multimodal_ppm, ORACLE_MULTIMODAL_PPM),
     Query("q_multimodal_png", q_multimodal_png, ORACLE_MULTIMODAL_PNG),
+    Query("q_multimodal_png_adam7", q_multimodal_png_adam7,
+          ORACLE_MULTIMODAL_PNG_ADAM7),
     Query("q_multimodal_jpeg", q_multimodal_jpeg, ORACLE_MULTIMODAL_JPEG),
     Query("q_multimodal_jpeg420", q_multimodal_jpeg420,
           ORACLE_MULTIMODAL_JPEG420),

@@ -234,6 +234,42 @@ _R6_HEAD = [
 ]
 
 
+# Round-7 driver window: after r06 the vintages are 50 r06 + 50 r05 +
+# 50 r04 + 21 r03. Shape: (a) queries NEW this round, (b) queries
+# REWIRED this round (two-level bounded top-k, minwise sketch-combine,
+# range-partitioned prefix dedup, substring hash flag, fingerprinted
+# IVF path, progressive-JPEG encoder fix) — changed code is re-verified
+# the round it changes regardless of vintage, (c) all 21 remaining
+# r03-vintage rows (after r07 no row is older than r04), (d) r04-
+# vintage rows filling the 50-slot window; the displaced r04 rows lead
+# round 8.
+_R7_HEAD = [
+    # -- (a) new this round --
+    "q_ngram_lm_pruned",      # tail-pruned bounded-model LM gate
+    "q_multimodal_png_adam7", # Adam7-interlaced PNG decode
+    "q_lm_buckets",           # (pre-listed; skipped until registered)
+    "q_embed_pq",             # (pre-listed; skipped until registered)
+    # -- (b) rewired this round --
+    "q_similarity_topk", "q_hard_negatives", "q_doc_minwise_sim",
+    "q_dedup_prefix", "q_dedup_substring", "q_ann_persisted",
+    "q_multimodal_jpeg_prog",
+    # -- (c) newest driver row is r03 --
+    "q_tpch_q2ish", "q_tpch_q4ish", "q_tpch_q6ish", "q_tpch_q8ish",
+    "q_tpch_q9ish", "q_tpch_q11ish", "q_tpch_q12ish", "q_tpch_q13ish",
+    "q_tpch_q15ish", "q_tpch_q16ish", "q_tpch_q17ish", "q_tpch_q20ish",
+    "q_tpch_q21ish", "q_tpch_q22ish", "q_ann_recall",
+    "q_dedup_cluster_star", "q_doc_stats_sketch", "q_events_funnel",
+    "q_minhash_vs_exact", "q_text_normalize", "q_window_ntile",
+    # -- (d) newest driver row is r04: join/agg/window/core families --
+    "q_join_broadcast", "q_join_smj", "q_join_semi", "q_join_anti",
+    "q_join_outer", "q_join_theta", "q_join_interval", "q_join_asof",
+    "q_agg_group", "q_agg_distinct", "q_agg_rollup", "q_agg_cube",
+    "q_agg_grouping_sets", "q_window_rank", "q_window_lag",
+    "q_window_frame", "q_topk", "q_tpch_q3ish", "q_tpch_q5ish",
+    "q_pipeline_tag_enrich", "q_dedup_exact",
+]
+
+
 def _ordered(head: list[str]) -> list[Query]:
     seen = [n for n in head if n in _BY_NAME]
     rest = [q.name for q in _CANONICAL if q.name not in set(seen)]
@@ -256,8 +292,10 @@ elif _ROT == "r4":
     ALL_QUERIES = _ordered(_R4_HEAD)
 elif _ROT == "r5":
     ALL_QUERIES = _ordered(_R5_HEAD)
-else:
+elif _ROT == "r6":
     ALL_QUERIES = _ordered(_R6_HEAD)
+else:
+    ALL_QUERIES = _ordered(_R7_HEAD)
 
 QUERIES: dict[str, Query] = {q.name: q for q in ALL_QUERIES}
 

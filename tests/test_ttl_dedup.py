@@ -10,6 +10,9 @@ still raises ModuleNotFoundError (no `google` package at all), no
 protobuf wheel exists anywhere on disk, and `pip download protobuf`
 returns nothing in this offline container — a vendored/pinned wheel is
 not obtainable. Environmental, not closable here.
+
+Re-retried round 7 (same date): `import google.protobuf` still raises
+ModuleNotFoundError. The documented skip stands.
 """
 
 import tempfile
