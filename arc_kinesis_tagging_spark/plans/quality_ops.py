@@ -1745,6 +1745,91 @@ FROM per_doc
 """
 
 
+def q_lm_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity bucketing: every scored
+    document lands in the head / middle / tail third of its language's
+    LM-score distribution — the split CCNet uses to stratify crawl
+    data by fluency before sampling. Scores come from the tail-pruned
+    token-bigram LM (q_ngram_lm_pruned).
+
+    Scale shape: tertile thresholds are NOT computed with a per-lang
+    rank over the corpus (a corpus-sized window) but from the score
+    HISTOGRAM — scores are 3-dp-rounded, so distinct values are
+    bounded by the score range (~thousands of rows per language
+    regardless of corpus size); the cumulative window runs over that
+    bounded histogram and the L-row threshold table broadcasts back
+    onto the scored stream. Threshold = smallest score whose
+    cumulative count reaches n/3 (resp. 2n/3), so the bucketing is
+    exact and deterministic in both engines. Docs with < 2 tokens
+    carry no score and are absent, as in the LM queries."""
+    scores = q_ngram_lm_pruned(spark, sf_dir).select(
+        "doc_id", "bits_per_token"
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    s = scores.join(d, "doc_id")
+    hist = s.groupBy("lang", "bits_per_token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = Window.partitionBy("lang").orderBy("bits_per_token")
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    tot = s.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    th = (
+        cum.join(tot, "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.col("n") / 3.0, F.col("bits_per_token")
+                )
+            ).alias("t1"),
+            F.min(
+                F.when(
+                    F.col("cum") >= 2.0 * F.col("n") / 3.0,
+                    F.col("bits_per_token"),
+                )
+            ).alias("t2"),
+        )
+    )
+    return s.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        "bits_per_token",
+        F.when(F.col("bits_per_token") <= F.col("t1"), F.lit("head"))
+        .when(F.col("bits_per_token") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def _lm_buckets_oracle() -> str:
+    # reuse the pruned-LM per_doc CTE chain, then histogram tertiles
+    body = ORACLE_NGRAM_LM_PRUNED.split("SELECT doc_id, n_bigrams")[0]
+    return body + """
+, s AS (
+  SELECT p.doc_id, d.lang, p.bits_per_token
+  FROM per_doc p JOIN documents d USING (doc_id)
+), hist AS (
+  SELECT lang, bits_per_token, COUNT(*) AS c FROM s GROUP BY lang, bits_per_token
+), cum AS (
+  SELECT lang, bits_per_token,
+         SUM(c) OVER (PARTITION BY lang ORDER BY bits_per_token) AS cum
+  FROM hist
+), tot AS (
+  SELECT lang, COUNT(*) AS n FROM s GROUP BY lang
+), th AS (
+  SELECT cum.lang,
+         MIN(CASE WHEN cum >= n / 3.0 THEN bits_per_token END) AS t1,
+         MIN(CASE WHEN cum >= 2.0 * n / 3.0 THEN bits_per_token END) AS t2
+  FROM cum JOIN tot USING (lang) GROUP BY cum.lang
+)
+SELECT s.doc_id, s.lang, s.bits_per_token,
+       CASE WHEN s.bits_per_token <= th.t1 THEN 'head'
+            WHEN s.bits_per_token <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s JOIN th USING (lang)
+"""
+
+
 _MINWISE_K = 256
 
 
@@ -2213,6 +2298,7 @@ QUALITY_QUERIES = [
     Query("q_doc_minwise_sim", q_doc_minwise_sim, ORACLE_DOC_MINWISE_SIM),
     Query("q_ngram_lm_score", q_ngram_lm_score, ORACLE_NGRAM_LM_SCORE),
     Query("q_ngram_lm_pruned", q_ngram_lm_pruned, ORACLE_NGRAM_LM_PRUNED),
+    Query("q_lm_buckets", q_lm_buckets, _lm_buckets_oracle()),
     Query("q_bpe_subwords", q_bpe_subwords, ORACLE_BPE_SUBWORDS),
     Query("q_bpe_encode", q_bpe_encode, None,
           "trains merges upstream (iterative) -> rows-only; train/apply "

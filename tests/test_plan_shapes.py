@@ -182,8 +182,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "q_dedup_prefix",
     # global top-V model prune: the final unpartitioned rank window of
     # bounded_topk_rank(part_cols=()) runs over <= P * V local
-    # survivors, never the full bigram table
-    "q_ngram_lm_pruned",
+    # survivors, never the full bigram table (and the bucketing query
+    # that embeds the pruned scorer)
+    "q_ngram_lm_pruned", "q_lm_buckets",
 }
 
 # Builders that launch eager Spark jobs at build time (iterative loops,
@@ -251,8 +252,10 @@ BNLJ_ALLOWLIST = {
     # 1-row vocabulary-size broadcast onto the scored bigrams
     "q_text_perplexity", "q_corpus_pipeline3",
     # 1-row token-vocabulary-size broadcast (the word-level sibling,
-    # the round-6 composite that embeds it, and the tail-pruned form)
+    # the round-6 composite that embeds it, the tail-pruned form, and
+    # the CCNet-style bucketing built on it)
     "q_ngram_lm_score", "q_corpus_pipeline4", "q_ngram_lm_pruned",
+    "q_lm_buckets",
     # language-pair metadata: the theta self-join of DISTINCT langs
     # (L^2 rows, L ~ 5) and the OR-condition broadcast of those pairs
     # onto the vocab — both sides bounded by language count, never

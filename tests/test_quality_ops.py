@@ -720,3 +720,35 @@ def test_substring_hash_variants_agree(spark, sf_dir, monkeypatch):
 
     md5_rows, xx_rows = rows("md5"), rows("xxhash64")
     assert md5_rows and md5_rows == xx_rows
+
+
+def test_lm_buckets_are_exact_tertiles(spark, sf_dir):
+    """Per language: every scored doc is bucketed, bucket sizes are as
+    close to n/3 as the (rounded-score) tie structure allows, and the
+    bucket boundaries respect score order (max(head) <= min(middle)
+    <= ... )."""
+    from collections import defaultdict
+
+    from arc_kinesis_tagging_spark.plans.quality_ops import q_lm_buckets
+
+    rows = q_lm_buckets(spark, sf_dir).collect()
+    assert rows
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append((r["bits_per_token"], r["bucket"]))
+    for lang, docs in by_lang.items():
+        n = len(docs)
+        spans = defaultdict(list)
+        for score, b in docs:
+            spans[b].append(score)
+        # order: head scores <= middle scores <= tail scores
+        if spans["head"] and spans["middle"]:
+            assert max(spans["head"]) <= min(spans["middle"]), lang
+        if spans["middle"] and spans["tail"]:
+            assert max(spans["middle"]) <= min(spans["tail"]), lang
+        # head holds the smallest third up to ties: every doc strictly
+        # below the head cutoff is in head, and |head| >= n/3 whenever
+        # a head bucket exists (cum >= n/3 at the cutoff score)
+        assert sum(len(v) for v in spans.values()) == n
+        if spans["head"]:
+            assert len(spans["head"]) >= n / 3.0 - 1e-9, lang
