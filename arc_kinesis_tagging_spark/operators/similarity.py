@@ -871,3 +871,86 @@ def kmeans_lloyd(
     id_type = dict(df.dtypes)[id_col]
     assignments = base.mapInPandas(assign, f"{id_col} {id_type}, cell_id int")
     return assignments, C, iters_run
+
+
+def pq_assign(
+    embeddings: DataFrame,
+    m_subspaces: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization code assignment (Jégou et al., the
+    workhorse of billion-scale ANN memory compression): the vector is
+    split into ``m_subspaces`` contiguous subvectors, each quantized
+    to its nearest of ``ksub`` subspace centroids, compressing d
+    floats to m small codes (here 64 floats -> 4 bytes).
+
+    Deterministic end to end so a SQL oracle can replicate it:
+    centroids are the ``ksub`` lowest-id vectors' subvectors (the
+    IVF-family convention; swap in per-subspace k-means offline for
+    production-quality codebooks), squared-L2 distances are quantized
+    to INTEGER micro-units (half-up at 1e-6) before the argmin — so
+    ulp-scale engine drift collapses before any comparison AND the
+    per-vector error total is an order-independent integer sum (a
+    float SUM of the chosen distances proved flaky: the addition
+    order of a parallel aggregate varies run to run, flipping a
+    rounded 4th decimal) — with ties toward the lowest code. The
+    codebook is a bounded collect (ksub rows); assignment is one
+    narrow mapInPandas pass — a blocked (batch x ksub) GEMM per
+    subspace, no shuffle, no window. Returns (vec_id,
+    code0..code{m-1}, err_u6) with err_u6 = total squared
+    reconstruction error in 1e-6 units.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    crows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(ksub)
+        .collect()
+    )  # bounded: ksub rows
+    C = np.array([r[vec_col] for r in crows], dtype=np.float64)
+    d = C.shape[1]
+    assert d % m_subspaces == 0, "dim must split evenly into subspaces"
+    dsub = d // m_subspaces
+    b = spark.sparkContext.broadcast(C)
+
+    code_cols = [f"code{m}" for m in range(m_subspaces)]
+    schema = (
+        f"{id_col} long, "
+        + ", ".join(f"{c} int" for c in code_cols)
+        + ", err_u6 long"
+    )
+
+    def assign(batches):
+        C_ = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n = len(V)
+            out = {id_col: pdf[id_col].to_numpy()}
+            err = np.zeros(n, np.int64)
+            for m in range(m_subspaces):
+                s, e = m * dsub, (m + 1) * dsub
+                diff = V[:, None, s:e] - C_[None, :, s:e]
+                # HALF-UP integer micro-units (floor(x*1e6 + 0.5)):
+                # matches DuckDB/Spark round-half-away for the
+                # non-negative distances, unlike np.round's half-even
+                dist = np.floor(
+                    (diff * diff).sum(axis=2) * 1e6 + 0.5
+                ).astype(np.int64)
+                codes = np.argmin(dist, axis=1)  # first min = lowest code
+                out[f"code{m}"] = codes.astype(np.int32)
+                err += dist[np.arange(n), codes]
+            out["err_u6"] = err
+            yield pd.DataFrame(out)
+
+    return (
+        embeddings.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(assign, schema)
+    )

@@ -447,6 +447,54 @@ SELECT query_id, vec_id, cos4, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_embed_pq(spark, sf_dir):
+    """Product-quantization code assignment over the embeddings table
+    (operators/similarity.py:pq_assign): 64 floats -> 4 subspace codes
+    + total squared reconstruction error — the compression layer every
+    billion-scale ANN deployment puts under its IVF index. Codebooks
+    are the deterministic IVF-family convention (lowest-id vectors'
+    subvectors), distances quantized to integer micro-units before the
+    argmin (lowest-code tie-break) and the error total summed as
+    integers — order-independent, so parallel-aggregation addition
+    order can never flip a rounded decimal — and the DuckDB oracle
+    replicates the full assignment for a hash-checked row."""
+    from arc_kinesis_tagging_spark.operators.similarity import pq_assign
+
+    return pq_assign(
+        _t(spark, sf_dir, "embeddings"), m_subspaces=4, ksub=16
+    )
+
+
+ORACLE_EMBED_PQ = """
+WITH cent AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS code,
+         embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16)
+), sub AS (
+  SELECT e.vec_id, m.m, c.code,
+         CAST(floor(list_sum(list_transform(range(1, 17),
+               i -> pow(CAST(e.embedding[CAST(m.m * 16 + i AS INT)] AS DOUBLE)
+                        - CAST(c.embedding[CAST(m.m * 16 + i AS INT)] AS DOUBLE),
+                        2))) * 1e6 + 0.5) AS BIGINT) AS dist
+  FROM embeddings e
+  CROSS JOIN (VALUES (0), (1), (2), (3)) m(m)
+  CROSS JOIN cent c
+), best AS (
+  SELECT vec_id, m, code, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                            ORDER BY dist, code) AS rn
+  FROM sub
+)
+SELECT vec_id,
+       CAST(MAX(CASE WHEN m = 0 THEN code END) AS INTEGER) AS code0,
+       CAST(MAX(CASE WHEN m = 1 THEN code END) AS INTEGER) AS code1,
+       CAST(MAX(CASE WHEN m = 2 THEN code END) AS INTEGER) AS code2,
+       CAST(MAX(CASE WHEN m = 3 THEN code END) AS INTEGER) AS code3,
+       CAST(SUM(dist) AS BIGINT) AS err_u6
+FROM best WHERE rn = 1 GROUP BY vec_id
+"""
+
+
 def _session_memo(spark) -> set:
     """Per-SparkSession memo of corpus tables already written. Stored
     ON the session object (not keyed by id(spark): CPython recycles
@@ -1605,6 +1653,7 @@ LLMOPS_QUERIES = [
     Query("q_similarity_ivf", q_similarity_ivf, None,
           "approximate recall by design; judged against brute force in tests"),
     Query("q_ann_persisted", q_ann_persisted, ORACLE_ANN_PERSISTED),
+    Query("q_embed_pq", q_embed_pq, ORACLE_EMBED_PQ),
     Query("q_hard_negatives", q_hard_negatives, ORACLE_HARD_NEGATIVES),
     Query("q_text_termfreq", q_text_termfreq, ORACLE_TERMFREQ),
     Query("q_text_quality", q_text_quality, ORACLE_TEXT_QUALITY),

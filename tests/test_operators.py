@@ -134,3 +134,39 @@ def test_numpy_kernel_matches_hof_topk(spark, sf_dir):
     hof = {(r["query_id"], r["rank"]): r["vec_id"] for r in cosine_topk_bruteforce(emb, q, k=5).collect()}
     npk = {(r["query_id"], r["rank"]): r["vec_id"] for r in cosine_topk_bruteforce_np(emb, q, k=5).collect()}
     assert hof == npk
+
+
+def test_pq_assign_codebook_fixpoints_and_parity(spark, sf_dir):
+    """PQ assignment: the 16 codebook vectors must quantize to
+    themselves with zero reconstruction error (codes = own rank,
+    err_u6 = 0), every code lies in [0, ksub), and the whole
+    assignment matches an independent numpy replica."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.similarity import pq_assign
+    from arc_kinesis_tagging_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = {r["vec_id"]: r for r in pq_assign(emb, 4, 16).collect()}
+
+    raw = sorted(
+        ((r["vec_id"], list(r["embedding"])) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    C = np.array([v for _, v in raw[:16]], np.float64)
+    for rank, (vid, _) in enumerate(raw[:16]):
+        r = rows[vid]
+        assert (r["code0"], r["code1"], r["code2"], r["code3"]) == (rank,) * 4
+        assert r["err_u6"] == 0, r
+
+    for vid, vec in raw:
+        V = np.array(vec, np.float64)
+        want_err = 0
+        for m in range(4):
+            s, e = m * 16, (m + 1) * 16
+            d = np.floor(((V[s:e] - C[:, s:e]) ** 2).sum(axis=1) * 1e6 + 0.5)
+            code = int(np.argmin(d))
+            assert rows[vid][f"code{m}"] == code, (vid, m)
+            want_err += int(d[code])
+        assert rows[vid]["err_u6"] == want_err, vid
+        assert all(0 <= rows[vid][f"code{m}"] < 16 for m in range(4))
