@@ -68,6 +68,11 @@ HEADLINE = [
     "q_ann_persisted",
     "q_dedup_substring",  # rolling-window hash agg + span merge
     "q_ngram_lm_score",   # token-bigram LM train + score
+    # round-7 additions
+    "q_ngram_lm_pruned",  # tail-pruned bounded-model LM gate
+    "q_lm_buckets",       # CCNet-style histogram-tertile bucketing
+    "q_embed_pq",         # product-quantization GEMM assignment
+    "q_multimodal_png_adam7",  # interlaced per-pass unfilter + scatter
 ]
 
 
