@@ -954,3 +954,80 @@ def pq_assign(
         .filter(F.col(vec_col).isNotNull())
         .mapInPandas(assign, schema)
     )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_subspaces: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: the search half of product
+    quantization — each query builds an (m x ksub) lookup table of
+    exact query-subvector-to-centroid distances, and every corpus
+    vector is scored from its CODES ALONE by m table lookups (the
+    production shape stores only the codes; here they come from
+    ``pq_assign`` inline). Distances live in integer micro-units end
+    to end (same half-up 1e-6 quantization as pq_assign), so lookup
+    sums are order-independent and the DuckDB oracle replicates the
+    pipeline exactly. Ranking is the two-level ``bounded_topk_rank``
+    (ascending): no task sorts one query's full corpus. Returns
+    (query_id, vec_id, adc_u6, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    crows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(ksub)
+        .collect()
+    )  # bounded: ksub rows
+    C = np.array([r[vec_col] for r in crows], dtype=np.float64)
+    d = C.shape[1]
+    dsub = d // m_subspaces
+    qrows = queries.select(query_id_col, vec_col).collect()  # bounded query set
+    Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qids = np.array([r[query_id_col] for r in qrows], dtype=np.int64)
+    lut = np.empty((len(qrows), m_subspaces, ksub), dtype=np.int64)
+    for m in range(m_subspaces):
+        s, e = m * dsub, (m + 1) * dsub
+        diff = Q[:, None, s:e] - C[None, :, s:e]
+        lut[:, m, :] = np.floor((diff * diff).sum(axis=2) * 1e6 + 0.5)
+    b = spark.sparkContext.broadcast((qids, lut))
+
+    codes = pq_assign(embeddings, m_subspaces, ksub, id_col, vec_col)
+    code_cols = [f"code{m}" for m in range(m_subspaces)]
+
+    def score(batches):
+        qids_, lut_ = b.value
+        nq = len(qids_)
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            cm = pdf[code_cols].to_numpy()  # (n, m)
+            adc = np.zeros((nq, n), np.int64)
+            for m in range(lut_.shape[1]):
+                adc += lut_[:, m, :][:, cm[:, m]]  # (nq, n) gather
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids_, n),
+                    "vec_id": np.tile(pdf[id_col].to_numpy(), nq),
+                    "adc_u6": adc.reshape(-1),
+                }
+            )
+
+    scored = codes.mapInPandas(
+        score, "query_id long, vec_id long, adc_u6 long"
+    )
+    return bounded_topk_rank(
+        scored, k, order_col="adc_u6", id_col="vec_id", ascending=True
+    ).select(
+        "query_id", "vec_id", "adc_u6", F.col("rank").cast("long").alias("rank")
+    )

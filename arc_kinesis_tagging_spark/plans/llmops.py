@@ -495,6 +495,67 @@ FROM best WHERE rn = 1 GROUP BY vec_id
 """
 
 
+def q_similarity_pq_adc(spark, sf_dir):
+    """PQ asymmetric-distance top-k — the search half of product
+    quantization (operators/similarity.py:pq_adc_topk): corpus vectors
+    are scored from their 4 subspace CODES alone via per-query lookup
+    tables of exact query-to-centroid distances, in integer
+    micro-units end to end. Approximate w.r.t. true L2 (that is the
+    compression trade) but fully deterministic, so the DuckDB oracle
+    replicates codes, LUTs, and ranking, and the row is hash-checked.
+    First five vectors as queries, k=5."""
+    from arc_kinesis_tagging_spark.operators.similarity import pq_adc_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(e, q, k=5, m_subspaces=4, ksub=16)
+
+
+ORACLE_SIMILARITY_PQ_ADC = """
+WITH cent AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS code,
+         embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16)
+), ms AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3)) t(m)
+), sub AS (
+  SELECT e.vec_id, ms.m, c.code,
+         CAST(floor(list_sum(list_transform(range(1, 17),
+               i -> pow(CAST(e.embedding[CAST(ms.m * 16 + i AS INT)] AS DOUBLE)
+                        - CAST(c.embedding[CAST(ms.m * 16 + i AS INT)] AS DOUBLE),
+                        2))) * 1e6 + 0.5) AS BIGINT) AS dist
+  FROM embeddings e CROSS JOIN ms CROSS JOIN cent c
+), codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist, code) AS rn
+    FROM sub
+  ) WHERE rn = 1
+), lut AS (
+  SELECT q.vec_id AS query_id, ms.m, c.code,
+         CAST(floor(list_sum(list_transform(range(1, 17),
+               i -> pow(CAST(q.embedding[CAST(ms.m * 16 + i AS INT)] AS DOUBLE)
+                        - CAST(c.embedding[CAST(ms.m * 16 + i AS INT)] AS DOUBLE),
+                        2))) * 1e6 + 0.5) AS BIGINT) AS d
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+  CROSS JOIN ms CROSS JOIN cent c
+), adc AS (
+  SELECT lut.query_id, codes.vec_id, CAST(SUM(lut.d) AS BIGINT) AS adc_u6
+  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code
+  GROUP BY lut.query_id, codes.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, adc_u6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_u6, vec_id) AS BIGINT) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id, adc_u6, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def _session_memo(spark) -> set:
     """Per-SparkSession memo of corpus tables already written. Stored
     ON the session object (not keyed by id(spark): CPython recycles
@@ -1654,6 +1715,7 @@ LLMOPS_QUERIES = [
           "approximate recall by design; judged against brute force in tests"),
     Query("q_ann_persisted", q_ann_persisted, ORACLE_ANN_PERSISTED),
     Query("q_embed_pq", q_embed_pq, ORACLE_EMBED_PQ),
+    Query("q_similarity_pq_adc", q_similarity_pq_adc, ORACLE_SIMILARITY_PQ_ADC),
     Query("q_hard_negatives", q_hard_negatives, ORACLE_HARD_NEGATIVES),
     Query("q_text_termfreq", q_text_termfreq, ORACLE_TERMFREQ),
     Query("q_text_quality", q_text_quality, ORACLE_TEXT_QUALITY),

@@ -247,8 +247,9 @@ _R7_HEAD = [
     # -- (a) new this round --
     "q_ngram_lm_pruned",      # tail-pruned bounded-model LM gate
     "q_multimodal_png_adam7", # Adam7-interlaced PNG decode
-    "q_lm_buckets",           # (pre-listed; skipped until registered)
-    "q_embed_pq",             # (pre-listed; skipped until registered)
+    "q_lm_buckets",           # CCNet-style histogram-tertile bucketing
+    "q_embed_pq",             # product-quantization code assignment
+    "q_similarity_pq_adc",    # PQ asymmetric-distance top-k search
     # -- (b) rewired this round --
     "q_similarity_topk", "q_hard_negatives", "q_doc_minwise_sim",
     "q_dedup_prefix", "q_dedup_substring", "q_ann_persisted",

@@ -170,3 +170,29 @@ def test_pq_assign_codebook_fixpoints_and_parity(spark, sf_dir):
             want_err += int(d[code])
         assert rows[vid]["err_u6"] == want_err, vid
         assert all(0 <= rows[vid][f"code{m}"] < 16 for m in range(4))
+
+
+def test_pq_adc_selfhit_and_shape(spark, sf_dir):
+    """ADC sanity: the first-five queries are codebook vectors, so
+    each query's rank-1 hit is itself at distance 0 (its codes
+    reconstruct it exactly); every query returns exactly k rows with
+    ranks 1..k and non-decreasing distances."""
+    from arc_kinesis_tagging_spark.operators.similarity import pq_adc_topk
+    from arc_kinesis_tagging_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = pq_adc_topk(e, q, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        assert rs[0]["vec_id"] == qid and rs[0]["adc_u6"] == 0
+        dists = [r["adc_u6"] for r in rs]
+        assert dists == sorted(dists)
