@@ -556,6 +556,127 @@ SELECT query_id, vec_id, adc_u6, rank FROM ranked WHERE rank <= 5
 """
 
 
+_BM25_K1, _BM25_B, _BM25_TOPQ, _BM25_TOPK = 1.2, 0.75, 8, 10
+
+
+def q_text_bm25(spark, sf_dir):
+    """BM25 ranked retrieval — the lexical-search sibling of
+    q_text_tfidf and the scoring function every RAG corpus index
+    ships: for the corpus's top-Q highest-document-frequency terms
+    (a deterministic self-contained query set), rank the top-k
+    documents by Okapi BM25 (k1=1.2, b=0.75, idf =
+    ln((N-df+0.5)/(df+0.5) + 1)).
+
+    Scale shape: the query-term set is selected with the two-level
+    bounded rank over the term df aggregate (vocabulary-sized input,
+    bounded window partitions); term frequencies join against the
+    BROADCAST Q-term table so the corpus-sized explode is filtered
+    before any shuffle; corpus stats (N, total token count) are a
+    1-row broadcast; per-term top-k is the two-level bounded rank.
+    All score inputs (tf, df, dl, N, sum_dl) are exact integers, so
+    the 4-dp-rounded double score is reproducible cross-engine."""
+    from arc_kinesis_tagging_spark.operators.similarity import bounded_topk_rank
+
+    d = _t(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    tok = d.select("doc_id", F.explode(ts).alias("t"))
+    df_t = tok.distinct().groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    terms = (
+        bounded_topk_rank(
+            df_t, _BM25_TOPQ, order_col="df", id_col="t", part_cols=()
+        )
+        .select(F.col("t").alias("term"), "df")
+    )
+    dl = d.select("doc_id", F.size(ts).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(terms), F.col("t") == F.col("term"))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score4",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (
+                        1.0
+                        - _BM25_B
+                        + _BM25_B
+                        * F.col("dl")
+                        / (F.col("sum_dl") / F.col("n_docs"))
+                    )
+                ),
+                4,
+            ),
+        )
+    )
+    return bounded_topk_rank(
+        scored, _BM25_TOPK, order_col="score4",
+        part_cols=("term",), id_col="doc_id",
+    ).select(
+        "term", "doc_id", "tf", "score4", F.col("rank").cast("long").alias("rank")
+    )
+
+
+ORACLE_TEXT_BM25 = f"""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                            t -> t <> '')) AS t
+  FROM documents
+), df_t AS (
+  SELECT t, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, t FROM tok)
+  GROUP BY t
+), terms AS (
+  SELECT t AS term, df FROM (
+    SELECT t, df, ROW_NUMBER() OVER (ORDER BY df DESC, t ASC) AS rn
+    FROM df_t
+  ) WHERE rn <= {_BM25_TOPQ}
+), dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> '')) AS dl
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+), tf AS (
+  SELECT tok.doc_id, terms.term, terms.df, COUNT(*) AS tf
+  FROM tok JOIN terms ON tok.t = terms.term
+  GROUP BY tok.doc_id, terms.term, terms.df
+), scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf,
+         ROUND(ln((stats.n_docs - tf.df + 0.5) / (tf.df + 0.5) + 1.0)
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B}
+                     + {_BM25_B} * dl.dl
+                       / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs))),
+               4) AS score4
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+), ranked AS (
+  SELECT term, doc_id, CAST(tf AS BIGINT) AS tf, score4,
+         CAST(ROW_NUMBER() OVER (PARTITION BY term
+                                 ORDER BY score4 DESC, doc_id ASC)
+              AS BIGINT) AS rank
+  FROM scored
+)
+SELECT term, doc_id, tf, score4, rank FROM ranked WHERE rank <= {_BM25_TOPK}
+"""
+
+
 def _session_memo(spark) -> set:
     """Per-SparkSession memo of corpus tables already written. Stored
     ON the session object (not keyed by id(spark): CPython recycles
@@ -1716,6 +1837,7 @@ LLMOPS_QUERIES = [
     Query("q_ann_persisted", q_ann_persisted, ORACLE_ANN_PERSISTED),
     Query("q_embed_pq", q_embed_pq, ORACLE_EMBED_PQ),
     Query("q_similarity_pq_adc", q_similarity_pq_adc, ORACLE_SIMILARITY_PQ_ADC),
+    Query("q_text_bm25", q_text_bm25, ORACLE_TEXT_BM25),
     Query("q_hard_negatives", q_hard_negatives, ORACLE_HARD_NEGATIVES),
     Query("q_text_termfreq", q_text_termfreq, ORACLE_TERMFREQ),
     Query("q_text_quality", q_text_quality, ORACLE_TEXT_QUALITY),

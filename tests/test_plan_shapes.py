@@ -185,6 +185,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # survivors, never the full bigram table (and the bucketing query
     # that embeds the pruned scorer)
     "q_ngram_lm_pruned", "q_lm_buckets",
+    # same bounded two-level shape for the top-Q query-term selection
+    "q_text_bm25",
 }
 
 # Builders that launch eager Spark jobs at build time (iterative loops,
@@ -256,6 +258,8 @@ BNLJ_ALLOWLIST = {
     # the CCNet-style bucketing built on it)
     "q_ngram_lm_score", "q_corpus_pipeline4", "q_ngram_lm_pruned",
     "q_lm_buckets",
+    # 1-row corpus-stats (N, total tokens) broadcast onto the scores
+    "q_text_bm25",
     # language-pair metadata: the theta self-join of DISTINCT langs
     # (L^2 rows, L ~ 5) and the OR-condition broadcast of those pairs
     # onto the vocab — both sides bounded by language count, never

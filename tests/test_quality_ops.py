@@ -752,3 +752,47 @@ def test_lm_buckets_are_exact_tertiles(spark, sf_dir):
         assert sum(len(v) for v in spans.values()) == n
         if spans["head"]:
             assert len(spans["head"]) >= n / 3.0 - 1e-9, lang
+
+
+def test_bm25_ranking_properties(spark, sf_dir):
+    """BM25 output shape and semantics: exactly the top-Q df terms
+    appear, scores are positive and descending within each term's
+    ranking, and a brute-force python BM25 over the same tokenization
+    agrees on every (term, doc) score."""
+    import math
+    from collections import Counter, defaultdict
+
+    from arc_kinesis_tagging_spark.plans.llmops import (
+        _BM25_B, _BM25_K1, _BM25_TOPQ, q_text_bm25,
+    )
+    from arc_kinesis_tagging_spark.sources.tables import load_table
+
+    rows = q_text_bm25(spark, sf_dir).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split() if t]
+        for r in load_table(spark, "documents", sf_dir).collect()
+    }
+    n = len(docs)
+    sum_dl = sum(len(v) for v in docs.values())
+    avgdl = sum_dl / n
+    df = Counter(t for toks in docs.values() for t in set(toks))
+    top = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:_BM25_TOPQ]
+    assert {r["term"] for r in rows} == {t for t, _ in top}
+
+    by_term = defaultdict(list)
+    for r in rows:
+        by_term[r["term"]].append(r)
+    for term, rs in by_term.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        scores = [r["score4"] for r in rs]
+        assert scores == sorted(scores, reverse=True) and scores[-1] > 0
+        for r in rs:
+            tf = docs[r["doc_id"]].count(term)
+            dl = len(docs[r["doc_id"]])
+            idf = math.log((n - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+            want = idf * (tf * (_BM25_K1 + 1.0)) / (
+                tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / avgdl)
+            )
+            assert r["tf"] == tf
+            assert abs(r["score4"] - want) <= 5.1e-5, (term, r["doc_id"])
