@@ -556,6 +556,84 @@ SELECT query_id, vec_id, adc_u6, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_dedup_embedding_pq(spark, sf_dir):
+    """Embedding near-dup via PQ-CODE BLOCKING — the third member of
+    the embedding-dedup family (exact IVF threshold join, SRP-LSH
+    banding, and now the PQ fingerprint): vectors sharing their FULL
+    4-code PQ tuple quantize identically in every subspace, which at
+    16 centroids/subspace only near-identical vectors do, so the code
+    tuple is a blocking key. One shuffle on the 4-byte code tuple, a
+    within-block id-ordered self-join (block sizes are the quantizer's
+    cell occupancy, never corpus-scale fan-out), then exact rounded
+    cosine over the candidate pairs. Deterministic end to end (integer
+    PQ codes, 4-dp cosine), hash-checked against the full DuckDB
+    replica."""
+    from arc_kinesis_tagging_spark.functions.vectors import cosine_similarity
+    from arc_kinesis_tagging_spark.operators.similarity import pq_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    ce = pq_assign(e, 4, 16).join(e.select("vec_id", "embedding"), "vec_id")
+    a, b = ce.alias("a"), ce.alias("b")
+    code_eq = [F.col(f"a.code{m}") == F.col(f"b.code{m}") for m in range(4)]
+    pairs = a.join(
+        b,
+        code_eq + [F.col("a.vec_id") < F.col("b.vec_id")],
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(
+            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 4
+        ).alias("cos4"),
+    )
+
+
+ORACLE_DEDUP_EMBEDDING_PQ = """
+WITH cent AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS code,
+         embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16)
+), ms AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3)) t(m)
+), sub AS (
+  SELECT e.vec_id, ms.m, c.code,
+         CAST(floor(list_sum(list_transform(range(1, 17),
+               i -> pow(CAST(e.embedding[CAST(ms.m * 16 + i AS INT)] AS DOUBLE)
+                        - CAST(c.embedding[CAST(ms.m * 16 + i AS INT)] AS DOUBLE),
+                        2))) * 1e6 + 0.5) AS BIGINT) AS dist
+  FROM embeddings e CROSS JOIN ms CROSS JOIN cent c
+), codes AS (
+  SELECT vec_id,
+         MAX(CASE WHEN m = 0 THEN code END) AS code0,
+         MAX(CASE WHEN m = 1 THEN code END) AS code1,
+         MAX(CASE WHEN m = 2 THEN code END) AS code2,
+         MAX(CASE WHEN m = 3 THEN code END) AS code3
+  FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist, code) AS rn
+    FROM sub
+  ) WHERE rn = 1 GROUP BY vec_id
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_inner_product(CAST(ea.embedding AS DOUBLE[]),
+                                CAST(eb.embedding AS DOUBLE[]))
+             / GREATEST(
+                 sqrt(list_sum(list_transform(CAST(ea.embedding AS DOUBLE[]),
+                                              x -> x * x)))
+                 * sqrt(list_sum(list_transform(CAST(eb.embedding AS DOUBLE[]),
+                                                x -> x * x))),
+                 1e-12), 4) AS cos4
+FROM codes a
+JOIN codes b
+  ON a.code0 = b.code0 AND a.code1 = b.code1
+ AND a.code2 = b.code2 AND a.code3 = b.code3
+ AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+"""
+
+
 _BM25_K1, _BM25_B, _BM25_TOPQ, _BM25_TOPK = 1.2, 0.75, 8, 10
 
 
@@ -1838,6 +1916,7 @@ LLMOPS_QUERIES = [
     Query("q_embed_pq", q_embed_pq, ORACLE_EMBED_PQ),
     Query("q_similarity_pq_adc", q_similarity_pq_adc, ORACLE_SIMILARITY_PQ_ADC),
     Query("q_text_bm25", q_text_bm25, ORACLE_TEXT_BM25),
+    Query("q_dedup_embedding_pq", q_dedup_embedding_pq, ORACLE_DEDUP_EMBEDDING_PQ),
     Query("q_hard_negatives", q_hard_negatives, ORACLE_HARD_NEGATIVES),
     Query("q_text_termfreq", q_text_termfreq, ORACLE_TERMFREQ),
     Query("q_text_quality", q_text_quality, ORACLE_TEXT_QUALITY),

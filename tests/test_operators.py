@@ -196,3 +196,35 @@ def test_pq_adc_selfhit_and_shape(spark, sf_dir):
         assert rs[0]["vec_id"] == qid and rs[0]["adc_u6"] == 0
         dists = [r["adc_u6"] for r in rs]
         assert dists == sorted(dists)
+
+
+def test_pq_blocking_recalls_near_duplicates(spark, sf_dir):
+    """PQ-code blocking must recall the tightest near-duplicate pairs:
+    every exact-threshold pair at cos >= 0.999 (quantization-identical
+    territory) appears in the blocked candidate set, and every emitted
+    pair genuinely shares its full code tuple."""
+    from arc_kinesis_tagging_spark.operators.similarity import pq_assign
+    from arc_kinesis_tagging_spark.plans.llmops import q_dedup_embedding_pq
+    from arc_kinesis_tagging_spark.sources.tables import load_table
+
+    import numpy as np
+
+    got = {(r["id_a"], r["id_b"]) for r in q_dedup_embedding_pq(spark, sf_dir).collect()}
+    assert got  # blocking finds candidates on the synthetic corpus
+
+    e = load_table(spark, "embeddings", sf_dir)
+    raw = {r["vec_id"]: np.array(r["embedding"], np.float64) for r in e.collect()}
+    codes = {
+        r["vec_id"]: (r["code0"], r["code1"], r["code2"], r["code3"])
+        for r in pq_assign(e).collect()
+    }
+    for a, b in got:
+        assert codes[a] == codes[b], (a, b)
+    ids = sorted(raw)
+    V = np.array([raw[i] for i in ids])
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    S = Vn @ Vn.T
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if S[i, j] >= 0.999:
+                assert (ids[i], ids[j]) in got, (ids[i], ids[j], S[i, j])
