@@ -1031,3 +1031,28 @@ def pq_adc_topk(
     ).select(
         "query_id", "vec_id", "adc_u6", F.col("rank").cast("long").alias("rank")
     )
+
+
+def append_ivf_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add a batch to a PERSISTED IVF index: assign the
+    new vectors to the index's EXISTING centroids (no retrain — the
+    Voronoi geometry is frozen, so old cells stay valid and probes
+    need no re-routing) and append their rows to the cell partitions.
+    The production shape for a growing corpus: ingest appends only the
+    batch (one narrow assignment pass + a partitioned append),
+    queries keep amortizing the original build. Retraining (when cell
+    occupancy skews after much growth) is a fresh build_ivf_index at
+    a new path."""
+    centroids = F.broadcast(
+        spark.read.parquet(path + "/centroids").select(
+            "cell_id", F.col(vec_col).alias("__centroid")
+        )
+    )
+    assigned = _assign_cells(batch, centroids, id_col, vec_col, rank_limit=1)
+    assigned.write.mode("append").partitionBy("cell_id").parquet(path + "/index")

@@ -447,6 +447,71 @@ SELECT query_id, vec_id, cos4, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_incremental(spark, sf_dir):
+    """Incremental IVF index maintenance — the growing-corpus
+    completion of q_ann_persisted's build-once/query-many story: the
+    index is BUILT on the prior corpus (vec_id % 5 != 0), a fresh
+    batch (vec_id % 5 == 0) is APPENDED by assigning against the
+    frozen centroids (operators/similarity.py:append_ivf_index — one
+    narrow assignment pass + a partitioned append, no retrain, no
+    rebuild), and queries probe the combined index. Build+append
+    happen once into a pid-unique temp dir and atomically rename into
+    place (same fingerprinted-path discipline as q_ann_persisted), so
+    the visible index is always complete and appends are never
+    duplicated. Deterministic throughout, so the DuckDB oracle
+    replicates the full pipeline with prior-only centroids and the
+    row is hash-checked."""
+    import os as _os
+    import tempfile as _tempfile
+    import hashlib as _hashlib
+
+    from arc_kinesis_tagging_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    prior = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    norm = _os.path.abspath(sf_dir.rstrip("/"))
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        "akt_ivfinc_"
+        + _hashlib.md5(norm.encode()).hexdigest()[:8]
+        + "_"
+        + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    memo = _session_memo(spark)
+    if (path, "ivfinc") not in memo:
+        if not _os.path.isdir(path):
+            import shutil as _shutil
+
+            tmp = f"{path}.tmp-{_os.getpid()}"
+            build_ivf_index(spark, prior, tmp, nlist=16)
+            append_ivf_index(spark, batch, tmp)
+            try:
+                _os.rename(tmp, path)
+            except OSError:  # lost the race to another session
+                _shutil.rmtree(tmp, ignore_errors=True)
+        memo.add((path, "ivfinc"))
+    return query_ivf_index(spark, path, q, k=5, nprobe=4, round_dp=4)
+
+
+# Same full-pipeline replica as ORACLE_ANN_PERSISTED with one change:
+# centroids come from the PRIOR corpus only (vec_id % 5 != 0) — the
+# frozen geometry the append assigns against.
+ORACLE_ANN_INCREMENTAL = ORACLE_ANN_PERSISTED.replace(
+    "FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16)",
+    "FROM (SELECT vec_id, embedding FROM embeddings "
+    "WHERE vec_id % 5 <> 0 ORDER BY vec_id ASC LIMIT 16)",
+    1,
+)
+
+
 def q_embed_pq(spark, sf_dir):
     """Product-quantization code assignment over the embeddings table
     (operators/similarity.py:pq_assign): 64 floats -> 4 subspace codes
@@ -1913,6 +1978,7 @@ LLMOPS_QUERIES = [
     Query("q_similarity_ivf", q_similarity_ivf, None,
           "approximate recall by design; judged against brute force in tests"),
     Query("q_ann_persisted", q_ann_persisted, ORACLE_ANN_PERSISTED),
+    Query("q_ann_incremental", q_ann_incremental, ORACLE_ANN_INCREMENTAL),
     Query("q_embed_pq", q_embed_pq, ORACLE_EMBED_PQ),
     Query("q_similarity_pq_adc", q_similarity_pq_adc, ORACLE_SIMILARITY_PQ_ADC),
     Query("q_text_bm25", q_text_bm25, ORACLE_TEXT_BM25),

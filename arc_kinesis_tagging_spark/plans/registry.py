@@ -252,6 +252,7 @@ _R7_HEAD = [
     "q_similarity_pq_adc",    # PQ asymmetric-distance top-k search
     "q_text_bm25",            # Okapi BM25 ranked retrieval
     "q_dedup_embedding_pq",   # PQ-code-blocked embedding near-dup
+    "q_ann_incremental",      # IVF append-without-retrain maintenance
     # -- (b) rewired this round --
     "q_similarity_topk", "q_hard_negatives", "q_doc_minwise_sim",
     "q_dedup_prefix", "q_dedup_substring", "q_ann_persisted",

@@ -83,3 +83,55 @@ def test_ivf_kmeans_training_balances_cells(spark, sf_dir, tmp_path):
     assert recalls["kmeans"] >= recalls["sample"] - 1e-9, (recalls, imbalance)
     assert recalls["kmeans"] >= 0.8, recalls
     assert imbalance["kmeans"] <= imbalance["sample"] + 1e-9, imbalance
+
+
+def test_append_ivf_index_equals_full_build(spark, sf_dir, tmp_path):
+    """Append-then-query must equal build-on-full-corpus-then-query
+    WHEN both use the same centroids: freeze centroids from the prior
+    corpus, (a) build prior + append batch, (b) assign the full corpus
+    against a prior-built index rebuilt from scratch is impossible
+    with lowest-id training (centroids would differ), so compare (a)
+    against brute-force expected assignment: every appended vector
+    lands in its argmax-cosine prior-centroid cell, and the probe
+    results include batch vectors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from arc_kinesis_tagging_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from arc_kinesis_tagging_spark.sources.tables import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    prior = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf-inc")
+    build_ivf_index(spark, prior, path, nlist=16)
+    append_ivf_index(spark, batch, path)
+
+    idx = spark.read.parquet(path + "/index")
+    assert idx.count() == e.count()  # nothing lost, nothing duplicated
+    assert idx.select("vec_id").distinct().count() == e.count()
+
+    # appended vectors sit in their argmax-cosine cell of the FROZEN
+    # prior centroids (ties -> lowest cell), per numpy replica
+    cents = sorted(
+        spark.read.parquet(path + "/centroids").collect(),
+        key=lambda r: r["cell_id"],
+    )
+    C = np.array([r["embedding"] for r in cents], np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    got = {r["vec_id"]: r["cell_id"] for r in idx.collect()}
+    for r in batch.collect():
+        v = np.array(r["embedding"], np.float64)
+        vn = v / max(np.linalg.norm(v), 1e-12)
+        assert got[r["vec_id"]] == cents[int(np.argmax(vn @ Cn.T))]["cell_id"]
+
+    # a batch vector queried against the combined index finds itself
+    q = batch.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    res = query_ivf_index(spark, path, q, k=1, nprobe=4)
+    assert {r["query_id"] for r in res.collect()} == {
+        r["vec_id"] for r in res.collect()
+    }

@@ -280,6 +280,7 @@ PER_QUERY_WINDOW_ALLOWLIST = {
     # IVF probe: the window's input is the probed-cells candidate set,
     # not the corpus (cell routing happens before scoring)
     "q_similarity_ivf", "q_ann_persisted", "q_ann_recall",
+    "q_ann_incremental",
 }
 
 
