@@ -137,8 +137,16 @@ COMMENTARY = {
         "duplicates before the shuffle."
     ),
     "q_similarity_topk": (
-        "Broadcast of the query vectors, corpus scanned once, "
-        "rank-window per query on the tiny scored side."
+        "Broadcast of the query vectors, corpus scanned once, then the "
+        "TWO-LEVEL bounded top-k (round-7): a local rank per (query, "
+        "input-partition) prunes to k before any per-query shuffle, and "
+        "the final per-query window sorts <= P*k survivors. Note the "
+        "WindowGroupLimit(Partial/Final) pairs in the plan: Catalyst's "
+        "own rank-filter pushdown already map-side-prunes each window, "
+        "so both exchanges carry pruned rows; the explicit two-level "
+        "form keeps the bound guaranteed even where that optimizer rule "
+        "does not fire (e.g. when downstream references the rank rather "
+        "than filtering it), and the plan gate pins the shape."
     ),
     "q_text_chunk": (
         "Map-only: tokenize + start-sequence explode + slice, all in "
@@ -262,10 +270,69 @@ COMMENTARY = {
     ),
     "q_hard_negatives": (
         "Rank-band negative mining: broadcast query side, one scored "
-        "pass, per-query rank window on the 4-dp-rounded cosine; the "
-        "band filter (5 < rank <= 10) replaces top-k. At corpus scale "
-        "the scoring side swaps to the IVF probe with identical band "
-        "logic."
+        "pass, then the two-level bounded rank at limit m+k with the "
+        "band filter (5 < rank <= 10) on the final window — no task "
+        "ever sorts one query's full corpus (round-7 rewire). At corpus "
+        "scale the scoring side swaps to the IVF probe with identical "
+        "band logic."
+    ),
+    "q_ngram_lm_pruned": (
+        "Tail-pruned token-bigram LM gate: the top-V model selection is "
+        "the two-level bounded rank (its final unpartitioned window "
+        "reads <= P*V local survivors), the V-row model broadcasts onto "
+        "the per-doc-distinct bigrams, the unigram context join is "
+        "AQE-sized, and the vocabulary size is a 1-row broadcast. The "
+        "model join is bounded at ANY corpus size — the property the "
+        "unpruned form loses once the vocabulary outgrows the broadcast "
+        "threshold."
+    ),
+    "q_lm_buckets": (
+        "CCNet-style perplexity tertiles: thresholds come from the "
+        "3-dp-rounded score HISTOGRAM (bounded by score range, not "
+        "corpus size), so the per-language cumulative window runs over "
+        "bounded rows and the L-row threshold table broadcasts back "
+        "onto the scored stream. No per-language corpus-sized rank."
+    ),
+    "q_embed_pq": (
+        "Product-quantization assignment: ksub-row bounded codebook "
+        "collect, then ONE narrow mapInPandas pass (a blocked GEMM per "
+        "subspace per Arrow batch) — no shuffle, no window; integer "
+        "micro-unit distances make every downstream comparison and sum "
+        "order-independent."
+    ),
+    "q_similarity_pq_adc": (
+        "ADC search over codes: per-query LUTs built driver-side from "
+        "the bounded codebook, corpus scored from its 4 codes alone by "
+        "table gathers in the same narrow pass that assigned them, "
+        "then the two-level bounded top-k (ascending). The corpus-side "
+        "data volume is 4 bytes of codes per vector — the compressed "
+        "scan PQ exists for."
+    ),
+    "q_text_bm25": (
+        "BM25 retrieval: the query-term set is the two-level bounded "
+        "rank over the term-df aggregate; term frequencies join the "
+        "BROADCAST Q-term table so the exploded corpus is filtered "
+        "before its only shuffle; corpus stats are a 1-row broadcast; "
+        "per-term top-k is the two-level bounded rank again."
+    ),
+    "q_dedup_embedding_pq": (
+        "PQ-code blocking: one narrow assignment pass, one shuffle on "
+        "the 4-code tuple, a within-block id-ordered self-join bounded "
+        "by quantizer cell occupancy, exact cosine only on candidate "
+        "pairs. Nothing all-pairs; the blocking key is 4 bytes."
+    ),
+    "q_ann_incremental": (
+        "IVF append-without-retrain: the batch assigns against frozen "
+        "broadcast centroids (narrow pass) and appends its cell "
+        "partitions; probes read only the probed cells via the same "
+        "partition-pruning IN-list as q_ann_persisted. Ingest cost is "
+        "proportional to the batch, query cost to nprobe/nlist — "
+        "neither rescans the corpus."
+    ),
+    "q_multimodal_png_adam7": (
+        "Adam7 decode: pure map-side mapInPandas over Arrow batches of "
+        "images (per-pass unfilter + lattice scatter inside the "
+        "kernel), zero shuffle, per-record error isolation."
     ),
 }
 
