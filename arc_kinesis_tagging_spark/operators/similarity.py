@@ -994,7 +994,8 @@ def pq_adc_topk(
     qrows = queries.select(query_id_col, vec_col).collect()  # bounded query set
     Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     qids = np.array([r[query_id_col] for r in qrows], dtype=np.int64)
-    lut = np.empty((len(qrows), m_subspaces, ksub), dtype=np.int64)
+    ksub_eff = len(C)  # a tiny corpus yields fewer centroids than ksub
+    lut = np.empty((len(qrows), m_subspaces, ksub_eff), dtype=np.int64)
     for m in range(m_subspaces):
         s, e = m * dsub, (m + 1) * dsub
         diff = Q[:, None, s:e] - C[None, :, s:e]

@@ -93,6 +93,11 @@ DOC_QUERIES = [
     "q_multimodal_png_palette",
     "q_multimodal_png16",
     "q_multimodal_jpeg_prog",
+    # round-7 additions (documents-only readers)
+    "q_ngram_lm_pruned",
+    "q_lm_buckets",
+    "q_text_bm25",
+    "q_multimodal_png_adam7",
 ]
 
 
@@ -182,6 +187,79 @@ def test_adversarial_embedding_parity(spark, adversarial_emb_dir, adversarial_em
     if q.oracle is None:
         return
     odf = adversarial_emb_duck.execute(q.oracle).df()
+    assert canon_rows(sdf) == canon_rows(odf)
+
+
+# --- 64-dim embeddings (PQ/IVF family: oracles hardcode 16-dim
+# subspaces, so these queries need a full-width adversarial fixture) --
+
+def _adv_vec64(kind):
+    v = [0.0] * 64
+    if kind == "e0":
+        v[0] = 1.0
+    elif kind == "near":
+        v[0], v[1] = 0.99, 0.01
+    elif kind == "neg":
+        v = [-1.0] * 64
+    elif kind == "ramp":
+        v = [i / 64.0 for i in range(64)]
+    elif kind == "alt":
+        v = [1.0 if i % 2 == 0 else -1.0 for i in range(64)]
+    elif kind == "e63":
+        v[63] = 1.0
+    return v
+
+
+ADVERSARIAL_VECS64 = [
+    # zero vector, exact dup pair, near dup, negatives, structured
+    (0, _adv_vec64("zero"), "a"),
+    (1, _adv_vec64("e0"), "a"),
+    (2, _adv_vec64("e0"), "b"),
+    (3, _adv_vec64("near"), "b"),
+    (4, _adv_vec64("neg"), "a"),
+    (5, _adv_vec64("ramp"), "a"),
+    (6, _adv_vec64("alt"), "b"),
+    (7, _adv_vec64("e63"), "a"),
+]
+
+EMB64_QUERIES = [
+    # round-7 PQ/IVF family (16-dim subspaces, frozen codebooks)
+    "q_embed_pq",
+    "q_similarity_pq_adc",
+    "q_dedup_embedding_pq",
+    "q_ann_incremental",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb64_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("adversarial-emb64"))
+    spark.createDataFrame(
+        ADVERSARIAL_VECS64, "vec_id long, embedding array<double>, label string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb64_duck(adversarial_emb64_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{adversarial_emb64_dir}/embeddings.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EMB64_QUERIES)
+def test_adversarial_embedding64_parity(
+    spark, adversarial_emb64_dir, adversarial_emb64_duck, name
+):
+    q = QUERIES[name]
+    sdf = q.builder(spark, adversarial_emb64_dir).toPandas()
+    driver_canon_check(sdf)
+    if q.oracle is None:
+        return
+    odf = adversarial_emb64_duck.execute(q.oracle).df()
     assert canon_rows(sdf) == canon_rows(odf)
 
 
