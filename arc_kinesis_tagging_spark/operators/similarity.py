@@ -1057,3 +1057,161 @@ def append_ivf_index(
     )
     assigned = _assign_cells(batch, centroids, id_col, vec_col, rank_limit=1)
     assigned.write.mode("append").partitionBy("cell_id").parquet(path + "/index")
+
+
+def ivfpq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    m_subspaces: int = 4,
+    ksub: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ asymmetric search — the FAISS-style production index for
+    billion-scale ANN: a coarse IVF quantizer routes vectors to cells,
+    the RESIDUAL (vector minus its cell centroid) is product-quantized
+    (so codes spend their bits on the within-cell detail the coarse
+    quantizer cannot express), and queries probe nprobe cells scoring
+    codes with a per-(query, cell) lookup table over the query's OWN
+    residual in that cell.
+
+    Deterministic conventions (all oracle-replicable): coarse
+    centroids = the nlist lowest-id vectors (cosine argmax assignment,
+    ties to the lowest cell — the IVF-family convention); PQ codebook
+    = the residuals of the NEXT ksub lowest-id vectors (the coarse
+    centroids' own residuals are zero and would degenerate the
+    codebook); all PQ distances in integer micro-units (half-up 1e-6)
+    with lowest-code ties; final ranking the two-level bounded top-k
+    (ascending, vec_id ties). Everything driver-side is a bounded
+    collect (nlist + ksub + |queries| rows); corpus work is one
+    narrow encode pass and one code-gather scoring pass filtered to
+    probed cells before its only shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    head = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(nlist + ksub)
+        .collect()
+    )  # bounded: nlist + ksub rows
+    C = np.array([r[vec_col] for r in head[:nlist]], dtype=np.float64)
+    nlist_eff = len(C)
+    donors = np.array(
+        [r[vec_col] for r in head[nlist_eff:]], dtype=np.float64
+    )
+    if donors.size == 0:
+        raise ValueError(
+            "ivfpq_adc_topk needs more than nlist vectors: the residual "
+            "codebook trains on the vectors after the coarse centroids"
+        )
+    d = C.shape[1]
+    dsub = d // m_subspaces
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def route_scores(V):
+        # routing cosine quantized to 1e-12 integer units: a vector
+        # EXACTLY equidistant from two centroids ties on the quantized
+        # score and breaks toward the lowest cell in BOTH engines —
+        # unrounded doubles let ~1e-18 evaluation-order noise pick
+        # different cells (normalize-then-dot here vs dot-then-divide
+        # in SQL), which the adversarial fixture reproduces
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return np.floor((Vn @ Cn.T) * 1e12 + 0.5).astype(np.int64)
+
+    def coarse_cells(V):
+        return np.argmax(route_scores(V), axis=1)  # first max = lowest cell
+
+    donor_cells = coarse_cells(donors)
+    CB = donors - C[donor_cells]  # (ksub_eff, d) residual codebook
+    ksub_eff = len(CB)
+
+    def micro(x):
+        return np.floor(x * 1e6 + 0.5).astype(np.int64)
+
+    qrows = queries.select(query_id_col, vec_col).collect()  # bounded
+    Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qids = np.array([r[query_id_col] for r in qrows], dtype=np.int64)
+    nprobe_eff = min(nprobe, nlist_eff)
+    # ties to the lowest cell: stable argsort over ascending cell ids
+    probe_cells = np.argsort(-route_scores(Q), axis=1, kind="stable")[:, :nprobe_eff]
+    # LUT[qi, cell, m, code] over the query's residual in that cell
+    lut = np.empty((len(qrows), nlist_eff, m_subspaces, ksub_eff), np.int64)
+    for qi in range(len(qrows)):
+        for cell in range(nlist_eff):
+            qr = Q[qi] - C[cell]
+            for m in range(m_subspaces):
+                s, e = m * dsub, (m + 1) * dsub
+                diff = qr[s:e][None, :] - CB[:, s:e]
+                lut[qi, cell, m, :] = micro((diff * diff).sum(axis=1))
+    b = spark.sparkContext.broadcast(
+        (C, Cn, CB, qids, probe_cells, lut)
+    )
+
+    def encode(batches):
+        C_, Cn_, CB_, _qids, _pc, _lut = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cells = coarse_cells(V)
+            R = V - C_[cells]
+            out = {id_col: pdf[id_col].to_numpy(), "cell": cells.astype(np.int32)}
+            for m in range(m_subspaces):
+                s, e = m * dsub, (m + 1) * dsub
+                diff = R[:, None, s:e] - CB_[None, :, s:e]
+                dist = micro((diff * diff).sum(axis=2))
+                out[f"code{m}"] = np.argmin(dist, axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    code_schema = (
+        f"{id_col} long, cell int, "
+        + ", ".join(f"code{m} int" for m in range(m_subspaces))
+    )
+    codes = (
+        embeddings.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(encode, code_schema)
+    )
+
+    def score(batches):
+        _C, _Cn, _CB, qids_, pc_, lut_ = b.value
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            cells = pdf["cell"].to_numpy()
+            cm = pdf[[f"code{m}" for m in range(m_subspaces)]].to_numpy()
+            frames = []
+            for qi in range(len(qids_)):
+                mask = np.isin(cells, pc_[qi])
+                if not mask.any():
+                    continue
+                cc, codes_m = cells[mask], cm[mask]
+                adc = np.zeros(len(cc), np.int64)
+                for m in range(m_subspaces):
+                    adc += lut_[qi, cc, m, codes_m[:, m]]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(cc), qids_[qi]),
+                            "vec_id": pdf[id_col].to_numpy()[mask],
+                            "adc_u6": adc,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = codes.mapInPandas(score, "query_id long, vec_id long, adc_u6 long")
+    return bounded_topk_rank(
+        scored, k, order_col="adc_u6", id_col="vec_id", ascending=True
+    ).select(
+        "query_id", "vec_id", "adc_u6", F.col("rank").cast("long").alias("rank")
+    )

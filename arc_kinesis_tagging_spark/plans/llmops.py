@@ -512,6 +512,119 @@ ORACLE_ANN_INCREMENTAL = ORACLE_ANN_PERSISTED.replace(
 )
 
 
+def q_similarity_ivfpq(spark, sf_dir):
+    """IVF-PQ asymmetric search (operators/similarity.py:
+    ivfpq_adc_topk) — the FAISS-style production index: coarse IVF
+    routing + residual product quantization + per-(query, probed-cell)
+    lookup-table scoring over codes. Deterministic throughout (frozen
+    lowest-id centroids/codebook donors, integer micro-unit PQ
+    distances, cosine coarse routing with lowest-cell ties), so the
+    DuckDB oracle replicates the ENTIRE index — assignment, residual
+    codebook, encoding, probe routing, LUT scoring, ranking — and the
+    driver hash-checks it. nlist=8, m=4, ksub=8, nprobe=2, first five
+    vectors as queries."""
+    from arc_kinesis_tagging_spark.operators.similarity import ivfpq_adc_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_adc_topk(
+        e, q, k=5, nlist=8, m_subspaces=4, ksub=8, nprobe=2
+    )
+
+
+_COS_SQL = (
+    "list_inner_product(CAST({a}.embedding AS DOUBLE[]), "
+    "CAST({b}.embedding AS DOUBLE[])) "
+    "/ GREATEST(sqrt(list_sum(list_transform(CAST({a}.embedding AS DOUBLE[]), "
+    "x -> x * x))) * sqrt(list_sum(list_transform("
+    "CAST({b}.embedding AS DOUBLE[]), x -> x * x))), 1e-12)"
+)
+
+_RESID_DIST_SQL = (
+    "CAST(floor(list_sum(list_transform(range(1, 17), "
+    "i -> pow((CAST({v}.embedding[CAST(ms.m * 16 + i AS INT)] AS DOUBLE) "
+    "- CAST(c.embedding[CAST(ms.m * 16 + i AS INT)] AS DOUBLE)) "
+    "- cb.resid[CAST(ms.m * 16 + i AS INT)], 2))) * 1e6 + 0.5) AS BIGINT)"
+)
+
+ORACLE_SIMILARITY_IVFPQ = f"""
+WITH cent AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cell,
+         embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY CAST(floor(({_COS_SQL.format(a='e', b='c')}) * 1e12 + 0.5) AS BIGINT) DESC,
+                                       c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+), donors AS (
+  SELECT CAST(rnk - 9 AS INT) AS code, vec_id, embedding FROM (
+    SELECT vec_id, embedding,
+           ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS rnk
+    FROM embeddings
+  ) WHERE rnk BETWEEN 9 AND 16
+), cb AS (
+  SELECT d.code,
+         list_transform(range(1, 65),
+                        i -> CAST(d.embedding[CAST(i AS INT)] AS DOUBLE)
+                             - CAST(c.embedding[CAST(i AS INT)] AS DOUBLE))
+           AS resid
+  FROM donors d
+  JOIN assign a ON a.vec_id = d.vec_id
+  JOIN cent c ON c.cell = a.cell
+), ms AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3)) t(m)
+), rdist AS (
+  SELECT e.vec_id, ms.m, cb.code,
+         {_RESID_DIST_SQL.format(v='e')} AS dist
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN cent c ON c.cell = a.cell
+  CROSS JOIN ms CROSS JOIN cb
+), codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist, code) AS rn
+    FROM rdist
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY CAST(floor(({_COS_SQL.format(a='q', b='c')}) * 1e12 + 0.5) AS BIGINT) DESC,
+                                       c.cell ASC) AS rn
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+    CROSS JOIN cent c
+  ) WHERE rn <= 2
+), lut AS (
+  SELECT p.query_id, p.cell, ms.m, cb.code,
+         {_RESID_DIST_SQL.format(v='q')} AS d
+  FROM probes p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN cent c ON c.cell = p.cell
+  CROSS JOIN ms CROSS JOIN cb
+), adc AS (
+  SELECT l.query_id, cd.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_u6
+  FROM codes cd
+  JOIN assign a ON a.vec_id = cd.vec_id
+  JOIN lut l ON l.cell = a.cell AND l.m = cd.m AND l.code = cd.code
+  GROUP BY l.query_id, cd.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, adc_u6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_u6, vec_id) AS BIGINT) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id, adc_u6, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_embed_pq(spark, sf_dir):
     """Product-quantization code assignment over the embeddings table
     (operators/similarity.py:pq_assign): 64 floats -> 4 subspace codes
@@ -1979,6 +2092,7 @@ LLMOPS_QUERIES = [
           "approximate recall by design; judged against brute force in tests"),
     Query("q_ann_persisted", q_ann_persisted, ORACLE_ANN_PERSISTED),
     Query("q_ann_incremental", q_ann_incremental, ORACLE_ANN_INCREMENTAL),
+    Query("q_similarity_ivfpq", q_similarity_ivfpq, ORACLE_SIMILARITY_IVFPQ),
     Query("q_embed_pq", q_embed_pq, ORACLE_EMBED_PQ),
     Query("q_similarity_pq_adc", q_similarity_pq_adc, ORACLE_SIMILARITY_PQ_ADC),
     Query("q_text_bm25", q_text_bm25, ORACLE_TEXT_BM25),

@@ -211,7 +211,8 @@ def _adv_vec64(kind):
 
 
 ADVERSARIAL_VECS64 = [
-    # zero vector, exact dup pair, near dup, negatives, structured
+    # zero vector, exact dup pair, near dup, negatives, structured —
+    # 20 vectors so the IVF-PQ residual codebook (ranks 9..16) exists
     (0, _adv_vec64("zero"), "a"),
     (1, _adv_vec64("e0"), "a"),
     (2, _adv_vec64("e0"), "b"),
@@ -220,6 +221,9 @@ ADVERSARIAL_VECS64 = [
     (5, _adv_vec64("ramp"), "a"),
     (6, _adv_vec64("alt"), "b"),
     (7, _adv_vec64("e63"), "a"),
+] + [
+    (8 + j, [((i * (j + 3)) % 17 - 8) / 8.0 for i in range(64)], "c")
+    for j in range(12)
 ]
 
 EMB64_QUERIES = [
@@ -228,6 +232,7 @@ EMB64_QUERIES = [
     "q_similarity_pq_adc",
     "q_dedup_embedding_pq",
     "q_ann_incremental",
+    "q_similarity_ivfpq",
 ]
 
 
