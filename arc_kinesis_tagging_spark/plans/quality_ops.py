@@ -2029,45 +2029,123 @@ def q_dedup_substring(spark, sf_dir):
     one doc-keyed window. Output: per-doc token count, duplicated
     window count, merged duplicated-token coverage and fraction.
 
-    Window-hash budget flag: ``AKT_SUBSTR_HASH=xxhash64`` switches the
-    rolling-window digest from md5 (32-char hex string) to xxhash64
-    (8-byte long) — ~5x less hashing CPU and a quarter of the shuffle
-    bytes per window row. The OUTPUT is hash-agnostic (the digest only
-    groups identical window content), so both variants return
-    identical rows — pinned by test_substring_hash_variants_agree —
-    but the driver oracle replicates md5, so md5 stays the default."""
+    Window-hash budget flags (``AKT_SUBSTR_HASH``): ``xxhash64``
+    swaps the digest to an 8-byte long (~1.25x on the hash stage, 4x
+    smaller shuffle keys); ``rolling`` replaces the whole window
+    stage with the vectorized Rabin-Karp kernel
+    (``_rolling_windows_np``) — tokens hashed once, O(1) per window
+    via a modular-inverse prefix, measured **6.6x end-to-end at
+    sf0.1** (7.75 s -> 1.17 s; SCALE.md round-7). The OUTPUT is
+    hash-agnostic (the digest only groups identical window content),
+    so all variants return identical rows — pinned by
+    test_substring_hash_variants_agree — but the driver oracle
+    replicates md5 cross-engine, so md5 stays the default."""
     return _substring_dedup(
         spark, sf_dir, _os.environ.get("AKT_SUBSTR_HASH", "md5")
+    )
+
+
+def _rolling_windows_np(d, w: int):
+    """TRUE rolling-hash window stage (the ``AKT_SUBSTR_HASH=rolling``
+    budget path): tokens hashed once, then each w-token window digest
+    is O(1) via a modular-inverse prefix trick instead of O(w) string
+    assembly — the classic Rabin-Karp recurrence, vectorized over the
+    whole Arrow batch in uint64 wraparound arithmetic (mod 2^64, so
+    the polynomial H(win) = sum h[t] * B^(w-1-t) is exact and
+    position-independent). Per batch: one concatenated token-hash
+    array, one cumsum, one gather — no per-window work at all.
+    Returns (doc_id, n_tokens, s, wh long)."""
+    import numpy as np
+    import pandas as pd
+
+    B = np.uint64(1000003)
+    BINV = np.uint64(pow(1000003, -1, 1 << 64))
+
+    def gen(batches):
+        for pdf in batches:
+            tok_lists = [
+                ("" if t is None else t).split(" ") for t in pdf["text"]
+            ]
+            lens = np.array([len(t) for t in tok_lists], np.int64)
+            doc_ids = pdf["doc_id"].to_numpy()
+            flat = np.array(
+                [t for toks in tok_lists for t in toks], dtype=object
+            )
+            if len(flat) == 0 or lens.max() < w:
+                yield pd.DataFrame(
+                    {"doc_id": [], "n_tokens": [], "s": [], "wh": []}
+                ).astype({"doc_id": "int64", "n_tokens": "int32",
+                          "s": "int32", "wh": "int64"})
+                continue
+            h = pd.util.hash_array(flat).astype(np.uint64)
+            n = len(h)
+            one = np.ones(1, np.uint64)
+            with np.errstate(over="ignore"):
+                # B^0..B^(n-1) mod 2^64 via wrapping cumprod
+                bpow = np.concatenate(
+                    [one, np.cumprod(np.full(n - 1, B, np.uint64))]
+                ) if n > 1 else one
+                binvpow = np.concatenate(
+                    [one, np.cumprod(np.full(n - 1, BINV, np.uint64))]
+                ) if n > 1 else one
+                prefix = np.cumsum(h * binvpow, dtype=np.uint64)
+                # window starting at global g: (prefix[g+w-1] -
+                # prefix[g-1]) * B^(g+w-1)
+                g = np.arange(n - w + 1)
+                upper = prefix[g + w - 1]
+                lower = np.concatenate(
+                    [np.zeros(1, np.uint64), prefix[: n - w]]
+                )
+                wh = ((upper - lower) * bpow[g + w - 1]).view(np.int64)
+            starts = np.concatenate([np.zeros(1, np.int64), np.cumsum(lens)[:-1]])
+            doc_of = np.repeat(np.arange(len(lens)), lens)
+            valid = doc_of[g] == doc_of[np.minimum(g + w - 1, n - 1)]
+            g, wh = g[valid], wh[valid]
+            di = doc_of[g]
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids[di],
+                    "n_tokens": lens[di].astype(np.int32),
+                    "s": (g - starts[di] + 1).astype(np.int32),
+                    "wh": wh,
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, n_tokens int, s int, wh long"
     )
 
 
 def _substring_dedup(spark, sf_dir, hash_fn: str = "md5"):
     d = _t(spark, sf_dir, "documents")
     w = _SUBSTR_W
-    ts = F.split(F.col("text"), " ")
-    n = F.size(ts)
-    if hash_fn == "xxhash64":
-        digest = lambda c: F.xxhash64(c)  # noqa: E731
-        wh_type = "bigint"
+    if hash_fn == "rolling":
+        windows = _rolling_windows_np(d, w)
     else:
-        digest = lambda c: F.md5(c)  # noqa: E731
-        wh_type = "string"
-    wins = F.when(
-        n >= w,
-        F.transform(
-            F.sequence(F.lit(1), n - w + 1),
-            lambda i: F.struct(
-                i.alias("s"),
-                digest(
-                    F.concat_ws(" ", F.slice(ts, i, F.lit(w)))
-                ).alias("wh"),
+        ts = F.split(F.col("text"), " ")
+        n = F.size(ts)
+        if hash_fn == "xxhash64":
+            digest = lambda c: F.xxhash64(c)  # noqa: E731
+            wh_type = "bigint"
+        else:
+            digest = lambda c: F.md5(c)  # noqa: E731
+            wh_type = "string"
+        wins = F.when(
+            n >= w,
+            F.transform(
+                F.sequence(F.lit(1), n - w + 1),
+                lambda i: F.struct(
+                    i.alias("s"),
+                    digest(
+                        F.concat_ws(" ", F.slice(ts, i, F.lit(w)))
+                    ).alias("wh"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast(f"array<struct<s:int,wh:{wh_type}>>"))
-    base = d.select("doc_id", n.alias("n_tokens"), wins.alias("__w"))
-    windows = base.select(
-        "doc_id", "n_tokens", F.explode("__w").alias("x")
-    ).select("doc_id", "n_tokens", F.col("x.s").alias("s"), F.col("x.wh").alias("wh"))
+        ).otherwise(F.array().cast(f"array<struct<s:int,wh:{wh_type}>>"))
+        base = d.select("doc_id", n.alias("n_tokens"), wins.alias("__w"))
+        windows = base.select(
+            "doc_id", "n_tokens", F.explode("__w").alias("x")
+        ).select("doc_id", "n_tokens", F.col("x.s").alias("s"), F.col("x.wh").alias("wh"))
     dup = (
         windows.groupBy("wh")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -708,8 +708,9 @@ def test_prefix_dedup_zipfian_skew_balanced(spark):
 
 def test_substring_hash_variants_agree(spark, sf_dir, monkeypatch):
     """The window digest only groups identical window content, so the
-    md5 (oracle-parity default) and xxhash64 (budget flag) variants
-    must return identical rows."""
+    md5 (oracle-parity default), xxhash64 (cheap digest), and rolling
+    (vectorized Rabin-Karp kernel, 6.6x) variants must all return
+    identical rows."""
     from arc_kinesis_tagging_spark.plans.quality_ops import q_dedup_substring
 
     def rows(variant):
@@ -718,8 +719,10 @@ def test_substring_hash_variants_agree(spark, sf_dir, monkeypatch):
             map(tuple, q_dedup_substring(spark, sf_dir).collect())
         )
 
-    md5_rows, xx_rows = rows("md5"), rows("xxhash64")
-    assert md5_rows and md5_rows == xx_rows
+    md5_rows = rows("md5")
+    assert md5_rows
+    assert md5_rows == rows("xxhash64")
+    assert md5_rows == rows("rolling")
 
 
 def test_lm_buckets_are_exact_tertiles(spark, sf_dir):
