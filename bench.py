@@ -73,6 +73,8 @@ HEADLINE = [
     "q_lm_buckets",       # CCNet-style histogram-tertile bucketing
     "q_embed_pq",         # product-quantization GEMM assignment
     "q_multimodal_png_adam7",  # interlaced per-pass unfilter + scatter
+    "q_similarity_ivfpq", # IVF-PQ residual-quantized ADC search
+    "q_text_bm25",        # BM25 bounded-rank retrieval
 ]
 
 
