@@ -254,6 +254,7 @@ _R7_HEAD = [
     "q_dedup_embedding_pq",   # PQ-code-blocked embedding near-dup
     "q_ann_incremental",      # IVF append-without-retrain maintenance
     "q_similarity_ivfpq",     # IVF-PQ residual-quantized ADC search
+    "q_json_variant",         # Spark-4 VARIANT semi-structured extraction
     # -- (b) rewired this round --
     "q_similarity_topk", "q_hard_negatives", "q_doc_minwise_sim",
     "q_dedup_prefix", "q_dedup_substring", "q_ann_persisted",

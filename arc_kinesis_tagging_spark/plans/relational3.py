@@ -1007,7 +1007,44 @@ FROM m WHERE rn = 1
 """
 
 
+def q_json_variant(spark, sf_dir):
+    """Semi-structured extraction through Spark 4's VARIANT type —
+    the engine-native successor to get_json_object for the
+    reference's schema-on-read model (SURVEY §1.2): ``try_parse_json``
+    ingests each props payload once into the binary variant encoding
+    (malformed/null payloads become null variants instead of errors,
+    mirroring the reference's PERMISSIVE posture), and typed
+    ``try_variant_get`` paths extract fields without re-parsing the
+    string per field. Per-row output: extracted key, validity, and a
+    derived bucket — all scalar-typed for the driver hash."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.try_parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        v.isNotNull().alias("valid"),
+        F.pmod(k, F.lit(10)).alias("k_bucket"),
+    )
+
+
+ORACLE_JSON_VARIANT = """
+SELECT event_id,
+       CASE WHEN props IS NOT NULL AND json_valid(props)
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+       END AS k,
+       (props IS NOT NULL AND json_valid(props)) AS valid,
+       CASE WHEN props IS NOT NULL AND json_valid(props)
+            -- positive mod: Spark pmod(-1, 10) = 9, SQL % keeps sign
+            THEN ((TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   % 10) + 10) % 10
+       END AS k_bucket
+FROM events
+"""
+
+
 RELATIONAL3_QUERIES = [
+    Query("q_json_variant", q_json_variant, ORACLE_JSON_VARIANT),
     Query("q_json_flatten", q_json_flatten, ORACLE_JSON_FLATTEN),
     Query("q_robots_gate", q_robots_gate, ORACLE_ROBOTS_GATE),
     Query("q_dedup_url", q_dedup_url, ORACLE_DEDUP_URL),

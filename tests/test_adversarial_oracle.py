@@ -302,6 +302,9 @@ EVENT_QUERIES = [
     "q_events_pathing",
     "q_anomaly_zscore",    # 1e15 hits the quantization domain guard
     "q_graph_triangles",
+    # round-7: VARIANT ingestion — malformed "{k: 87", empty string,
+    # NULL props, and json-null k all land as null variants/values
+    "q_json_variant",
 ]
 
 
