@@ -254,3 +254,97 @@ def test_heavy_hitters_matches_exact_model(spark, hot_n, tail_n, phi):
     expect = {t: c for t, c in counts.items() if c > phi * total}
     got = {r["token"]: r["freq"] for r in heavy_hitters(df, phi=phi).collect()}
     assert got == expect
+
+
+# --- round-7 primitives -------------------------------------------------
+
+
+score_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),       # query_id (few groups)
+        st.integers(min_value=0, max_value=60),      # vec_id
+        st.sampled_from([0.1, 0.25, 0.25, 0.5, 0.9]),  # scores with ties
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=score_rows, limit=st.integers(min_value=1, max_value=7),
+       nparts=st.integers(min_value=1, max_value=5))
+@SETTINGS
+def test_bounded_topk_equals_single_window(sp, rows, limit, nparts):
+    """The two-level bounded_topk_rank must return EXACTLY the single
+    full-window top-k under the (score DESC, id ASC) total order, for
+    any grouping, tie structure, duplicate ids, and input partitioning
+    — the identity that justified replacing the corpus-sized window."""
+    from pyspark.sql import Window
+
+    from arc_kinesis_tagging_spark.operators.similarity import bounded_topk_rank
+
+    # de-dup (query, vec) pairs so the total order is unambiguous
+    uniq = {(q, v): s for q, v, s in rows}
+    data = [(q, v, s) for (q, v), s in uniq.items()]
+    df = sp.createDataFrame(
+        data, "query_id int, vec_id int, score double"
+    ).repartition(nparts)
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in bounded_topk_rank(df, limit, order_col="score").collect()
+    }
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    want = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= limit)
+        .collect()
+    }
+    assert got == want
+
+
+token_docs = st.lists(
+    st.lists(st.sampled_from(list("abcx")), min_size=0, max_size=40)
+    .map(lambda ts: " ".join(ts)),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=token_docs)
+@SETTINGS
+def test_rolling_window_hash_is_content_function(sp, texts):
+    """The Rabin-Karp window stage: every emitted (doc, s) is a real
+    in-bounds window, every doc with >= w tokens emits exactly
+    n-w+1 windows, and two windows hash equal IFF their token content
+    is equal (over a tiny alphabet that forces massive duplication
+    across docs and positions)."""
+    from arc_kinesis_tagging_spark.plans.quality_ops import (
+        _SUBSTR_W,
+        _rolling_windows_np,
+    )
+
+    df = sp.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = _rolling_windows_np(df, _SUBSTR_W).collect()
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    per_doc = {}
+    content = {}
+    for r in rows:
+        ts = toks[r["doc_id"]]
+        assert r["n_tokens"] == len(ts)
+        s = r["s"]
+        assert 1 <= s <= len(ts) - _SUBSTR_W + 1
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+        content[(r["doc_id"], s)] = (
+            tuple(ts[s - 1 : s - 1 + _SUBSTR_W]), r["wh"]
+        )
+    for i, ts in toks.items():
+        want = len(ts) - _SUBSTR_W + 1 if len(ts) >= _SUBSTR_W else 0
+        assert per_doc.get(i, 0) == want, i
+    # hash equal <=> content equal
+    for ka, (ca, ha) in content.items():
+        for kb, (cb, hb) in content.items():
+            assert (ca == cb) == (ha == hb), (ka, kb)
