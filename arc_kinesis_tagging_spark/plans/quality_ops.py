@@ -1745,6 +1745,60 @@ FROM per_doc
 """
 
 
+_EWMA_ALPHA = 0.3
+
+
+def q_ts_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of event values
+    — the classic streaming smoother (EWMA), computed batch-side as a
+    LEFT FOLD over each user's time-ordered series: y_1 = x_1,
+    y_i = alpha*x_i + (1-alpha)*y_{i-1}.
+
+    Shape: one shuffle groups each user's events, the ordered series
+    is a per-user array (bounded by per-user activity, the same bound
+    q_session_stats lives with), and the recurrence is a sequential
+    HOF fold — the only faithful evaluation of a recurrence, kept
+    inside one task per user rather than faked with an unstable
+    closed-form power sum (whose (1-a)^-i weights overflow on long
+    series). Identical left-to-right fold in DuckDB's list_reduce
+    makes the unrounded doubles bit-comparable; output rounded 6dp.
+    Null values are excluded (both engines), ordering ties break by
+    event_id."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    a = _EWMA_ALPHA
+    series = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ),
+        lambda s: s["value"],
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), series.alias("__vals")
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("__vals"), 2, F.greatest(F.size("__vals") - 1, F.lit(0))),
+        F.element_at(F.col("__vals"), 1),
+        lambda acc, x: acc * F.lit(1.0 - a) + x * F.lit(a),
+    )
+    return per_user.select(
+        "user_id", "n_events", F.round(ewma, 6).alias("ewma6")
+    )
+
+
+ORACLE_TS_EWMA = f"""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(list_reduce(
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+         (acc, x) -> acc * CAST({1.0 - _EWMA_ALPHA} AS DOUBLE)
+                     + x * CAST({_EWMA_ALPHA} AS DOUBLE)
+       ), 6) AS ewma6
+FROM events
+WHERE value IS NOT NULL
+GROUP BY user_id
+"""
+
+
 def q_lm_buckets(spark, sf_dir):
     """CCNet-style per-language perplexity bucketing: every scored
     document lands in the head / middle / tail third of its language's
@@ -2377,6 +2431,7 @@ QUALITY_QUERIES = [
     Query("q_ngram_lm_score", q_ngram_lm_score, ORACLE_NGRAM_LM_SCORE),
     Query("q_ngram_lm_pruned", q_ngram_lm_pruned, ORACLE_NGRAM_LM_PRUNED),
     Query("q_lm_buckets", q_lm_buckets, _lm_buckets_oracle()),
+    Query("q_ts_ewma", q_ts_ewma, ORACLE_TS_EWMA),
     Query("q_bpe_subwords", q_bpe_subwords, ORACLE_BPE_SUBWORDS),
     Query("q_bpe_encode", q_bpe_encode, None,
           "trains merges upstream (iterative) -> rows-only; train/apply "

@@ -305,6 +305,9 @@ EVENT_QUERIES = [
     # round-7: VARIANT ingestion — malformed "{k: 87", empty string,
     # NULL props, and json-null k all land as null variants/values
     "q_json_variant",
+    # round-7: EWMA fold — null values excluded, NULL user group,
+    # 1e15 magnitudes through the recurrence
+    "q_ts_ewma",
 ]
 
 

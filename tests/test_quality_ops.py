@@ -799,3 +799,26 @@ def test_bm25_ranking_properties(spark, sf_dir):
             )
             assert r["tf"] == tf
             assert abs(r["score4"] - want) <= 5.1e-5, (term, r["doc_id"])
+
+
+def test_ewma_matches_python_fold(spark, sf_dir):
+    """q_ts_ewma equals the literal python recurrence y_1 = x_1,
+    y_i = a*x_i + (1-a)*y_{i-1} over each user's (ts, event_id)-ordered
+    non-null values."""
+    from arc_kinesis_tagging_spark.plans.quality_ops import _EWMA_ALPHA, q_ts_ewma
+    from arc_kinesis_tagging_spark.sources.tables import load_table
+
+    got = {r["user_id"]: r for r in q_ts_ewma(spark, sf_dir).collect()}
+    ev = load_table(spark, "events", sf_dir).collect()
+    series: dict = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        if r["value"] is None:
+            continue
+        series.setdefault(r["user_id"], []).append(float(r["value"]))
+    assert set(got) == set(series)
+    for uid, xs in series.items():
+        y = xs[0]
+        for x in xs[1:]:
+            y = y * (1.0 - _EWMA_ALPHA) + x * _EWMA_ALPHA
+        assert got[uid]["n_events"] == len(xs)
+        assert abs(got[uid]["ewma6"] - y) < 1e-6, uid
