@@ -45,7 +45,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -252,10 +254,107 @@ class KinesisEmuBatchReader(DataSourceReader):
         yield from KinesisEmuStreamReader.read(self, partition)  # same scan
 
 
+@dataclass
+class _StagedWrite(WriterCommitMessage):
+    """One task's staged output: (shard_id, staged_path, n_rows)."""
+
+    part_id: int
+    staged: list
+
+
+class KinesisEmuStreamWriter(DataSourceStreamWriter):
+    """The PRODUCER half of the connector (Kinesis PutRecords as a
+    ``writeStream.format("kinesis_emu")`` sink) with an exactly-once
+    commit protocol over the same chunk storage the reader consumes:
+
+    - ``write()`` (executors): each task groups its rows by shard and
+      stages them as uncommitted parquet under ``.staging/`` —
+      invisible to readers (chunk listing matches ``chunk-*`` only) —
+      returning the staged paths in its commit message.
+    - ``commit()`` (driver): assigns sequence numbers ONCE, globally —
+      staged data is concatenated in (task partition, shard) order, so
+      the published order is deterministic for a given micro-batch —
+      and publishes one atomic chunk per shard via the same
+      write-then-rename discipline as ``write_kinesis_fixture``. A
+      batch marker under ``_committed/`` makes re-commits after a
+      restart no-ops: the replayed epoch sees its marker and discards
+      its staging instead of double-publishing (exactly-once, R15's
+      idempotency at the connector layer).
+    - ``abort()``: staged files are deleted; nothing was visible.
+
+    Like real Kinesis sequencing, seq assignment is centralized:
+    ONE committing driver per stream directory (concurrent producer
+    JOBS to the same stream need external serialization, as with any
+    file-backed queue). Input rows: (data binary, shard_id string).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.stream_dir = options["streamdir"]
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        by_shard: dict[str, list[bytes]] = {}
+        for row in iterator:
+            by_shard.setdefault(row.shard_id, []).append(bytes(row.data))
+        staging = os.path.join(self.stream_dir, ".staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = []
+        for shard_id, payloads in sorted(by_shard.items()):
+            p = os.path.join(staging, f"stage-{uuid.uuid4().hex}.parquet")
+            pq.write_table(
+                pa.table({"data": pa.array(payloads, pa.binary())}), p
+            )
+            staged.append((shard_id, p, len(payloads)))
+        return _StagedWrite(pid, staged)
+
+    def _cleanup(self, messages) -> None:
+        for msg in messages:
+            for _shard, path, _n in getattr(msg, "staged", []) or []:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+
+    def commit(self, messages, batchId) -> None:  # noqa: N802 (Spark API)
+        import pyarrow.parquet as pq
+
+        marker_dir = os.path.join(self.stream_dir, "_committed")
+        os.makedirs(marker_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, f"batch-{int(batchId):020d}")
+        if os.path.exists(marker):  # replayed epoch: already published
+            self._cleanup(messages)
+            return
+        per_shard: dict[str, list[str]] = {}
+        for msg in sorted(messages, key=lambda m: m.part_id):
+            for shard_id, path, _n in msg.staged:
+                per_shard.setdefault(shard_id, []).append(path)
+        records = []
+        for shard_id, paths in sorted(per_shard.items()):
+            shard_num = int(shard_id.rsplit("-", 1)[1])
+            for p in paths:
+                for payload in pq.read_table(p)["data"].to_pylist():
+                    records.append((payload, shard_num))
+        write_kinesis_fixture(self.stream_dir, records)
+        with open(marker + ".tmp", "w") as fh:
+            fh.write(json.dumps({"batch": int(batchId)}))
+        os.replace(marker + ".tmp", marker)
+        self._cleanup(messages)
+
+    def abort(self, messages, batchId) -> None:  # noqa: N802
+        self._cleanup(messages)
+
+
 class KinesisEmuDataSource(DataSource):
-    """``spark.readStream.format("kinesis_emu")`` (streaming) or
-    ``spark.read.format("kinesis_emu")`` (replay/backfill) after
-    ``spark.dataSource.register(KinesisEmuDataSource)``."""
+    """``spark.readStream.format("kinesis_emu")`` (streaming read),
+    ``spark.read.format("kinesis_emu")`` (replay/backfill), or
+    ``df.writeStream.format("kinesis_emu")`` (exactly-once produce)
+    after ``spark.dataSource.register(KinesisEmuDataSource)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -269,3 +368,6 @@ class KinesisEmuDataSource(DataSource):
 
     def reader(self, schema: StructType) -> KinesisEmuBatchReader:
         return KinesisEmuBatchReader(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: N802
+        return KinesisEmuStreamWriter(self.options)

@@ -190,3 +190,68 @@ def test_batch_replay_over_same_storage(registered, tmp_path):
     assert sorted((r["shard_id"][-1], r["seq"]) for r in rows) == [
         ("0", 2), ("0", 3), ("0", 4), ("1", 2), ("1", 3), ("1", 4),
     ]
+
+
+def test_stream_writer_tee_exactly_once(registered, tmp_path):
+    """The DataSourceStreamWriter (producer half): a stream TEE —
+    consume stream A through the connector, republish every record to
+    stream B through the connector's exactly-once sink — must deliver
+    every payload to the right shard in order, survive a checkpointed
+    restart with zero duplicates (the _committed batch marker makes a
+    replayed commit a no-op), and leave no staging residue."""
+    import os
+
+    spark = registered
+    src = str(tmp_path / "stream-a")
+    dst = str(tmp_path / "stream-b")
+    ckpt = str(tmp_path / "ckpt-tee")
+    write_kinesis_fixture(
+        src, [(_blob(i, i % 2), i % 2) for i in range(12)]
+    )
+
+    def tee():
+        q = (
+            spark.readStream.format("kinesis_emu")
+            .option("streamDir", src).load()
+            .select("data", "shard_id")
+            .writeStream.format("kinesis_emu")
+            .option("streamDir", dst)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    tee()
+    out = (
+        spark.read.format("kinesis_emu").option("streamDir", dst).load()
+    ).collect()
+    want = {(bytes(_blob(i, i % 2)), f"shardId-{i % 2:012d}") for i in range(12)}
+    assert {(bytes(r["data"]), r["shard_id"]) for r in out} == want
+    assert len(out) == 12
+    # per-shard seq order equals source arrival order
+    for shard in (0, 1):
+        got = [
+            bytes(r["data"])
+            for r in sorted(out, key=lambda r: r["seq"])
+            if r["shard_id"] == f"shardId-{shard:012d}"
+        ]
+        assert got == [_blob(i, shard) for i in range(shard, 12, 2)]
+
+    # restart from the same checkpoint: no new data -> no duplicates
+    tee()
+    again = (
+        spark.read.format("kinesis_emu").option("streamDir", dst).load()
+    ).count()
+    assert again == 12
+    # staging fully cleaned up
+    staging = os.path.join(dst, ".staging")
+    assert not os.path.isdir(staging) or not os.listdir(staging)
+
+    # new records flow through incrementally on the same checkpoint
+    write_kinesis_fixture(src, [(_blob(100, 0), 0)])
+    tee()
+    final = (
+        spark.read.format("kinesis_emu").option("streamDir", dst).load()
+    ).count()
+    assert final == 13
