@@ -2013,6 +2013,61 @@ FROM ranked GROUP BY la, lb
 """
 
 
+def q_corpus_pipeline5(spark, sf_dir):
+    """Round-7 end-to-end refresh composite — the CCNet-style corpus
+    build from this round's operators: (1) pruned-LM perplexity
+    BUCKETS keep head+middle per language (tail dropped), (2)
+    prefix-SUBSUMED fragments dropped (range-partitioned adjacency),
+    (3) per-(source, bucket) survivor counts and mean bits — the
+    report a data-curation run ships. Aggregates use the exact
+    decimal-sum convention (order-independent), so the composite is
+    hash-checked end to end."""
+    from arc_kinesis_tagging_spark.operators.textops import prefix_subsumed_marks
+    from arc_kinesis_tagging_spark.plans.common import dsum
+
+    d = _t(spark, sf_dir, "documents")
+    lm = q_lm_buckets(spark, sf_dir).filter(F.col("bucket") != "tail")
+    frags = d.select(
+        "doc_id",
+        F.substring(F.col("text"), 1, 30 + (F.col("doc_id") % 5) * 30)
+        .cast("string")
+        .alias("frag"),
+    )
+    marks = prefix_subsumed_marks(frags, "frag")
+    unsubsumed = (
+        frags.join(marks, "frag")
+        .filter(~F.col("subsumed"))
+        .select("doc_id")
+    )
+    kept = lm.join(unsubsumed, "doc_id").join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    return kept.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            dsum("bits_per_token", 6) / F.count(F.lit(1)), 6
+        ).alias("avg_bits"),
+    )
+
+
+def _corpus_pipeline5_oracle() -> str:
+    return f"""
+WITH lm AS (
+  SELECT * FROM ({_lm_buckets_oracle()}) t WHERE bucket <> 'tail'
+), pf AS (
+  SELECT * FROM ({{PREFIX}}) t WHERE NOT subsumed
+)
+SELECT d.source, lm.bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(lm.bits_per_token AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_bits
+FROM lm
+JOIN pf ON pf.doc_id = lm.doc_id
+JOIN documents d ON d.doc_id = lm.doc_id
+GROUP BY d.source, lm.bucket
+"""
+
+
 def q_dedup_prefix(spark, sf_dir):
     """Exact prefix-containment dedup — the crawl-snapshot case where
     one capture is a truncation of a longer capture of the same page:
@@ -2440,6 +2495,8 @@ QUALITY_QUERIES = [
     Query("q_ngram_lm_pruned", q_ngram_lm_pruned, ORACLE_NGRAM_LM_PRUNED),
     Query("q_lm_buckets", q_lm_buckets, _lm_buckets_oracle()),
     Query("q_ts_ewma", q_ts_ewma, ORACLE_TS_EWMA),
+    Query("q_corpus_pipeline5", q_corpus_pipeline5,
+          _corpus_pipeline5_oracle().replace("{PREFIX}", ORACLE_DEDUP_PREFIX)),
     Query("q_bpe_subwords", q_bpe_subwords, ORACLE_BPE_SUBWORDS),
     Query("q_bpe_encode", q_bpe_encode, None,
           "trains merges upstream (iterative) -> rows-only; train/apply "

@@ -187,6 +187,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "q_ngram_lm_pruned", "q_lm_buckets",
     # same bounded two-level shape for the top-Q query-term selection
     "q_text_bm25",
+    # composite inheriting both bounded shapes above (lm_buckets'
+    # top-V prune + prefix dedup's P-row boundary window)
+    "q_corpus_pipeline5",
 }
 
 # Builders that launch eager Spark jobs at build time (iterative loops,
