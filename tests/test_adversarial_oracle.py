@@ -98,6 +98,7 @@ DOC_QUERIES = [
     "q_lm_buckets",
     "q_text_bm25",
     "q_multimodal_png_adam7",
+    "q_corpus_pipeline5",
 ]
 
 
