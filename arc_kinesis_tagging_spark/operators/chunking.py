@@ -124,3 +124,68 @@ def pack_token_spans(
         .cast("long")
         .alias("tokens_in_window"),
     )
+
+
+def pack_bins_ffd(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    part_col: str = "source",
+    capacity: int = 256,
+) -> DataFrame:
+    """First-Fit-Decreasing bin packing of WHOLE documents into
+    fixed-capacity training contexts — the no-cross-document-attention
+    sibling of ``pack_token_spans`` (which splits a token stream at
+    window boundaries): each document lands entirely in one bin, FFD
+    (sort by length descending, place into the first bin that fits)
+    keeps utilization within 11/9 OPT + 1 of optimal, and documents
+    longer than the capacity get their own flagged overflow bin.
+
+    The stateful first-fit scan is inherently sequential, so it runs
+    per ``part_col`` group in ``applyInPandas`` — groups pack in
+    parallel, the scan inside a group is a numpy-backed greedy loop.
+    Group size is per-source document count; at corpus scale the
+    group key becomes (source, shard) with bounded shards — FFD's
+    utilization bound degrades only by the shard count's end effects,
+    the standard trade for parallel packing. Deterministic: length
+    ties break by ``key_col``; bins are numbered by creation order.
+    Returns (part_col, key_col, n_tokens, bin_id, oversize).
+    """
+    import pandas as pd
+
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    base = df.select(
+        F.col(part_col), F.col(key_col), n_tok.alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", key_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        remaining: list[int] = []  # remaining capacity per bin
+        bin_ids, oversize = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > capacity:  # own flagged bin, never shared
+                remaining.append(-1)
+                bin_ids.append(len(remaining) - 1)
+                oversize.append(True)
+                continue
+            for b, rem in enumerate(remaining):
+                if rem >= n:
+                    remaining[b] = rem - n
+                    bin_ids.append(b)
+                    break
+            else:
+                remaining.append(capacity - n)
+                bin_ids.append(len(remaining) - 1)
+            oversize.append(False)
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        pdf["oversize"] = pd.Series(oversize, dtype="bool")
+        return pdf
+
+    schema = (
+        f"{part_col} string, {key_col} long, n_tokens long, "
+        "bin_id long, oversize boolean"
+    )
+    return base.groupBy(part_col).applyInPandas(pack, schema)

@@ -1920,6 +1920,20 @@ FROM starts
 """
 
 
+def q_seq_pack_ffd(spark, sf_dir):
+    """Whole-document First-Fit-Decreasing context packing
+    (operators/chunking.py:pack_bins_ffd) — the no-cross-document-
+    attention packer: per-source FFD into capacity-256 bins, oversize
+    docs isolated in flagged bins. The stateful first-fit scan is not
+    SQL-expressible -> rows-only; utilization/capacity/determinism
+    properties are pinned in tests/test_chunking_packing.py."""
+    from arc_kinesis_tagging_spark.operators.chunking import pack_bins_ffd
+
+    return pack_bins_ffd(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", "source", 256
+    )
+
+
 def q_seq_pack(spark, sf_dir):
     """GPT-style sequence packing: per-source concatenation cut into
     256-token context windows; one row per (doc, window) span. Running
@@ -2137,6 +2151,9 @@ LLMOPS_QUERIES = [
     Query("q_pipeline_tag_enrich", q_pipeline_tag_enrich, ORACLE_PIPELINE),
     Query("q_text_chunk", q_text_chunk, ORACLE_TEXT_CHUNK),
     Query("q_seq_pack", q_seq_pack, ORACLE_SEQ_PACK),
+    Query("q_seq_pack_ffd", q_seq_pack_ffd, None,
+          "stateful first-fit scan not SQL-expressible -> rows-only; "
+          "utilization/capacity/determinism pinned in tests"),
     Query("q_pii_scrub", q_pii_scrub, ORACLE_PII_SCRUB),
     Query("q_contamination", q_contamination, ORACLE_CONTAMINATION),
     Query("q_dedup_semantic", q_dedup_semantic, None,

@@ -257,6 +257,7 @@ _R7_HEAD = [
     "q_json_variant",         # Spark-4 VARIANT semi-structured extraction
     "q_ts_ewma",              # per-user EWMA fold (time-series smoother)
     "q_corpus_pipeline5",     # round-7 composite: buckets -> prefix dedup
+    "q_seq_pack_ffd",         # whole-doc FFD context packing (rows-only)
     # -- (b) rewired this round --
     "q_similarity_topk", "q_hard_negatives", "q_doc_minwise_sim",
     "q_dedup_prefix", "q_dedup_substring", "q_ann_persisted",

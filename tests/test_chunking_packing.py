@@ -194,3 +194,60 @@ def test_null_embeddings_ignored_not_crashing(spark):
     top = cosine_topk_bruteforce_np(df, q, k=2).collect()
     assert {r["query_id"] for r in top} == {9}
     assert {r["vec_id"] for r in top} == {1, 3}
+
+
+def test_ffd_packing_properties(spark, sf_dir):
+    """FFD bin packing: every doc packed exactly once, no shared bin
+    exceeds capacity, oversize docs isolated and flagged, bin count
+    beats-or-ties the naive sequential packer per source, and the
+    assignment is repartition-invariant (deterministic)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from arc_kinesis_tagging_spark.operators.chunking import pack_bins_ffd
+    from arc_kinesis_tagging_spark.sources.tables import load_table
+
+    cap = 256
+    d = load_table(spark, "documents", sf_dir)
+    rows = pack_bins_ffd(d, capacity=cap).collect()
+    n_docs_with_tokens = d.filter(
+        F.size(F.split(F.trim("text"), " ")) >= 1
+    ).filter(F.length(F.trim("text")) > 0).count()
+
+    seen = set()
+    fills: dict = defaultdict(lambda: defaultdict(int))
+    lens: dict = defaultdict(list)
+    for r in rows:
+        assert r["doc_id"] not in seen
+        seen.add(r["doc_id"])
+        key = (r["source"], r["bin_id"])
+        if r["oversize"]:
+            assert r["n_tokens"] > cap
+            assert fills[r["source"]][r["bin_id"]] == 0
+            fills[r["source"]][r["bin_id"]] = -1  # poisoned: must stay solo
+        else:
+            assert fills[r["source"]][r["bin_id"]] >= 0, key
+            fills[r["source"]][r["bin_id"]] += r["n_tokens"]
+        lens[r["source"]].append(r["n_tokens"])
+    assert len(seen) == n_docs_with_tokens
+    for src, bins in fills.items():
+        for b, fill in bins.items():
+            assert fill == -1 or fill <= cap, (src, b, fill)
+        # FFD bin count <= naive in-order sequential packing
+        naive_bins, cur = 1, 0
+        for n in lens[src]:
+            n = min(n, cap + 1)
+            if n > cap:
+                naive_bins += 1
+                cur = 0
+                continue
+            if cur + n > cap:
+                naive_bins += 1
+                cur = n
+            else:
+                cur += n
+        assert len(bins) <= naive_bins + 1, src
+
+    again = pack_bins_ffd(d.repartition(13), capacity=cap).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
