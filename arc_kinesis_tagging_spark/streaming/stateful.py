@@ -236,3 +236,52 @@ def streaming_funnel(
     ).applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_ewma(
+    events: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming EWMA per key with O(1) state — the micro-batch
+    sibling of the batch fold (plans/quality_ops.py:q_ts_ewma): state
+    is just (count, current smoothed value) per key, each trigger
+    folds its new rows in (ts, id) order into the carried value, and
+    update mode re-emits keys that changed. Equals the batch EWMA
+    exactly whenever triggers respect event-time order across batches
+    (replayed logs, ordered ingestion) — the within-batch sort handles
+    arbitrary intra-trigger arrival; cross-batch disorder is the
+    watermark problem, out of an EWMA's scope by definition. Null
+    values are excluded, as in the batch operator."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, n_events long, ewma double"
+    state_schema = "n long, y double"
+
+    def update(key, pdfs, state: GroupState):
+        n, y = state.get if state.exists else (0, 0.0)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            batch = pd.concat(frames).sort_values([ts_col, id_col])
+            for v in batch[value_col]:
+                y = float(v) if n == 0 else y * (1.0 - alpha) + float(v) * alpha
+                n += 1
+        state.update((n, y))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "ewma": [y]}
+        )
+
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .select(key_col, ts_col, id_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

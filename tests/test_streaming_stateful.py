@@ -332,3 +332,62 @@ def test_streaming_hh_supersets_batch_exact(spark, tmp_path):
         true = true_counts[tok]
         assert r["freq"] == true  # batch exact pass agrees with raw counts
         assert est - err <= true <= est, (tok, est, err, true)
+
+
+def test_streaming_ewma_equals_batch_fold(spark, tmp_path):
+    """Hybrid parity: the O(1)-state streaming EWMA over time-ordered
+    micro-batches must land on EXACTLY the batch fold's value for
+    every user (same recurrence, same ordering, null values excluded),
+    with n_events accounting for every non-null row."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from arc_kinesis_tagging_spark.streaming.stateful import streaming_ewma
+
+    t0 = datetime.datetime(2024, 1, 1)
+    src = str(tmp_path / "ewma-src")
+    rows1, rows2, eid = [], [], 0
+    series = {1: [10.0, 20.0, None, 40.0], 2: [5.0], 3: [1.0, 1.0, 1.0]}
+    for uid, xs in series.items():
+        for i, x in enumerate(xs):
+            row = (eid, t0 + datetime.timedelta(minutes=eid), uid, x)
+            (rows1 if i < 2 else rows2).append(row)
+            eid += 1
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    # two time-ordered files -> two micro-batches
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(schema.replace(", ", ",")).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    got = {}
+
+    def sink(df, _bid):
+        for r in df.collect():
+            got[r["user_id"]] = (r["n_events"], r["ewma"])
+
+    q = (
+        streaming_ewma(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    a = 0.3
+    for uid, xs in series.items():
+        vals = [x for x in xs if x is not None]
+        y = vals[0]
+        for x in vals[1:]:
+            y = y * (1 - a) + x * a
+        n, ewma = got[uid]
+        assert n == len(vals), uid
+        assert abs(ewma - y) < 1e-12, uid
