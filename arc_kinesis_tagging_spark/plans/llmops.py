@@ -1518,6 +1518,86 @@ FROM documents
 """
 
 
+def q_multimodal_wav(spark, sf_dir):
+    """REAL audio-container decode — the audio modality's first
+    genuine codec (joining the PPM/PNG/JPEG image family): PCM16
+    RIFF/WAVE per document (mono/stereo, varied rates), decoded by a
+    pure-struct chunk walk (operators/multimodal.py:decode_wav_bytes)
+    with an exact integer absolute-sum feature, so the oracle derives
+    the whole container -> samples -> aggregate path analytically.
+    Compressed audio (MP3/AAC) remains an honest stub; PCM WAV is the
+    interchange format feature pipelines ingest."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_wav_media,
+        decode_wav,
+    )
+
+    d = attach_wav_media(_t(spark, sf_dir, "documents"), "doc_id")
+    return decode_wav(d, "media_id", "media")
+
+
+ORACLE_MULTIMODAL_WAV = """
+WITH base AS (
+  SELECT doc_id,
+         1000 + (doc_id % 5) * 100 AS nf,
+         doc_id % 2 + 1 AS nc
+  FROM documents
+), s AS (
+  SELECT b.doc_id,
+         CAST(SUM(ABS(((b.doc_id + 7 * t.t + 50 * c.c) % 201) - 100))
+              AS BIGINT) AS sum_abs
+  FROM base b
+  CROSS JOIN range(0, 1400) t(t)
+  CROSS JOIN range(0, 2) c(c)
+  WHERE t.t < b.nf AND c.c < b.nc
+  GROUP BY b.doc_id
+)
+SELECT b.doc_id AS media_id,
+       CAST(b.nc AS INTEGER) AS n_channels,
+       CAST(8000 + (b.doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+       CAST(b.nf AS BIGINT) AS n_frames,
+       s.sum_abs
+FROM base b JOIN s ON s.doc_id = b.doc_id
+"""
+
+
+def q_multimodal_y4m(spark, sf_dir):
+    """REAL video-container decode + FRAME SAMPLING — the video
+    modality's genuine codec-free format (YUV4MPEG2, the interchange
+    container video tools pipe between each other): per document a
+    C444 Y4M stream of constant-luma frames, decoded by a header +
+    FRAME-marker walk (operators/multimodal.py:decode_y4m_bytes),
+    every 2nd frame kept, per-sampled-frame luma mean emitted — the
+    canonical training-data video op (sample frames for a vision
+    encoder). Means are exact integers, so the oracle derives the
+    whole container -> frames -> sample -> aggregate path
+    analytically. Compressed video (H.264/VP9) remains an honest
+    stub."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_y4m_media,
+        sample_y4m_frames,
+    )
+
+    d = attach_y4m_media(_t(spark, sf_dir, "documents"), "doc_id")
+    return sample_y4m_frames(d, every=2)
+
+
+ORACLE_MULTIMODAL_Y4M = """
+WITH base AS (
+  SELECT doc_id, doc_id % 7 + 4 AS nf, 8 + (doc_id % 3) * 4 AS w
+  FROM documents
+)
+SELECT b.doc_id AS media_id,
+       CAST(f.f AS INTEGER) AS frame_idx,
+       CAST(b.w AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST((b.doc_id + 11 * f.f) % 200 + 28 AS DOUBLE) AS mean_y
+FROM base b
+CROSS JOIN range(0, 11) f(f)
+WHERE f.f < b.nf AND f.f % 2 = 0
+"""
+
+
 def q_multimodal_png_adam7(spark, sf_dir):
     """Adam7-INTERLACED truecolor PNG decode — the last PNG shape the
     tree lacked (round-6 verdict listed it as the only deprioritized
@@ -2132,6 +2212,8 @@ LLMOPS_QUERIES = [
     Query("q_multimodal_png", q_multimodal_png, ORACLE_MULTIMODAL_PNG),
     Query("q_multimodal_png_adam7", q_multimodal_png_adam7,
           ORACLE_MULTIMODAL_PNG_ADAM7),
+    Query("q_multimodal_wav", q_multimodal_wav, ORACLE_MULTIMODAL_WAV),
+    Query("q_multimodal_y4m", q_multimodal_y4m, ORACLE_MULTIMODAL_Y4M),
     Query("q_multimodal_jpeg", q_multimodal_jpeg, ORACLE_MULTIMODAL_JPEG),
     Query("q_multimodal_jpeg420", q_multimodal_jpeg420,
           ORACLE_MULTIMODAL_JPEG420),

@@ -878,3 +878,58 @@ def test_png_adam7_roundtrip_and_isolation(spark):
     assert rows[7]["width"] is None and rows[9]["width"] is None
     ok = rows[3]
     assert ok["width"] == 3 % 12 + 4 and ok["height"] == 3 % 10 + 4
+
+
+def test_wav_y4m_roundtrip_and_isolation(spark):
+    """Audio/video container codecs: WAV PCM16 roundtrip (mono/stereo,
+    odd lengths, extreme samples), Y4M roundtrip, and per-record
+    isolation of truncated/corrupt payloads through the Spark path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_wav_media,
+        attach_y4m_media,
+        decode_wav,
+        decode_wav_bytes,
+        encode_wav_pcm16,
+        sample_y4m_frames,
+    )
+
+    # WAV: extreme int16 values survive, word-aligned odd chunk walk
+    s = np.array([[32767], [-32768], [0]], np.int16)
+    dec, rate = decode_wav_bytes(encode_wav_pcm16(s, 44100))
+    assert rate == 44100 and np.array_equal(dec, s)
+
+    ids = spark.range(30).withColumnRenamed("id", "doc_id")
+    wav = attach_wav_media(ids, "doc_id")
+    wav_bad = wav.withColumn(
+        "media",
+        F.when(F.col("media_id") == 5,
+               F.expr("substring(media, 1, 20)").cast("binary"))
+        .otherwise(F.col("media")),
+    )
+    rows = {r["media_id"]: r for r in decode_wav(wav_bad).collect()}
+    assert rows[5]["n_frames"] is None
+    r7 = rows[7]
+    assert (r7["n_channels"], r7["sample_rate"], r7["n_frames"]) == (
+        7 % 2 + 1, 8000 + (7 % 3) * 4000, 1000 + (7 % 5) * 100
+    )
+
+    y4m = attach_y4m_media(ids, "doc_id")
+    y4m_bad = y4m.withColumn(
+        "media",
+        F.when(F.col("media_id") == 3,
+               F.expr("substring(media, 1, 30)").cast("binary"))
+        .otherwise(F.col("media")),
+    )
+    out = sample_y4m_frames(y4m_bad, every=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[3]) == 1 and by_id[3][0]["frame_idx"] is None
+    f9 = sorted(by_id[9], key=lambda r: r["frame_idx"])
+    n9 = 9 % 7 + 4
+    assert [r["frame_idx"] for r in f9] == list(range(0, n9, 2))
+    for r in f9:
+        assert r["mean_y"] == (9 + 11 * r["frame_idx"]) % 200 + 28
