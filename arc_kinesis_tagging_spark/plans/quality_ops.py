@@ -1745,6 +1745,72 @@ FROM per_doc
 """
 
 
+def q_text_html_strip(spark, sf_dir):
+    """Markup stripping — the first gate of every web-crawl text
+    pipeline (the reference's corpus IS web content): each document is
+    wrapped in a deterministic HTML shell (tags, attributes, entities,
+    void elements), then cleaned by the codegen regex chain the
+    production extractor runs: tag removal, the five standard entity
+    decodes, whitespace normalization. Output pins the cleaned text,
+    its token count, and that the shell's chrome (headings, entity
+    noise) is gone while the payload text survives verbatim. Pure
+    expression plan — zero shuffle, scales as a scan."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div class="doc" id="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><h1>Title &amp; #'),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><br/><span data-x="1">&lt;tail&gt;&nbsp;&quot;q&quot;&#39;s</span></div>'),
+    )
+    no_tags = F.regexp_replace(html, "<[^>]*>", " ")
+    ent = no_tags
+    for pat, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        ent = F.regexp_replace(ent, pat, rep)
+    clean = F.trim(F.regexp_replace(ent, "\\s+", " "))
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.split(clean, " ")).cast("long").alias("n_tokens"),
+    )
+
+
+def _html_strip_oracle() -> str:
+    ent = "regexp_replace(no_tags, '<[^>]*>', ' ', 'g')"  # placeholder
+    expr = "no_tags"
+    for pat, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH shell AS (
+  SELECT doc_id,
+         '<div class="doc" id="d' || doc_id || '"><h1>Title &amp; #'
+         || doc_id || '</h1><p>' || text
+         || '</p><br/><span data-x="1">&lt;tail&gt;&nbsp;&quot;q&quot;&#39;s</span></div>'
+           AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+         regexp_replace(html, '<[^>]*>', ' ', 'g') AS no_tags
+  FROM shell
+), cleaned AS (
+  SELECT doc_id,
+         trim(regexp_replace({expr}, '\\s+', ' ', 'g')) AS clean_text
+  FROM stripped
+)
+SELECT doc_id, clean_text,
+       CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_tokens
+FROM cleaned
+"""
+
+
 _EWMA_ALPHA = 0.3
 
 
@@ -2495,6 +2561,7 @@ QUALITY_QUERIES = [
     Query("q_ngram_lm_pruned", q_ngram_lm_pruned, ORACLE_NGRAM_LM_PRUNED),
     Query("q_lm_buckets", q_lm_buckets, _lm_buckets_oracle()),
     Query("q_ts_ewma", q_ts_ewma, ORACLE_TS_EWMA),
+    Query("q_text_html_strip", q_text_html_strip, _html_strip_oracle()),
     Query("q_corpus_pipeline5", q_corpus_pipeline5,
           _corpus_pipeline5_oracle().replace("{PREFIX}", ORACLE_DEDUP_PREFIX)),
     Query("q_bpe_subwords", q_bpe_subwords, ORACLE_BPE_SUBWORDS),

@@ -99,6 +99,7 @@ DOC_QUERIES = [
     "q_text_bm25",
     "q_multimodal_png_adam7",
     "q_corpus_pipeline5",
+    "q_text_html_strip",
 ]
 
 
