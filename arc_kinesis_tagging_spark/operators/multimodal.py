@@ -2967,3 +2967,47 @@ def sample_y4m_frames(
             )
 
     return df.select(id_col, media_col).mapInPandas(dec, Y4M_SAMPLED_SCHEMA)
+
+
+def thumbnail_png(
+    df: DataFrame, id_col: str = "media_id", media_col: str = "media"
+) -> DataFrame:
+    """REAL image resize through the batched path: decode the PNG,
+    crop to even dimensions, 2x2 box-filter downsample (the standard
+    mip step), emit thumbnail dims + per-channel means. Box averaging
+    preserves the mean over the cropped region exactly, so for the
+    analytic gradient fixtures the oracle derives the thumbnail means
+    in closed form — the resize kernel (crop, window sum, scale) is
+    what gets verified. Per-record error isolation to null rows."""
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                mid_out = None if pd.isna(mid) else int(mid)
+                try:
+                    px = decode_png_rgb8_bytes(bytes(blob)).astype("float64")
+                    h, w, _ = px.shape
+                    hc, wc = (h // 2) * 2, (w // 2) * 2
+                    if hc == 0 or wc == 0:
+                        raise ValueError("too small to thumbnail")
+                    c = px[:hc, :wc, :]
+                    thumb = (
+                        c.reshape(hc // 2, 2, wc // 2, 2, 3)
+                        .mean(axis=(1, 3))
+                    )
+                    out.append(
+                        (mid_out, wc // 2, hc // 2,
+                         thumb[:, :, 0].mean(), thumb[:, :, 1].mean(),
+                         thumb[:, :, 2].mean())
+                    )
+                except Exception:
+                    out.append((mid_out, None, None, None, None, None))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(dec, PPM_DECODED_SCHEMA)

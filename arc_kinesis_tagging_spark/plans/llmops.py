@@ -1518,6 +1518,45 @@ FROM documents
 """
 
 
+def q_multimodal_thumbnail(spark, sf_dir):
+    """REAL image RESIZE — the last member of the brief's decode /
+    feature-extract / resize / frame-sample quartet still running only
+    on the fake-media path: decode each genuine PNG, even-crop, 2x2
+    box downsample (operators/multimodal.py:thumbnail_png). Box
+    averaging preserves the mean over the cropped region exactly, and
+    the fixture pixels are linear gradients, so the oracle derives
+    thumbnail dims and channel means in closed form (mean of a linear
+    function over a uniform grid = value at the grid centroid) — a
+    resize that mis-crops, mis-windows, or mis-scales hash-fails."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_png_media,
+        thumbnail_png,
+    )
+
+    d = attach_png_media(_t(spark, sf_dir, "documents"), "doc_id")
+    return thumbnail_png(d, "media_id", "media")
+
+
+# crop to even dims (wc, hc); channel means over the crop: value at
+# the crop centroid of each linear gradient (r = base + x + y,
+# g = base + 2x, b = base + 3y)
+ORACLE_MULTIMODAL_THUMBNAIL = """
+WITH dims AS (
+  SELECT doc_id,
+         ((doc_id % 12 + 4) // 2) * 2 AS wc,
+         ((doc_id % 10 + 4) // 2) * 2 AS hc
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(wc / 2 AS INTEGER) AS width,
+       CAST(hc / 2 AS INTEGER) AS height,
+       CAST(doc_id % 64 AS DOUBLE) + (wc - 1) / 2.0 + (hc - 1) / 2.0 AS mean_r,
+       CAST(doc_id % 32 AS DOUBLE) + (wc - 1) AS mean_g,
+       CAST(doc_id % 16 AS DOUBLE) + 1.5 * (hc - 1) AS mean_b
+FROM dims
+"""
+
+
 def q_multimodal_wav(spark, sf_dir):
     """REAL audio-container decode — the audio modality's first
     genuine codec (joining the PPM/PNG/JPEG image family): PCM16
@@ -2213,6 +2252,8 @@ LLMOPS_QUERIES = [
     Query("q_multimodal_png_adam7", q_multimodal_png_adam7,
           ORACLE_MULTIMODAL_PNG_ADAM7),
     Query("q_multimodal_wav", q_multimodal_wav, ORACLE_MULTIMODAL_WAV),
+    Query("q_multimodal_thumbnail", q_multimodal_thumbnail,
+          ORACLE_MULTIMODAL_THUMBNAIL),
     Query("q_multimodal_y4m", q_multimodal_y4m, ORACLE_MULTIMODAL_Y4M),
     Query("q_multimodal_jpeg", q_multimodal_jpeg, ORACLE_MULTIMODAL_JPEG),
     Query("q_multimodal_jpeg420", q_multimodal_jpeg420,
