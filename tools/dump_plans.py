@@ -334,6 +334,49 @@ COMMENTARY = {
         "images (per-pass unfilter + lattice scatter inside the "
         "kernel), zero shuffle, per-record error isolation."
     ),
+    "q_similarity_ivfpq": (
+        "IVF-PQ: bounded driver-side codebook/LUT construction, one "
+        "narrow encode pass, one code-gather scoring pass filtered to "
+        "probed cells BEFORE its only shuffle, two-level bounded "
+        "top-k. Corpus-side scan volume is 4 bytes of codes per "
+        "vector — the compression PQ exists for."
+    ),
+    "q_ts_ewma": (
+        "EWMA: one shuffle groups each user's events; the recurrence "
+        "is a sequential HOF fold over the per-user ordered array "
+        "(bounded by per-user activity) — no closed-form power sums, "
+        "no per-row state exchange."
+    ),
+    "q_json_variant": (
+        "VARIANT extraction: try_parse_json ingests each payload once "
+        "into the binary variant encoding, typed try_variant_get paths "
+        "extract without re-parsing — pure projection, scales as a "
+        "scan, malformed payloads isolate as nulls."
+    ),
+    "q_text_html_strip": (
+        "Markup strip: tag removal + entity decode + whitespace "
+        "normalization as one codegen regex chain — zero shuffle, the "
+        "web-crawl first gate at scan speed."
+    ),
+    "q_multimodal_wav": (
+        "PCM16 WAV decode: RIFF chunk walk + integer absolute-sum "
+        "feature in one map-side Arrow pass, no shuffle; exact integer "
+        "outputs make the container->samples->aggregate path "
+        "hash-checkable."
+    ),
+    "q_multimodal_y4m": (
+        "Y4M frame sampling: header + FRAME-marker walk, every-k-th "
+        "frame kept, one output row per sampled frame — map-side only; "
+        "the canonical vision-encoder sampling op without any "
+        "compressed-codec dependency."
+    ),
+    "q_corpus_pipeline5": (
+        "Round-7 curation composite: pruned-LM buckets (bounded model "
+        "+ bounded histogram tertiles) -> range-partitioned prefix "
+        "dedup -> per-(source, bucket) decimal-sum report. Inherits "
+        "only bounded windows; the corpus-sized stages are scans, "
+        "keyed aggregates, and one broadcast-threshold join."
+    ),
 }
 
 
