@@ -1637,6 +1637,98 @@ WHERE f.f < b.nf AND f.f % 2 = 0
 """
 
 
+def q_multimodal_catalog(spark, sf_dir):
+    """Unified MEDIA CATALOG across all three real container codecs —
+    the brief's 'opaque binary columns with typed metadata' model as
+    one report: a slice of the corpus carries a PNG, a WAV, and a Y4M
+    per document; each modality decodes through its real codec, the
+    typed metadata unions into one (modality, n_items, total_units,
+    mean_feature) table — the inventory a multimodal training
+    pipeline materializes before sampling. Units/features: pixels +
+    mean luma-ish channel mean (image), frames + normalized abs-sum
+    (audio), sampled frames + mean luma (video). All closed-form, so
+    the whole three-codec catalog is one hash-checked row set."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_png_media,
+        attach_wav_media,
+        attach_y4m_media,
+        decode_png,
+        decode_wav,
+        sample_y4m_frames,
+    )
+    from arc_kinesis_tagging_spark.plans.common import dsum
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    img = decode_png(attach_png_media(d, "doc_id")).select(
+        F.lit("image").alias("modality"),
+        (F.col("width") * F.col("height")).cast("long").alias("units"),
+        F.col("mean_r").alias("feature"),
+    )
+    aud = decode_wav(attach_wav_media(d, "doc_id")).select(
+        F.lit("audio").alias("modality"),
+        F.col("n_frames").alias("units"),
+        (F.col("sum_abs") / (F.col("n_frames") * F.col("n_channels")))
+        .alias("feature"),
+    )
+    vid = sample_y4m_frames(attach_y4m_media(d, "doc_id"), every=2).select(
+        F.lit("video").alias("modality"),
+        F.lit(1).cast("long").alias("units"),  # one sampled frame per row
+        F.col("mean_y").alias("feature"),
+    )
+    cat = img.unionByName(aud).unionByName(vid)
+    return cat.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("units").alias("total_units"),
+        F.round(dsum("feature", 6) / F.count(F.lit(1)), 4).alias(
+            "mean_feature"
+        ),
+    )
+
+
+ORACLE_MULTIMODAL_CATALOG = """
+WITH docs AS (
+  SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+), img AS (
+  SELECT 'image' AS modality,
+         CAST((doc_id % 12 + 4) * (doc_id % 10 + 4) AS BIGINT) AS units,
+         CAST(doc_id % 64 AS DOUBLE)
+           + (doc_id % 12 + 3) / 2.0 + (doc_id % 10 + 3) / 2.0 AS feature
+  FROM docs
+), wavb AS (
+  SELECT doc_id, 1000 + (doc_id % 5) * 100 AS nf, doc_id % 2 + 1 AS nc
+  FROM docs
+), wavsum AS (
+  SELECT b.doc_id, b.nf, b.nc,
+         SUM(ABS(((b.doc_id + 7 * t.t + 50 * c.c) % 201) - 100)) AS sum_abs
+  FROM wavb b
+  CROSS JOIN range(0, 1400) t(t)
+  CROSS JOIN range(0, 2) c(c)
+  WHERE t.t < b.nf AND c.c < b.nc
+  GROUP BY b.doc_id, b.nf, b.nc
+), aud AS (
+  SELECT 'audio' AS modality,
+         CAST(nf AS BIGINT) AS units,
+         sum_abs / (CAST(nf AS DOUBLE) * nc) AS feature
+  FROM wavsum
+), vid AS (
+  SELECT 'video' AS modality,
+         CAST(1 AS BIGINT) AS units,
+         CAST((d.doc_id + 11 * f.f) % 200 + 28 AS DOUBLE) AS feature
+  FROM docs d
+  CROSS JOIN range(0, 11) f(f)
+  WHERE f.f < d.doc_id % 7 + 4 AND f.f % 2 = 0
+), cat AS (
+  SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid
+)
+SELECT modality,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(units) AS BIGINT) AS total_units,
+       ROUND(CAST(SUM(CAST(feature AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_feature
+FROM cat GROUP BY modality
+"""
+
+
 def q_multimodal_png_adam7(spark, sf_dir):
     """Adam7-INTERLACED truecolor PNG decode — the last PNG shape the
     tree lacked (round-6 verdict listed it as the only deprioritized
@@ -2255,6 +2347,8 @@ LLMOPS_QUERIES = [
     Query("q_multimodal_thumbnail", q_multimodal_thumbnail,
           ORACLE_MULTIMODAL_THUMBNAIL),
     Query("q_multimodal_y4m", q_multimodal_y4m, ORACLE_MULTIMODAL_Y4M),
+    Query("q_multimodal_catalog", q_multimodal_catalog,
+          ORACLE_MULTIMODAL_CATALOG),
     Query("q_multimodal_jpeg", q_multimodal_jpeg, ORACLE_MULTIMODAL_JPEG),
     Query("q_multimodal_jpeg420", q_multimodal_jpeg420,
           ORACLE_MULTIMODAL_JPEG420),

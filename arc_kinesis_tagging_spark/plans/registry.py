@@ -262,6 +262,7 @@ _R7_HEAD = [
     "q_multimodal_y4m",       # REAL Y4M video decode + frame sampling
     "q_text_html_strip",      # markup strip + entity decode gate
     "q_multimodal_thumbnail", # real PNG 2x2 box-downsample resize
+    "q_multimodal_catalog",   # three-codec unified media catalog
     # -- (b) rewired this round --
     "q_similarity_topk", "q_hard_negatives", "q_doc_minwise_sim",
     "q_dedup_prefix", "q_dedup_substring", "q_ann_persisted",
