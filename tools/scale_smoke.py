@@ -231,6 +231,11 @@ def main() -> None:
         # round-7: tail-pruned model — the bounded-model-join twin,
         # expected sub-linear in K where the unpruned join is linear+
         "q_ngram_lm_pruned",
+        # round-7: histogram-tertile bucketing + BM25 retrieval + the
+        # bucket->prefix-dedup composite
+        "q_lm_buckets",
+        "q_text_bm25",
+        "q_corpus_pipeline5",
         "q_dedup_prefix",
         "q_robots_gate",
         "q_dedup_substring",
