@@ -348,3 +348,33 @@ def test_rolling_window_hash_is_content_function(sp, texts):
     for ka, (ca, ha) in content.items():
         for kb, (cb, hb) in content.items():
             assert (ca == cb) == (ha == hb), (ka, kb)
+
+
+prefix_texts = st.lists(
+    st.text(alphabet="abT ", min_size=0, max_size=12),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(texts=prefix_texts, nparts=st.integers(min_value=1, max_value=6))
+@SETTINGS
+def test_prefix_subsumption_matches_bruteforce(sp, texts, nparts):
+    """Range-partitioned sort-adjacency subsumption (with boundary-row
+    exchange) == the O(n^2) definition (strict prefix of ANY other
+    text) for arbitrary corpora — nested chains, duplicates, empty
+    strings, shared-prefix clusters — under any partition count
+    (boundary rows cross partitions whenever nparts > 1)."""
+    from arc_kinesis_tagging_spark.operators.textops import prefix_subsumed_marks
+
+    df = sp.createDataFrame([(t,) for t in texts], "frag string")
+    got = {
+        r["frag"]: r["subsumed"]
+        for r in prefix_subsumed_marks(df, "frag", num_partitions=nparts).collect()
+    }
+    uniq = set(texts)
+    want = {
+        a: len(a) > 0 and any(b != a and b.startswith(a) for b in uniq)
+        for a in uniq
+    }
+    assert got == want
