@@ -52,6 +52,22 @@ AGG_QUERIES = [
     "q_source_mixing",
     "q_corpus_pipeline2",
     "q_sample_weighted",
+    # round-7 additions: two-level bounded ranks (partition-count
+    # changes the local-prune grouping — the result must not move),
+    # histogram tertiles, decimal-sum composites, fold recurrences
+    "q_similarity_topk",
+    "q_hard_negatives",
+    "q_ngram_lm_pruned",
+    "q_lm_buckets",
+    "q_text_bm25",
+    "q_doc_minwise_sim",
+    "q_dedup_prefix",
+    "q_ts_ewma",
+    "q_corpus_pipeline5",
+    "q_embed_pq",
+    "q_similarity_pq_adc",
+    "q_dedup_embedding_pq",
+    "q_multimodal_catalog",
 ]
 
 
