@@ -822,3 +822,21 @@ def test_ewma_matches_python_fold(spark, sf_dir):
             y = y * (1.0 - _EWMA_ALPHA) + x * _EWMA_ALPHA
         assert got[uid]["n_events"] == len(xs)
         assert abs(got[uid]["ewma6"] - y) < 1e-6, uid
+
+
+def test_heavy_hitters_builder_is_lazy(spark, sf_dir):
+    """Building the heavy-hitters plan must launch NO Spark job (the
+    round-7 advice fix: localCheckpoint(eager=False) keeps the builder
+    lazy); the first action then materializes the checkpointed
+    partials and both consumers reuse them."""
+    from arc_kinesis_tagging_spark.operators.textops import heavy_hitters
+    from arc_kinesis_tagging_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    docs.count()  # absorb the parquet listing/footer job up front
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = heavy_hitters(docs, "text", 0.02)
+    after_build = len(tracker.getJobIdsForGroup(None) or [])
+    assert after_build == before, "plan construction launched a Spark job"
+    assert df.count() >= 0  # the action still works end to end
