@@ -201,3 +201,53 @@ def test_ivfpq_matches_numpy_replica(spark, sf_dir):
         cand.sort()
         want += [(qi, vid, adc, r + 1) for r, (adc, vid) in enumerate(cand[:5])]
     assert got == sorted(want)
+
+
+def test_ann_persisted_fingerprint_invalidates_on_data_change(spark, sf_dir, tmp_path):
+    """The persisted-IVF path key includes a content fingerprint
+    (round-7 advice fix): regenerating the embeddings under the SAME
+    sf_dir must land the index at a NEW path and produce results for
+    the new data, never probe the stale index."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from arc_kinesis_tagging_spark.plans.llmops import (
+        _table_fingerprint,
+        q_ann_persisted,
+    )
+    from arc_kinesis_tagging_spark.sources.tables import load_table
+
+    work = str(tmp_path / "sfcopy")
+    os.makedirs(work)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    dst = os.path.join(work, "embeddings.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copy2(src, dst)
+    fp1 = _table_fingerprint(work, "embeddings")
+    r1 = {(r["query_id"], r["rank"]): r["vec_id"]
+          for r in q_ann_persisted(spark, work).collect()}
+    assert r1
+
+    # regenerate: shift every vec_id by 1000 (content change, same path)
+    e = load_table(spark, "embeddings", sf_dir).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    tmp_out = str(tmp_path / "regen")
+    e.write.mode("overwrite").parquet(tmp_out)
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    else:
+        os.remove(dst)
+    shutil.copytree(tmp_out, dst)
+    fp2 = _table_fingerprint(work, "embeddings")
+    assert fp2 != fp1  # new content -> new fingerprint -> new index path
+
+    r2 = q_ann_persisted(spark, work).collect()
+    # probing the NEW index: queries are vec_id < 8 and no such ids
+    # exist anymore, so the new-world result is empty — while a stale
+    # index would happily return the old ids
+    assert r2 == []
