@@ -251,3 +251,70 @@ def test_ann_persisted_fingerprint_invalidates_on_data_change(spark, sf_dir, tmp
     # exist anymore, so the new-world result is empty — while a stale
     # index would happily return the old ids
     assert r2 == []
+
+
+def test_ann_family_recall_ladder(spark, sf_dir):
+    """Recall@5 of the approximate family against exact numpy
+    baselines on the full test corpus: IVF (cosine) and IVF-PQ / ADC
+    (L2) each recall a reasonable fraction of the true top-5, and the
+    finer index (IVF-PQ, which re-ranks within probed cells by
+    quantized residual distance) never does worse than chance. The
+    asserted floors are deliberately loose — the pinned property is
+    'approximate indexes stay useful', not a tuned benchmark."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from arc_kinesis_tagging_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivfpq_adc_topk,
+        pq_adc_topk,
+    )
+    from arc_kinesis_tagging_spark.sources.tables import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = sorted(
+        ((r["vec_id"], np.array(r["embedding"], np.float64)) for r in e.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([i for i, _ in rows])
+    V = np.array([v for _, v in rows])
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+
+    def recall(got_pairs, exact_sets):
+        hits = sum(
+            1 for qid, vid in got_pairs if vid in exact_sets[qid]
+        )
+        return hits / sum(len(s) for s in exact_sets.values())
+
+    # exact cosine top-5 per query
+    S = Vn[:10] @ Vn.T
+    cos_exact = {
+        int(ids[qi]): set(ids[np.argsort(-S[qi], kind="stable")[:5]])
+        for qi in range(10)
+    }
+    ivf = [(r["query_id"], r["vec_id"])
+           for r in cosine_topk_ivf(e, q, k=5, nlist=16, nprobe=4).collect()]
+    r_ivf = recall(ivf, cos_exact)
+
+    # exact L2 top-5 per query
+    d2 = ((V[:10, None, :] - V[None, :, :]) ** 2).sum(axis=2)
+    l2_exact = {
+        int(ids[qi]): set(ids[np.argsort(d2[qi], kind="stable")[:5]])
+        for qi in range(10)
+    }
+    adc = [(r["query_id"], r["vec_id"])
+           for r in pq_adc_topk(e, q, k=5).collect()]
+    r_adc = recall(adc, l2_exact)
+    ivfpq = [(r["query_id"], r["vec_id"])
+             for r in ivfpq_adc_topk(e, q, k=5, nlist=8, ksub=8,
+                                     nprobe=2).collect()]
+    r_ivfpq = recall(ivfpq, l2_exact)
+
+    print(f"recall@5 — ivf: {r_ivf:.2f}, pq-adc: {r_adc:.2f}, "
+          f"ivf-pq: {r_ivfpq:.2f}")
+    assert r_ivf >= 0.6, r_ivf
+    assert r_adc >= 0.3, r_adc     # 4 subspaces x 16 codes is coarse
+    assert r_ivfpq >= 0.3, r_ivfpq
