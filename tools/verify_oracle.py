@@ -55,8 +55,19 @@ def driver_canon_check(df):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    # --reps N re-runs each selected query N times: the flake-check
+    # for the nondeterminism class that passes single runs (float-SUM
+    # addition order in parallel aggregation, unquantized argmin ties
+    # — see memory/cross-engine-determinism-rules). Every rep must
+    # pass independently.
+    args = sys.argv[1:]
+    reps = 1
+    if "--reps" in args:
+        i = args.index("--reps")
+        reps = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     spark = get_session("verify-oracle")
 
     con = duckdb.connect()
@@ -66,9 +77,13 @@ def main():
         )
 
     n_pass = n_fail = n_rows_only = 0
-    for name, q in QUERIES.items():
-        if only and name not in only:
-            continue
+    targets = [
+        (name, q)
+        for name, q in QUERIES.items()
+        if not only or name in only
+        for _ in range(reps)
+    ]
+    for name, q in targets:
         t0 = time.time()
         try:
             sdf = q.builder(spark, sf_dir).toPandas()
