@@ -1215,3 +1215,178 @@ def ivfpq_adc_topk(
     ).select(
         "query_id", "vec_id", "adc_u6", F.col("rank").cast("long").alias("rank")
     )
+
+
+def opq_train(
+    embeddings: DataFrame,
+    m_subspaces: int = 4,
+    ksub: int = 16,
+    opq_iters: int = 8,
+    lloyd_iters: int = 10,
+    sample_n: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train an Optimized Product Quantizer (Ge et al., CVPR 2013,
+    "Optimized Product Quantization" — the non-parametric OPQ-NP
+    alternation): learn an orthogonal rotation R (d x d) and per-
+    subspace codebooks C (m x ksub x d/m) minimizing the quantization
+    error ||X R - Q(X R)||^2, by alternating (1) Lloyd k-means per
+    subspace on the rotated sample and (2) the orthogonal-Procrustes
+    solve R = U V^T from the SVD of X^T Y, where Y is the
+    reconstruction. Plain PQ is the special case R = I, so OPQ's
+    training error is non-increasing vs PQ by construction — a
+    property the tests pin.
+
+    Scale shape: training runs DRIVER-SIDE on a bounded deterministic
+    sample (the ``sample_n`` lowest-id vectors — FAISS trains OPQ on a
+    bounded sample at any corpus size; d x d Procrustes and m small
+    k-means problems are microseconds at d=64). The corpus itself is
+    never collected; assignment (``opq_assign``) broadcasts R + C and
+    runs one map-only pass. Determinism: fixed sample order, fixed
+    Lloyd init (first ksub distinct subvectors in sample order),
+    integer micro-unit distances inside Lloyd's argmin, and the
+    Procrustes solution is unique up to SVD degeneracy (real spreads
+    have distinct singular values).
+
+    Returns (R, C) as numpy float64 arrays: R is (d, d) orthogonal,
+    C is (m_subspaces, ksub, d // m_subspaces).
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy(F.col(id_col).asc())
+        .limit(sample_n)
+        .collect()
+    )  # bounded: sample_n rows
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    n, d = X.shape
+    assert d % m_subspaces == 0, "dim must split evenly into subspaces"
+    dsub = d // m_subspaces
+
+    def lloyd(S: "np.ndarray") -> "np.ndarray":
+        # deterministic init: first ksub DISTINCT rows in sample order
+        seen, init = set(), []
+        for r in S:
+            key = r.tobytes()
+            if key not in seen:
+                seen.add(key)
+                init.append(r)
+            if len(init) == ksub:
+                break
+        while len(init) < ksub:  # degenerate sample: repeat last
+            init.append(init[-1])
+        C_ = np.array(init, dtype=np.float64)
+        for _ in range(lloyd_iters):
+            diff = S[:, None, :] - C_[None, :, :]
+            dist = np.floor(
+                (diff * diff).sum(axis=2) * 1e6 + 0.5
+            ).astype(np.int64)
+            a = np.argmin(dist, axis=1)
+            for c in range(ksub):
+                m = a == c
+                if m.any():
+                    C_[c] = S[m].mean(axis=0)
+        return C_
+
+    def codebooks(Xr: "np.ndarray") -> "np.ndarray":
+        return np.stack(
+            [
+                lloyd(Xr[:, m * dsub : (m + 1) * dsub])
+                for m in range(m_subspaces)
+            ]
+        )
+
+    def reconstruct(Xr: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+        Y = np.empty_like(Xr)
+        for m in range(m_subspaces):
+            s, e = m * dsub, (m + 1) * dsub
+            diff = Xr[:, None, s:e] - C[m][None, :, :]
+            dist = np.floor(
+                (diff * diff).sum(axis=2) * 1e6 + 0.5
+            ).astype(np.int64)
+            Y[:, s:e] = C[m][np.argmin(dist, axis=1)]
+        return Y
+
+    R = np.eye(d)
+    C = codebooks(X @ R)
+    for _ in range(opq_iters):
+        Y = reconstruct(X @ R, C)
+        # orthogonal Procrustes: min_R ||X R - Y||_F s.t. R^T R = I
+        U, _s, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+        C = codebooks(X @ R)
+    return R, C
+
+
+def opq_assign(
+    embeddings: DataFrame,
+    m_subspaces: int = 4,
+    ksub: int = 16,
+    opq_iters: int = 8,
+    sample_n: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OPQ code assignment: rotate every vector by the trained
+    orthogonal R, then product-quantize exactly like ``pq_assign``
+    (same output schema: id, code0..code{m-1}, err_u6 in integer
+    micro-units, half-up, lowest-code tie-break), so PQ-vs-OPQ error
+    is directly comparable row by row. R (d x d) and the codebooks
+    (m x ksub x d/m) are broadcast; assignment is one narrow
+    mapInPandas pass — a batch GEMM for the rotation plus the blocked
+    subspace argmin, no shuffle, no window. SVD training is not
+    SQL-expressible, so the registry entry is rows-only; correctness
+    is pinned by pytest (orthogonality, numpy parity, error <= plain
+    PQ, determinism across retrains)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    R, C = opq_train(
+        embeddings,
+        m_subspaces=m_subspaces,
+        ksub=ksub,
+        opq_iters=opq_iters,
+        sample_n=sample_n,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    dsub = C.shape[2]
+    b = spark.sparkContext.broadcast((R, C))
+
+    code_cols = [f"code{m}" for m in range(m_subspaces)]
+    schema = (
+        f"{id_col} long, "
+        + ", ".join(f"{c} int" for c in code_cols)
+        + ", err_u6 long"
+    )
+
+    def assign(batches):
+        R_, C_ = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64) @ R_
+            n = len(V)
+            out = {id_col: pdf[id_col].to_numpy()}
+            err = np.zeros(n, np.int64)
+            for m in range(m_subspaces):
+                s, e = m * dsub, (m + 1) * dsub
+                diff = V[:, None, s:e] - C_[m][None, :, :]
+                dist = np.floor(
+                    (diff * diff).sum(axis=2) * 1e6 + 0.5
+                ).astype(np.int64)
+                codes = np.argmin(dist, axis=1)
+                out[f"code{m}"] = codes.astype(np.int32)
+                err += dist[np.arange(n), codes]
+            out["err_u6"] = err
+            yield pd.DataFrame(out)
+
+    return (
+        embeddings.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(assign, schema)
+    )

@@ -734,6 +734,29 @@ SELECT query_id, vec_id, adc_u6, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_similarity_opq(spark, sf_dir):
+    """OPQ — Optimized Product Quantization (Ge et al., CVPR 2013;
+    FAISS's ``OPQMatrix`` pre-transform): learn an orthogonal rotation
+    R that re-mixes the dimensions so the subspace split loses less
+    information, then product-quantize the ROTATED vectors. Training
+    (alternating per-subspace Lloyd k-means and an orthogonal-
+    Procrustes SVD solve) runs driver-side on a bounded deterministic
+    sample — exactly how FAISS trains OPQ at any corpus scale — while
+    the corpus-sized assignment broadcasts R + codebooks and runs one
+    map-only Arrow pass (operators/similarity.py:opq_train/opq_assign).
+    Output schema matches q_embed_pq (vec_id, code0..3, err_u6) so
+    PQ-vs-OPQ reconstruction error is directly comparable; pytest pins
+    that the OPQ total error never exceeds plain PQ's (R = I is in
+    OPQ's feasible set), that R is orthogonal, and that a distributed
+    run bit-matches a pure-numpy replica. The SVD training step is not
+    SQL-expressible, so the registry row is rows-only by design."""
+    from arc_kinesis_tagging_spark.operators.similarity import opq_assign
+
+    return opq_assign(
+        _t(spark, sf_dir, "embeddings"), m_subspaces=4, ksub=16
+    )
+
+
 def q_dedup_embedding_pq(spark, sf_dir):
     """Embedding near-dup via PQ-CODE BLOCKING — the third member of
     the embedding-dedup family (exact IVF threshold join, SRP-LSH
@@ -2320,6 +2343,10 @@ LLMOPS_QUERIES = [
     Query("q_similarity_ivfpq", q_similarity_ivfpq, ORACLE_SIMILARITY_IVFPQ),
     Query("q_embed_pq", q_embed_pq, ORACLE_EMBED_PQ),
     Query("q_similarity_pq_adc", q_similarity_pq_adc, ORACLE_SIMILARITY_PQ_ADC),
+    Query("q_similarity_opq", q_similarity_opq, None,
+          "OPQ rotation is an SVD alternation — not SQL-expressible; "
+          "orthogonality, numpy parity, determinism, and the "
+          "error<=plain-PQ dominance property pinned in tests"),
     Query("q_text_bm25", q_text_bm25, ORACLE_TEXT_BM25),
     Query("q_dedup_embedding_pq", q_dedup_embedding_pq, ORACLE_DEDUP_EMBEDDING_PQ),
     Query("q_hard_negatives", q_hard_negatives, ORACLE_HARD_NEGATIVES),

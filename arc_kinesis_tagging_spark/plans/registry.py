@@ -254,6 +254,8 @@ _R7_HEAD = [
     "q_dedup_embedding_pq",   # PQ-code-blocked embedding near-dup
     "q_ann_incremental",      # IVF append-without-retrain maintenance
     "q_similarity_ivfpq",     # IVF-PQ residual-quantized ADC search
+    "q_similarity_opq",       # OPQ rotated product quantization
+
     "q_json_variant",         # Spark-4 VARIANT semi-structured extraction
     "q_ts_ewma",              # per-user EWMA fold (time-series smoother)
     "q_corpus_pipeline5",     # round-7 composite: buckets -> prefix dedup
