@@ -203,3 +203,88 @@ def score_bigram(
         return bigrams[(a, b)]
     pu = unigrams.get(b, unigrams[UNK])
     return backoffs.get(a, 1.0) * pu
+
+
+def score_docs_with_arpa(
+    docs: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score documents against an ARPA bigram model — the IMPORT half
+    of the KenLM loop: a gate trained on one corpus snapshot (or by a
+    foreign toolchain) scores the next snapshot without retraining.
+
+    Per document: bits = mean over its token bigrams of
+    -log2 p(b|a), where p comes from the parsed model — the explicit
+    bigram entry when present, else backoff(a) * p_uni(b), with
+    out-of-vocabulary tokens mapped to ``<unk>`` (open-vocabulary, so
+    every bigram scores; a zero-backoff context contributes the
+    model's "impossible" mass and the document floats to the reject
+    tail, which is the desired gate behavior — represented here by
+    p = p_uni(<unk>) * 1e-99 rather than a literal 0 so log2 stays
+    finite). Documents with < 2 tokens carry no bigram and are absent,
+    matching q_ngram_lm_score.
+
+    Scale shape: the model is parsed DRIVER-side (model-sized file —
+    it was the artifact) into three small DataFrames joined to the
+    per-doc DISTINCT bigrams; the joins are AQE-sized like the
+    self-trained gate (a pruned/top-V model broadcasts, a full
+    web-corpus model shuffles on its key). The corpus-side work is
+    identical to q_ngram_lm_score: map-side bigram build, one
+    distinct-bigram aggregate, one per-doc aggregate.
+    """
+    spark = docs.sparkSession
+    unigrams, backoffs, bigrams = read_arpa(path)
+
+    uni_df = spark.createDataFrame(
+        [(w, p) for w, p in unigrams.items()], "tb string, p_uni double"
+    )
+    bo_df = spark.createDataFrame(
+        [(w, b) for w, b in backoffs.items()], "ta string, bo double"
+    )
+    bi_df = spark.createDataFrame(
+        [(a, b, p) for (a, b), p in bigrams.items()],
+        "ta string, tb string, p_bi double",
+    )
+
+    ts = F.split(F.col(text_col), " ")
+    bigrams_col = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.struct(
+                F.element_at(ts, i).alias("ta"),
+                F.element_at(ts, i + 1).alias("tb"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<ta:string,tb:string>>"))
+    bg = docs.select(id_col, F.explode(bigrams_col).alias("b")).select(
+        id_col, F.col("b.ta").alias("ta"), F.col("b.tb").alias("tb")
+    )
+    bgc = bg.groupBy(id_col, "ta", "tb").agg(F.count(F.lit(1)).alias("m"))
+
+    p_unk = unigrams[UNK]
+    scored = (
+        bgc.join(bi_df, ["ta", "tb"], "left")
+        .join(bo_df, "ta", "left")
+        .join(uni_df, "tb", "left")
+        .withColumn(
+            "p",
+            F.coalesce(
+                F.col("p_bi"),
+                # backoff: bo(a) * p_uni(b); OOV context -> bo = 1,
+                # OOV b -> p_uni(<unk>); zero-backoff floored so the
+                # log stays finite (documents land in the reject tail)
+                F.greatest(
+                    F.coalesce(F.col("bo"), F.lit(1.0))
+                    * F.coalesce(F.col("p_uni"), F.lit(p_unk)),
+                    F.lit(1e-99),
+                ),
+            ),
+        )
+        .withColumn("bits", -F.log2(F.col("p")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("m").alias("n_bigrams"),
+        F.round(F.sum(F.col("m") * F.col("bits")) / F.sum("m"), 3).alias(
+            "bits_per_token"
+        ),
+    )

@@ -168,3 +168,76 @@ def test_export_on_documents_table(spark, sf_dir, tmp_path):
     na = bg.filter(F.col("ta") == a).count()
     bits_gate = -math.log2((nab + 1) / (na + V))
     assert abs(bits_model - bits_gate) < 1e-5
+
+
+def test_score_docs_with_arpa_matches_gate_on_training_corpus(
+    spark, sf_dir, tmp_path
+):
+    """The import loop closes: export the model from the documents
+    table, score the SAME table through score_docs_with_arpa, and the
+    result must match q_ngram_lm_score row for row — every scored
+    bigram was seen in training, so the ARPA path's probabilities are
+    the gate's add-one formula (up to 7-dp log10 quantization, far
+    below the 3-dp rounding both sides apply)."""
+    from arc_kinesis_tagging_spark.operators.lm import score_docs_with_arpa
+    from arc_kinesis_tagging_spark.plans.quality_ops import q_ngram_lm_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = str(tmp_path / "gate.arpa")
+    export_arpa_bigram(docs, path)
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["bits_per_token"])
+        for r in score_docs_with_arpa(docs, path).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_bigrams"], r["bits_per_token"])
+        for r in q_ngram_lm_score(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0], did  # n_bigrams
+        assert abs(got[did][1] - want[did][1]) <= 0.001, (
+            did,
+            got[did],
+            want[did],
+        )
+
+
+def test_score_docs_with_arpa_oov_and_unseen(spark, tmp_path):
+    """A foreign corpus scores through the model's backoff path: OOV
+    tokens map to <unk>, unseen-but-in-vocab bigrams use
+    bo(a) * p_uni(b), and every document with >= 2 tokens gets a
+    finite score."""
+    import math as _math
+
+    from arc_kinesis_tagging_spark.operators.lm import (
+        score_bigram,
+        score_docs_with_arpa,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the cat ran")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "t.arpa")
+    export_arpa_bigram(train, path)
+    model = read_arpa(path)
+
+    test_docs = spark.createDataFrame(
+        [(10, "cat the"), (11, "wholly novel tokens")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in score_docs_with_arpa(test_docs, path).collect()}
+    assert set(rows) == {10, 11}
+    for r in rows.values():
+        assert r["bits_per_token"] == r["bits_per_token"]  # not NaN
+        assert r["bits_per_token"] > 0
+
+    # doc 10: single unseen-in-vocab bigram (cat, the) -> exact backoff
+    want10 = round(-_math.log2(score_bigram(model, "cat", "the")), 3)
+    assert abs(rows[10]["bits_per_token"] - want10) <= 0.001
+    # doc 11: all-OOV bigrams -> p = 1 * p_uni(<unk>) each
+    uni, _bo, _bi = model
+    want11 = round(-_math.log2(uni["<unk>"]), 3)
+    assert abs(rows[11]["bits_per_token"] - want11) <= 0.001
