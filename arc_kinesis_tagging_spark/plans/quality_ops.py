@@ -2551,7 +2551,66 @@ FROM kept GROUP BY source
 ORACLE_CORPUS_PIPELINE4 = _pipeline4_oracle()
 
 
+def q_lm_arpa(spark, sf_dir):
+    """KenLM artifact loop as one driver-checked query: TRAIN the
+    add-one token-bigram gate model on the documents table, EXPORT it
+    as a standard ARPA file (operators/lm.py:export_arpa_bigram —
+    open-vocabulary <unk>, Katz backoff, byte-deterministic), then
+    IMPORT that file and score the corpus through the generic ARPA
+    scorer (score_docs_with_arpa) exactly as a pipeline scoring
+    snapshot N against the model trained on snapshot N-1 would.
+
+    The export is memoized per (session, sf_dir content fingerprint)
+    with the same atomic-rename discipline as the persisted IVF index,
+    so repeated query calls amortize training. Rows-only by design:
+    the scored values equal q_ngram_lm_score up to the file's 7-dp
+    log10 quantization (pinned at 1e-3 tolerance in
+    tests/test_arpa_export.py), but a value that close to a rounding
+    boundary cannot be HASH-compared across engines honestly — the
+    parity belongs to pytest, the row-count/schema check to the
+    driver."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from arc_kinesis_tagging_spark.operators.lm import (
+        export_arpa_bigram,
+        score_docs_with_arpa,
+    )
+    from arc_kinesis_tagging_spark.plans.llmops import (
+        _session_memo,
+        _table_fingerprint,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        "akt_arpa_" + _table_fingerprint(sf_dir, "documents") + ".arpa",
+    )
+    memo = _session_memo(spark)
+    if (path, "arpa") not in memo:
+        if not _os.path.isfile(path):
+            tmp = f"{path}.tmp-{_os.getpid()}"
+            export_arpa_bigram(d, tmp)
+            try:
+                _os.rename(tmp, path)
+            except OSError:
+                _os.unlink(tmp)
+        memo.add((path, "arpa"))
+    scored = score_docs_with_arpa(d, path)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "bits_per_token",
+        (F.col("bits_per_token") <= F.lit(5.0)).alias("kept"),
+    )
+
+
 QUALITY_QUERIES = [
+    Query("q_lm_arpa", q_lm_arpa, None,
+          "ARPA file round-trip quantizes probs at 7-dp log10 — "
+          "hash-comparing 3-dp rounded bits across that boundary would "
+          "be flaky by construction; gate parity at 1e-3 pinned in "
+          "tests/test_arpa_export.py -> rows-only"),
     Query("q_corpus_pipeline4", q_corpus_pipeline4, ORACLE_CORPUS_PIPELINE4),
     Query("q_corpus_diff", q_corpus_diff, ORACLE_CORPUS_DIFF),
     Query("q_dedup_substring", q_dedup_substring, ORACLE_DEDUP_SUBSTRING),

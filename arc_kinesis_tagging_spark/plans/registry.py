@@ -255,6 +255,7 @@ _R7_HEAD = [
     "q_ann_incremental",      # IVF append-without-retrain maintenance
     "q_similarity_ivfpq",     # IVF-PQ residual-quantized ADC search
     "q_similarity_opq",       # OPQ rotated product quantization
+    "q_lm_arpa",              # KenLM ARPA export -> import -> score loop
 
     "q_json_variant",         # Spark-4 VARIANT semi-structured extraction
     "q_ts_ewma",              # per-user EWMA fold (time-series smoother)
