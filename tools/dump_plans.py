@@ -377,6 +377,23 @@ COMMENTARY = {
         "only bounded windows; the corpus-sized stages are scans, "
         "keyed aggregates, and one broadcast-threshold join."
     ),
+    "q_similarity_opq": (
+        "OPQ assignment: training (alternating Lloyd + Procrustes SVD) "
+        "happens driver-side on a bounded sample BEFORE the plan exists; "
+        "the plan itself is a single narrow mapInPandas — rotate-GEMM + "
+        "blocked subspace argmin per Arrow batch, no shuffle, no window. "
+        "The d x d rotation and m x ksub codebooks ride the broadcast."
+    ),
+    "q_lm_arpa": (
+        "ARPA import scoring: three model-sized tables (bigram, "
+        "backoff, unigram) parsed from the artifact file join the "
+        "per-document DISTINCT bigrams; AQE sizes the model joins "
+        "(broadcast while the model fits, keyed shuffle when a "
+        "web-corpus vocabulary doesn't). Corpus-side work is map-side "
+        "bigram build + two keyed aggregates — identical shape to the "
+        "self-trained gate, so the import path inherits its scale "
+        "story."
+    ),
 }
 
 
