@@ -16,6 +16,7 @@ from arc_kinesis_tagging_spark.functions.arrays import AUTOTAG, make_tag, tag_up
 from arc_kinesis_tagging_spark.functions.text import (
     fingerprint_expr,
     language_id_expr,
+    stable_hash64,
     tokens,
 )
 from arc_kinesis_tagging_spark.operators.dedup import (
@@ -1287,6 +1288,106 @@ FROM documents d LEFT JOIN fp USING (doc_id)
 """
 
 
+def q_text_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003
+    — the MOSS local document fingerprinting algorithm): hash every
+    character k-gram (k=5), slide a w=4 window over the hash sequence,
+    and select each window's minimum hash (ties -> RIGHTMOST, the
+    paper's robust-winnowing rule); the distinct selected (position,
+    hash) pairs are the fingerprint, guaranteeing any shared substring
+    of length >= k + w - 1 = 8 contributes a common fingerprint — the
+    selectivity knob plain rolling-hash fingerprints lack.
+
+    Entirely expression-level (nested HOF transform/aggregate over the
+    gram-hash array — JVM codegen, no UDF, no explode, no shuffle
+    before the final row emit): per-document work is linear in text
+    length and map-side, the same shape as q_dedup_substring's rolling
+    windows. Hashes use the portable md5-prefix convention
+    (functions/text.py:stable_hash64), so the DuckDB oracle replicates
+    selection bit for bit via a rank-over-range formulation; the
+    per-document summary XORs the selected hashes (order-independent)
+    and counts them. Docs shorter than 8 chars have no window and
+    report (0, 0)."""
+    k, w = 5, 4
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n = F.length(text)
+    ng = F.greatest(n - F.lit(k - 1), F.lit(0))
+    gram_idx = F.when(ng >= 1, F.sequence(F.lit(1), ng)).otherwise(
+        F.array().cast("array<int>")
+    )
+    with_h = d.select(
+        "doc_id",
+        ng.cast("long").alias("n_grams"),
+        F.transform(
+            gram_idx,
+            lambda i: stable_hash64(text.substr(i, F.lit(k))),
+        ).alias("hs"),
+    )
+    nw = F.greatest(F.size(F.col("hs")) - F.lit(w - 1), F.lit(0))
+    win_idx = F.when(nw >= 1, F.sequence(F.lit(1), nw)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # rightmost argmin per window: fold offsets left->right, <= keeps
+    # the later (higher-position) gram on equal hashes
+    sel = F.transform(
+        win_idx,
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), F.lit(w - 1)),
+            F.struct(
+                F.lit((1 << 62)).cast("long").alias("h"),
+                F.lit(-1).alias("p"),
+            ),
+            lambda acc, o: F.when(
+                F.element_at(F.col("hs"), (j + o).cast("int")) <= acc["h"],
+                F.struct(
+                    F.element_at(F.col("hs"), (j + o).cast("int")).alias("h"),
+                    (j + o).cast("int").alias("p"),
+                ),
+            ).otherwise(acc),
+        ),
+    )
+    fps = F.array_distinct(sel)
+    return with_h.select(
+        "doc_id",
+        "n_grams",
+        F.size(fps).cast("long").alias("n_fps"),
+        F.aggregate(
+            fps, F.lit(0).cast("long"), lambda a, s: a.bitwiseXOR(s["h"])
+        ).alias("fp_xor"),
+    )
+
+
+ORACLE_TEXT_WINNOWING = """
+WITH grams AS (
+  SELECT d.doc_id, CAST(i AS INT) AS p,
+         CAST(('0x' || substr(md5(substr(d.text, CAST(i AS INT), 5)), 1, 15)) AS BIGINT) AS h
+  FROM documents d,
+       UNNEST(range(1, greatest(length(d.text) - 4, 0) + 1)) AS t(i)
+), wins AS (
+  SELECT doc_id, p AS j FROM grams
+  WHERE p + 3 <= (SELECT max(g2.p) FROM grams g2 WHERE g2.doc_id = grams.doc_id)
+), cand AS (
+  SELECT w.doc_id, w.j, g.p, g.h,
+         ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.j
+                            ORDER BY g.h ASC, g.p DESC) AS rn
+  FROM wins w
+  JOIN grams g ON g.doc_id = w.doc_id AND g.p BETWEEN w.j AND w.j + 3
+), sel AS (
+  SELECT DISTINCT doc_id, p, h FROM cand WHERE rn = 1
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+         CAST(bit_xor(h) AS BIGINT) AS fp_xor
+  FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(greatest(length(d.text) - 4, 0) AS BIGINT) AS n_grams,
+       COALESCE(a.n_fps, 0) AS n_fps,
+       COALESCE(a.fp_xor, 0) AS fp_xor
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # --- UDF surface / multimodal ----------------------------------------------
 
 def q_dedup_cluster(spark, sf_dir):
@@ -2354,6 +2455,7 @@ LLMOPS_QUERIES = [
     Query("q_text_quality", q_text_quality, ORACLE_TEXT_QUALITY),
     Query("q_text_langid", q_text_langid, ORACLE_LANGID),
     Query("q_text_fingerprint", q_text_fingerprint, ORACLE_FINGERPRINT),
+    Query("q_text_winnowing", q_text_winnowing, ORACLE_TEXT_WINNOWING),
     Query("q_dedup_cluster", q_dedup_cluster, None,
           "iterative label propagation; verified vs union-find in tests"),
     Query("q_dedup_cluster_star", q_dedup_cluster_star, None,

@@ -256,6 +256,7 @@ _R7_HEAD = [
     "q_similarity_ivfpq",     # IVF-PQ residual-quantized ADC search
     "q_similarity_opq",       # OPQ rotated product quantization
     "q_lm_arpa",              # KenLM ARPA export -> import -> score loop
+    "q_text_winnowing",       # MOSS winnowing fingerprints (hash-green)
 
     "q_json_variant",         # Spark-4 VARIANT semi-structured extraction
     "q_ts_ewma",              # per-user EWMA fold (time-series smoother)
