@@ -163,6 +163,15 @@ def main() -> None:
     report["ivf_topk_rows"] = cosine_topk_ivf(emb, q, k=5, nlist=32, nprobe=4).count()
     report["ivf_topk_sec"] = round(time.perf_counter() - t0, 2)
 
+    # round-7 late: OPQ assignment over the amplified corpus — training
+    # cost is K-invariant (bounded sample), so the stage should scale
+    # with the map-only assignment pass alone
+    from arc_kinesis_tagging_spark.operators.similarity import opq_assign
+
+    t0 = time.perf_counter()
+    report["opq_assign_rows"] = opq_assign(emb, 4, 16).count()
+    report["opq_assign_sec"] = round(time.perf_counter() - t0, 2)
+
     from arc_kinesis_tagging_spark.operators.similarity import cosine_threshold_pairs
 
     t0 = time.perf_counter()
@@ -240,6 +249,10 @@ def main() -> None:
         "q_robots_gate",
         "q_dedup_substring",
         "q_corpus_pipeline4",
+        # round-7 late: ARPA train->export->import->score loop; the
+        # model grows with vocabulary (slowly), the scoring joins with
+        # the corpus — expected ~linear in K like the self-trained gate
+        "q_lm_arpa",
     ):
         t0 = time.perf_counter()
         report[f"{qname}_rows"] = QUERIES[qname].builder(spark, amp).count()
