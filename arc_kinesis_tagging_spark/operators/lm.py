@@ -108,6 +108,13 @@ def export_arpa_bigram(
     for a, b in nab:
         succ.setdefault(a, []).append(b)
 
+    # total unigram mass once; each context's unseen mass is the
+    # complement of its SEEN successors' mass — O(total bigrams)
+    # overall. The original "sum p_uni over vocab not in seen" form
+    # was O(contexts x vocab): quadratic in vocabulary, and on an
+    # amplified 200k-token corpus it pinned the driver for hours.
+    total_uni = p_uni(UNK) + sum(p_uni(w) for w in vocab)
+
     bo: dict[str, float] = {}
     for a, bs in succ.items():
         # leftover mass from INTEGER counts — exact and >= 0 by
@@ -116,11 +123,10 @@ def export_arpa_bigram(
         # can dip below 0 when S = V, and dividing that noise by a
         # tiny unseen mass produced a negative "weight"
         leftover = (V - len(bs)) / (na[a] + V)
-        seen = set(bs)
-        unseen_uni = p_uni(UNK) + sum(
-            p_uni(w) for w in vocab if w not in seen
-        )
-        bo[a] = leftover / unseen_uni
+        unseen_uni = total_uni - sum(p_uni(w) for w in bs)
+        # guard float cancellation when seen mass ~ total (S ~ V):
+        # leftover is exactly 0 there anyway, so the weight is 0
+        bo[a] = leftover / unseen_uni if unseen_uni > 1e-15 else 0.0
 
     def lg(x: float) -> str:
         # SRILM/KenLM convention: log10(0) is written as -99 (a
