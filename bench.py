@@ -75,6 +75,9 @@ HEADLINE = [
     "q_multimodal_png_adam7",  # interlaced per-pass unfilter + scatter
     "q_similarity_ivfpq", # IVF-PQ residual-quantized ADC search
     "q_text_bm25",        # BM25 bounded-rank retrieval
+    # round-7 late additions
+    "q_text_winnowing",   # MOSS winnowing fingerprints (nested HOF)
+    "q_similarity_opq",   # OPQ rotate+assign map-only pass
 ]
 
 
