@@ -1307,8 +1307,23 @@ def q_text_winnowing(spark, sf_dir):
     selection bit for bit via a rank-over-range formulation; the
     per-document summary XORs the selected hashes (order-independent)
     and counts them. Docs shorter than 8 chars have no window and
-    report (0, 0)."""
+    report (0, 0).
+
+    AKT_WINNOW_HASH=xxhash64 swaps the gram hash for the JVM-native
+    xxhash64 (same substring-dedup budget-flag precedent): winnowing
+    only needs SOME total order on hashes, so the algorithm and its
+    guarantees are unchanged, but the per-gram md5+hex+conv chain —
+    the dominant cost at bench scale — collapses to one native hash.
+    Fingerprint VALUES differ from the md5 default (not
+    oracle-comparable; structural invariants pinned in
+    tests/test_winnowing.py), which is why md5 stays the default."""
+    import os as _os
+
     k, w = 5, 4
+    use_xx = _os.environ.get("AKT_WINNOW_HASH") == "xxhash64"
+    gram_hash = (
+        (lambda g: F.xxhash64(g)) if use_xx else (lambda g: stable_hash64(g))
+    )
     d = _t(spark, sf_dir, "documents")
     text = F.col("text")
     n = F.length(text)
@@ -1316,12 +1331,23 @@ def q_text_winnowing(spark, sf_dir):
     gram_idx = F.when(ng >= 1, F.sequence(F.lit(1), ng)).otherwise(
         F.array().cast("array<int>")
     )
-    with_h = d.select(
+    # One narrow (doc_id, text) round-robin shuffle BEFORE the
+    # CPU-bound gram hashing: a plain map-only plan inherits the
+    # scan's input splits, and a small/compacted corpus (one parquet
+    # row group) runs the whole O(len) per-doc kernel in a single
+    # task. Shuffling ids+text once costs corpus bytes; it buys every
+    # core. On a real multi-split 100 TB layout this is a near-no-op
+    # redistribution of already-parallel input.
+    spread = d.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    text = F.col("text")
+    with_h = spread.select(
         "doc_id",
         ng.cast("long").alias("n_grams"),
         F.transform(
             gram_idx,
-            lambda i: stable_hash64(text.substr(i, F.lit(k))),
+            lambda i: gram_hash(text.substr(i, F.lit(k))),
         ).alias("hs"),
     )
     nw = F.greatest(F.size(F.col("hs")) - F.lit(w - 1), F.lit(0))
@@ -1335,7 +1361,10 @@ def q_text_winnowing(spark, sf_dir):
         lambda j: F.aggregate(
             F.sequence(F.lit(0), F.lit(w - 1)),
             F.struct(
-                F.lit((1 << 62)).cast("long").alias("h"),
+                # Long.MAX sentinel: always replaced at the first
+                # offset (h <= MAX for every long, xxhash64's full
+                # signed range included)
+                F.lit((1 << 63) - 1).cast("long").alias("h"),
                 F.lit(-1).alias("p"),
             ),
             lambda acc, o: F.when(

@@ -109,3 +109,34 @@ def test_winnowing_short_and_tie_edge(spark):
     # odd count of equal hashes = the hash itself
     assert rows[1]["n_fps"] == len(sel) == 5
     assert rows[1]["fp_xor"] == _h("aaaaa")
+
+
+def test_winnowing_xxhash_flag_structure(spark, monkeypatch):
+    """AKT_WINNOW_HASH=xxhash64: same algorithm under a different hash
+    order — gram/row counts unchanged, repeated-char docs still select
+    one gram per window (hash-agnostic ties), output deterministic
+    across two runs, and n_fps stays within the winnowing density
+    bounds (at least one fingerprint per disjoint window block, at
+    most one per window)."""
+    docs = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, "aaaaaaaaaaaa"), (2, "short")]
+    import os, tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    monkeypatch.setenv("AKT_WINNOW_HASH", "xxhash64")
+    r1 = {r["doc_id"]: r for r in q_text_winnowing(spark, d).collect()}
+    r2 = {r["doc_id"]: r for r in q_text_winnowing(spark, d).collect()}
+    assert r1 == r2  # deterministic
+    monkeypatch.delenv("AKT_WINNOW_HASH")
+    rmd = {r["doc_id"]: r for r in q_text_winnowing(spark, d).collect()}
+
+    for did, t in docs:
+        assert r1[did]["n_grams"] == rmd[did]["n_grams"] == max(len(t) - K + 1, 0)
+    n_wins = len(docs[0][1]) - K + 1 - W + 1
+    assert 1 <= r1[0]["n_fps"] <= n_wins
+    assert r1[1]["n_fps"] == 5 and rmd[1]["n_fps"] == 5  # tie rule, hash-agnostic
+    assert r1[2]["n_fps"] == 0
