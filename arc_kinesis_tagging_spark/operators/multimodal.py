@@ -3011,3 +3011,340 @@ def thumbnail_png(
             )
 
     return df.select(id_col, media_col).mapInPandas(dec, PPM_DECODED_SCHEMA)
+
+
+# --- GIF89a (LZW-compressed paletted raster, optional interlace) -------------
+# The third dominant web image format after PNG and JPEG (reference's
+# media payloads are format-agnostic binaries; this completes the
+# palette-raster family the PNG color-type-3 decoder opened). Real
+# variable-width LZW per the GIF89a spec: 2..8-bit minimum code size,
+# clear/EOI codes, code width growth to 12 bits, table reset at 4096
+# entries, LSB-first bit packing, 255-byte data sub-blocks. Encoder and
+# decoder share one width rule — a code is written/read with
+# width(next) = clamp(bitlen(next), mcs+1, 12) where ``next`` is the
+# NEXT table slot from the WRITER's view (the reader, whose table lags
+# one entry at read time, therefore reads with width(next+1)) — the
+# giflib-compatible growth schedule, pinned by forced-growth and
+# forced-clear round-trip tests in tests/test_multimodal.py.
+
+_GIF_SIG = b"GIF89a"
+
+
+def _gif_width(next_code: int, mcs: int) -> int:
+    w = max(next_code.bit_length(), mcs + 1)
+    return 12 if w > 12 else w
+
+
+def _gif_lzw_compress(indices, mcs: int) -> bytes:
+    """Classic GIF LZW over a flat index sequence. Emits an initial
+    clear code, resets the table whenever it reaches 4096 entries, and
+    terminates with EOI."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, int], int] = {}
+    nxt = eoi + 1
+    emit(clear, _gif_width(nxt, mcs))
+    it = iter(int(v) for v in indices)
+    try:
+        w = next(it)
+    except StopIteration:
+        emit(eoi, _gif_width(nxt, mcs))
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+    for k in it:
+        if (w, k) in table:
+            w = table[(w, k)]
+            continue
+        emit(w, _gif_width(nxt, mcs))
+        table[(w, k)] = nxt
+        nxt += 1
+        if nxt == 4096:  # table full: reset before the next emit
+            emit(clear, 12)
+            table.clear()
+            nxt = eoi + 1
+        w = k
+    emit(w, _gif_width(nxt, mcs))
+    emit(eoi, _gif_width(nxt + 1, mcs))
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, mcs: int, n_expected: int):
+    """Inverse of _gif_lzw_compress. Returns a list of palette
+    indices; raises on stream desync (code beyond the table) or a
+    missing EOI before the byte stream runs dry."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = acc = nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    table: list[list[int]] = [[c] for c in range(clear)] + [[], []]
+    nxt = eoi + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    while True:
+        # the reader's table lags the writer's by one entry: read with
+        # the width the writer had, i.e. width(nxt + 1)
+        code = read(_gif_width(nxt + (0 if prev is None else 1), mcs))
+        if code == clear:
+            del table[clear + 2 :]
+            nxt = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:  # first code after a clear: literal, no add
+            if code >= clear:
+                raise ValueError("first code must be a literal")
+            entry = table[code]
+        elif code < nxt:
+            entry = table[code]
+            table.append(prev + [entry[0]])
+            nxt += 1
+        elif code == nxt:  # KwKwK
+            entry = prev + [prev[0]]
+            table.append(entry)
+            nxt += 1
+        else:
+            raise ValueError("LZW code beyond table")
+        out.extend(entry)
+        if len(out) > n_expected:
+            raise ValueError("LZW output overruns image size")
+        prev = entry
+    if len(out) != n_expected:
+        raise ValueError("LZW output underruns image size")
+    return out
+
+
+_GIF_PASS_STARTS = (0, 4, 2, 1)
+_GIF_PASS_STEPS = (8, 8, 4, 2)
+
+
+def _gif_interlace_order(h: int):
+    """Row storage order for a GIF interlaced image (4 passes)."""
+    order = []
+    for s0, step in zip(_GIF_PASS_STARTS, _GIF_PASS_STEPS):
+        order.extend(range(s0, h, step))
+    return order
+
+
+def encode_gif_palette(idx, palette, interlace: bool = False) -> bytes:
+    """GIF89a encoder (fixture generator): ``idx`` (h, w) uint8 palette
+    indices, ``palette`` (n, 3) uint8 RGB. The global color table is
+    padded to the next power of two (min 4 — GIF's minimum LZW code
+    size is 2); a Graphic Control Extension and a Comment Extension are
+    written before the image descriptor so decoders must walk the
+    extension-block grammar; sub-blocks are capped at 255 bytes."""
+    import numpy as np
+
+    idx = np.asarray(idx, np.uint8)
+    h, w = idx.shape
+    n = len(palette)
+    if not 1 <= n <= 256:
+        raise ValueError("palette must have 1..256 entries")
+    if int(idx.max(initial=0)) >= n:
+        raise ValueError("index out of palette range")
+    gct = 4
+    while gct < n:
+        gct *= 2
+    size_field = gct.bit_length() - 2  # 2^(size_field+1) = gct
+    mcs = max(2, (gct - 1).bit_length())
+    pal = np.zeros((gct, 3), np.uint8)
+    pal[:n] = np.asarray(palette, np.uint8)
+    out = bytearray(_GIF_SIG)
+    out += struct.pack("<HHBBB", w, h, 0x80 | (7 << 4) | size_field, 0, 0)
+    out += pal.tobytes()
+    # Graphic Control Extension (no transparency, zero delay)
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    # Comment Extension (exercises sub-block skipping)
+    out += b"\x21\xfe" + bytes([7]) + b"aktspfx" + b"\x00"
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0x00
+    )
+    rows = idx[_gif_interlace_order(h)] if interlace else idx
+    comp = _gif_lzw_compress(rows.reshape(-1), mcs)
+    out.append(mcs)
+    for i in range(0, len(comp), 255):
+        block = comp[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_bytes(b: bytes):
+    """Decode the first image of a GIF87a/89a stream to
+    (indices (h, w) uint8, palette (gct, 3) uint8, interlaced bool):
+    header + logical-screen-descriptor parse, global color table,
+    extension-block skipping, image descriptor (local color table
+    honored if present), real LZW decompression, de-interlacing."""
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _par = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        gct = 2 << (packed & 0x07)
+        palette = np.frombuffer(b, np.uint8, gct * 3, pos).reshape(-1, 3)
+        pos += gct * 3
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            raise ValueError("no image data before trailer")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", b[pos : pos + 9])
+        pos += 9
+        if left or top or w != sw or h != sh:
+            raise ValueError("sub-rectangle images not supported")
+        if ipacked & 0x80:  # local color table overrides
+            lct = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(b, np.uint8, lct * 3, pos).reshape(-1, 3)
+            pos += lct * 3
+        if palette is None:
+            raise ValueError("no color table")
+        mcs = b[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            raise ValueError("bad LZW minimum code size")
+        data = bytearray()
+        while b[pos]:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        flat = _gif_lzw_decompress(bytes(data), mcs, w * h)
+        idx = np.asarray(flat, np.uint8).reshape(h, w)
+        interlaced = bool(ipacked & 0x40)
+        if interlaced:
+            out = np.empty_like(idx)
+            out[_gif_interlace_order(h)] = idx
+            idx = out
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        return idx, palette, interlaced
+    raise ValueError("truncated GIF")
+
+
+GIF_DECODED_SCHEMA = (
+    "media_id long, width int, height int, n_colors int, interlaced int, "
+    "sum_r long, sum_g long, sum_b long, wsum_r long"
+)
+
+
+def attach_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic GIF89a per row: w = id%13+4, h = id%11+4, palette
+    size n = 4 + id%13 with entry j = ((5j+7)%256, (9j+2)%256,
+    (17j+3)%256), pixel at flat position p (row-major) holds index
+    (p + id) % n, and every third image (id%3 == 0) is written
+    INTERLACED. Index residues tile each row with a closed-form count,
+    so the decoded channel sums — and the row-weighted red sum that
+    pins de-interlacing — are derivable by the DuckDB oracle with one
+    bounded (row, palette-entry) range join."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64").to_numpy()
+            blobs = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 13 + 4, i % 11 + 4
+                n = 4 + i % 13
+                pal = np.stack(
+                    [
+                        (5 * np.arange(n) + 7) % 256,
+                        (9 * np.arange(n) + 2) % 256,
+                        (17 * np.arange(n) + 3) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                idx = ((np.arange(w * h) + i) % n).reshape(h, w).astype(
+                    np.uint8
+                )
+                blobs.append(
+                    encode_gif_palette(idx, pal, interlace=(i % 3 == 0))
+                )
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "media_id long, media binary")
+
+
+def decode_gif(
+    df: DataFrame, id_col: str = "media_id", media_col: str = "media"
+) -> DataFrame:
+    """Real GIF decode, Arrow-batched, through the same mapInPandas
+    plumbing as every other codec: LZW decompression + palette lookup,
+    exact integer per-channel sums, plus a row-weighted red sum
+    (sum over rows y of (y+1) * rowsum_r) that hash-fails if any row of
+    an interlaced image lands in the wrong place. Per-record isolation:
+    corrupt or unsupported payloads yield a null row."""
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                mid_out = None if pd.isna(mid) else int(mid)
+                try:
+                    idx, pal, inter = decode_gif_bytes(bytes(blob))
+                    h, w = idx.shape
+                    px = pal[idx].astype("int64")  # (h, w, 3)
+                    s = px.reshape(-1, 3).sum(axis=0)
+                    wsum_r = int(
+                        (
+                            (np.arange(h, dtype="int64") + 1)
+                            * px[:, :, 0].sum(axis=1)
+                        ).sum()
+                    )
+                    out.append(
+                        (mid_out, w, h, len(pal), int(inter),
+                         int(s[0]), int(s[1]), int(s[2]), wsum_r)
+                    )
+                except Exception:
+                    out.append(
+                        (mid_out, None, None, None, None,
+                         None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "n_colors", "interlaced",
+                    "sum_r", "sum_g", "sum_b", "wsum_r",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(dec, GIF_DECODED_SCHEMA)

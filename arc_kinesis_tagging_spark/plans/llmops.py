@@ -2445,6 +2445,63 @@ def q_dedup_semantic(spark, sf_dir):
     return kept.select("vec_id", "cluster")
 
 
+def q_multimodal_gif(spark, sf_dir):
+    """REAL GIF89a decode — the third dominant web image format,
+    completing the palette-raster family the color-type-3 PNG decoder
+    opened: per document a genuine GIF (global color table, extension
+    blocks, 255-byte sub-blocks, real variable-width LZW with
+    clear/EOI codes, and every third image INTERLACED), decoded by a
+    pure-stdlib LZW + palette walk (operators/multimodal.py:
+    decode_gif_bytes). Exact integer channel sums have a closed form
+    (index residues tile each row), and the row-weighted red sum
+    pins de-interlacing — an image whose passes land on the wrong rows
+    keeps its totals but hash-fails on wsum_r."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_gif_media,
+        decode_gif,
+    )
+
+    d = attach_gif_media(_t(spark, sf_dir, "documents"), "doc_id")
+    return decode_gif(d, "media_id", "media")
+
+
+# Per-row residue counts: in row y, flat positions p = y*w .. y*w+w-1
+# carry index (p + id) % n, so residue j appears at p ≡ (j - id - y*w)
+# (mod n); with r0 = that residue in [0, n), the count over w columns
+# is floor((w-1-r0)/n) + 1 when r0 <= w-1 (n can exceed w here, hence
+# the WHERE guard). Totals are the row sums; wsum_r weights each row's
+# red sum by (y + 1). The GCT is padded to a power of two (min 4).
+ORACLE_MULTIMODAL_GIF = """
+WITH dims AS (
+  SELECT doc_id,
+         doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h,
+         4 + doc_id % 13 AS n
+  FROM documents
+), rowcnt AS (
+  SELECT doc_id, w, h, n, y.y AS y, j.j AS j,
+         ((w - 1 - (((j.j - doc_id - y.y * w) % n + n) % n)) // n + 1)
+           AS cnt
+  FROM dims
+  CROSS JOIN range(0, 15) y(y)
+  CROSS JOIN range(0, 17) j(j)
+  WHERE y.y < h AND j.j < n
+    AND (((j.j - doc_id - y.y * w) % n + n) % n) <= w - 1
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(CASE WHEN n <= 4 THEN 4 WHEN n <= 8 THEN 8 ELSE 16 END
+            AS INTEGER) AS n_colors,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS interlaced,
+       CAST(SUM(cnt * ((5 * j + 7) % 256)) AS BIGINT) AS sum_r,
+       CAST(SUM(cnt * ((9 * j + 2) % 256)) AS BIGINT) AS sum_g,
+       CAST(SUM(cnt * ((17 * j + 3) % 256)) AS BIGINT) AS sum_b,
+       CAST(SUM((y + 1) * cnt * ((5 * j + 7) % 256)) AS BIGINT) AS wsum_r
+FROM rowcnt GROUP BY doc_id, w, h, n
+"""
+
+
 LLMOPS_QUERIES = [
     Query("q_array_tag_upsert", q_array_tag_upsert, ORACLE_TAG_UPSERT),
     Query("q_explode", q_explode, ORACLE_EXPLODE),
@@ -2507,6 +2564,7 @@ LLMOPS_QUERIES = [
     Query("q_multimodal_y4m", q_multimodal_y4m, ORACLE_MULTIMODAL_Y4M),
     Query("q_multimodal_catalog", q_multimodal_catalog,
           ORACLE_MULTIMODAL_CATALOG),
+    Query("q_multimodal_gif", q_multimodal_gif, ORACLE_MULTIMODAL_GIF),
     Query("q_multimodal_jpeg", q_multimodal_jpeg, ORACLE_MULTIMODAL_JPEG),
     Query("q_multimodal_jpeg420", q_multimodal_jpeg420,
           ORACLE_MULTIMODAL_JPEG420),

@@ -933,3 +933,109 @@ def test_wav_y4m_roundtrip_and_isolation(spark):
     assert [r["frame_idx"] for r in f9] == list(range(0, n9, 2))
     for r in f9:
         assert r["mean_y"] == (9 + 11 * r["frame_idx"]) % 200 + 28
+
+
+def test_gif_lzw_roundtrip_growth_and_reset():
+    """GIF LZW kernel: random and adversarial index streams round-trip
+    bit-exactly through code-width growth to 12 bits, the 4096-entry
+    table reset (forced by a large random image), the KwKwK
+    first-use-of-just-added-code case (forced by repeated runs), and
+    every minimum code size 2..8."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        _gif_lzw_compress,
+        _gif_lzw_decompress,
+    )
+
+    rng = np.random.default_rng(29)
+    cases = [
+        (2, rng.integers(0, 4, 9000)),        # mcs=2, forces growth+reset
+        (8, rng.integers(0, 256, 50000)),     # 12-bit growth + resets
+        (3, np.tile([1, 1, 1, 1, 5, 5, 1], 400)),  # KwKwK runs
+        (2, np.zeros(5000, np.int64)),        # single-symbol run
+        (4, np.arange(40000) % 16),           # periodic gradient
+        (5, rng.integers(0, 32, 1)),          # single pixel
+    ]
+    for mcs in range(2, 9):
+        cases.append((mcs, rng.integers(0, 1 << mcs, 3000)))
+    for mcs, seq in cases:
+        seq = np.asarray(seq, np.int64)
+        comp = _gif_lzw_compress(seq, mcs)
+        back = _gif_lzw_decompress(comp, mcs, len(seq))
+        assert list(seq) == back, (mcs, len(seq))
+    # truncated stream and wrong expected length are stream errors
+    comp = _gif_lzw_compress(np.arange(100) % 4, 2)
+    for bad in (comp[: len(comp) // 2], comp[:1]):
+        try:
+            _gif_lzw_decompress(bad, 2, 100)
+            raise AssertionError("expected LZW error")
+        except ValueError:
+            pass
+
+
+def test_gif_roundtrip_interlace_and_isolation(spark):
+    """Whole-container GIF: random images (palettes 2..256, interlaced
+    and progressive-scan) round-trip bit-exactly including the
+    extension-block walk and 255-byte sub-block splits; interlaced row
+    placement is pinned pixel-for-pixel; corrupt/truncated/null
+    payloads isolate to null rows; fixture images decode to their
+    closed-form sums including the row-weighted de-interlace check."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        _gif_interlace_order,
+        attach_gif_media,
+        decode_gif,
+        decode_gif_bytes,
+        encode_gif_palette,
+    )
+
+    rng = np.random.default_rng(31)
+    for (h, w, n, inter) in [
+        (5, 7, 2, False), (13, 9, 40, True), (17, 23, 256, True),
+        (1, 1, 1, False), (64, 80, 256, False), (9, 4, 16, True),
+    ]:
+        pal = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+        idx = rng.integers(0, n, (h, w)).astype(np.uint8)
+        b = encode_gif_palette(idx, pal, interlace=inter)
+        didx, dpal, dint = decode_gif_bytes(b)
+        assert dint == inter and np.array_equal(didx, idx), (h, w, n, inter)
+        assert np.array_equal(dpal[:n], pal)
+    # interlace order is the spec's 4-pass lattice
+    assert _gif_interlace_order(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    # encoder rejects out-of-palette indices
+    try:
+        encode_gif_palette(np.full((2, 2), 9, np.uint8), pal[:4])
+        raise AssertionError("expected index-out-of-range")
+    except ValueError:
+        pass
+    good = encode_gif_palette(
+        rng.integers(0, 8, (6, 6)).astype(np.uint8), pal[:8]
+    )
+    rows = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"GIF89a trash")),
+         (3, bytearray(good[: len(good) // 2])), (None, None)],
+        "media_id long, media binary",
+    )
+    out = {r["media_id"]: r for r in decode_gif(rows).collect()}
+    assert out[1]["width"] == 6 and out[1]["n_colors"] == 8
+    assert out[2]["width"] is None and out[3]["width"] is None
+    assert out[None]["width"] is None
+    # fixtures match their closed-form sums (incl. wsum_r row weights)
+    ids = spark.range(0, 9).withColumnRenamed("id", "doc_id")
+    got = {
+        r["media_id"]: r
+        for r in decode_gif(attach_gif_media(ids, "doc_id")).collect()
+    }
+    for i in range(9):
+        w, h, n = i % 13 + 4, i % 11 + 4, 4 + i % 13
+        pal_r = (5 * np.arange(n) + 7) % 256
+        idx = ((np.arange(w * h) + i) % n).reshape(h, w)
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["interlaced"] == (1 if i % 3 == 0 else 0)
+        assert r["sum_r"] == int(pal_r[idx].sum())
+        assert r["wsum_r"] == int(
+            ((np.arange(h) + 1) * pal_r[idx].sum(axis=1)).sum()
+        ), i
