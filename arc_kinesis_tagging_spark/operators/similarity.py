@@ -1390,3 +1390,202 @@ def opq_assign(
         .filter(F.col(vec_col).isNotNull())
         .mapInPandas(assign, schema)
     )
+
+
+def ivf_pq_retrain(
+    embeddings: DataFrame,
+    batch_pred,
+    nlist: int = 8,
+    m_subspaces: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    drift_num: int = 2,
+    drift_den: int = 1,
+) -> DataFrame:
+    """Residual-PQ re-training under IVF drift — the maintenance step
+    between append_ivf_index (frozen geometry, no retrain) and a full
+    rebuild: when appended vectors stop being served well by the PQ
+    codebook trained on the PRIOR corpus's residuals, re-train ONLY
+    the drifted cells' codebooks on their own combined residuals.
+
+    ``batch_pred`` is a boolean Column marking appended rows; the
+    prior corpus is its complement. Coarse geometry: ``nlist``
+    centroids = the nlist lowest-id PRIOR vectors (the deterministic
+    IVF-family convention; swap in k-means offline for production),
+    squared-L2 routing in integer micro-units with lowest-cell ties.
+    The OLD codebook is global, trained on prior residuals (ksub
+    lowest-id prior vectors, each reduced by its own cell centroid).
+    A cell has DRIFTED when its batch rows' mean reconstruction error
+    exceeds drift_num/drift_den times its prior rows' mean — computed
+    by exact integer cross-multiplication on the micro-unit error
+    sums, so the flag is engine- and partitioning-stable. The NEW
+    per-cell codebook is the cell's ksub lowest-id COMBINED members'
+    residuals, selected with the two-level bounded_topk_rank (never a
+    corpus-sized per-cell window) and collected bounded
+    (nlist * ksub rows).
+
+    Scale shape: two narrow Arrow passes over the corpus (route +
+    score old, score new), both against broadcast codebooks; the only
+    shuffles are nlist-row aggregates. Returns one row per non-empty
+    cell: (cell_id, n_prior, n_batch, err_prior_u6, err_batch_u6,
+    drifted, err_before_u6, err_after_u6, improved) with err_after
+    equal to err_before wherever the cell kept its old codebook.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        batch_pred.cast("boolean").alias("is_batch"),
+    ).filter(F.col("vec").isNotNull())
+    prior = e.filter(~F.col("is_batch"))
+
+    def _micro(x):
+        return np.floor(x * 1e6 + 0.5).astype(np.int64)
+
+    # bounded collects: nlist coarse centroids + ksub old-book sources
+    C = np.array(
+        [
+            r["vec"]
+            for r in prior.orderBy("vec_id").limit(nlist).collect()
+        ],
+        dtype=np.float64,
+    )
+    d = C.shape[1]
+    assert d % m_subspaces == 0, "dim must split evenly into subspaces"
+    dsub = d // m_subspaces
+
+    def _route(V):
+        diff = V[:, None, :] - C[None, :, :]
+        dist = _micro((diff * diff).sum(axis=2))
+        return np.argmin(dist, axis=1)  # first min = lowest cell
+
+    S = np.array(
+        [
+            r["vec"]
+            for r in prior.orderBy("vec_id").limit(ksub).collect()
+        ],
+        dtype=np.float64,
+    )
+    book_old = S - C[_route(S)]  # (ksub, d) prior residuals
+    b_old = spark.sparkContext.broadcast((C, book_old))
+
+    def _pq_err(R, book):
+        """Total micro-unit reconstruction error of residual rows R
+        against ``book`` (n_codes, d), summed over subspaces."""
+        err = np.zeros(len(R), np.int64)
+        for m in range(m_subspaces):
+            s, t = m * dsub, (m + 1) * dsub
+            diff = R[:, None, s:t] - book[None, :, s:t]
+            dist = _micro((diff * diff).sum(axis=2))
+            err += dist[np.arange(len(R)), np.argmin(dist, axis=1)]
+        return err
+
+    def pass_old(batches):
+        C_, bk = b_old.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            diff = V[:, None, :] - C_[None, :, :]
+            cells = np.argmin(_micro((diff * diff).sum(axis=2)), axis=1)
+            err = _pq_err(V - C_[cells], bk)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "is_batch": pdf["is_batch"].to_numpy(),
+                    "cell_id": cells.astype(np.int32),
+                    "err_old_u6": err,
+                }
+            )
+
+    assigned = e.mapInPandas(
+        pass_old, "vec_id long, is_batch boolean, cell_id int, err_old_u6 long"
+    )
+    agg_old = assigned.groupBy("cell_id").agg(
+        F.sum((~F.col("is_batch")).cast("long")).alias("n_prior"),
+        F.sum(F.col("is_batch").cast("long")).alias("n_batch"),
+        F.sum(
+            F.when(~F.col("is_batch"), F.col("err_old_u6")).otherwise(0)
+        ).alias("err_prior_u6"),
+        F.sum(
+            F.when(F.col("is_batch"), F.col("err_old_u6")).otherwise(0)
+        ).alias("err_batch_u6"),
+    )
+
+    # NEW per-cell codebooks: ksub lowest-id combined members per cell,
+    # two-level rank (no corpus-sized window), bounded collect
+    members = bounded_topk_rank(
+        assigned.select("vec_id", "cell_id"),
+        ksub,
+        order_col="vec_id",
+        part_cols=("cell_id",),
+        id_col="vec_id",
+        ascending=True,
+    ).join(e.select("vec_id", "vec"), "vec_id")
+    books: dict[int, np.ndarray] = {}
+    for r in members.collect():  # bounded: <= nlist * ksub rows
+        v = np.asarray(r["vec"], dtype=np.float64)
+        books.setdefault(int(r["cell_id"]), []).append(
+            v - C[int(r["cell_id"])]
+        )
+    b_new = spark.sparkContext.broadcast(
+        (C, {c: np.array(rows) for c, rows in books.items()})
+    )
+
+    def pass_new(batches):
+        C_, bks = b_new.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            diff = V[:, None, :] - C_[None, :, :]
+            cells = np.argmin(_micro((diff * diff).sum(axis=2)), axis=1)
+            err = np.zeros(len(V), np.int64)
+            for c in np.unique(cells):
+                sel = cells == c
+                err[sel] = _pq_err(V[sel] - C_[c], bks[int(c)])
+            yield pd.DataFrame(
+                {
+                    "cell_id": cells.astype(np.int32),
+                    "err_new_u6": err,
+                }
+            )
+
+    agg_new = (
+        e.mapInPandas(pass_new, "cell_id int, err_new_u6 long")
+        .groupBy("cell_id")
+        .agg(F.sum("err_new_u6").alias("err_new_total_u6"))
+    )
+
+    drifted = (
+        (F.col("n_batch") > 0)
+        & (F.col("n_prior") > 0)
+        & (
+            F.col("err_batch_u6") * F.col("n_prior") * drift_den
+            > F.col("err_prior_u6") * F.col("n_batch") * drift_num
+        )
+    )
+    before = F.col("err_prior_u6") + F.col("err_batch_u6")
+    return (
+        agg_old.join(agg_new, "cell_id")
+        .withColumn("drifted", drifted)
+        .withColumn("err_before_u6", before)
+        .withColumn(
+            "err_after_u6",
+            F.when(F.col("drifted"), F.col("err_new_total_u6")).otherwise(
+                before
+            ),
+        )
+        .withColumn(
+            "improved", F.col("err_after_u6") < F.col("err_before_u6")
+        )
+        .select(
+            "cell_id", "n_prior", "n_batch", "err_prior_u6",
+            "err_batch_u6", "drifted", "err_before_u6", "err_after_u6",
+            "improved",
+        )
+    )

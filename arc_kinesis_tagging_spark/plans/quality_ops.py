@@ -2605,7 +2605,199 @@ def q_lm_arpa(spark, sf_dir):
     )
 
 
+# --- DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169) ---------
+# Data Selection via Importance Resampling: score every raw document by
+# the log importance weight of a hashed-n-gram bag-of-words model of a
+# TARGET distribution vs the RAW distribution, then resample with
+# Gumbel-top-k on the log weights. The production curation method for
+# "give me web data that looks like Wikipedia" — here the target is the
+# English slice of the corpus and the raw distribution is everything.
+
+_DSIR_B = 256  # hashed feature buckets; model tables are B rows
+
+
+def _dsir_grams(d):
+    """(doc_id, lang, gram) rows: unigrams + adjacent bigrams over
+    whitespace tokens — DSIR's hashed n-gram features, built map-side
+    with one explode (no UDF)."""
+    toks = tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id", "lang",
+        F.explode(F.concat(toks, bigrams)).alias("g"),
+    )
+
+
+def _dsir_scored(spark, sf_dir):
+    """Per-doc DSIR log-importance-ratio over hashed n-gram buckets.
+
+    Scale shape: the two bucket models are B-row aggregates (B = 256 —
+    bounded by construction at any corpus size, broadcast); the corpus
+    is read once into per-(doc, bucket) counts whose key includes
+    doc_id (no skew pileup), and the only data-sized shuffle is that
+    aggregate. Log-ratio floats follow the LM-gate convention: 3-dp
+    rounding sits far above cross-engine addition-order drift."""
+    d = _t(spark, sf_dir, "documents")
+    gb = _dsir_grams(d).withColumn(
+        "b",
+        stable_hash64(F.concat(F.lit("dsir:"), F.col("g"))) % _DSIR_B,
+    )
+    ct = gb.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    cr = gb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tots = gb.agg(
+        F.count(F.lit(1)).alias("tr"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("tt"),
+    )
+    ratio = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tt") + F.lit(float(_DSIR_B)))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("tr") + F.lit(float(_DSIR_B)))
+                )
+            ).alias("r"),
+        )
+    )
+    dm = gb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("m"))
+    return dm.join(F.broadcast(ratio), "b").groupBy("doc_id").agg(
+        F.sum("m").alias("n_grams"),
+        # + 0.0 collapses IEEE -0.0 (a tiny negative mean rounds to
+        # the SIGNED zero in one engine and not the other)
+        (
+            F.round(F.sum(F.col("m") * F.col("r")) / F.sum("m"), 3)
+            + F.lit(0.0)
+        ).alias("dsir_logratio"),
+    )
+
+
+def q_dsir_score(spark, sf_dir):
+    """DSIR scoring + threshold gate: per-doc mean log importance
+    ratio of the target (lang = 'en') hashed-bigram model over the raw
+    model, add-one smoothed; kept = ratio >= 0 (doc looks more like
+    the target than the background). Docs with no tokens carry no
+    features and are absent (the empty-doc gate runs upstream)."""
+    s = _dsir_scored(spark, sf_dir)
+    return s.select(
+        "doc_id", "n_grams", "dsir_logratio",
+        (F.col("dsir_logratio") >= F.lit(0.0)).alias("kept"),
+    )
+
+
+_DSIR_N = 50  # resample size
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR Gumbel-top-k resample: perturb each doc's log weight with
+    deterministic Gumbel noise g = -ln(-ln(u)), u a pure function of
+    doc_id via the portable hash, and take the global top N = 50 — the
+    Gumbel-max trick makes this an exact sample without replacement
+    from softmax(log weights). The composite key is integer micro
+    units (rounded score milli-units * 1000 + rounded noise micro
+    units) with a doc_id tiebreak, so the selected SET is engine- and
+    partitioning-deterministic; the top-N itself is a bounded
+    TakeOrderedAndProject, never a corpus-wide window."""
+    s = _dsir_scored(spark, sf_dir)
+    h = stable_hash64(
+        F.concat(F.lit("dsir-u:"), F.col("doc_id").cast("string"))
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float((1 << 60) + 2))
+    gum = -F.log(-F.log(u))
+    key = (
+        F.round(F.col("dsir_logratio") * 1000, 0).cast("long") * 1000
+        + F.round(gum * 1e6, 0).cast("long")
+    )
+    return (
+        s.select("doc_id", "dsir_logratio", key.alias("key_micro"))
+        .orderBy(F.desc("key_micro"), F.asc("doc_id"))
+        .limit(_DSIR_N)
+    )
+
+
+_DSIR_GRAMS_SQL = """
+  base AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+             AS toks
+    FROM documents
+  ), tok AS (
+    SELECT doc_id, lang, generate_subscripts(toks, 1) AS pos,
+           UNNEST(toks) AS t
+    FROM base
+  ), grams AS (
+    SELECT doc_id, lang, t AS g FROM tok
+    UNION ALL
+    SELECT a.doc_id, a.lang, a.t || ' ' || b.t AS g
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  ), hb AS (
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5('dsir:' || g), 1, 15)) AS BIGINT)
+             % 256 AS b
+    FROM grams
+  ), cr AS (
+    SELECT b, COUNT(*) AS cr FROM hb GROUP BY b
+  ), ct AS (
+    SELECT b, COUNT(*) AS ct FROM hb WHERE lang = 'en' GROUP BY b
+  ), tots AS (
+    SELECT COUNT(*) AS tr,
+           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt
+    FROM hb
+  ), ratio AS (
+    SELECT cr.b,
+           ln((COALESCE(ct.ct, 0) + 1.0) / (tots.tt + 256.0))
+             - ln((cr.cr + 1.0) / (tots.tr + 256.0)) AS r
+    FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tots
+  ), dm AS (
+    SELECT doc_id, b, COUNT(*) AS m FROM hb GROUP BY doc_id, b
+  ), per AS (
+    SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_grams,
+           ROUND(SUM(m * r) / SUM(m), 3) + 0.0 AS dsir_logratio
+    FROM dm JOIN ratio ON dm.b = ratio.b
+    GROUP BY doc_id
+  )
+"""
+
+ORACLE_DSIR_SCORE = f"""
+WITH {_DSIR_GRAMS_SQL}
+SELECT doc_id, n_grams, dsir_logratio,
+       dsir_logratio >= 0.0 AS kept
+FROM per
+"""
+
+ORACLE_DSIR_SAMPLE = f"""
+WITH {_DSIR_GRAMS_SQL}
+SELECT doc_id, dsir_logratio,
+       CAST(ROUND(dsir_logratio * 1000, 0) AS BIGINT) * 1000
+         + CAST(ROUND(
+             -ln(-ln((CAST(('0x' || substr(
+                 md5('dsir-u:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) + 1.0) / {float((1 << 60) + 2)!r}))
+             * 1e6, 0) AS BIGINT) AS key_micro
+FROM per
+ORDER BY key_micro DESC, doc_id ASC
+LIMIT {_DSIR_N}
+"""
+
+
 QUALITY_QUERIES = [
+    Query("q_dsir_score", q_dsir_score, ORACLE_DSIR_SCORE),
+    Query("q_dsir_sample", q_dsir_sample, ORACLE_DSIR_SAMPLE),
     Query("q_lm_arpa", q_lm_arpa, None,
           "ARPA file round-trip quantizes probs at 7-dp log10 — "
           "hash-comparing 3-dp rounded bits across that boundary would "
