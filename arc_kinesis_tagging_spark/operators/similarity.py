@@ -1420,10 +1420,14 @@ def ivf_pq_retrain(
     exceeds drift_num/drift_den times its prior rows' mean — computed
     by exact integer cross-multiplication on the micro-unit error
     sums, so the flag is engine- and partitioning-stable. The NEW
-    per-cell codebook is the cell's ksub lowest-id COMBINED members'
-    residuals, selected with the two-level bounded_topk_rank (never a
-    corpus-sized per-cell window) and collected bounded
-    (nlist * ksub rows).
+    per-cell codebook re-seeds where it hurts: the cell's ksub//2
+    lowest-id members (representatives of the mass the old book
+    already served) UNION its ksub - ksub//2 HIGHEST-old-error members
+    (the drifted mass — a book of only low-id members would re-learn
+    the old distribution and change nothing), deduplicated, residuals
+    vs the cell centroid, codes ordered by vec_id. Both selections are
+    the two-level bounded_topk_rank (never a corpus-sized per-cell
+    window) and the collect is bounded (<= nlist * ksub rows).
 
     Scale shape: two narrow Arrow passes over the corpus (route +
     score old, score new), both against broadcast codebooks; the only
@@ -1516,18 +1520,36 @@ def ivf_pq_retrain(
         ).alias("err_batch_u6"),
     )
 
-    # NEW per-cell codebooks: ksub lowest-id combined members per cell,
-    # two-level rank (no corpus-sized window), bounded collect
-    members = bounded_topk_rank(
+    # NEW per-cell codebooks: ksub//2 lowest-id members + the rest
+    # highest-err_old members, two-level ranks (no corpus-sized
+    # window), dedup, bounded collect
+    kl = ksub // 2
+    low = bounded_topk_rank(
         assigned.select("vec_id", "cell_id"),
-        ksub,
+        kl,
         order_col="vec_id",
         part_cols=("cell_id",),
         id_col="vec_id",
         ascending=True,
-    ).join(e.select("vec_id", "vec"), "vec_id")
+    ).select("vec_id", "cell_id")
+    high = bounded_topk_rank(
+        assigned.select("vec_id", "cell_id", "err_old_u6"),
+        ksub - kl,
+        order_col="err_old_u6",
+        part_cols=("cell_id",),
+        id_col="vec_id",
+        ascending=False,
+    ).select("vec_id", "cell_id")
+    members = (
+        low.union(high)
+        .distinct()
+        .join(e.select("vec_id", "vec"), "vec_id")
+    )
     books: dict[int, np.ndarray] = {}
-    for r in members.collect():  # bounded: <= nlist * ksub rows
+    mrows = sorted(  # code order = vec_id ASC (collect order is not)
+        members.collect(), key=lambda r: int(r["vec_id"])
+    )  # bounded: <= nlist * ksub rows
+    for r in mrows:
         v = np.asarray(r["vec"], dtype=np.float64)
         books.setdefault(int(r["cell_id"]), []).append(
             v - C[int(r["cell_id"])]

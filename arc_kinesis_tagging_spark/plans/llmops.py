@@ -2445,6 +2445,154 @@ def q_dedup_semantic(spark, sf_dir):
     return kept.select("vec_id", "cluster")
 
 
+def q_ann_retrain(spark, sf_dir):
+    """Residual-PQ re-training under IVF drift — the maintenance
+    completion of the q_ann_persisted / q_ann_incremental family
+    (operators/similarity.py:ivf_pq_retrain): the corpus splits into
+    prior (vec_id % 5 != 0) and appended batch rows, coarse geometry
+    and the OLD global PQ codebook derive from the prior corpus only,
+    per-cell drift is flagged by exact integer cross-multiplication of
+    micro-unit error sums (threshold 1.0x here so the homogeneous
+    synthetic corpus exercises BOTH branches; production uses 1.2-2x),
+    and drifted cells re-train per-cell codebooks on their own
+    combined residuals. Deterministic end to end, so the DuckDB
+    oracle replicates routing, both codebooks, and the per-cell error
+    accounting for a hash-checked row."""
+    from arc_kinesis_tagging_spark.operators.similarity import ivf_pq_retrain
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_retrain(
+        e,
+        F.col("vec_id") % 5 == 0,
+        nlist=8,
+        m_subspaces=4,
+        ksub=8,
+        drift_num=1,
+        drift_den=1,
+    )
+
+
+# shared distance kernel: residual of vector x (vs its cell centroid
+# cx) against codebook residual (s - cs), per 16-dim subspace, in
+# half-up integer micro-units — the same quantization the numpy pass
+# applies before its argmin
+_RETRAIN_DSUB = """CAST(floor(list_sum(list_transform(range(1, 17),
+           i -> pow(
+             (CAST({x}.embedding[CAST(ms.m * 16 + i AS INT)] AS DOUBLE)
+              - CAST({cx}.embedding[CAST(ms.m * 16 + i AS INT)] AS DOUBLE))
+             - (CAST(b.semb[CAST(ms.m * 16 + i AS INT)] AS DOUBLE)
+                - CAST(b.cemb[CAST(ms.m * 16 + i AS INT)] AS DOUBLE)),
+             2))) * 1e6 + 0.5) AS BIGINT)"""
+
+ORACLE_ANN_RETRAIN = f"""
+WITH prior AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+), cent AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cell,
+         embedding
+  FROM (SELECT vec_id, embedding FROM prior ORDER BY vec_id ASC LIMIT 8)
+), dcell AS (
+  SELECT e.vec_id, c.cell,
+         CAST(floor(list_sum(list_transform(range(1, 65),
+              i -> pow(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                       - CAST(c.embedding[CAST(i AS INT)] AS DOUBLE), 2)))
+              * 1e6 + 0.5) AS BIGINT) AS d
+  FROM embeddings e CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dcell
+  ) WHERE rn = 1
+), bookold AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY s.vec_id ASC) - 1 AS INT) AS code,
+         s.embedding AS semb, c.embedding AS cemb
+  FROM (SELECT vec_id, embedding FROM prior ORDER BY vec_id ASC LIMIT 8) s
+  JOIN assign a ON a.vec_id = s.vec_id
+  JOIN cent c ON c.cell = a.cell
+), ms AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3)) t(m)
+), dold AS (
+  SELECT e.vec_id, ms.m, b.code, {_RETRAIN_DSUB.format(x='e', cx='ce')} AS d
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN cent ce ON ce.cell = a.cell
+  CROSS JOIN ms CROSS JOIN bookold b
+), eold AS (
+  SELECT vec_id, CAST(SUM(d) AS BIGINT) AS err_old
+  FROM (
+    SELECT vec_id, m, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+    FROM dold
+  ) WHERE rn = 1 GROUP BY vec_id
+), aggold AS (
+  SELECT a.cell AS cell_id,
+         CAST(SUM(CASE WHEN a.vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_prior,
+         CAST(SUM(CASE WHEN a.vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_batch,
+         CAST(SUM(CASE WHEN a.vec_id % 5 <> 0 THEN o.err_old ELSE 0 END)
+              AS BIGINT) AS err_prior_u6,
+         CAST(SUM(CASE WHEN a.vec_id % 5 = 0 THEN o.err_old ELSE 0 END)
+              AS BIGINT) AS err_batch_u6
+  FROM assign a JOIN eold o ON o.vec_id = a.vec_id
+  GROUP BY a.cell
+), selnew AS (
+  SELECT DISTINCT cell, vec_id FROM (
+    SELECT a.cell, a.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY a.cell ORDER BY a.vec_id ASC)
+             AS rid,
+           ROW_NUMBER() OVER (PARTITION BY a.cell
+                              ORDER BY o.err_old DESC, a.vec_id ASC)
+             AS rerr
+    FROM assign a JOIN eold o ON o.vec_id = a.vec_id
+  ) WHERE rid <= 4 OR rerr <= 4
+), booknew AS (
+  SELECT s.cell,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s.cell
+                                 ORDER BY s.vec_id ASC) - 1 AS INT)
+           AS code,
+         e.embedding AS semb, c.embedding AS cemb
+  FROM selnew s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN cent c ON c.cell = s.cell
+), dnew AS (
+  SELECT e.vec_id, ms.m, b.code, {_RETRAIN_DSUB.format(x='e', cx='ce')} AS d
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN cent ce ON ce.cell = a.cell
+  CROSS JOIN ms
+  JOIN booknew b ON b.cell = a.cell
+), enew AS (
+  SELECT vec_id, CAST(SUM(d) AS BIGINT) AS err_new
+  FROM (
+    SELECT vec_id, m, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+    FROM dnew
+  ) WHERE rn = 1 GROUP BY vec_id
+), aggnew AS (
+  SELECT a.cell AS cell_id, CAST(SUM(n.err_new) AS BIGINT)
+           AS err_new_total
+  FROM assign a JOIN enew n ON n.vec_id = a.vec_id
+  GROUP BY a.cell
+)
+SELECT ao.cell_id, n_prior, n_batch, err_prior_u6, err_batch_u6,
+       (n_batch > 0 AND n_prior > 0
+        AND err_batch_u6 * n_prior > err_prior_u6 * n_batch) AS drifted,
+       err_prior_u6 + err_batch_u6 AS err_before_u6,
+       CASE WHEN (n_batch > 0 AND n_prior > 0
+                  AND err_batch_u6 * n_prior > err_prior_u6 * n_batch)
+            THEN an.err_new_total
+            ELSE err_prior_u6 + err_batch_u6 END AS err_after_u6,
+       (CASE WHEN (n_batch > 0 AND n_prior > 0
+                   AND err_batch_u6 * n_prior > err_prior_u6 * n_batch)
+             THEN an.err_new_total
+             ELSE err_prior_u6 + err_batch_u6 END)
+         < (err_prior_u6 + err_batch_u6) AS improved
+FROM aggold ao JOIN aggnew an ON an.cell_id = ao.cell_id
+"""
+
+
 def q_multimodal_gif(spark, sf_dir):
     """REAL GIF89a decode — the third dominant web image format,
     completing the palette-raster family the color-type-3 PNG decoder
@@ -2527,6 +2675,7 @@ LLMOPS_QUERIES = [
           "approximate recall by design; judged against brute force in tests"),
     Query("q_ann_persisted", q_ann_persisted, ORACLE_ANN_PERSISTED),
     Query("q_ann_incremental", q_ann_incremental, ORACLE_ANN_INCREMENTAL),
+    Query("q_ann_retrain", q_ann_retrain, ORACLE_ANN_RETRAIN),
     Query("q_similarity_ivfpq", q_similarity_ivfpq, ORACLE_SIMILARITY_IVFPQ),
     Query("q_embed_pq", q_embed_pq, ORACLE_EMBED_PQ),
     Query("q_similarity_pq_adc", q_similarity_pq_adc, ORACLE_SIMILARITY_PQ_ADC),

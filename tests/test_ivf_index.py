@@ -318,3 +318,128 @@ def test_ann_family_recall_ladder(spark, sf_dir):
     assert r_ivf >= 0.6, r_ivf
     assert r_adc >= 0.3, r_adc     # 4 subspaces x 16 codes is coarse
     assert r_ivfpq >= 0.3, r_ivfpq
+
+
+def test_ivf_pq_retrain_detects_and_fixes_real_drift(spark):
+    """Crafted drift: prior vectors cluster tightly around two coarse
+    centers; batch vectors land in the same cells but offset by a
+    pattern the prior-trained codebook cannot represent. The drifted
+    cells must be flagged, their re-trained per-cell codebooks must
+    strictly reduce the total micro-unit error, undrifted accounting
+    must keep err_after == err_before, and the error bookkeeping must
+    be exact (prior + batch sums == before; numpy reference parity on
+    every output cell). Also pins partitioning invariance."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.similarity import ivf_pq_retrain
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(41)
+    d, nlist, ksub, m = 8, 2, 4, 2
+    centers = np.array(
+        [[10.0] * d, [-10.0] * d]
+    )
+    rows = []
+    vid = 0
+    # prior: tight gaussian blobs (ids 1..40 skip %5==0 pattern below)
+    for _ in range(40):
+        c = centers[vid % 2]
+        v = c + rng.normal(0, 0.05, d)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    # make ids such that batch = ids >= 1000 (clean predicate)
+    batch_rows = []
+    for j in range(20):
+        c = centers[j % 2]
+        # cell 0's batch drifts by a large fixed offset in the first
+        # subspace; cell 1's batch matches the prior distribution
+        off = np.zeros(d)
+        if j % 2 == 0:
+            off[: d // 2] = 3.0
+        v = c + off + rng.normal(0, 0.05, d)
+        batch_rows.append((1000 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows + batch_rows, "vec_id long, embedding array<double>"
+    )
+    out = ivf_pq_retrain(
+        df,
+        F.col("vec_id") >= 1000,
+        nlist=nlist,
+        m_subspaces=m,
+        ksub=ksub,
+        drift_num=2,
+        drift_den=1,
+    )
+    got = {r["cell_id"]: r for r in out.collect()}
+    assert set(got) == {0, 1}
+
+    # numpy reference: replicate the whole operator
+    def micro(x):
+        return np.floor(np.asarray(x) * 1e6 + 0.5).astype(np.int64)
+
+    allv = {i: np.array(v) for i, v in rows + batch_rows}
+    prior_ids = sorted(i for i in allv if i < 1000)
+    C = np.array([allv[i] for i in prior_ids[:nlist]])
+
+    def route(v):
+        return int(np.argmin(micro(((v - C) ** 2).sum(axis=1))))
+
+    cells = {i: route(v) for i, v in allv.items()}
+    book_old = np.array(
+        [allv[i] - C[cells[i]] for i in prior_ids[:ksub]]
+    )
+
+    def pq_err(rv, book):
+        tot, dsub = 0, rv.shape[0] // m
+        for mm in range(m):
+            s, t = mm * dsub, (mm + 1) * dsub
+            tot += int(micro(((rv[s:t] - book[:, s:t]) ** 2).sum(axis=1)).min())
+        return tot
+
+    err_old = {i: pq_err(v - C[cells[i]], book_old) for i, v in allv.items()}
+    for cell in (0, 1):
+        mem = sorted(i for i in allv if cells[i] == cell)
+        prior_m = [i for i in mem if i < 1000]
+        batch_m = [i for i in mem if i >= 1000]
+        ep = sum(err_old[i] for i in prior_m)
+        eb = sum(err_old[i] for i in batch_m)
+        r = got[cell]
+        assert (r["n_prior"], r["n_batch"]) == (len(prior_m), len(batch_m))
+        assert (r["err_prior_u6"], r["err_batch_u6"]) == (ep, eb)
+        assert r["err_before_u6"] == ep + eb
+        drift = eb * len(prior_m) > 2 * ep * len(batch_m)
+        assert r["drifted"] == drift
+        if drift:
+            kl = ksub // 2
+            by_err = sorted(mem, key=lambda i: (-err_old[i], i))
+            sel = sorted(set(mem[:kl]) | set(by_err[: ksub - kl]))
+            book_new = np.array([allv[i] - C[cell] for i in sel])
+            ea = sum(
+                pq_err(allv[i] - C[cell], book_new) for i in mem
+            )
+            assert r["err_after_u6"] == ea
+        else:
+            assert r["err_after_u6"] == r["err_before_u6"]
+            assert not r["improved"]
+    # the offset cell must actually drift AND improve
+    drifted_cells = [c for c, r in got.items() if r["drifted"]]
+    assert drifted_cells, "crafted offset failed to trigger drift"
+    for c in drifted_cells:
+        assert got[c]["improved"]
+        assert got[c]["err_after_u6"] < got[c]["err_before_u6"]
+    # partitioning invariance
+    again = {
+        r["cell_id"]: r
+        for r in ivf_pq_retrain(
+            df.repartition(9),
+            F.col("vec_id") >= 1000,
+            nlist=nlist,
+            m_subspaces=m,
+            ksub=ksub,
+            drift_num=2,
+            drift_den=1,
+        ).collect()
+    }
+    assert {c: tuple(r) for c, r in got.items()} == {
+        c: tuple(r) for c, r in again.items()
+    }

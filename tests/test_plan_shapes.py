@@ -207,6 +207,10 @@ _EAGER_BUILDERS = {
     "q_dedup_incremental_mh",
     # iterative merge-learning loop runs jobs at build time
     "q_bpe_train", "q_bpe_encode",
+    # hard-EM vocabulary fit runs jobs at build time
+    "q_unigram_train", "q_unigram_encode",
+    # bounded centroid/codebook collects at build time
+    "q_ann_retrain",
 }
 
 
@@ -268,6 +272,9 @@ BNLJ_ALLOWLIST = {
     # onto the vocab — both sides bounded by language count, never
     # corpus-sized
     "q_doc_minwise_sim",
+    # 1-row (target-total, raw-total) broadcast onto the 256-bucket
+    # model table — both sides bounded by construction
+    "q_dsir_score", "q_dsir_sample",
 }
 
 
