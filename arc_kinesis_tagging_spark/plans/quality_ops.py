@@ -1424,6 +1424,51 @@ def q_bpe_train(spark, sf_dir):
 
 
 
+def q_unigram_train(spark, sf_dir):
+    """Unigram-LM (SentencePiece-model) tokenizer training
+    (operators/unigram.py:unigram_train) — the top-down likelihood
+    sibling of q_bpe_train's bottom-up merges: substring candidates
+    seeded from the ONE corpus word-frequency pass, hard-EM sweeps
+    with Viterbi counts over the vocabulary-sized word table
+    (broadcast piece table, bounded collects), geometric pruning to
+    the target size with single-character coverage never pruned.
+    Integer micro-unit log-probs make training partition- and
+    run-deterministic. Iterative EM -> rows-only; exact parity with a
+    single-machine reference implementation plus Viterbi-optimality
+    brute-force checks are pinned in tests/test_unigram.py."""
+    from arc_kinesis_tagging_spark.operators.unigram import (
+        unigram_train,
+        unigram_vocab_df,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    _vocab, rows = unigram_train(
+        d, "text", vocab_size=200, seed_size=600, n_rounds=2
+    )
+    return unigram_vocab_df(spark, rows)
+
+
+def q_unigram_encode(spark, sf_dir):
+    """The tokenize-apply half of the unigram loop: train the
+    vocabulary (q_unigram_train's path), then Viterbi-encode every
+    document (operators/unigram.py:unigram_encode — map-only, vocab
+    closure-captured, per-batch word memoization, zero shuffle) and
+    emit per-document piece statistics with an exact integer total
+    log-prob. Iterative training upstream -> rows-only; the
+    segmentation-optimality and determinism invariants are pinned in
+    tests/test_unigram.py."""
+    from arc_kinesis_tagging_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    vocab, _rows = unigram_train(
+        d, "text", vocab_size=200, seed_size=600, n_rounds=2
+    )
+    return unigram_encode(d, vocab, text_col="text", id_col="doc_id")
+
+
 def q_bpe_encode(spark, sf_dir):
     """The tokenize-apply half of the BPE loop: train 16 merges on the
     corpus (q_bpe_train's path), then encode every document with them
@@ -2816,6 +2861,12 @@ QUALITY_QUERIES = [
     Query("q_corpus_pipeline5", q_corpus_pipeline5,
           _corpus_pipeline5_oracle().replace("{PREFIX}", ORACLE_DEDUP_PREFIX)),
     Query("q_bpe_subwords", q_bpe_subwords, ORACLE_BPE_SUBWORDS),
+    Query("q_unigram_train", q_unigram_train, None,
+          "iterative hard-EM vocabulary fit -> rows-only; reference "
+          "parity + Viterbi optimality pinned in tests/test_unigram.py"),
+    Query("q_unigram_encode", q_unigram_encode, None,
+          "EM-trained vocab upstream -> rows-only; optimality and "
+          "determinism pinned in tests/test_unigram.py"),
     Query("q_bpe_encode", q_bpe_encode, None,
           "trains merges upstream (iterative) -> rows-only; train/apply "
           "self-consistency pinned in tests/test_quality_ops.py"),

@@ -78,6 +78,10 @@ HEADLINE = [
     # round-7 late additions
     "q_text_winnowing",   # MOSS winnowing fingerprints (nested HOF)
     "q_similarity_opq",   # OPQ rotate+assign map-only pass
+    "q_multimodal_gif",   # GIF89a LZW decode + de-interlace
+    "q_dsir_score",       # DSIR hashed-ngram importance scoring
+    "q_ann_retrain",      # IVF-drift detection + per-cell PQ retrain
+    "q_unigram_encode",   # unigram-LM train + Viterbi encode
 ]
 
 

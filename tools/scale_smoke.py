@@ -253,6 +253,14 @@ def main() -> None:
         # model grows with vocabulary (slowly), the scoring joins with
         # the corpus — expected ~linear in K like the self-trained gate
         "q_lm_arpa",
+        # round-7 late: DSIR scoring — the 256-bucket model tables are
+        # size-invariant in K, so cost should track the gram explode
+        # (linear) with a flat model-join term
+        "q_dsir_score",
+        # round-7 late: unigram-LM tokenizer — EM runs on the distinct
+        # -word table, which saturates under replica amplification, so
+        # train cost should go FLAT in K while encode tracks docs
+        "q_unigram_encode",
     ):
         t0 = time.perf_counter()
         report[f"{qname}_rows"] = QUERIES[qname].builder(spark, amp).count()
