@@ -3348,3 +3348,195 @@ def decode_gif(
             )
 
     return df.select(id_col, media_col).mapInPandas(dec, GIF_DECODED_SCHEMA)
+
+
+# --- Animated GIF (multi-frame) + frame sampling -----------------------------
+# GIF's second life in web corpora is as a VIDEO container (animation:
+# repeated GCE + image-descriptor blocks and the NETSCAPE2.0 loop
+# extension). The frame-sampling op mirrors q_multimodal_y4m's: decode
+# the container, keep every k-th frame — the vision-encoder ingestion
+# shape — with per-sampled-frame exact features.
+
+
+def encode_gif_anim(frames, palette, delay_cs: int = 4) -> bytes:
+    """Animated GIF89a encoder (fixture generator): ``frames`` is a
+    list of (h, w) uint8 index arrays sharing one global ``palette``.
+    Writes the NETSCAPE2.0 loop extension and, per frame, a Graphic
+    Control Extension (delay, disposal 1) + full-frame image with its
+    own LZW stream."""
+    import numpy as np
+
+    h, w = frames[0].shape
+    n = len(palette)
+    gct = 4
+    while gct < n:
+        gct *= 2
+    size_field = gct.bit_length() - 2
+    mcs = max(2, (gct - 1).bit_length())
+    pal = np.zeros((gct, 3), np.uint8)
+    pal[:n] = np.asarray(palette, np.uint8)
+    out = bytearray(_GIF_SIG)
+    out += struct.pack("<HHBBB", w, h, 0x80 | (7 << 4) | size_field, 0, 0)
+    out += pal.tobytes()
+    # NETSCAPE2.0 application extension: loop forever
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise ValueError("all frames must share the screen size")
+        if int(fr.max(initial=0)) >= n:
+            raise ValueError("index out of palette range")
+        out += b"\x21\xf9\x04\x04" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x00)
+        comp = _gif_lzw_compress(fr.reshape(-1), mcs)
+        out.append(mcs)
+        for i in range(0, len(comp), 255):
+            block = comp[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_anim_bytes(b: bytes):
+    """Decode EVERY frame of a GIF into (frames list of (h, w) uint8
+    index arrays, palette): the same container walk as
+    decode_gif_bytes but accumulating image blocks until the trailer.
+    Per-frame interlace honored; local color tables not supported for
+    animations (one palette keeps frame features comparable)."""
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _par = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        gct = 2 << (packed & 0x07)
+        palette = np.frombuffer(b, np.uint8, gct * 3, pos).reshape(-1, 3)
+        pos += gct * 3
+    if palette is None:
+        raise ValueError("no global color table")
+    frames = []
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            pos += 1
+            while b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", b[pos : pos + 9])
+        pos += 9
+        if left or top or w != sw or h != sh:
+            raise ValueError("sub-rectangle frames not supported")
+        if ipacked & 0x80:
+            raise ValueError("local color tables not supported")
+        mcs = b[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            raise ValueError("bad LZW minimum code size")
+        data = bytearray()
+        while b[pos]:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        flat = _gif_lzw_decompress(bytes(data), mcs, w * h)
+        idx = np.asarray(flat, np.uint8).reshape(h, w)
+        if ipacked & 0x40:
+            out = np.empty_like(idx)
+            out[_gif_interlace_order(h)] = idx
+            idx = out
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        frames.append(idx)
+    if not frames:
+        raise ValueError("no frames before trailer")
+    return frames, palette
+
+
+GIF_ANIM_SCHEMA = (
+    "media_id long, n_frames int, frame_idx int, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def attach_gif_anim_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic animated GIF per row: nf = id%5+2 frames of
+    w = id%7+4 by h = id%5+4, palette size n = 4 + id%9 (entries as
+    attach_gif_media), and frame f's pixel at flat position p holds
+    index (p + id + 3f) % n — so each sampled frame's channel sums
+    keep the closed residue-count form with offset id + 3f."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64").to_numpy()
+            blobs = []
+            for i in ids:
+                i = int(i)
+                nf, w, h = i % 5 + 2, i % 7 + 4, i % 5 + 4
+                n = 4 + i % 9
+                pal = np.stack(
+                    [
+                        (5 * np.arange(n) + 7) % 256,
+                        (9 * np.arange(n) + 2) % 256,
+                        (17 * np.arange(n) + 3) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                frames = [
+                    ((np.arange(w * h) + i + 3 * f) % n)
+                    .reshape(h, w)
+                    .astype(np.uint8)
+                    for f in range(nf)
+                ]
+                blobs.append(encode_gif_anim(frames, pal))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "media_id long, media binary")
+
+
+def sample_gif_frames(
+    df: DataFrame,
+    every: int = 2,
+    id_col: str = "media_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Decode an animated GIF and keep every ``every``-th frame with
+    exact per-frame integer channel sums — the video-modality sampling
+    op (q_multimodal_y4m's shape) on GIF's animation container.
+    Per-record isolation: corrupt payloads yield one null row."""
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                mid_out = None if pd.isna(mid) else int(mid)
+                try:
+                    frames, pal = decode_gif_anim_bytes(bytes(blob))
+                    for f in range(0, len(frames), every):
+                        px = pal[frames[f]].astype("int64")
+                        s = px.reshape(-1, 3).sum(axis=0)
+                        out.append(
+                            (mid_out, len(frames), f,
+                             int(s[0]), int(s[1]), int(s[2]))
+                        )
+                except Exception:
+                    out.append((mid_out, None, None, None, None, None))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_frames", "frame_idx",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(dec, GIF_ANIM_SCHEMA)

@@ -2650,6 +2650,54 @@ FROM rowcnt GROUP BY doc_id, w, h, n
 """
 
 
+def q_multimodal_gif_anim(spark, sf_dir):
+    """Animated-GIF FRAME SAMPLING — the video-sampling op
+    (q_multimodal_y4m's shape) on GIF's animation container, the form
+    GIFs actually take in web corpora: per document a multi-frame
+    GIF89a (NETSCAPE2.0 loop extension, per-frame Graphic Control
+    Extension + full-frame LZW image), decoded frame by frame
+    (operators/multimodal.py:decode_gif_anim_bytes), every 2nd frame
+    kept with exact integer channel sums. The per-frame index offset
+    (3 per frame) gives each sampled frame its own closed-form sums,
+    so a decoder that drops, duplicates, or misorders frames
+    hash-fails."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_gif_anim_media,
+        sample_gif_frames,
+    )
+
+    d = attach_gif_anim_media(_t(spark, sf_dir, "documents"), "doc_id")
+    return sample_gif_frames(d, every=2)
+
+
+# frame f of doc id holds index (p + id + 3f) % n at flat position p;
+# residue j appears floor((w*h - 1 - ((j - id - 3f) mod n))/n) + 1
+# times (w*h >= 16 > n <= 12, so the count is always >= 0)
+ORACLE_MULTIMODAL_GIF_ANIM = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 5 + 2 AS nf, doc_id % 7 + 4 AS w,
+         doc_id % 5 + 4 AS h, 4 + doc_id % 9 AS n
+  FROM documents
+), fr AS (
+  SELECT doc_id, nf, w, h, n, f.f AS f
+  FROM dims CROSS JOIN range(0, 7) f(f)
+  WHERE f.f < nf AND f.f % 2 = 0
+), cnts AS (
+  SELECT doc_id, nf, f, n, j.j AS j,
+         ((w * h - 1 - (((j.j - doc_id - 3 * f) % n + n) % n)) // n + 1)
+           AS cnt
+  FROM fr CROSS JOIN range(0, 13) j(j)
+  WHERE j.j < n
+)
+SELECT doc_id AS media_id, CAST(nf AS INTEGER) AS n_frames,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(SUM(cnt * ((5 * j + 7) % 256)) AS BIGINT) AS sum_r,
+       CAST(SUM(cnt * ((9 * j + 2) % 256)) AS BIGINT) AS sum_g,
+       CAST(SUM(cnt * ((17 * j + 3) % 256)) AS BIGINT) AS sum_b
+FROM cnts GROUP BY doc_id, nf, f
+"""
+
+
 LLMOPS_QUERIES = [
     Query("q_array_tag_upsert", q_array_tag_upsert, ORACLE_TAG_UPSERT),
     Query("q_explode", q_explode, ORACLE_EXPLODE),
@@ -2714,6 +2762,8 @@ LLMOPS_QUERIES = [
     Query("q_multimodal_catalog", q_multimodal_catalog,
           ORACLE_MULTIMODAL_CATALOG),
     Query("q_multimodal_gif", q_multimodal_gif, ORACLE_MULTIMODAL_GIF),
+    Query("q_multimodal_gif_anim", q_multimodal_gif_anim,
+          ORACLE_MULTIMODAL_GIF_ANIM),
     Query("q_multimodal_jpeg", q_multimodal_jpeg, ORACLE_MULTIMODAL_JPEG),
     Query("q_multimodal_jpeg420", q_multimodal_jpeg420,
           ORACLE_MULTIMODAL_JPEG420),

@@ -1039,3 +1039,69 @@ def test_gif_roundtrip_interlace_and_isolation(spark):
         assert r["wsum_r"] == int(
             ((np.arange(h) + 1) * pal_r[idx].sum(axis=1)).sum()
         ), i
+
+
+def test_gif_anim_roundtrip_sampling_and_isolation(spark):
+    """Animated GIF: multi-frame round-trip is bit-exact per frame
+    (including streams whose per-frame LZW tables grow and reset);
+    the NETSCAPE loop + per-frame GCE extension walk is exercised;
+    every-k sampling keeps exactly frames 0, k, 2k... with correct
+    per-frame sums; corrupt payloads isolate to one null row."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_gif_anim_media,
+        decode_gif_anim_bytes,
+        encode_gif_anim,
+        sample_gif_frames,
+    )
+
+    rng = np.random.default_rng(37)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    frames = [
+        rng.integers(0, 256, (40, 50)).astype(np.uint8) for _ in range(5)
+    ]
+    b = encode_gif_anim(frames, pal)
+    got, gpal = decode_gif_anim_bytes(b)
+    assert len(got) == 5 and np.array_equal(gpal, pal)
+    for f, g in zip(frames, got):
+        assert np.array_equal(f, g)
+    # single-frame animation and palette-2 edge
+    one = [np.zeros((3, 3), np.uint8)]
+    gf, _ = decode_gif_anim_bytes(encode_gif_anim(one, pal[:2]))
+    assert len(gf) == 1
+    # spark path: sampling + closed-form sums + isolation
+    rows = spark.createDataFrame(
+        [(7, bytearray(encode_gif_anim(frames[:4], pal))),
+         (8, bytearray(b"GIF89a nope")), (None, None)],
+        "media_id long, media binary",
+    )
+    out = sample_gif_frames(rows, every=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert [r["frame_idx"] for r in sorted(
+        by_id[7], key=lambda r: r["frame_idx"]
+    )] == [0, 2]
+    assert all(r["n_frames"] == 4 for r in by_id[7])
+    exp = pal[frames[2]].astype("int64").reshape(-1, 3).sum(axis=0)
+    r2 = next(r for r in by_id[7] if r["frame_idx"] == 2)
+    assert (r2["sum_r"], r2["sum_g"], r2["sum_b"]) == tuple(exp)
+    assert by_id[8][0]["n_frames"] is None and len(by_id[8]) == 1
+    assert by_id[None][0]["n_frames"] is None
+    # fixture sums match the analytic form
+    ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    got = {}
+    for r in sample_gif_frames(
+        attach_gif_anim_media(ids, "doc_id"), every=2
+    ).collect():
+        got[(r["media_id"], r["frame_idx"])] = r
+    for i in range(8):
+        nf, w, h, n = i % 5 + 2, i % 7 + 4, i % 5 + 4, 4 + i % 9
+        pal_r = (5 * np.arange(n) + 7) % 256
+        for f in range(0, nf, 2):
+            idx = (np.arange(w * h) + i + 3 * f) % n
+            r = got[(i, f)]
+            assert r["n_frames"] == nf
+            assert r["sum_r"] == int(pal_r[idx].sum()), (i, f)
+    assert len(got) == sum((i % 5 + 2 + 1) // 2 for i in range(8))
