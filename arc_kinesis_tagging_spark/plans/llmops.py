@@ -2698,6 +2698,41 @@ FROM cnts GROUP BY doc_id, nf, f
 """
 
 
+def q_source_tar_shards(spark, sf_dir):
+    """WebDataset-style tar-shard round trip — the container format
+    multimodal training corpora actually ship in
+    (sources/tar_shards.py): the corpus packs into POSIX ustar shards
+    of 10 samples (``<id>.txt`` + ``<id>.cls`` members, one bounded
+    groupBy + map-only encode), then the shards parse back — header
+    checksum walk, octal sizes, 512-byte blocks — into per-sample
+    rows with in-parser sample regrouping (members of a sample live
+    in one shard, so no second shuffle). The oracle derives every
+    output column straight from the documents table, so any header,
+    padding, ordering, or member-grouping error in the REAL tar
+    writer/parser hash-fails. Byte-parity of the writer against the
+    stdlib ``tarfile`` is pinned in tests/test_tar_shards.py."""
+    from arc_kinesis_tagging_spark.sources.tar_shards import (
+        build_doc_shards,
+        read_doc_shards,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    shards = build_doc_shards(d, shard_size=10)
+    return read_doc_shards(shards)
+
+
+ORACLE_SOURCE_TAR_SHARDS = """
+SELECT doc_id,
+       doc_id // 10 AS shard_id,
+       CAST(2 AS INTEGER) AS n_members,
+       CAST(octet_length(encode(COALESCE(text, ''))) AS INTEGER)
+         AS txt_bytes,
+       COALESCE(lang, '') AS cls,
+       md5(COALESCE(text, '')) AS payload_md5
+FROM documents
+"""
+
+
 LLMOPS_QUERIES = [
     Query("q_array_tag_upsert", q_array_tag_upsert, ORACLE_TAG_UPSERT),
     Query("q_explode", q_explode, ORACLE_EXPLODE),
@@ -2762,6 +2797,8 @@ LLMOPS_QUERIES = [
     Query("q_multimodal_catalog", q_multimodal_catalog,
           ORACLE_MULTIMODAL_CATALOG),
     Query("q_multimodal_gif", q_multimodal_gif, ORACLE_MULTIMODAL_GIF),
+    Query("q_source_tar_shards", q_source_tar_shards,
+          ORACLE_SOURCE_TAR_SHARDS),
     Query("q_multimodal_gif_anim", q_multimodal_gif_anim,
           ORACLE_MULTIMODAL_GIF_ANIM),
     Query("q_multimodal_jpeg", q_multimodal_jpeg, ORACLE_MULTIMODAL_JPEG),
