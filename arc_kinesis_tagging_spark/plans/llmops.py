@@ -2733,6 +2733,42 @@ FROM documents
 """
 
 
+def q_source_tar_multimodal(spark, sf_dir):
+    """Vision-language shard ingest — the tar container and the PNG
+    codec composed into ONE verified path (sources/tar_shards.py:
+    build_multimodal_shards / read_multimodal_shards): the corpus
+    packs into WebDataset shards whose samples pair ``<id>.txt`` with
+    a GENUINE PNG member, and one map-only Arrow pass parses the ustar
+    stream, regroups samples in-parser, and fully decodes each image
+    (CRC chunk walk, inflate, all-five-filter unfilter) to exact
+    channel means. The oracle derives text bytes and the analytic PNG
+    means straight from documents, so an error anywhere in the
+    container->member->codec->feature chain hash-fails."""
+    from arc_kinesis_tagging_spark.sources.tar_shards import (
+        build_multimodal_shards,
+        read_multimodal_shards,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return read_multimodal_shards(build_multimodal_shards(d, shard_size=10))
+
+
+ORACLE_SOURCE_TAR_MULTIMODAL = """
+SELECT doc_id,
+       doc_id // 10 AS shard_id,
+       CAST(octet_length(encode(COALESCE(text, ''))) AS INTEGER)
+         AS txt_bytes,
+       CAST(doc_id % 12 + 4 AS INTEGER) AS width,
+       CAST(doc_id % 10 + 4 AS INTEGER) AS height,
+       CAST(doc_id % 64 AS DOUBLE)
+         + (doc_id % 12 + 3) / 2.0 + (doc_id % 10 + 3) / 2.0 AS mean_r,
+       CAST(doc_id % 32 AS DOUBLE) + CAST(doc_id % 12 + 3 AS DOUBLE)
+         AS mean_g,
+       CAST(doc_id % 16 AS DOUBLE) + 1.5 * (doc_id % 10 + 3) AS mean_b
+FROM documents
+"""
+
+
 LLMOPS_QUERIES = [
     Query("q_array_tag_upsert", q_array_tag_upsert, ORACLE_TAG_UPSERT),
     Query("q_explode", q_explode, ORACLE_EXPLODE),
@@ -2799,6 +2835,8 @@ LLMOPS_QUERIES = [
     Query("q_multimodal_gif", q_multimodal_gif, ORACLE_MULTIMODAL_GIF),
     Query("q_source_tar_shards", q_source_tar_shards,
           ORACLE_SOURCE_TAR_SHARDS),
+    Query("q_source_tar_multimodal", q_source_tar_multimodal,
+          ORACLE_SOURCE_TAR_MULTIMODAL),
     Query("q_multimodal_gif_anim", q_multimodal_gif_anim,
           ORACLE_MULTIMODAL_GIF_ANIM),
     Query("q_multimodal_jpeg", q_multimodal_jpeg, ORACLE_MULTIMODAL_JPEG),

@@ -191,3 +191,121 @@ def read_doc_shards(
         "doc_id long, shard_id long, n_members int, txt_bytes int, "
         "cls string, payload_md5 string",
     )
+
+
+def build_multimodal_shards(
+    df: DataFrame,
+    shard_size: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multimodal WebDataset shards: each sample contributes
+    ``<id>.txt`` (UTF-8 text) and ``<id>.png`` — a GENUINE PNG from
+    the deterministic gradient fixture (operators/multimodal.py:
+    _png_pixels / encode_png_rgb8) — so the shard carries real image
+    bytes through the real container, exactly the text+image pairing
+    a vision-language corpus ships. Same one-bounded-groupBy +
+    map-only-encode shape as build_doc_shards."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        _png_pixels,
+        encode_png_rgb8,
+    )
+
+    grouped = (
+        df.select(
+            (F.col(id_col) / shard_size).cast("long").alias("shard_id"),
+            F.struct(
+                F.col(id_col).alias("id"),
+                F.col(text_col).alias("txt"),
+            ).alias("s"),
+        )
+        .groupBy("shard_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("samples"))
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, samples in zip(pdf["shard_id"], pdf["samples"]):
+                members = []
+                for s in samples:
+                    i = int(s["id"])
+                    members.append(
+                        (f"{i:08d}.txt", (s["txt"] or "").encode())
+                    )
+                    members.append(
+                        (f"{i:08d}.png", encode_png_rgb8(_png_pixels(i)))
+                    )
+                rows.append((int(sid), build_tar(members), len(samples)))
+            yield pd.DataFrame(
+                rows, columns=["shard_id", "shard", "n_samples"]
+            )
+
+    return grouped.mapInPandas(
+        enc, "shard_id long, shard binary, n_samples int"
+    )
+
+
+def read_multimodal_shards(
+    shards: DataFrame,
+    shard_col: str = "shard",
+    shard_id_col: str = "shard_id",
+) -> DataFrame:
+    """Parse multimodal shards AND decode the image member in the same
+    map-only pass: ustar walk -> per-sample regroup -> real PNG decode
+    (CRC chunk walk, inflate, unfilter) -> per-sample text stats +
+    image dims + exact channel means. The full container-to-features
+    path of a vision-language ingest, one Arrow pass, zero shuffles.
+    A corrupt shard isolates to one null row; a corrupt PNG inside an
+    otherwise-good shard isolates to null image columns for that
+    sample only."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        decode_png_rgb8_bytes,
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, blob in zip(pdf[shard_id_col], pdf[shard_col]):
+                sid_out = None if pd.isna(sid) else int(sid)
+                try:
+                    groups: dict[str, dict[str, bytes]] = {}
+                    for name, data in parse_tar(bytes(blob)):
+                        key, _, ext = name.partition(".")
+                        groups.setdefault(key, {})[ext] = data
+                    for key in sorted(groups):
+                        g = groups[key]
+                        txt = g.get("txt", b"")
+                        try:
+                            px = decode_png_rgb8_bytes(
+                                g["png"]
+                            ).astype("float64")
+                            h, w, _ = px.shape
+                            img = (
+                                w, h,
+                                float(px[:, :, 0].mean()),
+                                float(px[:, :, 1].mean()),
+                                float(px[:, :, 2].mean()),
+                            )
+                        except Exception:
+                            img = (None, None, None, None, None)
+                        rows.append(
+                            (int(key), sid_out, len(txt), *img)
+                        )
+                except Exception:
+                    rows.append(
+                        (None, sid_out, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "shard_id", "txt_bytes", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return shards.select(shard_id_col, shard_col).mapInPandas(
+        dec,
+        "doc_id long, shard_id long, txt_bytes int, width int, "
+        "height int, mean_r double, mean_g double, mean_b double",
+    )

@@ -109,3 +109,51 @@ def test_doc_shard_round_trip_and_isolation(spark):
     rows = read_doc_shards(bad).collect()
     assert len(rows) == 1 and rows[0]["doc_id"] is None
     assert rows[0]["shard_id"] == 9
+
+
+def test_multimodal_shards_decode_images_with_isolation(spark):
+    """Tar + PNG composed: shards carry genuine PNG members whose
+    decoded means match the analytic fixture; a corrupt PNG inside an
+    otherwise-good shard nulls only that sample's image columns while
+    text columns and sibling samples survive."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import _png_pixels
+    from arc_kinesis_tagging_spark.sources.tar_shards import (
+        build_multimodal_shards,
+        read_multimodal_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(12)], "doc_id long, text string"
+    )
+    shards = build_multimodal_shards(df, shard_size=5)
+    out = {r["doc_id"]: r for r in read_multimodal_shards(shards).collect()}
+    assert set(out) == set(range(12))
+    for i in range(12):
+        px = _png_pixels(i).astype("float64")
+        r = out[i]
+        assert r["shard_id"] == i // 5
+        assert r["txt_bytes"] == len(f"text {i}")
+        assert (r["width"], r["height"]) == (px.shape[1], px.shape[0])
+        assert r["mean_r"] == px[:, :, 0].mean()
+        assert r["mean_b"] == px[:, :, 2].mean()
+    # corrupt one sample's PNG member inside a rebuilt shard
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        encode_png_rgb8,
+    )
+    from arc_kinesis_tagging_spark.sources.tar_shards import build_tar
+
+    members = []
+    for i in range(3):
+        members.append((f"{i:08d}.txt", f"text {i}".encode()))
+        png = encode_png_rgb8(_png_pixels(i))
+        if i == 1:
+            png = png[:20] + b"\xff" * 10 + png[30:]  # break a chunk CRC
+        members.append((f"{i:08d}.png", png))
+    bad = spark.createDataFrame(
+        [(0, bytearray(build_tar(members)))], "shard_id long, shard binary"
+    )
+    rows = {r["doc_id"]: r for r in read_multimodal_shards(bad).collect()}
+    assert rows[1]["width"] is None and rows[1]["txt_bytes"] == 6
+    assert rows[0]["width"] is not None and rows[2]["width"] is not None
