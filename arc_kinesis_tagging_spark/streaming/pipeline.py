@@ -355,3 +355,135 @@ def train_pruned_lm(
         {r["ta"]: r["c"] for r in top_na},
         int(vsize or 0),
     )
+
+
+def train_dsir_model(docs: DataFrame, target_pred) -> tuple[dict, float]:
+    """Batch-train the frozen bounded model make_dsir_gate consumes:
+    the B-bucket (B = 256) log importance ratios of the target
+    distribution (rows where ``target_pred`` holds) over the raw
+    distribution, hashed-unigram+bigram features, add-one smoothing —
+    the exact model of plans/quality_ops.py:q_dsir_score. Returns
+    ({bucket: log_ratio}, unseen_bucket_ratio) where the second value
+    is the smoothed ratio of a bucket with zero observed mass (what a
+    NEW streaming doc's gram falls back to when it hashes into a
+    bucket the training corpus never produced). The collect is
+    bounded: <= 256 rows + one totals row."""
+    from arc_kinesis_tagging_spark.plans.quality_ops import (
+        _DSIR_B,
+        _dsir_grams,
+    )
+    from arc_kinesis_tagging_spark.functions.text import stable_hash64
+
+    gb = _dsir_grams(
+        docs.withColumn("lang", F.when(target_pred, F.lit("en")))
+    ).withColumn(
+        "b",
+        stable_hash64(F.concat(F.lit("dsir:"), F.col("g"))) % _DSIR_B,
+    )
+    cr = gb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
+    )
+    tot = gb.agg(
+        F.count(F.lit(1)).alias("tr"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("tt"),
+    ).first()
+    tr, tt = int(tot["tr"]), int(tot["tt"] or 0)
+    import math
+
+    def ratio(ct, cr):
+        return math.log((ct + 1.0) / (tt + _DSIR_B)) - math.log(
+            (cr + 1.0) / (tr + _DSIR_B)
+        )
+
+    model = {
+        int(r["b"]): ratio(int(r["ct"] or 0), int(r["cr"]))
+        for r in cr.collect()  # bounded: <= 256 rows
+    }
+    return model, ratio(0, 0)
+
+
+def make_dsir_gate(
+    model: dict,
+    unseen_ratio: float,
+    threshold: float = 0.0,
+    text_col: str = "text",
+):
+    """Build a streaming-safe DSIR admission stage from a frozen
+    bucket-ratio model (train_dsir_model): per row, hash the doc's
+    unigram+bigram grams into buckets with the portable md5 hash and
+    fold the bucket ratios into the mean log importance ratio — a
+    literal-map lookup inside a HOF, so the stage is a pure projection
+    (append-mode safe, zero shuffle, composes with the robots and LM
+    gates). Adds ``n_grams``, ``dsir_logratio`` (3 dp, null for
+    gram-less docs) and ``dsir_kept``. Scores match the batch
+    q_dsir_score on the training corpus (golden-parity test)."""
+    from arc_kinesis_tagging_spark.functions.text import tokens
+
+    rmap = F.create_map(
+        *[
+            x
+            for b, r in sorted(model.items())
+            for x in (F.lit(int(b)), F.lit(float(r)))
+        ]
+    ) if model else F.map_from_arrays(
+        F.array().cast("array<int>"), F.array().cast("array<double>")
+    )
+
+    def stage(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(toks, bigrams)
+        scores = F.transform(
+            grams,
+            lambda g: F.coalesce(
+                F.element_at(
+                    rmap,
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit("dsir:"), g)), 1, 15
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % F.lit(256)
+                    ).cast("int"),
+                ),
+                F.lit(float(unseen_ratio)),
+            ),
+        )
+        out = df.withColumn("__dsir", scores)
+        mean = (
+            F.round(
+                F.aggregate(
+                    F.col("__dsir"), F.lit(0.0), lambda a, x: a + x
+                )
+                / F.size("__dsir"),
+                3,
+            )
+            + F.lit(0.0)  # collapse IEEE -0.0 (batch parity)
+        )
+        return (
+            out.withColumn("n_grams", F.size("__dsir").cast("long"))
+            .withColumn(
+                "dsir_logratio", F.when(F.col("n_grams") > 0, mean)
+            )
+            .withColumn(
+                "dsir_kept",
+                F.coalesce(
+                    F.col("dsir_logratio") >= F.lit(threshold), F.lit(False)
+                ),
+            )
+            .drop("__dsir")
+        )
+
+    return stage

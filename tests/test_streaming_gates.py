@@ -164,3 +164,52 @@ def test_streaming_gates_dedup_sink_e2e(spark, tmp_path):
         assert (r["matched_rule"], r["bits_per_token"]) == (
             g["matched_rule"], g["bits_per_token"]
         )
+
+
+def test_dsir_gate_matches_batch_query(spark):
+    """With the model trained on the same corpus (target = lang 'en'),
+    the map-side DSIR stage must reproduce q_dsir_score's per-doc
+    n_grams, 3-dp log ratio (within rounding granularity — the fold
+    order differs from the batch bucket-aggregate), and kept flag."""
+    from arc_kinesis_tagging_spark.plans.quality_ops import q_dsir_score
+    from arc_kinesis_tagging_spark.streaming.pipeline import (
+        make_dsir_gate,
+        train_dsir_model,
+    )
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, "documents", SF)
+    model, unseen = train_dsir_model(d, F.col("lang") == "en")
+    assert 0 < len(model) <= 256
+    stage = make_dsir_gate(model, unseen, threshold=0.0)
+    got = {
+        r["doc_id"]: r
+        for r in stage(d.select("doc_id", "text")).collect()
+        if r["n_grams"] > 0
+    }
+    want = {r["doc_id"]: r for r in q_dsir_score(spark, SF).collect()}
+    assert set(got) == set(want)
+    n_mismatch = 0
+    for doc_id, w in want.items():
+        g = got[doc_id]
+        assert g["n_grams"] == w["n_grams"], doc_id
+        assert abs(g["dsir_logratio"] - w["dsir_logratio"]) <= 0.0011, doc_id
+        if g["dsir_kept"] != w["kept"]:
+            n_mismatch += 1  # only possible exactly at the threshold
+            assert abs(w["dsir_logratio"]) <= 0.0011, doc_id
+    assert n_mismatch == 0
+    # a gram hashing into a bucket ABSENT from the model scores the
+    # unseen-bucket fallback (all 256 buckets are occupied by the real
+    # corpus, so carve the probe gram's bucket out of a copy)
+    import hashlib
+
+    probe = "qqqzzzvvv"
+    b = int(hashlib.md5(f"dsir:{probe}".encode()).hexdigest()[:15], 16) % 256
+    holey = {k: v for k, v in model.items() if k != b}
+    stage2 = make_dsir_gate(holey, unseen, threshold=0.0)
+    odd = spark.createDataFrame(
+        [(999, probe)], "doc_id long, text string"
+    )
+    r = stage2(odd).collect()[0]
+    assert r["n_grams"] == 1
+    assert abs(r["dsir_logratio"] - round(unseen, 3)) <= 0.0011
