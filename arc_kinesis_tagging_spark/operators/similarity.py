@@ -1611,3 +1611,98 @@ def ivf_pq_retrain(
             "improved",
         )
     )
+
+
+def pca_project(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 10_000,
+) -> DataFrame:
+    """PCA dimensionality reduction over an embedding column — the
+    classic preprocessing step before ANN indexing or probing drift
+    (and the rotation OPQ generalizes): covariance via the EXACT
+    integer Gram aggregate (embedding_covariance — bit-identical
+    across partitionings, the property that makes the whole pipeline
+    deterministic), eigendecomposition of the bounded d x d matrix on
+    the driver (d^2 doubles — metadata, like OPQ's rotation), then one
+    broadcast map-only projection pass emitting the top-k components
+    in half-up integer micro-units.
+
+    Determinism: the eigh input is exact (so identical every run and
+    layout), eigenvector SIGNS are canonicalized (largest-|component|
+    entry made positive — eigh's sign choice is otherwise arbitrary),
+    and outputs quantize before emission. Eigenvalue ties could still
+    permute components, but the covariance being exact means any such
+    tie is exact and stable too. Returns (id, pc0..pc{k-1} micro
+    units); rows-only in the registry (eigendecomposition is not
+    SQL-expressible), numpy-parity and spectral properties pinned in
+    tests/test_scale_ops.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    e = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+
+    # exact covariance: bounded d(d+1)/2-row collect
+    cov_rows = embedding_covariance(e, vec_col, quant).collect()
+    d = max(r["i"] for r in cov_rows)
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"] - 1, r["j"] - 1] = C[r["j"] - 1, r["i"] - 1] = r["cov"]
+
+    # exact mean: per-partition quantized sums, one bounded agg
+    def sums(batches):
+        s = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * quant
+            ).astype(np.int64)
+            s = q.sum(axis=0) + (0 if s is None else s)
+            n += len(q)
+        if n:
+            yield pd.DataFrame(
+                {"dim": np.arange(d), "s": s, "n": np.full(d, n, np.int64)}
+            )
+
+    mrows = (
+        e.mapInPandas(sums, "dim int, s long, n long")
+        .groupBy("dim")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )  # bounded: d rows
+    mean = np.zeros(d)
+    for r in mrows:
+        mean[r["dim"]] = r["s"] / (r["n"] * quant)
+
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:k]
+    W = V[:, order]  # (d, k), columns = top-k eigenvectors
+    for c in range(W.shape[1]):  # canonical sign
+        j = int(np.abs(W[:, c]).argmax())
+        if W[j, c] < 0:
+            W[:, c] = -W[:, c]
+    b = spark.sparkContext.broadcast((mean, W))
+
+    cols = [f"pc{i}" for i in range(k)]
+
+    def project(batches):
+        mu, W_ = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V_ = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Z = (V_ - mu) @ W_
+            out = {id_col: pdf[id_col].to_numpy()}
+            zq = np.floor(Z * 1e6 + 0.5).astype(np.int64)
+            for i, c in enumerate(cols):
+                out[c] = zq[:, i]
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, " + ", ".join(f"{c} long" for c in cols)
+    return e.mapInPandas(project, schema)

@@ -2137,6 +2137,21 @@ def q_embed_covariance(spark, sf_dir):
     return embedding_covariance(_t(spark, sf_dir, "embeddings"), "embedding")
 
 
+def q_embed_pca(spark, sf_dir):
+    """PCA projection of the embedding corpus to its top-8 principal
+    components (operators/similarity.py:pca_project): exact integer
+    covariance -> driver eigh on the bounded 64x64 matrix (metadata,
+    like OPQ's rotation) -> broadcast map-only projection in integer
+    micro-units with canonicalized eigenvector signs. The dimension-
+    reduction step ahead of ANN indexing; deterministic end to end
+    because its covariance input is exact. Rows-only (eigh is not
+    SQL-expressible); numpy parity + spectral properties pinned in
+    tests/test_scale_ops.py."""
+    from arc_kinesis_tagging_spark.operators.similarity import pca_project
+
+    return pca_project(_t(spark, sf_dir, "embeddings"), k=8)
+
+
 ORACLE_EMBED_COVARIANCE = """
 WITH q AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
@@ -2850,6 +2865,10 @@ LLMOPS_QUERIES = [
           ORACLE_MULTIMODAL_JPEG_PROG),
     Query("q_multimodal_png_gray", q_multimodal_png_gray, ORACLE_MULTIMODAL_PNG_GRAY),
     Query("q_embed_covariance", q_embed_covariance, ORACLE_EMBED_COVARIANCE),
+    Query("q_embed_pca", q_embed_pca, None,
+          "driver eigh on the exact d x d covariance is not "
+          "SQL-expressible -> rows-only; numpy parity, spectral "
+          "ordering, and layout invariance in tests/test_scale_ops.py"),
     Query("q_kmeans", q_kmeans, None,
           "iterative Lloyd refinement is not SQL-expressible -> rows-only; "
           "bit-exact numpy parity in tests/test_scale_ops.py"),

@@ -271,3 +271,58 @@ def test_kmeans_lloyd_numpy_parity_and_partition_invariance(spark, sf_dir):
         got = {r["vec_id"]: r["cell_id"] for r in assign.collect()}
         assert got == expect_cells
         assert 1 <= n_iters <= iters
+
+
+def test_pca_project_numpy_parity_and_spectral_properties(spark):
+    """pca_project equals an independent numpy reference built from
+    the SAME quantized-covariance formula; component variances come
+    out in non-increasing order and match the eigenvalues; the
+    projection basis is orthonormal; output is layout-invariant."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.similarity import pca_project
+
+    rng = np.random.default_rng(43)
+    d, n, k, quant = 6, 300, 3, 10_000
+    # anisotropic data so the spectrum is well separated
+    A = rng.normal(0, 1, (d, d))
+    base = rng.normal(0, 1, (n, d)) @ (A * np.linspace(3, 0.3, d))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in pca_project(df, k=k).collect()}
+
+    # reference: same integer-quantized covariance and mean
+    q = np.floor(base * quant).astype(np.int64)
+    s = q.sum(axis=0)
+    G = q.T @ q
+    C = (n * G - np.outer(s, s)) / (float(n) * n * quant * quant)
+    mean = s / (n * quant)
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:k]
+    W = V[:, order]
+    for c in range(k):
+        j = int(np.abs(W[:, c]).argmax())
+        if W[j, c] < 0:
+            W[:, c] = -W[:, c]
+    Z = np.floor((base - mean) @ W * 1e6 + 0.5).astype(np.int64)
+    for i in range(n):
+        assert tuple(got[i][f"pc{c}"] for c in range(k)) == tuple(Z[i]), i
+    # orthonormal basis
+    assert np.allclose(W.T @ W, np.eye(k), atol=1e-10)
+    # variances non-increasing and ~ eigenvalues
+    Zf = Z.astype(np.float64) / 1e6
+    var = Zf.var(axis=0, ddof=0)
+    assert all(var[c] >= var[c + 1] - 1e-9 for c in range(k - 1))
+    evs = np.sort(w)[::-1][:k]
+    assert np.allclose(var, evs, rtol=0.02)
+    # layout invariance
+    again = {
+        r["vec_id"]: r for r in pca_project(df.repartition(7), k=k).collect()
+    }
+    assert all(
+        tuple(got[i][f"pc{c}"] for c in range(k))
+        == tuple(again[i][f"pc{c}"] for c in range(k))
+        for i in range(n)
+    )
