@@ -2664,7 +2664,15 @@ _DSIR_B = 256  # hashed feature buckets; model tables are B rows
 def _dsir_grams(d):
     """(doc_id, lang, gram) rows: unigrams + adjacent bigrams over
     whitespace tokens — DSIR's hashed n-gram features, built map-side
-    with one explode (no UDF)."""
+    with one explode (no UDF). The narrow round-robin repartition
+    ahead of the CPU-bound gram/md5 kernel spreads a compacted
+    single-row-group corpus across every core (the winnowing lesson:
+    a map-only plan inherits the scan's splits, and one split means
+    serial execution); at real scale the scan has ample splits and
+    the repartition is one narrow pass."""
+    d = d.select("doc_id", "lang", "text").repartition(
+        d.sparkSession.sparkContext.defaultParallelism
+    )
     toks = tokens(F.col("text"))
     bigrams = F.when(
         F.size(toks) >= 2,
@@ -2695,17 +2703,19 @@ def _dsir_scored(spark, sf_dir):
         "b",
         stable_hash64(F.concat(F.lit("dsir:"), F.col("g"))) % _DSIR_B,
     )
-    ct = gb.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("ct")
+    # ONE bucket aggregate carries both models (the target count is a
+    # conditional sum), and the totals fold from the 256-row model
+    # table — so the corpus is exploded exactly twice overall (model
+    # build + per-doc counts), not four times
+    model = gb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
     )
-    cr = gb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tots = gb.agg(
-        F.count(F.lit(1)).alias("tr"),
-        F.sum((F.col("lang") == "en").cast("long")).alias("tt"),
+    tots = model.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
     )
     ratio = (
-        cr.join(ct, "b", "left")
-        .crossJoin(F.broadcast(tots))
+        model.crossJoin(F.broadcast(tots))
         .select(
             "b",
             (

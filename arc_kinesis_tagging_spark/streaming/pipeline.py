@@ -374,21 +374,19 @@ def train_dsir_model(docs: DataFrame, target_pred) -> tuple[dict, float]:
     )
     from arc_kinesis_tagging_spark.functions.text import stable_hash64
 
-    gb = _dsir_grams(
-        docs.withColumn("lang", F.when(target_pred, F.lit("en")))
-    ).withColumn(
+    d = docs.withColumn("lang", F.when(target_pred, F.lit("en")))
+    if "doc_id" not in d.columns:  # _dsir_grams carries doc_id through
+        d = d.withColumn("doc_id", F.monotonically_increasing_id())
+    gb = _dsir_grams(d).withColumn(
         "b",
         stable_hash64(F.concat(F.lit("dsir:"), F.col("g"))) % _DSIR_B,
     )
-    cr = gb.groupBy("b").agg(
+    rows = gb.groupBy("b").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
-    )
-    tot = gb.agg(
-        F.count(F.lit(1)).alias("tr"),
-        F.sum((F.col("lang") == "en").cast("long")).alias("tt"),
-    ).first()
-    tr, tt = int(tot["tr"]), int(tot["tt"] or 0)
+    ).collect()  # bounded: <= 256 rows; totals fold from it (one pass)
+    tr = sum(int(r["cr"]) for r in rows)
+    tt = sum(int(r["ct"] or 0) for r in rows)
     import math
 
     def ratio(ct, cr):
@@ -397,8 +395,7 @@ def train_dsir_model(docs: DataFrame, target_pred) -> tuple[dict, float]:
         )
 
     model = {
-        int(r["b"]): ratio(int(r["ct"] or 0), int(r["cr"]))
-        for r in cr.collect()  # bounded: <= 256 rows
+        int(r["b"]): ratio(int(r["ct"] or 0), int(r["cr"])) for r in rows
     }
     return model, ratio(0, 0)
 

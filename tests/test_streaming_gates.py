@@ -101,10 +101,17 @@ def _gate_story(doc_id, headline):
 
 def test_streaming_gates_dedup_sink_e2e(spark, tmp_path):
     """Full micro-batch path: gzip'd records -> decode/route/filter/
-    project -> robots gate -> LM gate -> stateful dedup -> foreachBatch
-    sink, compared against the batch golden over the same records."""
+    project -> robots gate -> LM gate -> DSIR gate -> stateful dedup
+    -> foreachBatch sink, compared against the batch golden over the
+    same records."""
+    from arc_kinesis_tagging_spark.streaming.pipeline import (
+        make_dsir_gate,
+        train_dsir_model,
+    )
+
     fluent = "the quick brown fox jumps over the lazy dog"
     gibberish = "zx qv jk wq xz vq kj qw zv xq"
+    offtopic = "completely unrelated topic entirely other subject matter"
     fixture = [
         (_gate_story("a-1", fluent), 0),
         (_gate_story("a-1", fluent), 1),            # duplicate id -> dedup
@@ -112,29 +119,42 @@ def test_streaming_gates_dedup_sink_e2e(spark, tmp_path):
         (_gate_story("a-3", gibberish), 1),         # LM gate drops
         (_gate_story("b-1", fluent), 0),            # robots gate drops host b
         (_gate_story("a-4", fluent), 1),
+        (_gate_story("a-5", offtopic), 0),          # DSIR gate drops
     ]
     src = str(tmp_path / "gate-stream")
     write_stream_fixture(spark, src, fixture)
 
     # frozen models: robots rules for the two hosts; LM trained on the
-    # fluent corpus only, so gibberish scores all-backoff bits
+    # fluent corpus only, so gibberish scores all-backoff bits; DSIR
+    # target = fox-like docs, raw also carries the offtopic doc, so
+    # offtopic grams score a negative importance ratio
     robots = make_robots_gate(
         [("a", "/", True), ("b", "/", False)], host_col="host", path_col="path"
     )
     train = spark.createDataFrame(
-        [(fluent,), (fluent + " again",), (fluent,)], "text string"
+        [(fluent,), (fluent + " again",), (fluent,), (offtopic,)],
+        "text string",
     )
     bmap, nmap, vsize = train_pruned_lm(train, "text")
     lm = make_lm_gate(bmap, nmap, vsize, text_col="headline", threshold=2.5)
+    model, unseen = train_dsir_model(
+        train, F.col("text").contains("fox")
+    )
+    dsir = make_dsir_gate(model, unseen, threshold=0.0, text_col="headline")
 
     def gated(df):
         withurl = df.withColumn(
             "host", F.split(F.col("_id"), "-").getItem(0)
         ).withColumn("path", F.concat(F.lit("/posts/"), F.col("_id")))
         return (
-            lm(robots(withurl))
-            .filter(F.col("admitted") & F.col("lm_kept"))
-            .select("_id", "headline", "matched_rule", "bits_per_token")
+            dsir(lm(robots(withurl)))
+            .filter(
+                F.col("admitted") & F.col("lm_kept") & F.col("dsir_kept")
+            )
+            .select(
+                "_id", "headline", "matched_rule", "bits_per_token",
+                "dsir_logratio",
+            )
         )
 
     # batch golden over the same records
@@ -142,7 +162,8 @@ def test_streaming_gates_dedup_sink_e2e(spark, tmp_path):
         r["_id"]: r
         for r in gated(story_pipeline(spark.read.parquet(src))).collect()
     }
-    assert set(golden) == {"a-1", "a-2", "a-4"}  # a-3 LM-dropped, b-1 robots-dropped
+    # a-3 LM-dropped, b-1 robots-dropped, a-5 DSIR-dropped
+    assert set(golden) == {"a-1", "a-2", "a-4"}
 
     got = []
 
@@ -161,8 +182,10 @@ def test_streaming_gates_dedup_sink_e2e(spark, tmp_path):
     assert sorted(r["_id"] for r in got) == ["a-1", "a-2", "a-4"]
     for r in got:
         g = golden[r["_id"]]
-        assert (r["matched_rule"], r["bits_per_token"]) == (
-            g["matched_rule"], g["bits_per_token"]
+        assert (
+            r["matched_rule"], r["bits_per_token"], r["dsir_logratio"]
+        ) == (
+            g["matched_rule"], g["bits_per_token"], g["dsir_logratio"]
         )
 
 
