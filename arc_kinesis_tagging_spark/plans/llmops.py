@@ -2768,6 +2768,84 @@ def q_source_tar_multimodal(spark, sf_dir):
     return read_multimodal_shards(build_multimodal_shards(d, shard_size=10))
 
 
+def q_source_tarshard_ds(spark, sf_dir):
+    """Tar shards as a FIRST-CLASS batch connector — the Python Data
+    Source API form of q_source_tar_shards (sources/tar_shards.py:
+    TarShardDataSource, the batch sibling of the kinesis_emu
+    connector): real ``.tar`` files on disk, one input partition per
+    shard file (the WebDataset parallelism contract), one row per
+    member, with sample regrouping and feature extraction composed as
+    ordinary DataFrame ops on top (groupBy the sample key — members
+    of a sample share a shard, and at production scale the shard
+    files would be written from executors rather than this fixture's
+    bounded driver-side write). Fingerprinted fixture dir + atomic
+    rename, the q_ann_persisted discipline, so the files build once
+    per corpus state and concurrent sessions never see a half-written
+    directory. Output matches q_source_tar_shards, oracle-checked."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import hashlib as _hashlib
+
+    from arc_kinesis_tagging_spark.sources.tar_shards import (
+        TarShardDataSource,
+        build_doc_shards,
+    )
+
+    spark.dataSource.register(TarShardDataSource)
+    d = _t(spark, sf_dir, "documents")
+    norm = _os.path.abspath(sf_dir.rstrip("/"))
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        "akt_tarshards_"
+        + _hashlib.md5(norm.encode()).hexdigest()[:8]
+        + "_"
+        + _table_fingerprint(sf_dir, "documents"),
+    )
+    memo = _session_memo(spark)
+    if (path, "tarshard") not in memo:
+        if not _os.path.isdir(path):
+            tmp = f"{path}.tmp-{_os.getpid()}"
+            _os.makedirs(tmp, exist_ok=True)
+            # bounded at this SF (n_docs/10 shards); production writes
+            # from executors via foreachPartition
+            for r in build_doc_shards(d, shard_size=10).collect():
+                with open(
+                    _os.path.join(tmp, f"shard-{int(r['shard_id']):06d}.tar"),
+                    "wb",
+                ) as fh:
+                    fh.write(bytes(r["shard"]))
+            try:
+                _os.rename(tmp, path)
+            except OSError:  # lost the race to another session
+                _shutil.rmtree(tmp, ignore_errors=True)
+        memo.add((path, "tarshard"))
+    members = (
+        spark.read.format("tarshard").option("path", path).load()
+    )
+    txt = F.when(F.col("ext") == "txt", F.col("data"))
+    return (
+        members.groupBy(F.col("key").cast("long").alias("doc_id"))
+        .agg(
+            F.first(
+                F.regexp_extract("shard", r"shard-(\d+)\.tar", 1).cast(
+                    "long"
+                )
+            ).alias("shard_id"),
+            F.count(F.lit(1)).cast("int").alias("n_members"),
+            F.max(F.when(F.col("ext") == "txt", F.col("size"))).alias(
+                "txt_bytes"
+            ),
+            F.max(
+                F.when(
+                    F.col("ext") == "cls", F.col("data").cast("string")
+                )
+            ).alias("cls"),
+            F.max(F.md5(txt)).alias("payload_md5"),
+        )
+    )
+
+
 ORACLE_SOURCE_TAR_MULTIMODAL = """
 SELECT doc_id,
        doc_id // 10 AS shard_id,
@@ -2852,6 +2930,8 @@ LLMOPS_QUERIES = [
           ORACLE_SOURCE_TAR_SHARDS),
     Query("q_source_tar_multimodal", q_source_tar_multimodal,
           ORACLE_SOURCE_TAR_MULTIMODAL),
+    Query("q_source_tarshard_ds", q_source_tarshard_ds,
+          ORACLE_SOURCE_TAR_SHARDS),
     Query("q_multimodal_gif_anim", q_multimodal_gif_anim,
           ORACLE_MULTIMODAL_GIF_ANIM),
     Query("q_multimodal_jpeg", q_multimodal_jpeg, ORACLE_MULTIMODAL_JPEG),

@@ -157,3 +157,45 @@ def test_multimodal_shards_decode_images_with_isolation(spark):
     rows = {r["doc_id"]: r for r in read_multimodal_shards(bad).collect()}
     assert rows[1]["width"] is None and rows[1]["txt_bytes"] == 6
     assert rows[0]["width"] is not None and rows[2]["width"] is not None
+
+
+def test_tarshard_datasource_partitions_and_rows(spark, tmp_path):
+    """The batch connector: one input partition per shard file, one
+    row per member, binary payloads intact; composes with DataFrame
+    ops (per-sample regroup) on top."""
+    import os
+
+    from arc_kinesis_tagging_spark.sources.tar_shards import (
+        TarShardDataSource,
+        build_tar,
+    )
+
+    d = str(tmp_path / "shards")
+    os.makedirs(d)
+    for sid in range(3):
+        members = []
+        for i in range(sid * 2, sid * 2 + 2):
+            members.append((f"{i:08d}.txt", f"text-{i}".encode()))
+            members.append((f"{i:08d}.bin", bytes([i]) * 100))
+        with open(os.path.join(d, f"shard-{sid:06d}.tar"), "wb") as fh:
+            fh.write(build_tar(members))
+    # a non-tar file in the directory is ignored by the lister
+    with open(os.path.join(d, "README"), "w") as fh:
+        fh.write("not a shard")
+    spark.dataSource.register(TarShardDataSource)
+    df = spark.read.format("tarshard").option("path", d).load()
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.collect()
+    assert len(rows) == 12
+    by_name = {r["name"]: r for r in rows}
+    assert by_name["00000003.bin"]["size"] == 100
+    assert bytes(by_name["00000003.bin"]["data"]) == bytes([3]) * 100
+    assert by_name["00000002.txt"]["key"] == "00000002"
+    assert by_name["00000002.txt"]["ext"] == "txt"
+    assert by_name["00000002.txt"]["shard"] == "shard-000001.tar"
+    from pyspark.sql import functions as F
+
+    per_sample = (
+        df.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert len(per_sample) == 6 and all(r["n"] == 2 for r in per_sample)
