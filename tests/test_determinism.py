@@ -68,6 +68,13 @@ AGG_QUERIES = [
     "q_similarity_pq_adc",
     "q_dedup_embedding_pq",
     "q_multimodal_catalog",
+    # post-close round-7 additions: DSIR's bucket-model aggregates and
+    # Gumbel top-k, drift-retrain's integer error accounting, and the
+    # shard/sample regroup paths
+    "q_dsir_score",
+    "q_dsir_sample",
+    "q_ann_retrain",
+    "q_source_tar_shards",
 ]
 
 

@@ -211,6 +211,10 @@ _EAGER_BUILDERS = {
     "q_unigram_train", "q_unigram_encode",
     # bounded centroid/codebook collects at build time
     "q_ann_retrain",
+    # covariance collect + driver eigh at build time
+    "q_embed_pca",
+    # writes the fingerprinted shard-file fixture at build time
+    "q_source_tarshard_ds",
 }
 
 
