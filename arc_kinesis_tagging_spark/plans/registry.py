@@ -288,6 +288,54 @@ _R7_HEAD = [
 ]
 
 
+# Round-8 driver window: after r07 the vintages are 50 r07 + 44 r06 +
+# 49 r05 + 49 r04, plus 11 post-window round-7 queries with NO driver
+# row yet. Shape: (a) the 11 rowless queries lead (the round-7 verdict's
+# top action), (b) queries NEW or REWIRED this round — the substring
+# default flipped to the vectorized rolling-hash kernel and the ANN
+# lifecycle composite is new, so both are re-verified the round they
+# change, (c) r04-vintage rows filling the 50-slot window, ordered
+# plan-complexity-first (joins/composites before scalar families) so the
+# highest-regression-risk stale greens refresh first; the ~13 displaced
+# r04 scalar/window-family rows lead round 9.
+_R8_HEAD = [
+    # -- (a) no driver CORRECTNESS row across r01..r07 --
+    "q_multimodal_gif",
+    "q_multimodal_gif_anim",
+    "q_dsir_score",
+    "q_dsir_sample",
+    "q_ann_retrain",
+    "q_embed_pca",
+    "q_unigram_train",
+    "q_unigram_encode",
+    "q_source_tar_shards",
+    "q_source_tar_multimodal",
+    "q_source_tarshard_ds",
+    # -- (b) new / rewired this round --
+    "q_ann_lifecycle",        # build -> append -> retrain -> OPQ query chain
+    "q_dedup_substring",      # default flipped to vectorized rolling-hash
+    # -- (c) newest driver row is r04, complexity-first --
+    "q_pipeline_tag_enrich", "q_dedup_exact", "q_dedup_incremental",
+    "q_contamination", "q_corpus_pipeline2", "q_source_mixing",
+    "q_sample_weighted", "q_events_funnel_k", "q_text_repetition",
+    "q_multimodal_png", "q_tpch_q3ish", "q_tpch_q5ish",
+    "q_join_smj", "q_join_semi", "q_join_anti", "q_join_outer",
+    "q_join_theta", "q_join_interval", "q_join_asof",
+    "q_agg_group", "q_agg_distinct", "q_agg_approx_distinct",
+    "q_agg_rollup", "q_agg_cube", "q_agg_grouping_sets",
+    "q_agg_percentile", "q_recursive_cte", "q_scalar_subquery",
+    "q_pivot", "q_window_session", "q_window_sliding",
+    "q_window_tumbling", "q_window_rank", "q_window_lag",
+    "q_window_frame", "q_topk", "q_union",
+    # displaced to round 9 (all r04-green meanwhile): q_intersect,
+    # q_except, q_string_funcs, q_string_funcs2, q_date_funcs,
+    # q_math_funcs, q_map_funcs, q_conditional_funcs, q_bitwise_funcs,
+    # q_cast_funcs, q_vector_centroid, q_vector_normalize,
+    # q_join_broadcast (plan-gated in pytest every round, lowest
+    # regression risk of the r04 block).
+]
+
+
 def _ordered(head: list[str]) -> list[Query]:
     seen = [n for n in head if n in _BY_NAME]
     rest = [q.name for q in _CANONICAL if q.name not in set(seen)]
@@ -312,8 +360,10 @@ elif _ROT == "r5":
     ALL_QUERIES = _ordered(_R5_HEAD)
 elif _ROT == "r6":
     ALL_QUERIES = _ordered(_R6_HEAD)
-else:
+elif _ROT == "r7":
     ALL_QUERIES = _ordered(_R7_HEAD)
+else:
+    ALL_QUERIES = _ordered(_R8_HEAD)
 
 QUERIES: dict[str, Query] = {q.name: q for q in ALL_QUERIES}
 
