@@ -19,6 +19,27 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def arrow_barrier(df: DataFrame) -> DataFrame:
+    """Identity ``mapInArrow`` pass: a plan-materialization barrier.
+
+    Catalyst inlines aliased expressions into every downstream
+    occurrence (projection collapse, predicate pushdown, per-field JSON
+    schema pruning). When a column is EXPENSIVE to compute and consumed
+    many times by later map-side stages — the round-8 audit found the
+    gated streaming pipeline re-running ``from_json`` over the raw
+    payload 40+ times per row — that inlining turns one parse into
+    dozens. An identity Arrow pass hard-stops inlining: everything
+    below it is computed once and crosses as materialized columns.
+
+    Cost model: one pipelined Arrow round-trip through the Python
+    worker (no shuffle, no disk), linear in data size — worth it only
+    when k (re-evaluations saved) × expr cost exceeds the copy. Works
+    identically on batch and streaming plans (micro-batch execution
+    permits mapInArrow).
+    """
+    return df.mapInArrow(lambda it: it, df.schema)
+
+
 def grouped_zscore(df: DataFrame, group_col: str, value_col: str, key_col: str) -> DataFrame:
     """Per-group z-score via applyInPandas (ddof=0 population std to
     match SQL STDDEV_POP). Returns (key, group, value, z)."""

@@ -37,7 +37,7 @@ ANS_SCHEMA = (
 
 
 @F.pandas_udf(StringType())
-def gunzip_text(data: pd.Series) -> pd.Series:
+def _gunzip_text_impl(data: pd.Series) -> pd.Series:
     """Arrow-batched gzip decode; failures yield null instead of
     killing the stream (the reference's decompress-failure branch
     prints and falls through buggily, app.py:35-38 — here a null
@@ -52,6 +52,18 @@ def gunzip_text(data: pd.Series) -> pd.Series:
             return None
 
     return data.map(one)
+
+
+# The function is pure, but it is declared NON-deterministic on purpose:
+# a deterministic UDF gets duplicated by predicate pushdown + projection
+# collapse — the round-8 plan audit found the publish filter and the
+# story projection each extracting their own ArrowEvalPython node, so
+# every record was gunzipped FOUR times (4 Python round-trips per row at
+# 100 TB). Non-determinism pins exactly one evaluation per record; the
+# trade-off (documented in the module docstring) is that predicates on
+# source metadata must be applied BEFORE decode, which the pipeline
+# already requires.
+gunzip_text = _gunzip_text_impl.asNondeterministic()
 
 
 def decode_and_route(records: DataFrame) -> DataFrame:

@@ -100,24 +100,31 @@ def run_once(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def bench_stream_pipeline(spark, sf_dir: str, n_records: int = 20000) -> tuple[float, float]:
-    """Streaming pipeline throughput: gzip'd-JSON records through
-    decode -> route -> filter -> project with a foreachBatch counting
-    sink. Returns (seconds, records/sec). The reference's ceiling is
-    ~13.3 rec/s (BASELINE.md); this measures ours on the same record
-    shape."""
+_STREAM_FIXTURE: dict = {}
+
+# Rotating healdine texts so the gated variant's LM/DSIR stages score
+# varied token sequences instead of one constant (a constant would let
+# the expression collapse to a near-no-op and flatter the gate cost).
+_HEADLINES = [
+    "the quick brown fox jumps over the lazy dog",
+    "markets rally as quarterly earnings beat expectations",
+    "zx qv jk wq xz vq kj qw zv xq",
+    "city council approves new transit funding plan today",
+]
+
+
+def _stream_fixture(spark, n_records: int) -> str:
+    """Write (once per process) the 20k gzip'd-JSON record fixture both
+    streaming bench entries read, and return its path."""
     import json as _json
     import gzip as _gzip
     import tempfile
 
-    from arc_kinesis_tagging_spark.streaming.pipeline import story_pipeline
-    from arc_kinesis_tagging_spark.streaming.source import (
-        RECORD_SCHEMA,
-        read_record_stream,
-    )
+    from arc_kinesis_tagging_spark.streaming.source import RECORD_SCHEMA
 
+    if _STREAM_FIXTURE.get(n_records):
+        return _STREAM_FIXTURE[n_records]
     src = tempfile.mkdtemp(prefix="bench-stream-")
-    ckpt = tempfile.mkdtemp(prefix="bench-ckpt-")
     doc = {
         "id": "doc-%d",
         "operation": "insert-story",
@@ -127,11 +134,14 @@ def bench_stream_pipeline(spark, sf_dir: str, n_records: int = 20000) -> tuple[f
         "trigger": {"referent_update": True},
         "body": {"headlines": {"basic": "headline"}, "revision": "r1"},
     }
-    # one gzip blob template per 100 ids keeps fixture generation cheap
     rows = []
     for i in range(n_records):
         d = dict(doc)
         d["id"] = f"doc-{i}"
+        d["body"] = {
+            "headlines": {"basic": _HEADLINES[i % len(_HEADLINES)]},
+            "revision": "r1",
+        }
         rows.append(
             (
                 _gzip.compress(_json.dumps(d, sort_keys=True).encode(), mtime=0),
@@ -142,7 +152,16 @@ def bench_stream_pipeline(spark, sf_dir: str, n_records: int = 20000) -> tuple[f
     spark.createDataFrame(rows, RECORD_SCHEMA).repartition(8).write.mode(
         "overwrite"
     ).parquet(src)
+    _STREAM_FIXTURE[n_records] = src
+    return src
 
+
+def _run_stream(spark, plan_fn, src: str, n_records: int) -> tuple[float, float, int]:
+    import tempfile
+
+    from arc_kinesis_tagging_spark.streaming.source import read_record_stream
+
+    ckpt = tempfile.mkdtemp(prefix="bench-ckpt-")
     counted = {"n": 0}
 
     def count_batch(batch_df, batch_id):
@@ -150,7 +169,7 @@ def bench_stream_pipeline(spark, sf_dir: str, n_records: int = 20000) -> tuple[f
 
     t0 = time.perf_counter()
     q = (
-        story_pipeline(read_record_stream(spark, src))
+        plan_fn(read_record_stream(spark, src))
         .writeStream.foreachBatch(count_batch)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
@@ -158,7 +177,82 @@ def bench_stream_pipeline(spark, sf_dir: str, n_records: int = 20000) -> tuple[f
     )
     q.awaitTermination(300)
     dt = time.perf_counter() - t0
-    assert counted["n"] == n_records, counted
+    assert counted["n"] > 0, counted
+    return dt, counted["n"] / dt, counted["n"]
+
+
+def bench_stream_pipeline(spark, sf_dir: str, n_records: int = 20000) -> tuple[float, float]:
+    """Streaming pipeline throughput: gzip'd-JSON records through
+    decode -> route -> filter -> project with a foreachBatch counting
+    sink. Returns (seconds, records/sec). The reference's ceiling is
+    ~13.3 rec/s (BASELINE.md); this measures ours on the same record
+    shape."""
+    from arc_kinesis_tagging_spark.streaming.pipeline import story_pipeline
+
+    src = _stream_fixture(spark, n_records)
+    dt, rps, n = _run_stream(spark, story_pipeline, src, n_records)
+    assert n == n_records, n
+    return dt, rps
+
+
+def bench_stream_gated(spark, sf_dir: str, n_records: int = 20000) -> tuple[float, float]:
+    """Gated streaming pipeline throughput: the same 20k records through
+    story_pipeline PLUS the production admission stages (robots
+    longest-match, frozen pruned-bigram LM, frozen DSIR) — all pure
+    map-side projections. Measures gate overhead relative to
+    stream_pipeline_20k instead of assuming it (round-7 verdict task 5).
+    Models are trained once on a bounded literal corpus (not timed:
+    production trains offline and freezes)."""
+    import pyspark.sql.functions as F
+
+    from arc_kinesis_tagging_spark.streaming.pipeline import (
+        make_dsir_gate,
+        make_lm_gate,
+        make_robots_gate,
+        story_pipeline,
+        train_dsir_model,
+        train_pruned_lm,
+    )
+
+    src = _stream_fixture(spark, n_records)
+    # train on the three FLUENT headline classes only: the gibberish
+    # class then scores all-backoff bits and the LM gate drops it,
+    # giving a deterministic kept-count to assert on
+    fluent = [h for h in _HEADLINES if not h.startswith("zx ")]
+    train = spark.createDataFrame(
+        [(h,) for h in fluent * 2], "text string"
+    )
+    robots = make_robots_gate(
+        [("doc", "/", True), ("spam", "/", False)],
+        host_col="host", path_col="path",
+    )
+    bmap, nmap, vsize = train_pruned_lm(train, "text")
+    # fluent headlines score ~3.1 bits/token against this model, the
+    # all-backoff gibberish class ~log2(vsize)~=4.5 — 4.0 separates them
+    lm = make_lm_gate(bmap, nmap, vsize, text_col="headline", threshold=4.0)
+    model, unseen = train_dsir_model(
+        train, F.col("text").contains("fox") | F.col("text").contains("markets")
+    )
+    dsir = make_dsir_gate(model, unseen, threshold=-10.0, text_col="headline")
+
+    from arc_kinesis_tagging_spark.operators.pandas_ops import arrow_barrier
+
+    def gated(records):
+        df = story_pipeline(records)
+        df = df.withColumn(
+            "host", F.split(F.col("_id"), "-").getItem(0)
+        ).withColumn("path", F.concat(F.lit("/posts/"), F.col("_id")))
+        # barrier: the three gates reference headline dozens of times;
+        # without it Catalyst inlines from_json into every occurrence
+        # (40+ JSON parses/row measured — see arrow_barrier docstring)
+        return dsir(lm(robots(arrow_barrier(df)))).filter(
+            F.col("admitted") & F.col("lm_kept") & F.col("dsir_kept")
+        )
+
+    dt, rps, n = _run_stream(spark, gated, src, n_records)
+    # robots admits all (host 'doc'); LM threshold 8 bits keeps the
+    # three fluent headline classes, drops the gibberish class
+    assert n == n_records - n_records // len(_HEADLINES), n
     return dt, n_records / dt
 
 
@@ -308,6 +402,16 @@ def main() -> None:
     queries["stream_pipeline_20k"] = round(stream_s, 3)
     total += stream_s
 
+    # gated variant on the SAME fixture: measures robots+LM+DSIR gate
+    # overhead relative to the plain entry (and disambiguates infra
+    # noise from gate cost when either entry drifts)
+    gated_s, gated_rps = min(
+        (bench_stream_gated(spark, sf_dir) for _ in range(2)),
+        key=lambda t: t[0],
+    )
+    queries["stream_gated_20k"] = round(gated_s, 3)
+    total += gated_s
+
     out = {
         "metric": "headline_suite_seconds",
         "value": round(total, 3),
@@ -317,7 +421,9 @@ def main() -> None:
         # throughput is the first-class streaming number (the reference's
         # ceiling is ~13.3 rec/s); seconds alone hides rate drift
         "stream": {"records": 20000, "seconds": round(stream_s, 3),
-                   "rec_per_sec": round(stream_rps, 1)},
+                   "rec_per_sec": round(stream_rps, 1),
+                   "gated_seconds": round(gated_s, 3),
+                   "gated_rec_per_sec": round(gated_rps, 1)},
         "settle_wait_s": settled,
     }
     # --compare <prior BENCH.json> (or the newest BENCH_r*.json in the

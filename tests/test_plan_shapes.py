@@ -503,3 +503,63 @@ def test_robots_rules_are_broadcast(spark):
         >= 1
     ), plan
     assert _n_nodes(plan, "SortMergeJoin") == 0, plan
+
+
+def test_gunzip_udf_evaluates_once(spark):
+    """The gzip-decode pandas UDF must appear as exactly ONE
+    ArrowEvalPython node in the story pipeline plan. A deterministic
+    UDF gets duplicated by predicate pushdown + projection collapse
+    (the round-8 audit found FOUR evaluations per record); gunzip_text
+    is declared non-deterministic precisely to pin one evaluation, and
+    this gate keeps it pinned."""
+    import pyspark.sql.functions as F
+
+    from arc_kinesis_tagging_spark.streaming.pipeline import story_pipeline
+    from arc_kinesis_tagging_spark.streaming.source import RECORD_SCHEMA
+
+    records = spark.createDataFrame([], RECORD_SCHEMA)
+    plan = (
+        story_pipeline(records)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert _n_nodes(plan, "ArrowEvalPython") == 1, plan
+
+
+def test_arrow_barrier_stops_json_reinlining(spark):
+    """Stacking the map-side admission gates on the parsed stream
+    re-inlines from_json into every gate expression (40+ parses/row
+    measured in round 8); arrow_barrier must cap the duplication at
+    the pipeline's own per-field parses."""
+    import pyspark.sql.functions as F
+
+    from arc_kinesis_tagging_spark.operators.pandas_ops import arrow_barrier
+    from arc_kinesis_tagging_spark.streaming.pipeline import (
+        make_lm_gate,
+        story_pipeline,
+    )
+    from arc_kinesis_tagging_spark.streaming.source import RECORD_SCHEMA
+
+    records = spark.createDataFrame([], RECORD_SCHEMA)
+    lm = make_lm_gate(
+        {("a", "b"): 2}, {"a": 2}, 4, text_col="headline", threshold=4.0
+    )
+
+    def njson(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().count(
+            "from_json"
+        )
+
+    def gated(df):
+        return lm(df).filter(F.col("lm_kept")).select("_id", "bits_per_token")
+
+    fused = njson(gated(story_pipeline(records)))
+    fenced = njson(gated(arrow_barrier(story_pipeline(records))))
+    assert fenced < fused, (fenced, fused)
+    # below the barrier: one parse per projected field + the publish
+    # filter; the gate above must add ZERO parses
+    assert fenced <= 12, fenced
