@@ -2257,19 +2257,20 @@ def q_dedup_substring(spark, sf_dir):
     one doc-keyed window. Output: per-doc token count, duplicated
     window count, merged duplicated-token coverage and fraction.
 
-    Window-hash budget flags (``AKT_SUBSTR_HASH``): ``xxhash64``
-    swaps the digest to an 8-byte long (~1.25x on the hash stage, 4x
-    smaller shuffle keys); ``rolling`` replaces the whole window
-    stage with the vectorized Rabin-Karp kernel
-    (``_rolling_windows_np``) — tokens hashed once, O(1) per window
+    Window-hash variants (``AKT_SUBSTR_HASH``): the DEFAULT is
+    ``rolling`` — the vectorized Rabin-Karp kernel
+    (``_rolling_windows_np``), tokens hashed once, O(1) per window
     via a modular-inverse prefix, measured **6.6x end-to-end at
-    sf0.1** (7.75 s -> 1.17 s; SCALE.md round-7). The OUTPUT is
-    hash-agnostic (the digest only groups identical window content),
-    so all variants return identical rows — pinned by
-    test_substring_hash_variants_agree — but the driver oracle
-    replicates md5 cross-engine, so md5 stays the default."""
+    sf0.1** (7.75 s -> 1.17 s; SCALE.md round-7). ``md5`` restores
+    the expression-only window stage (the digest the DuckDB oracle
+    happens to use internally) and ``xxhash64`` its 8-byte-key
+    variant. The OUTPUT is hash-agnostic — the digest only groups
+    identical window content, so all variants return identical rows
+    (pinned by test_substring_hash_variants_agree), which is why the
+    md5-replicating oracle still hash-checks the rolling default:
+    the compared columns carry coverage counts, never digests."""
     return _substring_dedup(
-        spark, sf_dir, _os.environ.get("AKT_SUBSTR_HASH", "md5")
+        spark, sf_dir, _os.environ.get("AKT_SUBSTR_HASH", "rolling")
     )
 
 

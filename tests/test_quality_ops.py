@@ -708,9 +708,10 @@ def test_prefix_dedup_zipfian_skew_balanced(spark):
 
 def test_substring_hash_variants_agree(spark, sf_dir, monkeypatch):
     """The window digest only groups identical window content, so the
-    md5 (oracle-parity default), xxhash64 (cheap digest), and rolling
-    (vectorized Rabin-Karp kernel, 6.6x) variants must all return
-    identical rows."""
+    rolling default (vectorized Rabin-Karp kernel, 6.6x), md5 (the
+    digest the oracle uses internally), and xxhash64 (cheap digest)
+    variants must all return identical rows — the equivalence that
+    lets the md5-replicating oracle hash-check the rolling default."""
     from arc_kinesis_tagging_spark.plans.quality_ops import q_dedup_substring
 
     def rows(variant):
