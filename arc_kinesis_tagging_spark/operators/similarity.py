@@ -1706,3 +1706,393 @@ def pca_project(
 
     schema = f"{id_col} long, " + ", ".join(f"{c} long" for c in cols)
     return e.mapInPandas(project, schema)
+
+
+def _rotate_vectors(
+    df: DataFrame,
+    R,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Map-only pass applying a broadcast orthogonal rotation R to
+    every vector (one GEMM per Arrow batch). Orthogonality preserves
+    inner products and norms, so cosine rankings in rotated space are
+    exactly the original-space rankings — the property that lets the
+    whole OPQ-rotated lifecycle be recall-checked against the
+    unrotated brute-force truth. ``carry`` columns pass through the
+    same pass (cheaper than a corpus-sized join-back later)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast(np.asarray(R, dtype=np.float64))
+    dt = dict(df.dtypes)
+
+    def rot(batches):
+        R_ = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64) @ R_
+            out = {id_col: pdf[id_col].to_numpy(), vec_col: list(V)}
+            for c in carry:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, {vec_col} array<double>" + "".join(
+        f", {c} {dt[c]}" for c in carry
+    )
+    return df.select(id_col, vec_col, *carry).mapInPandas(rot, schema)
+
+
+def ann_lifecycle(
+    spark,
+    embeddings: DataFrame,
+    batch_pred,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    m_subspaces: int = 4,
+    ksub: int = 8,
+    nprobe: int = 4,
+    shortlist: int = 32,
+    drift_num: int = 1,
+    drift_den: int = 1,
+    opq_iters: int = 4,
+    sample_n: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    return_accounting: bool = False,
+) -> DataFrame:
+    """The full ANN index LIFECYCLE as one composition — the chain the
+    separate registry rows (q_ann_persisted, q_ann_incremental,
+    q_ann_retrain, q_similarity_opq) each exercise alone:
+
+      1. train an OPQ rotation on a bounded PRIOR sample (opq_train)
+         and rotate the whole corpus map-only — the rotation the
+         IVF-PQ geometry is actually built in, not just beside;
+      2. build the persisted cell-partitioned IVF index on the
+         rotated prior corpus (build_ivf_index) and APPEND the rotated
+         batch against the frozen centroids (append_ivf_index);
+      3. drift-detect per cell on old-codebook reconstruction error
+         (integer micro-unit cross-multiplication, the ivf_pq_retrain
+         accounting) and RE-TRAIN only the drifted cells' codebooks
+         on their own members (ksub//2 lowest-id + highest-error
+         rest, the re-seed-where-it-hurts convention);
+      4. SERVE queries through the retrained index: probe nprobe
+         cells (static partition pruning on the persisted layout),
+         ADC-score the probed rows' PQ codes against each cell's
+         SERVED codebook (new where drifted, old elsewhere), shortlist
+         by quantized ADC distance, exact-cosine REFINE the shortlist
+         (the FAISS IVFPQ+refine production shape), rank top-k on the
+         4-dp-rounded similarity with vec_id tie-break.
+
+    Scale shape: every driver-side collect is bounded (nlist
+    centroids, ksub book donors, <= nlist*ksub retrain members,
+    |queries| probes, probe-cell IN-list); corpus-sized work is four
+    narrow map passes (rotate, build-assign, append-assign, error
+    accounting) plus the probed-partition scan at query time; ranks
+    are two-level bounded_topk_rank throughout. Deterministic end to
+    end: fixed OPQ sample, micro-unit distances with lowest-code /
+    lowest-cell ties, rounded refine scores with vec_id tie-break.
+
+    Returns (query_id, vec_id, cos4, rank, cell_id, served_book) —
+    and, with ``return_accounting=True``, a second DataFrame of the
+    per-cell drift accounting. Recall@k vs the unrotated brute-force
+    truth is pinned >= 0.9 in tests/test_ann_lifecycle.py (valid
+    because the rotation is orthogonal — see _rotate_vectors)."""
+    import os as _os
+    import shutil as _shutil
+
+    import numpy as np
+    import pandas as pd
+
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        batch_pred.cast("boolean").alias("is_batch"),
+    ).filter(F.col("embedding").isNotNull())
+    prior = e.filter(~F.col("is_batch"))
+
+    # -- 1. OPQ rotation from a bounded prior sample ----------------------
+    R, _opq_books = opq_train(
+        prior,
+        m_subspaces=m_subspaces,
+        ksub=ksub,
+        opq_iters=opq_iters,
+        sample_n=sample_n,
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    rot_prior = _rotate_vectors(prior, R)
+    rot_batch = _rotate_vectors(e.filter(F.col("is_batch")), R)
+
+    # -- 2. persisted build + append (atomic-rename discipline) ----------
+    if not _os.path.isdir(path):
+        tmp = f"{path}.tmp-{_os.getpid()}"
+        build_ivf_index(spark, rot_prior, tmp, nlist=nlist)
+        append_ivf_index(spark, rot_batch, tmp)
+        try:
+            _os.rename(tmp, path)
+        except OSError:  # lost the build race to another session
+            _shutil.rmtree(tmp, ignore_errors=True)
+
+    crows = sorted(
+        spark.read.parquet(path + "/centroids").collect(),
+        key=lambda r: r["cell_id"],
+    )  # bounded: nlist rows
+    cids = np.array([r["cell_id"] for r in crows])
+    C = np.array([r["embedding"] for r in crows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    d = C.shape[1]
+    assert d % m_subspaces == 0, "dim must split evenly into subspaces"
+    dsub = d // m_subspaces
+
+    def _micro(x):
+        return np.floor(x * 1e6 + 0.5).astype(np.int64)
+
+    def _cell_of(V):
+        """Cosine argmax against the persisted centroids, lowest-cell
+        ties — the exact _assign_cells convention, so this routing
+        matches the persisted partition layout row for row."""
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        S = Vn @ Cn.T
+        return cids[np.argsort(-S, axis=1, kind="stable")[:, 0]]
+
+    def _encode_err(Res, book):
+        """(codes, err_u6) of residual rows against ``book`` — blocked
+        per-subspace argmin in half-up micro-units, lowest-code ties."""
+        n = len(Res)
+        codes = np.zeros((n, m_subspaces), np.int32)
+        err = np.zeros(n, np.int64)
+        for m in range(m_subspaces):
+            s, t = m * dsub, (m + 1) * dsub
+            diff = Res[:, None, s:t] - book[None, :, s:t]
+            dist = _micro((diff * diff).sum(axis=2))
+            cm = np.argmin(dist, axis=1)
+            codes[:, m] = cm
+            err += dist[np.arange(n), cm]
+        return codes, err
+
+    # -- 3a. OLD global codebook: ksub lowest-id prior residuals ---------
+    donors = np.array(
+        [
+            r["embedding"]
+            for r in rot_prior.orderBy("vec_id").limit(ksub).collect()
+        ],
+        dtype=np.float64,
+    )  # bounded: ksub rows
+    cell_lookup = {int(c): i for i, c in enumerate(cids)}
+    book_old = donors - C[[cell_lookup[int(c)] for c in _cell_of(donors)]]
+    b_old = spark.sparkContext.broadcast((C, cids, Cn, book_old))
+
+    # -- 3b. error-accounting pass over the corpus (re-derives the same
+    # routing as the persisted layout; the is_batch flag rides the
+    # rotation pass, so no corpus-sized join back to the index) ----------
+    rot_all = _rotate_vectors(
+        e.select("vec_id", "embedding", "is_batch"), R, carry=("is_batch",)
+    )
+
+    def pass_old(batches):
+        C_, cids_, Cn_, bk = b_old.value
+        look = {int(c): i for i, c in enumerate(cids_)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )
+            cells = cids_[
+                np.argsort(-(Vn @ Cn_.T), axis=1, kind="stable")[:, 0]
+            ]
+            rows = np.array([look[int(c)] for c in cells])
+            _codes, err = _encode_err(V - C_[rows], bk)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "is_batch": pdf["is_batch"].to_numpy(),
+                    "cell_id": cells.astype(np.int32),
+                    "err_old_u6": err,
+                }
+            )
+
+    assigned = rot_all.mapInPandas(
+        pass_old,
+        "vec_id long, is_batch boolean, cell_id int, err_old_u6 long",
+    )
+    acct = assigned.groupBy("cell_id").agg(
+        F.sum((~F.col("is_batch")).cast("long")).alias("n_prior"),
+        F.sum(F.col("is_batch").cast("long")).alias("n_batch"),
+        F.sum(
+            F.when(~F.col("is_batch"), F.col("err_old_u6")).otherwise(0)
+        ).alias("err_prior_u6"),
+        F.sum(
+            F.when(F.col("is_batch"), F.col("err_old_u6")).otherwise(0)
+        ).alias("err_batch_u6"),
+    ).withColumn(
+        "drifted",
+        (F.col("n_batch") > 0)
+        & (F.col("n_prior") > 0)
+        & (
+            F.col("err_batch_u6") * F.col("n_prior") * F.lit(drift_den)
+            > F.col("err_prior_u6") * F.col("n_batch") * F.lit(drift_num)
+        ),
+    )
+    drift_rows = acct.select("cell_id", "drifted").collect()  # bounded: nlist
+    drifted_cells = {int(r["cell_id"]) for r in drift_rows if r["drifted"]}
+
+    # -- 3c. retrain drifted cells' books (bounded member selection) -----
+    served = {int(c): book_old for c in cids}
+    if drifted_cells:
+        in_drift = assigned.filter(
+            F.col("cell_id").isin([int(c) for c in drifted_cells])
+        )
+        kl = ksub // 2
+        low = bounded_topk_rank(
+            in_drift.select("vec_id", "cell_id"),
+            kl,
+            order_col="vec_id",
+            part_cols=("cell_id",),
+            id_col="vec_id",
+            ascending=True,
+        ).select("vec_id", "cell_id")
+        high = bounded_topk_rank(
+            in_drift.select("vec_id", "cell_id", "err_old_u6"),
+            ksub - kl,
+            order_col="err_old_u6",
+            part_cols=("cell_id",),
+            id_col="vec_id",
+            ascending=False,
+        ).select("vec_id", "cell_id")
+        members = (
+            low.union(high)
+            .distinct()
+            .join(rot_all.select("vec_id", "embedding"), "vec_id")
+        )
+        mrows = sorted(  # code order = vec_id ASC
+            members.collect(), key=lambda r: int(r["vec_id"])
+        )  # bounded: <= |drifted| * ksub rows
+        new_books: dict[int, list] = {}
+        for r in mrows:
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            c = int(r["cell_id"])
+            new_books.setdefault(c, []).append(v - C[cell_lookup[c]])
+        for c, rows in new_books.items():
+            served[c] = np.array(rows)
+    b_srv = spark.sparkContext.broadcast(
+        (C, cids, Cn, served, sorted(drifted_cells))
+    )
+
+    # -- 4. serve: probe -> partition-pruned scan -> ADC -> refine -------
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("embedding"),
+    )
+    rot_q = _rotate_vectors(q, R, id_col="query_id")
+    centroids_df = F.broadcast(
+        spark.read.parquet(path + "/centroids").select(
+            "cell_id", F.col("embedding").alias("__centroid")
+        )
+    )
+    probes = _assign_cells(
+        rot_q, centroids_df, "query_id", "embedding", rank_limit=nprobe
+    ).select(
+        F.col("query_id"),
+        F.col("embedding").alias("__qvec"),
+        "cell_id",
+    )
+    probe_cells = [
+        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+    ]  # bounded: <= nlist
+    index = (
+        spark.read.parquet(path + "/index")
+        .filter(F.col("cell_id").isin(probe_cells))
+        .select("vec_id", F.col("embedding").alias("__cvec"), "cell_id")
+    )
+    pairs = index.join(F.broadcast(probes), "cell_id")
+
+    def adc(batches):
+        C_, cids_, _Cn, srv, drift_list = b_srv.value
+        look = {int(c): i for i, c in enumerate(cids_)}
+        dset = set(drift_list)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_v, out_c, out_d, out_b, out_cos = (
+                [], [], [], [], [], [],
+            )
+            for c in pdf["cell_id"].unique():
+                sel = pdf[pdf["cell_id"] == c]
+                ci = look[int(c)]
+                book = srv[int(c)]
+                X = np.array(sel["__cvec"].tolist(), dtype=np.float64)
+                codes, _err = _encode_err(X - C_[ci], book)
+                recon = C_[ci] + np.concatenate(
+                    [
+                        book[codes[:, m]][
+                            :, m * dsub : (m + 1) * dsub
+                        ]
+                        for m in range(m_subspaces)
+                    ],
+                    axis=1,
+                )
+                Q = np.array(sel["__qvec"].tolist(), dtype=np.float64)
+                adc_d = _micro(((Q - recon) ** 2).sum(axis=1))
+                cos = (X * Q).sum(axis=1) / np.maximum(
+                    np.linalg.norm(X, axis=1) * np.linalg.norm(Q, axis=1),
+                    1e-12,
+                )
+                out_q.append(sel["query_id"].to_numpy())
+                out_v.append(sel["vec_id"].to_numpy())
+                out_c.append(np.full(len(sel), int(c), np.int32))
+                out_d.append(adc_d)
+                out_b.append(
+                    np.full(
+                        len(sel),
+                        "new" if int(c) in dset else "old",
+                        dtype=object,
+                    )
+                )
+                out_cos.append(cos)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cell_id": np.concatenate(out_c),
+                    "adc_u6": np.concatenate(out_d),
+                    "served_book": np.concatenate(out_b),
+                    "cos_sim": np.concatenate(out_cos),
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        adc,
+        "query_id long, vec_id long, cell_id int, adc_u6 long, "
+        "served_book string, cos_sim double",
+    )
+    short = bounded_topk_rank(
+        scored,
+        shortlist,
+        order_col="adc_u6",
+        part_cols=("query_id",),
+        id_col="vec_id",
+        ascending=True,
+    ).drop("rank")
+    refined = bounded_topk_rank(
+        short.withColumn("cos4", F.round("cos_sim", 4)),
+        k,
+        order_col="cos4",
+        part_cols=("query_id",),
+        id_col="vec_id",
+    ).select(
+        "query_id", "vec_id", "cos4",
+        F.col("rank").cast("long").alias("rank"),
+        "cell_id", "served_book",
+    )
+    if return_accounting:
+        return refined, acct
+    return refined

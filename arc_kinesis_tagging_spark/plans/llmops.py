@@ -2487,6 +2487,55 @@ def q_ann_retrain(spark, sf_dir):
     )
 
 
+def q_ann_lifecycle(spark, sf_dir):
+    """The ANN index lifecycle END TO END as one composition
+    (operators/similarity.py:ann_lifecycle) — the chain the four
+    separate rows (q_ann_persisted, q_ann_incremental, q_ann_retrain,
+    q_similarity_opq) each exercise alone: OPQ rotation trained on the
+    prior corpus and actually used by the index geometry, persisted
+    cell-partitioned IVF build on the rotated prior (vec_id % 5 != 0),
+    batch append (vec_id % 5 == 0) against frozen centroids, per-cell
+    drift detection + codebook retrain, then queries served through
+    the retrained index (ADC shortlist on the SERVED books, exact
+    refine, top-5). Rows-only: the OPQ rotation is an SVD alternation
+    (not SQL-expressible), but the chain is deterministic and its
+    recall@5 >= 0.9 vs unrotated brute force, drift/branch coverage,
+    and rerun-identity are pinned in tests/test_ann_lifecycle.py."""
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from arc_kinesis_tagging_spark.operators.similarity import ann_lifecycle
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    norm = _os.path.abspath(sf_dir.rstrip("/"))
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        "akt_ivflc_"
+        + _hashlib.md5(norm.encode()).hexdigest()[:8]
+        + "_"
+        + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    return ann_lifecycle(
+        spark,
+        e,
+        F.col("vec_id") % 5 == 0,
+        path,
+        q,
+        k=5,
+        nlist=8,
+        m_subspaces=8,
+        ksub=16,
+        nprobe=6,
+        shortlist=64,
+        drift_num=1,
+        drift_den=1,
+    )
+
+
 # shared distance kernel: residual of vector x (vs its cell centroid
 # cx) against codebook residual (s - cs), per 16-dim subspace, in
 # half-up integer micro-units — the same quantization the numpy pass
@@ -2888,6 +2937,10 @@ LLMOPS_QUERIES = [
     Query("q_ann_persisted", q_ann_persisted, ORACLE_ANN_PERSISTED),
     Query("q_ann_incremental", q_ann_incremental, ORACLE_ANN_INCREMENTAL),
     Query("q_ann_retrain", q_ann_retrain, ORACLE_ANN_RETRAIN),
+    Query("q_ann_lifecycle", q_ann_lifecycle, None,
+          "OPQ rotation (SVD alternation) drives the whole chain -> "
+          "rows-only; recall@5 >= 0.9 vs brute force, drift coverage, "
+          "and rerun-identity pinned in tests/test_ann_lifecycle.py"),
     Query("q_similarity_ivfpq", q_similarity_ivfpq, ORACLE_SIMILARITY_IVFPQ),
     Query("q_embed_pq", q_embed_pq, ORACLE_EMBED_PQ),
     Query("q_similarity_pq_adc", q_similarity_pq_adc, ORACLE_SIMILARITY_PQ_ADC),
