@@ -184,8 +184,12 @@ def pack_bins_ffd(
         pdf["oversize"] = pd.Series(oversize, dtype="bool")
         return pdf
 
+    # derive the id/partition column types from the input instead of
+    # hardcoding string/long: a string doc key or non-string partition
+    # column would otherwise fail at runtime with an Arrow mismatch
+    dt = dict(df.dtypes)
     schema = (
-        f"{part_col} string, {key_col} long, n_tokens long, "
-        "bin_id long, oversize boolean"
+        f"{part_col} {dt[part_col]}, {key_col} {dt[key_col]}, "
+        "n_tokens long, bin_id long, oversize boolean"
     )
     return base.groupBy(part_col).applyInPandas(pack, schema)

@@ -40,6 +40,10 @@ def tar_member(name: str, data: bytes) -> bytes:
     nb = name.encode()
     if len(nb) > 100:
         raise ValueError("member name too long for ustar")
+    if len(data) >= 8**11:  # 12-char octal size field caps at 8 GiB;
+        # a longer _octal would silently GROW the header past 512
+        # bytes via the slice assignment, writing a corrupt shard
+        raise ValueError("member data too large for a ustar size field")
     hdr = bytearray(_BLK)
     hdr[0 : len(nb)] = nb
     hdr[100:108] = _octal(0o644, 8)          # mode
@@ -163,10 +167,15 @@ def read_doc_shards(
                     for name, data in parse_tar(bytes(blob)):
                         key, _, ext = name.partition(".")
                         groups.setdefault(key, {})[ext] = data
+                    # accumulate locally and emit only once the WHOLE
+                    # shard regrouped: an exception mid-loop (e.g. a
+                    # non-numeric member basename) must isolate to ONE
+                    # null row, not partial sample rows plus a null
+                    shard_rows = []
                     for key in sorted(groups):
                         g = groups[key]
                         txt = g.get("txt", b"")
-                        rows.append(
+                        shard_rows.append(
                             (
                                 int(key),
                                 sid_out,
@@ -176,6 +185,7 @@ def read_doc_shards(
                                 hashlib.md5(txt).hexdigest(),
                             )
                         )
+                    rows.extend(shard_rows)
                 except Exception:
                     rows.append((None, sid_out, None, None, None, None))
             yield pd.DataFrame(
@@ -273,6 +283,11 @@ def read_multimodal_shards(
                     for name, data in parse_tar(bytes(blob)):
                         key, _, ext = name.partition(".")
                         groups.setdefault(key, {})[ext] = data
+                    # local accumulation: emit only after the whole
+                    # shard regrouped, so a mid-loop exception (e.g. a
+                    # non-numeric basename) isolates to ONE null row
+                    # instead of partial rows plus a null
+                    shard_rows = []
                     for key in sorted(groups):
                         g = groups[key]
                         txt = g.get("txt", b"")
@@ -289,9 +304,10 @@ def read_multimodal_shards(
                             )
                         except Exception:
                             img = (None, None, None, None, None)
-                        rows.append(
+                        shard_rows.append(
                             (int(key), sid_out, len(txt), *img)
                         )
+                    rows.extend(shard_rows)
                 except Exception:
                     rows.append(
                         (None, sid_out, None, None, None, None, None, None)

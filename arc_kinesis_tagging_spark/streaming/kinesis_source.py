@@ -68,22 +68,29 @@ def write_kinesis_fixture(stream_dir: str, records) -> int:
     for shard_id, payloads in by_shard.items():
         d = os.path.join(stream_dir, shard_id)
         os.makedirs(d, exist_ok=True)
-        start = _shard_end_seq(d)
-        seqs = list(range(start, start + len(payloads)))
-        table = pa.table(
-            {"data": pa.array(payloads, pa.binary()), "seq": pa.array(seqs, pa.int64())}
-        )
-        # write-then-rename: a concurrently polling reader lists this
-        # directory from another process, and pq.write_table is not
-        # atomic — a half-written footer would crash _shard_end_seq
-        # mid-poll. The dotfile is invisible to the chunk listing
-        # (startswith("chunk-")) and the rename is atomic on POSIX.
-        final = os.path.join(d, f"chunk-{start:020d}.parquet")
-        tmp = os.path.join(d, f".chunk-{start:020d}.parquet.tmp")
-        pq.write_table(table, tmp)
-        os.replace(tmp, final)
+        _publish_chunk(d, payloads, _shard_end_seq(d))
         n += len(payloads)
     return n
+
+
+def _publish_chunk(shard_dir: str, payloads, start: int) -> None:
+    """Atomically publish one chunk of ``payloads`` at sequence
+    ``start``. Write-then-rename: a concurrently polling reader lists
+    the directory from another process, and pq.write_table is not
+    atomic — a half-written footer would crash _shard_end_seq
+    mid-poll. The dotfile is invisible to the chunk listing
+    (startswith("chunk-")) and the rename is atomic on POSIX."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    seqs = list(range(start, start + len(payloads)))
+    table = pa.table(
+        {"data": pa.array(payloads, pa.binary()), "seq": pa.array(seqs, pa.int64())}
+    )
+    final = os.path.join(shard_dir, f"chunk-{start:020d}.parquet")
+    tmp = os.path.join(shard_dir, f".chunk-{start:020d}.parquet.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
 
 
 def _shard_dirs(stream_dir: str) -> list[str]:
@@ -322,6 +329,28 @@ class KinesisEmuStreamWriter(DataSourceStreamWriter):
                     pass
 
     def commit(self, messages, batchId) -> None:  # noqa: N802 (Spark API)
+        """Two-phase publish, exactly-once across driver crashes at ANY
+        point in this method. Marker-last alone is not enough: a crash
+        after some per-shard renames but before the marker would make
+        the replayed epoch re-derive FRESH start sequences from the
+        already-advanced shard ends and re-publish the same records at
+        new seqs (the round-7 advice finding). So the commit point is
+        split:
+
+        1. an INTENT file (atomic rename) records the planned
+           (shard -> start_seq, count) ranges BEFORE anything becomes
+           visible — on replay the plan is re-READ, never re-derived;
+        2. each shard chunk publishes at its PLANNED start; a chunk
+           already present at that exact name is the crashed attempt's
+           output (chunks are immutable, seqs monotone, one committing
+           driver per stream dir) and is skipped, not duplicated;
+        3. the intent renames into the final marker only after every
+           shard is published.
+
+        Replay therefore resumes idempotently from whichever of the
+        three phases the crash interrupted. Assumes Structured
+        Streaming's contract that a replayed epoch re-delivers the
+        same batch data for the same batchId."""
         import pyarrow.parquet as pq
 
         marker_dir = os.path.join(self.stream_dir, "_committed")
@@ -334,16 +363,38 @@ class KinesisEmuStreamWriter(DataSourceStreamWriter):
         for msg in sorted(messages, key=lambda m: m.part_id):
             for shard_id, path, _n in msg.staged:
                 per_shard.setdefault(shard_id, []).append(path)
-        records = []
-        for shard_id, paths in sorted(per_shard.items()):
-            shard_num = int(shard_id.rsplit("-", 1)[1])
-            for p in paths:
-                for payload in pq.read_table(p)["data"].to_pylist():
-                    records.append((payload, shard_num))
-        write_kinesis_fixture(self.stream_dir, records)
-        with open(marker + ".tmp", "w") as fh:
-            fh.write(json.dumps({"batch": int(batchId)}))
-        os.replace(marker + ".tmp", marker)
+        payloads_by_shard = {
+            shard_id: [
+                payload
+                for p in paths
+                for payload in pq.read_table(p)["data"].to_pylist()
+            ]
+            for shard_id, paths in sorted(per_shard.items())
+        }
+        intent = marker + ".intent"
+        if os.path.exists(intent):  # crashed mid-publish: reuse the plan
+            with open(intent) as fh:
+                planned = json.load(fh)["shards"]
+        else:
+            planned = {}
+            for shard_id, payloads in payloads_by_shard.items():
+                d = os.path.join(self.stream_dir, shard_id)
+                os.makedirs(d, exist_ok=True)
+                planned[shard_id] = {
+                    "start": _shard_end_seq(d),
+                    "count": len(payloads),
+                }
+            with open(intent + ".tmp", "w") as fh:
+                fh.write(json.dumps({"batch": int(batchId), "shards": planned}))
+            os.replace(intent + ".tmp", intent)
+        for shard_id, plan in planned.items():
+            d = os.path.join(self.stream_dir, shard_id)
+            os.makedirs(d, exist_ok=True)
+            final = os.path.join(d, f"chunk-{int(plan['start']):020d}.parquet")
+            if os.path.exists(final):  # published by the crashed attempt
+                continue
+            _publish_chunk(d, payloads_by_shard[shard_id], int(plan["start"]))
+        os.replace(intent, marker)  # the commit point; content = the ranges
         self._cleanup(messages)
 
     def abort(self, messages, batchId) -> None:  # noqa: N802

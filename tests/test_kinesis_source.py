@@ -255,3 +255,133 @@ def test_stream_writer_tee_exactly_once(registered, tmp_path):
         spark.read.format("kinesis_emu").option("streamDir", dst).load()
     ).count()
     assert final == 13
+
+
+def _stage(tmp_path, shard_payloads):
+    """Emulate write(): stage one parquet per shard, return the
+    commit message the driver would receive."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arc_kinesis_tagging_spark.streaming.kinesis_source import _StagedWrite
+
+    staging = tmp_path / "stream-c" / ".staging"
+    staging.mkdir(parents=True, exist_ok=True)
+    staged = []
+    for shard_id, payloads in sorted(shard_payloads.items()):
+        p = str(staging / f"stage-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.table({"data": pa.array(payloads, pa.binary())}), p)
+        staged.append((shard_id, p, len(payloads)))
+    return _StagedWrite(0, staged)
+
+
+def _read_all(dst):
+    """(payload, shard_id, seq) triples published in ``dst``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for shard in sorted(os.listdir(dst)):
+        d = os.path.join(dst, shard)
+        if not shard.startswith("shardId-") or not os.path.isdir(d):
+            continue
+        for chunk in sorted(f for f in os.listdir(d) if f.startswith("chunk-")):
+            t = pq.read_table(os.path.join(d, chunk))
+            for payload, seq in zip(
+                t["data"].to_pylist(), t["seq"].to_pylist()
+            ):
+                out.append((bytes(payload), shard, int(seq)))
+    return out
+
+
+def test_stream_writer_commit_crash_windows(tmp_path, monkeypatch):
+    """Exactly-once must survive a driver crash at EVERY point inside
+    commit(), not only between epochs (the round-7 advice finding: the
+    old marker-last-only protocol duplicated records when the crash
+    landed between the per-shard publishes and the marker, because the
+    replay re-DERIVED start sequences from the already-advanced shard
+    ends). Crash injection at each phase; replayed commit must
+    converge to exactly-once."""
+    import arc_kinesis_tagging_spark.streaming.kinesis_source as ks
+
+    dst = str(tmp_path / "stream-c")
+    payloads = {
+        "shardId-000000000000": [b"a0", b"a1"],
+        "shardId-000000000001": [b"b0"],
+    }
+    want = {
+        (b"a0", "shardId-000000000000", 0),
+        (b"a1", "shardId-000000000000", 1),
+        (b"b0", "shardId-000000000001", 0),
+    }
+
+    class Boom(RuntimeError):
+        pass
+
+    def run_with_crash(batch_id, crash_after_publishes=None,
+                       crash_on_marker=False):
+        """Run commit(); crash after N successful shard publishes, or
+        on the final marker rename (None/False = no crash). A fresh
+        staged message each attempt, as a replayed epoch would
+        produce."""
+        w = ks.KinesisEmuStreamWriter({"streamdir": dst})
+        msg = _stage(tmp_path, payloads)
+        real = ks._publish_chunk
+        real_replace = ks.os.replace
+        seen = {"n": 0}
+
+        def crashing(d, p, s):
+            if seen["n"] == crash_after_publishes:
+                raise Boom()
+            real(d, p, s)
+            seen["n"] += 1
+
+        def marker_crash(a, b):
+            if "_committed" in b and not b.endswith(".intent"):
+                raise Boom()
+            real_replace(a, b)
+
+        if crash_after_publishes is not None:
+            monkeypatch.setattr(ks, "_publish_chunk", crashing)
+        if crash_on_marker:
+            monkeypatch.setattr(ks.os, "replace", marker_crash)
+        try:
+            w.commit([msg], batch_id)
+        finally:
+            monkeypatch.setattr(ks, "_publish_chunk", real)
+            monkeypatch.setattr(ks.os, "replace", real_replace)
+
+    # crash before ANY publish (intent written, nothing visible)
+    with pytest.raises(Boom):
+        run_with_crash(0, crash_after_publishes=0)
+    run_with_crash(0)
+    assert set(_read_all(dst)) == want
+
+    # replayed commit of the SAME batch is a no-op (marker present)
+    run_with_crash(0)
+    assert sorted(_read_all(dst)) == sorted(want)
+
+    # crash between the two shard publishes: the old protocol's
+    # duplication window — replay must skip the already-published
+    # shard and publish only the missing one
+    with pytest.raises(Boom):
+        run_with_crash(1, crash_after_publishes=1)
+    mid = _read_all(dst)
+    assert len(mid) == 5  # batch 0 (3 rows) + one shard of batch 1 (2)
+    run_with_crash(1)
+    got = _read_all(dst)
+    assert len(got) == 6, got  # batch 0 + batch 1, zero duplicates
+    assert len(set(got)) == 6
+    # batch-1 seqs continue monotonically per shard
+    seqs0 = sorted(s for _, sh, s in got if sh.endswith("0000"))
+    assert seqs0 == [0, 1, 2, 3]
+
+    # crash after ALL publishes but before the marker rename
+    with pytest.raises(Boom):
+        run_with_crash(2, crash_on_marker=True)
+    run_with_crash(2)
+    got = _read_all(dst)
+    assert len(got) == 9 and len(set(got)) == 9

@@ -5,6 +5,8 @@ shard isolation, and the shard build/read round trip."""
 import io
 import tarfile
 
+import pytest
+
 from arc_kinesis_tagging_spark.sources.tar_shards import (
     build_doc_shards,
     build_tar,
@@ -199,3 +201,69 @@ def test_tarshard_datasource_partitions_and_rows(spark, tmp_path):
         df.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     assert len(per_sample) == 6 and all(r["n"] == 2 for r in per_sample)
+
+
+def test_corrupt_regroup_isolates_whole_shard(spark):
+    """A shard whose MEMBERS parse but whose sample key is not numeric
+    must isolate to exactly ONE null row — no partial sample rows from
+    the same shard (round-7 advice: rows were appended inside the try
+    block, so a mid-regroup failure leaked the already-accumulated
+    samples alongside the null)."""
+    from arc_kinesis_tagging_spark.sources.tar_shards import (
+        build_tar,
+        read_doc_shards,
+        read_multimodal_shards,
+    )
+
+    bad = build_tar(
+        [
+            ("00000001.txt", b"good first sample"),
+            ("00000002.txt", b"good second sample"),
+            ("not-a-number.txt", b"poisons the regroup"),
+        ]
+    )
+    shards = spark.createDataFrame(
+        [(7, bad)], "shard_id long, shard binary"
+    )
+    rows = read_doc_shards(shards).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] is None and rows[0]["shard_id"] == 7
+    mrows = read_multimodal_shards(shards).collect()
+    assert len(mrows) == 1
+    assert mrows[0]["doc_id"] is None and mrows[0]["shard_id"] == 7
+
+
+def test_tar_member_size_guard():
+    """The 12-char octal size field caps at 8 GiB; a larger member
+    must raise instead of silently growing the header (round-7
+    advice). Checked via a zero-copy fake len, not a real 8 GiB
+    buffer."""
+    from arc_kinesis_tagging_spark.sources.tar_shards import tar_member
+
+    class FakeBytes(bytes):
+        def __len__(self):
+            return 8**11
+
+    with pytest.raises(ValueError, match="too large"):
+        tar_member("x.bin", FakeBytes())
+
+
+def test_pack_bins_ffd_string_key_and_long_partition(spark):
+    """pack_bins_ffd must derive the id/partition column types from
+    the input (round-7 advice: the hardcoded '{part} string, {key}
+    long' schema crashed on a string doc key or numeric partition)."""
+    from arc_kinesis_tagging_spark.operators.chunking import pack_bins_ffd
+
+    df = spark.createDataFrame(
+        [
+            (1, "doc-a", "one two three"),
+            (1, "doc-b", "four five"),
+            (2, "doc-c", "six"),
+        ],
+        "src long, doc string, text string",
+    )
+    out = pack_bins_ffd(
+        df, text_col="text", key_col="doc", part_col="src", capacity=4
+    ).collect()
+    assert {r["doc"] for r in out} == {"doc-a", "doc-b", "doc-c"}
+    assert dict((r["doc"], r["bin_id"]) for r in out)["doc-a"] == 0
