@@ -514,3 +514,31 @@ def test_adversarial_funnel_oracle_parity(
     ocols, orows = canon_rows(odf)
     assert scols == ocols
     assert srows == orows
+
+
+def test_survey_counts_match_registry():
+    """SURVEY.md's LAST 'Running counts:'/'counts:' line must state the
+    true registry totals — the round-7 verdict found the doc trailing
+    the registry by 5 queries. Pinning doc == code keeps the drift from
+    recurring: update SURVEY.md when adding a query, or this fails."""
+    import re
+
+    from arc_kinesis_tagging_spark.plans.registry import QUERIES
+
+    text = open("/root/repo/SURVEY.md").read()
+    stated = re.findall(
+        r"counts[^:]*: (\d+) registry queries \((\d+) oracle-checked"
+        r"(?:[^)]*?\+ )?(\d+)\s*\n?\s*rows-only",
+        text,
+    )
+    assert stated, "SURVEY.md lost its counts line"
+    total, oracled, rows_only = map(int, stated[-1])
+    true_oracled = sum(1 for q in QUERIES.values() if q.oracle is not None)
+    assert (total, oracled, rows_only) == (
+        len(QUERIES),
+        true_oracled,
+        len(QUERIES) - true_oracled,
+    ), (
+        f"SURVEY.md says {total}/{oracled}/{rows_only}, registry has "
+        f"{len(QUERIES)}/{true_oracled}/{len(QUERIES) - true_oracled}"
+    )

@@ -13,6 +13,9 @@ not obtainable. Environmental, not closable here.
 
 Re-retried round 7 (same date): `import google.protobuf` still raises
 ModuleNotFoundError. The documented skip stands.
+
+Re-retried round 8 (2026-08-14): still ModuleNotFoundError (no
+`google` package at all). The documented skip stands.
 """
 
 import tempfile

@@ -303,6 +303,64 @@ def main() -> None:
         report[f"{name}_images"] = n
         report[f"{name}_images_per_sec"] = round(n / dt, 1)
 
+    # round-8 ladder fill (VERDICT r07 #6): GIF / WAV / Y4M codec
+    # throughput — all map-only Arrow passes, so rows/sec should hold
+    # flat as K grows (any fall-off means a batch-shape problem, not
+    # an algorithmic one)
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_gif_media,
+        attach_wav_media,
+        attach_y4m_media,
+        decode_gif,
+        decode_wav,
+        sample_y4m_frames,
+    )
+
+    for name, attach, dec in (
+        ("gif", attach_gif_media, decode_gif),
+        ("wav", attach_wav_media, decode_wav),
+        ("y4m", attach_y4m_media, lambda d: sample_y4m_frames(d, every=2)),
+    ):
+        t0 = time.perf_counter()
+        n = dec(attach(ids, "doc_id")).count()
+        dt = time.perf_counter() - t0
+        report[f"{name}_rows"] = n
+        report[f"{name}_rows_per_sec"] = round(n / dt, 1)
+
+    # round-8: tar-shard container round-trip at scale — build shards
+    # from the amplified docs (bounded groupBy per shard), parse them
+    # back (one map-only pass); parse throughput is the ladder metric
+    from arc_kinesis_tagging_spark.sources.tar_shards import (
+        build_doc_shards,
+        read_doc_shards,
+    )
+
+    shards = build_doc_shards(docs, shard_size=10).persist()
+    report["tar_shards"] = shards.count()  # materialize build first
+    t0 = time.perf_counter()
+    n = read_doc_shards(shards).count()
+    dt = time.perf_counter() - t0
+    shards.unpersist()
+    report["tar_parse_rows"] = n
+    report["tar_parse_rows_per_sec"] = round(n / dt, 1)
+
+    # round-8: the composed ANN lifecycle (build+append+retrain+serve)
+    # on the amplified embeddings — fresh index path per K, so the
+    # measured time includes the whole chain, not a memoized probe
+    from arc_kinesis_tagging_spark.operators.similarity import ann_lifecycle
+
+    q_lc = emb.filter(F.col("vec_id") < 8 * k).filter(
+        F.col("vec_id") % k == 0
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    t0 = time.perf_counter()
+    report["ann_lifecycle_rows"] = ann_lifecycle(
+        spark, emb, F.col("vec_id") % 5 == 0,
+        f"/tmp/akt_amp_lc_k{k}", q_lc,
+        k=5, nlist=8, m_subspaces=8, ksub=16, nprobe=6, shortlist=64,
+        drift_num=1, drift_den=1,
+    ).count()
+    report["ann_lifecycle_sec"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(report))
 
 
