@@ -82,6 +82,11 @@ HEADLINE = [
     "q_dsir_score",       # DSIR hashed-ngram importance scoring
     "q_ann_retrain",      # IVF-drift detection + per-cell PQ retrain
     "q_unigram_encode",   # unigram-LM train + Viterbi encode
+    # round-8 additions
+    # full composed lifecycle; the first rep pays the one-time
+    # persisted build+append (fingerprinted path), later reps serve —
+    # min-of-reps times the SERVE path, the amortized production shape
+    "q_ann_lifecycle",
 ]
 
 
