@@ -296,8 +296,8 @@ _R7_HEAD = [
 # lifecycle composite is new, so both are re-verified the round they
 # change, (c) r04-vintage rows filling the 50-slot window, ordered
 # plan-complexity-first (joins/composites before scalar families) so the
-# highest-regression-risk stale greens refresh first; the ~13 displaced
-# r04 scalar/window-family rows lead round 9.
+# highest-regression-risk stale greens refresh first; the 12 displaced
+# r04 scalar/set/vector-family rows lead round 9.
 _R8_HEAD = [
     # -- (a) no driver CORRECTNESS row across r01..r07 --
     "q_multimodal_gif",
