@@ -66,7 +66,8 @@ def _bigram_counts(docs: DataFrame, text_col: str):
 
 
 def export_arpa_bigram(
-    docs: DataFrame, path: str, text_col: str = "text"
+    docs: DataFrame, path: str, text_col: str = "text",
+    prune_count: int = 0,
 ) -> str:
     """Train the add-one token-bigram model on ``docs`` and write it
     to ``path`` in ARPA format. Returns ``path``.
@@ -75,13 +76,28 @@ def export_arpa_bigram(
     vocabulary/bigram-sized by construction (it IS the artifact being
     written). Deterministic: lexicographic token order, fixed 7-dp
     log10 formatting.
-    """
+
+    ``prune_count`` is KenLM's ``--prune``: bigrams with count <=
+    prune_count are DROPPED from the model and their probability mass
+    folds into the context's Katz backoff weight (estimated-then-
+    pruned, the KenLM order of operations, so retained probabilities
+    are unchanged). Singleton pruning (prune_count=1) is the standard
+    production setting — on a heavy-tailed vocabulary it shrinks the
+    bigram table by the singleton fraction, and crucially it BOUNDS
+    the collected model on corpora whose raw bigram table grows with
+    corpus size (each retained bigram was seen >= 2x, so the table
+    saturates where the raw one keeps growing — the round-8 ladder's
+    q_lm_arpa entry measures exactly this effect). The pruning filter
+    runs DISTRIBUTED, before the collect, so the driver never holds
+    the unpruned table."""
     nab_df, na_df, uni_df = _bigram_counts(docs, text_col)
+    if prune_count > 0:
+        nab_df = nab_df.filter(F.col("nab") > prune_count)
 
     uni = {r["t"]: r["n"] for r in uni_df.collect()}  # model-sized
     nab = {
         (r["ta"], r["tb"]): r["nab"] for r in nab_df.collect()
-    }  # model-sized
+    }  # model-sized (post-prune)
     na = {r["ta"]: r["na"] for r in na_df.collect()}  # model-sized
 
     vocab = sorted(uni)
@@ -118,11 +134,15 @@ def export_arpa_bigram(
     bo: dict[str, float] = {}
     for a, bs in succ.items():
         # leftover mass from INTEGER counts — exact and >= 0 by
-        # construction (sum_seen (c+1) = na + S, so leftover =
-        # (V - S)/(na + V)); a float sum of the quantized seen probs
-        # can dip below 0 when S = V, and dividing that noise by a
-        # tiny unseen mass produced a negative "weight"
-        leftover = (V - len(bs)) / (na[a] + V)
+        # construction: the full distribution sums to (na+V)/(na+V),
+        # the RETAINED successors carry sum (c(a,b)+1), so leftover =
+        # (na + V - sum_retained (c+1)) / (na + V). With no pruning
+        # this reduces to the old (V - S)/(na + V); with pruning the
+        # dropped bigrams' mass lands here, which is exactly Katz
+        # estimate-then-prune. A float sum of the quantized seen probs
+        # can dip below 0 when S = V, hence the integer form.
+        retained = len(bs) + sum(nab[(a, b)] for b in bs)
+        leftover = (na[a] + V - retained) / (na[a] + V)
         unseen_uni = total_uni - sum(p_uni(w) for w in bs)
         # guard float cancellation when seen mass ~ total (S ~ V):
         # leftover is exactly 0 there anyway, so the weight is 0

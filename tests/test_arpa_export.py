@@ -241,3 +241,70 @@ def test_score_docs_with_arpa_oov_and_unseen(spark, tmp_path):
     uni, _bo, _bi = model
     want11 = round(-_math.log2(uni["<unk>"]), 3)
     assert abs(rows[11]["bits_per_token"] - want11) <= 0.001
+
+
+def test_pruned_export_keeps_model_normalized(spark, tmp_path):
+    """KenLM-style count pruning (prune_count=1): singleton bigrams
+    drop from the model, their mass folds into the context backoff
+    weight (estimate-then-prune), and every context with RETAINED
+    successors still normalizes to 1 over the open vocabulary —
+    pruning must redistribute mass, never destroy it."""
+    docs = spark.createDataFrame(
+        [
+            ("the cat sat on the mat",),
+            ("the cat sat on the hat",),
+            ("a dog ran",),  # every bigram here is a singleton
+        ],
+        "text string",
+    )
+    full = str(tmp_path / "full.arpa")
+    pruned = str(tmp_path / "pruned.arpa")
+    export_arpa_bigram(docs, full)
+    export_arpa_bigram(docs, pruned, prune_count=1)
+
+    fu, fbo, fbi = read_arpa(full)
+    pu, pbo, pbi = read_arpa(pruned)
+    # pruning dropped the singletons ("a dog", "dog ran", "on the"
+    # survives: count 2) and kept every count>=2 bigram at the SAME
+    # probability (estimate-then-prune)
+    assert set(pbi) < set(fbi)
+    assert all(fbi[k] == pbi[k] for k in pbi)
+    assert ("the", "cat") in pbi and ("a", "dog") not in pbi
+    # unigrams unchanged (pruning only touches the bigram table)
+    assert fu == pu
+    # normalization holds for every retained context
+    vocab = list(pu)
+    model = (pu, pbo, pbi)
+    for a in {a for a, _ in pbi}:
+        total = sum(score_bigram(model, a, b) for b in vocab)
+        assert abs(total - 1.0) < 1e-6, (a, total)
+    # a fully-pruned context backs off through p_uni with implicit
+    # weight 1: scoring still works and is a proper distribution up
+    # to the quantization of the unigram table itself
+    total = sum(score_bigram(model, "dog", b) for b in vocab)
+    assert abs(total - 1.0) < 2e-6, total
+
+
+def test_pruned_model_is_smaller_on_heavy_tail(spark, sf_dir, tmp_path):
+    """On a corpus with per-document unique tokens (the scale
+    ladder's salt-amplification shape, and real crawls' long tail of
+    ids/urls/typos), prune_count=1 must shrink the bigram table by
+    the singleton fraction — the bounded-artifact property the scale
+    ladder leans on."""
+    import pyspark.sql.functions as F
+
+    from arc_kinesis_tagging_spark.sources.tables import load_table
+
+    d = load_table(spark, "documents", sf_dir).select(
+        # one unique token per doc -> two singleton bigrams per doc
+        F.concat(
+            F.col("text"), F.lit(" salt"), F.col("doc_id").cast("string")
+        ).alias("text")
+    )
+    full = str(tmp_path / "f.arpa")
+    pruned = str(tmp_path / "p.arpa")
+    export_arpa_bigram(d, full)
+    export_arpa_bigram(d, pruned, prune_count=1)
+    _, _, fbi = read_arpa(full)
+    _, _, pbi = read_arpa(pruned)
+    assert len(pbi) < len(fbi) * 0.8, (len(pbi), len(fbi))

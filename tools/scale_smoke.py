@@ -344,6 +344,32 @@ def main() -> None:
     report["tar_parse_rows"] = n
     report["tar_parse_rows_per_sec"] = round(n / dt, 1)
 
+    # round-8: KenLM-style singleton pruning bounds the ARPA artifact
+    # on vocabulary-adversarial corpora — every retained bigram was
+    # seen >= 2x, so the salt-injected singletons (which make the raw
+    # model grow with the corpus) drop distributedly BEFORE the
+    # model-sized collect. n_bigrams full-vs-pruned is the evidence.
+    from arc_kinesis_tagging_spark.operators.lm import (
+        export_arpa_bigram,
+        read_arpa,
+    )
+
+    amp_docs = load_table(spark, "documents", amp)
+    t0 = time.perf_counter()
+    _, _, fbi = read_arpa(
+        export_arpa_bigram(amp_docs, f"/tmp/akt_amp_full_k{k}.arpa")
+    )
+    report["arpa_full_sec"] = round(time.perf_counter() - t0, 2)
+    report["arpa_full_bigrams"] = len(fbi)
+    t0 = time.perf_counter()
+    _, _, pbi = read_arpa(
+        export_arpa_bigram(
+            amp_docs, f"/tmp/akt_amp_pruned_k{k}.arpa", prune_count=1
+        )
+    )
+    report["arpa_pruned_sec"] = round(time.perf_counter() - t0, 2)
+    report["arpa_pruned_bigrams"] = len(pbi)
+
     # round-8: the composed ANN lifecycle (build+append+retrain+serve)
     # on the amplified embeddings — fresh index path per K, so the
     # measured time includes the whole chain, not a memoized probe
