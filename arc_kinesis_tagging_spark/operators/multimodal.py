@@ -2840,6 +2840,90 @@ def decode_wav(
     return df.select(id_col, media_col).mapInPandas(dec, WAV_DECODED_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_channels int, sample_rate int, n_frames long, "
+    "zcr long, peak_abs long, sum_sq long, "
+    "band0_u6 long, band1_u6 long, band2_u6 long, band3_u6 long"
+)
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    n_fft: int = 256,
+    hop: int = 128,
+) -> DataFrame:
+    """Audio FEATURE EXTRACTION over decoded WAV — the training-data
+    op the brief's multimodal family names alongside decode/resize/
+    frame-sample: per file, (a) the exact-integer time-domain features
+    a quality gate filters on — zero-crossing count (channel 0, strict
+    sign flips), peak absolute amplitude and total energy (sum of
+    squares over ALL channels), every one derivable analytically from
+    the fixture waveform so the DuckDB oracle hash-checks the full
+    container -> samples -> feature path — and (b) spectral band
+    energies: an STFT (numpy rfft over ``n_fft``-sample Hann-free
+    rectangular windows at ``hop``) whose power spectrum folds into 4
+    equal frequency bands, emitted as half-up integer micro-units of
+    the mean per-window band power. Spectral columns are numpy-parity
+    pytest territory (an 8000-tap DFT replica is not reasonable SQL),
+    so the registry query hash-checks the exact columns and carries
+    the bands through the rows-only evidence in tests.
+
+    One Arrow pass, per-record isolation to null rows, no shuffle —
+    the same scale shape as every codec in this module.
+    """
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                mid_out = None if pd.isna(mid) else int(mid)
+                try:
+                    s, rate = decode_wav_bytes(bytes(blob))
+                    s64 = s.astype(np.int64)
+                    ch0 = s64[:, 0]
+                    zcr = int(np.sum(ch0[:-1] * ch0[1:] < 0))
+                    peak = int(np.abs(s64).max()) if s64.size else 0
+                    sum_sq = int((s64 * s64).sum())
+                    x = ch0.astype(np.float64)
+                    n_win = max(0, (len(x) - n_fft) // hop + 1)
+                    bands = np.zeros(4)
+                    if n_win > 0:
+                        idx = (
+                            np.arange(n_win)[:, None] * hop
+                            + np.arange(n_fft)[None, :]
+                        )
+                        P = np.abs(np.fft.rfft(x[idx], axis=1)) ** 2
+                        nb = P.shape[1] // 4
+                        for b in range(4):
+                            lo = b * nb
+                            hi = (b + 1) * nb if b < 3 else P.shape[1]
+                            bands[b] = P[:, lo:hi].sum() / n_win
+                    bq = np.floor(bands * 1e6 + 0.5).astype(np.int64)
+                    out.append(
+                        (mid_out, s.shape[1], rate, s.shape[0], zcr,
+                         peak, sum_sq, *map(int, bq))
+                    )
+                except Exception:
+                    out.append(
+                        (mid_out, *([None] * 10))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_channels", "sample_rate", "n_frames",
+                    "zcr", "peak_abs", "sum_sq",
+                    "band0_u6", "band1_u6", "band2_u6", "band3_u6",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        feats, AUDIO_FEATURES_SCHEMA
+    )
+
+
 # --- REAL video container: YUV4MPEG2 (Y4M) -----------------------------------
 # The video modality's genuine container: uncompressed YUV frames
 # behind a text header + FRAME markers — the format video pipelines

@@ -1753,6 +1753,71 @@ FROM base b JOIN s ON s.doc_id = b.doc_id
 """
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio FEATURE EXTRACTION (operators/multimodal.py:
+    audio_features) — the quality-gate features a speech/audio corpus
+    filters on, computed from the REAL decoded PCM16 WAV container:
+    zero-crossing count (channel 0, strict sign flips), peak absolute
+    amplitude and total energy (all channels) — every column an exact
+    integer the DuckDB oracle derives analytically from the fixture
+    waveform, so the driver hash-checks container -> samples ->
+    features end to end. The operator also emits STFT band energies
+    (numpy rfft, micro-unit quantized); those are pinned by numpy-
+    parity pytest instead (tests/test_multimodal.py) and excluded
+    here because an 8000-tap DFT is not reasonable SQL."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_wav_media,
+        audio_features,
+    )
+
+    d = attach_wav_media(_t(spark, sf_dir, "documents"), "doc_id")
+    return audio_features(d, "media_id", "media").select(
+        "media_id", "n_channels", "sample_rate", "n_frames",
+        "zcr", "peak_abs", "sum_sq",
+    )
+
+
+ORACLE_AUDIO_FEATURES = """
+WITH base AS (
+  SELECT doc_id,
+         1000 + (doc_id % 5) * 100 AS nf,
+         doc_id % 2 + 1 AS nc
+  FROM documents
+), allsamp AS (
+  SELECT b.doc_id,
+         ((b.doc_id + 7 * t.t + 50 * c.c) % 201) - 100 AS x
+  FROM base b
+  CROSS JOIN range(0, 1400) t(t)
+  CROSS JOIN range(0, 2) c(c)
+  WHERE t.t < b.nf AND c.c < b.nc
+), energy AS (
+  SELECT doc_id,
+         CAST(MAX(ABS(x)) AS BIGINT) AS peak_abs,
+         CAST(SUM(x * x) AS BIGINT) AS sum_sq
+  FROM allsamp GROUP BY doc_id
+), ch0 AS (
+  SELECT b.doc_id, t.t,
+         ((b.doc_id + 7 * t.t) % 201) - 100 AS x,
+         ((b.doc_id + 7 * (t.t + 1)) % 201) - 100 AS xn
+  FROM base b CROSS JOIN range(0, 1400) t(t)
+  WHERE t.t < b.nf - 1
+), z AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN x * xn < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zcr
+  FROM ch0 GROUP BY doc_id
+)
+SELECT b.doc_id AS media_id,
+       CAST(b.nc AS INTEGER) AS n_channels,
+       CAST(8000 + (b.doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+       CAST(b.nf AS BIGINT) AS n_frames,
+       z.zcr, e.peak_abs, e.sum_sq
+FROM base b
+JOIN z ON z.doc_id = b.doc_id
+JOIN energy e ON e.doc_id = b.doc_id
+"""
+
+
 def q_multimodal_y4m(spark, sf_dir):
     """REAL video-container decode + FRAME SAMPLING — the video
     modality's genuine codec-free format (YUV4MPEG2, the interchange
@@ -2973,6 +3038,7 @@ LLMOPS_QUERIES = [
     Query("q_multimodal_png_adam7", q_multimodal_png_adam7,
           ORACLE_MULTIMODAL_PNG_ADAM7),
     Query("q_multimodal_wav", q_multimodal_wav, ORACLE_MULTIMODAL_WAV),
+    Query("q_audio_features", q_audio_features, ORACLE_AUDIO_FEATURES),
     Query("q_multimodal_thumbnail", q_multimodal_thumbnail,
           ORACLE_MULTIMODAL_THUMBNAIL),
     Query("q_multimodal_y4m", q_multimodal_y4m, ORACLE_MULTIMODAL_Y4M),

@@ -1105,3 +1105,60 @@ def test_gif_anim_roundtrip_sampling_and_isolation(spark):
             assert r["n_frames"] == nf
             assert r["sum_r"] == int(pal_r[idx].sum()), (i, f)
     assert len(got) == sum((i % 5 + 2 + 1) // 2 for i in range(8))
+
+
+def test_audio_features_spectral_numpy_parity(spark):
+    """The STFT band energies (not oracle-checkable: an 8000-tap DFT
+    replica is unreasonable SQL) must match a from-scratch numpy
+    recomputation bit for bit — same windows, same rfft, same half-up
+    micro-unit quantization — and the exact-integer features must
+    match brute force on the raw fixture waveform."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_wav_media,
+        audio_features,
+    )
+
+    ids = spark.range(12).withColumnRenamed("id", "doc_id")
+    rows = {
+        r["media_id"]: r
+        for r in audio_features(
+            attach_wav_media(ids, "doc_id"), "media_id", "media"
+        ).collect()
+    }
+    assert len(rows) == 12
+    for i in range(12):
+        n = 1000 + (i % 5) * 100
+        n_ch = i % 2 + 1
+        t = np.arange(n, dtype=np.int64)[:, None]
+        c = np.arange(n_ch, dtype=np.int64)[None, :]
+        s = ((i + 7 * t + 50 * c) % 201) - 100
+        r = rows[i]
+        ch0 = s[:, 0]
+        assert r["zcr"] == int(np.sum(ch0[:-1] * ch0[1:] < 0))
+        assert r["peak_abs"] == int(np.abs(s).max())
+        assert r["sum_sq"] == int((s * s).sum())
+        x = ch0.astype(np.float64)
+        n_win = (len(x) - 256) // 128 + 1
+        idx = np.arange(n_win)[:, None] * 128 + np.arange(256)[None, :]
+        P = np.abs(np.fft.rfft(x[idx], axis=1)) ** 2
+        nb = P.shape[1] // 4
+        for b in range(4):
+            lo, hi = b * nb, ((b + 1) * nb if b < 3 else P.shape[1])
+            want = int(np.floor(P[:, lo:hi].sum() / n_win * 1e6 + 0.5))
+            assert r[f"band{b}_u6"] == want, (i, b)
+
+
+def test_audio_features_corrupt_isolation(spark):
+    """A non-WAV blob isolates to one null-feature row."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"not a riff container")], "media_id long, media binary"
+    )
+    rows = audio_features(df, "media_id", "media").collect()
+    assert len(rows) == 1
+    assert rows[0]["media_id"] == 1 and rows[0]["sum_sq"] is None
