@@ -268,7 +268,15 @@ def make_lm_gate(
         )
 
     def stage(df: DataFrame) -> DataFrame:
-        ts = F.split(F.col(text_col), " ")
+        # materialize the token array ONCE: the expression below
+        # references it five times, and in the interpreted (HOF,
+        # CodegenFallback) projection each textual occurrence of
+        # split() re-tokenizes the row — a real 5x on the hot path.
+        # CollapseProject keeps a non-cheap alias referenced more than
+        # once as an attribute, so the withColumn survives as a single
+        # evaluation.
+        df = df.withColumn("__lm_ts", F.split(F.col(text_col), " "))
+        ts = F.col("__lm_ts")
         n = F.size(ts)
         bits = F.when(
             n >= 2,
@@ -317,7 +325,7 @@ def make_lm_gate(
                     F.col("bits_per_token") <= F.lit(threshold), F.lit(False)
                 ),
             )
-            .drop("__bits")
+            .drop("__bits", "__lm_ts")
         )
 
     return stage
