@@ -75,6 +75,10 @@ AGG_QUERIES = [
     "q_dsir_sample",
     "q_ann_retrain",
     "q_source_tar_shards",
+    # round-8 additions: the composed lifecycle's bounded ranks +
+    # integer drift accounting, and the audio feature integers
+    "q_ann_lifecycle",
+    "q_audio_features",
 ]
 
 
