@@ -2827,6 +2827,72 @@ FROM cnts GROUP BY doc_id, nf, f
 """
 
 
+def q_scan_orc(spark, sf_dir):
+    """ORC as a first-class columnar source (sources/readers.py:
+    write_orc/read_orc — Spark-native, the other warehouse format
+    besides parquet): the documents table is converted ONCE to
+    zlib-ORC at a fingerprinted path (atomic-rename, session-memo —
+    the q_ann_persisted discipline), then scanned back with a
+    filter + narrow projection + aggregate. Filter and column
+    pruning reach the ORC scan (PushedFilters plan-gated). The
+    oracle needs no ORC reader: the conversion is lossless, so the
+    same aggregate over the parquet `documents` view is the
+    ground truth — what is being checked is the ORC round-trip +
+    scan path, not the format parser."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from arc_kinesis_tagging_spark.sources.readers import (
+        read_orc,
+        write_orc,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    norm = _os.path.abspath(sf_dir.rstrip("/"))
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        "akt_orc_"
+        + _hashlib.md5(norm.encode()).hexdigest()[:8]
+        + "_"
+        + _table_fingerprint(sf_dir, "documents"),
+    )
+    memo = _session_memo(spark)
+    if (path, "orc") not in memo:
+        if not _os.path.isdir(path):
+            tmp = f"{path}.tmp-{_os.getpid()}"
+            write_orc(d, tmp)
+            try:
+                _os.rename(tmp, path)
+            except OSError:  # lost the race to another session
+                _shutil.rmtree(tmp, ignore_errors=True)
+        memo.add((path, "orc"))
+    o = read_orc(spark, path)
+    return (
+        o.filter(F.col("n_chars") >= 200)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+ORACLE_SCAN_ORC = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+WHERE n_chars >= 200
+GROUP BY lang
+"""
+
+
 def q_source_tar_shards(spark, sf_dir):
     """WebDataset-style tar-shard round trip — the container format
     multimodal training corpora actually ship in
@@ -3045,6 +3111,7 @@ LLMOPS_QUERIES = [
     Query("q_multimodal_catalog", q_multimodal_catalog,
           ORACLE_MULTIMODAL_CATALOG),
     Query("q_multimodal_gif", q_multimodal_gif, ORACLE_MULTIMODAL_GIF),
+    Query("q_scan_orc", q_scan_orc, ORACLE_SCAN_ORC),
     Query("q_source_tar_shards", q_source_tar_shards,
           ORACLE_SOURCE_TAR_SHARDS),
     Query("q_source_tar_multimodal", q_source_tar_multimodal,

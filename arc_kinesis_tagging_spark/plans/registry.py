@@ -314,6 +314,7 @@ _R8_HEAD = [
     # -- (b) new / rewired this round --
     "q_ann_lifecycle",        # build -> append -> retrain -> OPQ query chain
     "q_audio_features",       # WAV zcr/peak/energy + STFT band features
+    "q_scan_orc",             # ORC round-trip scan w/ pushdown gate
     "q_dedup_substring",      # default flipped to vectorized rolling-hash
     # -- (c) newest driver row is r04, complexity-first --
     "q_pipeline_tag_enrich", "q_dedup_exact", "q_dedup_incremental",
@@ -327,9 +328,10 @@ _R8_HEAD = [
     "q_agg_percentile", "q_recursive_cte", "q_scalar_subquery",
     "q_pivot", "q_window_session", "q_window_sliding",
     "q_window_tumbling", "q_window_rank", "q_window_lag",
-    "q_window_frame", "q_topk",
-    # displaced to round 9 (all r04-green meanwhile): q_union,
-    # q_intersect,
+    "q_window_frame",
+    # displaced to round 9 (all r04-green meanwhile; q_topk's
+    # TakeOrderedAndProject stays plan-gated in pytest): q_topk,
+    # q_union, q_intersect,
     # q_except, q_string_funcs, q_string_funcs2, q_date_funcs,
     # q_math_funcs, q_map_funcs, q_conditional_funcs, q_bitwise_funcs,
     # q_cast_funcs, q_vector_centroid, q_vector_normalize,

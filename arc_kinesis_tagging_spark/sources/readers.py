@@ -101,3 +101,33 @@ def read_parquet_evolving(
     if expected_schema is not None:
         return spark.read.schema(expected_schema).parquet(path)
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = (),
+    compression: str = "zlib",
+) -> None:
+    """ORC sink — the second columnar format warehouses actually run
+    (Hive/Trino-native; built into Spark, no external package). Same
+    contract as the parquet writers: explicit compression, optional
+    hive-style partitioning. ORC carries built-in min/max/bloom
+    indexes per stripe, so pushed predicates skip stripes exactly as
+    parquet row-group stats do."""
+    w = df.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, expected_schema: str | None = None
+) -> DataFrame:
+    """ORC reader with the same additive-evolution contract as
+    ``read_parquet_evolving``: pass ``expected_schema`` to pin the
+    read schema (absent columns null-fill, no footer sweep); without
+    it, ``mergeSchema`` unions per-file schemas. Predicate pushdown
+    and column pruning reach the ORC scan the same way they reach
+    parquet (plan-gated in tests/test_plan_shapes.py)."""
+    if expected_schema is not None:
+        return spark.read.schema(expected_schema).orc(path)
+    return spark.read.option("mergeSchema", "true").orc(path)

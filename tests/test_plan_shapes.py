@@ -563,3 +563,16 @@ def test_arrow_barrier_stops_json_reinlining(spark):
     # below the barrier: one parse per projected field + the publish
     # filter; the gate above must add ZERO parses
     assert fenced <= 12, fenced
+
+
+def test_orc_scan_pushes_filter_and_prunes_columns(spark):
+    """The ORC scan must behave like the parquet scans the engine is
+    built on: the n_chars predicate reaches the FileScan as a pushed
+    filter and the read schema carries only the referenced columns —
+    otherwise the 'second columnar format' claim is marketing."""
+    plan = _formatted_plan(spark, "q_scan_orc")
+    scan = plan[plan.index("Scan orc"):]
+    assert "PushedFilters: [" in scan, plan
+    assert "GreaterThanOrEqual(n_chars,200)" in scan, plan
+    m = re.search(r"ReadSchema: (.*)", scan)
+    assert m and "text" not in m.group(1), m and m.group(1)

@@ -92,3 +92,31 @@ def test_parquet_schema_evolution_reads(spark, tmp_path):
     assert {r["id"]: r["score"] for r in pinned.collect()} == rows
     old_only = {r["id"] for r in pinned.filter("score IS NULL").collect()}
     assert old_only == {1, 2}
+
+
+def test_orc_roundtrip_and_evolution(spark, tmp_path):
+    """ORC round-trip preserves values exactly, and the reader honors
+    the same additive-evolution contract as parquet: a pinned
+    expected_schema null-fills columns absent from older files, and
+    mergeSchema unions per-file schemas."""
+    from arc_kinesis_tagging_spark.sources.readers import read_orc, write_orc
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    )
+    new = spark.createDataFrame(
+        [(3, "c", 30.0)], "id long, name string, score double"
+    )
+    p = str(tmp_path / "orc-evolve")
+    write_orc(old, p)
+    new.write.mode("append").option("compression", "zlib").orc(p)
+
+    pinned = read_orc(
+        spark, p, "id long, name string, score double"
+    ).collect()
+    assert {(r["id"], r["name"], r["score"]) for r in pinned} == {
+        (1, "a", None), (2, "b", None), (3, "c", 30.0),
+    }
+    merged = read_orc(spark, p)
+    assert set(merged.columns) == {"id", "name", "score"}
+    assert merged.count() == 3
