@@ -385,3 +385,92 @@ def test_stream_writer_commit_crash_windows(tmp_path, monkeypatch):
     run_with_crash(2)
     got = _read_all(dst)
     assert len(got) == 9 and len(set(got)) == 9
+
+
+def test_gated_pipeline_full_connector_loop(registered, tmp_path):
+    """The production loop END TO END over the connector on BOTH
+    sides: consume stream A through kinesis_emu, run the story
+    pipeline plus the frozen LM admission gate behind an
+    arrow_barrier, republish only the ADMITTED records to stream B
+    through the exactly-once staged writer, and survive a
+    checkpointed re-run with zero duplicates. Composes what the
+    gate-parity, writer-crash, and reader tests each prove alone."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from arc_kinesis_tagging_spark.operators.pandas_ops import arrow_barrier
+    from arc_kinesis_tagging_spark.streaming.pipeline import (
+        make_lm_gate,
+        train_pruned_lm,
+    )
+
+    spark = registered
+    src = str(tmp_path / "stream-a")
+    dst = str(tmp_path / "stream-b")
+    ckpt = str(tmp_path / "ckpt-gated-loop")
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    gibberish = "zx qv jk wq xz vq kj qw zv xq"
+
+    def story(i, text, shard):
+        doc = {
+            "id": f"doc-{i}",
+            "operation": "insert-story",
+            "published": True,
+            "created": False,
+            "type": "story",
+            "trigger": {"referent_update": True},
+            "body": {"headlines": {"basic": text}, "revision": "r1"},
+        }
+        return (
+            gzip.compress(json.dumps(doc, sort_keys=True).encode(), mtime=0),
+            shard,
+        )
+
+    # shard 0: fluent (admitted); shard 1: alternating
+    recs = [story(i, fluent if (i % 2 == 0) else gibberish, i % 2)
+            for i in range(10)]
+    write_kinesis_fixture(src, recs)
+
+    train = spark.createDataFrame([(fluent,)] * 3, "text string")
+    bmap, nmap, vsize = train_pruned_lm(train, "text")
+    lm = make_lm_gate(bmap, nmap, vsize, text_col="headline", threshold=2.5)
+
+    def run():
+        records = (
+            spark.readStream.format("kinesis_emu")
+            .option("streamDir", src).load()
+        )
+        admitted = (
+            lm(arrow_barrier(story_pipeline(records)))
+            .filter(F.col("lm_kept"))
+            .select(
+                F.to_binary(F.col("_id"), F.lit("utf-8")).alias("data"),
+                F.col("shard_origination").alias("shard_id"),
+            )
+        )
+        q = (
+            admitted.writeStream.format("kinesis_emu")
+            .option("streamDir", dst)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    out = spark.read.format("kinesis_emu").option("streamDir", dst).load()
+    rows = out.collect()
+    got = sorted(bytes(r["data"]).decode() for r in rows)
+    assert got == [f"doc-{i}" for i in range(0, 10, 2)], got
+    # admitted records keep their origin shard
+    assert {r["shard_id"] for r in rows} == {"shardId-000000000000"}
+
+    # checkpointed re-run: no new input -> zero duplicates in B
+    run()
+    assert (
+        spark.read.format("kinesis_emu").option("streamDir", dst).load()
+    ).count() == 5
+    staging = os.path.join(dst, ".staging")
+    assert not os.path.isdir(staging) or not os.listdir(staging)
