@@ -1448,6 +1448,50 @@ def q_unigram_train(spark, sf_dir):
     return unigram_vocab_df(spark, rows)
 
 
+def q_wordpiece_train(spark, sf_dir):
+    """WordPiece vocabulary training (operators/wordpiece.py:
+    wordpiece_train — Schuster & Nakajima 2012, the BERT tokenizer's
+    likelihood-scored merge loop), completing the tokenizer trio next
+    to q_bpe_train (frequency merges) and q_unigram_train (top-down
+    EM). One corpus pass to the distinct-word table, then bounded
+    per-merge aggregates; iterative -> rows-only; single-machine
+    reference parity, partitioning independence, and the greedy
+    maximal-munch encode property pinned in tests/test_wordpiece.py.
+    Returns the merge table (rank, left, right, count, score 6dp)."""
+    from arc_kinesis_tagging_spark.operators.wordpiece import (
+        wordpiece_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges, _vocab = wordpiece_train(d, "text", n_merges=24)
+    return spark.createDataFrame(
+        [
+            (i + 1, a, b, c, round(s, 6))
+            for i, (a, b, c, s) in enumerate(merges)
+        ],
+        "rank int, left string, right string, pair_count long, "
+        "score double",
+    )
+
+
+def q_wordpiece_encode(spark, sf_dir):
+    """The tokenize-apply half: train the WordPiece vocab
+    (q_wordpiece_train's path), then greedy-longest-match encode every
+    document (operators/wordpiece.py:wordpiece_encode — map-only,
+    vocab closure-captured, per-batch word memoization, zero shuffle)
+    emitting per-document piece statistics. Iterative training
+    upstream -> rows-only; maximal-munch and UNK semantics pinned in
+    tests/test_wordpiece.py."""
+    from arc_kinesis_tagging_spark.operators.wordpiece import (
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    _merges, vocab = wordpiece_train(d, "text", n_merges=24)
+    return wordpiece_encode(d, vocab, "text", "doc_id")
+
+
 def q_unigram_encode(spark, sf_dir):
     """The tokenize-apply half of the unigram loop: train the
     vocabulary (q_unigram_train's path), then Viterbi-encode every
@@ -2878,6 +2922,14 @@ QUALITY_QUERIES = [
     Query("q_unigram_encode", q_unigram_encode, None,
           "EM-trained vocab upstream -> rows-only; optimality and "
           "determinism pinned in tests/test_unigram.py"),
+    Query("q_wordpiece_train", q_wordpiece_train, None,
+          "iterative likelihood-merge loop -> rows-only; reference "
+          "parity + partitioning independence pinned in "
+          "tests/test_wordpiece.py"),
+    Query("q_wordpiece_encode", q_wordpiece_encode, None,
+          "trains the vocab upstream (iterative) -> rows-only; greedy "
+          "maximal-munch + UNK semantics pinned in "
+          "tests/test_wordpiece.py"),
     Query("q_bpe_encode", q_bpe_encode, None,
           "trains merges upstream (iterative) -> rows-only; train/apply "
           "self-consistency pinned in tests/test_quality_ops.py"),

@@ -329,9 +329,11 @@ _R8_HEAD = [
     "q_pivot", "q_window_session", "q_window_sliding",
     "q_window_tumbling", "q_window_rank", "q_window_lag",
     "q_window_frame",
-    # displaced to round 9 (all r04-green meanwhile; q_topk's
-    # TakeOrderedAndProject stays plan-gated in pytest): q_topk,
-    # q_union, q_intersect,
+    # round 9 should LEAD with the late-round-8 rows-only newcomers
+    # (q_wordpiece_train, q_wordpiece_encode — no driver row yet,
+    # pytest-verified), then the displaced r04 rows below (all
+    # r04-green meanwhile; q_topk's TakeOrderedAndProject stays
+    # plan-gated in pytest): q_topk, q_union, q_intersect,
     # q_except, q_string_funcs, q_string_funcs2, q_date_funcs,
     # q_math_funcs, q_map_funcs, q_conditional_funcs, q_bitwise_funcs,
     # q_cast_funcs, q_vector_centroid, q_vector_normalize,
