@@ -1837,7 +1837,13 @@ def ann_lifecycle(
         append_ivf_index(spark, rot_batch, tmp)
         try:
             _os.rename(tmp, path)
-        except OSError:  # lost the build race to another session
+        except OSError:
+            # "lost the race" only if another session actually produced
+            # the index dir; any other rename failure (permissions,
+            # path occupied by a file) must surface, not silently
+            # discard the freshly built index.
+            if not _os.path.isdir(path):
+                raise
             _shutil.rmtree(tmp, ignore_errors=True)
 
     crows = sorted(

@@ -38,6 +38,12 @@ from arc_kinesis_tagging_spark.functions.text import tokens
 UNK = "[UNK]"
 CONT = "##"
 
+# Bound on the per-partition word-memoization cache in
+# ``wordpiece_encode`` — ~64k entries of short piece lists is a few MB;
+# past it the cache is dropped and restarted (hit rate on Zipfian text
+# barely notices; adversarially-unique vocabularies stay bounded).
+_MEMO_CAP = 1 << 16
+
 
 def _word_symbols(word: str) -> list[str]:
     """BERT convention: first char plain, continuations ##-prefixed."""
@@ -182,8 +188,11 @@ def wordpiece_encode(
     LONGEST vocab prefix (continuations matched with the ``##``
     prefix); any position with no match — or a word longer than
     ``max_word_chars`` — encodes as one ``[UNK]``. Map-only: vocab is
-    closure-captured, words memoized per Arrow batch, no shuffle.
-    Emits per-document (n_words, n_pieces, n_unk, sample_pieces)."""
+    closure-captured, words memoized per partition with a bounded
+    cache (dropped and restarted past ``_MEMO_CAP`` entries, so
+    heavy-tailed corpora with unbounded distinct words cannot grow
+    executor memory), no shuffle. Emits per-document
+    (n_words, n_pieces, n_unk, sample_pieces)."""
     vocab = frozenset(vocab)
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -195,6 +204,8 @@ def wordpiece_encode(
             got = cache.get(w)
             if got is not None:
                 return got
+            if len(cache) >= _MEMO_CAP:  # bound executor memory on
+                cache.clear()            # heavy-tailed vocabularies
             if len(w) > max_word_chars:
                 cache[w] = out = [UNK]
                 return out

@@ -329,16 +329,59 @@ _R8_HEAD = [
     "q_pivot", "q_window_session", "q_window_sliding",
     "q_window_tumbling", "q_window_rank", "q_window_lag",
     "q_window_frame",
-    # round 9 should LEAD with the late-round-8 rows-only newcomers
+    # Round 9 leads with the late-round-8 rows-only newcomers
     # (q_wordpiece_train, q_wordpiece_encode — no driver row yet,
-    # pytest-verified), then the displaced r04 rows below (all
-    # r04-green meanwhile; q_topk's TakeOrderedAndProject stays
-    # plan-gated in pytest): q_topk, q_union, q_intersect,
-    # q_except, q_string_funcs, q_string_funcs2, q_date_funcs,
-    # q_math_funcs, q_map_funcs, q_conditional_funcs, q_bitwise_funcs,
-    # q_cast_funcs, q_vector_centroid, q_vector_normalize,
-    # q_join_broadcast (plan-gated in pytest every round, lowest
-    # regression risk of the r04 block).
+    # pytest-verified), then the FOURTEEN displaced r04 rows (the
+    # original note said "12" but enumerated 15 including
+    # q_join_broadcast, whose vintage is actually r07 — the true
+    # displaced-r04 set is the 14 names in _R9_HEAD section (c)).
+]
+
+
+# Round-9 driver window: after r08 the vintage ledger is 50 r08 +
+# 49 r07 + 44 r06 + 49 r05 + 14 r04, plus 2 late-round-8 queries
+# (the WordPiece pair) with NO driver row. Shape: (a) the 2 rowless
+# queries lead (round-8 verdict task 1), (b) queries NEW this round —
+# the fixed-vocab/fixed-table hash-checkable tokenizer-encode faces
+# and the fixed-rotation OPQ assignment (round-8 verdict tasks 3+6),
+# (c) the 14 displaced r04 rows (scalar/set/vector families — the
+# stalest vintage), (d) 31 of the 49 r05 rows complexity-first
+# (composites/dedup/joins/multimodal before scalar families); the 18
+# remaining r05 scalar-family rows lead round 10. Budget:
+# 2 + 3 + 14 + 31 = 50 exactly.
+_R9_HEAD = [
+    # -- (a) no driver CORRECTNESS row across r01..r08 --
+    "q_wordpiece_train",
+    "q_wordpiece_encode",
+    # -- (b) new this round --
+    "q_wordpiece_subwords",   # fixed-vocab greedy longest-match, oracled
+    "q_unigram_subwords",     # fixed-piece-table Viterbi, oracled
+    "q_opq_assign",           # fixed-rotation OPQ assignment, oracled
+    # -- (c) newest driver row is r04 (the stalest vintage) --
+    "q_topk", "q_union", "q_intersect", "q_except",
+    "q_string_funcs", "q_string_funcs2", "q_date_funcs",
+    "q_math_funcs", "q_map_funcs", "q_conditional_funcs",
+    "q_bitwise_funcs", "q_cast_funcs",
+    "q_vector_centroid", "q_vector_normalize",
+    # -- (d) newest driver row is r05, complexity-first --
+    "q_corpus_pipeline3", "q_merge_upsert", "q_scd2_update",
+    "q_kmeans", "q_graph_triangles", "q_events_pathing",
+    "q_cohort_retention", "q_sample_stratified", "q_shuffle_shard",
+    "q_split_assign", "q_seq_pack", "q_text_chunk",
+    "q_dedup_embedding", "q_dedup_incremental_mh", "q_dedup_lines",
+    "q_dedup_ngram_jaccard", "q_dedup_url",
+    "q_join_salted", "q_agg_salted", "q_lateral_topk",
+    "q_tpch_q18ish", "q_collect_agg", "q_window_analytics",
+    "q_multimodal_decode", "q_multimodal_jpeg", "q_multimodal_png_gray",
+    "q_heavy_hitters", "q_embed_covariance", "q_embed_quantize",
+    "q_pii_scrub", "q_quality_filter",
+    # round 10 should lead with the 18 remaining r05 rows:
+    # q_anomaly_zscore, q_array_funcs, q_array_tag_upsert,
+    # q_bpe_subwords, q_csv_parse, q_date_funcs2, q_explode,
+    # q_regex_funcs, q_session_stats, q_string_distance,
+    # q_text_entropy, q_text_fingerprint, q_text_langid,
+    # q_text_perplexity, q_text_quality, q_text_termfreq,
+    # q_text_tfidf, q_url_funcs.
 ]
 
 
@@ -368,8 +411,10 @@ elif _ROT == "r6":
     ALL_QUERIES = _ordered(_R6_HEAD)
 elif _ROT == "r7":
     ALL_QUERIES = _ordered(_R7_HEAD)
-else:
+elif _ROT == "r8":
     ALL_QUERIES = _ordered(_R8_HEAD)
+else:
+    ALL_QUERIES = _ordered(_R9_HEAD)
 
 QUERIES: dict[str, Query] = {q.name: q for q in ALL_QUERIES}
 

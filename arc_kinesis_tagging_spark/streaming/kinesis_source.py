@@ -388,12 +388,25 @@ class KinesisEmuStreamWriter(DataSourceStreamWriter):
                 fh.write(json.dumps({"batch": int(batchId), "shards": planned}))
             os.replace(intent + ".tmp", intent)
         for shard_id, plan in planned.items():
+            # same-batch contract check: a replayed epoch must deliver
+            # the exact data the intent was planned for — publishing a
+            # different payload set under the recorded seq ranges would
+            # silently corrupt the stream, so fail loudly instead.
+            got = payloads_by_shard.get(shard_id, [])
+            if len(got) != int(plan["count"]):
+                raise RuntimeError(
+                    f"exactly-once replay contract violation for batch "
+                    f"{int(batchId)}, shard {shard_id}: intent planned "
+                    f"{int(plan['count'])} payload(s) but the replayed "
+                    f"epoch delivered {len(got)} — refusing to publish "
+                    f"under the recorded seq ranges"
+                )
             d = os.path.join(self.stream_dir, shard_id)
             os.makedirs(d, exist_ok=True)
             final = os.path.join(d, f"chunk-{int(plan['start']):020d}.parquet")
             if os.path.exists(final):  # published by the crashed attempt
                 continue
-            _publish_chunk(d, payloads_by_shard[shard_id], int(plan["start"]))
+            _publish_chunk(d, got, int(plan["start"]))
         os.replace(intent, marker)  # the commit point; content = the ranges
         self._cleanup(messages)
 
