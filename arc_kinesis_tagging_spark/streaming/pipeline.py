@@ -169,15 +169,9 @@ def dead_letters(records: DataFrame) -> DataFrame:
 _LM_SEP = "\x01"  # sorts below every token character
 
 
-def make_robots_gate(rules, host_col: str = "host", path_col: str = "path"):
-    """Build a streaming-safe robots admission stage from a bounded
-    rule list [(host, path_prefix, allow), ...] (robots rules are
-    KB-sized per host, RFC 9309). Longest-match precedence is computed
-    per row with a HOF fold over the host's rule array — the
-    expression equivalent of the batch form's ranked window, legal in
-    append-mode streaming because it is a pure projection. Adds
-    ``admitted`` and ``matched_rule`` columns; unmatched paths default
-    to allow."""
+def _robots_rules_map(rules):
+    """Literal host -> sorted [(prefix, allow)] map for the robots fold
+    (shared by the stacked and fused gate builders)."""
     by_host: dict = {}
     for host, prefix, allow in rules:
         by_host.setdefault(host, []).append((prefix, allow))
@@ -194,31 +188,56 @@ def make_robots_gate(rules, host_col: str = "host", path_col: str = "path"):
         )
     rules_map = F.create_map(*entries)
     empty = F.array().cast("array<struct<prefix:string,allow:boolean>>")
+    return rules_map, empty
+
+
+def _robots_best(rules_map, empty, host_col: str, path_col: str):
+    """Longest-match fold over the host's rule array: one struct
+    expression ``(plen, allow, prefix)`` per row."""
+    cand = F.filter(
+        F.coalesce(F.element_at(rules_map, F.col(host_col)), empty),
+        lambda r: F.col(path_col).startswith(r["prefix"]),
+    )
+    init = F.struct(
+        F.lit(-1).alias("plen"),
+        F.lit(True).alias("allow"),
+        F.lit("<default>").alias("prefix"),
+    )
+    return F.aggregate(
+        cand,
+        init,
+        lambda acc, r: F.when(
+            F.length(r["prefix"]) > acc["plen"],
+            F.struct(
+                F.length(r["prefix"]).alias("plen"),
+                r["allow"].alias("allow"),
+                r["prefix"].alias("prefix"),
+            ),
+        ).otherwise(acc),
+    )
+
+
+def make_robots_gate(rules, host_col: str = "host", path_col: str = "path"):
+    """Build a streaming-safe robots admission stage from a bounded
+    rule list [(host, path_prefix, allow), ...] (robots rules are
+    KB-sized per host, RFC 9309). Longest-match precedence is computed
+    per row with a HOF fold over the host's rule array — the
+    expression equivalent of the batch form's ranked window, legal in
+    append-mode streaming because it is a pure projection. Adds
+    ``admitted`` and ``matched_rule`` columns; unmatched paths default
+    to allow."""
+    rules_map, empty = _robots_rules_map(rules)
 
     def stage(df: DataFrame) -> DataFrame:
-        cand = F.filter(
-            F.coalesce(F.element_at(rules_map, F.col(host_col)), empty),
-            lambda r: F.col(path_col).startswith(r["prefix"]),
+        # materialize the fold once: admitted and matched_rule both
+        # consume it, and two bare withColumns would run it twice
+        df = df.withColumn(
+            "__robots_best", _robots_best(rules_map, empty, host_col, path_col)
         )
-        init = F.struct(
-            F.lit(-1).alias("plen"),
-            F.lit(True).alias("allow"),
-            F.lit("<default>").alias("prefix"),
-        )
-        best = F.aggregate(
-            cand,
-            init,
-            lambda acc, r: F.when(
-                F.length(r["prefix"]) > acc["plen"],
-                F.struct(
-                    F.length(r["prefix"]).alias("plen"),
-                    r["allow"].alias("allow"),
-                    r["prefix"].alias("prefix"),
-                ),
-            ).otherwise(acc),
-        )
-        return df.withColumn("admitted", best["allow"]).withColumn(
-            "matched_rule", best["prefix"]
+        return (
+            df.withColumn("admitted", F.col("__robots_best")["allow"])
+            .withColumn("matched_rule", F.col("__robots_best")["prefix"])
+            .drop("__robots_best")
         )
 
     return stage
@@ -242,6 +261,28 @@ def make_lm_gate(
     pure projection (append-mode safe, zero shuffle). Adds
     ``n_bigrams``, ``bits_per_token`` (null when < 2 tokens) and
     ``lm_kept``."""
+    bmap, nmap = _lm_literal_maps(bigram_counts, context_counts)
+
+    def stage(df: DataFrame) -> DataFrame:
+        # materialize the token array ONCE: the expression below
+        # references it five times, and in the interpreted (HOF,
+        # CodegenFallback) projection each textual occurrence of
+        # split() re-tokenizes the row — a real 5x on the hot path.
+        # CollapseProject keeps a non-cheap alias referenced more than
+        # once as an attribute, so the withColumn survives as a single
+        # evaluation.
+        df = df.withColumn("__lm_ts", F.split(F.col(text_col), " "))
+        out = df.withColumn(
+            "__bits", _lm_bits(bmap, nmap, vsize, F.col("__lm_ts"))
+        )
+        return _lm_outputs(out, threshold).drop("__bits", "__lm_ts")
+
+    return stage
+
+
+def _lm_literal_maps(bigram_counts: dict, context_counts: dict):
+    """Literal lookup maps for the frozen pruned-bigram LM (shared by
+    the stacked and fused gate builders)."""
     if bigram_counts:
         bmap = F.create_map(
             *[
@@ -266,69 +307,62 @@ def make_lm_gate(
         nmap = F.map_from_arrays(
             F.array().cast("array<string>"), F.array().cast("array<int>")
         )
+    return bmap, nmap
 
-    def stage(df: DataFrame) -> DataFrame:
-        # materialize the token array ONCE: the expression below
-        # references it five times, and in the interpreted (HOF,
-        # CodegenFallback) projection each textual occurrence of
-        # split() re-tokenizes the row — a real 5x on the hot path.
-        # CollapseProject keeps a non-cheap alias referenced more than
-        # once as an attribute, so the withColumn survives as a single
-        # evaluation.
-        df = df.withColumn("__lm_ts", F.split(F.col(text_col), " "))
-        ts = F.col("__lm_ts")
-        n = F.size(ts)
-        bits = F.when(
-            n >= 2,
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: -F.log2(
-                    (
-                        F.coalesce(
-                            F.element_at(
-                                bmap,
-                                F.concat(
-                                    F.element_at(ts, i),
-                                    F.lit(_LM_SEP),
-                                    F.element_at(ts, i + 1),
-                                ),
+
+def _lm_bits(bmap, nmap, vsize: int, ts):
+    """Per-bigram -log2 probability array (add-one smoothing, nab=0 /
+    na=0 backoff for pruned-out entries) over a MATERIALIZED token
+    array column ``ts``."""
+    n = F.size(ts)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: -F.log2(
+                (
+                    F.coalesce(
+                        F.element_at(
+                            bmap,
+                            F.concat(
+                                F.element_at(ts, i),
+                                F.lit(_LM_SEP),
+                                F.element_at(ts, i + 1),
                             ),
-                            F.lit(0),
-                        )
-                        + F.lit(1.0)
+                        ),
+                        F.lit(0),
                     )
-                    / (
-                        F.coalesce(
-                            F.element_at(nmap, F.element_at(ts, i)), F.lit(0)
-                        )
-                        + F.lit(vsize)
-                    ).cast("double")
-                ),
+                    + F.lit(1.0)
+                )
+                / (
+                    F.coalesce(
+                        F.element_at(nmap, F.element_at(ts, i)), F.lit(0)
+                    )
+                    + F.lit(vsize)
+                ).cast("double")
             ),
-        ).otherwise(F.array().cast("array<double>"))
-        out = df.withColumn("__bits", bits)
-        bpt = F.round(
-            F.aggregate(
-                F.col("__bits"), F.lit(0.0), lambda acc, x: acc + x
-            )
-            / F.size("__bits"),
-            3,
-        )
-        return (
-            out.withColumn("n_bigrams", F.size("__bits").cast("long"))
-            .withColumn(
-                "bits_per_token", F.when(F.col("n_bigrams") > 0, bpt)
-            )
-            .withColumn(
-                "lm_kept",
-                F.coalesce(
-                    F.col("bits_per_token") <= F.lit(threshold), F.lit(False)
-                ),
-            )
-            .drop("__bits", "__lm_ts")
-        )
+        ),
+    ).otherwise(F.array().cast("array<double>"))
 
-    return stage
+
+def _lm_outputs(out: DataFrame, threshold: float) -> DataFrame:
+    """n_bigrams / bits_per_token / lm_kept from a materialized
+    ``__bits`` column (does NOT drop the temp — callers own that)."""
+    bpt = F.round(
+        F.aggregate(F.col("__bits"), F.lit(0.0), lambda acc, x: acc + x)
+        / F.size("__bits"),
+        3,
+    )
+    return (
+        out.withColumn("n_bigrams", F.size("__bits").cast("long"))
+        .withColumn("bits_per_token", F.when(F.col("n_bigrams") > 0, bpt))
+        .withColumn(
+            "lm_kept",
+            F.coalesce(
+                F.col("bits_per_token") <= F.lit(threshold), F.lit(False)
+            ),
+        )
+    )
 
 
 def train_pruned_lm(
@@ -437,7 +471,21 @@ def make_dsir_gate(
     q_dsir_score on the training corpus (golden-parity test)."""
     from arc_kinesis_tagging_spark.functions.text import tokens
 
-    rmap = F.create_map(
+    rmap = _dsir_ratio_map(model)
+
+    def stage(df: DataFrame) -> DataFrame:
+        out = df.withColumn(
+            "__dsir", _dsir_scores(rmap, unseen_ratio, tokens(F.col(text_col)))
+        )
+        return _dsir_outputs(out, threshold).drop("__dsir")
+
+    return stage
+
+
+def _dsir_ratio_map(model: dict):
+    """Literal bucket -> log-ratio map for the frozen DSIR model
+    (shared by the stacked and fused gate builders)."""
+    return F.create_map(
         *[
             x
             for b, r in sorted(model.items())
@@ -447,60 +495,145 @@ def make_dsir_gate(
         F.array().cast("array<int>"), F.array().cast("array<double>")
     )
 
+
+def _dsir_scores(rmap, unseen_ratio: float, toks):
+    """Per-gram log importance-ratio array: unigrams + bigrams hashed
+    into 256 buckets with the portable md5 hash, looked up in the
+    literal model map with the unseen-bucket fallback."""
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bigrams)
+    return F.transform(
+        grams,
+        lambda g: F.coalesce(
+            F.element_at(
+                rmap,
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit("dsir:"), g)), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.lit(256)
+                ).cast("int"),
+            ),
+            F.lit(float(unseen_ratio)),
+        ),
+    )
+
+
+def _dsir_outputs(out: DataFrame, threshold: float) -> DataFrame:
+    """n_grams / dsir_logratio / dsir_kept from a materialized
+    ``__dsir`` column (does NOT drop the temp — callers own that)."""
+    mean = (
+        F.round(
+            F.aggregate(F.col("__dsir"), F.lit(0.0), lambda a, x: a + x)
+            / F.size("__dsir"),
+            3,
+        )
+        + F.lit(0.0)  # collapse IEEE -0.0 (batch parity)
+    )
+    return (
+        out.withColumn("n_grams", F.size("__dsir").cast("long"))
+        .withColumn("dsir_logratio", F.when(F.col("n_grams") > 0, mean))
+        .withColumn(
+            "dsir_kept",
+            F.coalesce(
+                F.col("dsir_logratio") >= F.lit(threshold), F.lit(False)
+            ),
+        )
+    )
+
+
+def make_admission_gate(
+    robots_rules,
+    lm_model: tuple,
+    dsir_model: tuple,
+    *,
+    host_col: str = "host",
+    path_col: str = "path",
+    text_col: str = "text",
+    lm_threshold: float = 6.0,
+    dsir_threshold: float = 0.0,
+):
+    """FUSED admission gate: robots longest-match + frozen pruned-LM
+    scoring + frozen DSIR scoring computed in ONE projection chain,
+    column-identical to stacking the three ``make_*_gate`` stages
+    (pinned by tests/test_streaming_gates.py::test_fused_gate_matches_stacked).
+
+    Why it exists: stacking the three stages costs ~2.3x the plain
+    pipeline (round-8 bench) for two plan reasons the fused form
+    removes — (1) a downstream ``admitted & lm_kept & dsir_kept``
+    filter is pushed through the gate Projects and RE-INLINES every
+    HOF fold into the Filter node, so each gate expression runs twice
+    per row; (2) each stage is its own interpreted projection pass.
+    Here every expensive intermediate (robots fold struct, LM bits
+    array, DSIR score array) is materialized exactly once as a temp
+    column, the scalar outputs are derived from the temps, and
+    ``admission_barrier`` (below) gives callers a pushdown-proof
+    boolean to filter on.
+
+    ``lm_model`` is ``(bigram_counts, context_counts, vsize)`` from
+    train_pruned_lm; ``dsir_model`` is ``(bucket_ratios,
+    unseen_ratio)`` from train_dsir_model. Pure projection — zero
+    shuffle, zero state, append-mode safe."""
+    from arc_kinesis_tagging_spark.functions.text import tokens
+
+    rules_map, empty = _robots_rules_map(robots_rules)
+    bigram_counts, context_counts, vsize = lm_model
+    bmap, nmap = _lm_literal_maps(bigram_counts, context_counts)
+    model, unseen_ratio = dsir_model
+    rmap = _dsir_ratio_map(model)
+
     def stage(df: DataFrame) -> DataFrame:
-        toks = tokens(F.col(text_col))
-        bigrams = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        grams = F.concat(toks, bigrams)
-        scores = F.transform(
-            grams,
-            lambda g: F.coalesce(
-                F.element_at(
-                    rmap,
-                    (
-                        F.conv(
-                            F.substring(
-                                F.md5(F.concat(F.lit("dsir:"), g)), 1, 15
-                            ),
-                            16,
-                            10,
-                        ).cast("long")
-                        % F.lit(256)
-                    ).cast("int"),
-                ),
-                F.lit(float(unseen_ratio)),
-            ),
-        )
-        out = df.withColumn("__dsir", scores)
-        mean = (
-            F.round(
-                F.aggregate(
-                    F.col("__dsir"), F.lit(0.0), lambda a, x: a + x
-                )
-                / F.size("__dsir"),
-                3,
+        # one withColumn per expensive intermediate: each is consumed
+        # more than once downstream, so CollapseProject keeps it as an
+        # attribute and it evaluates exactly once per row
+        df = (
+            df.withColumn(
+                "__robots_best",
+                _robots_best(rules_map, empty, host_col, path_col),
             )
-            + F.lit(0.0)  # collapse IEEE -0.0 (batch parity)
-        )
-        return (
-            out.withColumn("n_grams", F.size("__dsir").cast("long"))
+            .withColumn("__lm_ts", F.split(F.col(text_col), " "))
             .withColumn(
-                "dsir_logratio", F.when(F.col("n_grams") > 0, mean)
+                "__bits", _lm_bits(bmap, nmap, vsize, F.col("__lm_ts"))
             )
             .withColumn(
-                "dsir_kept",
-                F.coalesce(
-                    F.col("dsir_logratio") >= F.lit(threshold), F.lit(False)
-                ),
+                "__dsir",
+                _dsir_scores(rmap, unseen_ratio, tokens(F.col(text_col))),
             )
-            .drop("__dsir")
         )
+        df = (
+            df.withColumn("admitted", F.col("__robots_best")["allow"])
+            .withColumn("matched_rule", F.col("__robots_best")["prefix"])
+        )
+        df = _lm_outputs(df, lm_threshold)
+        df = _dsir_outputs(df, dsir_threshold)
+        return df.drop("__robots_best", "__lm_ts", "__bits", "__dsir")
 
     return stage
+
+
+def admission_barrier(df: DataFrame) -> DataFrame:
+    """Materialization barrier for gate outputs: run AFTER
+    ``make_admission_gate`` (or the stacked gates) and BEFORE any
+    filter on ``admitted``/``lm_kept``/``dsir_kept``. Without it,
+    Catalyst pushes the (deterministic) predicate below the gate
+    Project and re-inlines the full HOF folds into the Filter node —
+    the round-8 gated pipeline paid every gate twice per row. The
+    identity Arrow pass pins the computed columns as attributes, so
+    the filter is three boolean loads. Cost: one pipelined Arrow
+    round-trip (no shuffle); net win whenever the gate expressions
+    dominate a row copy, which they do by ~5x at bench shape."""
+    from arc_kinesis_tagging_spark.operators.pandas_ops import arrow_barrier
+
+    return arrow_barrier(df)

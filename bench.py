@@ -211,9 +211,8 @@ def bench_stream_gated(spark, sf_dir: str, n_records: int = 20000) -> tuple[floa
     import pyspark.sql.functions as F
 
     from arc_kinesis_tagging_spark.streaming.pipeline import (
-        make_dsir_gate,
-        make_lm_gate,
-        make_robots_gate,
+        admission_barrier,
+        make_admission_gate,
         story_pipeline,
         train_dsir_model,
         train_pruned_lm,
@@ -227,18 +226,19 @@ def bench_stream_gated(spark, sf_dir: str, n_records: int = 20000) -> tuple[floa
     train = spark.createDataFrame(
         [(h,) for h in fluent * 2], "text string"
     )
-    robots = make_robots_gate(
-        [("doc", "/", True), ("spam", "/", False)],
-        host_col="host", path_col="path",
-    )
     bmap, nmap, vsize = train_pruned_lm(train, "text")
-    # fluent headlines score ~3.1 bits/token against this model, the
-    # all-backoff gibberish class ~log2(vsize)~=4.5 — 4.0 separates them
-    lm = make_lm_gate(bmap, nmap, vsize, text_col="headline", threshold=4.0)
     model, unseen = train_dsir_model(
         train, F.col("text").contains("fox") | F.col("text").contains("markets")
     )
-    dsir = make_dsir_gate(model, unseen, threshold=-10.0, text_col="headline")
+    # fluent headlines score ~3.1 bits/token against this model, the
+    # all-backoff gibberish class ~log2(vsize)~=4.5 — 4.0 separates them
+    fused = make_admission_gate(
+        [("doc", "/", True), ("spam", "/", False)],
+        (bmap, nmap, vsize),
+        (model, unseen),
+        host_col="host", path_col="path", text_col="headline",
+        lm_threshold=4.0, dsir_threshold=-10.0,
+    )
 
     from arc_kinesis_tagging_spark.operators.pandas_ops import arrow_barrier
 
@@ -247,10 +247,13 @@ def bench_stream_gated(spark, sf_dir: str, n_records: int = 20000) -> tuple[floa
         df = df.withColumn(
             "host", F.split(F.col("_id"), "-").getItem(0)
         ).withColumn("path", F.concat(F.lit("/posts/"), F.col("_id")))
-        # barrier: the three gates reference headline dozens of times;
-        # without it Catalyst inlines from_json into every occurrence
-        # (40+ JSON parses/row measured — see arrow_barrier docstring)
-        return dsir(lm(robots(arrow_barrier(df)))).filter(
+        # barrier #1: the gates reference headline many times; without
+        # it Catalyst inlines from_json into every occurrence (40+ JSON
+        # parses/row measured — see arrow_barrier docstring). barrier #2
+        # (admission_barrier): without it the predicate below is pushed
+        # under the gate Project and re-runs every HOF fold in the
+        # Filter node — the round-8 2.32x overhead was exactly this.
+        return admission_barrier(fused(arrow_barrier(df))).filter(
             F.col("admitted") & F.col("lm_kept") & F.col("dsir_kept")
         )
 

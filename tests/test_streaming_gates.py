@@ -236,3 +236,51 @@ def test_dsir_gate_matches_batch_query(spark):
     r = stage2(odd).collect()[0]
     assert r["n_grams"] == 1
     assert abs(r["dsir_logratio"] - round(unseen, 3)) <= 0.0011
+
+
+def test_fused_gate_matches_stacked(spark):
+    """make_admission_gate (one projection chain) must be
+    column-identical to stacking the three individual gates — same
+    columns in the same order, same values row-for-row — and its
+    filtered plan must evaluate each HOF fold exactly once (the
+    round-8 stacked form re-ran every gate inside the pushed-down
+    Filter node: 37 split() occurrences in the executed plan; the
+    fused+admission_barrier form carries 3 aggregate folds total)."""
+    from arc_kinesis_tagging_spark.streaming.pipeline import (
+        admission_barrier,
+        make_admission_gate,
+        make_dsir_gate,
+        train_dsir_model,
+    )
+
+    d = load_table(spark, "documents", SF)
+    urls = _urls(spark).join(d.select("doc_id", "text"), "doc_id")
+    bmap, nmap, vsize = train_pruned_lm(d, "text", top_v=512, top_u=10**6)
+    model, unseen = train_dsir_model(d, F.col("lang") == "en")
+
+    robots = make_robots_gate(ROBOTS_RULES)
+    lm = make_lm_gate(bmap, nmap, vsize, text_col="text", threshold=6.0)
+    dsir = make_dsir_gate(model, unseen, threshold=0.0, text_col="text")
+    fused = make_admission_gate(
+        ROBOTS_RULES, (bmap, nmap, vsize), (model, unseen),
+        text_col="text", lm_threshold=6.0, dsir_threshold=0.0,
+    )
+
+    stacked = dsir(lm(robots(urls)))
+    fused_df = fused(urls)
+    assert stacked.columns == fused_df.columns
+    assert stacked.subtract(fused_df).count() == 0
+    assert fused_df.subtract(stacked).count() == 0
+
+    pred = F.col("admitted") & F.col("lm_kept") & F.col("dsir_kept")
+    plan = (
+        admission_barrier(fused_df)
+        .filter(pred)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one robots fold + one LM bits sum + one DSIR score sum — no
+    # re-inlined copies in a pushed-down Filter
+    assert plan.count("aggregate(") == 3, plan.count("aggregate(")
+    assert plan.count("md5") == 1, plan.count("md5")
