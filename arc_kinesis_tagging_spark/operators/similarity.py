@@ -1329,6 +1329,8 @@ def opq_assign(
     sample_n: int = 512,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation=None,
+    codebooks=None,
 ) -> DataFrame:
     """OPQ code assignment: rotate every vector by the trained
     orthogonal R, then product-quantize exactly like ``pq_assign``
@@ -1340,20 +1342,30 @@ def opq_assign(
     subspace argmin, no shuffle, no window. SVD training is not
     SQL-expressible, so the registry entry is rows-only; correctness
     is pinned by pytest (orthogonality, numpy parity, error <= plain
-    PQ, determinism across retrains)."""
+    PQ, determinism across retrains).
+
+    When ``rotation`` AND ``codebooks`` are given, training is skipped
+    and the provided (R, C) drive the same assign kernel — the
+    hash-checkable face (plans/llmops.py:q_opq_assign pins a FIXED
+    orthogonal R so the rotated assignment is DuckDB-replicable, the
+    q_bpe_subwords precedent)."""
     import numpy as np
     import pandas as pd
 
     spark = embeddings.sparkSession
-    R, C = opq_train(
-        embeddings,
-        m_subspaces=m_subspaces,
-        ksub=ksub,
-        opq_iters=opq_iters,
-        sample_n=sample_n,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
+    if rotation is not None and codebooks is not None:
+        R = np.asarray(rotation, np.float64)
+        C = np.asarray(codebooks, np.float64)
+    else:
+        R, C = opq_train(
+            embeddings,
+            m_subspaces=m_subspaces,
+            ksub=ksub,
+            opq_iters=opq_iters,
+            sample_n=sample_n,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     dsub = C.shape[2]
     b = spark.sparkContext.broadcast((R, C))
 

@@ -758,6 +758,114 @@ def q_similarity_opq(spark, sf_dir):
     )
 
 
+# Fixed rotation for the SQL-oracled OPQ assignment (q_similarity_opq
+# trains R via SVD and is rows-only by design; here R is a CONSTANT so
+# the rotated assignment is DuckDB-replicable end to end — the
+# q_bpe_subwords precedent). The rotation is a signed permutation:
+# source coordinate i lands at target (37*i + 11) % 64 (37 is coprime
+# to 64, so this is a bijection that scatters every 16-wide PQ
+# subspace across all four target subspaces — the dimension re-mixing
+# OPQ exists for), negated for every third source coordinate. Signed
+# permutations are exactly orthogonal AND keep every rotated
+# coordinate bit-identical across engines (no dot-product fold whose
+# summation order could differ — the cross-engine determinism rule
+# that dense fixed rotations would violate at micro-unit rounding
+# boundaries).
+_OPQ_FIXED_D = 64
+
+
+def _opq_fixed_perm():
+    tgt = [(37 * i + 11) % _OPQ_FIXED_D for i in range(_OPQ_FIXED_D)]
+    sgn = [-1.0 if i % 3 == 0 else 1.0 for i in range(_OPQ_FIXED_D)]
+    return tgt, sgn
+
+
+def _opq_fixed_rotation():
+    import numpy as np
+
+    tgt, sgn = _opq_fixed_perm()
+    R = np.zeros((_OPQ_FIXED_D, _OPQ_FIXED_D))
+    for i, (t, s) in enumerate(zip(tgt, sgn)):
+        R[i, t] = s
+    return R
+
+
+def q_opq_assign(spark, sf_dir):
+    """OPQ assignment with a FIXED orthogonal rotation — the
+    hash-checkable face of the OPQ loop. Runs the REAL assign kernel
+    (operators/similarity.py:opq_assign — broadcast R + codebooks,
+    one map-only Arrow pass: batch GEMM then blocked subspace argmin
+    in integer micro-units) with the constant signed-permutation
+    rotation above and codebooks built from the 16 lowest-id vectors
+    ROTATED (the pq/ivf-family deterministic-codebook convention;
+    the collect is bounded: ksub rows). Everything downstream of
+    training — rotation application, per-subspace code argmin with
+    lowest-code ties, err_u6 accumulation — is inside the DuckDB
+    oracle's hash check."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.similarity import opq_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    R = _opq_fixed_rotation()
+    rows = (
+        e.filter(F.col("embedding").isNotNull())
+        .orderBy(F.col("vec_id").asc())
+        .limit(16)
+        .collect()
+    )  # bounded: ksub rows
+    X = np.array([r["embedding"] for r in rows], np.float64) @ R
+    C = np.stack([X[:, m * 16 : (m + 1) * 16] for m in range(4)])
+    return opq_assign(e, m_subspaces=4, ksub=16, rotation=R, codebooks=C)
+
+
+def _opq_assign_oracle_sql() -> str:
+    tgt, sgn = _opq_fixed_perm()
+    inv = {t: i for i, t in enumerate(tgt)}
+    src = [inv[j] + 1 for j in range(_OPQ_FIXED_D)]  # 1-based per target
+    sg = [sgn[inv[j]] for j in range(_OPQ_FIXED_D)]
+    src_l = "[" + ", ".join(str(x) for x in src) + "]"
+    sgn_l = "[" + ", ".join("-1.0" if s < 0 else "1.0" for s in sg) + "]"
+    return f"""
+WITH rv AS (
+  SELECT vec_id,
+         list_transform(range(1, 65),
+           j -> ({sgn_l})[j]
+                * CAST(embedding[({src_l})[j]] AS DOUBLE)) AS r
+  FROM embeddings
+), cent AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS code, r
+  FROM (SELECT vec_id, r FROM rv ORDER BY vec_id ASC LIMIT 16)
+), ms AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3)) t(m)
+), sub AS (
+  SELECT v.vec_id, ms.m, c.code,
+         CAST(floor(list_sum(list_transform(range(1, 17),
+               i -> pow(v.r[CAST(ms.m * 16 + i AS INT)]
+                        - c.r[CAST(ms.m * 16 + i AS INT)], 2))) * 1e6 + 0.5)
+              AS BIGINT) AS dist
+  FROM rv v CROSS JOIN ms CROSS JOIN cent c
+), codes AS (
+  SELECT vec_id, m, code, dist FROM (
+    SELECT vec_id, m, code, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist, code) AS rn
+    FROM sub
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       CAST(MAX(CASE WHEN m = 0 THEN code END) AS INT) AS code0,
+       CAST(MAX(CASE WHEN m = 1 THEN code END) AS INT) AS code1,
+       CAST(MAX(CASE WHEN m = 2 THEN code END) AS INT) AS code2,
+       CAST(MAX(CASE WHEN m = 3 THEN code END) AS INT) AS code3,
+       CAST(SUM(dist) AS BIGINT) AS err_u6
+FROM codes GROUP BY vec_id
+"""
+
+
+ORACLE_OPQ_ASSIGN = _opq_assign_oracle_sql()
+
+
 def q_dedup_embedding_pq(spark, sf_dir):
     """Embedding near-dup via PQ-CODE BLOCKING — the third member of
     the embedding-dedup family (exact IVF threshold join, SRP-LSH
@@ -3079,6 +3187,7 @@ LLMOPS_QUERIES = [
           "OPQ rotation is an SVD alternation — not SQL-expressible; "
           "orthogonality, numpy parity, determinism, and the "
           "error<=plain-PQ dominance property pinned in tests"),
+    Query("q_opq_assign", q_opq_assign, ORACLE_OPQ_ASSIGN),
     Query("q_text_bm25", q_text_bm25, ORACLE_TEXT_BM25),
     Query("q_dedup_embedding_pq", q_dedup_embedding_pq, ORACLE_DEDUP_EMBEDDING_PQ),
     Query("q_hard_negatives", q_hard_negatives, ORACLE_HARD_NEGATIVES),

@@ -1609,6 +1609,251 @@ FROM enc GROUP BY doc_id
 ORACLE_BPE_SUBWORDS = _bpe_oracle_sql()
 
 
+# Fixed demonstration vocabulary for the SQL-oracled WordPiece
+# application (the q_bpe_subwords precedent: q_wordpiece_train/encode
+# learn a data-dependent vocab and are rows-only; with the vocab a
+# CONSTANT, greedy longest-match is replicable in DuckDB with a
+# recursive CTE, so encode semantics get a full hash check). The 'q'
+# head and the '##y' continuation are deliberately absent: "query"
+# fails at position 0 and "key" fails mid-word, so [UNK] semantics —
+# including the discard-partial-pieces rule — are inside the checked
+# surface.
+WP_FIXED_VOCAB = [
+    # multi-char heads
+    "the", "spark", "sp", "bat", "cust", "fil", "str", "win", "tab",
+    "val", "vec", "ord", "sma", "da",
+    # single-char heads ('q' absent)
+    "a", "b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "o", "p",
+    "r", "s", "t", "v", "w",
+    # multi-char continuations
+    "##ark", "##atch", "##ch", "##dow", "##er", "##eam", "##omer",
+    "##ter", "##art", "##alue", "##mall", "##ow", "##ine", "##oin",
+    # single-char continuations ('##y' absent)
+    "##a", "##b", "##c", "##d", "##e", "##g", "##h", "##i", "##l",
+    "##m", "##n", "##o", "##p", "##r", "##s", "##t", "##u", "##w",
+]
+
+
+def q_wordpiece_subwords(spark, sf_dir):
+    """WordPiece application with a FIXED vocabulary — the
+    hash-checkable face of the WordPiece loop. Runs the REAL runtime
+    encoder (operators/wordpiece.py:wordpiece_encode — map-only,
+    vocab closure-captured, bounded per-partition memo, zero shuffle)
+    against a constant vocab, so greedy longest-match, continuation
+    (##) matching, and whole-word [UNK] fallback are all inside the
+    DuckDB oracle's hash check rather than pinned only by pytest."""
+    from arc_kinesis_tagging_spark.operators.wordpiece import wordpiece_encode
+
+    d = _t(spark, sf_dir, "documents")
+    return wordpiece_encode(d, set(WP_FIXED_VOCAB), "text", "doc_id")
+
+
+def _wordpiece_oracle_sql() -> str:
+    vocab_values = ", ".join(f"('{p}')" for p in WP_FIXED_VOCAB)
+    # Greedy longest-match as a recursive CTE over DISTINCT words (the
+    # SQL analog of the encoder's word memo): each step consumes the
+    # longest vocab piece matching at pos (raw substring at pos 0,
+    # '##'-prefixed continuation after), or marks the word failed.
+    return f"""
+WITH RECURSIVE
+vocab(piece) AS (SELECT * FROM (VALUES {vocab_values}) v(piece)),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ws
+  FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS wi
+  FROM toks
+),
+uw AS (SELECT DISTINCT w FROM words),
+step(w, pos, sn, piece, failed) AS (
+  SELECT w, 0, 0, CAST(NULL AS VARCHAR), length(w) > 100 FROM uw
+  UNION ALL
+  SELECT w,
+         CASE WHEN best IS NULL THEN length(w)
+              WHEN pos = 0 THEN pos + length(best)
+              ELSE pos + length(best) - 2 END,
+         sn + 1,
+         best,
+         best IS NULL
+  FROM (
+    SELECT s.w, s.pos, s.sn,
+           (SELECT v.piece FROM vocab v
+             WHERE CASE WHEN s.pos = 0
+                   THEN v.piece = substr(s.w, 1, length(v.piece))
+                   ELSE v.piece LIKE '##%'
+                        AND length(v.piece) > 2
+                        AND substr(v.piece, 3)
+                            = substr(s.w, s.pos + 1, length(v.piece) - 2)
+                   END
+             ORDER BY CASE WHEN s.pos = 0 THEN length(v.piece)
+                           ELSE length(v.piece) - 2 END DESC
+             LIMIT 1) AS best
+    FROM step s
+    WHERE s.pos < length(s.w) AND NOT s.failed
+  )
+),
+per_uw AS (
+  SELECT w, bool_or(failed) AS failed,
+         list(piece ORDER BY sn) FILTER (WHERE piece IS NOT NULL) AS pieces
+  FROM step GROUP BY w
+),
+pw AS (
+  SELECT w,
+         CASE WHEN failed THEN ['[UNK]'] ELSE pieces END AS pieces,
+         CASE WHEN failed THEN 1 ELSE len(pieces) END AS np,
+         CASE WHEN failed THEN 1 ELSE 0 END AS unk
+  FROM per_uw
+),
+doc AS (
+  SELECT wd.doc_id,
+         COUNT(*) AS nw, SUM(pw.np) AS npieces, SUM(pw.unk) AS nunk,
+         array_to_string(
+           list_slice(flatten(list(pw.pieces ORDER BY wd.wi)), 1, 10),
+           '|') AS sample
+  FROM words wd JOIN pw ON pw.w = wd.w
+  GROUP BY wd.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(doc.nw, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(doc.npieces, 0) AS BIGINT) AS n_pieces,
+       CAST(COALESCE(doc.nunk, 0) AS BIGINT) AS n_unk,
+       COALESCE(doc.sample, '') AS sample_pieces
+FROM documents d LEFT JOIN doc ON doc.doc_id = d.doc_id
+"""
+
+
+ORACLE_WORDPIECE_SUBWORDS = _wordpiece_oracle_sql()
+
+
+# Fixed demonstration piece table (piece -> ln-prob in integer
+# micro-units) for the SQL-oracled unigram-LM application. Scores are
+# arbitrary but FIXED constants; 'mer' is pinned to exactly
+# lp(m) + lp(er) so "merge" produces a genuine score tie between
+# [mer, ge] and [m, er, ge] and the fewer-pieces tie-break is inside
+# the checked surface. The 'q' single is absent AND no multi-char
+# piece covers 'q', so "query" segments through the unseen-char floor
+# (_UNK_LP_MICRO) — the floor value itself is hash-checked.
+UNIGRAM_FIXED_VOCAB = {
+    "a": -2_500_000, "b": -4_000_000, "c": -3_800_000, "d": -3_500_000,
+    "e": -2_200_000, "f": -4_200_000, "g": -4_100_000, "h": -4_300_000,
+    "i": -3_000_000, "j": -5_000_000, "k": -4_600_000, "l": -3_200_000,
+    "m": -3_700_000, "n": -2_900_000, "o": -2_600_000, "p": -4_400_000,
+    "r": -2_800_000, "s": -2_400_000, "t": -2_300_000, "u": -3_900_000,
+    "v": -4_800_000, "w": -4_500_000, "y": -4_700_000,
+    "th": -3_000_000, "the": -2_000_000, "er": -2_500_000,
+    "ge": -4_000_000, "mer": -6_200_000, "data": -4_500_000,
+    "da": -3_000_000, "ta": -3_100_000, "at": -3_050_000,
+    "spark": -5_000_000, "sp": -3_400_000, "ark": -4_900_000,
+    "ow": -3_300_000, "in": -2_700_000, "dow": -4_800_000,
+    "win": -4_200_000, "window": -8_000_000, "or": -2_750_000,
+    "sort": -6_000_000, "so": -3_600_000, "rt": -4_050_000,
+    "stream": -9_000_000, "str": -5_100_000, "eam": -5_300_000,
+    "ry": -4_250_000, "lue": -5_600_000,
+    "val": -4_950_000, "ue": -3_950_000,
+}
+
+_UNIGRAM_ORACLE_UNK = -23_025_851  # operators/unigram.py:_UNK_LP_MICRO
+
+
+def q_unigram_subwords(spark, sf_dir):
+    """Unigram-LM (Viterbi) application with a FIXED piece table — the
+    hash-checkable face of the unigram loop. Runs the REAL runtime
+    encoder (operators/unigram.py:unigram_encode — map-only, vocab
+    broadcast, per-partition word memo, zero shuffle) against constant
+    piece log-probs, so segmentation optimality, the
+    (score, fewer-pieces, longest-last) tie-break order, and the
+    unseen-char floor are all inside the DuckDB oracle's hash check.
+    lp_micro_total is an exact integer sum — order-independent, so
+    hash-stable across both engines (plans/common.py rules)."""
+    from arc_kinesis_tagging_spark.operators.unigram import unigram_encode
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_encode(
+        d, UNIGRAM_FIXED_VOCAB, max_piece_len=6,
+        text_col="text", id_col="doc_id",
+    )
+
+
+def _unigram_oracle_sql() -> str:
+    vocab_values = ", ".join(
+        f"('{p}', {lp})" for p, lp in sorted(UNIGRAM_FIXED_VOCAB.items())
+    )
+    # Viterbi via exhaustive path enumeration (sound here: words are
+    # <= 8 chars so <= 2^7 segmentations each, over DISTINCT words) —
+    # the best path per word is the (score DESC, n_pieces ASC,
+    # reversed-cut-list ASC) minimum, the whole-path equivalent of the
+    # DP's per-position (score, -n_pieces, longest-last-piece) order.
+    return f"""
+WITH RECURSIVE
+vocab(piece, lp) AS (SELECT * FROM (VALUES {vocab_values}) v(piece, lp)),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ws
+  FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS wi
+  FROM toks
+),
+uw AS (SELECT DISTINCT w FROM words),
+opts AS (
+  SELECT x.w, x.pos, x.len, substr(x.w, x.pos + 1, x.len) AS piece,
+         COALESCE(v.lp,
+                  CASE WHEN x.len = 1 THEN {_UNIGRAM_ORACLE_UNK} END
+         ) AS lp
+  FROM (
+    SELECT u.w, gs.pos, gl.len
+    FROM uw u,
+         LATERAL (SELECT unnest(generate_series(0, length(u.w) - 1)) AS pos) gs,
+         LATERAL (SELECT unnest(generate_series(1, 6)) AS len) gl
+    WHERE gs.pos + gl.len <= length(u.w)
+  ) x
+  LEFT JOIN vocab v ON v.piece = substr(x.w, x.pos + 1, x.len)
+),
+paths(w, pos, score, np, pieces, cuts) AS (
+  SELECT w, 0, CAST(0 AS BIGINT), 0,
+         CAST([] AS VARCHAR[]), CAST([] AS INT[])
+  FROM uw
+  UNION ALL
+  SELECT p.w, p.pos + o.len, p.score + o.lp, p.np + 1,
+         list_append(p.pieces, o.piece),
+         list_append(p.cuts, CAST(p.pos AS INT))
+  FROM paths p
+  JOIN opts o ON o.w = p.w AND o.pos = p.pos AND o.lp IS NOT NULL
+  WHERE p.pos < length(p.w)
+),
+best AS (
+  SELECT w, score, np, pieces FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY w
+      ORDER BY score DESC, np ASC, list_reverse(cuts) ASC
+    ) AS rn
+    FROM paths WHERE pos = length(w)
+  ) WHERE rn = 1
+),
+doc AS (
+  SELECT wd.doc_id,
+         COUNT(*) AS nw, SUM(b.np) AS npieces, SUM(b.score) AS lp_total,
+         array_to_string(
+           list_slice(flatten(list(b.pieces ORDER BY wd.wi)), 1, 10),
+           '|') AS sample
+  FROM words wd JOIN best b ON b.w = wd.w
+  GROUP BY wd.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(doc.nw, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(doc.npieces, 0) AS BIGINT) AS n_pieces,
+       CAST(COALESCE(doc.lp_total, 0) AS BIGINT) AS lp_micro_total,
+       COALESCE(doc.sample, '') AS sample_pieces
+FROM documents d LEFT JOIN doc ON doc.doc_id = d.doc_id
+"""
+
+
+ORACLE_UNIGRAM_SUBWORDS = _unigram_oracle_sql()
+
+
 def q_ngram_lm_score(spark, sf_dir):
     """Token-bigram LM quality gate — the word-level sibling of
     q_text_perplexity's character model, the form actually used to
@@ -2916,6 +3161,10 @@ QUALITY_QUERIES = [
     Query("q_corpus_pipeline5", q_corpus_pipeline5,
           _corpus_pipeline5_oracle().replace("{PREFIX}", ORACLE_DEDUP_PREFIX)),
     Query("q_bpe_subwords", q_bpe_subwords, ORACLE_BPE_SUBWORDS),
+    Query("q_wordpiece_subwords", q_wordpiece_subwords,
+          ORACLE_WORDPIECE_SUBWORDS),
+    Query("q_unigram_subwords", q_unigram_subwords,
+          ORACLE_UNIGRAM_SUBWORDS),
     Query("q_unigram_train", q_unigram_train, None,
           "iterative hard-EM vocabulary fit -> rows-only; reference "
           "parity + Viterbi optimality pinned in tests/test_unigram.py"),

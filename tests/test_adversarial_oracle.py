@@ -100,6 +100,12 @@ DOC_QUERIES = [
     "q_multimodal_png_adam7",
     "q_corpus_pipeline5",
     "q_text_html_strip",
+    # round-9 additions (documents-only readers): fixed-vocab
+    # tokenizer-encode faces — empty/whitespace docs and the accented
+    # words ('é' is outside both fixture vocabs) stress the [UNK] and
+    # unseen-char-floor paths cross-engine
+    "q_wordpiece_subwords",
+    "q_unigram_subwords",
 ]
 
 
@@ -235,6 +241,11 @@ EMB64_QUERIES = [
     "q_dedup_embedding_pq",
     "q_ann_incremental",
     "q_similarity_ivfpq",
+    # round-9: fixed-rotation OPQ assignment — the exact-dup pair puts
+    # two IDENTICAL codewords in the rotated codebook, so every row's
+    # argmin hits a genuine distance tie and the lowest-code break is
+    # exercised in both engines
+    "q_opq_assign",
 ]
 
 

@@ -98,3 +98,77 @@ def test_q_similarity_opq_registry_shape(spark, sf_dir):
     for r in rows:
         assert all(0 <= r[f"code{m}"] < 16 for m in range(4))
         assert r["err_u6"] >= 0
+
+
+def test_opq_assign_fixed_rotation_injection(spark, sf_dir):
+    """rotation=/codebooks= injection (the q_opq_assign path) must
+    skip training and drive the assign kernel with exactly the given
+    (R, C): the fixed signed-permutation R is orthogonal and
+    subspace-mixing, and the distributed output bit-matches a numpy
+    replica of rotate -> blocked micro-unit argmin -> err sum."""
+    from arc_kinesis_tagging_spark.plans.llmops import (
+        _opq_fixed_rotation,
+        q_opq_assign,
+    )
+
+    R = _opq_fixed_rotation()
+    d = R.shape[0]
+    assert np.abs(R @ R.T - np.eye(d)).max() == 0.0  # exactly orthogonal
+    # the permutation scatters every source subspace across all four
+    # target subspaces (the dimension re-mixing OPQ exists for)
+    tgt_sub = {j // 16 for i in range(16) for j in [np.argmax(np.abs(R[i]))]}
+    assert tgt_sub == {0, 1, 2, 3}
+
+    got = {
+        r["vec_id"]: r for r in q_opq_assign(spark, sf_dir).collect()
+    }
+    e = load_table(spark, "embeddings", sf_dir)
+    rows = e.select("vec_id", "embedding").orderBy("vec_id").collect()
+    X16 = np.array(
+        [r["embedding"] for r in rows[:16]], np.float64
+    ) @ R
+    C = np.stack([X16[:, m * 16 : (m + 1) * 16] for m in range(4)])
+    for r in rows:
+        V = np.asarray(r["embedding"], np.float64) @ R
+        err = 0
+        for m in range(4):
+            diff = V[m * 16 : (m + 1) * 16][None, :] - C[m]
+            dist = np.floor(
+                (diff * diff).sum(axis=1) * 1e6 + 0.5
+            ).astype(np.int64)
+            code = int(np.argmin(dist))
+            assert got[r["vec_id"]][f"code{m}"] == code, r["vec_id"]
+            err += int(dist[code])
+        assert got[r["vec_id"]]["err_u6"] == err, r["vec_id"]
+
+
+def test_tokenizer_fixture_vocabs_keep_edge_semantics(spark):
+    """The fixed demonstration vocabularies exist to keep specific
+    semantics inside the ORACLE hash surface; pin the properties a
+    casual edit would silently lose: WordPiece's vocab must fail
+    "query" at position 0 and "key" mid-word (whole-word [UNK]), and
+    the unigram table must tie [mer,ge] with [m,er,ge] on "merge"
+    (fewer-pieces break) and leave 'q' coverable only by the
+    unseen-char floor."""
+    from arc_kinesis_tagging_spark.operators.unigram import (
+        _UNK_LP_MICRO,
+        _viterbi,
+    )
+    from arc_kinesis_tagging_spark.plans.quality_ops import (
+        UNIGRAM_FIXED_VOCAB,
+        WP_FIXED_VOCAB,
+    )
+
+    wp = set(WP_FIXED_VOCAB)
+    assert "q" not in wp and not any(
+        p.startswith("q") or p.startswith("##y") for p in wp
+    )
+    pieces, _ = _viterbi("merge", UNIGRAM_FIXED_VOCAB, 6)
+    assert pieces == ["mer", "ge"]  # score tie, fewer-pieces break
+    assert (
+        UNIGRAM_FIXED_VOCAB["mer"]
+        == UNIGRAM_FIXED_VOCAB["m"] + UNIGRAM_FIXED_VOCAB["er"]
+    )
+    assert not any("q" in p for p in UNIGRAM_FIXED_VOCAB)
+    pieces, lp = _viterbi("query", UNIGRAM_FIXED_VOCAB, 6)
+    assert pieces[0] == "q" and lp <= _UNK_LP_MICRO  # floor on the path
