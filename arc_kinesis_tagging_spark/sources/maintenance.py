@@ -28,24 +28,38 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def table_file_count(path: str, fmt: str = "parquet") -> int:
+    """Data-file count under ``path`` for a columnar format — the
+    compaction before/after metric. ORC part files may carry no
+    extension (Spark names them ``part-...snappy.orc`` normally, but
+    the contract is format-agnostic), so count non-hidden non-metadata
+    files when the extension filter matches nothing."""
+    ext = "." + fmt
+    files = [
+        f
+        for _root, _dirs, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    ]
+    with_ext = [f for f in files if f.endswith(ext)]
+    return len(with_ext) if with_ext else len([f for f in files if not f.endswith(".crc")])
+
+
 def parquet_file_count(path: str) -> int:
-    return sum(
-        1
-        for root, _dirs, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    return table_file_count(path, "parquet")
 
 
-def compact_parquet(
+def compact_table(
     spark: SparkSession,
     path: str,
     target_rows_per_file: int = 1_000_000,
+    fmt: str = "parquet",
 ) -> int:
     """Rewrite ``path`` into ceil(rows/target) files; returns new file
     count. Row-preserving (verified in tests); use coalesce-free
-    repartition so output files are evenly sized."""
-    df = spark.read.parquet(path)
+    repartition so output files are evenly sized. Same contract for
+    every columnar format (``fmt``: parquet | orc)."""
+    df = spark.read.format(fmt).load(path)
     n = df.count()
     n_files = max(1, math.ceil(n / target_rows_per_file))
     compacted = df.repartition(n_files)
@@ -54,20 +68,36 @@ def compact_parquet(
     # recompute from the replaced files. Checkpointing truncates the
     # lineage so nothing can reach back to the input paths.
     compacted = compacted.localCheckpoint(eager=True)
-    compacted.write.mode("overwrite").parquet(path)
+    compacted.write.mode("overwrite").format(fmt).save(path)
     return n_files
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    return compact_table(spark, path, target_rows_per_file, fmt="parquet")
+
+
 def write_partitioned(
-    df: DataFrame, path: str, partition_cols: Sequence[str]
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    fmt: str = "parquet",
 ) -> None:
-    """Hive-style partitioned parquet write: one directory per distinct
-    partition value. Reads that filter on the partition column prune at
-    PLAN time (PartitionFilters on the scan — zero I/O for pruned
-    directories, the difference between scanning 100 TB and one day's
-    slice). Keep partition cardinality bounded (dates, tenants —
-    thousands, not millions: each directory is a file-listing unit)."""
-    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    """Hive-style partitioned columnar write: one directory per
+    distinct partition value. Reads that filter on the partition
+    column prune at PLAN time (PartitionFilters on the scan — zero
+    I/O for pruned directories, the difference between scanning
+    100 TB and one day's slice). Keep partition cardinality bounded
+    (dates, tenants — thousands, not millions: each directory is a
+    file-listing unit). Identical contract for parquet and ORC
+    (``fmt``) — partition pruning happens in the file index, above
+    the format."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).format(
+        fmt
+    ).save(path)
 
 
 def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
@@ -97,6 +127,7 @@ def write_zordered(
     cols: Sequence[str],
     bits: int = 16,
     n_files: int | None = None,
+    fmt: str = "parquet",
 ) -> None:
     """Rewrite ``df`` as parquet clustered on the z-curve of ``cols``
     (numeric columns are min-max scaled to ``bits``-bit integers
@@ -137,4 +168,4 @@ def write_zordered(
     )
     part.sortWithinPartitions("__zkey").drop("__zkey", *rank_cols).write.mode(
         "overwrite"
-    ).parquet(path)
+    ).format(fmt).save(path)

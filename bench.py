@@ -264,6 +264,78 @@ def bench_stream_gated(spark, sf_dir: str, n_records: int = 20000) -> tuple[floa
     return dt, n_records / dt
 
 
+_TEE_FIXTURE: dict = {}
+
+
+def bench_stream_tee(spark, sf_dir: str, n_records: int = 20000) -> tuple[float, float]:
+    """Exactly-once producer throughput: the same 20k gzip'd records
+    republished stream-to-stream through the two-phase
+    intent/publish/marker commit writer
+    (streaming/kinesis_source.py:KinesisEmuStreamWriter). The measured
+    path is the full protocol — executor-side staging parquet, driver
+    intent rename, per-shard chunk publish, marker rename — whose
+    crash-correctness is pinned in tests/test_kinesis_source.py but
+    was never timed (round-8 verdict task 7). Source fixture is built
+    once per process (not timed); each rep publishes to a FRESH
+    destination+checkpoint (a reused checkpoint would no-op by
+    design)."""
+    import gzip as _gzip
+    import json as _json
+    import tempfile
+    import time
+
+    from arc_kinesis_tagging_spark.streaming.kinesis_source import (
+        KinesisEmuDataSource,
+        write_kinesis_fixture,
+    )
+
+    spark.dataSource.register(KinesisEmuDataSource)
+    src = _TEE_FIXTURE.get(n_records)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bench-tee-src-")
+        doc = {
+            "id": "doc-%d",
+            "operation": "insert-story",
+            "published": True,
+            "body": {"headlines": {"basic": "headline"}, "revision": "r1"},
+        }
+        recs = []
+        for i in range(n_records):
+            d = dict(doc)
+            d["id"] = f"doc-{i}"
+            recs.append(
+                (
+                    _gzip.compress(
+                        _json.dumps(d, sort_keys=True).encode(), mtime=0
+                    ),
+                    i % 4,
+                )
+            )
+        write_kinesis_fixture(src, recs)
+        _TEE_FIXTURE[n_records] = src
+    dst = tempfile.mkdtemp(prefix="bench-tee-dst-")
+    ckpt = tempfile.mkdtemp(prefix="bench-tee-ckpt-")
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.format("kinesis_emu")
+        .option("streamDir", src)
+        .load()
+        .select("data", "shard_id")
+        .writeStream.format("kinesis_emu")
+        .option("streamDir", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    dt = time.perf_counter() - t0
+    n = (
+        spark.read.format("kinesis_emu").option("streamDir", dst).load()
+    ).count()
+    assert n == n_records, n
+    return dt, n_records / dt
+
+
 def _recover_from_tail(raw: dict) -> dict:
     """Salvage per-query seconds from a driver artifact whose stdout
     tail-capture truncated the JSON line (BENCH_r03.json: parsed=null,
@@ -420,6 +492,15 @@ def main() -> None:
     queries["stream_gated_20k"] = round(gated_s, 3)
     total += gated_s
 
+    # exactly-once producer: stream-to-stream republish through the
+    # two-phase commit writer (crash-tested elsewhere, timed here)
+    tee_s, tee_rps = min(
+        (bench_stream_tee(spark, sf_dir) for _ in range(2)),
+        key=lambda t: t[0],
+    )
+    queries["stream_tee_20k"] = round(tee_s, 3)
+    total += tee_s
+
     out = {
         "metric": "headline_suite_seconds",
         "value": round(total, 3),
@@ -431,7 +512,9 @@ def main() -> None:
         "stream": {"records": 20000, "seconds": round(stream_s, 3),
                    "rec_per_sec": round(stream_rps, 1),
                    "gated_seconds": round(gated_s, 3),
-                   "gated_rec_per_sec": round(gated_rps, 1)},
+                   "gated_rec_per_sec": round(gated_rps, 1),
+                   "tee_seconds": round(tee_s, 3),
+                   "tee_rec_per_sec": round(tee_rps, 1)},
         "settle_wait_s": settled,
     }
     # --compare <prior BENCH.json> (or the newest BENCH_r*.json in the

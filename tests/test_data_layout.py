@@ -103,3 +103,69 @@ def test_partitioned_write_prunes_at_plan_time(spark, sf_dir, tmp_path):
     assert "day" in pf and "isnotnull" in pf.lower() or pick in pf
     exact = [r for r in q.collect()]
     assert exact and all(r["day"] == pick for r in exact)
+
+
+def test_orc_partitioned_write_prunes_at_plan_time(spark, sf_dir, tmp_path):
+    """The partition-pruning contract is format-independent (pruning
+    happens in the file index above the format): the ORC scan must
+    carry the day predicate in PartitionFilters exactly like the
+    parquet test above."""
+    out = str(tmp_path / "events_by_day_orc")
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    write_partitioned(ev, out, ["day"], fmt="orc")
+    days = [
+        r["day"]
+        for r in spark.read.orc(out).select("day").distinct().collect()
+    ]
+    assert len(days) > 1
+    pick = sorted(days)[0]
+    q = spark.read.orc(out).filter(F.col("day") == pick)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan).group(0)
+    assert "day" in pf and "isnotnull" in pf.lower() or pick in pf
+    rows = q.collect()
+    assert rows and all(r["day"] == pick for r in rows)
+
+
+def test_orc_zorder_layout_tightens_file_stats(spark, sf_dir, tmp_path):
+    """write_zordered(fmt='orc') must cluster like the parquet path:
+    the summed per-file (l_partkey x l_suppkey) bounding box shrinks
+    vs the natural layout. ORC stripe stats aren't exposed through
+    pyarrow the way parquet row groups are, so measure the per-FILE
+    bounding boxes by reading each part file individually — the same
+    skipping property, one level up."""
+    import glob
+    import os
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    plain = str(tmp_path / "plain-orc")
+    zord = str(tmp_path / "zord-orc")
+    li.repartition(8).write.orc(plain)
+    write_zordered(li, zord, ["l_partkey", "l_suppkey"], bits=12, n_files=8, fmt="orc")
+    assert spark.read.orc(zord).count() == li.count()
+
+    def area(path):
+        total = 0.0
+        for f in glob.glob(os.path.join(path, "part-*")):
+            if f.endswith(".crc"):
+                continue
+            b = (
+                spark.read.orc(f)
+                .agg(
+                    F.min("l_partkey"), F.max("l_partkey"),
+                    F.min("l_suppkey"), F.max("l_suppkey"),
+                )
+                .collect()[0]
+            )
+            total += (b[1] - b[0]) * (b[3] - b[2])
+        return total
+
+    a_plain, a_z = area(plain), area(zord)
+    assert a_z < a_plain * 0.7, (a_z, a_plain)

