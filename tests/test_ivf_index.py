@@ -443,3 +443,40 @@ def test_ivf_pq_retrain_detects_and_fixes_real_drift(spark):
     assert {c: tuple(r) for c, r in got.items()} == {
         c: tuple(r) for c, r in again.items()
     }
+
+
+def test_default_nprobe_operating_point(spark, sf_dir, tmp_path):
+    """Pin the shipped default nprobe=4 to the round-9 sweep's
+    operating point (SCALE.md round-9: at nlist=32 the default scans
+    ~12.5% of the corpus for recall@5 ~0.96+ on clustered corpora and
+    ~0.78 on the worst-case unstructured fixture; callers with unknown
+    corpus structure raise toward 16). The gate: the default-valued
+    call must reach the index FileScan with EXACTLY 4 probe cells in
+    PartitionFilters — a silent default change or a lost pushdown
+    breaks this, not a 100 TB job."""
+    import inspect
+    import re
+
+    from arc_kinesis_tagging_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from arc_kinesis_tagging_spark.sources.tables import load_table
+
+    assert (
+        inspect.signature(query_ivf_index).parameters["nprobe"].default == 4
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = str(tmp_path / "ivf-default")
+    build_ivf_index(spark, emb, path, nlist=8)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = query_ivf_index(spark, path, q, k=5)  # default nprobe
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*cell_id[^\]]*)\]", phys)
+    assert m, phys[:2000]
+    inlist = re.search(r"IN \(([\d,\s]+)\)", m.group(1))
+    assert inlist, m.group(1)
+    cells = re.findall(r"\d+", inlist.group(1))
+    assert len(set(cells)) == 4, m.group(1)

@@ -76,6 +76,77 @@ def amplify_docs(spark, k: int):
     return out
 
 
+def amplify_docs_zipf(spark, k: int):
+    """Non-adversarial amplifier (round-8 verdict task 4): replica i
+    appends i tokens drawn LOG-UNIFORMLY over a FIXED 4096-token
+    vocabulary ("zipf1".."zipf4096"; rank = 4096^u for a deterministic
+    md5-derived u, so rank r carries ~1/r mass — the Zipf shape real
+    corpora have). Unlike the salt amplifier, the appended vocabulary
+    SATURATES: distinct tokens stay <= 4096 at every K (Heaps-law
+    behavior), so vocabulary-sensitive operators (tokenizer encode,
+    LM/ARPA model builds, DSIR gram tables) see realistic growth, and
+    any super-linear ladder row left under THIS mode is the
+    operator's fault, not the fixture's. Near-dup/clustering stages
+    must keep using the salt amplifier — shared tokens across docs
+    would merge everything into giant components by construction."""
+    d = load_table(spark, "documents", SF_DIR)
+    reps = spark.range(k).withColumnRenamed("id", "rep")
+    return (
+        d.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") * k + F.col("rep"))
+        .withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("rep") == 0, F.lit("")).otherwise(
+                    F.concat(
+                        F.lit(" "),
+                        F.concat_ws(
+                            " ",
+                            F.transform(
+                                F.sequence(F.lit(1), F.col("rep").cast("int")),
+                                lambda i: F.concat(
+                                    F.lit("zipf"),
+                                    F.greatest(
+                                        F.lit(1),
+                                        F.pow(F.lit(4096.0), _zipf_u(i))
+                                        .cast("int"),
+                                    ).cast("string"),
+                                ),
+                            ),
+                        ),
+                    )
+                ),
+            ),
+        )
+        .drop("rep")
+    )
+
+
+def _zipf_u(i):
+    """Deterministic uniform in [0,1) per (doc replica token): md5 of
+    (doc_id, rep, i) — no RNG, stable across runs and partitions."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("rep").cast("string"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+
+
 def amplify_embeddings(spark, k: int):
     e = load_table(spark, "embeddings", SF_DIR)
     reps = spark.range(k).withColumnRenamed("id", "rep")
@@ -112,23 +183,76 @@ def amplify_events(spark, k: int):
     )
 
 
-def amplified_sf_dir(spark, k: int) -> str:
+def amplified_sf_dir(spark, k: int, mode: str = "salt") -> str:
     """Write the amplified documents + events as a registry-compatible
     sf_dir so ladder stages run the EXACT registry query code."""
     import os
 
-    amp = f"/tmp/akt_amp_k{k}"
+    amp = f"/tmp/akt_amp_k{k}" if mode == "salt" else f"/tmp/akt_amp_{mode}_k{k}"
     docs_p, ev_p = f"{amp}/documents.parquet", f"{amp}/events.parquet"
+    make_docs = amplify_docs if mode == "salt" else amplify_docs_zipf
     if not os.path.exists(docs_p):
-        amplify_docs(spark, k).write.mode("overwrite").parquet(docs_p)
+        make_docs(spark, k).write.mode("overwrite").parquet(docs_p)
     if not os.path.exists(ev_p):
         amplify_events(spark, k).write.mode("overwrite").parquet(ev_p)
     return amp
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k = int(args[0]) if args else 10
     spark = get_session("scale-smoke")
+    if "--zipf" in sys.argv:
+        # Focused vocabulary ladder under the NON-adversarial amplifier
+        # (round-8 verdict task 4): the salt amplifier grows distinct
+        # vocabulary linearly in the corpus, which contaminates the
+        # rows of vocabulary-sensitive operators; under the bounded
+        # Zipfian vocabulary those operators should return to ~linear,
+        # or the super-linearity is real.
+        from arc_kinesis_tagging_spark.operators.lm import (
+            export_arpa_bigram,
+            read_arpa,
+        )
+        from arc_kinesis_tagging_spark.plans.registry import QUERIES
+
+        only = None  # --only a,b,c restricts the stage list (chunked
+        for a in sys.argv[1:]:  # runs keep each invocation inside an
+            if a.startswith("--only="):  # external per-process timeout)
+                only = set(a.split("=", 1)[1].split(","))
+        report = {"k": k, "mode": "zipf"}
+        amp = amplified_sf_dir(spark, k, mode="zipf")
+        zdocs = load_table(spark, "documents", amp)
+        report["n_docs"] = zdocs.count()
+        report["distinct_words"] = (
+            zdocs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+            .filter(F.col("w") != "")
+            .select("w")
+            .distinct()
+            .count()
+        )
+        for qname in (
+            "q_unigram_encode",
+            "q_dsir_score",
+            "q_ngram_lm_score",
+            "q_ngram_lm_pruned",
+            "q_lm_buckets",
+            "q_lm_arpa",
+            "q_wordpiece_encode",
+        ):
+            if only is not None and qname not in only:
+                continue
+            t0 = time.perf_counter()
+            report[f"{qname}_rows"] = QUERIES[qname].builder(spark, amp).count()
+            report[f"{qname}_sec"] = round(time.perf_counter() - t0, 2)
+        if only is None or "arpa_full" in only:
+            t0 = time.perf_counter()
+            _, _, fbi = read_arpa(
+                export_arpa_bigram(zdocs, f"/tmp/akt_amp_zipf_full_k{k}.arpa")
+            )
+            report["arpa_full_sec"] = round(time.perf_counter() - t0, 2)
+            report["arpa_full_bigrams"] = len(fbi)
+        print(json.dumps(report))
+        return
     report: dict = {"k": k}
 
     docs = amplify_docs(spark, k).persist()
