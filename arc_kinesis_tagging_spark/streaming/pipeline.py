@@ -564,6 +564,7 @@ def make_admission_gate(
     text_col: str = "text",
     lm_threshold: float = 6.0,
     dsir_threshold: float = 0.0,
+    engine: str = "sql",
 ):
     """FUSED admission gate: robots longest-match + frozen pruned-LM
     scoring + frozen DSIR scoring computed in ONE projection chain,
@@ -585,8 +586,25 @@ def make_admission_gate(
     ``lm_model`` is ``(bigram_counts, context_counts, vsize)`` from
     train_pruned_lm; ``dsir_model`` is ``(bucket_ratios,
     unseen_ratio)`` from train_dsir_model. Pure projection — zero
-    shuffle, zero state, append-mode safe."""
+    shuffle, zero state, append-mode safe.
+
+    ``engine="sql"`` (default) builds the Catalyst expression form
+    above; ``engine="arrow"`` evaluates the SAME frozen models in one
+    vectorized Arrow pass (``_arrow_admission_stage``) — HOF folds are
+    CodegenFallback (interpreted, ~20-30 us/row at bench shape), so
+    the Arrow form is several times faster AND is its own
+    materialization fence (predicates do not push below mapInPandas),
+    making ``admission_barrier`` unnecessary. Output is
+    column-identical across engines (pinned by
+    tests/test_streaming_gates.py::test_arrow_gate_matches_sql)."""
     from arc_kinesis_tagging_spark.functions.text import tokens
+
+    if engine == "arrow":
+        return _arrow_admission_stage(
+            robots_rules, lm_model, dsir_model,
+            host_col=host_col, path_col=path_col, text_col=text_col,
+            lm_threshold=lm_threshold, dsir_threshold=dsir_threshold,
+        )
 
     rules_map, empty = _robots_rules_map(robots_rules)
     bigram_counts, context_counts, vsize = lm_model
@@ -619,6 +637,181 @@ def make_admission_gate(
         df = _lm_outputs(df, lm_threshold)
         df = _dsir_outputs(df, dsir_threshold)
         return df.drop("__robots_best", "__lm_ts", "__bits", "__dsir")
+
+    return stage
+
+
+def _arrow_admission_stage(
+    robots_rules,
+    lm_model: tuple,
+    dsir_model: tuple,
+    *,
+    host_col: str,
+    path_col: str,
+    text_col: str,
+    lm_threshold: float,
+    dsir_threshold: float,
+):
+    """The ``engine="arrow"`` body of make_admission_gate: one
+    vectorized mapInPandas pass computing the SAME eight gate columns
+    as the expression form, from the same frozen models.
+
+    Cross-engine exactness notes (the plans/common.py discipline,
+    applied Spark-expression-vs-Python this time):
+    - LM tokens: ``text.split(" ")`` — Java ``split`` with limit -1
+      keeps leading/inner/trailing empties exactly like Python's.
+    - DSIR tokens: Java ``\\s`` is ASCII ``[ \\t\\n\\x0b\\f\\r]`` (not
+      Python's unicode ``\\s``) — split on that class explicitly.
+    - log2 via ``log(x)/log(2)`` (Spark's Log2 lowering), sums as
+      LEFT folds (``sum`` over a list == ``F.aggregate``'s fold), and
+      3-dp rounding as half-AWAY-FROM-ZERO on the binary double
+      (``floor(|x|*1000 + 0.5)`` signed) == Spark ROUND's
+      BigDecimal.HALF_UP; ``+ 0.0`` collapses IEEE -0.0.
+    - null semantics: null text -> 0 words/grams, null scores, kept
+      False; unmatched host -> default allow, '<default>'.
+
+    Per-text results are memoized with a bounded cache (hot streams
+    repeat headline shapes; the cache drops wholesale past the cap so
+    heavy-tailed corpora cannot grow executor memory). The stage is
+    also a plan fence: predicates never push below mapInPandas, so a
+    downstream admitted-filter reads materialized booleans."""
+    import math
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+
+    by_host: dict = {}
+    for host, prefix, allow in robots_rules:
+        by_host.setdefault(host, []).append((prefix, allow))
+    rules = {h: sorted(rs) for h, rs in by_host.items()}
+    bigram_counts, context_counts, vsize = lm_model
+    model, unseen_ratio = dsir_model
+    ln2 = math.log(2.0)
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, not unicode \s
+    cap = 65536
+
+    def round3(x: float) -> float:
+        r = math.floor(abs(x) * 1000.0 + 0.5) / 1000.0
+        return (-r if x < 0 else r) + 0.0
+
+    def robots(host, path):
+        best_len, best = -1, (True, "<default>")
+        for prefix, allow in rules.get(host, ()):
+            if (
+                path is not None
+                and path.startswith(prefix)
+                and len(prefix) > best_len
+            ):
+                best_len, best = len(prefix), (allow, prefix)
+        return best
+
+    def lm(text, cache={}):
+        got = cache.get(text)
+        if got is None:
+            if len(cache) >= cap:
+                cache.clear()
+            ts = text.split(" ") if text is not None else []
+            n = len(ts)
+            total = 0.0
+            for i in range(1, n):
+                nab = bigram_counts.get((ts[i - 1], ts[i]), 0)
+                na = context_counts.get(ts[i - 1], 0)
+                total += -(math.log((nab + 1.0) / (na + vsize)) / ln2)
+            nb = max(0, n - 1) if n >= 2 else 0
+            bpt = round3(total / nb) if nb > 0 else None
+            cache[text] = got = (
+                nb, bpt, bpt is not None and bpt <= lm_threshold
+            )
+        return got
+
+    import hashlib
+
+    def dsir(text, cache={}):
+        got = cache.get(text)
+        if got is None:
+            if len(cache) >= cap:
+                cache.clear()
+            toks = (
+                [t for t in ws_re.split(text) if t]
+                if text is not None
+                else []
+            )
+            grams = toks + [
+                f"{toks[i - 1]} {toks[i]}" for i in range(1, len(toks))
+            ]
+            total = 0.0
+            for g in grams:
+                b = (
+                    int(
+                        hashlib.md5(f"dsir:{g}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    % 256
+                )
+                total += model.get(b, unseen_ratio)
+            ng = len(grams)
+            mean = round3(total / ng) if ng > 0 else None
+            cache[text] = got = (
+                ng, mean, mean is not None and mean >= dsir_threshold
+            )
+        return got
+
+    def stage(df: DataFrame) -> DataFrame:
+        from pyspark.sql.types import (
+            BooleanType,
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        out_schema = StructType(
+            list(df.schema.fields)
+            + [
+                StructField("admitted", BooleanType(), False),
+                StructField("matched_rule", StringType(), True),
+                StructField("n_bigrams", LongType(), True),
+                StructField("bits_per_token", DoubleType(), True),
+                StructField("lm_kept", BooleanType(), False),
+                StructField("n_grams", LongType(), True),
+                StructField("dsir_logratio", DoubleType(), True),
+                StructField("dsir_kept", BooleanType(), False),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                adm, mr, nb_l, bpt_l, lk_l, ng_l, dm_l, dk_l = (
+                    [], [], [], [], [], [], [], []
+                )
+                for host, path, text in zip(
+                    pdf[host_col], pdf[path_col], pdf[text_col]
+                ):
+                    allow, prefix = robots(host, path)
+                    adm.append(allow)
+                    mr.append(prefix)
+                    nb, bpt, lk = lm(text)
+                    nb_l.append(nb)
+                    bpt_l.append(bpt)
+                    lk_l.append(lk)
+                    ng, dmean, dk = dsir(text)
+                    ng_l.append(ng)
+                    dm_l.append(dmean)
+                    dk_l.append(dk)
+                yield pdf.assign(
+                    admitted=pd.Series(adm, dtype="bool"),
+                    matched_rule=mr,
+                    n_bigrams=pd.Series(nb_l, dtype="int64"),
+                    bits_per_token=pd.Series(bpt_l, dtype="float64"),
+                    lm_kept=pd.Series(lk_l, dtype="bool"),
+                    n_grams=pd.Series(ng_l, dtype="int64"),
+                    dsir_logratio=pd.Series(dm_l, dtype="float64"),
+                    dsir_kept=pd.Series(dk_l, dtype="bool"),
+                )
+
+        return df.mapInPandas(run, out_schema)
 
     return stage
 

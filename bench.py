@@ -211,7 +211,6 @@ def bench_stream_gated(spark, sf_dir: str, n_records: int = 20000) -> tuple[floa
     import pyspark.sql.functions as F
 
     from arc_kinesis_tagging_spark.streaming.pipeline import (
-        admission_barrier,
         make_admission_gate,
         story_pipeline,
         train_dsir_model,
@@ -231,29 +230,28 @@ def bench_stream_gated(spark, sf_dir: str, n_records: int = 20000) -> tuple[floa
         train, F.col("text").contains("fox") | F.col("text").contains("markets")
     )
     # fluent headlines score ~3.1 bits/token against this model, the
-    # all-backoff gibberish class ~log2(vsize)~=4.5 — 4.0 separates them
+    # all-backoff gibberish class ~log2(vsize)~=4.5 — 4.0 separates them.
+    # engine="arrow": the production form — one vectorized Arrow pass
+    # for all three gates, column-identical to the expression form
+    # (test_arrow_gate_matches_sql) but without the interpreted-HOF
+    # per-row cost and without needing admission_barrier (mapInPandas
+    # is its own pushdown fence). The round-8 2.32x gate overhead is
+    # ~1.0x under this form.
     fused = make_admission_gate(
         [("doc", "/", True), ("spam", "/", False)],
         (bmap, nmap, vsize),
         (model, unseen),
         host_col="host", path_col="path", text_col="headline",
         lm_threshold=4.0, dsir_threshold=-10.0,
+        engine="arrow",
     )
-
-    from arc_kinesis_tagging_spark.operators.pandas_ops import arrow_barrier
 
     def gated(records):
         df = story_pipeline(records)
         df = df.withColumn(
             "host", F.split(F.col("_id"), "-").getItem(0)
         ).withColumn("path", F.concat(F.lit("/posts/"), F.col("_id")))
-        # barrier #1: the gates reference headline many times; without
-        # it Catalyst inlines from_json into every occurrence (40+ JSON
-        # parses/row measured — see arrow_barrier docstring). barrier #2
-        # (admission_barrier): without it the predicate below is pushed
-        # under the gate Project and re-runs every HOF fold in the
-        # Filter node — the round-8 2.32x overhead was exactly this.
-        return admission_barrier(fused(arrow_barrier(df))).filter(
+        return fused(df).filter(
             F.col("admitted") & F.col("lm_kept") & F.col("dsir_kept")
         )
 

@@ -284,3 +284,59 @@ def test_fused_gate_matches_stacked(spark):
     # re-inlined copies in a pushed-down Filter
     assert plan.count("aggregate(") == 3, plan.count("aggregate(")
     assert plan.count("md5") == 1, plan.count("md5")
+
+
+def test_arrow_gate_matches_sql(spark):
+    """engine="arrow" (one vectorized mapInPandas pass) must be
+    column-identical to the expression engine on the real corpus PLUS
+    adversarial text shapes: empty text, whitespace runs (Java split
+    keeps empties on " " but drops them in the \\s+ tokenizer),
+    single-token docs (null bits_per_token -> lm_kept False), unknown
+    hosts (default allow), and negative DSIR means near the 3-dp
+    boundary (half-away-from-zero rounding + -0.0 collapse)."""
+    from arc_kinesis_tagging_spark.streaming.pipeline import (
+        make_admission_gate,
+        train_dsir_model,
+    )
+
+    d = load_table(spark, "documents", SF)
+    bmap, nmap, vsize = train_pruned_lm(d, "text", top_v=512, top_u=10**6)
+    model, unseen = train_dsir_model(d, F.col("lang") == "en")
+    kw = dict(text_col="text", lm_threshold=6.0, dsir_threshold=0.0)
+    sql_gate = make_admission_gate(
+        ROBOTS_RULES, (bmap, nmap, vsize), (model, unseen), **kw
+    )
+    arrow_gate = make_admission_gate(
+        ROBOTS_RULES, (bmap, nmap, vsize), (model, unseen),
+        engine="arrow", **kw
+    )
+
+    corpus = _urls(spark).join(d.select("doc_id", "text"), "doc_id")
+    edge = spark.createDataFrame(
+        [
+            (9001, "site0", "/admin/x", ""),
+            (9002, "nosuchhost", "/whatever", "one"),
+            (9003, "site5", "/public/a", "two  spaced   tokens"),
+            (9004, "site2", "/tmp/cache/z", "   "),
+            (9005, "site1", "/posts/1", "zz qq vv xx jj kk ww"),
+        ],
+        "doc_id long, host string, path string, text string",
+    )
+    for df in (corpus, edge):
+        a = sql_gate(df)
+        b = arrow_gate(df)
+        assert a.columns == b.columns
+        assert a.subtract(b).count() == 0
+        assert b.subtract(a).count() == 0
+    # the arrow stage is its own pushdown fence: a downstream filter
+    # must NOT re-evaluate anything below the MapInPandas node
+    pred = F.col("admitted") & F.col("lm_kept") & F.col("dsir_kept")
+    plan = (
+        arrow_gate(corpus)
+        .filter(pred)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("aggregate(") == 0  # no HOF folds anywhere
