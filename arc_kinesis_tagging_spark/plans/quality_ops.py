@@ -1854,6 +1854,197 @@ FROM documents d LEFT JOIN doc ON doc.doc_id = d.doc_id
 ORACLE_UNIGRAM_SUBWORDS = _unigram_oracle_sql()
 
 
+# Frozen models for the SQL-oracled ADMISSION GATE composite: the
+# production streaming stage (streaming/pipeline.py:
+# make_admission_gate(engine="arrow") — robots longest-match + pruned
+# bigram LM + DSIR in ONE vectorized Arrow pass) run as a batch
+# registry query, so the driver hash-checks the production scoring
+# path itself. Models are constants (the fixed-artifact precedent):
+# counts over the corpus vocabulary, power-of-two DSIR ratios (exact
+# binary literals in both engines).
+ADMISSION_RULES = [
+    *[(f"site{h}", "/admin/", False) for h in range(7)],
+    *[(f"site{h}", "/tmp/", False) for h in (0, 2, 4, 6)],
+    ("site2", "/tmp/cache/", True),
+    ("site5", "/", False),
+    ("site5", "/public/", True),
+]
+ADMISSION_BIGRAMS = {
+    ("the", "fast"): 4, ("fast", "key"): 2, ("key", "order"): 3,
+    ("order", "sort"): 2, ("table", "scan"): 5, ("scan", "merge"): 2,
+    ("hash", "join"): 6, ("sort", "merge"): 4, ("merge", "join"): 3,
+    ("data", "row"): 2, ("row", "batch"): 3, ("batch", "stream"): 4,
+    ("stream", "spark"): 2, ("spark", "window"): 3,
+    ("window", "window"): 2, ("small", "filter"): 2,
+}
+ADMISSION_CONTEXTS = {
+    "the": 9, "fast": 5, "key": 4, "order": 6, "table": 7, "scan": 5,
+    "hash": 6, "sort": 5, "merge": 8, "data": 7, "row": 5, "batch": 6,
+    "stream": 4, "spark": 6, "window": 5, "small": 4,
+}
+ADMISSION_V = 31
+ADMISSION_DSIR = {
+    3: 0.25, 17: -0.125, 42: 0.5, 77: -0.25, 101: 0.0625, 128: -0.5,
+    160: 0.375, 191: -0.0625, 204: 0.125, 233: -0.375, 250: 0.25,
+}
+ADMISSION_UNSEEN = -0.03125
+
+
+def _admission_urls(d):
+    """host/path derivation shared by the Spark query and (textually)
+    the oracle: host = site{doc_id%7}, path = one of four prefixes by
+    doc_id%4 plus a per-doc suffix — every robots rule class matches
+    some documents."""
+    return d.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 7).cast("string")
+        ).alias("host"),
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit("/admin/"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("/public/"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("/tmp/cache/"))
+            .otherwise(F.lit("/posts/")),
+            F.floor(F.col("doc_id") / 4).cast("long").cast("string"),
+        ).alias("path"),
+    )
+
+
+def q_admission_gate(spark, sf_dir):
+    """The PRODUCTION admission stage as a hash-checked batch query:
+    make_admission_gate(engine="arrow") — the exact vectorized
+    mapInPandas stage the streaming bench runs — over documents with
+    derived host/path and the frozen constant models above. All eight
+    gate columns (robots longest-match with default-allow, pruned-LM
+    bits/kept, DSIR log-ratio/kept) are inside the DuckDB oracle's
+    hash. The expression engine's equality to this stage is pinned
+    separately (tests/test_streaming_gates.py::test_arrow_gate_matches_sql),
+    so one driver row covers both engines."""
+    from arc_kinesis_tagging_spark.streaming.pipeline import (
+        make_admission_gate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    gate = make_admission_gate(
+        ADMISSION_RULES,
+        (ADMISSION_BIGRAMS, ADMISSION_CONTEXTS, ADMISSION_V),
+        (ADMISSION_DSIR, ADMISSION_UNSEEN),
+        engine="arrow",
+        text_col="text",
+        lm_threshold=5.0,
+        dsir_threshold=0.0,
+    )
+    return gate(_admission_urls(d)).drop("text")
+
+
+def _admission_oracle_sql() -> str:
+    rules_v = ", ".join(
+        f"('{h}', '{p}', {'TRUE' if a else 'FALSE'})"
+        for h, p, a in ADMISSION_RULES
+    )
+    bg_v = ", ".join(
+        f"('{ta}', '{tb}', {c})"
+        for (ta, tb), c in sorted(ADMISSION_BIGRAMS.items())
+    )
+    ctx_v = ", ".join(
+        f"('{t}', {c})" for t, c in sorted(ADMISSION_CONTEXTS.items())
+    )
+    ds_v = ", ".join(
+        f"({b}, {r!r})" for b, r in sorted(ADMISSION_DSIR.items())
+    )
+    # ln(x)/ln(2) (not log2()) so the libm calls match the Arrow
+    # engine's math.log exactly; list(expr ORDER BY i) + list_sum
+    # reproduces the engine's sequential left-fold over grams in
+    # document order (plans/common.py: same-order folds).
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text,
+         'site' || CAST(doc_id % 7 AS VARCHAR) AS host,
+         (CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN '/admin/' WHEN 1 THEN '/public/'
+            WHEN 2 THEN '/tmp/cache/' ELSE '/posts/' END)
+         || CAST(CAST(floor(doc_id / 4) AS BIGINT) AS VARCHAR) AS path
+  FROM documents
+),
+rules(host, prefix, allow) AS (VALUES {rules_v}),
+matched AS (
+  SELECT d.doc_id, r.allow, r.prefix,
+         ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                            ORDER BY length(r.prefix) DESC, r.prefix) AS rn
+  FROM docs d JOIN rules r
+    ON r.host = d.host AND substr(d.path, 1, length(r.prefix)) = r.prefix
+),
+robots AS (SELECT doc_id, allow, prefix FROM matched WHERE rn = 1),
+lmts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM docs),
+bg(ta, tb, c) AS (VALUES {bg_v}),
+ctx(t, c) AS (VALUES {ctx_v}),
+bgrows AS (
+  SELECT l.doc_id, g.i, l.ts[g.i - 1] AS ta, l.ts[g.i] AS tb
+  FROM lmts l, LATERAL (SELECT unnest(range(2, len(l.ts) + 1)) AS i) g
+),
+lmdoc AS (
+  SELECT b.doc_id, COUNT(*) AS nb,
+         list_sum(list(
+           -(ln((COALESCE(bg.c, 0) + 1.0)
+                / (COALESCE(ctx.c, 0) + {ADMISSION_V}.0)) / ln(2.0))
+           ORDER BY b.i)) AS total
+  FROM bgrows b
+  LEFT JOIN bg ON bg.ta = b.ta AND bg.tb = b.tb
+  LEFT JOIN ctx ON ctx.t = b.ta
+  GROUP BY b.doc_id
+),
+dstok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM docs
+),
+dsgrams AS (
+  SELECT d.doc_id, gs.i,
+         CASE WHEN gs.i <= len(d.tk) THEN d.tk[gs.i]
+              ELSE d.tk[gs.i - len(d.tk)] || ' '
+                   || d.tk[gs.i - len(d.tk) + 1] END AS g
+  FROM dstok d, LATERAL (SELECT unnest(range(1, 2 * len(d.tk))) AS i) gs
+),
+dsmodel(b, r) AS (VALUES {ds_v}),
+dsdoc AS (
+  SELECT s.doc_id, COUNT(*) AS ng,
+         list_sum(list(COALESCE(m.r, {ADMISSION_UNSEEN!r})
+                       ORDER BY s.i)) AS total
+  FROM (
+    SELECT doc_id, i,
+           CAST(CAST(('0x' || substr(md5('dsir:' || g), 1, 15)) AS BIGINT)
+                % 256 AS INT) AS b
+    FROM dsgrams
+  ) s
+  LEFT JOIN dsmodel m ON m.b = s.b
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id, d.host, d.path,
+       COALESCE(r.allow, TRUE) AS admitted,
+       COALESCE(r.prefix, '<default>') AS matched_rule,
+       CAST(COALESCE(l.nb, 0) AS BIGINT) AS n_bigrams,
+       CASE WHEN COALESCE(l.nb, 0) > 0
+            THEN ROUND(l.total / l.nb, 3) END AS bits_per_token,
+       COALESCE(CASE WHEN l.nb > 0
+                     THEN ROUND(l.total / l.nb, 3) <= 5.0 END,
+                FALSE) AS lm_kept,
+       CAST(COALESCE(ds.ng, 0) AS BIGINT) AS n_grams,
+       CASE WHEN COALESCE(ds.ng, 0) > 0
+            THEN ROUND(ds.total / ds.ng, 3) + 0.0 END AS dsir_logratio,
+       COALESCE(CASE WHEN ds.ng > 0
+                     THEN ROUND(ds.total / ds.ng, 3) + 0.0 >= 0.0 END,
+                FALSE) AS dsir_kept
+FROM docs d
+LEFT JOIN robots r ON r.doc_id = d.doc_id
+LEFT JOIN lmdoc l ON l.doc_id = d.doc_id
+LEFT JOIN dsdoc ds ON ds.doc_id = d.doc_id
+"""
+
+
+ORACLE_ADMISSION_GATE = _admission_oracle_sql()
+
+
 def q_ngram_lm_score(spark, sf_dir):
     """Token-bigram LM quality gate — the word-level sibling of
     q_text_perplexity's character model, the form actually used to
@@ -3165,6 +3356,7 @@ QUALITY_QUERIES = [
           ORACLE_WORDPIECE_SUBWORDS),
     Query("q_unigram_subwords", q_unigram_subwords,
           ORACLE_UNIGRAM_SUBWORDS),
+    Query("q_admission_gate", q_admission_gate, ORACLE_ADMISSION_GATE),
     Query("q_unigram_train", q_unigram_train, None,
           "iterative hard-EM vocabulary fit -> rows-only; reference "
           "parity + Viterbi optimality pinned in tests/test_unigram.py"),
