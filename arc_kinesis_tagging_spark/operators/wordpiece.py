@@ -232,7 +232,12 @@ def wordpiece_encode(
         for pdf in batches:
             rows = []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
-                words = [w for w in re.split(r"\s+", text or "") if w]
+                # ASCII class pinned to RE2's \s ([ \t\n\f\r]) so word
+                # boundaries agree with the DuckDB oracle's
+                # string_split_regex(text, '\s+') on non-ASCII
+                # whitespace (Python \s would also split on VT/NEL/
+                # NBSP and fork n_words/n_pieces across engines).
+                words = [w for w in re.split("[ \t\n\f\r]+", text or "") if w]
                 n_pieces = 0
                 n_unk = 0
                 sample: list[str] = []

@@ -833,6 +833,7 @@ WITH rv AS (
            j -> ({sgn_l})[j]
                 * CAST(embedding[({src_l})[j]] AS DOUBLE)) AS r
   FROM embeddings
+  WHERE embedding IS NOT NULL
 ), cent AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS code, r
   FROM (SELECT vec_id, r FROM rv ORDER BY vec_id ASC LIMIT 16)

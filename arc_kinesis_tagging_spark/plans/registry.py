@@ -382,6 +382,60 @@ _R9_HEAD = [
     # q_text_entropy, q_text_fingerprint, q_text_langid,
     # q_text_perplexity, q_text_quality, q_text_termfreq,
     # q_text_tfidf, q_url_funcs.
+    # NOTE (round-9 budget trade-off, recorded post-hoc per ADVICE):
+    # q_admission_gate landed after this head was frozen, so it shipped
+    # round 9 with NO driver row (pytest oracle sweep only); it leads
+    # _R10_HEAD instead of displacing an already-budgeted r05 refresh.
+]
+
+
+# Round-10 driver window: after r09 the vintage ledger is 50 r09 +
+# 50 r08 + 49 r07 + 44 r06 + 18 r05, plus ONE rowless query
+# (q_admission_gate, landed post-snapshot in round 9; oracle-PASS in
+# the judge's own verify_oracle run). Shape: (a) the rowless query
+# leads (round-9 verdict task 3), (b) queries NEW this round — the
+# SQL-engine twin of the admission gate (verdict task 8) and the
+# image perceptual-hash near-dup (verdict task 4), (c) queries
+# REWIRED this round — q_text_bm25 / q_similarity_opq are the two
+# reproducible bench regressions under root-cause (verdict task 2);
+# changed code is re-verified the round it changes, (d) the 18
+# remaining r05 scalar-family rows (the stalest vintage), (e) 27 of
+# the 44 r06 rows complexity-first (dedup/ANN/LM/composites/
+# multimodal/TPC-H before scalar families); the 17 displaced r06
+# rows lead round 11. Budget: 1 + 2 + 2 + 18 + 27 = 50 exactly.
+_R10_HEAD = [
+    # -- (a) no driver CORRECTNESS row across r01..r09 --
+    "q_admission_gate",
+    # -- (b) new this round --
+    "q_admission_gate_sql",   # Catalyst-expression gate twin, same oracle
+    "q_dedup_phash",          # image perceptual-hash (DCT) near-dup
+    # -- (c) rewired this round (bench-regression root-cause) --
+    "q_text_bm25",
+    "q_similarity_opq",
+    # -- (d) newest driver row is r05 (the stalest vintage) --
+    "q_anomaly_zscore", "q_array_funcs", "q_array_tag_upsert",
+    "q_bpe_subwords", "q_csv_parse", "q_date_funcs2", "q_explode",
+    "q_regex_funcs", "q_session_stats", "q_string_distance",
+    "q_text_entropy", "q_text_fingerprint", "q_text_langid",
+    "q_text_perplexity", "q_text_quality", "q_text_termfreq",
+    "q_text_tfidf", "q_url_funcs",
+    # -- (e) newest driver row is r06, complexity-first --
+    "q_dedup_minhash", "q_dedup_cluster", "q_similarity_ivf",
+    "q_ngram_lm_score", "q_corpus_pipeline", "q_corpus_pipeline4",
+    "q_dedup_semantic", "q_dedup_embedding_lsh",
+    "q_multimodal_jpeg420", "q_multimodal_png_palette",
+    "q_multimodal_png16", "q_multimodal_ppm", "q_multimodal_pipeline",
+    "q_graph_pagerank", "q_robots_gate", "q_quant_calibrate",
+    "q_json_flatten", "q_corpus_diff",
+    "q_tpch_q7ish", "q_tpch_q10ish", "q_tpch_q14ish", "q_tpch_q19ish",
+    "q_domain_balance_hash", "q_domain_balance", "q_ts_gapfill",
+    "q_agg_stats", "q_profile_columns",
+    # round 11 should lead with the 17 displaced r06 rows:
+    # q_scan_parquet, q_filter_project, q_json_extract,
+    # q_corrupt_routing, q_sketch_hll, q_dedup_simhash,
+    # q_agg_approx_percentile, q_udf_decompress, q_sample,
+    # q_struct_funcs, q_window_range_frame, q_unpivot, q_hof_funcs,
+    # q_sql_direct, q_token_histogram, q_bpe_train, q_bpe_encode.
 ]
 
 
@@ -413,8 +467,10 @@ elif _ROT == "r7":
     ALL_QUERIES = _ordered(_R7_HEAD)
 elif _ROT == "r8":
     ALL_QUERIES = _ordered(_R8_HEAD)
-else:
+elif _ROT == "r9":
     ALL_QUERIES = _ordered(_R9_HEAD)
+else:
+    ALL_QUERIES = _ordered(_R10_HEAD)
 
 QUERIES: dict[str, Query] = {q.name: q for q in ALL_QUERIES}
 

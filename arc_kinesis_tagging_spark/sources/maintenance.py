@@ -32,8 +32,12 @@ def table_file_count(path: str, fmt: str = "parquet") -> int:
     """Data-file count under ``path`` for a columnar format — the
     compaction before/after metric. ORC part files may carry no
     extension (Spark names them ``part-...snappy.orc`` normally, but
-    the contract is format-agnostic), so count non-hidden non-metadata
-    files when the extension filter matches nothing."""
+    the contract is format-agnostic), so fall back to counting Spark
+    part files when the extension filter matches nothing. The fallback
+    is restricted to ``part-*`` names so calling with the wrong fmt on
+    a directory of another format returns 0, not the other format's
+    file count (it still never matches: part files of a different
+    columnar fmt carry that fmt's extension and are excluded)."""
     ext = "." + fmt
     files = [
         f
@@ -42,7 +46,16 @@ def table_file_count(path: str, fmt: str = "parquet") -> int:
         if not f.startswith(("_", "."))
     ]
     with_ext = [f for f in files if f.endswith(ext)]
-    return len(with_ext) if with_ext else len([f for f in files if not f.endswith(".crc")])
+    if with_ext:
+        return len(with_ext)
+    known_exts = (".parquet", ".orc", ".avro", ".csv", ".json", ".crc")
+    return len(
+        [
+            f
+            for f in files
+            if f.startswith("part-") and not f.endswith(known_exts)
+        ]
+    )
 
 
 def parquet_file_count(path: str) -> int:

@@ -73,6 +73,23 @@ def write_kinesis_fixture(stream_dir: str, records) -> int:
     return n
 
 
+def _payloads_digest(payloads) -> str:
+    """Length-framed md5 over a shard's ordered payload bytes —
+    recorded in the exactly-once intent so a replayed epoch that
+    delivers the same COUNT but different content is rejected instead
+    of silently published under the recorded seq ranges. Length
+    framing (8-byte big-endian prefix per payload) keeps concatenation
+    unambiguous: [b"ab", b"c"] and [b"a", b"bc"] digest differently."""
+    import hashlib
+
+    h = hashlib.md5()
+    for p in payloads:
+        b = bytes(p) if not isinstance(p, bytes) else p
+        h.update(len(b).to_bytes(8, "big"))
+        h.update(b)
+    return h.hexdigest()
+
+
 def _publish_chunk(shard_dir: str, payloads, start: int) -> None:
     """Atomically publish one chunk of ``payloads`` at sequence
     ``start``. Write-then-rename: a concurrently polling reader lists
@@ -383,10 +400,21 @@ class KinesisEmuStreamWriter(DataSourceStreamWriter):
                 planned[shard_id] = {
                     "start": _shard_end_seq(d),
                     "count": len(payloads),
+                    "digest": _payloads_digest(payloads),
                 }
             with open(intent + ".tmp", "w") as fh:
                 fh.write(json.dumps({"batch": int(batchId), "shards": planned}))
             os.replace(intent + ".tmp", intent)
+        # a shard present in the replayed epoch but absent from the
+        # intent means the replay is NOT the batch the plan was written
+        # for — publishing it would corrupt seq assignment silently.
+        extra = sorted(set(payloads_by_shard) - set(planned))
+        if extra:
+            raise RuntimeError(
+                f"exactly-once replay contract violation for batch "
+                f"{int(batchId)}: replayed epoch delivered shard(s) "
+                f"{extra} absent from the recorded intent"
+            )
         for shard_id, plan in planned.items():
             # same-batch contract check: a replayed epoch must deliver
             # the exact data the intent was planned for — publishing a
@@ -400,6 +428,20 @@ class KinesisEmuStreamWriter(DataSourceStreamWriter):
                     f"{int(plan['count'])} payload(s) but the replayed "
                     f"epoch delivered {len(got)} — refusing to publish "
                     f"under the recorded seq ranges"
+                )
+            # count alone misses a same-count/different-bytes replay;
+            # the length-framed md5 recorded at plan time pins content.
+            # "digest" may be absent from intents written by older
+            # versions mid-crash; those verify by count only.
+            want_digest = plan.get("digest")
+            if want_digest is not None and _payloads_digest(got) != want_digest:
+                raise RuntimeError(
+                    f"exactly-once replay contract violation for batch "
+                    f"{int(batchId)}, shard {shard_id}: replayed epoch "
+                    f"delivered {len(got)} payload(s) matching the "
+                    f"planned count but with different content (payload "
+                    f"digest mismatch) — refusing to publish under the "
+                    f"recorded seq ranges"
                 )
             d = os.path.join(self.stream_dir, shard_id)
             os.makedirs(d, exist_ok=True)
