@@ -1279,16 +1279,26 @@ def opq_train(
         while len(init) < ksub:  # degenerate sample: repeat last
             init.append(init[-1])
         C_ = np.array(init, dtype=np.float64)
+        # distances via the exact broadcast-subtract form (NOT the
+        # ||a||^2+||b||^2-2ab GEMM identity: its different float
+        # summation order can flip the integer micro-unit floor at
+        # quantization boundaries and break bit-determinism vs the
+        # assign kernel / test replica, which both use this form).
+        # The round-10 speedup is structural instead: one fused
+        # einsum per iteration and an np.add.at scatter for the mean
+        # update in place of the 16-way python mask loop — ~6x on the
+        # full alternation at d=64/n=512 with numerics unchanged.
         for _ in range(lloyd_iters):
             diff = S[:, None, :] - C_[None, :, :]
             dist = np.floor(
-                (diff * diff).sum(axis=2) * 1e6 + 0.5
+                np.einsum("nkd,nkd->nk", diff, diff) * 1e6 + 0.5
             ).astype(np.int64)
             a = np.argmin(dist, axis=1)
-            for c in range(ksub):
-                m = a == c
-                if m.any():
-                    C_[c] = S[m].mean(axis=0)
+            sums = np.zeros_like(C_)
+            np.add.at(sums, a, S)
+            counts = np.bincount(a, minlength=ksub).astype(np.float64)
+            nz = counts > 0
+            C_[nz] = sums[nz] / counts[nz, None]
         return C_
 
     def codebooks(Xr: "np.ndarray") -> "np.ndarray":
@@ -1305,19 +1315,28 @@ def opq_train(
             s, e = m * dsub, (m + 1) * dsub
             diff = Xr[:, None, s:e] - C[m][None, :, :]
             dist = np.floor(
-                (diff * diff).sum(axis=2) * 1e6 + 0.5
+                np.einsum("nkd,nkd->nk", diff, diff) * 1e6 + 0.5
             ).astype(np.int64)
             Y[:, s:e] = C[m][np.argmin(dist, axis=1)]
         return Y
 
-    R = np.eye(d)
-    C = codebooks(X @ R)
-    for _ in range(opq_iters):
-        Y = reconstruct(X @ R, C)
-        # orthogonal Procrustes: min_R ||X R - Y||_F s.t. R^T R = I
-        U, _s, Vt = np.linalg.svd(X.T @ Y)
-        R = U @ Vt
+    from arc_kinesis_tagging_spark.operators.blas import single_thread_blas
+
+    # single-threaded BLAS: at n=512/d=64 every GEMM and the 64x64
+    # Procrustes SVD is tiny, and OpenBLAS's thread fork/join costs
+    # ~11x the arithmetic (measured; operators/blas.py docstring) —
+    # the round-9 "q_similarity_opq regressed with code unchanged"
+    # bench mystery was this threading penalty drifting with the host
+    # scheduler. Values are unchanged: same kernels, one thread.
+    with single_thread_blas():
+        R = np.eye(d)
         C = codebooks(X @ R)
+        for _ in range(opq_iters):
+            Y = reconstruct(X @ R, C)
+            # orthogonal Procrustes: min_R ||X R - Y||_F s.t. R^T R = I
+            U, _s, Vt = np.linalg.svd(X.T @ Y)
+            R = U @ Vt
+            C = codebooks(X @ R)
     return R, C
 
 
@@ -1692,7 +1711,10 @@ def pca_project(
     for r in mrows:
         mean[r["dim"]] = r["s"] / (r["n"] * quant)
 
-    w, V = np.linalg.eigh(C)
+    from arc_kinesis_tagging_spark.operators.blas import single_thread_blas
+
+    with single_thread_blas():  # d x d eigh: tiny, thread-join-bound
+        w, V = np.linalg.eigh(C)
     order = np.argsort(w)[::-1][:k]
     W = V[:, order]  # (d, k), columns = top-k eigenvectors
     for c in range(W.shape[1]):  # canonical sign

@@ -969,7 +969,15 @@ def q_text_bm25(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     ts = tokens(F.col("text"))
     tok = d.select("doc_id", F.explode(ts).alias("t"))
-    df_t = tok.distinct().groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    # ONE corpus-scale aggregate: (doc_id, t) -> tf. Document frequency
+    # is then a vocabulary-over-distinct-pairs rollup of the SAME
+    # aggregate (df = row count per t, since tf rows are distinct
+    # pairs by construction) — the earlier tok.distinct() pass shuffled
+    # the identical pair set a second time for nothing (round-10
+    # bench root-cause: that Exchange was ~30% of exec time at sf0.1
+    # and carries corpus-scale rows at any SF).
+    tf_all = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf_all.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     terms = (
         bounded_topk_rank(
             df_t, _BM25_TOPQ, order_col="df", id_col="t", part_cols=()
@@ -980,11 +988,7 @@ def q_text_bm25(spark, sf_dir):
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    tf = (
-        tok.groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .join(F.broadcast(terms), F.col("t") == F.col("term"))
-    )
+    tf = tf_all.join(F.broadcast(terms), F.col("t") == F.col("term"))
     scored = (
         tf.join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))

@@ -404,6 +404,43 @@ def compare_block(queries: dict, baseline_path: str) -> dict:
             "deltas": deltas, "regressions": regressions}
 
 
+def adjudicate_regressions(spark, cmp_full: dict, sf_dir: str) -> dict:
+    """Re-measure every flagged regression standalone and split the
+    list into confirmed vs environmental (round-9 verdict task 5 —
+    the round-6/7 protocol, now automatic instead of manual).
+
+    Each flagged query gets a back-to-back (canary min-of-3, query
+    min-of-3) pair, so the normalization factor reflects the host AT
+    RE-MEASURE TIME — the suite-run factor can be stale by minutes.
+    Confirmed = re-normalized ratio still >1.5x with >=0.25s absolute,
+    i.e. the same gate the flag came from, now on cleaner data."""
+    flagged = cmp_full.get("regressions") or []
+    canary_then = (cmp_full.get("canary") or {}).get("then")
+    result = {"confirmed": [], "environmental": [], "detail": {}}
+    for name in flagged:
+        then = cmp_full["deltas"][name]["then"]
+        canary_now = min(run_once(spark, CANARY, sf_dir) for _ in range(3))
+        now = min(run_once(spark, name, sf_dir) for _ in range(3))
+        factor = (
+            round(canary_now / canary_then, 3)
+            if canary_then and canary_now else None
+        )
+        ratio = round(now / then, 3) if then else None
+        norm = (
+            round(ratio / factor, 3)
+            if ratio is not None and factor else ratio
+        )
+        confirmed = (
+            norm is not None and norm > 1.5 and (now - then) >= 0.25
+        )
+        result["confirmed" if confirmed else "environmental"].append(name)
+        result["detail"][name] = {
+            "then": then, "remeasured": round(now, 3), "ratio": ratio,
+            "canary_factor": factor, "ratio_norm": norm,
+        }
+    return result
+
+
 def settle(max_wait: float = 45.0, load_per_cpu: float = 0.5) -> float:
     """Wait for the machine to quiesce before timing. Running bench
     right after the full pytest suite measures ~+40% across the board
@@ -522,6 +559,17 @@ def main() -> None:
     if baseline and os.path.exists(baseline):
         try:
             cmp_full = compare_block(queries, baseline)
+            # Self-adjudication (round-9 verdict task 5): a non-empty
+            # regressions list is no longer a terminal state. Each
+            # flagged query is re-measured standalone min-of-3, PAIRED
+            # with a fresh canary min-of-3 taken back-to-back, so the
+            # re-measure carries its own host-drift correction instead
+            # of inheriting the suite run's. A flag survives as
+            # CONFIRMED only if the re-normalized ratio still clears
+            # the same 1.5x/0.25s gate; otherwise it was the host.
+            cmp_full["adjudication"] = adjudicate_regressions(
+                spark, cmp_full, sf_dir
+            )
             # Full per-query deltas go to a side file: r03's inline
             # deltas pushed the stdout JSON line past the driver's
             # tail-capture window, so the driver recorded parsed:null.
@@ -529,8 +577,13 @@ def main() -> None:
             with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "BENCH_compare_latest.json"), "w") as fh:
                 json.dump(cmp_full, fh, indent=1)
+            adj = cmp_full.get("adjudication") or {}
             out["compare"] = {"baseline": cmp_full["baseline"],
                               "regressions": cmp_full["regressions"],
+                              "regressions_confirmed":
+                                  adj.get("confirmed", []),
+                              "regressions_environmental":
+                                  adj.get("environmental", []),
                               "canary_factor": cmp_full["canary"]["factor"],
                               "n_compared": sum(
                                   1 for d in cmp_full["deltas"].values()
@@ -544,7 +597,15 @@ def main() -> None:
     spark.stop()
     if "--compare" in sys.argv:
         cmp_out = out.get("compare", {})
-        if cmp_out.get("regressions"):
+        # only CONFIRMED regressions fail the run; environmental flags
+        # are recorded (side file + stdout) but don't block — the
+        # round-6/7/9 episodes were all host drift that cost a round
+        # of adjudication each. Fall back to the raw list if the
+        # adjudication itself errored (key absent).
+        blocking = cmp_out.get("regressions_confirmed")
+        if blocking is None:
+            blocking = cmp_out.get("regressions")
+        if blocking:
             sys.exit(1)
         # an empty comparison is indistinguishable from "zero
         # regressions" in the one-line summary — make it loud (r04:
