@@ -350,6 +350,69 @@ def simhash_near_duplicates(
     )
 
 
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 4,
+    hash_bits: int = 63,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs from perceptual hashes
+    (operators/multimodal.py:phash_gray) — the image-modality member
+    of the dedup family, same pigeonhole construction as
+    ``simhash_near_duplicates``: ``max_hamming + 1`` bands over the
+    ``hash_bits`` hash (<= max_hamming differing bits cannot dirty
+    every band, so one band matches EXACTLY — recall 1.0 at the
+    threshold, not probabilistic), bucket self-join on (band, chunk),
+    exact popcount verify. Null hashes (corrupt images) are dropped.
+
+    Scale shape: candidates are bounded by band-bucket co-occupancy —
+    the corpus never self-joins all-pairs; at 100 TB the (band, chunk)
+    key is the shuffle key and a persisted corpus variant would bucket
+    it exactly like write_minhash_corpus. Output: (id_a, id_b,
+    hamming), each unordered pair once."""
+    bands = max_hamming + 1
+    base = hash_bits // bands
+    extra = hash_bits - base * bands  # first `extra` bands get +1 bit
+    widths = [base + (1 if b < extra else 0) for b in range(bands)]
+    offsets = [sum(widths[:b]) for b in range(bands)]
+    ph = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("key"), F.col(hash_col).alias("ph")
+    ).persist()  # both sides of the bucket self-join read this table
+    chunks = ph.select(
+        "key",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("ph"), offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("key", "ph", "bc.band", "bc.chunk")
+    a = chunks.select(
+        F.col("key").alias("id_a"), F.col("ph").alias("ph_a"), "band", "chunk"
+    )
+    b = chunks.select(
+        F.col("key").alias("id_b"), F.col("ph").alias("ph_b"), "band", "chunk"
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def contamination_pairs(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1377,6 +1377,113 @@ def decode_png_gray(
     return df.select(id_col, media_col).mapInPandas(dec, JPEG_DECODED_SCHEMA)
 
 
+# --- image perceptual hash (pHash) ------------------------------------------
+# DCT perceptual hash (Zauner 2010, "Implementation and Benchmarking of
+# Perceptual Image Hash Functions"; the classic pHash construction):
+# grayscale -> 32x32 -> 2D DCT-II -> 8x8 low-frequency block -> bits =
+# coefficient > median. This implementation is INTEGER end to end past
+# the decode so the DuckDB oracle replicates it bit-for-bit: the 2x2
+# box step keeps SUMS (no /4 — DCT is linear, so a uniform scale moves
+# every coefficient and the median together and the bits are
+# unchanged), and the DCT uses a cosine table quantized to
+# floor(cos*4096 + 0.5) int64 (safe: the fixed 8x32 argument grid's
+# minimum distance from a rounding boundary is 0.0218, checked by
+# tests/test_phash.py, so numpy and DuckDB libm agree exactly).
+
+_PHASH_SRC = 64  # fixture edge; box-summed 2x2 -> _PHASH_N
+_PHASH_N = 32    # DCT input edge
+_PHASH_K = 8     # low-frequency block edge; 63 hash bits (DC dropped)
+
+
+def _phash_cos_table():
+    import numpy as np
+
+    k = np.arange(_PHASH_K)[:, None]
+    t = np.arange(_PHASH_N)[None, :]
+    return np.floor(
+        np.cos(np.pi * (2 * t + 1) * k / (2 * _PHASH_N)) * 4096 + 0.5
+    ).astype(np.int64)
+
+
+def _phash_pixels(doc_id: int):
+    """Deterministic 64x64 gray fixture with crafted NEAR-DUPLICATES:
+    group = id//4 picks the base pattern (a high-frequency integer
+    mix — smooth gradients would make every image's low-frequency
+    spectrum alike and pHash degenerate); variant = id%4 brightens the
+    ~32 pixels where (31x+17y) % 128 == variant by +20 (clamped).
+    Within a group the hashes land at Hamming distance <= 4 while
+    distinct groups measure >= 14 (prototype sweep; pinned by
+    tests/test_phash.py), so hamming_max=4 separates them exactly."""
+    import numpy as np
+
+    g, v = doc_id // 4, doc_id % 4
+    x = np.arange(_PHASH_SRC, dtype=np.int64)[:, None]
+    y = np.arange(_PHASH_SRC, dtype=np.int64)[None, :]
+    h = g * 2654435761 + (x * _PHASH_SRC + y) * 2246822519
+    p = ((h // 8192) ^ (h // 1048576)) % 256
+    if v:
+        p = np.minimum(255, p + np.where((x * 31 + y * 17) % 128 == v, 20, 0))
+    return p.astype(np.uint8)
+
+
+def attach_phash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL grayscale PNG per row from ``_phash_pixels`` — the
+    perceptual-hash fixture rides the genuine encode->decode path
+    (all five scanline filters, split IDAT) like every other codec
+    query, so a decode defect shifts hashes and hash-fails the
+    oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64").to_numpy()
+            blobs = [encode_png_gray8(_phash_pixels(int(i))) for i in ids]
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "media_id long, media binary")
+
+
+def phash_gray(
+    df: DataFrame, id_col: str = "media_id", media_col: str = "media"
+) -> DataFrame:
+    """Perceptual hash per image: decode gray8 PNG -> 2x2 box sums
+    (any even edge down to 32; the fixture is 64) -> integer 8x32
+    cosine table DCT -> 63 bits (row-major 8x8 block minus DC),
+    bit i = coefficient > lower-median. Map-only Arrow pass, no
+    shuffle; per-record isolation (corrupt payload -> null hash).
+    Output: (media_id, phash long)."""
+
+    def comp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ci = _phash_cos_table()
+        shifts = np.arange(_PHASH_K * _PHASH_K - 1, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                mid_out = None if pd.isna(mid) else int(mid)
+                try:
+                    px = decode_png_gray8_bytes(bytes(blob)).astype(np.int64)
+                    h, w = px.shape
+                    fy, fx = h // _PHASH_N, w // _PHASH_N
+                    g = (
+                        px[: fy * _PHASH_N, : fx * _PHASH_N]
+                        .reshape(_PHASH_N, fy, _PHASH_N, fx)
+                        .sum(axis=(1, 3))
+                    )
+                    F_ = ci @ g @ ci.T  # int64 exact: |g|<=255*fy*fx
+                    coef = F_.ravel()[1:]
+                    med = np.sort(coef)[(len(coef) - 1) // 2]
+                    bits = (coef > med).astype(np.int64)
+                    out.append((mid_out, int((bits << shifts).sum())))
+                except Exception:
+                    out.append((mid_out, None))
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return df.select(id_col, media_col).mapInPandas(
+        comp, "media_id long, phash long"
+    )
+
+
 def encode_jpeg_color444(rgb, quant=None) -> bytes:
     """Baseline 4:4:4 color JPEG encoder (fixture generator for the
     color decode path): JFIF RGB->YCbCr (BT.601), per-component 8x8

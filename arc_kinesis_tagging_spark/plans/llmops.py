@@ -867,6 +867,96 @@ FROM codes GROUP BY vec_id
 ORACLE_OPQ_ASSIGN = _opq_assign_oracle_sql()
 
 
+def q_dedup_phash(spark, sf_dir):
+    """Image perceptual-hash NEAR-DUP — the image-modality member of
+    the dedup family (text: exact/minhash/simhash/substring/prefix/
+    url/lines; embeddings: cosine/PQ/LSH; images: THIS). Per document:
+    a real 64x64 grayscale PNG (crafted near-duplicate groups,
+    operators/multimodal.py:_phash_pixels) rides the genuine
+    encode->decode path, then the classic DCT pHash (Zauner 2010):
+    2x2 box sums -> integer-cosine-table 2D DCT -> 63 bits =
+    low-frequency coefficient > median. Pairs via the pigeonhole band
+    join (5 bands for hamming<=4: recall EXACTLY 1.0 at the
+    threshold), popcount-verified.
+
+    The DuckDB oracle recomputes the hash analytically (the fixture
+    pixels are closed-form) and takes BRUTE-FORCE all-pairs at
+    hamming<=4 — so a hash-green row proves both the decode->DCT->bit
+    pipeline AND that the banding loses no pair the threshold admits.
+
+    Scale shape: hashing is one map-only Arrow pass (no shuffle);
+    candidates are band-bucket co-occupancy, never all-pairs — the
+    (band, chunk) key shuffles like every LSH family member, and a
+    persisted corpus variant would bucket it like
+    write_minhash_corpus. The oracle's brute-force join is oracle-only
+    (sf0.01 = 125k xors), not the plan."""
+    from arc_kinesis_tagging_spark.operators.dedup import phash_near_dup_pairs
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_phash_media,
+        phash_gray,
+    )
+
+    # repartition BEFORE the codec passes: documents at bench SF is a
+    # single parquet split, which would serialize the (CPU-bound)
+    # encode+decode+DCT onto one task; at 100 TB the input arrives in
+    # many splits and this is a cheap row-id shuffle of the key column
+    # only (the media bytes don't exist yet at this point).
+    n = spark.sparkContext.defaultParallelism
+    d = attach_phash_media(
+        _t(spark, sf_dir, "documents").repartition(n, "doc_id"), "doc_id"
+    )
+    hashes = phash_gray(d, "media_id", "media")
+    return phash_near_dup_pairs(hashes, "media_id", "phash", max_hamming=4)
+
+
+# pixels: base = xor(h//8192, h//1048576) % 256 with
+# h = (id//4)*2654435761 + (64x+y)*2246822519, brightened +20 (clamped)
+# where (31x+17y)%128 == id%4 != 0; then 2x2 box SUMS, integer-cosine
+# DCT, 63 bits vs lower-median, brute-force pairs at hamming <= 4.
+ORACLE_DEDUP_PHASH = """
+WITH px AS (
+  SELECT d.doc_id, x.range AS x, y.range AS y,
+         LEAST(255,
+           xor(((d.doc_id//4)*2654435761
+                + (x.range*64+y.range)*2246822519)//8192,
+               ((d.doc_id//4)*2654435761
+                + (x.range*64+y.range)*2246822519)//1048576) % 256
+           + CASE WHEN d.doc_id%4 <> 0
+                   AND (x.range*31+y.range*17)%128 = d.doc_id%4
+                  THEN 20 ELSE 0 END) AS p
+  FROM documents d, range(0,64) x, range(0,64) y
+), g AS (
+  SELECT doc_id, x//2 AS gx, y//2 AS gy, SUM(p) AS s
+  FROM px GROUP BY doc_id, x//2, y//2
+), ci AS (
+  SELECT k.range AS k, t.range AS t,
+         CAST(floor(cos(pi()*(2*t.range+1)*k.range/64.0)*4096+0.5)
+              AS BIGINT) AS c
+  FROM range(0,8) k, range(0,32) t
+), dct AS (
+  SELECT g.doc_id, cu.k AS u, cv.k AS v, SUM(g.s*cu.c*cv.c) AS f
+  FROM g JOIN ci cu ON cu.t=g.gx JOIN ci cv ON cv.t=g.gy
+  GROUP BY g.doc_id, cu.k, cv.k
+), coefs AS (
+  SELECT doc_id, u*8+v-1 AS i, f FROM dct WHERE NOT (u=0 AND v=0)
+), med AS (
+  SELECT doc_id, f AS m FROM (
+    SELECT doc_id, f,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f ASC) AS rn
+    FROM coefs) WHERE rn = 32
+), h AS (
+  SELECT c.doc_id,
+         CAST(SUM(CASE WHEN c.f > med.m THEN (1::BIGINT << c.i)
+                       ELSE 0 END) AS BIGINT) AS hash
+  FROM coefs c JOIN med ON med.doc_id = c.doc_id GROUP BY c.doc_id
+)
+SELECT h1.doc_id AS id_a, h2.doc_id AS id_b,
+       CAST(bit_count(xor(h1.hash, h2.hash)) AS BIGINT) AS hamming
+FROM h h1 JOIN h h2 ON h1.doc_id < h2.doc_id
+WHERE bit_count(xor(h1.hash, h2.hash)) <= 4
+"""
+
+
 def q_dedup_embedding_pq(spark, sf_dir):
     """Embedding near-dup via PQ-CODE BLOCKING — the third member of
     the embedding-dedup family (exact IVF threshold join, SRP-LSH
@@ -3164,6 +3254,7 @@ LLMOPS_QUERIES = [
           "LSH banding not SQL-reproducible; verified in tests against exact jaccard"),
     Query("q_dedup_simhash", q_dedup_simhash, None,
           "SimHash banding; verified in tests"),
+    Query("q_dedup_phash", q_dedup_phash, ORACLE_DEDUP_PHASH),
     Query("q_dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
     Query("q_similarity_topk", q_similarity_topk, ORACLE_SIMILARITY_TOPK),
     Query("q_dedup_incremental", q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),

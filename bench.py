@@ -87,6 +87,8 @@ HEADLINE = [
     # persisted build+append (fingerprinted path), later reps serve —
     # min-of-reps times the SERVE path, the amortized production shape
     "q_ann_lifecycle",
+    # round-10 additions
+    "q_dedup_phash",      # PNG decode -> integer-DCT pHash -> band join
 ]
 
 

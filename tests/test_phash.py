@@ -1,0 +1,143 @@
+"""Image perceptual-hash near-dup: integer-DCT pHash over real PNG
+decode, pigeonhole banding completeness, cross-engine cos-table
+parity, error isolation, and the no-all-pairs plan gate."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from arc_kinesis_tagging_spark.operators.dedup import phash_near_dup_pairs
+from arc_kinesis_tagging_spark.operators.multimodal import (
+    _phash_cos_table,
+    _phash_pixels,
+    attach_phash_media,
+    phash_gray,
+)
+from arc_kinesis_tagging_spark.sources.tables import load_table
+
+
+def _hashes(spark, sf_dir, n=80):
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < n)
+    return phash_gray(attach_phash_media(docs, "doc_id"), "media_id", "media")
+
+
+def test_cos_table_margin_and_duckdb_parity():
+    """The integer cosine table's rounding is safe (every fixed
+    argument sits far from a floor boundary) and DuckDB's libm
+    produces the identical table — the two facts that make the
+    float-free DCT hash cross-engine exact."""
+    import duckdb
+
+    tab = _phash_cos_table()
+    k = np.arange(8)[:, None]
+    t = np.arange(32)[None, :]
+    v = np.cos(np.pi * (2 * t + 1) * k / 64.0) * 4096 + 0.5
+    frac = np.abs(v - np.floor(v))
+    assert min(frac.min(), (1 - frac).min()) > 0.02
+    db = duckdb.sql(
+        "SELECT k.range, t.range, CAST(floor(cos(pi()*(2*t.range+1)"
+        "*k.range/64.0)*4096+0.5) AS BIGINT) FROM range(0,8) k, "
+        "range(0,32) t ORDER BY 1, 2"
+    ).fetchall()
+    for kk, tt, c in db:
+        assert tab[kk][tt] == c
+
+
+def test_fixture_separation_margin():
+    """The crafted fixture's geometry: every within-group variant pair
+    lands at Hamming <= 4 and every cross-group pair at >= 14, so the
+    hamming<=4 threshold separates them with a 10-bit margin (pure
+    numpy — no Spark; this pins _phash_pixels + the hash math)."""
+    ci = _phash_cos_table()
+    shifts = np.arange(63, dtype=np.int64)
+
+    def ph(doc):
+        px = _phash_pixels(doc).astype(np.int64)
+        g = px.reshape(32, 2, 32, 2).sum(axis=(1, 3))
+        coef = (ci @ g @ ci.T).ravel()[1:]
+        med = np.sort(coef)[31]
+        return int((((coef > med).astype(np.int64)) << shifts).sum())
+
+    hs = {d: ph(d) for d in range(80)}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    in_group = [
+        ham(hs[g * 4 + i], hs[g * 4 + j])
+        for g in range(20)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    ]
+    cross = [
+        ham(hs[a], hs[b]) for a in range(0, 80, 4) for b in range(a + 4, 80, 4)
+    ]
+    assert max(in_group) <= 4
+    assert min(cross) >= 14
+
+
+def test_banding_is_complete_vs_brute_force(spark, sf_dir):
+    """Pigeonhole recall is EXACTLY 1.0 at the threshold: the banded
+    pair set equals brute-force all-pairs popcount <= 4 over the same
+    hashes (and each pair appears once, a < b)."""
+    hashes = _hashes(spark, sf_dir)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(hashes).collect()
+    }
+    hs = {r["media_id"]: r["phash"] for r in hashes.collect()}
+    ids = sorted(hs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(hs[a] ^ hs[b]).count("1")
+            if d <= 4:
+                want[(a, b)] = d
+    assert got == want
+    assert want, "fixture produced no near-dup pairs — test is vacuous"
+
+
+def test_in_group_found_cross_group_absent(spark, sf_dir):
+    """Semantics on the crafted fixture: every within-group variant
+    pair is reported, and no pair spans two groups."""
+    pairs = phash_near_dup_pairs(_hashes(spark, sf_dir)).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    for a, b in got:
+        assert a // 4 == b // 4, f"cross-group pair {(a, b)}"
+    expect = {
+        (g * 4 + i, g * 4 + j)
+        for g in range(20)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    }
+    assert got == expect
+
+
+def test_corrupt_image_isolated(spark):
+    """A corrupt payload yields a null hash (dropped from pairing),
+    never a failed job — the per-record isolation contract."""
+    import pandas as pd
+
+    good = attach_phash_media(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1]})), "doc_id"
+    )
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [99], "media": [b"not a png"]})
+    )
+    hashes = phash_gray(good.unionByName(bad), "media_id", "media")
+    rows = {r["media_id"]: r["phash"] for r in hashes.collect()}
+    assert rows[99] is None
+    assert rows[0] is not None and rows[1] is not None
+    pair_ids = {
+        x
+        for r in phash_near_dup_pairs(hashes).collect()
+        for x in (r["id_a"], r["id_b"])
+    }
+    assert 99 not in pair_ids
+
+
+def test_pairs_plan_has_no_cartesian(spark, sf_dir):
+    """The candidate join must be a keyed (band, chunk) join — a
+    CartesianProduct/BroadcastNestedLoopJoin would be the all-pairs
+    shape the banding exists to avoid."""
+    plan = phash_near_dup_pairs(
+        _hashes(spark, sf_dir)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
