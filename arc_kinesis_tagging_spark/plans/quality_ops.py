@@ -2045,6 +2045,32 @@ LEFT JOIN dsdoc ds ON ds.doc_id = d.doc_id
 ORACLE_ADMISSION_GATE = _admission_oracle_sql()
 
 
+def q_admission_gate_sql(spark, sf_dir):
+    """The SAME production admission stage through the CATALYST
+    expression engine (make_admission_gate(engine="sql") — HOF folds
+    in one fused projection chain), against the SAME DuckDB oracle.
+    The Arrow engine (q_admission_gate) is the production default;
+    this twin keeps the expression path — the parity reference that
+    test_arrow_gate_matches_sql compares against — driver-checked
+    every round too (round-9 verdict task 8), so a Catalyst-side
+    regression can't hide behind a pytest-only pin."""
+    from arc_kinesis_tagging_spark.streaming.pipeline import (
+        make_admission_gate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    gate = make_admission_gate(
+        ADMISSION_RULES,
+        (ADMISSION_BIGRAMS, ADMISSION_CONTEXTS, ADMISSION_V),
+        (ADMISSION_DSIR, ADMISSION_UNSEEN),
+        engine="sql",
+        text_col="text",
+        lm_threshold=5.0,
+        dsir_threshold=0.0,
+    )
+    return gate(_admission_urls(d)).drop("text")
+
+
 def q_ngram_lm_score(spark, sf_dir):
     """Token-bigram LM quality gate — the word-level sibling of
     q_text_perplexity's character model, the form actually used to
@@ -3357,6 +3383,8 @@ QUALITY_QUERIES = [
     Query("q_unigram_subwords", q_unigram_subwords,
           ORACLE_UNIGRAM_SUBWORDS),
     Query("q_admission_gate", q_admission_gate, ORACLE_ADMISSION_GATE),
+    Query("q_admission_gate_sql", q_admission_gate_sql,
+          ORACLE_ADMISSION_GATE),
     Query("q_unigram_train", q_unigram_train, None,
           "iterative hard-EM vocabulary fit -> rows-only; reference "
           "parity + Viterbi optimality pinned in tests/test_unigram.py"),
