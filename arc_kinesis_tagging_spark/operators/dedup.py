@@ -413,6 +413,106 @@ def phash_near_dup_pairs(
     )
 
 
+def vhash_near_dup_pairs(
+    frame_hashes: DataFrame,
+    id_col: str = "media_id",
+    frame_col: str = "frame_idx",
+    hash_col: str = "fhash",
+    max_hamming: int = 4,
+    hash_bits: int = 63,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs from per-frame perceptual hashes
+    (operators/multimodal.py:vhash_frames): two videos are near-dups
+    when EVERY temporally-aligned sampled frame is within
+    ``max_hamming`` — the strict temporal criterion (a video with one
+    replaced scene is NOT a duplicate). Candidates come from the same
+    pigeonhole banding as ``phash_near_dup_pairs``, keyed by
+    (frame_idx, band, chunk): if all aligned frames are close, frame
+    pairs at every index are close, so at least one band of SOME
+    aligned frame matches exactly — recall 1.0 at the threshold. The
+    verify stage joins the full aligned-frame hash sets back and
+    keeps pairs where n_close == n_frames on BOTH sides (equal
+    sampled-frame counts included — a truncated video never matches
+    its full-length source).
+
+    Scale shape: per-frame banding buckets the corpus by (frame_idx,
+    band, chunk) — no all-pairs; the verify join carries only
+    candidate pairs x sampled frames. Output: (id_a, id_b, n_frames,
+    max_hamming), each unordered pair once."""
+    bands = max_hamming + 1
+    base = hash_bits // bands
+    extra = hash_bits - base * bands
+    widths = [base + (1 if b < extra else 0) for b in range(bands)]
+    offsets = [sum(widths[:b]) for b in range(bands)]
+    fh = frame_hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("key"),
+        F.col(frame_col).alias("f"),
+        F.col(hash_col).alias("fh"),
+    ).persist()  # candidate banding AND both verify sides read this
+    chunks = fh.select(
+        "key",
+        "f",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("fh"), offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("key", "f", "bc.band", "bc.chunk")
+    cand = (
+        chunks.select(F.col("key").alias("id_a"), "f", "band", "chunk")
+        .join(
+            chunks.select(F.col("key").alias("id_b"), "f", "band", "chunk"),
+            ["f", "band", "chunk"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = fh.select(F.col("key").alias("id_a"), "f", F.col("fh").alias("fh_a"))
+    b = fh.select(F.col("key").alias("id_b"), "f", F.col("fh").alias("fh_b"))
+    per_frame = cand.join(a, "id_a").join(b, ["id_b", "f"])
+    hamming = F.bit_count(F.col("fh_a").bitwiseXOR(F.col("fh_b")))
+    agg = (
+        per_frame.withColumn("hamming", hamming)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_aligned"),
+            F.sum(
+                F.when(F.col("hamming") <= max_hamming, 1).otherwise(0)
+            ).alias("n_close"),
+            F.max("hamming").cast("long").alias("max_hamming"),
+        )
+    )
+    # equal frame counts required: an aligned inner join undercounts
+    # when one video has frames the other lacks, so compare against
+    # BOTH videos' sampled-frame counts
+    counts = fh.groupBy("key").agg(F.count(F.lit(1)).alias("nf"))
+    return (
+        agg.join(counts.select(F.col("key").alias("id_a"),
+                               F.col("nf").alias("nf_a")), "id_a")
+        .join(counts.select(F.col("key").alias("id_b"),
+                            F.col("nf").alias("nf_b")), "id_b")
+        .filter(
+            (F.col("n_close") == F.col("n_aligned"))
+            & (F.col("n_aligned") == F.col("nf_a"))
+            & (F.col("nf_a") == F.col("nf_b"))
+        )
+        .select(
+            "id_a", "id_b",
+            F.col("n_aligned").cast("long").alias("n_frames"),
+            "max_hamming",
+        )
+    )
+
+
 def contamination_pairs(
     corpus: DataFrame,
     benchmark: DataFrame,

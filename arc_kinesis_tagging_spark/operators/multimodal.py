@@ -1426,6 +1426,27 @@ def _phash_pixels(doc_id: int):
     return p.astype(np.uint8)
 
 
+def _phash_of_pixels(px, ci, shifts) -> int:
+    """The hash math shared by image pHash and video frame-hash:
+    int64 pixels -> box sums to 32x32 -> integer-cosine DCT -> 63
+    bits vs lower-median. ``ci``/``shifts`` are hoisted by callers
+    (one table per batch, not per image)."""
+    import numpy as np
+
+    h, w = px.shape
+    fy, fx = h // _PHASH_N, w // _PHASH_N
+    g = (
+        px[: fy * _PHASH_N, : fx * _PHASH_N]
+        .reshape(_PHASH_N, fy, _PHASH_N, fx)
+        .sum(axis=(1, 3))
+    )
+    F_ = ci @ g @ ci.T  # int64 exact: |g|<=255*fy*fx
+    coef = F_.ravel()[1:]
+    med = np.sort(coef)[(len(coef) - 1) // 2]
+    bits = (coef > med).astype(np.int64)
+    return int((bits << shifts).sum())
+
+
 def attach_phash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL grayscale PNG per row from ``_phash_pixels`` — the
     perceptual-hash fixture rides the genuine encode->decode path
@@ -1463,24 +1484,108 @@ def phash_gray(
                 mid_out = None if pd.isna(mid) else int(mid)
                 try:
                     px = decode_png_gray8_bytes(bytes(blob)).astype(np.int64)
-                    h, w = px.shape
-                    fy, fx = h // _PHASH_N, w // _PHASH_N
-                    g = (
-                        px[: fy * _PHASH_N, : fx * _PHASH_N]
-                        .reshape(_PHASH_N, fy, _PHASH_N, fx)
-                        .sum(axis=(1, 3))
-                    )
-                    F_ = ci @ g @ ci.T  # int64 exact: |g|<=255*fy*fx
-                    coef = F_.ravel()[1:]
-                    med = np.sort(coef)[(len(coef) - 1) // 2]
-                    bits = (coef > med).astype(np.int64)
-                    out.append((mid_out, int((bits << shifts).sum())))
+                    out.append((mid_out, _phash_of_pixels(px, ci, shifts)))
                 except Exception:
                     out.append((mid_out, None))
             yield pd.DataFrame(out, columns=["media_id", "phash"])
 
     return df.select(id_col, media_col).mapInPandas(
         comp, "media_id long, phash long"
+    )
+
+
+# --- video perceptual hash (temporal pHash over sampled frames) -------------
+
+
+def _vhash_pixels(group: int, frame: int, variant: int):
+    """Per-(group, frame) 64x64 luma plane with the SAME
+    high-frequency mix + variant perturbation construction as
+    ``_phash_pixels`` — the per-frame seed folds the frame index in,
+    so aligned frames of two variants are near-dups while different
+    frames (and different groups) are far apart."""
+    import numpy as np
+
+    seed = group * 1000003 + frame * 8191
+    x = np.arange(_PHASH_SRC, dtype=np.int64)[:, None]
+    y = np.arange(_PHASH_SRC, dtype=np.int64)[None, :]
+    h = seed * 2654435761 + (x * _PHASH_SRC + y) * 2246822519
+    p = ((h // 8192) ^ (h // 1048576)) % 256
+    if variant:
+        p = np.minimum(
+            255, p + np.where((x * 31 + y * 17) % 128 == variant, 20, 0)
+        )
+    return p.astype(np.uint8)
+
+
+_VHASH_FRAMES = 4  # frames per fixture video
+
+
+def attach_vhash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL Y4M video per row (C444, 4 frames of 64x64) from
+    ``_vhash_pixels`` — group = id//4, variant = id%4, chroma flat
+    128. Rides the genuine Y4M encode->decode path."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        flat = np.full((_PHASH_SRC, _PHASH_SRC), 128, np.uint8)
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64").to_numpy()
+            blobs = []
+            for i in ids:
+                i = int(i)
+                frames = [
+                    (_vhash_pixels(i // 4, f, i % 4), flat, flat)
+                    for f in range(_VHASH_FRAMES)
+                ]
+                blobs.append(encode_y4m(frames, _PHASH_SRC, _PHASH_SRC))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "media_id long, media binary")
+
+
+def vhash_frames(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    every: int = 2,
+) -> DataFrame:
+    """Temporal perceptual hash: decode the Y4M container, keep every
+    ``every``-th frame (the q_multimodal_y4m sampling convention —
+    hashing every frame of real video is wasteful and adjacent frames
+    are near-identical anyway), hash each sampled LUMA plane with the
+    shared integer-DCT pHash math. Map-only Arrow pass; corrupt
+    payloads yield a null-hash row per video (isolated, dropped by
+    the pair stage). Output: (media_id, frame_idx, fhash)."""
+
+    def comp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ci = _phash_cos_table()
+        shifts = np.arange(_PHASH_K * _PHASH_K - 1, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                mid_out = None if pd.isna(mid) else int(mid)
+                try:
+                    _w, _h, ys = decode_y4m_bytes(bytes(blob))
+                    for fi in range(0, len(ys), every):
+                        out.append(
+                            (
+                                mid_out,
+                                fi,
+                                _phash_of_pixels(
+                                    ys[fi].astype(np.int64), ci, shifts
+                                ),
+                            )
+                        )
+                except Exception:
+                    out.append((mid_out, None, None))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "fhash"]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        comp, "media_id long, frame_idx int, fhash long"
     )
 
 

@@ -957,6 +957,93 @@ WHERE bit_count(xor(h1.hash, h2.hash)) <= 4
 """
 
 
+def q_dedup_vhash(spark, sf_dir):
+    """VIDEO near-dup — the fourth and last modality joins the dedup
+    family (text, embeddings, images, video): real Y4M videos
+    (4 frames, 64x64 C444, crafted near-duplicate groups with the
+    q_dedup_phash perturbation geometry folded per-frame), every 2nd
+    frame hashed with the SAME shared integer-DCT pHash math, pairs
+    by the STRICT temporal criterion — every temporally-aligned
+    sampled frame within hamming<=4 and equal sampled-frame counts (a
+    video with one replaced scene, or a truncation of another, never
+    matches). Candidates via per-frame pigeonhole banding keyed
+    (frame_idx, band, chunk): recall 1.0 at the threshold, same
+    argument as the image case applied frame-wise.
+
+    The DuckDB oracle recomputes both sampled frame hashes
+    analytically and brute-forces pairs with HAVING count=2 AND
+    max(hamming)<=4 — green means decode + per-frame DCT + temporal
+    aggregation + banding-losslessness all hold.
+
+    Scale shape: hashing is map-only; banding buckets by (frame_idx,
+    band, chunk); the verify join carries candidates x sampled frames
+    only. Fixture geometry pinned in tests/test_phash.py: in-group
+    aligned frames <=4, cross-group >=14, cross-FRAME >=16 (so
+    temporal alignment is load-bearing, not decorative)."""
+    from arc_kinesis_tagging_spark.operators.dedup import vhash_near_dup_pairs
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_vhash_media,
+        vhash_frames,
+    )
+
+    n = spark.sparkContext.defaultParallelism
+    d = attach_vhash_media(
+        _t(spark, sf_dir, "documents").repartition(n, "doc_id"), "doc_id"
+    )
+    fh = vhash_frames(d, "media_id", "media", every=2)
+    return vhash_near_dup_pairs(fh, "media_id", "frame_idx", "fhash")
+
+
+# seed = (id//4)*1000003 + f*8191; same mix/perturb/DCT as the pHash
+# oracle, per sampled frame f in (0, 2); strict temporal verify.
+ORACLE_DEDUP_VHASH = """
+WITH fr AS (SELECT UNNEST([0, 2]) AS f),
+px AS (
+  SELECT d.doc_id, fr.f, x.range AS x, y.range AS y,
+         LEAST(255,
+           xor((((d.doc_id//4)*1000003 + fr.f*8191)*2654435761
+                + (x.range*64+y.range)*2246822519)//8192,
+               (((d.doc_id//4)*1000003 + fr.f*8191)*2654435761
+                + (x.range*64+y.range)*2246822519)//1048576) % 256
+           + CASE WHEN d.doc_id%4 <> 0
+                   AND (x.range*31+y.range*17)%128 = d.doc_id%4
+                  THEN 20 ELSE 0 END) AS p
+  FROM documents d, fr, range(0,64) x, range(0,64) y
+), g AS (
+  SELECT doc_id, f, x//2 AS gx, y//2 AS gy, SUM(p) AS s
+  FROM px GROUP BY doc_id, f, x//2, y//2
+), ci AS (
+  SELECT k.range AS k, t.range AS t,
+         CAST(floor(cos(pi()*(2*t.range+1)*k.range/64.0)*4096+0.5)
+              AS BIGINT) AS c
+  FROM range(0,8) k, range(0,32) t
+), dct AS (
+  SELECT g.doc_id, g.f, cu.k AS u, cv.k AS v, SUM(g.s*cu.c*cv.c) AS fc
+  FROM g JOIN ci cu ON cu.t=g.gx JOIN ci cv ON cv.t=g.gy
+  GROUP BY g.doc_id, g.f, cu.k, cv.k
+), coefs AS (
+  SELECT doc_id, f, u*8+v-1 AS i, fc FROM dct WHERE NOT (u=0 AND v=0)
+), med AS (
+  SELECT doc_id, f, fc AS m FROM (
+    SELECT doc_id, f, fc,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, f ORDER BY fc ASC) AS rn
+    FROM coefs) WHERE rn = 32
+), h AS (
+  SELECT c.doc_id, c.f,
+         CAST(SUM(CASE WHEN c.fc > med.m THEN (1::BIGINT << c.i)
+                       ELSE 0 END) AS BIGINT) AS hash
+  FROM coefs c JOIN med ON med.doc_id = c.doc_id AND med.f = c.f
+  GROUP BY c.doc_id, c.f
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(MAX(bit_count(xor(a.hash, b.hash))) AS BIGINT) AS max_hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.f = b.f
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) = 2 AND MAX(bit_count(xor(a.hash, b.hash))) <= 4
+"""
+
+
 def q_dedup_embedding_pq(spark, sf_dir):
     """Embedding near-dup via PQ-CODE BLOCKING — the third member of
     the embedding-dedup family (exact IVF threshold join, SRP-LSH
@@ -3255,6 +3342,7 @@ LLMOPS_QUERIES = [
     Query("q_dedup_simhash", q_dedup_simhash, None,
           "SimHash banding; verified in tests"),
     Query("q_dedup_phash", q_dedup_phash, ORACLE_DEDUP_PHASH),
+    Query("q_dedup_vhash", q_dedup_vhash, ORACLE_DEDUP_VHASH),
     Query("q_dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
     Query("q_similarity_topk", q_similarity_topk, ORACLE_SIMILARITY_TOPK),
     Query("q_dedup_incremental", q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),

@@ -89,6 +89,7 @@ HEADLINE = [
     "q_ann_lifecycle",
     # round-10 additions
     "q_dedup_phash",      # PNG decode -> integer-DCT pHash -> band join
+    "q_dedup_vhash",      # Y4M decode -> per-frame pHash -> temporal verify
 ]
 
 

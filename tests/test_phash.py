@@ -141,3 +141,128 @@ def test_pairs_plan_has_no_cartesian(spark, sf_dir):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- video (temporal) perceptual hash ---------------------------------------
+
+
+def _vh(spark, sf_dir, n=80):
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_vhash_media,
+        vhash_frames,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < n)
+    return vhash_frames(
+        attach_vhash_media(docs, "doc_id"), "media_id", "media", every=2
+    )
+
+
+def test_vhash_fixture_geometry():
+    """Aligned in-group frames <= 4, cross-group >= 14, and
+    cross-FRAME >= 16 — temporal alignment is load-bearing: frame 0
+    of a video is far from frame 2 of the same video, so an
+    alignment-ignoring pairing would not reproduce the result."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        _phash_cos_table,
+        _phash_of_pixels,
+        _vhash_pixels,
+    )
+
+    ci = _phash_cos_table()
+    shifts = np.arange(63, dtype=np.int64)
+
+    def h(doc, f):
+        return _phash_of_pixels(
+            _vhash_pixels(doc // 4, f, doc % 4).astype(np.int64), ci, shifts
+        )
+
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    in_group, cross_frame = [], []
+    for g in range(10):
+        hs = {(d, f): h(g * 4 + d, f) for d in range(4) for f in (0, 2)}
+        for f in (0, 2):
+            for i in range(4):
+                for j in range(i + 1, 4):
+                    in_group.append(ham(hs[(i, f)], hs[(j, f)]))
+        cross_frame.append(ham(hs[(0, 0)], hs[(0, 2)]))
+    h0 = {g: h(g * 4, 0) for g in range(10)}
+    cross_group = [
+        ham(h0[a], h0[b]) for a in range(10) for b in range(a + 1, 10)
+    ]
+    assert max(in_group) <= 4
+    assert min(cross_group) >= 14
+    assert min(cross_frame) >= 16
+
+
+def test_vhash_pairs_match_brute_force(spark, sf_dir):
+    """Banded temporal pairs == brute force over collected frame
+    hashes (equal counts + every aligned frame <= 4)."""
+    from collections import defaultdict
+
+    from arc_kinesis_tagging_spark.operators.dedup import vhash_near_dup_pairs
+
+    fh = _vh(spark, sf_dir)
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_frames"], r["max_hamming"])
+        for r in vhash_near_dup_pairs(fh).collect()
+    }
+    vids = defaultdict(dict)
+    for r in fh.collect():
+        vids[r["media_id"]][r["frame_idx"]] = r["fhash"]
+    ids = sorted(vids)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if set(vids[a]) != set(vids[b]):
+                continue
+            hams = [
+                bin(vids[a][f] ^ vids[b][f]).count("1") for f in vids[a]
+            ]
+            if max(hams) <= 4:
+                want[(a, b)] = (len(hams), max(hams))
+    assert got == want
+    assert want, "fixture produced no video near-dup pairs"
+    for a, b in got:
+        assert a // 4 == b // 4
+
+
+def test_vhash_one_far_frame_rejects_pair(spark):
+    """STRICT temporal semantics: two videos whose frame 0 is
+    identical but whose frame 2 belongs to different groups (one
+    replaced scene) are NOT near-dups — and a truncated video never
+    matches its full-length source."""
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.operators.dedup import vhash_near_dup_pairs
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        _vhash_pixels,
+        encode_y4m,
+        vhash_frames,
+    )
+    import numpy as np
+
+    flat = np.full((64, 64), 128, np.uint8)
+
+    def vid(frame_groups):
+        frames = [
+            (_vhash_pixels(g, f, 0), flat, flat)
+            for f, g in enumerate(frame_groups)
+        ]
+        return encode_y4m(frames, 64, 64)
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3],
+                "media": [
+                    vid([5, 5, 5, 5]),      # reference
+                    vid([5, 5, 9, 9]),      # frame 2 replaced
+                    vid([5, 5]),            # truncation: frame 0 only sampled
+                ],
+            }
+        )
+    )
+    fh = vhash_frames(media, "media_id", "media", every=2)
+    pairs = vhash_near_dup_pairs(fh).collect()
+    assert pairs == []
