@@ -1589,6 +1589,108 @@ def vhash_frames(
     )
 
 
+# --- audio fingerprint (Haitsma-Kalker) -------------------------------------
+# Robust audio fingerprint (Haitsma & Kalker 2002, "A Highly Robust
+# Audio Fingerprint System"): frame the signal, take band energies of
+# a frequency transform, and emit the SIGN of the time-and-frequency
+# double difference — the construction streaming-audio dedup/lookup
+# systems use. Integerized the pHash way so DuckDB replicates it
+# exactly: spectra via a floor(cos*64 + 0.5) int64 DCT table (k=1..20,
+# margin 0.0083 — pinned by tests), energies as exact int64 squares
+# (max ~2^41 at PCM16/T=64, far inside int64), bits as integer
+# comparisons. 16 frames x 64 samples; 5 bands x 4 k-bins; bits
+# b(n,m) = [D(n,m) - D(n-1,m)] > 0 with D(n,m) = E(n,m) - E(n,m+1):
+# 15 x 4 = 60 bits.
+
+_AHASH_T = 64    # samples per frame
+_AHASH_NF = 16   # frames fingerprinted
+_AHASH_NK = 20   # DCT bins k=1..20 (DC skipped), 5 bands of 4
+
+
+def _ahash_cos_table():
+    import numpy as np
+
+    k = np.arange(1, _AHASH_NK + 1)[:, None]
+    t = np.arange(_AHASH_T)[None, :]
+    return np.floor(
+        np.cos(np.pi * (2 * t + 1) * k / (2 * _AHASH_T)) * 64 + 0.5
+    ).astype(np.int64)
+
+
+def _ahash_samples(doc_id: int):
+    """Deterministic PCM16 mono fixture with crafted near-duplicates:
+    group = id//4 picks a full-band pseudo-noise signal (the integer
+    mix, centered: range -1024..1023); variant = id%4 adds +160 at the
+    ~8 samples/frame where (31t) % 128 == variant. In-group fingerprint
+    Hamming <= 4, cross-group >= 17 (prototype sweep; pinned by
+    tests/test_phash.py)."""
+    import numpy as np
+
+    g, v = doc_id // 4, doc_id % 4
+    t = np.arange(_AHASH_NF * _AHASH_T, dtype=np.int64)
+    h = g * 2654435761 + t * 2246822519
+    x = ((h // 8192) ^ (h // 1048576)) % 2048 - 1024
+    if v:
+        x = x + np.where((t * 31) % 128 == v, 160, 0)
+    return x
+
+
+def attach_ahash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL PCM16 WAV per row from ``_ahash_samples`` (mono, 8 kHz,
+    1024 samples) — the fingerprint fixture rides the genuine RIFF
+    encode->decode path like every codec query."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64").to_numpy()
+            blobs = [
+                encode_wav_pcm16(_ahash_samples(int(i)), rate=8000)
+                for i in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "media_id long, media binary")
+
+
+def ahash_wav(
+    df: DataFrame, id_col: str = "media_id", media_col: str = "media"
+) -> DataFrame:
+    """Audio fingerprint per clip: decode PCM16 WAV -> first channel,
+    first 16x64 samples -> integer-DCT band energies -> 60
+    Haitsma-Kalker double-difference sign bits. Map-only Arrow pass;
+    clips shorter than 1024 frames (or corrupt) yield a null hash.
+    Output: (media_id, ahash long)."""
+
+    def comp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        C = _ahash_cos_table()
+        need = _AHASH_NF * _AHASH_T
+        shifts = np.arange((_AHASH_NF - 1) * 4, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                mid_out = None if pd.isna(mid) else int(mid)
+                try:
+                    s, _rate = decode_wav_bytes(bytes(blob))
+                    x = s[:, 0].astype(np.int64)
+                    if len(x) < need:
+                        raise ValueError("clip too short to fingerprint")
+                    fr = x[:need].reshape(_AHASH_NF, _AHASH_T)
+                    S = fr @ C.T  # (16, 20) int64 exact
+                    E = (S.reshape(_AHASH_NF, 5, 4) ** 2).sum(axis=2)
+                    D = E[:, :4] - E[:, 1:]
+                    bits = ((D[1:] - D[:-1]) > 0).astype(np.int64).ravel()
+                    out.append((mid_out, int((bits << shifts).sum())))
+                except Exception:
+                    out.append((mid_out, None))
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    return df.select(id_col, media_col).mapInPandas(
+        comp, "media_id long, ahash long"
+    )
+
+
 def encode_jpeg_color444(rgb, quant=None) -> bytes:
     """Baseline 4:4:4 color JPEG encoder (fixture generator for the
     color decode path): JFIF RGB->YCbCr (BT.601), per-component 8x8

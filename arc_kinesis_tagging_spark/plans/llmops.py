@@ -1044,6 +1044,88 @@ HAVING COUNT(*) = 2 AND MAX(bit_count(xor(a.hash, b.hash))) <= 4
 """
 
 
+def q_dedup_ahash(spark, sf_dir):
+    """AUDIO near-dup — with this the dedup family spans every
+    modality the engine ingests (text, embeddings, images, video,
+    audio): real PCM16 WAV clips (mono, 1024 samples, crafted
+    near-duplicate groups), fingerprinted by an integerized
+    Haitsma-Kalker 2002 construction — 16 frames x 64 samples,
+    integer-DCT band energies (5 bands of 4 bins), 60 bits = sign of
+    the time-frequency double difference — then the SAME pigeonhole
+    band join as the image case (phash_near_dup_pairs with
+    hash_bits=60: 5 bands of 12 bits, recall 1.0 at hamming<=4),
+    popcount-verified.
+
+    The DuckDB oracle recomputes the fingerprint analytically (all
+    integer: exact spectra, exact squared energies, integer sign
+    bits) and brute-forces all-pairs at hamming<=4. Fixture geometry
+    pinned in tests/test_phash.py: in-group <=4, cross-group >=17.
+
+    Scale shape: fingerprinting is map-only; candidates are band-
+    bucket co-occupancy — the audio corpus never self-joins
+    all-pairs."""
+    from arc_kinesis_tagging_spark.operators.dedup import phash_near_dup_pairs
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        ahash_wav,
+        attach_ahash_media,
+    )
+
+    n = spark.sparkContext.defaultParallelism
+    d = attach_ahash_media(
+        _t(spark, sf_dir, "documents").repartition(n, "doc_id"), "doc_id"
+    )
+    hashes = ahash_wav(d, "media_id", "media")
+    return phash_near_dup_pairs(
+        hashes, "media_id", "ahash", max_hamming=4, hash_bits=60
+    )
+
+
+# samples: x = xor(h//8192, h//1048576) % 2048 - 1024 with
+# h = (id//4)*2654435761 + t*2246822519, +160 where (31t)%128 == id%4
+# != 0; spectra via the k=1..20 integer cos table; band energies =
+# exact squared sums; bits = sign of the double difference.
+ORACLE_DEDUP_AHASH = """
+WITH smp AS (
+  SELECT d.doc_id, t.range AS t,
+         xor(((d.doc_id//4)*2654435761 + t.range*2246822519)//8192,
+             ((d.doc_id//4)*2654435761 + t.range*2246822519)//1048576)
+           % 2048 - 1024
+         + CASE WHEN d.doc_id%4 <> 0 AND (t.range*31)%128 = d.doc_id%4
+                THEN 160 ELSE 0 END AS x
+  FROM documents d, range(0,1024) t
+), ct AS (
+  SELECT k.range AS k, t.range AS t,
+         CAST(floor(cos(pi()*(2*t.range+1)*k.range/128.0)*64+0.5)
+              AS BIGINT) AS c
+  FROM range(1,21) k, range(0,64) t
+), spec AS (
+  SELECT s.doc_id, s.t//64 AS n, ct.k, SUM(s.x*ct.c) AS sv
+  FROM smp s JOIN ct ON ct.t = s.t%64
+  GROUP BY s.doc_id, s.t//64, ct.k
+), eb AS (
+  SELECT doc_id, n, (k-1)//4 AS m, SUM(sv*sv) AS e
+  FROM spec GROUP BY doc_id, n, (k-1)//4
+), dd AS (
+  SELECT a.doc_id, a.n, a.m, a.e - b.e AS d
+  FROM eb a JOIN eb b
+    ON b.doc_id = a.doc_id AND b.n = a.n AND b.m = a.m + 1
+), h AS (
+  SELECT cur.doc_id,
+         CAST(SUM(CASE WHEN cur.d - prev.d > 0
+                       THEN (1::BIGINT << ((cur.n-1)*4 + cur.m))
+                       ELSE 0 END) AS BIGINT) AS hash
+  FROM dd cur JOIN dd prev
+    ON prev.doc_id = cur.doc_id AND prev.n = cur.n - 1
+   AND prev.m = cur.m
+  GROUP BY cur.doc_id
+)
+SELECT h1.doc_id AS id_a, h2.doc_id AS id_b,
+       CAST(bit_count(xor(h1.hash, h2.hash)) AS BIGINT) AS hamming
+FROM h h1 JOIN h h2 ON h1.doc_id < h2.doc_id
+WHERE bit_count(xor(h1.hash, h2.hash)) <= 4
+"""
+
+
 def q_dedup_embedding_pq(spark, sf_dir):
     """Embedding near-dup via PQ-CODE BLOCKING — the third member of
     the embedding-dedup family (exact IVF threshold join, SRP-LSH
@@ -3343,6 +3425,7 @@ LLMOPS_QUERIES = [
           "SimHash banding; verified in tests"),
     Query("q_dedup_phash", q_dedup_phash, ORACLE_DEDUP_PHASH),
     Query("q_dedup_vhash", q_dedup_vhash, ORACLE_DEDUP_VHASH),
+    Query("q_dedup_ahash", q_dedup_ahash, ORACLE_DEDUP_AHASH),
     Query("q_dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
     Query("q_similarity_topk", q_similarity_topk, ORACLE_SIMILARITY_TOPK),
     Query("q_dedup_incremental", q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),

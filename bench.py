@@ -90,6 +90,7 @@ HEADLINE = [
     # round-10 additions
     "q_dedup_phash",      # PNG decode -> integer-DCT pHash -> band join
     "q_dedup_vhash",      # Y4M decode -> per-frame pHash -> temporal verify
+    "q_dedup_ahash",      # WAV decode -> HK fingerprint -> band join
 ]
 
 

@@ -266,3 +266,112 @@ def test_vhash_one_far_frame_rejects_pair(spark):
     fh = vhash_frames(media, "media_id", "media", every=2)
     pairs = vhash_near_dup_pairs(fh).collect()
     assert pairs == []
+
+
+# --- audio fingerprint (Haitsma-Kalker) -------------------------------------
+
+
+def test_ahash_cos_table_margin_and_duckdb_parity():
+    """k=1..20 x t=0..63 at scale 64: safe rounding margin and
+    numpy==DuckDB table equality."""
+    import duckdb
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        _ahash_cos_table,
+    )
+
+    tab = _ahash_cos_table()
+    k = np.arange(1, 21)[:, None]
+    t = np.arange(64)[None, :]
+    v = np.cos(np.pi * (2 * t + 1) * k / 128.0) * 64 + 0.5
+    frac = np.abs(v - np.floor(v))
+    assert min(frac.min(), (1 - frac).min()) > 0.005
+    db = duckdb.sql(
+        "SELECT k.range, t.range, CAST(floor(cos(pi()*(2*t.range+1)"
+        "*k.range/128.0)*64+0.5) AS BIGINT) FROM range(1,21) k, "
+        "range(0,64) t ORDER BY 1, 2"
+    ).fetchall()
+    for kk, tt, c in db:
+        assert tab[kk - 1][tt] == c
+
+
+def test_ahash_fixture_geometry_and_overflow():
+    """In-group fingerprints <= 4, cross-group >= 17; intermediate
+    magnitudes stay far inside int64 (exactness precondition)."""
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        _ahash_cos_table,
+        _ahash_samples,
+    )
+
+    C = _ahash_cos_table()
+
+    def fp(doc):
+        x = _ahash_samples(doc)
+        fr = x.reshape(16, 64)
+        S = fr @ C.T
+        assert np.abs(S).max() < 2**40
+        E = (S.reshape(16, 5, 4) ** 2).sum(axis=2)
+        assert E.max() < 2**62
+        D = E[:, :4] - E[:, 1:]
+        bits = ((D[1:] - D[:-1]) > 0).astype(np.int64).ravel()
+        return int((bits << np.arange(60)).sum())
+
+    hs = {d: fp(d) for d in range(80)}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    in_group = [
+        ham(hs[g * 4 + i], hs[g * 4 + j])
+        for g in range(20)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    ]
+    cross = [
+        ham(hs[a], hs[b]) for a in range(0, 80, 4) for b in range(a + 4, 80, 4)
+    ]
+    assert max(in_group) <= 4
+    assert min(cross) >= 17
+
+
+def test_ahash_pairs_and_short_clip_isolated(spark, sf_dir):
+    """End-to-end: banded pairs == brute force; a too-short clip
+    fingerprints to null and never pairs."""
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        ahash_wav,
+        attach_ahash_media,
+        encode_wav_pcm16,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 40)
+    short = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [999],
+                "media": [encode_wav_pcm16(np.zeros(100, np.int16))],
+            }
+        )
+    )
+    hashes = ahash_wav(
+        attach_ahash_media(docs, "doc_id").unionByName(short),
+        "media_id",
+        "media",
+    )
+    rows = {r["media_id"]: r["ahash"] for r in hashes.collect()}
+    assert rows[999] is None
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(
+            hashes, "media_id", "ahash", max_hamming=4, hash_bits=60
+        ).collect()
+    }
+    hs = {k: v for k, v in rows.items() if v is not None}
+    ids = sorted(hs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(hs[a] ^ hs[b]).count("1")
+            if d <= 4:
+                want[(a, b)] = d
+    assert got == want and want
+    for a, b in got:
+        assert a // 4 == b // 4

@@ -421,6 +421,50 @@ COMMENTARY = {
 }
 
 
+COMMENTARY.update(
+    {
+        "q_admission_gate": (
+            "The fused production admission stage (Arrow engine): ONE "
+            "vectorized mapInPandas evaluates robots longest-match + "
+            "frozen pruned-LM + frozen DSIR from broadcast-frozen "
+            "models — no shuffle, no window, and the stage is its own "
+            "pushdown fence so downstream admitted-filters read "
+            "materialized booleans instead of re-inlining gate folds."
+        ),
+        "q_admission_gate_sql": (
+            "The SAME gate through the Catalyst expression engine: one "
+            "fused projection chain where each expensive intermediate "
+            "(robots fold struct, LM bits array, DSIR score array) is "
+            "an attribute evaluated once per row. The parity reference "
+            "for the Arrow form; pure projection, zero shuffle."
+        ),
+        "q_dedup_phash": (
+            "Image near-dup: hashing is one map-only Arrow pass "
+            "(decode -> box sums -> integer-DCT -> 63 bits); pairs "
+            "come from the 5-band pigeonhole self-join keyed "
+            "(band, chunk) — recall exactly 1.0 at hamming<=4 and the "
+            "corpus never all-pairs. At 100 TB the band key is the "
+            "shuffle key, exactly the MinHash-LSH family shape."
+        ),
+        "q_dedup_ahash": (
+            "Audio near-dup: Haitsma-Kalker fingerprinting is one "
+            "map-only Arrow pass (WAV decode -> integer-DCT band "
+            "energies -> 60 sign bits); pairs ride the generic "
+            "pigeonhole band join (hash_bits=60) — the audio corpus "
+            "never self-joins all-pairs."
+        ),
+        "q_dedup_vhash": (
+            "Video near-dup: per-sampled-frame hashes (map-only), "
+            "candidates banded per (frame_idx, band, chunk), then the "
+            "strict temporal verify joins only candidate pairs x "
+            "sampled frames — aligned-frame Hamming and frame-count "
+            "equality are keyed aggregates, nothing all-pairs, no "
+            "corpus-sized window."
+        ),
+    }
+)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_session("dump-plans")
