@@ -418,13 +418,31 @@ def adjudicate_regressions(spark, cmp_full: dict, sf_dir: str) -> dict:
     RE-MEASURE TIME — the suite-run factor can be stale by minutes.
     Confirmed = re-normalized ratio still >1.5x with >=0.25s absolute,
     i.e. the same gate the flag came from, now on cleaner data."""
+    # stream entries are not registry queries — re-measure them through
+    # their own bench functions (r10 lesson: stream_tee_20k flagged and
+    # run_once raised KeyError, which killed the WHOLE compare block)
+    stream_adj = {
+        "stream_pipeline_20k": lambda: bench_stream_pipeline(spark, sf_dir)[0],
+        "stream_gated_20k": lambda: bench_stream_gated(spark, sf_dir)[0],
+        "stream_tee_20k": lambda: bench_stream_tee(spark, sf_dir)[0],
+    }
     flagged = cmp_full.get("regressions") or []
     canary_then = (cmp_full.get("canary") or {}).get("then")
     result = {"confirmed": [], "environmental": [], "detail": {}}
     for name in flagged:
         then = cmp_full["deltas"][name]["then"]
-        canary_now = min(run_once(spark, CANARY, sf_dir) for _ in range(3))
-        now = min(run_once(spark, name, sf_dir) for _ in range(3))
+        measure = stream_adj.get(name) or (
+            lambda: run_once(spark, name, sf_dir)
+        )
+        try:
+            canary_now = min(run_once(spark, CANARY, sf_dir) for _ in range(3))
+            now = min(measure() for _ in range(3))
+        except Exception as exc:
+            # an unadjudicable flag stays VISIBLE and blocking rather
+            # than silently discarding the whole comparison
+            result["confirmed"].append(name)
+            result["detail"][name] = {"then": then, "error": str(exc)[:120]}
+            continue
         factor = (
             round(canary_now / canary_then, 3)
             if canary_then and canary_now else None
