@@ -1416,7 +1416,12 @@ def _phash_pixels(doc_id: int):
     tests/test_phash.py), so hamming_max=4 separates them exactly."""
     import numpy as np
 
-    g, v = doc_id // 4, doc_id % 4
+    # group reduced mod 2^31 BEFORE the multiply: identity for every
+    # tested SF (group < 2^31), and keeps the product inside int64 at
+    # ANY corpus size — without it, group >= ~3.5e9 promotes the numpy
+    # array to float and the xor throws (found at ladder K=10 on the
+    # vhash sibling, whose pre-multiplied seed overflowed much earlier)
+    g, v = (doc_id // 4) % 2**31, doc_id % 4
     x = np.arange(_PHASH_SRC, dtype=np.int64)[:, None]
     y = np.arange(_PHASH_SRC, dtype=np.int64)[None, :]
     h = g * 2654435761 + (x * _PHASH_SRC + y) * 2246822519
@@ -1505,7 +1510,13 @@ def _vhash_pixels(group: int, frame: int, variant: int):
     frames (and different groups) are far apart."""
     import numpy as np
 
-    seed = group * 1000003 + frame * 8191
+    # seed mod 2^31 before the big multiply (same int64-overflow guard
+    # as _phash_pixels, mirrored in the DuckDB oracle): identity below
+    # group ~2147 — every tested SF — and exact at any corpus size.
+    # Found live: ladder K=10 amplification reached group 12502, the
+    # unreduced product left int64, numpy promoted to float, and the
+    # xor raised TypeError.
+    seed = (group * 1000003 + frame * 8191) % 2**31
     x = np.arange(_PHASH_SRC, dtype=np.int64)[:, None]
     y = np.arange(_PHASH_SRC, dtype=np.int64)[None, :]
     h = seed * 2654435761 + (x * _PHASH_SRC + y) * 2246822519
@@ -1626,7 +1637,9 @@ def _ahash_samples(doc_id: int):
     tests/test_phash.py)."""
     import numpy as np
 
-    g, v = doc_id // 4, doc_id % 4
+    # same mod-2^31 int64-overflow guard as _phash_pixels (identity at
+    # every tested SF; oracle mirrors it)
+    g, v = (doc_id // 4) % 2**31, doc_id % 4
     t = np.arange(_AHASH_NF * _AHASH_T, dtype=np.int64)
     h = g * 2654435761 + t * 2246822519
     x = ((h // 8192) ^ (h // 1048576)) % 2048 - 1024

@@ -910,16 +910,16 @@ def q_dedup_phash(spark, sf_dir):
 
 
 # pixels: base = xor(h//8192, h//1048576) % 256 with
-# h = (id//4)*2654435761 + (64x+y)*2246822519, brightened +20 (clamped)
+# h = ((id//4)%2^31)*2654435761 + (64x+y)*2246822519, brightened +20 (clamped)
 # where (31x+17y)%128 == id%4 != 0; then 2x2 box SUMS, integer-cosine
 # DCT, 63 bits vs lower-median, brute-force pairs at hamming <= 4.
 ORACLE_DEDUP_PHASH = """
 WITH px AS (
   SELECT d.doc_id, x.range AS x, y.range AS y,
          LEAST(255,
-           xor(((d.doc_id//4)*2654435761
+           xor((((d.doc_id//4)%2147483648)*2654435761
                 + (x.range*64+y.range)*2246822519)//8192,
-               ((d.doc_id//4)*2654435761
+               (((d.doc_id//4)%2147483648)*2654435761
                 + (x.range*64+y.range)*2246822519)//1048576) % 256
            + CASE WHEN d.doc_id%4 <> 0
                    AND (x.range*31+y.range*17)%128 = d.doc_id%4
@@ -1001,9 +1001,9 @@ WITH fr AS (SELECT UNNEST([0, 2]) AS f),
 px AS (
   SELECT d.doc_id, fr.f, x.range AS x, y.range AS y,
          LEAST(255,
-           xor((((d.doc_id//4)*1000003 + fr.f*8191)*2654435761
+           xor(((((d.doc_id//4)*1000003 + fr.f*8191)%2147483648)*2654435761
                 + (x.range*64+y.range)*2246822519)//8192,
-               (((d.doc_id//4)*1000003 + fr.f*8191)*2654435761
+               ((((d.doc_id//4)*1000003 + fr.f*8191)%2147483648)*2654435761
                 + (x.range*64+y.range)*2246822519)//1048576) % 256
            + CASE WHEN d.doc_id%4 <> 0
                    AND (x.range*31+y.range*17)%128 = d.doc_id%4
@@ -1081,14 +1081,14 @@ def q_dedup_ahash(spark, sf_dir):
 
 
 # samples: x = xor(h//8192, h//1048576) % 2048 - 1024 with
-# h = (id//4)*2654435761 + t*2246822519, +160 where (31t)%128 == id%4
+# h = ((id//4)%2^31)*2654435761 + t*2246822519, +160 where (31t)%128 == id%4
 # != 0; spectra via the k=1..20 integer cos table; band energies =
 # exact squared sums; bits = sign of the double difference.
 ORACLE_DEDUP_AHASH = """
 WITH smp AS (
   SELECT d.doc_id, t.range AS t,
-         xor(((d.doc_id//4)*2654435761 + t.range*2246822519)//8192,
-             ((d.doc_id//4)*2654435761 + t.range*2246822519)//1048576)
+         xor((((d.doc_id//4)%2147483648)*2654435761 + t.range*2246822519)//8192,
+             (((d.doc_id//4)%2147483648)*2654435761 + t.range*2246822519)//1048576)
            % 2048 - 1024
          + CASE WHEN d.doc_id%4 <> 0 AND (t.range*31)%128 = d.doc_id%4
                 THEN 160 ELSE 0 END AS x

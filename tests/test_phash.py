@@ -375,3 +375,48 @@ def test_ahash_pairs_and_short_clip_isolated(spark, sf_dir):
     assert got == want and want
     for a, b in got:
         assert a // 4 == b // 4
+
+
+def test_fixture_generators_survive_huge_ids_with_duckdb_parity():
+    """int64-overflow guard (found at ladder K=10, group 12502): the
+    three fixture generators must stay exact int64 at ANY doc_id, and
+    the mod-2^31-reduced seed must equal the oracle's arithmetic.
+    Pins one pixel/sample value against DuckDB at a huge id."""
+    import duckdb
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        _ahash_samples,
+        _phash_pixels,
+        _vhash_pixels,
+    )
+
+    big = 10**12 + 7  # group ~2.5e11 — far past the old overflow point
+    px = _phash_pixels(big)
+    assert px.dtype.name == "uint8" and px.shape == (64, 64)
+    fpx = _vhash_pixels(big // 4, 2, big % 4)
+    assert fpx.dtype.name == "uint8"
+    smp = _ahash_samples(big)
+    assert smp.dtype.name == "int64"
+
+    # DuckDB recomputes pixel (x=3, y=5) of the phash fixture and
+    # sample t=17 of the ahash fixture with the ORACLE's expressions
+    (dpx, dsmp) = duckdb.sql(
+        f"""
+        SELECT
+          LEAST(255,
+            xor(((({big}//4)%2147483648)*2654435761
+                 + (3*64+5)*2246822519)//8192,
+                ((({big}//4)%2147483648)*2654435761
+                 + (3*64+5)*2246822519)//1048576) % 256
+            + CASE WHEN {big}%4 <> 0 AND (3*31+5*17)%128 = {big}%4
+                   THEN 20 ELSE 0 END),
+          xor(((({big}//4)%2147483648)*2654435761
+               + 17*2246822519)//8192,
+              ((({big}//4)%2147483648)*2654435761
+               + 17*2246822519)//1048576) % 2048 - 1024
+          + CASE WHEN {big}%4 <> 0 AND (17*31)%128 = {big}%4
+                 THEN 160 ELSE 0 END
+        """
+    ).fetchone()
+    assert int(px[3][5]) == dpx
+    assert int(smp[17]) == dsmp

@@ -385,6 +385,15 @@ def main() -> None:
         # -word table, which saturates under replica amplification, so
         # train cost should go FLAT in K while encode tracks docs
         "q_unigram_encode",
+        # round-10: perceptual near-dup over image/video/audio — media
+        # is synthesized from doc_id, so the amplified table drives K x
+        # codec+hash work directly; hashing is map-only, candidates are
+        # band-bucket co-occupancy, and the fixture's groups-of-4 ids
+        # keep output pairs LINEAR in K — expected ~linear sec, with
+        # rows/sec the per-row-decode-cost-flat evidence
+        "q_dedup_phash",
+        "q_dedup_vhash",
+        "q_dedup_ahash",
     ):
         t0 = time.perf_counter()
         report[f"{qname}_rows"] = QUERIES[qname].builder(spark, amp).count()
