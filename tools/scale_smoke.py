@@ -388,9 +388,12 @@ def main() -> None:
         # round-10: perceptual near-dup over image/video/audio — media
         # is synthesized from doc_id, so the amplified table drives K x
         # codec+hash work directly; hashing is map-only, candidates are
-        # band-bucket co-occupancy, and the fixture's groups-of-4 ids
-        # keep output pairs LINEAR in K — expected ~linear sec, with
-        # rows/sec the per-row-decode-cost-flat evidence
+        # band-bucket co-occupancy. The TRUE (in-group) pairs are
+        # linear in K by construction (6 x N/4); on top of that,
+        # fixed-width fingerprints accumulate birthday-style
+        # cross-group near-collisions as the group count grows — the
+        # realistic 100 TB load the banded+verify pipeline must absorb
+        # without all-pairs (split quantified in SCALE.md round 10)
         "q_dedup_phash",
         "q_dedup_vhash",
         "q_dedup_ahash",
