@@ -350,6 +350,39 @@ def simhash_near_duplicates(
     )
 
 
+def _phash_chunks(
+    ph: DataFrame, max_hamming: int, hash_bits: int
+) -> DataFrame:
+    """(key, ph, band, chunk) pigeonhole band keys of a (key, ph) hash
+    table: ``max_hamming + 1`` contiguous bit slices — <= max_hamming
+    differing bits cannot dirty every band, so near-dup pairs share at
+    least one (band, chunk) EXACTLY (recall 1.0 at the threshold).
+    Shared by the self-join (phash_near_dup_pairs) and cross-batch
+    (phash_batch_against_corpus) paths."""
+    bands = max_hamming + 1
+    base = hash_bits // bands
+    extra = hash_bits - base * bands  # first `extra` bands get +1 bit
+    widths = [base + (1 if b < extra else 0) for b in range(bands)]
+    offsets = [sum(widths[:b]) for b in range(bands)]
+    return ph.select(
+        "key",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("ph"), offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("key", "ph", "bc.band", "bc.chunk")
+
+
 def phash_near_dup_pairs(
     hashes: DataFrame,
     id_col: str = "media_id",
@@ -371,31 +404,10 @@ def phash_near_dup_pairs(
     key is the shuffle key and a persisted corpus variant would bucket
     it exactly like write_minhash_corpus. Output: (id_a, id_b,
     hamming), each unordered pair once."""
-    bands = max_hamming + 1
-    base = hash_bits // bands
-    extra = hash_bits - base * bands  # first `extra` bands get +1 bit
-    widths = [base + (1 if b < extra else 0) for b in range(bands)]
-    offsets = [sum(widths[:b]) for b in range(bands)]
     ph = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("key"), F.col(hash_col).alias("ph")
     ).persist()  # both sides of the bucket self-join read this table
-    chunks = ph.select(
-        "key",
-        "ph",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("ph"), offsets[b])
-                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
-                        .alias("chunk"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bc"),
-    ).select("key", "ph", "bc.band", "bc.chunk")
+    chunks = _phash_chunks(ph, max_hamming, hash_bits)
     a = chunks.select(
         F.col("key").alias("id_a"), F.col("ph").alias("ph_a"), "band", "chunk"
     )
@@ -410,6 +422,84 @@ def phash_near_dup_pairs(
         .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def write_phash_corpus(
+    spark,
+    hashes: DataFrame,
+    table_prefix: str,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 4,
+    hash_bits: int = 63,
+    n_buckets: int = 16,
+) -> None:
+    """Materialize the corpus side of incremental IMAGE near-dup
+    dedup: ONE table of banded perceptual-hash chunks (key, ph, band,
+    chunk), bucketed on the chunk — the image counterpart of
+    write_minhash_corpus, but single-table because pHash verification
+    is a popcount of the two hashes, both already on the band row (no
+    shingle-set side table). The daily job appends each accepted
+    batch's rows. Null hashes (corrupt images) are excluded at write
+    time."""
+    from arc_kinesis_tagging_spark.operators.skew import write_bucketed
+
+    ph = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("key"), F.col(hash_col).alias("ph")
+    )
+    write_bucketed(
+        _phash_chunks(ph, max_hamming, hash_bits),
+        f"{table_prefix}_bands",
+        ["chunk"],
+        n_buckets=n_buckets,
+    )
+
+
+def phash_batch_against_corpus(
+    spark,
+    batch_hashes: DataFrame,
+    table_prefix: str,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 4,
+    hash_bits: int = 63,
+) -> DataFrame:
+    """(id_batch, id_corpus, hamming) near-dup pairs between a batch's
+    perceptual hashes and the materialized corpus — cross-batch
+    incremental image dedup, shaped for a 100 TB corpus side:
+
+    - the batch's banded chunks BROADCAST onto the corpus band table
+      (one corpus scan, zero corpus Exchange, no corpus self-join);
+    - verification is an inline popcount over the two hashes riding
+      the band rows — no second corpus table, no verify join;
+    - recall is EXACTLY 1.0 at the threshold (pigeonhole banding is
+      deterministic, unlike MinHash's probabilistic bands), so the
+      output is fully oracle-checkable, not rows-only.
+
+    Null batch hashes are dropped (corrupt images cannot match)."""
+    bph = batch_hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("key"), F.col(hash_col).alias("ph")
+    )
+    bchunks = _phash_chunks(bph, max_hamming, hash_bits).select(
+        F.col("key").alias("id_batch"),
+        F.col("ph").alias("ph_b"),
+        "band",
+        "chunk",
+    )
+    corpus = spark.table(f"{table_prefix}_bands").select(
+        F.col("key").alias("id_corpus"),
+        F.col("ph").alias("ph_c"),
+        "band",
+        "chunk",
+    )
+    hamming = F.bit_count(F.col("ph_b").bitwiseXOR(F.col("ph_c")))
+    return (
+        corpus.join(F.broadcast(bchunks), ["band", "chunk"])
+        .dropDuplicates(["id_batch", "id_corpus"])
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_batch", "id_corpus", "hamming")
     )
 
 

@@ -957,6 +957,73 @@ WHERE bit_count(xor(h1.hash, h2.hash)) <= 4
 """
 
 
+def q_dedup_phash_incremental(spark, sf_dir):
+    """Incremental cross-batch IMAGE near-dup — the production shape
+    of q_dedup_phash, completing the incremental family (exact:
+    q_dedup_incremental, text-LSH: q_dedup_incremental_mh, images:
+    THIS): the established corpus's banded pHash chunks live in ONE
+    bucketed table (operators/dedup.py:write_phash_corpus — single
+    table because verification is a popcount of the two hashes, both
+    on the band row), and today's batch broadcasts its banded chunks
+    onto it — one corpus scan, zero corpus Exchange, no corpus
+    self-join ever. Split doc_id % 5 (1-4 corpus, 0 batch).
+
+    Unlike the MinHash incremental (probabilistic bands -> rows-only),
+    pigeonhole banding is DETERMINISTIC (recall exactly 1.0 at
+    hamming<=4), so this oracle hash-checks the full output: the
+    DuckDB side recomputes both sides' hashes analytically and
+    brute-forces the batch x corpus pairs."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        phash_batch_against_corpus,
+        write_phash_corpus,
+    )
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_phash_media,
+        phash_gray,
+    )
+
+    n = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf_dir, "documents")
+
+    def hashes(docs):
+        return phash_gray(
+            attach_phash_media(docs.repartition(n, "doc_id"), "doc_id"),
+            "media_id",
+            "media",
+        )
+
+    norm = _os.path.abspath(sf_dir.rstrip("/"))
+    prefix = "akt_ph_corpus_" + _hashlib.md5(norm.encode()).hexdigest()[:8]
+    memo = _session_memo(spark)
+    if (norm, "ph") not in memo:
+        write_phash_corpus(
+            spark,
+            hashes(d.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)),
+            prefix,
+        )
+        memo.add((norm, "ph"))
+    batch = hashes(d.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0))
+    return phash_batch_against_corpus(spark, batch, prefix)
+
+
+# incremental twin oracle: the SAME analytic hash CTEs as
+# ORACLE_DEDUP_PHASH, final join batch (doc_id%5=0) x corpus
+# (doc_id%5<>0) brute force at hamming<=4 — a FULL hash check, not
+# rows-only, because pigeonhole banding is deterministic (recall
+# exactly 1.0 at the threshold)
+ORACLE_DEDUP_PHASH_INCREMENTAL = (
+    ORACLE_DEDUP_PHASH.rsplit("SELECT h1.doc_id", 1)[0]
+    + """SELECT b.doc_id AS id_batch, c.doc_id AS id_corpus,
+       CAST(bit_count(xor(b.hash, c.hash)) AS BIGINT) AS hamming
+FROM h b JOIN h c ON b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+WHERE bit_count(xor(b.hash, c.hash)) <= 4
+"""
+)
+
+
 def q_dedup_vhash(spark, sf_dir):
     """VIDEO near-dup — the fourth and last modality joins the dedup
     family (text, embeddings, images, video): real Y4M videos
@@ -3424,6 +3491,8 @@ LLMOPS_QUERIES = [
     Query("q_dedup_simhash", q_dedup_simhash, None,
           "SimHash banding; verified in tests"),
     Query("q_dedup_phash", q_dedup_phash, ORACLE_DEDUP_PHASH),
+    Query("q_dedup_phash_incremental", q_dedup_phash_incremental,
+          ORACLE_DEDUP_PHASH_INCREMENTAL),
     Query("q_dedup_vhash", q_dedup_vhash, ORACLE_DEDUP_VHASH),
     Query("q_dedup_ahash", q_dedup_ahash, ORACLE_DEDUP_AHASH),
     Query("q_dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),

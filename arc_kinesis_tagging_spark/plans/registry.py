@@ -395,22 +395,24 @@ _R9_HEAD = [
 # the judge's own verify_oracle run). Shape: (a) the rowless query
 # leads (round-9 verdict task 3), (b) queries NEW this round — the
 # SQL-engine twin of the admission gate (verdict task 8), the image
-# perceptual-hash near-dup (verdict task 4), and the video/audio
-# perceptual near-dups, (c) queries REWIRED this round — q_text_bm25 /
-# q_similarity_opq are the two reproducible bench regressions under
-# root-cause (verdict task 2); changed code is re-verified the round
-# it changes, (d) the 18 remaining r05 scalar-family rows (the
-# stalest vintage), (e) 26 of the 44 r06 rows complexity-first
-# (dedup/ANN/LM/composites/multimodal/TPC-H before scalar families);
-# the 19 displaced r06 rows (q_agg_stats and q_profile_columns
-# joined them when q_dedup_vhash / q_dedup_ahash landed) lead
-# round 11. Budget: 1 + 4 + 2 + 18 + 25 = 50 exactly.
+# perceptual-hash near-dup (verdict task 4) plus its incremental
+# corpus twin, and the video/audio perceptual near-dups, (c) queries
+# REWIRED this round — q_text_bm25 / q_similarity_opq are the two
+# reproducible bench regressions under root-cause (verdict task 2);
+# changed code is re-verified the round it changes, (d) the 18
+# remaining r05 scalar-family rows (the stalest vintage), (e) 24 of
+# the 44 r06 rows complexity-first (dedup/ANN/LM/composites/
+# multimodal/TPC-H before scalar families); the 20 displaced r06 rows
+# (q_agg_stats / q_profile_columns / q_ts_gapfill joined them as
+# q_dedup_vhash / q_dedup_ahash / q_dedup_phash_incremental landed)
+# lead round 11. Budget: 1 + 5 + 2 + 18 + 24 = 50 exactly.
 _R10_HEAD = [
     # -- (a) no driver CORRECTNESS row across r01..r09 --
     "q_admission_gate",
     # -- (b) new this round --
     "q_admission_gate_sql",   # Catalyst-expression gate twin, same oracle
     "q_dedup_phash",          # image perceptual-hash (DCT) near-dup
+    "q_dedup_phash_incremental",  # batch-vs-bucketed-corpus image dedup
     "q_dedup_vhash",          # video temporal pHash near-dup
     "q_dedup_ahash",          # audio Haitsma-Kalker fingerprint near-dup
     # -- (c) rewired this round (bench-regression root-cause) --
@@ -432,9 +434,10 @@ _R10_HEAD = [
     "q_graph_pagerank", "q_robots_gate", "q_quant_calibrate",
     "q_json_flatten", "q_corpus_diff",
     "q_tpch_q7ish", "q_tpch_q10ish", "q_tpch_q14ish", "q_tpch_q19ish",
-    "q_domain_balance_hash", "q_domain_balance", "q_ts_gapfill",
-    # round 11 should lead with the 19 displaced r06 rows:
-    # q_agg_stats, q_profile_columns, q_scan_parquet, q_filter_project,
+    "q_domain_balance_hash", "q_domain_balance",
+    # round 11 should lead with the 20 displaced r06 rows:
+    # q_agg_stats, q_profile_columns, q_ts_gapfill, q_scan_parquet,
+    # q_filter_project,
     # q_json_extract, q_corrupt_routing, q_sketch_hll,
     # q_dedup_simhash, q_agg_approx_percentile, q_udf_decompress,
     # q_sample, q_struct_funcs, q_window_range_frame, q_unpivot,

@@ -420,3 +420,62 @@ def test_fixture_generators_survive_huge_ids_with_duckdb_parity():
     ).fetchone()
     assert int(px[3][5]) == dpx
     assert int(smp[17]) == dsmp
+
+
+# --- incremental (batch vs persisted corpus) ---------------------------------
+
+
+def test_phash_incremental_matches_brute_force_and_isolates_corrupt(
+    spark, sf_dir, tmp_path
+):
+    """Batch-vs-corpus pairs == brute force over the same hashes
+    (pigeonhole recall is deterministic, so equality is exact, not
+    probabilistic); a corrupt batch image hashes to null and never
+    pairs; exact duplicates (hamming 0) are found."""
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        phash_batch_against_corpus,
+        write_phash_corpus,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 40)
+    corpus_h = _hashes_of(spark, docs.filter(F.col("doc_id") % 5 != 0))
+    prefix = "akt_test_ph_" + tmp_path.name.replace("-", "_").lower()
+    write_phash_corpus(spark, corpus_h, prefix)
+    corrupt = spark.createDataFrame(
+        pd.DataFrame({"media_id": [999], "media": [b"not a png"]})
+    )
+    batch_h = phash_gray(
+        attach_phash_media(
+            docs.filter(F.col("doc_id") % 5 == 0), "doc_id"
+        ).unionByName(corrupt),
+        "media_id",
+        "media",
+    )
+    got = {
+        (r["id_batch"], r["id_corpus"]): r["hamming"]
+        for r in phash_batch_against_corpus(spark, batch_h, prefix).collect()
+    }
+    bh = {r["media_id"]: r["phash"] for r in batch_h.collect()}
+    ch = {r["media_id"]: r["phash"] for r in corpus_h.collect()}
+    assert bh[999] is None
+    want = {}
+    for b, hb in bh.items():
+        if hb is None:
+            continue
+        for c, hc in ch.items():
+            d = bin(hb ^ hc).count("1")
+            if d <= 4:
+                want[(b, c)] = d
+    assert got == want and want
+    # batch doc 0 is group 0's base image; its in-group variants 1-3
+    # are corpus rows, so all three cross-batch pairs must be found
+    assert {(0, 1), (0, 2), (0, 3)} <= set(got)
+    assert all(b != 999 for b, _ in got)
+
+
+def _hashes_of(spark, docs):
+    return phash_gray(
+        attach_phash_media(docs, "doc_id"), "media_id", "media"
+    )

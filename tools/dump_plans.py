@@ -446,6 +446,14 @@ COMMENTARY.update(
             "corpus never all-pairs. At 100 TB the band key is the "
             "shuffle key, exactly the MinHash-LSH family shape."
         ),
+        "q_dedup_phash_incremental": (
+            "Incremental image dedup: the batch's banded pHash chunks "
+            "BROADCAST onto the bucketed corpus band table — ONE "
+            "corpus scan, zero corpus Exchange, no corpus self-join; "
+            "verification is an inline popcount over the two hashes "
+            "riding the band rows (no verify join, no side table). "
+            "The daily-job shape for a 100 TB image corpus."
+        ),
         "q_dedup_ahash": (
             "Audio near-dup: Haitsma-Kalker fingerprinting is one "
             "map-only Arrow pass (WAV decode -> integer-DCT band "
