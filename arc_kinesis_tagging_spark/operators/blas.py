@@ -68,10 +68,13 @@ def single_thread_blas():
     around bounded, driver-side training loops.
     """
     _resolve()
-    if _SET is None:
+    # BOTH symbols must resolve: with a setter but no getter we could
+    # pin to 1 thread but never restore, permanently degrading
+    # process-wide BLAS after the block — treat that as unresolvable.
+    if _SET is None or _GET is None:
         yield
         return
-    prev = _GET() if _GET is not None else None
+    prev = _GET()
     _SET(1)
     try:
         yield

@@ -167,11 +167,18 @@ def minhash_near_duplicates(
     distinct candidate pairs -> exact Jaccard on shingle sets ->
     threshold filter. Returns (key_a, key_b, jaccard).
     """
-    # Persist the signature table: it feeds the band explode AND both
+    # Pin the signature table: it feeds the band explode AND both
     # sides of the bucket self-join AND the final verification joins —
-    # without the persist, Catalyst's projection collapse would inline
+    # without the pin, Catalyst's projection collapse would inline
     # (and recompute) the hashing pipeline at every use site.
-    sigs = _minhash_sigs(df, text_col, key_col, n_hashes, shingle_n).persist()
+    # localCheckpoint, not persist(): this is a builder (we return a
+    # plan, so there is no safe unpersist point) and the
+    # ContextCleaner reclaims checkpointed blocks once the returned
+    # plan is GC'd — persist() would leak cache for the session
+    # lifetime on every call (see operators/textops.py:167).
+    sigs = _minhash_sigs(
+        df, text_col, key_col, n_hashes, shingle_n
+    ).localCheckpoint(eager=False)
     # Band keys only — shingle arrays must not ride the join shuffle.
     banded = _band_keys(sigs, n_hashes, bands)
 
@@ -318,8 +325,12 @@ def simhash_near_duplicates(
     on (band, chunk), verify true Hamming distance <= ``max_hamming``.
     """
     width = 60 // bands
-    # Persist: both sides of the bucket self-join read this table.
-    sh = df.select(F.col(key_col).alias("key"), _simhash64(text_col).alias("sim")).persist()
+    # Pin: both sides of the bucket self-join read this table.
+    # localCheckpoint, not persist() — builder-returned plan, no safe
+    # unpersist point; ContextCleaner reclaims the blocks on GC.
+    sh = df.select(
+        F.col(key_col).alias("key"), _simhash64(text_col).alias("sim")
+    ).localCheckpoint(eager=False)
     chunks = sh.select(
         "key",
         "sim",
@@ -340,12 +351,14 @@ def simhash_near_duplicates(
     a = chunks.select(F.col("key").alias("key_a"), F.col("sim").alias("sim_a"), "band", "chunk")
     b = chunks.select(F.col("key").alias("key_b"), F.col("sim").alias("sim_b"), "band", "chunk")
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # verify below the pair-dedup Exchange (hamming is functionally
+    # determined by the pair): collision pairs die before the shuffle.
     return (
         a.join(b, ["band", "chunk"])
         .filter(F.col("key_a") < F.col("key_b"))
-        .dropDuplicates(["key_a", "key_b"])
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["key_a", "key_b"])
         .select("key_a", "key_b", "hamming")
     )
 
@@ -406,7 +419,11 @@ def phash_near_dup_pairs(
     hamming), each unordered pair once."""
     ph = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("key"), F.col(hash_col).alias("ph")
-    ).persist()  # both sides of the bucket self-join read this table
+    ).localCheckpoint(eager=False)
+    # ^ both sides of the bucket self-join read this table; lazy
+    # localCheckpoint so the ContextCleaner reclaims the blocks once
+    # the returned plan is GC'd (persist() in a builder leaks cache —
+    # bench reps and the scale ladder call this repeatedly).
     chunks = _phash_chunks(ph, max_hamming, hash_bits)
     a = chunks.select(
         F.col("key").alias("id_a"), F.col("ph").alias("ph_a"), "band", "chunk"
@@ -415,12 +432,17 @@ def phash_near_dup_pairs(
         F.col("key").alias("id_b"), F.col("ph").alias("ph_b"), "band", "chunk"
     )
     hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    # hamming rides the join row, so verify BELOW the pair-dedup
+    # Exchange: band-co-occupant pairs with hamming > k (the birthday-
+    # collision population, quadratic in corpus size) die map-side and
+    # never shuffle. hamming is functionally determined by the pair,
+    # so dropDuplicates after the filter yields identical output.
     return (
         a.join(b, ["band", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
@@ -494,11 +516,13 @@ def phash_batch_against_corpus(
         "chunk",
     )
     hamming = F.bit_count(F.col("ph_b").bitwiseXOR(F.col("ph_c")))
+    # verify below the pair-dedup Exchange (same reasoning as
+    # phash_near_dup_pairs): only pairs that pass the popcount shuffle.
     return (
         corpus.join(F.broadcast(bchunks), ["band", "chunk"])
-        .dropDuplicates(["id_batch", "id_corpus"])
         .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_batch", "id_corpus"])
         .select("id_batch", "id_corpus", "hamming")
     )
 
@@ -538,7 +562,11 @@ def vhash_near_dup_pairs(
         F.col(id_col).alias("key"),
         F.col(frame_col).alias("f"),
         F.col(hash_col).alias("fh"),
-    ).persist()  # candidate banding AND both verify sides read this
+    ).localCheckpoint(eager=False)
+    # ^ candidate banding AND both verify sides read this per-frame
+    # table (K x the video count); lazy localCheckpoint, not persist(),
+    # so repeated invocations in a long-lived driver don't accumulate
+    # cached tables (ContextCleaner reclaims on plan GC).
     chunks = fh.select(
         "key",
         "f",

@@ -10,12 +10,16 @@ This generalizes the reference's binary handling: Kinesis payloads are
 gzip blobs decompressed per record (reference app.py:33-38); here the
 binary column + batched-UDF shape is first-class.
 
-Real codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
-actual decode body is stubbed: payloads use a deterministic fake
-container format (ASCII header + payload bytes) whose "decode" is real
-parsing of our own header. The Spark-side plumbing — schemas, Arrow
-batching, partition behavior, per-record error isolation — is real and
-tested; swap ``_decode_fake`` for a PIL/librosa call in production.
+This file contains REAL, spec-faithful pure-numpy codecs — PNG
+(zlib/DEFLATE + all five filter types, 8/16-bit, palette), baseline
+JPEG (ITU-T T.81: huffman, dequant, IDCT, 4:4:4 and 4:2:0 chroma),
+GIF (LZW), PPM/PGM, WAV (PCM16), and Y4M video — used by the codec
+query families and the perceptual-hash dedup pipelines. External
+codec libraries (PIL/librosa/ffmpeg) are NOT in this container and
+are not needed for these paths. ``_decode_fake`` survives only for
+the original plumbing-test container query (ASCII header + payload
+bytes), which exercises schemas, Arrow batching, partition behavior,
+and per-record error isolation independent of any codec.
 """
 
 from __future__ import annotations

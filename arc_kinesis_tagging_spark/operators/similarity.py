@@ -267,7 +267,11 @@ def cosine_threshold_pairs(
     )
     assigned = _assign_cells(
         df, F.broadcast(centroids), id_col, vec_col, rank_limit=1, keep_sim=True
-    ).persist()  # reused 3x below; without persist each branch re-scores
+    ).localCheckpoint(eager=False)
+    # ^ reused 3x below; without the pin each branch re-scores. Lazy
+    # localCheckpoint instead of persist(): builder-returned plan has
+    # no unpersist point, and ContextCleaner reclaims checkpoint
+    # blocks on GC where persist() would leak for the session.
 
     clamp = lambda c: F.least(F.greatest(c, F.lit(-1.0)), F.lit(1.0))
     radii = assigned.groupBy("cell_id").agg(
@@ -1284,14 +1288,19 @@ def opq_train(
         # summation order can flip the integer micro-unit floor at
         # quantization boundaries and break bit-determinism vs the
         # assign kernel / test replica, which both use this form).
-        # The round-10 speedup is structural instead: one fused
-        # einsum per iteration and an np.add.at scatter for the mean
-        # update in place of the 16-way python mask loop — ~6x on the
-        # full alternation at d=64/n=512 with numerics unchanged.
+        # The round-10 speedup is structural instead: the np.add.at
+        # scatter for the mean update in place of the 16-way python
+        # mask loop. The squared distance stays the literal
+        # (diff*diff).sum(axis=2) ufunc form — numpy does NOT
+        # guarantee einsum's SOP loop and the ufunc pairwise reduce
+        # sum in the same order across versions/SIMD, and a flipped
+        # micro-unit floor at a quantization boundary would make
+        # trained codebooks non-reproducible (same hazard as the GEMM
+        # identity above; r10 advice).
         for _ in range(lloyd_iters):
             diff = S[:, None, :] - C_[None, :, :]
             dist = np.floor(
-                np.einsum("nkd,nkd->nk", diff, diff) * 1e6 + 0.5
+                (diff * diff).sum(axis=2) * 1e6 + 0.5
             ).astype(np.int64)
             a = np.argmin(dist, axis=1)
             sums = np.zeros_like(C_)

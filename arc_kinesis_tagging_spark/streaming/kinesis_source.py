@@ -367,7 +367,20 @@ class KinesisEmuStreamWriter(DataSourceStreamWriter):
         Replay therefore resumes idempotently from whichever of the
         three phases the crash interrupted. Assumes Structured
         Streaming's contract that a replayed epoch re-delivers the
-        same batch data for the same batchId."""
+        same batch data for the same batchId.
+
+        CONTRACT — deterministic per-partition ORDER upstream: the
+        intent digest is length-framed md5 over each shard's payloads
+        in delivery order, because intra-shard order is load-bearing
+        (seq numbers are positional, and a crashed attempt may have
+        already published a prefix under the planned order — replaying
+        a reordering would silently remap seq->payload). A replayed
+        epoch that delivers the same payload multiset in a DIFFERENT
+        intra-partition order — possible when the upstream query
+        shuffles without an explicit sort — permanently fails this
+        batch by design. If the upstream plan contains a shuffle, add
+        ``sortWithinPartitions(...)`` on a key that totally orders
+        rows before this sink."""
         import pyarrow.parquet as pq
 
         marker_dir = os.path.join(self.stream_dir, "_committed")

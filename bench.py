@@ -464,6 +464,33 @@ def adjudicate_regressions(spark, cmp_full: dict, sf_dir: str) -> dict:
             "then": then, "remeasured": round(now, 3), "ratio": ratio,
             "canary_factor": factor, "ratio_norm": norm,
         }
+    # Cross-round watch ledger (r10 advice): a single environmental
+    # classification can be a canary/query resource-profile mismatch
+    # (CPU-bound canary vs shuffle-bound query), so one env verdict
+    # does NOT clear a flag — it stays "tracked" (visible in the
+    # compare output, non-blocking) until it has been classified
+    # environmental in 2 consecutive flagged runs, or stops being
+    # flagged at all.
+    ledger_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_flags.json"
+    )
+    try:
+        with open(ledger_path) as fh:
+            ledger = json.load(fh)
+    except Exception:
+        ledger = {}
+    new_ledger: dict[str, int] = {}
+    result["tracked"] = []
+    for name in result["environmental"]:
+        n = int(ledger.get(name, 0)) + 1
+        if n < 2:
+            new_ledger[name] = n
+            result["tracked"].append(name)
+    try:
+        with open(ledger_path, "w") as fh:
+            json.dump(new_ledger, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: tracking degrades, run continues
     return result
 
 
@@ -610,6 +637,10 @@ def main() -> None:
                                   adj.get("confirmed", []),
                               "regressions_environmental":
                                   adj.get("environmental", []),
+                              # env-classified flags still under the
+                              # 2-consecutive-rounds watch (r10 advice)
+                              "regressions_tracked":
+                                  adj.get("tracked", []),
                               "canary_factor": cmp_full["canary"]["factor"],
                               "n_compared": sum(
                                   1 for d in cmp_full["deltas"].values()
