@@ -527,6 +527,38 @@ def phash_batch_against_corpus(
     )
 
 
+def _frame_chunks(
+    fh: DataFrame, max_hamming: int, hash_bits: int
+) -> DataFrame:
+    """(key, f, fh, band, chunk) pigeonhole band keys of a per-frame
+    (key, f, fh) hash table — the frame-wise analog of _phash_chunks,
+    shared by the video self-join (vhash_near_dup_pairs) and the
+    cross-batch path (vhash_batch_against_corpus)."""
+    bands = max_hamming + 1
+    base = hash_bits // bands
+    extra = hash_bits - base * bands  # first `extra` bands get +1 bit
+    widths = [base + (1 if b < extra else 0) for b in range(bands)]
+    offsets = [sum(widths[:b]) for b in range(bands)]
+    return fh.select(
+        "key",
+        "f",
+        "fh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("fh"), offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("key", "f", "fh", "bc.band", "bc.chunk")
+
+
 def vhash_near_dup_pairs(
     frame_hashes: DataFrame,
     id_col: str = "media_id",
@@ -553,11 +585,6 @@ def vhash_near_dup_pairs(
     band, chunk) — no all-pairs; the verify join carries only
     candidate pairs x sampled frames. Output: (id_a, id_b, n_frames,
     max_hamming), each unordered pair once."""
-    bands = max_hamming + 1
-    base = hash_bits // bands
-    extra = hash_bits - base * bands
-    widths = [base + (1 if b < extra else 0) for b in range(bands)]
-    offsets = [sum(widths[:b]) for b in range(bands)]
     fh = frame_hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("key"),
         F.col(frame_col).alias("f"),
@@ -567,23 +594,9 @@ def vhash_near_dup_pairs(
     # table (K x the video count); lazy localCheckpoint, not persist(),
     # so repeated invocations in a long-lived driver don't accumulate
     # cached tables (ContextCleaner reclaims on plan GC).
-    chunks = fh.select(
-        "key",
-        "f",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("fh"), offsets[b])
-                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
-                        .alias("chunk"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bc"),
-    ).select("key", "f", "bc.band", "bc.chunk")
+    chunks = _frame_chunks(fh, max_hamming, hash_bits).select(
+        "key", "f", "band", "chunk"
+    )
     cand = (
         chunks.select(F.col("key").alias("id_a"), "f", "band", "chunk")
         .join(
@@ -625,6 +638,141 @@ def vhash_near_dup_pairs(
         )
         .select(
             "id_a", "id_b",
+            F.col("n_aligned").cast("long").alias("n_frames"),
+            "max_hamming",
+        )
+    )
+
+
+def write_vhash_corpus(
+    spark,
+    frame_hashes: DataFrame,
+    table_prefix: str,
+    id_col: str = "media_id",
+    frame_col: str = "frame_idx",
+    hash_col: str = "fhash",
+    max_hamming: int = 4,
+    hash_bits: int = 63,
+    n_buckets: int = 16,
+) -> None:
+    """Materialize the corpus side of incremental VIDEO near-dup
+    dedup: ONE table of per-frame banded pHash chunks
+    (key, f, fh, nf, band, chunk) bucketed on (f, chunk) — the video
+    counterpart of write_phash_corpus. Two denormalizations keep the
+    batch query corpus-Exchange-free:
+
+    - ``nf`` (the video's sampled-frame count, needed by the strict
+      temporal verify) rides every band row, so verification never
+      aggregates the corpus;
+    - the band-0 slice of this table IS the per-frame hash table
+      (each (key, f) appears exactly once per band), so the verify
+      stage re-reads this one table filtered to band=0 instead of
+      maintaining a second frames table.
+
+    The daily job appends each accepted batch's rows. Null frame
+    hashes (corrupt videos) are excluded at write time."""
+    from arc_kinesis_tagging_spark.operators.skew import write_bucketed
+
+    fh = frame_hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("key"),
+        F.col(frame_col).alias("f"),
+        F.col(hash_col).alias("fh"),
+    )
+    nf = fh.groupBy("key").agg(F.count(F.lit(1)).alias("nf"))
+    write_bucketed(
+        _frame_chunks(fh, max_hamming, hash_bits).join(nf, "key"),
+        f"{table_prefix}_bands",
+        ["f", "chunk"],
+        n_buckets=n_buckets,
+    )
+
+
+def vhash_batch_against_corpus(
+    spark,
+    batch_frame_hashes: DataFrame,
+    table_prefix: str,
+    id_col: str = "media_id",
+    frame_col: str = "frame_idx",
+    hash_col: str = "fhash",
+    max_hamming: int = 4,
+    hash_bits: int = 63,
+) -> DataFrame:
+    """(id_batch, id_corpus, n_frames, max_hamming) near-dup pairs
+    between a batch's per-frame hashes and the materialized video
+    corpus — cross-batch incremental video dedup under the same STRICT
+    temporal criterion as vhash_near_dup_pairs (every aligned sampled
+    frame within ``max_hamming`` AND equal sampled-frame counts).
+    Shaped for a 100 TB corpus side:
+
+    - candidates: the batch's banded frame chunks BROADCAST onto the
+      corpus band table, joined on (f, band, chunk) — one corpus scan,
+      zero corpus Exchange;
+    - verify: candidate pairs (batch-scale, bounded by batch size x
+      band collisions) BROADCAST onto the corpus band table's band-0
+      slice (= the per-frame hash table), then the batch frames
+      broadcast again for the aligned popcount — the second and last
+      corpus scan, still Exchange-free on the corpus;
+    - the corpus frame count ``nf`` rides the band rows (denormalized
+      at write time), so the temporal completeness check never
+      aggregates the corpus.
+
+    Recall is exactly 1.0 at the threshold (pigeonhole banding per
+    frame is deterministic), so the output is fully oracle-checkable.
+    Null batch frame hashes are dropped."""
+    bfh = batch_frame_hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("key"),
+        F.col(frame_col).alias("f"),
+        F.col(hash_col).alias("fh"),
+    ).localCheckpoint(eager=False)
+    # ^ batch-sized; feeds candidate banding, the verify join, and the
+    # batch frame counts — lazy pin, ContextCleaner reclaims on GC.
+    bchunks = _frame_chunks(bfh, max_hamming, hash_bits).select(
+        F.col("key").alias("id_batch"), "f", "band", "chunk"
+    )
+    corpus = spark.table(f"{table_prefix}_bands")
+    cand = (
+        corpus.join(F.broadcast(bchunks), ["f", "band", "chunk"])
+        .select(F.col("key").alias("id_corpus"), "id_batch")
+        .distinct()
+    )
+    # band=0 slice of the corpus band table = the (key, f, fh, nf)
+    # per-frame hash table (each frame appears once per band)
+    cframes = corpus.filter(F.col("band") == 0).select(
+        F.col("key").alias("id_corpus"),
+        "f",
+        F.col("fh").alias("fh_c"),
+        F.col("nf").alias("nf_c"),
+    )
+    bframes = bfh.select(
+        F.col("key").alias("id_batch"), "f", F.col("fh").alias("fh_b")
+    )
+    nf_b = bfh.groupBy("key").agg(F.count(F.lit(1)).alias("nf_b")).select(
+        F.col("key").alias("id_batch"), "nf_b"
+    )
+    hamming = F.bit_count(F.col("fh_c").bitwiseXOR(F.col("fh_b")))
+    per_frame = (
+        cframes.join(F.broadcast(cand), "id_corpus")
+        .join(F.broadcast(bframes), ["id_batch", "f"])
+        .withColumn("hamming", hamming)
+    )
+    agg = per_frame.groupBy("id_batch", "id_corpus").agg(
+        F.count(F.lit(1)).alias("n_aligned"),
+        F.sum(
+            F.when(F.col("hamming") <= max_hamming, 1).otherwise(0)
+        ).alias("n_close"),
+        F.max("hamming").cast("long").alias("max_hamming"),
+        F.first("nf_c").alias("nf_c"),
+    )
+    return (
+        agg.join(F.broadcast(nf_b), "id_batch")
+        .filter(
+            (F.col("n_close") == F.col("n_aligned"))
+            & (F.col("n_aligned") == F.col("nf_b"))
+            & (F.col("nf_b") == F.col("nf_c"))
+        )
+        .select(
+            "id_batch",
+            "id_corpus",
             F.col("n_aligned").cast("long").alias("n_frames"),
             "max_hamming",
         )

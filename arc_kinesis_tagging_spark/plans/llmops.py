@@ -1193,6 +1193,152 @@ WHERE bit_count(xor(h1.hash, h2.hash)) <= 4
 """
 
 
+def q_dedup_vhash_incremental(spark, sf_dir):
+    """Incremental cross-batch VIDEO near-dup — the production shape
+    of q_dedup_vhash, extending the incremental family to video
+    (exact: q_dedup_incremental, text-LSH: q_dedup_incremental_mh,
+    images: q_dedup_phash_incremental, video: THIS): the established
+    corpus's per-frame banded pHash chunks live in ONE bucketed table
+    keyed (frame_idx, chunk) with the sampled-frame count
+    denormalized onto every band row
+    (operators/dedup.py:write_vhash_corpus), and today's batch
+    broadcasts its banded frame chunks onto it. Two corpus scans
+    total (candidates + the band-0 per-frame slice for the strict
+    temporal verify), zero corpus Exchange, no corpus self-join ever.
+    Split doc_id % 5 (1-4 corpus, 0 batch).
+
+    Per-frame pigeonhole banding is DETERMINISTIC (recall exactly 1.0
+    at hamming<=4 on every aligned frame), so the oracle hash-checks
+    the full output: the DuckDB side recomputes both sides' sampled
+    frame hashes analytically and brute-forces batch x corpus pairs
+    under the same strict temporal criterion."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        vhash_batch_against_corpus,
+        write_vhash_corpus,
+    )
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_vhash_media,
+        vhash_frames,
+    )
+
+    n = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf_dir, "documents")
+
+    def hashes(docs):
+        return vhash_frames(
+            attach_vhash_media(docs.repartition(n, "doc_id"), "doc_id"),
+            "media_id",
+            "media",
+            every=2,
+        )
+
+    norm = _os.path.abspath(sf_dir.rstrip("/"))
+    prefix = "akt_vh_corpus_" + _hashlib.md5(norm.encode()).hexdigest()[:8]
+    memo = _session_memo(spark)
+    if (norm, "vh") not in memo:
+        write_vhash_corpus(
+            spark,
+            hashes(d.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)),
+            prefix,
+        )
+        memo.add((norm, "vh"))
+    batch = hashes(d.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0))
+    return vhash_batch_against_corpus(
+        spark, batch, prefix, "media_id", "frame_idx", "fhash"
+    )
+
+
+# incremental twin oracle: the SAME analytic per-frame hash CTEs as
+# ORACLE_DEDUP_VHASH, final join batch (doc_id%5=0) x corpus
+# (doc_id%5<>0) under the same strict temporal criterion — a FULL
+# hash check (per-frame pigeonhole banding is deterministic)
+ORACLE_DEDUP_VHASH_INCREMENTAL = (
+    ORACLE_DEDUP_VHASH.rsplit("SELECT a.doc_id", 1)[0]
+    + """SELECT b.doc_id AS id_batch, c.doc_id AS id_corpus,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(MAX(bit_count(xor(b.hash, c.hash))) AS BIGINT) AS max_hamming
+FROM h b JOIN h c
+  ON b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0 AND b.f = c.f
+GROUP BY b.doc_id, c.doc_id
+HAVING COUNT(*) = 2 AND MAX(bit_count(xor(b.hash, c.hash))) <= 4
+"""
+)
+
+
+def q_dedup_ahash_incremental(spark, sf_dir):
+    """Incremental cross-batch AUDIO near-dup — the production shape
+    of q_dedup_ahash, completing the incremental family across every
+    modality (exact, text-LSH, images, video, audio): the audio
+    fingerprint is a single 60-bit hash per clip, so the corpus side
+    IS the image machinery reused verbatim — write_phash_corpus /
+    phash_batch_against_corpus with hash_bits=60 (5 pigeonhole bands
+    of 12 bits) over the Haitsma-Kalker fingerprints from
+    operators/multimodal.py:ahash_wav. One bucketed corpus band
+    table, batch broadcast, zero corpus Exchange. Split doc_id % 5
+    (1-4 corpus, 0 batch).
+
+    Pigeonhole banding is deterministic (recall exactly 1.0 at
+    hamming<=4), so the oracle hash-checks the full output via the
+    same analytic integer fingerprint CTEs as ORACLE_DEDUP_AHASH."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        phash_batch_against_corpus,
+        write_phash_corpus,
+    )
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        ahash_wav,
+        attach_ahash_media,
+    )
+
+    n = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf_dir, "documents")
+
+    def hashes(docs):
+        return ahash_wav(
+            attach_ahash_media(docs.repartition(n, "doc_id"), "doc_id"),
+            "media_id",
+            "media",
+        )
+
+    norm = _os.path.abspath(sf_dir.rstrip("/"))
+    prefix = "akt_ah_corpus_" + _hashlib.md5(norm.encode()).hexdigest()[:8]
+    memo = _session_memo(spark)
+    if (norm, "ah") not in memo:
+        write_phash_corpus(
+            spark,
+            hashes(d.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)),
+            prefix,
+            "media_id",
+            "ahash",
+            max_hamming=4,
+            hash_bits=60,
+        )
+        memo.add((norm, "ah"))
+    batch = hashes(d.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0))
+    return phash_batch_against_corpus(
+        spark, batch, prefix, "media_id", "ahash", max_hamming=4,
+        hash_bits=60,
+    )
+
+
+# incremental twin oracle: the SAME analytic fingerprint CTEs as
+# ORACLE_DEDUP_AHASH, final join batch x corpus brute force — a FULL
+# hash check (pigeonhole banding is deterministic)
+ORACLE_DEDUP_AHASH_INCREMENTAL = (
+    ORACLE_DEDUP_AHASH.rsplit("SELECT h1.doc_id", 1)[0]
+    + """SELECT b.doc_id AS id_batch, c.doc_id AS id_corpus,
+       CAST(bit_count(xor(b.hash, c.hash)) AS BIGINT) AS hamming
+FROM h b JOIN h c ON b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+WHERE bit_count(xor(b.hash, c.hash)) <= 4
+"""
+)
+
+
 def q_dedup_embedding_pq(spark, sf_dir):
     """Embedding near-dup via PQ-CODE BLOCKING — the third member of
     the embedding-dedup family (exact IVF threshold join, SRP-LSH
@@ -3494,7 +3640,11 @@ LLMOPS_QUERIES = [
     Query("q_dedup_phash_incremental", q_dedup_phash_incremental,
           ORACLE_DEDUP_PHASH_INCREMENTAL),
     Query("q_dedup_vhash", q_dedup_vhash, ORACLE_DEDUP_VHASH),
+    Query("q_dedup_vhash_incremental", q_dedup_vhash_incremental,
+          ORACLE_DEDUP_VHASH_INCREMENTAL),
     Query("q_dedup_ahash", q_dedup_ahash, ORACLE_DEDUP_AHASH),
+    Query("q_dedup_ahash_incremental", q_dedup_ahash_incremental,
+          ORACLE_DEDUP_AHASH_INCREMENTAL),
     Query("q_dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
     Query("q_similarity_topk", q_similarity_topk, ORACLE_SIMILARITY_TOPK),
     Query("q_dedup_incremental", q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),

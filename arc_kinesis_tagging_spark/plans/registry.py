@@ -445,6 +445,44 @@ _R10_HEAD = [
     # q_bpe_encode.
 ]
 
+# Round-11 window (50 rows): exactly the rotation the r10 verdict
+# pre-listed — (a) the 20 r06-vintage rows (the stalest anywhere),
+# (b) the round's new work (incremental video/audio near-dup), then
+# (c) 28 of the 47 r07-vintage rows, TPC-H first, complexity-first
+# for the rest. After r11 the stalest remaining vintage is r07
+# (19 rows), pre-listed at the bottom for round 12.
+_R11_HEAD = [
+    # -- (a) the 20 r06-vintage rows --
+    "q_agg_stats", "q_profile_columns", "q_ts_gapfill",
+    "q_scan_parquet", "q_filter_project", "q_json_extract",
+    "q_corrupt_routing", "q_sketch_hll", "q_dedup_simhash",
+    "q_agg_approx_percentile", "q_udf_decompress", "q_sample",
+    "q_struct_funcs", "q_window_range_frame", "q_unpivot",
+    "q_hof_funcs", "q_sql_direct", "q_token_histogram",
+    "q_bpe_train", "q_bpe_encode",
+    # -- (b) new round-11 work --
+    "q_dedup_vhash_incremental",  # batch-vs-bucketed-corpus video dedup
+    "q_dedup_ahash_incremental",  # batch-vs-bucketed-corpus audio dedup
+    # -- (c) r07-vintage refresh: the 14 TPC-H rows first --
+    "q_tpch_q2ish", "q_tpch_q4ish", "q_tpch_q6ish", "q_tpch_q8ish",
+    "q_tpch_q9ish", "q_tpch_q11ish", "q_tpch_q12ish", "q_tpch_q13ish",
+    "q_tpch_q15ish", "q_tpch_q16ish", "q_tpch_q17ish", "q_tpch_q20ish",
+    "q_tpch_q21ish", "q_tpch_q22ish",
+    # -- then 14 more r07 rows, complexity-first --
+    "q_lm_arpa", "q_lm_buckets", "q_ann_persisted", "q_ann_incremental",
+    "q_ann_recall", "q_similarity_ivfpq", "q_similarity_pq_adc",
+    "q_embed_pq", "q_dedup_embedding_pq", "q_dedup_cluster_star",
+    "q_multimodal_jpeg_prog", "q_multimodal_png_adam7",
+    "q_multimodal_y4m", "q_multimodal_wav",
+    # round 12 should finish the r07 block (19 rows left):
+    # q_corpus_pipeline5, q_dedup_prefix, q_doc_minwise_sim,
+    # q_doc_stats_sketch, q_events_funnel, q_hard_negatives,
+    # q_join_broadcast, q_json_variant, q_minhash_vs_exact,
+    # q_multimodal_catalog, q_multimodal_thumbnail, q_ngram_lm_pruned,
+    # q_seq_pack_ffd, q_similarity_topk, q_text_html_strip,
+    # q_text_normalize, q_text_winnowing, q_ts_ewma, q_window_ntile.
+]
+
 
 def _ordered(head: list[str]) -> list[Query]:
     seen = [n for n in head if n in _BY_NAME]
@@ -476,8 +514,10 @@ elif _ROT == "r8":
     ALL_QUERIES = _ordered(_R8_HEAD)
 elif _ROT == "r9":
     ALL_QUERIES = _ordered(_R9_HEAD)
-else:
+elif _ROT == "r10":
     ALL_QUERIES = _ordered(_R10_HEAD)
+else:
+    ALL_QUERIES = _ordered(_R11_HEAD)
 
 QUERIES: dict[str, Query] = {q.name: q for q in ALL_QUERIES}
 

@@ -95,6 +95,9 @@ HEADLINE = [
     # write, rep 2 measures the steady-state batch-probe path (the
     # daily-job shape) — min-of-2 reports the probe
     "q_dedup_phash_incremental",
+    # round-11 additions (same memoized corpus-write shape)
+    "q_dedup_vhash_incremental",  # batch-vs-corpus video temporal dedup
+    "q_dedup_ahash_incremental",  # batch-vs-corpus audio fingerprint dedup
 ]
 
 

@@ -479,3 +479,115 @@ def _hashes_of(spark, docs):
     return phash_gray(
         attach_phash_media(docs, "doc_id"), "media_id", "media"
     )
+
+
+def test_vhash_incremental_matches_brute_force_and_isolates_corrupt(
+    spark, sf_dir, tmp_path
+):
+    """Batch-vs-corpus video pairs == brute force under the strict
+    temporal criterion (every aligned sampled frame within the
+    threshold AND equal frame counts); a corrupt batch video yields a
+    null-hash row and never pairs."""
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        vhash_batch_against_corpus,
+        write_vhash_corpus,
+    )
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_vhash_media,
+        vhash_frames,
+    )
+
+    def fhashes(docs):
+        return vhash_frames(
+            attach_vhash_media(docs, "doc_id"), "media_id", "media", every=2
+        )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 40)
+    corpus_h = fhashes(docs.filter(F.col("doc_id") % 5 != 0))
+    prefix = "akt_test_vh_" + tmp_path.name.replace("-", "_").lower()
+    write_vhash_corpus(spark, corpus_h, prefix)
+    corrupt = spark.createDataFrame(
+        pd.DataFrame({"media_id": [999], "media": [b"not a y4m"]})
+    )
+    batch_h = vhash_frames(
+        attach_vhash_media(
+            docs.filter(F.col("doc_id") % 5 == 0), "doc_id"
+        ).unionByName(corrupt),
+        "media_id",
+        "media",
+        every=2,
+    )
+    got = {
+        (r["id_batch"], r["id_corpus"]): (r["n_frames"], r["max_hamming"])
+        for r in vhash_batch_against_corpus(spark, batch_h, prefix).collect()
+    }
+
+    def by_video(rows):
+        vids = {}
+        for r in rows:
+            if r["fhash"] is not None:
+                vids.setdefault(r["media_id"], {})[r["frame_idx"]] = r["fhash"]
+        return vids
+
+    bv, cv = by_video(batch_h.collect()), by_video(corpus_h.collect())
+    assert not by_video(
+        [r.asDict() for r in batch_h.filter(F.col("media_id") == 999).collect()]
+    )  # corrupt video -> null hash only
+    want = {}
+    for b, bf in bv.items():
+        for c, cf in cv.items():
+            if set(bf) != set(cf):
+                continue
+            ds = [bin(bf[f] ^ cf[f]).count("1") for f in bf]
+            if ds and max(ds) <= 4:
+                want[(b, c)] = (len(ds), max(ds))
+    assert got == want and want
+    assert all(b != 999 for b, _ in got)
+
+
+def test_ahash_incremental_matches_brute_force(spark, sf_dir, tmp_path):
+    """Batch-vs-corpus audio pairs == brute force over the
+    Haitsma-Kalker fingerprints (pigeonhole banding at hash_bits=60 is
+    deterministic, so equality is exact)."""
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        phash_batch_against_corpus,
+        write_phash_corpus,
+    )
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        ahash_wav,
+        attach_ahash_media,
+    )
+
+    def ahashes(docs):
+        return ahash_wav(attach_ahash_media(docs, "doc_id"), "media_id", "media")
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 40)
+    corpus_h = ahashes(docs.filter(F.col("doc_id") % 5 != 0))
+    prefix = "akt_test_ah_" + tmp_path.name.replace("-", "_").lower()
+    write_phash_corpus(
+        spark, corpus_h, prefix, "media_id", "ahash", max_hamming=4,
+        hash_bits=60,
+    )
+    batch_h = ahashes(docs.filter(F.col("doc_id") % 5 == 0))
+    got = {
+        (r["id_batch"], r["id_corpus"]): r["hamming"]
+        for r in phash_batch_against_corpus(
+            spark, batch_h, prefix, "media_id", "ahash", max_hamming=4,
+            hash_bits=60,
+        ).collect()
+    }
+    bh = {r["media_id"]: r["ahash"] for r in batch_h.collect()}
+    ch = {r["media_id"]: r["ahash"] for r in corpus_h.collect()}
+    want = {}
+    for b, hb in bh.items():
+        if hb is None:
+            continue
+        for c, hc in ch.items():
+            if hc is None:
+                continue
+            d = bin(hb ^ hc).count("1")
+            if d <= 4:
+                want[(b, c)] = d
+    assert got == want and want
