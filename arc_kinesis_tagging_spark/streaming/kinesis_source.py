@@ -406,6 +406,14 @@ class KinesisEmuStreamWriter(DataSourceStreamWriter):
             with open(intent) as fh:
                 planned = json.load(fh)["shards"]
         else:
+            # AKT_TEE_DIGEST=off drops the content digest from the
+            # intent (replays then verify by count only) — a bench
+            # A/B knob to attribute the digest's share of publish
+            # wall-clock, NEVER for production: without it a
+            # same-count/different-bytes replay publishes silently.
+            with_digest = (
+                os.environ.get("AKT_TEE_DIGEST", "on").lower() != "off"
+            )
             planned = {}
             for shard_id, payloads in payloads_by_shard.items():
                 d = os.path.join(self.stream_dir, shard_id)
@@ -413,8 +421,9 @@ class KinesisEmuStreamWriter(DataSourceStreamWriter):
                 planned[shard_id] = {
                     "start": _shard_end_seq(d),
                     "count": len(payloads),
-                    "digest": _payloads_digest(payloads),
                 }
+                if with_digest:
+                    planned[shard_id]["digest"] = _payloads_digest(payloads)
             with open(intent + ".tmp", "w") as fh:
                 fh.write(json.dumps({"batch": int(batchId), "shards": planned}))
             os.replace(intent + ".tmp", intent)
