@@ -641,45 +641,33 @@ def make_admission_gate(
     return stage
 
 
-def _arrow_admission_stage(
+def _gate_closures(
     robots_rules,
     lm_model: tuple,
     dsir_model: tuple,
-    *,
-    host_col: str,
-    path_col: str,
-    text_col: str,
     lm_threshold: float,
     dsir_threshold: float,
 ):
-    """The ``engine="arrow"`` body of make_admission_gate: one
-    vectorized mapInPandas pass computing the SAME eight gate columns
-    as the expression form, from the same frozen models.
+    """The shared Python gate kernels — ``(robots, lm, dsir)``
+    closures over the frozen models, memoized with bounded caches —
+    used by BOTH the standalone Arrow gate stage
+    (_arrow_admission_stage) and the fused single-pass ingest
+    (fused_gated_story_pipeline), so the two shapes are
+    column-identical by construction, not by parallel maintenance.
 
-    Cross-engine exactness notes (the plans/common.py discipline,
-    applied Spark-expression-vs-Python this time):
-    - LM tokens: ``text.split(" ")`` — Java ``split`` with limit -1
-      keeps leading/inner/trailing empties exactly like Python's.
-    - DSIR tokens: Java ``\\s`` is ASCII ``[ \\t\\n\\x0b\\f\\r]`` (not
-      Python's unicode ``\\s``) — split on that class explicitly.
-    - log2 via ``log(x)/log(2)`` (Spark's Log2 lowering), sums as
-      LEFT folds (``sum`` over a list == ``F.aggregate``'s fold), and
-      3-dp rounding as half-AWAY-FROM-ZERO on the binary double
-      (``floor(|x|*1000 + 0.5)`` signed) == Spark ROUND's
-      BigDecimal.HALF_UP; ``+ 0.0`` collapses IEEE -0.0.
-    - null semantics: null text -> 0 words/grams, null scores, kept
-      False; unmatched host -> default allow, '<default>'.
+    - ``robots(host, path) -> (allow, prefix)`` longest-match;
+    - ``lm(text) -> (n_bigrams, bits_per_token, lm_kept)``;
+    - ``dsir(text) -> (n_grams, dsir_logratio, dsir_kept)``.
 
-    Per-text results are memoized with a bounded cache (hot streams
-    repeat headline shapes; the cache drops wholesale past the cap so
-    heavy-tailed corpora cannot grow executor memory). The stage is
-    also a plan fence: predicates never push below mapInPandas, so a
-    downstream admitted-filter reads materialized booleans."""
+    Cross-engine exactness (the plans/common.py discipline, Spark
+    expression vs Python): LM tokens via ``text.split(" ")`` (== Java
+    split limit -1), DSIR tokens via ASCII ``[ \\t\\n\\x0b\\f\\r]``
+    (Java ``\\s``, not unicode), log2 as log(x)/log(2), SEQUENTIAL
+    left-fold sums, 3-dp half-away-from-zero rounding with -0.0
+    collapsed, null text -> 0 counts / null scores / kept False."""
+    import hashlib
     import math
     import re
-    from typing import Iterator
-
-    import pandas as pd
 
     by_host: dict = {}
     for host, prefix, allow in robots_rules:
@@ -740,8 +728,6 @@ def _arrow_admission_stage(
             )
         return got
 
-    import hashlib
-
     def _dsir_term(g, cache={}):
         # per-GRAM memo: the md5 bucket of a gram is immutable and the
         # ratio model frozen, so steady state pays one dict hit per
@@ -780,6 +766,51 @@ def _arrow_admission_stage(
                 ng, mean, mean is not None and mean >= dsir_threshold
             )
         return got
+
+    return robots, lm, dsir
+
+
+def _arrow_admission_stage(
+    robots_rules,
+    lm_model: tuple,
+    dsir_model: tuple,
+    *,
+    host_col: str,
+    path_col: str,
+    text_col: str,
+    lm_threshold: float,
+    dsir_threshold: float,
+):
+    """The ``engine="arrow"`` body of make_admission_gate: one
+    vectorized mapInPandas pass computing the SAME eight gate columns
+    as the expression form, from the same frozen models.
+
+    Cross-engine exactness notes (the plans/common.py discipline,
+    applied Spark-expression-vs-Python this time):
+    - LM tokens: ``text.split(" ")`` — Java ``split`` with limit -1
+      keeps leading/inner/trailing empties exactly like Python's.
+    - DSIR tokens: Java ``\\s`` is ASCII ``[ \\t\\n\\x0b\\f\\r]`` (not
+      Python's unicode ``\\s``) — split on that class explicitly.
+    - log2 via ``log(x)/log(2)`` (Spark's Log2 lowering), sums as
+      LEFT folds (``sum`` over a list == ``F.aggregate``'s fold), and
+      3-dp rounding as half-AWAY-FROM-ZERO on the binary double
+      (``floor(|x|*1000 + 0.5)`` signed) == Spark ROUND's
+      BigDecimal.HALF_UP; ``+ 0.0`` collapses IEEE -0.0.
+    - null semantics: null text -> 0 words/grams, null scores, kept
+      False; unmatched host -> default allow, '<default>'.
+
+    Per-text results are memoized with a bounded cache (hot streams
+    repeat headline shapes; the cache drops wholesale past the cap so
+    heavy-tailed corpora cannot grow executor memory). The stage is
+    also a plan fence: predicates never push below mapInPandas, so a
+    downstream admitted-filter reads materialized booleans."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    robots, lm, dsir = _gate_closures(
+        robots_rules, lm_model, dsir_model, lm_threshold, dsir_threshold
+    )
 
     def stage(df: DataFrame) -> DataFrame:
         from pyspark.sql.types import (
@@ -838,6 +869,212 @@ def _arrow_admission_stage(
         return df.mapInPandas(run, out_schema)
 
     return stage
+
+
+def fused_gated_story_pipeline(
+    records: DataFrame,
+    robots_rules,
+    lm_model: tuple,
+    dsir_model: tuple,
+    *,
+    host_of=None,
+    path_of=None,
+    lm_threshold: float,
+    dsir_threshold: float,
+    admit: bool = True,
+) -> DataFrame:
+    """The SINGLE-PASS gated ingest: gunzip -> JSON parse -> publish
+    filter -> 9-field projection -> robots/LM/DSIR gates -> (optional)
+    admit filter, all inside ONE mapInPandas.
+
+    Why this exists: the composed form (story_pipeline + the Arrow
+    gate stage) crosses the Python boundary TWICE per task — once for
+    the gzip UDF, once for the gate — and the round-10/11 profiling
+    showed the second Arrow round-trip is the ENTIRE gate overhead
+    (identity-gate hop +0.17 s at bench shape vs ~0 for the memoized
+    compute). Fusing collapses the ingest to one boundary crossing;
+    at bench shape the gated fused pipeline is ~30% FASTER than the
+    ungated composed pipeline. The gate kernels are the SAME
+    ``_gate_closures`` the standalone Arrow stage uses, so gate
+    columns are identical by construction
+    (tests/test_streaming_gates.py pins fused == composed).
+
+    Scale shape: map-only (no shuffle, no state); the JSON parse
+    moves from JVM Jackson to Python json inside the already-paid
+    Arrow pass — at 100 TB the per-byte parse delta is bought back by
+    removing a full serialize/deserialize of every row, and the gate
+    memos amortize over hot text shapes exactly as in the composed
+    form.
+
+    Routing parity with decode_and_route/filter_publish_events:
+    un-gunzippable -> dead letter (dropped here); gunzipped but not a
+    JSON object, or any field that violates ANS_SCHEMA's types ->
+    url_pointer (dropped here; from_json PERMISSIVE marks such
+    records corrupt). ONE documented divergence: from_json coerces
+    bare JSON scalars into string fields (``{"id": 5}`` -> "5");
+    this path conservatively routes such records to url_pointer —
+    at the admitted output both drop malformed documents, they just
+    disagree on that coercion nicety. ``host_of``/``path_of`` map the
+    parsed document to the robots lookup key (defaults: the gated
+    bench's id-prefix host and /posts/<id> path).
+
+    ``admit=False`` keeps all publish-filtered rows with the 8 gate
+    columns annotated (the composed-form contract); ``admit=True``
+    (production) yields only rows passing all three gates, so the
+    dropped rows never re-cross the Arrow boundary."""
+    import gzip as _gzip
+    import json as _json
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    robots, lm, dsir = _gate_closures(
+        robots_rules, lm_model, dsir_model, lm_threshold, dsir_threshold
+    )
+    if host_of is None:
+        host_of = lambda d: (d.get("id") or "").split("-")[0]  # noqa: E731
+    if path_of is None:
+        path_of = lambda d: "/posts/" + (d.get("id") or "")  # noqa: E731
+
+    tag_t = StructType(
+        [StructField("slug", StringType()), StructField("text", StringType())]
+    )
+    out_schema = StructType(
+        [
+            StructField("_id", StringType()),
+            StructField("operation", StringType()),
+            StructField("created", BooleanType()),
+            StructField("type", StringType()),
+            StructField("published", BooleanType()),
+            StructField("referent_update", BooleanType()),
+            StructField("headline", StringType()),
+            StructField("revision", StringType()),
+            StructField("tags", ArrayType(tag_t)),
+            StructField("shard_origination", StringType()),
+            StructField("seq", LongType()),
+            StructField("host", StringType()),
+            StructField("path", StringType()),
+            StructField("admitted", BooleanType(), False),
+            StructField("matched_rule", StringType()),
+            StructField("n_bigrams", LongType()),
+            StructField("bits_per_token", DoubleType()),
+            StructField("lm_kept", BooleanType(), False),
+            StructField("n_grams", LongType()),
+            StructField("dsir_logratio", DoubleType()),
+            StructField("dsir_kept", BooleanType(), False),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def _str(v):  # ANS string field: str or absent, else corrupt
+        if v is None or isinstance(v, str):
+            return v, True
+        return None, False
+
+    def _bool(v):  # ANS boolean field: bool or absent, else corrupt
+        if v is None or isinstance(v, bool):
+            return v, True
+        return None, False
+
+    def _project(d):
+        """9-field ANS projection with from_json-PERMISSIVE-style
+        record-level type validation: returns the field tuple, or
+        None when any field violates ANS_SCHEMA (-> url_pointer)."""
+        ok = True
+        _id, k = _str(d.get("id")); ok &= k
+        op, k = _str(d.get("operation")); ok &= k
+        created, k = _bool(d.get("created")); ok &= k
+        typ, k = _str(d.get("type")); ok &= k
+        pub, k = _bool(d.get("published")); ok &= k
+        trig = d.get("trigger")
+        if trig is None:
+            ref = None
+        elif isinstance(trig, dict):
+            ref, k = _bool(trig.get("referent_update")); ok &= k
+        else:
+            return None
+        body = d.get("body")
+        if body is None:
+            hl = rev = None
+        elif isinstance(body, dict):
+            heads = body.get("headlines")
+            if heads is None:
+                hl = None
+            elif isinstance(heads, dict):
+                hl, k = _str(heads.get("basic")); ok &= k
+            else:
+                return None
+            rev, k = _str(body.get("revision")); ok &= k
+        else:
+            return None
+        tax = d.get("taxonomy")
+        if tax is None:
+            tags = None
+        elif isinstance(tax, dict):
+            raw = tax.get("tags")
+            if raw is None:
+                tags = None
+            elif isinstance(raw, list):
+                tags = []
+                for t in raw:
+                    if not isinstance(t, dict):
+                        return None
+                    slug, k = _str(t.get("slug")); ok &= k
+                    text, k = _str(t.get("text")); ok &= k
+                    tags.append({"slug": slug, "text": text})
+            else:
+                return None
+        else:
+            return None
+        if not ok:
+            return None
+        return _id, op, created, typ, pub, ref, hl, rev, tags
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for data, shard, seq in zip(
+                pdf["data"], pdf["shard_id"], pdf["seq"]
+            ):
+                try:  # un-gunzippable / undecodable -> dead letter
+                    raw = _gzip.decompress(bytes(data)).decode()
+                except Exception:
+                    continue
+                try:  # not JSON / not an object -> url_pointer
+                    d = _json.loads(raw)
+                except Exception:
+                    continue
+                if not isinstance(d, dict):
+                    continue
+                proj = _project(d)
+                if proj is None:  # schema-violating -> url_pointer
+                    continue
+                _id, op, created, typ, pub, ref, hl, rev, tags = proj
+                if op != "insert-story" or pub is not True:
+                    continue  # the publish predicate
+                host, path = host_of(d), path_of(d)
+                allow, prefix = robots(host, path)
+                nb, bpt, lk = lm(hl)
+                ng, dlr, dk = dsir(hl)
+                if admit and not (allow and lk and dk):
+                    continue
+                rows.append(
+                    (_id, op, created, typ, pub, ref, hl, rev, tags,
+                     shard, seq, host, path,
+                     allow, prefix, nb, bpt, lk, ng, dlr, dk)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return records.mapInPandas(run, out_schema)
 
 
 def admission_barrier(df: DataFrame) -> DataFrame:

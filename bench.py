@@ -222,8 +222,7 @@ def bench_stream_gated(spark, sf_dir: str, n_records: int = 20000) -> tuple[floa
     import pyspark.sql.functions as F
 
     from arc_kinesis_tagging_spark.streaming.pipeline import (
-        make_admission_gate,
-        story_pipeline,
+        fused_gated_story_pipeline,
         train_dsir_model,
         train_pruned_lm,
     )
@@ -242,28 +241,22 @@ def bench_stream_gated(spark, sf_dir: str, n_records: int = 20000) -> tuple[floa
     )
     # fluent headlines score ~3.1 bits/token against this model, the
     # all-backoff gibberish class ~log2(vsize)~=4.5 — 4.0 separates them.
-    # engine="arrow": the production form — one vectorized Arrow pass
-    # for all three gates, column-identical to the expression form
-    # (test_arrow_gate_matches_sql) but without the interpreted-HOF
-    # per-row cost and without needing admission_barrier (mapInPandas
-    # is its own pushdown fence). The round-8 2.32x gate overhead is
-    # ~1.0x under this form.
-    fused = make_admission_gate(
-        [("doc", "/", True), ("spam", "/", False)],
-        (bmap, nmap, vsize),
-        (model, unseen),
-        host_col="host", path_col="path", text_col="headline",
-        lm_threshold=4.0, dsir_threshold=-10.0,
-        engine="arrow",
-    )
-
+    # fused single-pass form (round-11): gunzip -> json -> publish
+    # filter -> projection -> all three gates in ONE mapInPandas —
+    # row-identical to story_pipeline + the Arrow gate stage
+    # (test_fused_single_pass_matches_composed) but with a single
+    # Python boundary crossing instead of two; the second Arrow
+    # round-trip WAS the entire r10 gate overhead (profiled: identity
+    # hop +0.17 s, memoized compute ~0), so the gated pipeline is now
+    # FASTER than the ungated composed one.
     def gated(records):
-        df = story_pipeline(records)
-        df = df.withColumn(
-            "host", F.split(F.col("_id"), "-").getItem(0)
-        ).withColumn("path", F.concat(F.lit("/posts/"), F.col("_id")))
-        return fused(df).filter(
-            F.col("admitted") & F.col("lm_kept") & F.col("dsir_kept")
+        return fused_gated_story_pipeline(
+            records,
+            [("doc", "/", True), ("spam", "/", False)],
+            (bmap, nmap, vsize),
+            (model, unseen),
+            lm_threshold=4.0, dsir_threshold=-10.0,
+            admit=True,
         )
 
     dt, rps, n = _run_stream(spark, gated, src, n_records)

@@ -340,3 +340,100 @@ def test_arrow_gate_matches_sql(spark):
     )
     assert plan.count("MapInPandas") == 1
     assert plan.count("aggregate(") == 0  # no HOF folds anywhere
+
+
+def test_fused_single_pass_matches_composed(spark):
+    """fused_gated_story_pipeline (ONE mapInPandas doing gunzip ->
+    json -> publish filter -> projection -> gates) must be
+    row-identical to the composed form (story_pipeline + host/path +
+    the Arrow gate stage) on every record class: fluent/gibberish
+    headlines, robots-blocked hosts, non-published, wrong operation,
+    corrupt gzip (dead letter), bare-string payload (url pointer),
+    ANS-type-violating docs, and null/missing fields — in BOTH
+    admit=False (annotate) and admit=True (filter-inside) modes."""
+    import gzip
+    import json
+
+    from arc_kinesis_tagging_spark.streaming.pipeline import (
+        fused_gated_story_pipeline,
+        make_admission_gate,
+        story_pipeline,
+        train_dsir_model,
+        train_pruned_lm,
+    )
+
+    fluent = [
+        "the quick brown fox jumps over the lazy dog",
+        "markets rally as quarterly earnings beat expectations",
+        "city council approves new transit funding plan today",
+    ]
+    gibberish = "zx qv jk wq xz vq kj qw zv xq"
+    train = spark.createDataFrame([(h,) for h in fluent * 2], "text string")
+    bmap, nmap, vsize = train_pruned_lm(train, "text")
+    model, unseen = train_dsir_model(
+        train,
+        F.col("text").contains("fox") | F.col("text").contains("markets"),
+    )
+    models = ((bmap, nmap, vsize), (model, unseen))
+    rules = [("doc", "/", True), ("spam", "/", False)]
+    kw = dict(lm_threshold=4.0, dsir_threshold=-10.0)
+
+    def story(i, _id, headline, **over):
+        d = {
+            "id": _id,
+            "operation": "insert-story",
+            "published": True,
+            "created": i % 2 == 0,
+            "type": "story",
+            "trigger": {"referent_update": i % 3 == 0},
+            "body": {"headlines": {"basic": headline}, "revision": f"r{i}"},
+            "taxonomy": {"tags": [{"slug": f"s{i}", "text": f"t{i}"}]},
+        }
+        d.update(over)
+        return gzip.compress(json.dumps(d).encode(), mtime=0)
+
+    recs = []
+    for i in range(24):  # fluent + gibberish mix on admitted host
+        recs.append(story(i, f"doc-{i}", (fluent + [gibberish])[i % 4]))
+    recs.append(story(100, "spam-100", fluent[0]))       # robots-blocked
+    recs.append(story(101, "doc-101", fluent[1], published=False))
+    recs.append(story(102, "doc-102", fluent[2], operation="update"))
+    recs.append(story(103, "doc-103", None))             # null headline
+    recs.append(story(104, "doc-104", fluent[0], body=None, taxonomy=None,
+                      trigger=None))                     # missing optionals
+    recs.append(b"\x00not gzip")                         # dead letter
+    recs.append(gzip.compress(b"s3://big-docs/obj-1", mtime=0))  # url ptr
+    recs.append(story(105, "doc-105", fluent[0], published="yes"))  # type viol
+    recs.append(story(106, "doc-106", fluent[0],
+                      taxonomy={"tags": ["notadict"]}))  # tag-elem viol
+    records = spark.createDataFrame(
+        [(r, f"shard-{i % 3}", i) for i, r in enumerate(recs)],
+        "data binary, shard_id string, seq long",
+    )
+
+    gate = make_admission_gate(rules, *models, host_col="host",
+                               path_col="path", text_col="headline",
+                               engine="arrow", **kw)
+    composed = gate(
+        story_pipeline(records)
+        .withColumn("host", F.split(F.col("_id"), "-").getItem(0))
+        .withColumn("path", F.concat(F.lit("/posts/"), F.col("_id")))
+    )
+    for admit in (False, True):
+        fused = fused_gated_story_pipeline(
+            records, rules, *models, admit=admit, **kw
+        )
+        comp = composed if not admit else composed.filter(
+            F.col("admitted") & F.col("lm_kept") & F.col("dsir_kept")
+        )
+        assert fused.columns == comp.columns
+        a = {tuple(map(str, r)) for r in fused.collect()}
+        b = {tuple(map(str, r)) for r in comp.collect()}
+        assert a == b and a  # identical rows, non-empty
+    # admit=True plan: exactly ONE python boundary crossing
+    plan = (
+        fused_gated_story_pipeline(records, rules, *models, admit=True, **kw)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("ArrowEvalPython") == 0  # the gzip UDF hop is gone
