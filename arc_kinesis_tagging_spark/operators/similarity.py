@@ -512,7 +512,15 @@ def query_ivf_index(
     similarity (column ``cos{round_dp}``) with vec_id tiebreak, making
     the selected set bit-identical across engines despite float ulp
     differences — the cross-engine-oracle convention shared with
-    ``q_similarity_topk``."""
+    ``q_similarity_topk``.
+
+    Sizing (measured, SCALE.md rounds 10-11): on skewed corpora the
+    scan-cost lever is NLIST at build time, not nprobe — at 80k
+    vectors / nprobe=4, scanned_frac fell 39.7% -> 3.6% going
+    nlist 32 -> 512 with recall pinned at 1.0, while raising nprobe
+    only ever scans MORE. Size nlist so corpus_rows/nlist is roughly
+    100-200x the top-k; under replica-cluster skew expect
+    scanned_frac ~ 4-5x the uniform nprobe/nlist."""
     centroids = F.broadcast(
         spark.read.parquet(path + "/centroids").select(
             "cell_id", F.col(vec_col).alias("__centroid")
