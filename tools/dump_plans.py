@@ -469,6 +469,24 @@ COMMENTARY.update(
             "equality are keyed aggregates, nothing all-pairs, no "
             "corpus-sized window."
         ),
+        "q_dedup_vhash_incremental": (
+            "Incremental video dedup: the batch's banded frame chunks "
+            "BROADCAST onto the bucketed corpus band table keyed "
+            "(frame_idx, chunk); the strict temporal verify re-reads "
+            "the SAME table's band-0 slice (= the per-frame hash "
+            "table) with the candidate set broadcast again, and the "
+            "corpus frame count rides the band rows (denormalized at "
+            "write) — two corpus scans, ZERO corpus Exchange, no "
+            "corpus self-join. The daily-job shape for a 100 TB video "
+            "corpus."
+        ),
+        "q_dedup_ahash_incremental": (
+            "Incremental audio dedup: the image corpus machinery "
+            "reused verbatim at hash_bits=60 — batch fingerprint "
+            "chunks broadcast onto the bucketed corpus band table, "
+            "inline popcount verify below the pair-dedup Exchange; "
+            "one corpus scan, zero corpus Exchange."
+        ),
     }
 )
 
