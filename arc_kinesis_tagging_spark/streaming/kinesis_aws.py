@@ -1,0 +1,480 @@
+"""Real AWS Kinesis binding: ``spark.readStream.format("kinesis_aws")``
+and ``df.writeStream.format("kinesis_aws")`` over boto3.
+
+This is the production counterpart of the file-backed emulator
+(``kinesis_source.py``): the emulator pins the CONNECTOR SEMANTICS
+(shard parallelism, per-shard monotone offsets, checkpoint recovery,
+resharding discovery, admission caps, exactly-once produce) against a
+medium this container can verify end-to-end; THIS module binds the
+same consume loop to the actual AWS API surface the reference uses
+(reference utility/aws.py:6-65 — get_shard_iterator/get_records with
+NextShardIterator chaining; app.py:16-24 — client construction from
+region/credentials config).
+
+Design notes:
+
+- **SimpleDataSourceStreamReader, not the partitioned reader.**
+  Kinesis has no "tip offset" API: you cannot know a shard's end
+  sequence number without reading it, so the partitioned reader's
+  latestOffset()/partitions() split cannot be implemented honestly
+  (connectors that try either double-read on the driver or lie about
+  the end offset). The simple reader's contract — ``read(start) ->
+  (records, nextOffset)`` — matches GetRecords exactly: consume up to
+  the per-shard cap, report where you actually got to. Spark persists
+  the prefetched batch for replay, and ``readBetweenOffsets`` re-reads
+  from Kinesis (24 h+ retention) on recovery. The reference's consume
+  loop is single-process poll-per-shard (~13 rec/s ceiling measured
+  in BASELINE.md); this driver-side loop already outruns it by orders
+  of magnitude, and shard-parallel scaling belongs to the fan-out
+  AFTER ingestion, which is ordinary Spark.
+
+- **Offsets** are JSON dicts ``{shard_id: tag}`` with tags
+  ``"TRIM_HORIZON"`` (read from start), ``"LATEST"`` (anchor at first
+  record; until one arrives the position re-resolves each poll — the
+  documented meaning of LATEST), ``"AFTER:<seq>"`` (resume after a
+  concrete sequence number — the checkpointable steady state), and
+  ``"CLOSED"`` (shard drained to its end after a reshard).
+
+- **Resharding**: new shards appear via paginated ListShards on every
+  poll and enter at TRIM_HORIZON; a child shard is HELD (not read)
+  while any parent is still open, so per-key order across a reshard
+  is preserved exactly like the KCL. A parent returning a null
+  NextShardIterator is drained -> CLOSED, which releases its children
+  on the next poll.
+
+- **Error handling**: ProvisionedThroughputExceededException /
+  LimitExceededException back off exponentially (base
+  ``pollBackoffMs``, capped retries); ExpiredIteratorException
+  re-acquires the iterator from the last consumed position — both are
+  the loops the reference handles implicitly by crashing and
+  restarting (app.py's bare consume loop).
+
+- **Producer** (``KinesisAwsStreamWriter``): executor-side PutRecords
+  in API-shaped batches (<=500 records / <=5 MiB), retrying ONLY the
+  failed entries of a partial failure (per-record isolation, R16).
+  Kinesis has no idempotent produce, so the sink is at-least-once;
+  exactly-once tagging belongs to the keyed upsert sink downstream
+  (R15), which is idempotent by key.
+
+- **Offline testability**: the boto3 client is built by a factory
+  resolved from the ``clientFactory`` option (``"module:function"``),
+  defaulting to ``boto3.client("kinesis", ...)`` with region/endpoint
+  options passed through. Tests inject
+  ``kinesis_testing:make_fake_client`` — a stateful in-process fake
+  implementing the five calls this module uses (the same pattern as
+  Kafka's shipped MockProducer/MockConsumer), so every loop above is
+  pinned without a network.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+SCHEMA_DDL = "data binary, shard_id string, seq string, partition_key string"
+
+# Kinesis PutRecords hard limits (public API contract)
+_PUT_MAX_RECORDS = 500
+_PUT_MAX_BYTES = 5 * 1024 * 1024
+
+# patchable sleep hook so backoff tests don't wall-clock sleep
+_SLEEP = time.sleep
+
+_RETRYABLE = {
+    "ProvisionedThroughputExceededException",
+    "LimitExceededException",
+    "InternalFailure",
+    "ServiceUnavailable",
+}
+
+
+def _error_code(exc) -> str | None:
+    """Best-effort AWS error code: botocore ClientError carries it in
+    ``response["Error"]["Code"]``; fakes may set ``.code``."""
+    resp = getattr(exc, "response", None)
+    if isinstance(resp, dict):
+        code = (resp.get("Error") or {}).get("Code")
+        if code:
+            return code
+    return getattr(exc, "code", None)
+
+
+def _resolve_client_factory(options: dict):
+    """Client factory from options: ``clientFactory=module:function``
+    (tests, localstack wrappers, custom credential providers), else
+    boto3 with region/endpoint/profile passthrough."""
+    spec = options.get("clientfactory")
+    if spec:
+        import importlib
+
+        mod, _, fn = spec.partition(":")
+        return getattr(importlib.import_module(mod), fn)
+
+    def default():
+        import boto3
+
+        kw = {}
+        if options.get("region"):
+            kw["region_name"] = options["region"]
+        if options.get("endpointurl"):
+            kw["endpoint_url"] = options["endpointurl"]
+        session = (
+            boto3.Session(profile_name=options["profile"])
+            if options.get("profile")
+            else boto3
+        )
+        return session.client("kinesis", **kw)
+
+    return default
+
+
+def _list_all_shards(client, stream_name: str) -> list[dict]:
+    """Paginated ListShards — the reference's describe_stream loop
+    (utility/aws.py) modernized to the dedicated API."""
+    shards, token = [], None
+    while True:
+        kw = (
+            {"NextToken": token}
+            if token
+            else {"StreamName": stream_name}
+        )
+        resp = client.list_shards(**kw)
+        shards.extend(resp.get("Shards", []))
+        token = resp.get("NextToken")
+        if not token:
+            return shards
+
+
+class KinesisAwsSimpleReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.stream_name = options["streamname"]
+        self.start_pos = options.get("startingposition", "TRIM_HORIZON").upper()
+        if self.start_pos not in ("TRIM_HORIZON", "LATEST"):
+            raise ValueError(
+                f"startingPosition must be TRIM_HORIZON or LATEST, "
+                f"got {self.start_pos}"
+            )
+        self.max_per_shard = int(
+            options.get("maxrecordspershardperbatch", 1000)
+        )
+        self.get_limit = min(
+            int(options.get("getrecordslimit", 500)), 10000
+        )
+        self.backoff_ms = int(options.get("pollbackoffms", 200))
+        self.max_retries = int(options.get("maxretries", 7))
+        self._factory = _resolve_client_factory(options)
+        self._client = None
+        # live NextShardIterator chain per shard (reference
+        # utility/aws.py's chaining): {shard_id: (tag, iterator)} —
+        # reused when the next poll starts at the same tag. Load-
+        # bearing for LATEST (an iterator re-created per poll would
+        # skip records that arrived between polls; the chain holds the
+        # position until the first record anchors a concrete
+        # AFTER:<seq> tag) and an API-call saving for concrete tags.
+        # In-memory only: after a driver restart a LATEST tag
+        # re-anchors (the documented LATEST semantics); concrete tags
+        # rebuild exactly via AFTER_SEQUENCE_NUMBER.
+        self._live: dict[str, tuple[str, str]] = {}
+
+    @property
+    def client(self):
+        if self._client is None:
+            self._client = self._factory()
+        return self._client
+
+    # -- retry shell -------------------------------------------------------
+    def _call(self, fn, **kw):
+        """One Kinesis call with exponential backoff on the retryable
+        throttle/5xx codes; anything else propagates immediately."""
+        delay = self.backoff_ms / 1000.0
+        for attempt in range(self.max_retries + 1):
+            try:
+                return fn(**kw)
+            except Exception as exc:
+                if (
+                    _error_code(exc) not in _RETRYABLE
+                    or attempt == self.max_retries
+                ):
+                    raise
+                _SLEEP(delay)
+                delay *= 2
+
+    def _iterator_for(self, shard_id: str, tag: str) -> str | None:
+        if tag == "CLOSED":
+            return None
+        kw = {"StreamName": self.stream_name, "ShardId": shard_id}
+        if tag.startswith("AFTER:"):
+            kw["ShardIteratorType"] = "AFTER_SEQUENCE_NUMBER"
+            kw["StartingSequenceNumber"] = tag[len("AFTER:"):]
+        else:
+            kw["ShardIteratorType"] = tag  # TRIM_HORIZON | LATEST
+        return self._call(self.client.get_shard_iterator, **kw)[
+            "ShardIterator"
+        ]
+
+    # -- offsets -----------------------------------------------------------
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API)
+        return {
+            s["ShardId"]: self.start_pos
+            for s in _list_all_shards(self.client, self.stream_name)
+        }
+
+    def _discover(self, offsets: dict) -> tuple[dict, dict]:
+        """Merge newly appeared shards (resharding) into the offset map
+        at TRIM_HORIZON and return (offsets, parents-by-shard)."""
+        parents: dict[str, list[str]] = {}
+        out = dict(offsets)
+        for s in _list_all_shards(self.client, self.stream_name):
+            sid = s["ShardId"]
+            parents[sid] = [
+                p
+                for p in (
+                    s.get("ParentShardId"),
+                    s.get("AdjacentParentShardId"),
+                )
+                if p
+            ]
+            if sid not in out:
+                # a shard born mid-stream starts at its beginning —
+                # records written to it are never skipped, regardless
+                # of the stream-level startingPosition
+                out[sid] = "TRIM_HORIZON"
+        return out, parents
+
+    def _drain_shard(self, shard_id: str, tag: str) -> tuple[list, str]:
+        """Consume up to max_per_shard records from one shard starting
+        at ``tag``; returns (rows, next_tag). Handles iterator expiry
+        by re-acquiring from the last consumed position."""
+        rows: list = []
+        cached = self._live.get(shard_id)
+        it = (
+            cached[1]
+            if cached is not None and cached[0] == tag
+            else self._iterator_for(shard_id, tag)
+        )
+        while it is not None and len(rows) < self.max_per_shard:
+            limit = min(self.get_limit, self.max_per_shard - len(rows))
+            try:
+                resp = self._call(
+                    self.client.get_records, ShardIterator=it, Limit=limit
+                )
+            except Exception as exc:
+                if _error_code(exc) == "ExpiredIteratorException":
+                    it = self._iterator_for(shard_id, tag)
+                    continue
+                raise
+            for r in resp.get("Records", []):
+                rows.append(
+                    (
+                        bytes(r["Data"]),
+                        shard_id,
+                        r["SequenceNumber"],
+                        r.get("PartitionKey"),
+                    )
+                )
+                tag = "AFTER:" + r["SequenceNumber"]
+            it = resp.get("NextShardIterator")
+            if it is None:
+                self._live.pop(shard_id, None)
+                return rows, "CLOSED"  # shard end reached: drained
+            if not resp.get("Records") and not resp.get(
+                "MillisBehindLatest", 0
+            ):
+                break  # caught up; stop polling this micro-batch
+        if it is not None:
+            self._live[shard_id] = (tag, it)  # chain into the next poll
+        return rows, tag
+
+    # -- the consume loop ----------------------------------------------------
+    def read(self, start: dict):
+        offsets, parents = self._discover(start)
+        out_rows: list = []
+        next_off = dict(offsets)
+        for shard_id in sorted(offsets):
+            tag = offsets[shard_id]
+            if tag == "CLOSED":
+                continue
+            # KCL-style reshard ordering: hold a child while any
+            # parent is still open (present and not CLOSED)
+            if any(
+                offsets.get(p, "CLOSED") != "CLOSED"
+                for p in parents.get(shard_id, [])
+            ):
+                continue
+            rows, next_tag = self._drain_shard(shard_id, tag)
+            out_rows.extend(rows)
+            next_off[shard_id] = next_tag
+        return iter(out_rows), next_off
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        """Deterministic replay of a committed range on recovery: for
+        each shard, re-read from the start tag up to and including the
+        end tag's sequence number (Kinesis retention makes the data
+        re-readable; a range past retention is unrecoverable, as with
+        every Kinesis consumer)."""
+        for shard_id in sorted(end):
+            s_tag = start.get(shard_id, "TRIM_HORIZON")
+            e_tag = end[shard_id]
+            if s_tag == e_tag:
+                continue  # nothing consumed from this shard
+            stop_seq = (
+                int(e_tag[len("AFTER:"):])
+                if e_tag.startswith("AFTER:")
+                else None
+            )
+            it = self._iterator_for(shard_id, s_tag)
+            tag = s_tag
+            while it is not None:
+                try:
+                    resp = self._call(
+                        self.client.get_records,
+                        ShardIterator=it,
+                        Limit=self.get_limit,
+                    )
+                except Exception as exc:
+                    if _error_code(exc) == "ExpiredIteratorException":
+                        it = self._iterator_for(shard_id, tag)
+                        continue
+                    raise
+                done = False
+                for r in resp.get("Records", []):
+                    seq = r["SequenceNumber"]
+                    if stop_seq is not None and int(seq) > stop_seq:
+                        done = True
+                        break
+                    yield (
+                        bytes(r["Data"]),
+                        shard_id,
+                        seq,
+                        r.get("PartitionKey"),
+                    )
+                    tag = "AFTER:" + seq
+                    if stop_seq is not None and int(seq) == stop_seq:
+                        done = True
+                        break
+                if done:
+                    break
+                it = resp.get("NextShardIterator")
+                if not resp.get("Records") and not resp.get(
+                    "MillisBehindLatest", 0
+                ):
+                    break
+
+    def commit(self, end: dict) -> None:
+        pass  # positions live in Spark's checkpoint
+
+
+class _PutResult(WriterCommitMessage):
+    def __init__(self, n: int) -> None:
+        self.n = n
+
+
+class KinesisAwsStreamWriter(DataSourceStreamWriter):
+    """PutRecords producer. Input rows: (data binary, partition_key
+    string). At-least-once: a retried micro-batch may re-put records
+    (Kinesis has no idempotent produce); pair with the keyed upsert
+    sink (R15) for effectively-once enrichment."""
+
+    def __init__(self, options: dict) -> None:
+        self.stream_name = options["streamname"]
+        self.backoff_ms = int(options.get("pollbackoffms", 200))
+        self.max_retries = int(options.get("maxretries", 7))
+        self._factory = _resolve_client_factory(options)
+
+    def write(self, iterator) -> _PutResult:
+        client = self._factory()
+        batch: list[dict] = []
+        size = 0
+        n = 0
+
+        def flush():
+            nonlocal batch, size, n
+            entries = batch
+            batch, size = [], 0
+            delay = self.backoff_ms / 1000.0
+            for attempt in range(self.max_retries + 1):
+                resp = client.put_records(
+                    StreamName=self.stream_name, Records=entries
+                )
+                n += len(entries) - resp.get("FailedRecordCount", 0)
+                if not resp.get("FailedRecordCount"):
+                    return
+                # retry ONLY the failed entries (per-record isolation,
+                # R16): position i in the response matches entry i
+                entries = [
+                    e
+                    for e, r in zip(entries, resp["Records"])
+                    if r.get("ErrorCode")
+                ]
+                if attempt == self.max_retries:
+                    raise RuntimeError(
+                        f"put_records: {len(entries)} record(s) still "
+                        f"failing after {self.max_retries} retries "
+                        f"(first error "
+                        f"{resp['Records'][0].get('ErrorCode')!r})"
+                    )
+                _SLEEP(delay)
+                delay *= 2
+
+        for row in iterator:
+            data = bytes(row.data)
+            entry = {
+                "Data": data,
+                "PartitionKey": row.partition_key or "0",
+            }
+            esz = len(data) + len(entry["PartitionKey"])
+            if batch and (
+                len(batch) >= _PUT_MAX_RECORDS
+                or size + esz > _PUT_MAX_BYTES
+            ):
+                flush()
+            batch.append(entry)
+            size += esz
+        if batch:
+            flush()
+        return _PutResult(n)
+
+    def commit(self, messages, batchId) -> None:  # noqa: N802
+        pass  # at-least-once: nothing to finalize
+
+    def abort(self, messages, batchId) -> None:  # noqa: N802
+        pass  # puts are not transactional; retried epoch re-puts
+
+
+class KinesisAwsDataSource(DataSource):
+    """``spark.readStream.format("kinesis_aws")`` /
+    ``df.writeStream.format("kinesis_aws")`` after
+    ``spark.dataSource.register(KinesisAwsDataSource)``.
+
+    Reader options: streamName (required), startingPosition
+    (TRIM_HORIZON|LATEST), maxRecordsPerShardPerBatch, getRecordsLimit,
+    pollBackoffMs, maxRetries, region, endpointUrl, profile,
+    clientFactory ("module:function" — testing/localstack hook).
+    Writer options: streamName (required) + the same client options;
+    input rows (data binary, partition_key string)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kinesis_aws"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def simpleStreamReader(self, schema: StructType):  # noqa: N802
+        return KinesisAwsSimpleReader(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: N802
+        return KinesisAwsStreamWriter(self.options)
+
+
+def consume_offsets_json(offsets: dict) -> str:
+    """Stable JSON form of an offset dict (debug/observability)."""
+    return json.dumps(offsets, sort_keys=True)
