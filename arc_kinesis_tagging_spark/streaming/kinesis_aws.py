@@ -107,16 +107,112 @@ def _error_code(exc) -> str | None:
     return getattr(exc, "code", None)
 
 
+# patchable clock for the assume-role expiry tests
+_NOW = time.time
+
+
+def _assume_role_credentials(
+    sts,
+    role_arn: str,
+    policy_arn: str | None = None,
+    session_name: str = "arc-kinesis-tagging-spark",
+) -> dict:
+    """The reference's scoped assume-role (utility/aws.py:6-46): STS
+    AssumeRole with an optional session-limiting PolicyArn; returns the
+    temporary ``Credentials`` dict (AccessKeyId/SecretAccessKey/
+    SessionToken/Expiration)."""
+    kw: dict = {"RoleArn": role_arn, "RoleSessionName": session_name}
+    if policy_arn:
+        kw["PolicyArns"] = [{"arn": policy_arn}]
+    return sts.assume_role(**kw)["Credentials"]
+
+
+class RefreshingKinesisClient:
+    """Kinesis client over STS assume-role credentials that REBUILDS
+    itself before the session token expires — the production gap in
+    the reference, whose one-shot assume_role (utility/aws.py) dies
+    when the ~1 h token lapses mid-consume. Attribute access checks
+    the expiry margin and re-assumes transparently, so the consume
+    loop never sees an ExpiredTokenException.
+
+    ``sts_factory``/``kinesis_factory`` are injection seams for
+    offline tests; production uses boto3."""
+
+    REFRESH_MARGIN_S = 300.0  # re-assume 5 min before expiry
+
+    def __init__(
+        self, options: dict, sts_factory=None, kinesis_factory=None
+    ) -> None:
+        self._o = options
+        self._sts_factory = sts_factory
+        self._kinesis_factory = kinesis_factory
+        self._client = None
+        self._expires_at: float | None = None
+        self._refresh()
+
+    def _refresh(self) -> None:
+        import datetime
+
+        o = self._o
+        region = o.get("region")
+        if self._sts_factory is not None:
+            sts = self._sts_factory()
+        else:
+            import boto3
+
+            sts = boto3.client("sts", region_name=region)
+        creds = _assume_role_credentials(
+            sts,
+            o["rolearn"],
+            o.get("policyarn"),
+            o.get("rolesessionname", "arc-kinesis-tagging-spark"),
+        )
+        exp = creds.get("Expiration")
+        self._expires_at = (
+            exp.timestamp()
+            if isinstance(exp, datetime.datetime)
+            else (float(exp) if exp is not None else None)
+        )
+        if self._kinesis_factory is not None:
+            self._client = self._kinesis_factory(creds)
+        else:
+            import boto3
+
+            kw = {"region_name": region} if region else {}
+            if o.get("endpointurl"):
+                kw["endpoint_url"] = o["endpointurl"]
+            self._client = boto3.client(
+                "kinesis",
+                aws_access_key_id=creds["AccessKeyId"],
+                aws_secret_access_key=creds["SecretAccessKey"],
+                aws_session_token=creds["SessionToken"],
+                **kw,
+            )
+
+    def __getattr__(self, name: str):
+        if (
+            self._expires_at is not None
+            and _NOW() >= self._expires_at - self.REFRESH_MARGIN_S
+        ):
+            self._refresh()
+        return getattr(self._client, name)
+
+
 def _resolve_client_factory(options: dict):
     """Client factory from options: ``clientFactory=module:function``
-    (tests, localstack wrappers, custom credential providers), else
-    boto3 with region/endpoint/profile passthrough."""
+    (tests, localstack wrappers, custom credential providers); else
+    assume-role with auto-refresh when ``roleArn`` is set (the
+    reference's scoped-role auth, app.py:16-24 + utility/aws.py);
+    else plain boto3 with region/endpoint/profile passthrough."""
     spec = options.get("clientfactory")
     if spec:
         import importlib
 
         mod, _, fn = spec.partition(":")
         return getattr(importlib.import_module(mod), fn)
+
+    if options.get("rolearn"):
+        return lambda: RefreshingKinesisClient(options)
 
     def default():
         import boto3
@@ -457,7 +553,9 @@ class KinesisAwsDataSource(DataSource):
     Reader options: streamName (required), startingPosition
     (TRIM_HORIZON|LATEST), maxRecordsPerShardPerBatch, getRecordsLimit,
     pollBackoffMs, maxRetries, region, endpointUrl, profile,
-    clientFactory ("module:function" — testing/localstack hook).
+    roleArn/policyArn/roleSessionName (scoped STS assume-role with
+    auto-refresh — the reference's auth model), clientFactory
+    ("module:function" — testing/localstack hook).
     Writer options: streamName (required) + the same client options;
     input rows (data binary, partition_key string)."""
 

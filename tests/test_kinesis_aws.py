@@ -257,3 +257,101 @@ def test_spark_stream_e2e_through_fake(spark, tmp_path):
     }
     assert {r["shard_id"] for r in rows} == {"shard-a", "shard-b"}
     assert all(r["partition_key"] is not None for r in rows)
+
+
+def test_assume_role_request_shape_via_botocore_stubber():
+    """The scoped assume-role call (reference utility/aws.py:27-46)
+    validated against the REAL service model: botocore's Stubber
+    rejects any parameter drift (wrong PolicyArns shape, missing
+    session name) at request-serialization time, no network needed."""
+    import datetime
+
+    import boto3
+    from botocore.stub import Stubber
+
+    from arc_kinesis_tagging_spark.streaming.kinesis_aws import (
+        _assume_role_credentials,
+    )
+
+    sts = boto3.client(
+        "sts",
+        region_name="us-east-1",
+        aws_access_key_id="AKIAFAKE",
+        aws_secret_access_key="fake",
+    )
+    creds = {
+        "AccessKeyId": "ASIAFAKEFAKEFAKE",  # service model: len >= 16
+        "SecretAccessKey": "s",
+        "SessionToken": "t",
+        "Expiration": datetime.datetime(
+            2030, 1, 1, tzinfo=datetime.timezone.utc
+        ),
+    }
+    with Stubber(sts) as stub:
+        stub.add_response(
+            "assume_role",
+            {
+                "Credentials": creds,
+                "AssumedRoleUser": {
+                    "AssumedRoleId": "AROAFAKE:session",
+                    "Arn": "arn:aws:sts::1:assumed-role/r/s",
+                },
+            },
+            expected_params={
+                "RoleArn": "arn:aws:iam::1:role/tagger",
+                "RoleSessionName": "arc-kinesis-tagging-spark",
+                "PolicyArns": [{"arn": "arn:aws:iam::1:policy/scoped"}],
+            },
+        )
+        got = _assume_role_credentials(
+            sts,
+            "arn:aws:iam::1:role/tagger",
+            "arn:aws:iam::1:policy/scoped",
+        )
+    assert got["AccessKeyId"] == "ASIAFAKEFAKEFAKE"
+
+
+def test_refreshing_client_reassumes_before_expiry(monkeypatch):
+    """The production gap the reference leaves open: its one-shot
+    assume_role dies when the STS token lapses mid-consume. The
+    refreshing wrapper must re-assume when attribute access lands
+    inside the expiry margin, and not before."""
+    from arc_kinesis_tagging_spark.streaming.kinesis_aws import (
+        RefreshingKinesisClient,
+    )
+
+    now = [1000.0]
+    monkeypatch.setattr(kinesis_aws, "_NOW", lambda: now[0])
+    assumed = []
+
+    class FakeSts:
+        def assume_role(self, **kw):
+            assumed.append(kw)
+            return {
+                "Credentials": {
+                    "AccessKeyId": f"K{len(assumed)}",
+                    "SecretAccessKey": "s",
+                    "SessionToken": "t",
+                    "Expiration": now[0] + 3600.0,
+                }
+            }
+
+    class FakeKinesis:
+        def __init__(self, creds):
+            self.key = creds["AccessKeyId"]
+
+        def list_shards(self, **kw):
+            return {"Shards": [], "key": self.key}
+
+    c = RefreshingKinesisClient(
+        {"rolearn": "arn:role", "policyarn": "arn:policy"},
+        sts_factory=FakeSts,
+        kinesis_factory=FakeKinesis,
+    )
+    assert len(assumed) == 1
+    assert assumed[0]["PolicyArns"] == [{"arn": "arn:policy"}]
+    assert c.list_shards()["key"] == "K1"
+    now[0] += 3000.0  # inside the token's life, outside the margin
+    assert c.list_shards()["key"] == "K1" and len(assumed) == 1
+    now[0] += 400.0  # within 300 s of expiry -> transparent re-assume
+    assert c.list_shards()["key"] == "K2" and len(assumed) == 2
