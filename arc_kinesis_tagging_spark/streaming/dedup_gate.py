@@ -1,0 +1,135 @@
+"""Streaming cross-batch IMAGE dedup gate — the production
+composition of the connector and the incremental perceptual-dedup
+operators: each micro-batch's images are pHashed (map-only Arrow),
+probed against the PERSISTED corpus band table
+(operators/dedup.py:phash_batch_against_corpus — batch broadcast,
+zero corpus Exchange), near-dups of the corpus are dropped, in-batch
+near-dup groups keep their smallest id, and the survivors' banded
+chunks are appended to the corpus so the NEXT batch dedups against
+them. This is the daily/continuous ingest shape for a 100 TB media
+corpus: the corpus is only ever scanned (never shuffled), and it
+grows by exactly the accepted rows.
+
+Delivery semantics: the gate is made replay-safe with a per-batch
+marker file — a replayed epoch whose marker exists is skipped
+entirely (no double-append, no double-emit through the sink). A crash
+BETWEEN the corpus append and the marker write means the replay
+re-appends the same band rows; duplicate corpus band rows are
+harmless for correctness (they only produce duplicate candidate
+pairs, which the probe's ``dropDuplicates`` collapses) and are
+removed by routine compaction. The accepted-rows sink is invoked
+after the marker check, so downstream sees each batch at most once
+per marker lifetime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def append_phash_corpus(
+    spark,
+    hashes: DataFrame,
+    table_prefix: str,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 4,
+    hash_bits: int = 63,
+    n_buckets: int = 16,
+) -> None:
+    """Append a batch's banded pHash chunks to the bucketed corpus
+    band table, creating it on first use — the growth half of
+    write_phash_corpus (operators/dedup.py), same table layout, same
+    bucketing, ``mode("append")`` so the corpus accretes batch by
+    batch instead of being rewritten."""
+    from arc_kinesis_tagging_spark.operators.dedup import _phash_chunks
+
+    ph = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("key"), F.col(hash_col).alias("ph")
+    )
+    (
+        _phash_chunks(ph, max_hamming, hash_bits)
+        .write.mode("append")
+        .bucketBy(n_buckets, "chunk")
+        .sortBy("chunk")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_bands")
+    )
+
+
+def make_phash_dedup_gate(
+    spark,
+    table_prefix: str,
+    markers_dir: str,
+    accepted_sink,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    max_hamming: int = 4,
+):
+    """Build the ``foreachBatch`` function: hash -> probe corpus ->
+    drop corpus near-dups -> keep-smallest-id within the batch ->
+    append survivors' bands to the corpus -> hand survivors to
+    ``accepted_sink(df, batch_id)``.
+
+    Corrupt images (null hash) are ACCEPTED but not added to the
+    corpus — they cannot match anything, and silently dropping them
+    would violate the engine's per-record error isolation (R16);
+    route them by ``phash is NULL`` downstream if quarantine is
+    wanted."""
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        phash_batch_against_corpus,
+        phash_near_dup_pairs,
+    )
+    from arc_kinesis_tagging_spark.operators.multimodal import phash_gray
+
+    os.makedirs(markers_dir, exist_ok=True)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(markers_dir, f"batch-{int(batch_id):020d}")
+        if os.path.exists(marker):
+            return  # replayed epoch: already appended + emitted
+        hashes = (
+            phash_gray(batch_df, id_col, media_col)
+            .localCheckpoint(eager=True)
+            # eager pin: the hash table feeds the corpus probe, the
+            # in-batch pair join (both sides), the survivor anti-joins
+            # and the corpus append — recomputing the decode+DCT five
+            # times would dominate the batch
+        )
+        drop = None
+        if spark.catalog.tableExists(f"{table_prefix}_bands"):
+            dup_vs_corpus = phash_batch_against_corpus(
+                spark, hashes, table_prefix,
+                id_col, "phash", max_hamming=max_hamming,
+            ).select(F.col("id_batch").alias(id_col)).distinct()
+            drop = dup_vs_corpus
+        # within-batch near-dup groups keep their smallest id: drop
+        # id_b of every pair (id_a < id_b by construction) — survivors
+        # are exactly the per-group minima
+        in_batch = phash_near_dup_pairs(
+            hashes, id_col, "phash", max_hamming=max_hamming
+        ).select(F.col("id_b").alias(id_col)).distinct()
+        drop = in_batch if drop is None else drop.unionByName(in_batch)
+        survivors = hashes.join(
+            F.broadcast(drop.distinct()), id_col, "left_anti"
+        ).localCheckpoint(eager=True)  # pin: append AND sink read it
+        append_phash_corpus(
+            spark,
+            survivors,
+            table_prefix,
+            id_col,
+            "phash",
+            max_hamming=max_hamming,
+        )
+        accepted = batch_df.join(
+            F.broadcast(survivors.select(id_col)), id_col, "left_semi"
+        )
+        accepted_sink(accepted, batch_id)
+        with open(marker + ".tmp", "w") as fh:
+            fh.write("done")
+        os.replace(marker + ".tmp", marker)  # atomic: marker is LAST
+
+    return gate

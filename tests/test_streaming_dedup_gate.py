@@ -1,0 +1,135 @@
+"""Streaming cross-batch image-dedup gate e2e: real PNGs through the
+emulated Kinesis connector in capped micro-batches, each batch probed
+against the growing persisted pHash corpus — later batches' near-dups
+of earlier batches are dropped, in-batch groups keep their smallest
+id, corrupt images pass through (R16), and a replayed epoch is a
+no-op (marker idempotency)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+    make_phash_dedup_gate,
+)
+from arc_kinesis_tagging_spark.streaming.kinesis_source import (
+    KinesisEmuDataSource,
+    write_kinesis_fixture,
+)
+
+
+def _png_blobs(spark, ids):
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_phash_media,
+    )
+
+    df = spark.range(max(ids) + 1).withColumnRenamed("id", "doc_id")
+    blobs = {
+        r["media_id"]: bytes(r["media"])
+        for r in attach_phash_media(df, "doc_id").collect()
+        if r["media_id"] in set(ids)
+    }
+    return [blobs[i] for i in ids]
+
+
+def test_streaming_phash_gate_dedups_across_batches(spark, tmp_path):
+    # fixture groups of 4: ids i//4 share a base image, in-group
+    # hamming <= 4 (pinned in tests/test_phash.py). Stream order puts
+    # group representatives in batch 1 and their near-dups in batch 2.
+    order = [0, 4, 8, 3, 1, 5, 9, 2]
+    blobs = _png_blobs(spark, order)
+    src = str(tmp_path / "src")
+    write_kinesis_fixture(src, [(b, 0) for b in blobs])
+    spark.dataSource.register(KinesisEmuDataSource)
+
+    accepted: list[tuple[int, list[int]]] = []
+
+    def sink(df, batch_id):
+        accepted.append(
+            (int(batch_id), sorted(r["media_id"] for r in df.collect()))
+        )
+
+    prefix = "akt_gate_" + tmp_path.name.replace("-", "_").lower()
+    gate = make_phash_dedup_gate(
+        spark, prefix, str(tmp_path / "markers"), sink
+    )
+    q = (
+        spark.readStream.format("kinesis_emu")
+        .option("streamDir", src)
+        .option("maxRecordsPerShardPerBatch", "4")
+        .load()
+        .select(
+            F.col("seq").cast("long").alias("media_id"),
+            F.col("data").alias("media"),
+        )
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = {bid: ids for bid, ids in accepted}
+    all_ids = [i for ids in emitted.values() for i in ids]
+    # seq == stream position; group ids arrived in `order`:
+    # batch with seqs {0,1,2,3} = media ids {0,4,8,3}: (0,3) are
+    # group-0 near-dups -> keep seq of id 0; 4 and 8 are group reps.
+    # batch {4..7} = ids {1,5,9,2}: every one is a near-dup of an
+    # already-accepted corpus image -> all dropped.
+    pos = {seq: media for seq, media in enumerate(order)}
+    accepted_media = sorted(pos[s] for s in all_ids)
+    assert accepted_media == [0, 4, 8]
+    # corpus grew by exactly the accepted rows x 5 bands
+    corpus = spark.table(f"{prefix}_bands")
+    assert corpus.count() == 3 * 5
+    assert corpus.select("key").distinct().count() == 3
+
+    # replay idempotency: re-invoking a seen batch id is a no-op
+    n_before = len(accepted)
+    batch1 = (
+        spark.read.format("kinesis_emu")
+        .option("streamDir", src)
+        .load()
+        .filter(F.col("seq") < 4)
+        .select(
+            F.col("seq").cast("long").alias("media_id"),
+            F.col("data").alias("media"),
+        )
+    )
+    gate(batch1, 0)
+    assert len(accepted) == n_before
+    assert spark.table(f"{prefix}_bands").count() == 15
+
+
+def test_streaming_phash_gate_passes_corrupt_and_skips_corpus(
+    spark, tmp_path
+):
+    """A corrupt image must be ACCEPTED (null hash matches nothing;
+    dropping it would violate per-record isolation) and must NOT
+    enter the corpus."""
+    import pandas as pd
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.extend(r["media_id"] for r in df.collect())
+
+    prefix = "akt_gatec_" + tmp_path.name.replace("-", "_").lower()
+    gate = make_phash_dedup_gate(
+        spark, prefix, str(tmp_path / "markers"), sink
+    )
+    blobs = _png_blobs(spark, [0])
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [0, 999], "media": [blobs[0], b"not a png"]}
+        )
+    )
+    gate(batch, 0)
+    assert sorted(accepted) == [0, 999]
+    assert [
+        r["key"]
+        for r in spark.table(f"{prefix}_bands")
+        .select("key")
+        .distinct()
+        .collect()
+    ] == [0]
