@@ -398,6 +398,16 @@ class KinesisAwsSimpleReader(SimpleDataSourceStreamReader):
             tag = offsets[shard_id]
             if tag == "CLOSED":
                 continue
+            # a shard in the checkpoint but gone from ListShards has
+            # aged out of retention (closed shards disappear from the
+            # listing after the retention window): everything it held
+            # is unrecoverable from Kinesis, so mark it CLOSED instead
+            # of crashing get_shard_iterator forever — the standard
+            # aged-shard handling (and what keeps its CHILDREN from
+            # being held on a parent that can never drain).
+            if shard_id not in parents:
+                next_off[shard_id] = "CLOSED"
+                continue
             # KCL-style reshard ordering: hold a child while any
             # parent is still open (present and not CLOSED)
             if any(

@@ -355,3 +355,32 @@ def test_refreshing_client_reassumes_before_expiry(monkeypatch):
     assert c.list_shards()["key"] == "K1" and len(assumed) == 1
     now[0] += 400.0  # within 300 s of expiry -> transparent re-assume
     assert c.list_shards()["key"] == "K2" and len(assumed) == 2
+
+
+def test_aged_out_shard_closes_instead_of_crashing(fake):
+    """A shard present in the checkpoint but gone from ListShards has
+    aged out of retention: the reader must mark it CLOSED (its data is
+    unrecoverable from Kinesis) rather than crash get_shard_iterator
+    on every subsequent poll — and a child held on such a parent must
+    be released on the following poll."""
+    fake.add_shard("shard-old")
+    fake.add_shard("shard-live")
+    s = fake.put("shard-live", b"x")
+    r = _reader()
+    start = {
+        "shard-old": "AFTER:123",       # checkpointed position
+        "shard-live": "TRIM_HORIZON",
+        "shard-child": "TRIM_HORIZON",  # child of the aged-out parent
+    }
+    del fake.shards["shard-old"]  # aged out of the listing
+    fake.add_shard("shard-child", parents=["shard-old"])
+    fake.put("shard-child", b"c")
+    rows, off = r.read(start)
+    rows = list(rows)
+    assert off["shard-old"] == "CLOSED"
+    assert [x[2] for x in rows if x[1] == "shard-live"] == [s]
+    # child held THIS poll (parent tag in start is not CLOSED yet) ...
+    assert not [x for x in rows if x[1] == "shard-child"]
+    # ... and released on the next one
+    rows, off = r.read(off)
+    assert [x[0] for x in rows] == [b"c"]
