@@ -14,12 +14,13 @@ Delivery semantics: the gate is made replay-safe with a per-batch
 marker file — a replayed epoch whose marker exists is skipped
 entirely (no double-append, no double-emit through the sink). A crash
 BETWEEN the corpus append and the marker write means the replay
-re-appends the same band rows; duplicate corpus band rows are
-harmless for correctness (they only produce duplicate candidate
-pairs, which the probe's ``dropDuplicates`` collapses) and are
-removed by routine compaction. The accepted-rows sink is invoked
-after the marker check, so downstream sees each batch at most once
-per marker lifetime.
+re-runs the batch against a corpus that already contains its own
+survivors; the probe filters ``id_batch == id_corpus`` (globally
+unique media ids make that pairing a replay artifact by definition),
+so the survivors re-emerge, re-emit through the sink (at-least-once
+for exactly this crash window) and re-append — duplicate corpus band
+rows only produce duplicate candidate pairs, which the probe's
+``dropDuplicates`` collapses, and routine compaction removes them.
 """
 
 from __future__ import annotations
@@ -58,6 +59,38 @@ def append_phash_corpus(
         .format("parquet")
         .saveAsTable(f"{table_prefix}_bands")
     )
+
+
+def ensure_corpus_registered(
+    spark,
+    table_prefix: str,
+    hash_bits: int = 63,
+    n_buckets: int = 16,
+) -> bool:
+    """Re-attach an on-disk corpus band table to a FRESH session's
+    catalog. The default catalog is session-scoped (in-memory, see
+    operators/skew.py:write_bucketed), so after a driver restart
+    ``tableExists`` is false even though the warehouse directory —
+    and the markers — survived; without this, the first post-restart
+    batch would silently skip the corpus probe (admitting near-dups
+    of the entire corpus) and the subsequent append would collide
+    with the orphaned location. Registers an EXTERNAL bucketed table
+    over the existing files; returns True when a corpus is available
+    (already registered or re-attached)."""
+    name = f"{table_prefix}_bands"
+    if spark.catalog.tableExists(name):
+        return True
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = os.path.join(wh.removeprefix("file:"), name.lower())
+    if not os.path.exists(loc):
+        return False  # genuinely fresh corpus: first batch creates it
+    spark.sql(
+        f"CREATE TABLE {name} (key BIGINT, ph BIGINT, band INT, "
+        f"chunk BIGINT) USING parquet "
+        f"CLUSTERED BY (chunk) SORTED BY (chunk) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+    )
+    return True
 
 
 def make_phash_dedup_gate(
@@ -100,11 +133,27 @@ def make_phash_dedup_gate(
             # times would dominate the batch
         )
         drop = None
-        if spark.catalog.tableExists(f"{table_prefix}_bands"):
-            dup_vs_corpus = phash_batch_against_corpus(
-                spark, hashes, table_prefix,
-                id_col, "phash", max_hamming=max_hamming,
-            ).select(F.col("id_batch").alias(id_col)).distinct()
+        if ensure_corpus_registered(spark, table_prefix):
+            dup_vs_corpus = (
+                phash_batch_against_corpus(
+                    spark, hashes, table_prefix,
+                    id_col, "phash", max_hamming=max_hamming,
+                )
+                # replay safety: a crash AFTER the corpus append but
+                # BEFORE the marker means this batch's own survivors
+                # are already corpus rows — without this guard the
+                # replay would self-match every one at hamming 0,
+                # drop the whole batch, then write the marker:
+                # permanent downstream loss. Ids are globally unique
+                # media ids, so id_batch == id_corpus can ONLY be the
+                # replay artifact; filtering it makes the
+                # append-then-crash replay emit the same survivors
+                # again (at-least-once into the sink, duplicate
+                # corpus band rows collapsed by the probe's dedup).
+                .filter(F.col("id_batch") != F.col("id_corpus"))
+                .select(F.col("id_batch").alias(id_col))
+                .distinct()
+            )
             drop = dup_vs_corpus
         # within-batch near-dup groups keep their smallest id: drop
         # id_b of every pair (id_a < id_b by construction) — survivors

@@ -29,11 +29,15 @@ Design notes:
   AFTER ingestion, which is ordinary Spark.
 
 - **Offsets** are JSON dicts ``{shard_id: tag}`` with tags
-  ``"TRIM_HORIZON"`` (read from start), ``"LATEST"`` (anchor at first
-  record; until one arrives the position re-resolves each poll — the
-  documented meaning of LATEST), ``"AFTER:<seq>"`` (resume after a
-  concrete sequence number — the checkpointable steady state), and
-  ``"CLOSED"`` (shard drained to its end after a reshard).
+  ``"TRIM_HORIZON"`` (read from start), ``"TS:<epoch-seconds>"`` (an
+  AT_TIMESTAMP anchor — ``startingPosition=LATEST`` resolves to the
+  query-start wall clock ONCE in initialOffset, so the position is
+  concrete and every replay is deterministic; a symbolic LATEST tag
+  would re-anchor at replay time and silently lose the in-flight
+  batch on recovery), ``"AFTER:<seq>"`` (resume after a concrete
+  sequence number — the checkpointable steady state), and
+  ``"CLOSED"`` (shard drained to its end after a reshard or aged out
+  of retention).
 
 - **Resharding**: new shards appear via paginated ListShards on every
   poll and enter at TRIM_HORIZON; a child shard is HELD (not read)
@@ -232,6 +236,26 @@ def _resolve_client_factory(options: dict):
     return default
 
 
+def _with_backoff(fn, backoff_ms: int, max_retries: int, **kw):
+    """One Kinesis call with exponential backoff on the retryable
+    throttle/5xx codes; anything else propagates immediately. Shared
+    by the reader's every call and the producer's put_records (whose
+    throttling surfaces BOTH as a whole-call exception and as
+    per-record ErrorCode entries — this handles the former)."""
+    delay = backoff_ms / 1000.0
+    for attempt in range(max_retries + 1):
+        try:
+            return fn(**kw)
+        except Exception as exc:
+            if (
+                _error_code(exc) not in _RETRYABLE
+                or attempt == max_retries
+            ):
+                raise
+            _SLEEP(delay)
+            delay *= 2
+
+
 def _list_all_shards(client, stream_name: str) -> list[dict]:
     """Paginated ListShards — the reference's describe_stream loop
     (utility/aws.py) modernized to the dedicated API."""
@@ -270,14 +294,10 @@ class KinesisAwsSimpleReader(SimpleDataSourceStreamReader):
         self._client = None
         # live NextShardIterator chain per shard (reference
         # utility/aws.py's chaining): {shard_id: (tag, iterator)} —
-        # reused when the next poll starts at the same tag. Load-
-        # bearing for LATEST (an iterator re-created per poll would
-        # skip records that arrived between polls; the chain holds the
-        # position until the first record anchors a concrete
-        # AFTER:<seq> tag) and an API-call saving for concrete tags.
-        # In-memory only: after a driver restart a LATEST tag
-        # re-anchors (the documented LATEST semantics); concrete tags
-        # rebuild exactly via AFTER_SEQUENCE_NUMBER.
+        # reused when the next poll starts at the same tag. Purely an
+        # API-call saving: every tag is CONCRETE (TRIM_HORIZON /
+        # TS:<anchor> / AFTER:<seq>), so a lost chain rebuilds the
+        # exact position via get_shard_iterator.
         self._live: dict[str, tuple[str, str]] = {}
 
     @property
@@ -288,20 +308,7 @@ class KinesisAwsSimpleReader(SimpleDataSourceStreamReader):
 
     # -- retry shell -------------------------------------------------------
     def _call(self, fn, **kw):
-        """One Kinesis call with exponential backoff on the retryable
-        throttle/5xx codes; anything else propagates immediately."""
-        delay = self.backoff_ms / 1000.0
-        for attempt in range(self.max_retries + 1):
-            try:
-                return fn(**kw)
-            except Exception as exc:
-                if (
-                    _error_code(exc) not in _RETRYABLE
-                    or attempt == self.max_retries
-                ):
-                    raise
-                _SLEEP(delay)
-                delay *= 2
+        return _with_backoff(fn, self.backoff_ms, self.max_retries, **kw)
 
     def _iterator_for(self, shard_id: str, tag: str) -> str | None:
         if tag == "CLOSED":
@@ -310,16 +317,30 @@ class KinesisAwsSimpleReader(SimpleDataSourceStreamReader):
         if tag.startswith("AFTER:"):
             kw["ShardIteratorType"] = "AFTER_SEQUENCE_NUMBER"
             kw["StartingSequenceNumber"] = tag[len("AFTER:"):]
+        elif tag.startswith("TS:"):
+            kw["ShardIteratorType"] = "AT_TIMESTAMP"
+            kw["Timestamp"] = float(tag[len("TS:"):])
         else:
-            kw["ShardIteratorType"] = tag  # TRIM_HORIZON | LATEST
+            kw["ShardIteratorType"] = tag  # TRIM_HORIZON
         return self._call(self.client.get_shard_iterator, **kw)[
             "ShardIterator"
         ]
 
     # -- offsets -----------------------------------------------------------
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API)
+        # LATEST resolves to a CONCRETE AT_TIMESTAMP anchor exactly
+        # once, here: a symbolic LATEST tag in the offset log would
+        # re-anchor at replay time after a crash, so a batch that
+        # consumed records from a LATEST start could never be replayed
+        # (readBetweenOffsets would anchor past its own data and yield
+        # an empty batch — silent loss). With TS:<query-start>, both
+        # read() and readBetweenOffsets() are deterministic functions
+        # of the checkpointed tags.
+        tag = (
+            f"TS:{_NOW()}" if self.start_pos == "LATEST" else self.start_pos
+        )
         return {
-            s["ShardId"]: self.start_pos
+            s["ShardId"]: tag
             for s in _list_all_shards(self.client, self.stream_name)
         }
 
@@ -507,8 +528,14 @@ class KinesisAwsStreamWriter(DataSourceStreamWriter):
             batch, size = [], 0
             delay = self.backoff_ms / 1000.0
             for attempt in range(self.max_retries + 1):
-                resp = client.put_records(
-                    StreamName=self.stream_name, Records=entries
+                # whole-call throttles (the request itself rejected)
+                # back off here; per-record failures below
+                resp = _with_backoff(
+                    client.put_records,
+                    self.backoff_ms,
+                    self.max_retries,
+                    StreamName=self.stream_name,
+                    Records=entries,
                 )
                 n += len(entries) - resp.get("FailedRecordCount", 0)
                 if not resp.get("FailedRecordCount"):
@@ -521,11 +548,18 @@ class KinesisAwsStreamWriter(DataSourceStreamWriter):
                     if r.get("ErrorCode")
                 ]
                 if attempt == self.max_retries:
+                    first_err = next(
+                        (
+                            r["ErrorCode"]
+                            for r in resp["Records"]
+                            if r.get("ErrorCode")
+                        ),
+                        None,
+                    )
                     raise RuntimeError(
                         f"put_records: {len(entries)} record(s) still "
                         f"failing after {self.max_retries} retries "
-                        f"(first error "
-                        f"{resp['Records'][0].get('ErrorCode')!r})"
+                        f"(first error {first_err!r})"
                     )
                 _SLEEP(delay)
                 delay *= 2

@@ -45,6 +45,7 @@ class FakeKinesisClient:
         self.expire_tokens: set[str] = set()
         self.fail_put_pks: dict[str, int] = {}  # pk -> remaining fails
         self.calls: list[str] = []
+        self.ts_by_seq: dict[int, float] = {}  # arrival ts per record
 
     # -- test-side mutators --------------------------------------------------
     def add_shard(self, shard_id: str, parents: list[str] | None = None):
@@ -54,9 +55,14 @@ class FakeKinesisClient:
             "parents": list(parents or []),
         }
 
-    def put(self, shard_id: str, data: bytes, pk: str = "0") -> str:
+    def put(
+        self, shard_id: str, data: bytes, pk: str = "0", ts: float | None = None
+    ) -> str:
+        import time
+
         seq = next(self._seq)
         self.shards[shard_id]["records"].append((seq, data, pk))
+        self.ts_by_seq[seq] = time.time() if ts is None else ts
         return str(seq)
 
     def close_shard(self, shard_id: str) -> None:
@@ -98,6 +104,14 @@ class FakeKinesisClient:
             idx = 0
         elif typ == "LATEST":
             idx = len(shard["records"])
+        elif typ == "AT_TIMESTAMP":
+            t = kw["Timestamp"]
+            t = t.timestamp() if hasattr(t, "timestamp") else float(t)
+            idx = len(shard["records"])
+            for i, (seq, _, _) in enumerate(shard["records"]):
+                if self.ts_by_seq.get(seq, 0.0) >= t:
+                    idx = i
+                    break
         elif typ == "AFTER_SEQUENCE_NUMBER":
             after = int(kw["StartingSequenceNumber"])
             idx = 0

@@ -948,6 +948,16 @@ def fused_gated_story_pipeline(
     tag_t = StructType(
         [StructField("slug", StringType()), StructField("text", StringType())]
     )
+    # seq is a pass-through lineage column whose type follows the
+    # SOURCE: bigint from the file emulator, string from the real
+    # kinesis_aws binding (actual Kinesis sequence numbers are
+    # ~186-bit decimals that do not fit an int64) — hardcoding long
+    # here would crash the advertised production pairing at the Arrow
+    # conversion.
+    seq_t = next(
+        (f.dataType for f in records.schema.fields if f.name == "seq"),
+        LongType(),
+    )
     out_schema = StructType(
         [
             StructField("_id", StringType()),
@@ -960,7 +970,7 @@ def fused_gated_story_pipeline(
             StructField("revision", StringType()),
             StructField("tags", ArrayType(tag_t)),
             StructField("shard_origination", StringType()),
-            StructField("seq", LongType()),
+            StructField("seq", seq_t),
             StructField("host", StringType()),
             StructField("path", StringType()),
             StructField("admitted", BooleanType(), False),

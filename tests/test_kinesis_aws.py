@@ -52,9 +52,11 @@ def test_initial_offset_discovers_all_shards_paginated(fake):
         f"shard-{i:04d}": "TRIM_HORIZON" for i in range(5)
     }
     assert fake.calls.count("list_shards") == 3
-    assert _reader(startingPosition="LATEST").initialOffset() == {
-        f"shard-{i:04d}": "LATEST" for i in range(5)
-    }
+    latest = _reader(startingPosition="LATEST").initialOffset()
+    assert set(latest) == {f"shard-{i:04d}" for i in range(5)}
+    # LATEST resolves to ONE concrete TS anchor shared by all shards
+    assert len({t for t in latest.values()}) == 1
+    assert all(t.startswith("TS:") for t in latest.values())
 
 
 def test_read_drains_and_resumes_without_dup_or_skip(fake):
@@ -79,17 +81,35 @@ def test_read_drains_and_resumes_without_dup_or_skip(fake):
     assert got == seqs["shard-a"]
 
 
-def test_latest_anchors_at_first_record(fake):
+def test_latest_resolves_to_concrete_ts_anchor(fake):
+    """startingPosition=LATEST must become a concrete AT_TIMESTAMP
+    anchor at query start: pre-anchor records are excluded, records
+    arriving BETWEEN empty polls are never skipped, and a batch read
+    from the anchor is replayable (finding: a symbolic LATEST tag
+    re-anchored at replay time and silently lost the in-flight
+    batch)."""
     fake.add_shard("shard-a")
-    fake.put("shard-a", b"old")
+    fake.put("shard-a", b"old", ts=100.0)
+    import arc_kinesis_tagging_spark.streaming.kinesis_aws as ka
+
     r = _reader(startingPosition="LATEST")
-    start = r.initialOffset()
+    old_now = ka._NOW
+    ka._NOW = lambda: 200.0
+    try:
+        start = r.initialOffset()
+    finally:
+        ka._NOW = old_now
+    assert start == {"shard-a": "TS:200.0"}
     rows, off = r.read(start)
-    assert list(rows) == [] and off == {"shard-a": "LATEST"}
-    s = fake.put("shard-a", b"new")
+    assert list(rows) == [] and off == start  # anchor holds, no drift
+    s = fake.put("shard-a", b"new", ts=300.0)
     rows, off = r.read(off)
-    assert [x[0] for x in rows] == [b"new"]  # 'old' predates LATEST
+    assert [x[0] for x in rows] == [b"new"]  # 'old' predates the anchor
     assert off == {"shard-a": "AFTER:" + s}
+    # the crash-replay window: re-reading (TS anchor, AFTER:s] must
+    # reproduce the batch exactly — this is what the symbolic tag lost
+    got = list(r.readBetweenOffsets(start, off))
+    assert [x[0] for x in got] == [b"new"]
 
 
 def test_reshard_children_held_until_parent_drained(fake):

@@ -7,6 +7,8 @@ no-op (marker idempotency)."""
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import functions as F
 
 from arc_kinesis_tagging_spark.streaming.dedup_gate import (
@@ -49,7 +51,9 @@ def test_streaming_phash_gate_dedups_across_batches(spark, tmp_path):
             (int(batch_id), sorted(r["media_id"] for r in df.collect()))
         )
 
-    prefix = "akt_gate_" + tmp_path.name.replace("-", "_").lower()
+    prefix = "akt_gate_" + uuid.uuid4().hex[:12]  # unique: the
+    # warehouse outlives pytest runs and ensure_corpus_registered would
+    # resurrect a stale corpus under a repeated tmp_path-derived name
     gate = make_phash_dedup_gate(
         spark, prefix, str(tmp_path / "markers"), sink
     )
@@ -114,7 +118,7 @@ def test_streaming_phash_gate_passes_corrupt_and_skips_corpus(
     def sink(df, batch_id):
         accepted.extend(r["media_id"] for r in df.collect())
 
-    prefix = "akt_gatec_" + tmp_path.name.replace("-", "_").lower()
+    prefix = "akt_gatec_" + uuid.uuid4().hex[:12]
     gate = make_phash_dedup_gate(
         spark, prefix, str(tmp_path / "markers"), sink
     )
@@ -133,3 +137,63 @@ def test_streaming_phash_gate_passes_corrupt_and_skips_corpus(
         .distinct()
         .collect()
     ] == [0]
+
+
+def test_ensure_corpus_registered_reattaches_after_catalog_loss(
+    spark, tmp_path
+):
+    """Driver restart simulation: the corpus FILES survive in the
+    warehouse but the session-scoped catalog entry is gone — the gate
+    must re-attach (external bucketed table) instead of silently
+    skipping the corpus probe and colliding on append."""
+    import os
+    import shutil
+
+    from arc_kinesis_tagging_spark.operators.multimodal import phash_gray
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        append_phash_corpus,
+        ensure_corpus_registered,
+    )
+
+    prefix = "akt_reg_" + uuid.uuid4().hex[:12]
+    name = f"{prefix}_bands"
+    blobs = _png_blobs(spark, [0, 4])
+    import pandas as pd
+
+    hashes = phash_gray(
+        spark.createDataFrame(
+            pd.DataFrame({"media_id": [0, 4], "media": blobs})
+        ),
+        "media_id",
+        "media",
+    )
+    append_phash_corpus(spark, hashes, prefix)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, name.lower())
+    saved = str(tmp_path / "saved")
+    shutil.copytree(loc, saved)
+    spark.sql(f"DROP TABLE {name}")  # managed drop deletes the files
+    assert not spark.catalog.tableExists(name)
+    shutil.copytree(saved, loc)  # ... which the 'restart' restores
+    assert ensure_corpus_registered(spark, prefix)
+    got = sorted(
+        r["key"]
+        for r in spark.table(name).select("key").distinct().collect()
+    )
+    assert got == [0, 4]
+    # append to the re-attached external table still works
+    blob8 = _png_blobs(spark, [8])[0]
+    append_phash_corpus(
+        spark,
+        phash_gray(
+            spark.createDataFrame(
+                pd.DataFrame({"media_id": [8], "media": [blob8]})
+            ),
+            "media_id",
+            "media",
+        ),
+        prefix,
+    )
+    assert spark.table(name).select("key").distinct().count() == 3
+    # fresh-corpus case: no files, no table -> False, no side effects
+    assert not ensure_corpus_registered(spark, "akt_reg_nonexistent")

@@ -437,3 +437,42 @@ def test_fused_single_pass_matches_composed(spark):
     )
     assert plan.count("MapInPandas") == 1
     assert plan.count("ArrowEvalPython") == 0  # the gzip UDF hop is gone
+
+
+def test_fused_gate_seq_type_follows_source(spark):
+    """The real connector (kinesis_aws) delivers seq as STRING (actual
+    Kinesis sequence numbers exceed int64); the fused gate's output
+    schema must follow the source's seq type instead of hardcoding
+    long (round-11 review finding)."""
+    import gzip
+    import json
+
+    from arc_kinesis_tagging_spark.streaming.pipeline import (
+        fused_gated_story_pipeline,
+        train_dsir_model,
+        train_pruned_lm,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame([(text,)] * 2, "text string")
+    models = (
+        train_pruned_lm(train, "text"),
+        train_dsir_model(train, F.col("text").contains("fox")),
+    )
+    doc = {
+        "id": "doc-1", "operation": "insert-story", "published": True,
+        "body": {"headlines": {"basic": text}},
+    }
+    payload = gzip.compress(json.dumps(doc).encode(), mtime=0)
+    records = spark.createDataFrame(
+        [(payload, "shardId-000", "49654000000000000000001")],
+        "data binary, shard_id string, seq string",  # kinesis_aws shape
+    )
+    out = fused_gated_story_pipeline(
+        records, [("doc", "/", True)], *models,
+        lm_threshold=8.0, dsir_threshold=-10.0,
+    )
+    assert dict(out.dtypes)["seq"] == "string"
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["seq"] == "49654000000000000000001"

@@ -1,57 +1,89 @@
 """Digest on/off A/B for the exactly-once stream tee (r10 verdict
-task 1).
+task 1), measured CORRECTLY across process boundaries.
 
-BENCH_r10.json shipped stream_tee_20k as a CONFIRMED regression
-(3.467 s vs 2.437 s r09) while the round-10 change on exactly that
-path was the intent-content digest (length-framed md5 over every
-shard's payloads at plan time, streaming/kinesis_source.py). This
-tool measures the digest's actual share ON THE ARTIFACT PATH:
-canary-paired min-of-N tee runs with AKT_TEE_DIGEST=on vs off, same
-process, interleaved A/B/A/B so host drift hits both arms equally.
+The first version of this tool set AKT_TEE_DIGEST in the driver
+Python AFTER get_session() — but KinesisEmuStreamWriter.commit runs
+in a JVM-spawned Python worker whose environment was captured at JVM
+launch, so both arms silently measured digest=on (caught by the
+round-11 self-review). Each arm therefore runs in its OWN subprocess
+with the variable exported BEFORE the session exists; the parent
+interleaves nothing — each child is canary-paired internally, so the
+normalized comparison is still host-drift-safe.
 
 Usage: python tools/tee_digest_ab.py [reps=3] -> one JSON line.
+       (internal) python tools/tee_digest_ab.py --arm on|off [reps]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, "/root/repo")
 
-from bench import CANARY, bench_stream_tee, run_once, settle  # noqa: E402
+
+def run_arm(reps: int) -> None:
+    """Child process: AKT_TEE_DIGEST was exported by the parent BEFORE
+    this interpreter started, so the JVM and its sink workers inherit
+    it."""
+    from arc_kinesis_tagging_spark.session import get_session
+    from bench import CANARY, bench_stream_tee, run_once, settle
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session()
+    settle()
+    bench_stream_tee(spark, sf_dir)  # warm-up: JVM + fixture
+    canary = min(run_once(spark, CANARY, sf_dir) for _ in range(3))
+    tee = [bench_stream_tee(spark, sf_dir)[0] for _ in range(3)]
+    print(
+        json.dumps(
+            {
+                "arm": os.environ.get("AKT_TEE_DIGEST", "on"),
+                "tee_min_s": round(min(tee), 3),
+                "tee_all": [round(x, 3) for x in tee],
+                "canary_min_s": round(canary, 3),
+            }
+        )
+    )
+    spark.stop()
 
 
 def main() -> None:
+    if "--arm" in sys.argv:
+        run_arm(int(sys.argv[-1]))
+        return
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from arc_kinesis_tagging_spark.session import get_session
-
-    spark = get_session()
-    settle()
-    # warm-up: JVM/codegen + the process-cached source fixture, so
-    # neither arm pays first-run costs
-    bench_stream_tee(spark, sf_dir)
-    on, off, canary = [], [], []
-    for _ in range(reps):  # interleaved arms: drift hits both equally
-        canary.append(run_once(spark, CANARY, sf_dir))
-        os.environ["AKT_TEE_DIGEST"] = "on"
-        on.append(bench_stream_tee(spark, sf_dir)[0])
-        os.environ["AKT_TEE_DIGEST"] = "off"
-        off.append(bench_stream_tee(spark, sf_dir)[0])
-    os.environ.pop("AKT_TEE_DIGEST", None)
-    t_on, t_off = min(on), min(off)
-    print(json.dumps({
-        "tee_digest_on_s": round(t_on, 3),
-        "tee_digest_off_s": round(t_off, 3),
-        "digest_share": round((t_on - t_off) / t_on, 4),
-        "canary_min_s": round(min(canary), 3),
-        "reps": reps,
-        "on_all": [round(x, 3) for x in on],
-        "off_all": [round(x, 3) for x in off],
-    }))
-    spark.stop()
+    out = {}
+    for arm in ("on", "off"):
+        env = dict(os.environ)
+        env["AKT_TEE_DIGEST"] = arm
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--arm", str(reps)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=560,
+        )
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+        out[arm] = json.loads(line)
+        assert out[arm]["arm"] == arm
+    t_on, t_off = out["on"]["tee_min_s"], out["off"]["tee_min_s"]
+    c_on, c_off = out["on"]["canary_min_s"], out["off"]["canary_min_s"]
+    # canary-normalize the off arm onto the on arm's host state
+    t_off_norm = round(t_off * (c_on / c_off), 3) if c_off else t_off
+    print(
+        json.dumps(
+            {
+                "tee_digest_on_s": t_on,
+                "tee_digest_off_s": t_off,
+                "tee_digest_off_s_canary_norm": t_off_norm,
+                "digest_share": round((t_on - t_off_norm) / t_on, 4),
+                "arms": out,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
