@@ -101,22 +101,35 @@ def make_phash_dedup_gate(
     id_col: str = "media_id",
     media_col: str = "media",
     max_hamming: int = 4,
+    hash_fn=None,
+    hash_col: str = "phash",
+    hash_bits: int = 63,
 ):
     """Build the ``foreachBatch`` function: hash -> probe corpus ->
     drop corpus near-dups -> keep-smallest-id within the batch ->
     append survivors' bands to the corpus -> hand survivors to
     ``accepted_sink(df, batch_id)``.
 
-    Corrupt images (null hash) are ACCEPTED but not added to the
+    ``hash_fn(df, id_col, media_col) -> (id, hash)`` defaults to the
+    image pHash (operators/multimodal.py:phash_gray); the AUDIO gate
+    is the same machinery at hash_bits=60 over Haitsma-Kalker
+    fingerprints — see make_ahash_dedup_gate. (Video needs the
+    temporal verify and is not expressible as a single-hash gate.)
+
+    Corrupt media (null hash) are ACCEPTED but not added to the
     corpus — they cannot match anything, and silently dropping them
     would violate the engine's per-record error isolation (R16);
-    route them by ``phash is NULL`` downstream if quarantine is
+    route them by ``hash is NULL`` downstream if quarantine is
     wanted."""
     from arc_kinesis_tagging_spark.operators.dedup import (
         phash_batch_against_corpus,
         phash_near_dup_pairs,
     )
-    from arc_kinesis_tagging_spark.operators.multimodal import phash_gray
+
+    if hash_fn is None:
+        from arc_kinesis_tagging_spark.operators.multimodal import phash_gray
+
+        hash_fn = phash_gray
 
     os.makedirs(markers_dir, exist_ok=True)
 
@@ -125,11 +138,12 @@ def make_phash_dedup_gate(
         if os.path.exists(marker):
             return  # replayed epoch: already appended + emitted
         hashes = (
-            phash_gray(batch_df, id_col, media_col)
+            hash_fn(batch_df, id_col, media_col)
+            .withColumnRenamed(hash_col, "phash")
             .localCheckpoint(eager=True)
             # eager pin: the hash table feeds the corpus probe, the
             # in-batch pair join (both sides), the survivor anti-joins
-            # and the corpus append — recomputing the decode+DCT five
+            # and the corpus append — recomputing the decode+hash five
             # times would dominate the batch
         )
         drop = None
@@ -138,6 +152,7 @@ def make_phash_dedup_gate(
                 phash_batch_against_corpus(
                     spark, hashes, table_prefix,
                     id_col, "phash", max_hamming=max_hamming,
+                    hash_bits=hash_bits,
                 )
                 # replay safety: a crash AFTER the corpus append but
                 # BEFORE the marker means this batch's own survivors
@@ -159,7 +174,8 @@ def make_phash_dedup_gate(
         # id_b of every pair (id_a < id_b by construction) — survivors
         # are exactly the per-group minima
         in_batch = phash_near_dup_pairs(
-            hashes, id_col, "phash", max_hamming=max_hamming
+            hashes, id_col, "phash", max_hamming=max_hamming,
+            hash_bits=hash_bits,
         ).select(F.col("id_b").alias(id_col)).distinct()
         drop = in_batch if drop is None else drop.unionByName(in_batch)
         survivors = hashes.join(
@@ -172,6 +188,7 @@ def make_phash_dedup_gate(
             id_col,
             "phash",
             max_hamming=max_hamming,
+            hash_bits=hash_bits,
         )
         accepted = batch_df.join(
             F.broadcast(survivors.select(id_col)), id_col, "left_semi"
@@ -182,3 +199,32 @@ def make_phash_dedup_gate(
         os.replace(marker + ".tmp", marker)  # atomic: marker is LAST
 
     return gate
+
+
+def make_ahash_dedup_gate(
+    spark,
+    table_prefix: str,
+    markers_dir: str,
+    accepted_sink,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    max_hamming: int = 4,
+):
+    """The AUDIO gate: identical machinery over Haitsma-Kalker
+    fingerprints (operators/multimodal.py:ahash_wav, 60 bits -> 5
+    pigeonhole bands of 12) — streaming cross-batch audio dedup
+    against a persisted fingerprint corpus."""
+    from arc_kinesis_tagging_spark.operators.multimodal import ahash_wav
+
+    return make_phash_dedup_gate(
+        spark,
+        table_prefix,
+        markers_dir,
+        accepted_sink,
+        id_col,
+        media_col,
+        max_hamming=max_hamming,
+        hash_fn=ahash_wav,
+        hash_col="ahash",
+        hash_bits=60,
+    )

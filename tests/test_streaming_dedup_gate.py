@@ -197,3 +197,58 @@ def test_ensure_corpus_registered_reattaches_after_catalog_loss(
     assert spark.table(name).select("key").distinct().count() == 3
     # fresh-corpus case: no files, no table -> False, no side effects
     assert not ensure_corpus_registered(spark, "akt_reg_nonexistent")
+
+
+def test_ahash_gate_dedups_audio_across_batches(spark, tmp_path):
+    """The AUDIO gate (same machinery at hash_bits=60): batch 1
+    accepts group representatives; batch 2's group-mates are near-dups
+    of the now-persisted fingerprint corpus and are dropped."""
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_ahash_media,
+    )
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_ahash_dedup_gate,
+    )
+
+    def wavs(ids):
+        df = spark.range(max(ids) + 1).withColumnRenamed("id", "doc_id")
+        blobs = {
+            r["media_id"]: bytes(r["media"])
+            for r in attach_ahash_media(df, "doc_id").collect()
+            if r["media_id"] in set(ids)
+        }
+        return blobs
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.append(sorted(r["media_id"] for r in df.collect()))
+
+    prefix = "akt_agate_" + uuid.uuid4().hex[:12]
+    gate = make_ahash_dedup_gate(
+        spark, prefix, str(tmp_path / "markers"), sink
+    )
+    b1 = wavs([0, 4, 3])  # group reps 0, 4 + in-batch dup 3 (group 0)
+    gate(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"media_id": list(b1), "media": list(b1.values())}
+            )
+        ),
+        0,
+    )
+    b2 = wavs([1, 5])  # near-dups of corpus entries 0 and 4
+    gate(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"media_id": list(b2), "media": list(b2.values())}
+            )
+        ),
+        1,
+    )
+    assert accepted == [[0, 4], []]
+    corpus = spark.table(f"{prefix}_bands")
+    assert corpus.select("key").distinct().count() == 2
+    assert corpus.count() == 2 * 5  # 5 bands at hash_bits=60
