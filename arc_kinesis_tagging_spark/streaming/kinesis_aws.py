@@ -75,9 +75,13 @@ from __future__ import annotations
 import json
 import time
 
+from dataclasses import dataclass as _dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamWriter,
+    InputPartition,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
@@ -499,6 +503,44 @@ class KinesisAwsSimpleReader(SimpleDataSourceStreamReader):
         pass  # positions live in Spark's checkpoint
 
 
+@_dataclass
+class _ShardPartition(InputPartition):
+    shard_id: str
+
+
+class KinesisAwsBatchReader(DataSourceReader):
+    """Batch mode over a real stream (``spark.read.format(
+    "kinesis_aws")``) — the replay/backfill shape the emulator also
+    supports: one executor task per shard, each draining its shard
+    from ``startingPosition`` (TRIM_HORIZON default, or a
+    ``TS:<epoch>``/``AFTER:<seq>`` tag via the ``startTag`` option)
+    until caught up (MillisBehindLatest == 0) or shard end. Executors
+    build their own client via the same factory options, so the read
+    is shard-parallel — unlike the streaming simple reader, a batch
+    CAN know its end ("now"), which is why this mode gets the
+    partitioned treatment."""
+
+    def __init__(self, options: dict) -> None:
+        self.options = options
+        self.stream_name = options["streamname"]
+
+    def partitions(self) -> list[_ShardPartition]:
+        client = _resolve_client_factory(self.options)()
+        return [
+            _ShardPartition(s["ShardId"])
+            for s in _list_all_shards(client, self.stream_name)
+        ]
+
+    def read(self, partition: _ShardPartition):
+        o = self.options
+        reader = KinesisAwsSimpleReader(
+            {**o, "maxrecordspershardperbatch": str(2**62)}
+        )
+        tag = o.get("starttag", o.get("startingposition", "TRIM_HORIZON"))
+        rows, _ = reader._drain_shard(partition.shard_id, tag)
+        yield from rows
+
+
 class _PutResult(WriterCommitMessage):
     def __init__(self, n: int) -> None:
         self.n = n
@@ -612,6 +654,9 @@ class KinesisAwsDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType):  # noqa: N802
         return KinesisAwsSimpleReader(self.options)
+
+    def reader(self, schema: StructType) -> KinesisAwsBatchReader:
+        return KinesisAwsBatchReader(self.options)
 
     def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: N802
         return KinesisAwsStreamWriter(self.options)

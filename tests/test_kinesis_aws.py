@@ -10,6 +10,7 @@ utility/aws.py:6-65 (iterator/records chaining), app.py:16-24
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from arc_kinesis_tagging_spark.streaming import kinesis_aws
 from arc_kinesis_tagging_spark.streaming.kinesis_aws import (
@@ -404,3 +405,63 @@ def test_aged_out_shard_closes_instead_of_crashing(fake):
     # ... and released on the next one
     rows, off = r.read(off)
     assert [x[0] for x in rows] == [b"c"]
+
+
+def test_batch_backfill_read_through_fake(spark, tmp_path):
+    """spark.read.format('kinesis_aws'): shard-parallel backfill —
+    every shard drained from TRIM_HORIZON; a startTag bounds the
+    replay start. Seeded via the cross-process file factory (driver
+    partitions() and each executor task build their own fake from the
+    same seed)."""
+    import base64
+    import json
+
+    from arc_kinesis_tagging_spark.streaming.kinesis_aws import (
+        KinesisAwsDataSource,
+    )
+    from arc_kinesis_tagging_spark.streaming.kinesis_testing import (
+        SEED_PATH,
+    )
+
+    seed = {"shards": {"shard-a": [], "shard-b": []}}
+    for i in range(8):
+        seed["shards"][f"shard-{'ab'[i % 2]}"].append(
+            [base64.b64encode(f"bf-{i}".encode()).decode(), str(i)]
+        )
+    with open(SEED_PATH, "w") as fh:
+        json.dump(seed, fh)
+    spark.dataSource.register(KinesisAwsDataSource)
+    df = (
+        spark.read.format("kinesis_aws")
+        .option("streamName", "test-stream")
+        .option(
+            "clientFactory",
+            "arc_kinesis_tagging_spark.streaming.kinesis_testing:"
+            "make_file_seeded_client",
+        )
+        .load()
+    )
+    rows = df.collect()
+    assert {bytes(r["data"]) for r in rows} == {
+        f"bf-{i}".encode() for i in range(8)
+    }
+    assert {r["shard_id"] for r in rows} == {"shard-a", "shard-b"}
+    # bounded replay: start AFTER the 2nd record of shard-a
+    # (seed order: shard-a gets seqs 1,3,5,7 in its fake)
+    seqs_a = sorted(
+        int(r["seq"]) for r in rows if r["shard_id"] == "shard-a"
+    )
+    bounded = (
+        spark.read.format("kinesis_aws")
+        .option("streamName", "test-stream")
+        .option(
+            "clientFactory",
+            "arc_kinesis_tagging_spark.streaming.kinesis_testing:"
+            "make_file_seeded_client",
+        )
+        .option("startTag", f"AFTER:{seqs_a[1]}")
+        .load()
+        .filter(F.col("shard_id") == "shard-a")
+        .collect()
+    )
+    assert sorted(int(r["seq"]) for r in bounded) == seqs_a[2:]
