@@ -476,3 +476,103 @@ def test_fused_gate_seq_type_follows_source(spark):
     rows = out.collect()
     assert len(rows) == 1
     assert rows[0]["seq"] == "49654000000000000000001"
+
+
+def test_fused_gate_over_real_connector_e2e(spark, tmp_path):
+    """The advertised production pairing, driven end-to-end:
+    spark.readStream.format('kinesis_aws') (string sequence numbers,
+    via the cross-process seeded fake) -> fused_gated_story_pipeline
+    -> memory sink. Pins that the single-pass ingest consumes the real
+    connector's schema, not just the emulator's."""
+    import base64
+    import gzip
+    import json
+
+    from arc_kinesis_tagging_spark.streaming.kinesis_aws import (
+        KinesisAwsDataSource,
+    )
+    from arc_kinesis_tagging_spark.streaming.kinesis_testing import (
+        SEED_PATH,
+    )
+    from arc_kinesis_tagging_spark.streaming.pipeline import (
+        fused_gated_story_pipeline,
+        train_dsir_model,
+        train_pruned_lm,
+    )
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    # train on THREE fluent classes (the bench fixture): a single-
+    # headline vocabulary is so small that all-backoff gibberish
+    # scores ~log2(vsize) < 4 bits and slips the gate
+    train_texts = [
+        fluent,
+        "markets rally as quarterly earnings beat expectations",
+        "city council approves new transit funding plan today",
+    ]
+    gibberish = "zx qv jk wq xz vq kj qw zv xq"
+
+    def payload(i, headline):
+        return gzip.compress(
+            json.dumps(
+                {
+                    "id": f"doc-{i}",
+                    "operation": "insert-story",
+                    "published": True,
+                    "body": {"headlines": {"basic": headline}},
+                }
+            ).encode(),
+            mtime=0,
+        )
+
+    seed = {"shards": {"shard-a": [], "shard-b": []}}
+    for i in range(8):
+        seed["shards"][f"shard-{'ab'[i % 2]}"].append(
+            [
+                base64.b64encode(
+                    payload(i, fluent if i % 4 else gibberish)
+                ).decode(),
+                str(i),
+            ]
+        )
+    with open(SEED_PATH, "w") as fh:
+        json.dump(seed, fh)
+
+    train = spark.createDataFrame(
+        [(t,) for t in train_texts * 2], "text string"
+    )
+    models = (
+        train_pruned_lm(train, "text"),
+        train_dsir_model(
+            train,
+            F.col("text").contains("fox") | F.col("text").contains("markets"),
+        ),
+    )
+    spark.dataSource.register(KinesisAwsDataSource)
+    records = (
+        spark.readStream.format("kinesis_aws")
+        .option("streamName", "test-stream")
+        .option(
+            "clientFactory",
+            "arc_kinesis_tagging_spark.streaming.kinesis_testing:"
+            "make_file_seeded_client",
+        )
+        .load()
+    )
+    q = (
+        fused_gated_story_pipeline(
+            records, [("doc", "/", True)], *models,
+            lm_threshold=4.0, dsir_threshold=-10.0,
+        )
+        .writeStream.format("memory")
+        .queryName("fused_aws_e2e")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from fused_aws_e2e").collect()
+    # ids 0 and 4 carry the gibberish headline -> LM-gated out
+    assert sorted(r["_id"] for r in rows) == [
+        f"doc-{i}" for i in range(8) if i % 4
+    ]
+    assert all(isinstance(r["seq"], str) for r in rows)  # string seqs
