@@ -1,14 +1,16 @@
-"""Streaming cross-batch IMAGE dedup gate — the production
-composition of the connector and the incremental perceptual-dedup
-operators: each micro-batch's images are pHashed (map-only Arrow),
-probed against the PERSISTED corpus band table
-(operators/dedup.py:phash_batch_against_corpus — batch broadcast,
-zero corpus Exchange), near-dups of the corpus are dropped, in-batch
-near-dup groups keep their smallest id, and the survivors' banded
-chunks are appended to the corpus so the NEXT batch dedups against
-them. This is the daily/continuous ingest shape for a 100 TB media
-corpus: the corpus is only ever scanned (never shuffled), and it
-grows by exactly the accepted rows.
+"""Streaming cross-batch MEDIA dedup gates (image / audio / video) —
+the production composition of the connector and the incremental
+perceptual-dedup operators: each micro-batch's media are
+fingerprinted (map-only Arrow), probed against the PERSISTED corpus
+band table (operators/dedup.py — batch broadcast, zero corpus
+Exchange), near-dups of the corpus are dropped, in-batch near-dup
+groups keep their smallest id, and the survivors' banded chunks are
+appended to the corpus so the NEXT batch dedups against them. Image
+(pHash, 63 bits) and audio (Haitsma-Kalker, 60 bits) share one gate
+parametrized by the hash; video gets its own (per-frame bands +
+strict temporal verify). This is the daily/continuous ingest shape
+for a 100 TB media corpus: the corpus is only ever scanned (never
+shuffled), and it grows by exactly the accepted rows.
 
 Delivery semantics: the gate is made replay-safe with a per-batch
 marker file — a replayed epoch whose marker exists is skipped
@@ -228,3 +230,139 @@ def make_ahash_dedup_gate(
         hash_col="ahash",
         hash_bits=60,
     )
+
+
+def append_vhash_corpus(
+    spark,
+    frame_hashes: DataFrame,
+    table_prefix: str,
+    id_col: str = "media_id",
+    frame_col: str = "frame_idx",
+    hash_col: str = "fhash",
+    max_hamming: int = 4,
+    hash_bits: int = 63,
+    n_buckets: int = 16,
+) -> None:
+    """Append a batch's per-frame banded chunks (with the sampled-
+    frame count denormalized onto every band row) to the bucketed
+    video corpus band table, creating it on first use — the growth
+    half of write_vhash_corpus (operators/dedup.py), same layout."""
+    from arc_kinesis_tagging_spark.operators.dedup import _frame_chunks
+
+    fh = frame_hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("key"),
+        F.col(frame_col).alias("f"),
+        F.col(hash_col).alias("fh"),
+    )
+    nf = fh.groupBy("key").agg(F.count(F.lit(1)).alias("nf"))
+    (
+        _frame_chunks(fh, max_hamming, hash_bits)
+        .join(nf, "key")
+        .write.mode("append")
+        .bucketBy(n_buckets, "f", "chunk")
+        .sortBy("f", "chunk")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_bands")
+    )
+
+
+def ensure_vhash_corpus_registered(
+    spark, table_prefix: str, n_buckets: int = 16
+) -> bool:
+    """Video-corpus analog of ensure_corpus_registered: re-attach the
+    surviving (key, f, fh, band, chunk, nf) band table to a fresh
+    session's catalog as an external bucketed table."""
+    name = f"{table_prefix}_bands"
+    if spark.catalog.tableExists(name):
+        return True
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = os.path.join(wh.removeprefix("file:"), name.lower())
+    if not os.path.exists(loc):
+        return False
+    spark.sql(
+        f"CREATE TABLE {name} (key BIGINT, f INT, fh BIGINT, "
+        f"band INT, chunk BIGINT, nf BIGINT) USING parquet "
+        f"CLUSTERED BY (f, chunk) SORTED BY (f, chunk) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+    )
+    return True
+
+
+def make_vhash_dedup_gate(
+    spark,
+    table_prefix: str,
+    markers_dir: str,
+    accepted_sink,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    max_hamming: int = 4,
+    every: int = 2,
+):
+    """The VIDEO gate: per-micro-batch frame hashing (every
+    ``every``-th frame through the shared integer-DCT pHash), probe of
+    the persisted per-frame band corpus under the STRICT temporal
+    criterion (vhash_batch_against_corpus — every aligned sampled
+    frame within threshold AND equal frame counts), keep-smallest-id
+    for in-batch pairs (vhash_near_dup_pairs), survivors' frame bands
+    appended. Same marker idempotency and append-then-crash
+    at-least-once semantics as the image gate; the self-match guard
+    is the same id-equality filter. Corrupt videos (null-hash frame
+    row) are accepted and kept out of the corpus (R16)."""
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        vhash_batch_against_corpus,
+        vhash_near_dup_pairs,
+    )
+    from arc_kinesis_tagging_spark.operators.multimodal import vhash_frames
+
+    os.makedirs(markers_dir, exist_ok=True)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(markers_dir, f"batch-{int(batch_id):020d}")
+        if os.path.exists(marker):
+            return  # replayed epoch: already appended + emitted
+        fh = (
+            vhash_frames(batch_df, id_col, media_col, every=every)
+            .localCheckpoint(eager=True)
+            # eager pin: feeds the corpus probe, the in-batch temporal
+            # pair join, the survivor anti-joins, and the append
+        )
+        drop = None
+        if ensure_vhash_corpus_registered(spark, table_prefix):
+            drop = (
+                vhash_batch_against_corpus(
+                    spark, fh, table_prefix,
+                    id_col, "frame_idx", "fhash",
+                    max_hamming=max_hamming,
+                )
+                .filter(F.col("id_batch") != F.col("id_corpus"))
+                .select(F.col("id_batch").alias(id_col))
+                .distinct()
+            )
+        in_batch = vhash_near_dup_pairs(
+            fh, id_col, "frame_idx", "fhash", max_hamming=max_hamming
+        ).select(F.col("id_b").alias(id_col)).distinct()
+        drop = in_batch if drop is None else drop.unionByName(in_batch)
+        survivor_ids = (
+            fh.select(id_col)
+            .distinct()
+            .join(F.broadcast(drop.distinct()), id_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        append_vhash_corpus(
+            spark,
+            fh.join(F.broadcast(survivor_ids), id_col, "left_semi"),
+            table_prefix,
+            id_col,
+            "frame_idx",
+            "fhash",
+            max_hamming=max_hamming,
+        )
+        accepted = batch_df.join(
+            F.broadcast(survivor_ids), id_col, "left_semi"
+        )
+        accepted_sink(accepted, batch_id)
+        with open(marker + ".tmp", "w") as fh2:
+            fh2.write("done")
+        os.replace(marker + ".tmp", marker)  # atomic: marker is LAST
+
+    return gate

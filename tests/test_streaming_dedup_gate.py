@@ -252,3 +252,62 @@ def test_ahash_gate_dedups_audio_across_batches(spark, tmp_path):
     corpus = spark.table(f"{prefix}_bands")
     assert corpus.select("key").distinct().count() == 2
     assert corpus.count() == 2 * 5  # 5 bands at hash_bits=60
+
+
+def test_vhash_gate_dedups_video_across_batches(spark, tmp_path):
+    """The VIDEO gate: strict temporal criterion against the persisted
+    per-frame band corpus; in-batch keeps the smallest id; a corrupt
+    video is accepted (null frame hash) and stays out of the corpus."""
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_vhash_media,
+    )
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_vhash_dedup_gate,
+    )
+
+    def vids(ids):
+        df = spark.range(max(ids) + 1).withColumnRenamed("id", "doc_id")
+        return {
+            r["media_id"]: bytes(r["media"])
+            for r in attach_vhash_media(df, "doc_id").collect()
+            if r["media_id"] in set(ids)
+        }
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.append(sorted(r["media_id"] for r in df.collect()))
+
+    prefix = "akt_vgate_" + uuid.uuid4().hex[:12]
+    gate = make_vhash_dedup_gate(
+        spark, prefix, str(tmp_path / "markers"), sink
+    )
+    b1 = vids([0, 4, 3])
+    gate(
+        spark.createDataFrame(
+            pd.DataFrame({"media_id": list(b1), "media": list(b1.values())})
+        ),
+        0,
+    )
+    b2 = vids([1, 5])
+    rows2 = pd.DataFrame(
+        {
+            "media_id": [*b2, 999],
+            "media": [*b2.values(), b"not a y4m"],
+        }
+    )
+    gate(spark.createDataFrame(rows2), 1)
+    # batch 1: (0,3) temporal near-dups -> keep 0; batch 2: 1 and 5
+    # match corpus entries 0 and 4; corrupt 999 passes through
+    assert accepted == [[0, 4], [999]]
+    corpus = spark.table(f"{prefix}_bands")
+    assert sorted(
+        r["key"] for r in corpus.select("key").distinct().collect()
+    ) == [0, 4]
+    # 2 sampled frames x 5 bands per accepted video
+    assert corpus.count() == 2 * 2 * 5
+    # marker idempotency holds for the video gate too
+    gate(spark.createDataFrame(rows2), 1)
+    assert accepted == [[0, 4], [999]]
