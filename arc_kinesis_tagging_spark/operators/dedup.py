@@ -752,6 +752,17 @@ def vhash_batch_against_corpus(
     hamming = F.bit_count(F.col("fh_c").bitwiseXOR(F.col("fh_b")))
     per_frame = (
         cframes.join(F.broadcast(cand), "id_corpus")
+        # duplicate-tolerance, REQUIRED for the strict count verify:
+        # an at-least-once corpus append (streaming/dedup_gate.py's
+        # crash-between-append-and-marker replay) can leave the same
+        # (key, f) band rows twice; without this dedup each aligned
+        # frame would count double (n_aligned = 2*nf) and the
+        # equality verify would silently ADMIT true duplicates
+        # forever after. Placed AFTER the broadcast candidate join so
+        # the Exchange it needs is batch-scale (candidate pairs x
+        # frames), never corpus-scale — fh_c/nf_c are functionally
+        # determined by (id_corpus, f), so the dedup is exact.
+        .dropDuplicates(["id_batch", "id_corpus", "f"])
         .join(F.broadcast(bframes), ["id_batch", "f"])
         .withColumn("hamming", hamming)
     )

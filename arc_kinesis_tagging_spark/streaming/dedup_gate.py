@@ -33,41 +33,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def append_phash_corpus(
-    spark,
-    hashes: DataFrame,
-    table_prefix: str,
-    id_col: str = "media_id",
-    hash_col: str = "phash",
-    max_hamming: int = 4,
-    hash_bits: int = 63,
-    n_buckets: int = 16,
+def _append_bucketed_bands(
+    df: DataFrame, name: str, bucket_cols: list[str], n_buckets: int
 ) -> None:
-    """Append a batch's banded pHash chunks to the bucketed corpus
-    band table, creating it on first use — the growth half of
-    write_phash_corpus (operators/dedup.py), same table layout, same
-    bucketing, ``mode("append")`` so the corpus accretes batch by
-    batch instead of being rewritten."""
-    from arc_kinesis_tagging_spark.operators.dedup import _phash_chunks
-
-    ph = hashes.filter(F.col(hash_col).isNotNull()).select(
-        F.col(id_col).alias("key"), F.col(hash_col).alias("ph")
-    )
+    """``mode("append")`` into the bucketed corpus band table,
+    creating it on first use — shared by the image/audio and video
+    corpus-growth paths."""
     (
-        _phash_chunks(ph, max_hamming, hash_bits)
-        .write.mode("append")
-        .bucketBy(n_buckets, "chunk")
-        .sortBy("chunk")
+        df.write.mode("append")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
         .format("parquet")
-        .saveAsTable(f"{table_prefix}_bands")
+        .saveAsTable(name)
     )
 
 
-def ensure_corpus_registered(
-    spark,
-    table_prefix: str,
-    hash_bits: int = 63,
-    n_buckets: int = 16,
+def _ensure_registered(
+    spark, name: str, ddl: str, bucket_cols: list[str], n_buckets: int
 ) -> bool:
     """Re-attach an on-disk corpus band table to a FRESH session's
     catalog. The default catalog is session-scoped (in-memory, see
@@ -79,20 +61,61 @@ def ensure_corpus_registered(
     with the orphaned location. Registers an EXTERNAL bucketed table
     over the existing files; returns True when a corpus is available
     (already registered or re-attached)."""
-    name = f"{table_prefix}_bands"
     if spark.catalog.tableExists(name):
         return True
     wh = spark.conf.get("spark.sql.warehouse.dir")
     loc = os.path.join(wh.removeprefix("file:"), name.lower())
     if not os.path.exists(loc):
         return False  # genuinely fresh corpus: first batch creates it
+    cols = ", ".join(bucket_cols)
     spark.sql(
-        f"CREATE TABLE {name} (key BIGINT, ph BIGINT, band INT, "
-        f"chunk BIGINT) USING parquet "
-        f"CLUSTERED BY (chunk) SORTED BY (chunk) "
+        f"CREATE TABLE {name} ({ddl}) USING parquet "
+        f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
         f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
     )
     return True
+
+
+def append_phash_corpus(
+    spark,
+    hashes: DataFrame,
+    table_prefix: str,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 4,
+    hash_bits: int = 63,
+    n_buckets: int = 16,
+) -> None:
+    """Append a batch's banded pHash chunks to the bucketed corpus
+    band table — the growth half of write_phash_corpus
+    (operators/dedup.py), same table layout, same bucketing."""
+    from arc_kinesis_tagging_spark.operators.dedup import _phash_chunks
+
+    ph = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("key"), F.col(hash_col).alias("ph")
+    )
+    _append_bucketed_bands(
+        _phash_chunks(ph, max_hamming, hash_bits),
+        f"{table_prefix}_bands",
+        ["chunk"],
+        n_buckets,
+    )
+
+
+def ensure_corpus_registered(
+    spark,
+    table_prefix: str,
+    hash_bits: int = 63,
+    n_buckets: int = 16,
+) -> bool:
+    """Image/audio corpus re-attach (see _ensure_registered)."""
+    return _ensure_registered(
+        spark,
+        f"{table_prefix}_bands",
+        "key BIGINT, ph BIGINT, band INT, chunk BIGINT",
+        ["chunk"],
+        n_buckets,
+    )
 
 
 def make_phash_dedup_gate(
@@ -141,6 +164,10 @@ def make_phash_dedup_gate(
             return  # replayed epoch: already appended + emitted
         hashes = (
             hash_fn(batch_df, id_col, media_col)
+            # the hash fns emit a FIXED (media_id, <hash>) schema
+            # regardless of the input id column; rename both so the
+            # id_col/hash_col knobs are real, not illusory
+            .withColumnRenamed("media_id", id_col)
             .withColumnRenamed(hash_col, "phash")
             .localCheckpoint(eager=True)
             # eager pin: the hash table feeds the corpus probe, the
@@ -255,37 +282,26 @@ def append_vhash_corpus(
         F.col(hash_col).alias("fh"),
     )
     nf = fh.groupBy("key").agg(F.count(F.lit(1)).alias("nf"))
-    (
-        _frame_chunks(fh, max_hamming, hash_bits)
-        .join(nf, "key")
-        .write.mode("append")
-        .bucketBy(n_buckets, "f", "chunk")
-        .sortBy("f", "chunk")
-        .format("parquet")
-        .saveAsTable(f"{table_prefix}_bands")
+    _append_bucketed_bands(
+        _frame_chunks(fh, max_hamming, hash_bits).join(nf, "key"),
+        f"{table_prefix}_bands",
+        ["f", "chunk"],
+        n_buckets,
     )
 
 
 def ensure_vhash_corpus_registered(
     spark, table_prefix: str, n_buckets: int = 16
 ) -> bool:
-    """Video-corpus analog of ensure_corpus_registered: re-attach the
-    surviving (key, f, fh, band, chunk, nf) band table to a fresh
-    session's catalog as an external bucketed table."""
-    name = f"{table_prefix}_bands"
-    if spark.catalog.tableExists(name):
-        return True
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    loc = os.path.join(wh.removeprefix("file:"), name.lower())
-    if not os.path.exists(loc):
-        return False
-    spark.sql(
-        f"CREATE TABLE {name} (key BIGINT, f INT, fh BIGINT, "
-        f"band INT, chunk BIGINT, nf BIGINT) USING parquet "
-        f"CLUSTERED BY (f, chunk) SORTED BY (f, chunk) "
-        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+    """Video corpus re-attach (see _ensure_registered): the surviving
+    (key, f, fh, band, chunk, nf) band table."""
+    return _ensure_registered(
+        spark,
+        f"{table_prefix}_bands",
+        "key BIGINT, f INT, fh BIGINT, band INT, chunk BIGINT, nf BIGINT",
+        ["f", "chunk"],
+        n_buckets,
     )
-    return True
 
 
 def make_vhash_dedup_gate(
@@ -322,6 +338,7 @@ def make_vhash_dedup_gate(
             return  # replayed epoch: already appended + emitted
         fh = (
             vhash_frames(batch_df, id_col, media_col, every=every)
+            .withColumnRenamed("media_id", id_col)  # fixed output name
             .localCheckpoint(eager=True)
             # eager pin: feeds the corpus probe, the in-batch temporal
             # pair join, the survivor anti-joins, and the append

@@ -512,17 +512,46 @@ class KinesisAwsBatchReader(DataSourceReader):
     """Batch mode over a real stream (``spark.read.format(
     "kinesis_aws")``) — the replay/backfill shape the emulator also
     supports: one executor task per shard, each draining its shard
-    from ``startingPosition`` (TRIM_HORIZON default, or a
-    ``TS:<epoch>``/``AFTER:<seq>`` tag via the ``startTag`` option)
-    until caught up (MillisBehindLatest == 0) or shard end. Executors
-    build their own client via the same factory options, so the read
-    is shard-parallel — unlike the streaming simple reader, a batch
-    CAN know its end ("now"), which is why this mode gets the
-    partitioned treatment."""
+    from the start position until caught up (MillisBehindLatest == 0)
+    or shard end, STREAMING each GetRecords page out as it arrives (a
+    shard can hold days of retention; buffering it would OOM the
+    executor). Executors build their own client via the same factory
+    options, so the read is shard-parallel — unlike the streaming
+    simple reader, a batch CAN know its end ("now"), which is why
+    this mode gets the partitioned treatment.
+
+    Start position: ``startingPosition=TRIM_HORIZON`` (default) or a
+    ``startTag=TS:<epoch-seconds>`` bound. ``AFTER:<seq>`` is
+    REJECTED here: a sequence number names a position in ONE shard,
+    and the same tag applied to every partition would raise
+    InvalidArgumentException on real AWS for all the others (use the
+    streaming reader's per-shard offset dict for that shape).
+    ``LATEST`` is also rejected — a backfill anchored at "now" reads
+    nothing by construction."""
 
     def __init__(self, options: dict) -> None:
         self.options = options
         self.stream_name = options["streamname"]
+        tag = options.get(
+            "starttag", options.get("startingposition", "TRIM_HORIZON")
+        )
+        if not tag.startswith("TS:"):
+            tag = tag.upper()
+        if tag.startswith("AFTER:"):
+            raise ValueError(
+                "batch startTag AFTER:<seq> is per-shard by nature "
+                "(a Kinesis sequence number belongs to one shard); "
+                "use TS:<epoch-seconds> or TRIM_HORIZON, or the "
+                "streaming reader's per-shard offsets"
+            )
+        if tag == "LATEST":
+            raise ValueError(
+                "batch read from LATEST reads nothing by construction;"
+                " use TRIM_HORIZON or a TS:<epoch-seconds> bound"
+            )
+        if tag != "TRIM_HORIZON" and not tag.startswith("TS:"):
+            raise ValueError(f"unsupported batch start tag {tag!r}")
+        self.start_tag = tag
 
     def partitions(self) -> list[_ShardPartition]:
         client = _resolve_client_factory(self.options)()
@@ -532,13 +561,37 @@ class KinesisAwsBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: _ShardPartition):
-        o = self.options
-        reader = KinesisAwsSimpleReader(
-            {**o, "maxrecordspershardperbatch": str(2**62)}
-        )
-        tag = o.get("starttag", o.get("startingposition", "TRIM_HORIZON"))
-        rows, _ = reader._drain_shard(partition.shard_id, tag)
-        yield from rows
+        # page-at-a-time generator over the simple reader's iterator
+        # plumbing: constant memory regardless of shard retention
+        helper = KinesisAwsSimpleReader(self.options)
+        shard_id = partition.shard_id
+        tag = self.start_tag
+        it = helper._iterator_for(shard_id, tag)
+        while it is not None:
+            try:
+                resp = helper._call(
+                    helper.client.get_records,
+                    ShardIterator=it,
+                    Limit=helper.get_limit,
+                )
+            except Exception as exc:
+                if _error_code(exc) == "ExpiredIteratorException":
+                    it = helper._iterator_for(shard_id, tag)
+                    continue
+                raise
+            for r in resp.get("Records", []):
+                yield (
+                    bytes(r["Data"]),
+                    shard_id,
+                    r["SequenceNumber"],
+                    r.get("PartitionKey"),
+                )
+                tag = "AFTER:" + r["SequenceNumber"]
+            it = resp.get("NextShardIterator")
+            if not resp.get("Records") and not resp.get(
+                "MillisBehindLatest", 0
+            ):
+                return  # caught up: the backfill's "now" boundary
 
 
 class _PutResult(WriterCommitMessage):

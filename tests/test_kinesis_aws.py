@@ -446,22 +446,36 @@ def test_batch_backfill_read_through_fake(spark, tmp_path):
         f"bf-{i}".encode() for i in range(8)
     }
     assert {r["shard_id"] for r in rows} == {"shard-a", "shard-b"}
-    # bounded replay: start AFTER the 2nd record of shard-a
-    # (seed order: shard-a gets seqs 1,3,5,7 in its fake)
-    seqs_a = sorted(
-        int(r["seq"]) for r in rows if r["shard_id"] == "shard-a"
+    # a TS bound is the valid batch start (timestamps are stream-wide);
+    # TS:0 covers everything
+    from arc_kinesis_tagging_spark.streaming.kinesis_aws import (
+        KinesisAwsBatchReader,
     )
-    bounded = (
-        spark.read.format("kinesis_aws")
-        .option("streamName", "test-stream")
-        .option(
-            "clientFactory",
-            "arc_kinesis_tagging_spark.streaming.kinesis_testing:"
-            "make_file_seeded_client",
+
+    opts = {
+        "streamname": "test-stream",
+        "clientfactory": "arc_kinesis_tagging_spark.streaming."
+        "kinesis_testing:make_file_seeded_client",
+    }
+    # the direct (in-process) read below shares the pytest process's
+    # fake singleton, which other tests reset/mutate — rebuild it from
+    # the seed file so this test is order-independent
+    reset_fake_client()
+    from arc_kinesis_tagging_spark.streaming.kinesis_testing import (
+        make_file_seeded_client,
+    )
+
+    make_file_seeded_client()
+    ts_rows = list(
+        KinesisAwsBatchReader({**opts, "starttag": "TS:0.0"}).read(
+            type("P", (), {"shard_id": "shard-a"})()
         )
-        .option("startTag", f"AFTER:{seqs_a[1]}")
-        .load()
-        .filter(F.col("shard_id") == "shard-a")
-        .collect()
     )
-    assert sorted(int(r["seq"]) for r in bounded) == seqs_a[2:]
+    assert len(ts_rows) == 4
+    # AFTER:<seq> is per-shard by nature -> rejected for batch reads
+    # (real AWS raises InvalidArgumentException on every OTHER shard);
+    # LATEST reads nothing by construction -> also rejected
+    with pytest.raises(ValueError, match="per-shard"):
+        KinesisAwsBatchReader({**opts, "starttag": "AFTER:5"})
+    with pytest.raises(ValueError, match="LATEST"):
+        KinesisAwsBatchReader({**opts, "startingposition": "latest"})

@@ -311,3 +311,81 @@ def test_vhash_gate_dedups_video_across_batches(spark, tmp_path):
     # marker idempotency holds for the video gate too
     gate(spark.createDataFrame(rows2), 1)
     assert accepted == [[0, 4], [999]]
+
+
+def test_vhash_probe_tolerates_duplicate_corpus_rows(spark, tmp_path):
+    """The append-then-crash replay can leave the same (key, frame)
+    band rows twice in the video corpus; the strict temporal verify
+    must still match near-dups (a duplicate-intolerant count would
+    see n_aligned = 2*nf and silently ADMIT true duplicates —
+    round-11 follow-up review finding)."""
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        vhash_batch_against_corpus,
+    )
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_vhash_media,
+        vhash_frames,
+    )
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        append_vhash_corpus,
+    )
+
+    def fhashes(ids):
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": ids})
+        )
+        return vhash_frames(
+            attach_vhash_media(docs, "doc_id"), "media_id", "media",
+            every=2,
+        )
+
+    prefix = "akt_vdup_" + uuid.uuid4().hex[:12]
+    corpus_h = fhashes([0])
+    append_vhash_corpus(spark, corpus_h, prefix)
+    append_vhash_corpus(spark, corpus_h, prefix)  # the crash replay
+    assert spark.table(f"{prefix}_bands").count() == 2 * 2 * 5
+    got = vhash_batch_against_corpus(
+        spark, fhashes([1]), prefix, "media_id", "frame_idx", "fhash"
+    ).collect()
+    # id 1 is id 0's in-group near-dup: MUST match despite the dups
+    assert [(r["id_batch"], r["id_corpus"]) for r in got] == [(1, 0)]
+    assert got[0]["n_frames"] == 2
+
+
+def test_gate_id_col_is_honored(spark, tmp_path):
+    """The gate factories expose id_col; the hash functions emit a
+    fixed 'media_id' output, so the gate must rename — a custom id
+    column used to crash with UNRESOLVED_COLUMN."""
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_ahash_media,
+    )
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_ahash_dedup_gate,
+    )
+
+    df = spark.range(2).withColumnRenamed("id", "doc_id")
+    blobs = {
+        r["media_id"]: bytes(r["media"])
+        for r in attach_ahash_media(df, "doc_id").collect()
+    }
+    accepted = []
+    gate = make_ahash_dedup_gate(
+        spark,
+        "akt_idc_" + uuid.uuid4().hex[:12],
+        str(tmp_path / "markers"),
+        lambda d, b: accepted.extend(r["clip_id"] for r in d.collect()),
+        id_col="clip_id",
+    )
+    gate(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"clip_id": [0, 1], "media": [blobs[0], blobs[1]]}
+            )
+        ),
+        0,
+    )
+    assert sorted(accepted) == [0]  # 1 is 0's in-group near-dup
