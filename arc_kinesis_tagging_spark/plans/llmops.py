@@ -1193,6 +1193,82 @@ WHERE bit_count(xor(h1.hash, h2.hash)) <= 4
 """
 
 
+def q_corpus_pipeline6(spark, sf_dir):
+    """Round-11 end-to-end MULTIMODAL corpus refresh composite — the
+    first composed pipeline to cross modalities in one oracle-checked
+    plan: (1) exact TEXT dedup (keep the smallest doc_id per text —
+    the hash-groupBy shape of q_dedup_exact), (2) IMAGE near-dup over
+    the survivors (real PNG decode -> integer-DCT pHash -> pigeonhole
+    band join; the fixture's near-dup groups are pairwise within
+    hamming<=4, i.e. cliques, so dropping every pair's id_b keeps
+    exactly the per-group minimum), (3) the per-source report a
+    curation run ships (counts + exact BIGINT char sums).
+
+    The DuckDB oracle recomputes the pHash analytically over the
+    stage-1 survivors ONLY and brute-forces their pairs — so a
+    hash-green row proves the composition end to end, including that
+    the image stage runs on the text-dedup survivor set, not the full
+    corpus. Scale shape: stage 1 is one map-side-combined aggregate;
+    stage 2 decodes only survivors (map-only Arrow) and never
+    all-pairs; the report aggregate is survivor-sized."""
+    from arc_kinesis_tagging_spark.operators.dedup import phash_near_dup_pairs
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_phash_media,
+        phash_gray,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    survivors = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    n = spark.sparkContext.defaultParallelism
+    hashes = phash_gray(
+        attach_phash_media(
+            survivors.repartition(n, "doc_id"), "doc_id"
+        ),
+        "media_id",
+        "media",
+    )
+    drop = (
+        phash_near_dup_pairs(hashes, "media_id", "phash", max_hamming=4)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    final = survivors.join(F.broadcast(drop), "doc_id", "left_anti")
+    return (
+        final.join(d.select("doc_id", "source", "n_chars"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+    )
+
+
+# composed oracle: stage-1 survivors (min doc_id per text) feed the
+# SAME analytic pHash CTEs as ORACLE_DEDUP_PHASH (restricted to the
+# survivor set), pairwise drop of id_b, per-source report
+ORACLE_CORPUS_PIPELINE6 = (
+    "WITH s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents "
+    "GROUP BY text),\n"
+    + ORACLE_DEDUP_PHASH.split("WITH ", 1)[1]
+    .replace("FROM documents d,", "FROM s1 d,")
+    .rsplit("SELECT h1.doc_id", 1)[0]
+    + """, drop AS (
+  SELECT DISTINCT h2.doc_id AS doc_id
+  FROM h h1 JOIN h h2 ON h1.doc_id < h2.doc_id
+  WHERE bit_count(xor(h1.hash, h2.hash)) <= 4
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars_total
+FROM s1
+JOIN documents d ON d.doc_id = s1.doc_id
+LEFT JOIN drop ON drop.doc_id = s1.doc_id
+WHERE drop.doc_id IS NULL
+GROUP BY d.source
+"""
+)
+
+
 def q_dedup_vhash_incremental(spark, sf_dir):
     """Incremental cross-batch VIDEO near-dup — the production shape
     of q_dedup_vhash, extending the incremental family to video
@@ -3640,6 +3716,8 @@ LLMOPS_QUERIES = [
     Query("q_dedup_phash_incremental", q_dedup_phash_incremental,
           ORACLE_DEDUP_PHASH_INCREMENTAL),
     Query("q_dedup_vhash", q_dedup_vhash, ORACLE_DEDUP_VHASH),
+    Query("q_corpus_pipeline6", q_corpus_pipeline6,
+          ORACLE_CORPUS_PIPELINE6),
     Query("q_dedup_vhash_incremental", q_dedup_vhash_incremental,
           ORACLE_DEDUP_VHASH_INCREMENTAL),
     Query("q_dedup_ahash", q_dedup_ahash, ORACLE_DEDUP_AHASH),

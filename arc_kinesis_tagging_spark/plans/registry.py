@@ -463,6 +463,7 @@ _R11_HEAD = [
     # -- (b) new round-11 work --
     "q_dedup_vhash_incremental",  # batch-vs-bucketed-corpus video dedup
     "q_dedup_ahash_incremental",  # batch-vs-bucketed-corpus audio dedup
+    "q_corpus_pipeline6",  # multimodal refresh: text dedup -> image near-dup
     # -- (c) r07-vintage refresh: the 14 TPC-H rows first --
     "q_tpch_q2ish", "q_tpch_q4ish", "q_tpch_q6ish", "q_tpch_q8ish",
     "q_tpch_q9ish", "q_tpch_q11ish", "q_tpch_q12ish", "q_tpch_q13ish",
@@ -473,14 +474,16 @@ _R11_HEAD = [
     "q_ann_recall", "q_similarity_ivfpq", "q_similarity_pq_adc",
     "q_embed_pq", "q_dedup_embedding_pq", "q_dedup_cluster_star",
     "q_multimodal_jpeg_prog", "q_multimodal_png_adam7",
-    "q_multimodal_y4m", "q_multimodal_wav",
-    # round 12 should finish the r07 block (19 rows left):
-    # q_corpus_pipeline5, q_dedup_prefix, q_doc_minwise_sim,
-    # q_doc_stats_sketch, q_events_funnel, q_hard_negatives,
-    # q_join_broadcast, q_json_variant, q_minhash_vs_exact,
-    # q_multimodal_catalog, q_multimodal_thumbnail, q_ngram_lm_pruned,
-    # q_seq_pack_ffd, q_similarity_topk, q_text_html_strip,
-    # q_text_normalize, q_text_winnowing, q_ts_ewma, q_window_ntile.
+    "q_multimodal_y4m",
+    # round 12 should finish the r07 block (20 rows left —
+    # q_multimodal_wav was displaced by q_corpus_pipeline6 to keep the
+    # window at 50): q_multimodal_wav, q_corpus_pipeline5,
+    # q_dedup_prefix, q_doc_minwise_sim, q_doc_stats_sketch,
+    # q_events_funnel, q_hard_negatives, q_join_broadcast,
+    # q_json_variant, q_minhash_vs_exact, q_multimodal_catalog,
+    # q_multimodal_thumbnail, q_ngram_lm_pruned, q_seq_pack_ffd,
+    # q_similarity_topk, q_text_html_strip, q_text_normalize,
+    # q_text_winnowing, q_ts_ewma, q_window_ntile.
 ]
 
 

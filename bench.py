@@ -98,6 +98,7 @@ HEADLINE = [
     # round-11 additions (same memoized corpus-write shape)
     "q_dedup_vhash_incremental",  # batch-vs-corpus video temporal dedup
     "q_dedup_ahash_incremental",  # batch-vs-corpus audio fingerprint dedup
+    "q_corpus_pipeline6",  # multimodal refresh: text dedup -> image near-dup
 ]
 
 
