@@ -480,6 +480,15 @@ COMMENTARY.update(
             "corpus self-join. The daily-job shape for a 100 TB video "
             "corpus."
         ),
+        "q_corpus_pipeline6": (
+            "Multimodal refresh composite: exact text dedup is ONE "
+            "map-side-combined aggregate (min doc_id per text); the "
+            "image stage decodes only the survivors (map-only Arrow) "
+            "and pairs via the banded self-join with the popcount "
+            "verify folded into the join condition; the drop set "
+            "broadcasts into an anti-join and the report aggregate is "
+            "survivor-sized. Nothing corpus-quadratic at any stage."
+        ),
         "q_dedup_ahash_incremental": (
             "Incremental audio dedup: the image corpus machinery "
             "reused verbatim at hash_bits=60 — batch fingerprint "
