@@ -383,3 +383,106 @@ def make_vhash_dedup_gate(
         os.replace(marker + ".tmp", marker)  # atomic: marker is LAST
 
     return gate
+
+
+def make_embedding_dedup_gate(
+    spark,
+    index_path: str,
+    markers_dir: str,
+    accepted_sink,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    nlist: int = 16,
+    nprobe: int = 4,
+):
+    """The EMBEDDING gate — with this the streaming dedup-gate family
+    spans every modality the engine ingests (text exact/TTL dedup in
+    streaming/stateful.py, embeddings HERE, image/audio/video above):
+    each micro-batch's vectors probe the PERSISTED cell-partitioned
+    IVF index (operators/similarity.py:query_ivf_index — probe cells
+    arrive as partition filters, so the corpus is pruned, never
+    shuffled); a batch vector whose best non-self hit scores
+    ``cos >= threshold`` is a near-duplicate of the corpus and is
+    dropped; in-batch pairs (cosine_threshold_pairs — exact
+    triangle-inequality-pruned, never all-pairs) keep the smaller id;
+    survivors are APPENDED to the index against its frozen centroids
+    (append_ivf_index — one narrow assignment pass + a partitioned
+    append; the first batch builds the index). Probes ask k=2 because
+    on an append-then-crash replay a survivor's own row occupies
+    rank 1 (cos 1.0, filtered by the id-equality replay guard — the
+    same guard as the perceptual gates), and the real verdict must
+    come from the best REMAINING hit. Same marker idempotency;
+    null vectors are accepted and kept out of the index (R16)."""
+    from arc_kinesis_tagging_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        cosine_threshold_pairs,
+        query_ivf_index,
+    )
+
+    os.makedirs(markers_dir, exist_ok=True)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(markers_dir, f"batch-{int(batch_id):020d}")
+        if os.path.exists(marker):
+            return  # replayed epoch: already appended + emitted
+        batch = (
+            batch_df.select(id_col, vec_col)
+            .filter(F.col(vec_col).isNotNull())
+            .localCheckpoint(eager=True)
+            # pin: probe, in-batch pairs (both sides), anti-join, append
+        )
+        have_index = os.path.exists(os.path.join(index_path, "centroids"))
+        drop = None
+        if have_index:
+            hits = query_ivf_index(
+                spark,
+                index_path,
+                batch.select(
+                    F.col(id_col).alias("query_id"), F.col(vec_col)
+                ),
+                k=2,  # rank 1 may be the replayed self-row
+                nprobe=nprobe,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+            drop = (
+                hits.filter(
+                    (F.col("cos_sim") >= threshold)
+                    & (F.col("vec_id") != F.col("query_id"))
+                )
+                .select(F.col("query_id").alias(id_col))
+                .distinct()
+            )
+        in_batch = (
+            cosine_threshold_pairs(batch, threshold, id_col, vec_col)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        drop = (
+            in_batch if drop is None else drop.unionByName(in_batch)
+        ).distinct().localCheckpoint(eager=True)
+        # non-null survivors grow the index ...
+        survivors = batch.join(F.broadcast(drop), id_col, "left_anti")
+        if survivors.count() > 0:
+            if have_index:
+                append_ivf_index(
+                    spark, survivors, index_path, id_col, vec_col
+                )
+            else:
+                build_ivf_index(
+                    spark, survivors, index_path, nlist=nlist,
+                    id_col=id_col, vec_col=vec_col,
+                )
+        # ... while the ACCEPTED set anti-joins the drop list on the
+        # RAW batch, so null-vector rows (never in drop — they cannot
+        # match anything) pass through instead of being silently
+        # swallowed by the null filter (R16)
+        accepted = batch_df.join(F.broadcast(drop), id_col, "left_anti")
+        accepted_sink(accepted, batch_id)
+        with open(marker + ".tmp", "w") as fh:
+            fh.write("done")
+        os.replace(marker + ".tmp", marker)  # atomic: marker is LAST
+
+    return gate

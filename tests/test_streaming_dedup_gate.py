@@ -389,3 +389,59 @@ def test_gate_id_col_is_honored(spark, tmp_path):
         0,
     )
     assert sorted(accepted) == [0]  # 1 is 0's in-group near-dup
+
+
+def test_embedding_gate_dedups_against_growing_index(spark, tmp_path):
+    """The EMBEDDING gate: batch 1 builds the IVF index; batch 2's
+    near-identical vector (cos >= threshold vs the corpus) is dropped
+    and its novel vector appended; batch 3's near-dup of the APPENDED
+    vector is also dropped (the append path works); a null vector
+    passes through; replays are no-ops."""
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_embedding_dedup_gate,
+    )
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 1) % 8] = eps
+        return v
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.append(sorted(r["vec_id"] for r in df.collect()))
+
+    idx = str(tmp_path / "ivf")
+    gate = make_embedding_dedup_gate(
+        spark, idx, str(tmp_path / "markers"), sink, threshold=0.98
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": [r[0] for r in rows],
+                 "embedding": [r[1] for r in rows]}
+            )
+        )
+
+    # batch 0: e0, e1 (orthogonal -> both kept), plus an in-batch
+    # near-dup of e0 (cos ~0.995) with the larger id -> dropped
+    gate(batch([(0, vec(0)), (1, vec(1)), (2, vec(0, 0.1))]), 0)
+    # batch 1: near-dup of corpus e1 -> dropped; novel e2 -> kept;
+    # null vector -> accepted, not indexed
+    gate(batch([(10, vec(1, 0.1)), (11, vec(2)), (12, None)]), 1)
+    # batch 2: near-dup of the APPENDED e2 -> dropped
+    gate(batch([(20, vec(2, 0.1))]), 2)
+    assert accepted == [[0, 1], [11, 12], []]
+    # replay of batch 1 is a marker no-op
+    gate(batch([(10, vec(1, 0.1)), (11, vec(2)), (12, None)]), 1)
+    assert accepted == [[0, 1], [11, 12], []]
+    # the index holds exactly the non-null survivors
+    idx_ids = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(idx + "/index").collect()
+    )
+    assert idx_ids == [0, 1, 11]
