@@ -486,3 +486,71 @@ def make_embedding_dedup_gate(
         os.replace(marker + ".tmp", marker)  # atomic: marker is LAST
 
     return gate
+
+
+def make_text_dedup_gate(
+    spark,
+    table_prefix: str,
+    markers_dir: str,
+    accepted_sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+):
+    """The TEXT gate (exact, unbounded horizon) — complements the
+    TTL-window streaming dedup (streaming/stateful.py, which bounds
+    state to one TTL window): document digests live in ONE bucketed
+    corpus table, each micro-batch drops rows whose digest the corpus
+    already holds (operators/dedup.py:fresh_against_corpus — the
+    batch's digests Bloom-inject into the corpus scan; zero corpus
+    Exchange on the bucketed table), keeps the smallest id per
+    in-batch digest group, and appends the survivors' digests.
+
+    Replay semantics (sink runs BEFORE the append in THIS gate): a
+    crash after the sink but before the append replays to a still-
+    fresh batch — delivered twice, appended once (at-least-once); a
+    crash after the append but before the marker replays to an EMPTY
+    fresh set (the survivors' digests are already corpus rows), the
+    sink gets the empty frame, and the ORIGINAL pre-crash emit
+    already delivered the rows — net exactly-once for that window.
+    Duplicate digest rows from a double append change no verdict
+    (the probe's semi-join is set-semantics)."""
+    import hashlib as _hashlib  # noqa: F401 (documented digest choice)
+
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        fresh_against_corpus,
+    )
+
+    os.makedirs(markers_dir, exist_ok=True)
+    name = f"{table_prefix}_digests"
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(markers_dir, f"batch-{int(batch_id):020d}")
+        if os.path.exists(marker):
+            return  # replayed epoch: already emitted + appended
+        digested = batch_df.withColumn(
+            "digest", F.sha2(F.col(text_col).cast("string"), 256)
+        ).localCheckpoint(eager=True)  # probe, group-min, sink, append
+        have = _ensure_registered(
+            spark, name, "digest STRING", ["digest"], n_buckets
+        )
+        fresh = (
+            fresh_against_corpus(digested, spark.table(name))
+            if have
+            else digested
+        )
+        # keep the smallest id per in-batch digest group
+        keep = fresh.groupBy("digest").agg(F.min(id_col).alias(id_col))
+        accepted = fresh.join(
+            F.broadcast(keep), [id_col, "digest"], "left_semi"
+        ).localCheckpoint(eager=True)  # sink AND digest append read it
+        accepted_sink(accepted.drop("digest"), batch_id)
+        _append_bucketed_bands(
+            accepted.select("digest").distinct(), name, ["digest"],
+            n_buckets,
+        )
+        with open(marker + ".tmp", "w") as fh:
+            fh.write("done")
+        os.replace(marker + ".tmp", marker)  # atomic: marker is LAST
+
+    return gate

@@ -445,3 +445,51 @@ def test_embedding_gate_dedups_against_growing_index(spark, tmp_path):
         for r in spark.read.parquet(idx + "/index").collect()
     )
     assert idx_ids == [0, 1, 11]
+
+
+def test_text_gate_exact_dedup_unbounded_horizon(spark, tmp_path):
+    """The TEXT gate (exact digests, persisted corpus): in-batch
+    duplicate texts keep the smallest id; a text seen in ANY earlier
+    batch never re-emerges (unbounded horizon, unlike the TTL-window
+    streaming dedup); append-then-crash replay emits empty (digests
+    already in the corpus) instead of double-delivering."""
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_text_dedup_gate,
+    )
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.append(sorted(r["doc_id"] for r in df.collect()))
+
+    prefix = "akt_tgate_" + uuid.uuid4().hex[:12]
+    markers = str(tmp_path / "markers")
+    gate = make_text_dedup_gate(spark, prefix, markers, sink)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [r[0] for r in rows],
+                 "text": [r[1] for r in rows]}
+            )
+        )
+
+    gate(batch([(3, "alpha"), (1, "alpha"), (2, "beta")]), 0)
+    gate(batch([(10, "alpha"), (11, "gamma"), (12, "beta")]), 1)
+    assert accepted == [[1, 2], [11]]
+    corpus = spark.table(f"{prefix}_digests")
+    assert corpus.distinct().count() == 3  # alpha, beta, gamma
+    # marker replay: no re-emit
+    gate(batch([(10, "alpha"), (11, "gamma"), (12, "beta")]), 1)
+    assert accepted == [[1, 2], [11]]
+    # append-then-crash simulation: delete batch 2's marker after a
+    # run so the replay path executes with the digests already
+    # appended — the fresh set is empty, nothing double-delivers
+    import os
+
+    gate(batch([(20, "delta")]), 2)
+    os.remove(os.path.join(markers, f"batch-{2:020d}"))
+    gate(batch([(20, "delta")]), 2)
+    assert accepted == [[1, 2], [11], [20], []]
