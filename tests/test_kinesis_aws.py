@@ -479,3 +479,94 @@ def test_batch_backfill_read_through_fake(spark, tmp_path):
         KinesisAwsBatchReader({**opts, "starttag": "AFTER:5"})
     with pytest.raises(ValueError, match="LATEST"):
         KinesisAwsBatchReader({**opts, "startingposition": "latest"})
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# an "op script": each element either puts a record into a live shard
+# (int = shard pick), triggers a reshard of a live shard into two
+# children ("R"), or polls the reader ("P")
+_ops = st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=3),
+        st.just("R"),
+        st.just("P"),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(ops=_ops, cap=st.integers(min_value=1, max_value=7))
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_consume_loop_no_dup_no_skip_in_order(ops, cap):
+    """PROPERTY: across ANY interleaving of puts, reshards, and polls
+    (with any per-poll admission cap), draining the stream yields
+    every record exactly once, and per ORIGINAL shard the sequence
+    numbers come out in order — the connector's core contract
+    (reference app.py's consume loop, minus its crash-and-hope
+    recovery)."""
+    from arc_kinesis_tagging_spark.streaming.kinesis_testing import (
+        FakeKinesisClient,
+    )
+
+    fake = FakeKinesisClient()
+    fake.add_shard("shard-0000")
+    live = ["shard-0000"]
+    next_shard = [1]
+    put_log: dict[str, list[str]] = {}
+
+    r = KinesisAwsSimpleReader(
+        {
+            "streamname": "test-stream",
+            "clientfactory": FACTORY,
+            "maxrecordspershardperbatch": str(cap),
+            "getrecordslimit": "3",
+        }
+    )
+    r._factory = lambda: fake  # bind THIS fake, not the singleton
+
+    got: list[tuple[str, str]] = []
+    off = r.initialOffset()
+
+    def poll():
+        nonlocal off
+        rows, off = r.read(off)
+        for data, shard, seq, _pk in rows:
+            got.append((shard, seq))
+
+    n_put = 0
+    for op in ops:
+        if op == "P":
+            poll()
+        elif op == "R":
+            # reshard the oldest live shard into two children
+            parent = live.pop(0)
+            c1 = f"shard-{next_shard[0]:04d}"
+            c2 = f"shard-{next_shard[0] + 1:04d}"
+            next_shard[0] += 2
+            fake.reshard(parent, [c1, c2])
+            live.extend([c1, c2])
+        else:
+            sid = live[int(op) % len(live)]
+            seq = fake.put(sid, f"r{n_put}".encode())
+            put_log.setdefault(sid, []).append(seq)
+            n_put += 1
+    # drain: poll until two consecutive polls move nothing
+    idle = 0
+    while idle < 2:
+        before = len(got)
+        poll()
+        idle = idle + 1 if len(got) == before else 0
+
+    want = sorted(
+        (sid, seq) for sid, seqs in put_log.items() for seq in seqs
+    )
+    assert sorted(got) == want  # every record exactly once
+    for sid, seqs in put_log.items():  # per-shard order preserved
+        assert [s for sh, s in got if sh == sid] == seqs
