@@ -493,3 +493,87 @@ def test_text_gate_exact_dedup_unbounded_horizon(spark, tmp_path):
     os.remove(os.path.join(markers, f"batch-{2:020d}"))
     gate(batch([(20, "delta")]), 2)
     assert accepted == [[1, 2], [11], [20], []]
+
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    return spark
+
+
+@given(
+    perm=st.permutations(list(range(12))),
+    cuts=st.sets(st.integers(min_value=1, max_value=11), max_size=3),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_gate_admits_one_representative_per_group_any_batching(
+    sp, tmp_path_factory, perm, cuts
+):
+    """PROPERTY: for ANY arrival order and ANY split of the stream
+    into micro-batches, the audio gate admits EXACTLY ONE member per
+    near-dup group (fixture groups = doc_id//4 cliques), and it is
+    the smallest id within the earliest batch that contains any
+    member of that group."""
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_ahash_media,
+    )
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_ahash_dedup_gate,
+    )
+
+    docs = sp.range(12).withColumnRenamed("id", "doc_id")
+    blobs = {
+        r["media_id"]: bytes(r["media"])
+        for r in attach_ahash_media(docs, "doc_id").collect()
+    }
+    bounds = sorted(cuts) + [12]
+    batches, prev = [], 0
+    for b in bounds:
+        if b > prev:
+            batches.append(perm[prev:b])
+            prev = b
+
+    accepted: list[int] = []
+    tmp = tmp_path_factory.mktemp("gate")
+    gate = make_ahash_dedup_gate(
+        sp,
+        "akt_pgate_" + _uuid.uuid4().hex[:12],
+        str(tmp / "markers"),
+        lambda d, bid: accepted.extend(
+            r["media_id"] for r in d.collect()
+        ),
+    )
+    for bid, ids in enumerate(batches):
+        gate(
+            sp.createDataFrame(
+                pd.DataFrame(
+                    {"media_id": list(ids),
+                     "media": [blobs[i] for i in ids]}
+                )
+            ),
+            bid,
+        )
+
+    # expected representative per group: min id within the EARLIEST
+    # batch containing any member of that group
+    want = {}
+    for ids in batches:
+        for g in {i // 4 for i in ids}:
+            if g not in want:
+                want[g] = min(i for i in ids if i // 4 == g)
+    assert sorted(accepted) == sorted(want.values())
