@@ -182,3 +182,57 @@ def write_zordered(
     part.sortWithinPartitions("__zkey").drop("__zkey", *rank_cols).write.mode(
         "overwrite"
     ).format(fmt).save(path)
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str],
+    fmt: str = "parquet",
+) -> None:
+    """Compact a Hive-partitioned directory WITHOUT flattening its
+    layout (``compact_table`` would — and an IVF index compacted flat
+    loses the cell_id pruning every probe depends on): hash-
+    repartition on the partition columns so each partition value's
+    rows land in exactly one task -> one file per directory, then
+    rewrite ``partitionBy`` the same columns. The shape for the
+    corpora that GROW by streaming appends (append_ivf_index writes
+    one file per batch per touched cell; a year of daily batches is
+    365 files per cell without this)."""
+    df = spark.read.format(fmt).load(path)
+    compacted = df.repartition(*[F.col(c) for c in partition_cols])
+    # localCheckpoint, NOT cache(): the write overwrites the directory
+    # being read (see compact_table).
+    compacted = compacted.localCheckpoint(eager=True)
+    compacted.write.mode("overwrite").partitionBy(
+        *partition_cols
+    ).format(fmt).save(path)
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> None:
+    """Compact a persisted IVF index's cell partitions in place
+    (operators/similarity.py:build_ivf_index layout: ``/index``
+    partitioned by cell_id + a small ``/centroids`` table that never
+    fragments)."""
+    compact_partitioned(spark, path + "/index", ["cell_id"])
+
+
+def compact_bucketed_table(
+    spark: SparkSession,
+    name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 16,
+) -> None:
+    """Compact a bucketed catalog table in place, preserving its
+    bucket spec (the dedup gates' corpus band tables append one file
+    set per micro-batch): read, sever lineage from the files about to
+    be replaced, rewrite through the same bucketBy/sortBy. Zero-
+    Exchange probe joins keep working because the spec is unchanged."""
+    df = spark.table(name).localCheckpoint(eager=True)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(name)
+    )

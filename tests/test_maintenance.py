@@ -151,3 +151,101 @@ def test_orc_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     after = sorted(r["o_orderkey"] for r in spark.read.orc(out).collect())
     assert before_files == 64 and n_files == 1 and after_files == 1
     assert before == after
+
+
+def test_compact_ivf_index_preserves_pruning_and_rows(spark, tmp_path):
+    """Partition-preserving compaction: fragment an IVF index with
+    several appends, compact, and require (a) one file per cell dir,
+    (b) identical rows, (c) probes still partition-prune and return
+    the same top-k."""
+    import glob
+
+    from arc_kinesis_tagging_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from arc_kinesis_tagging_spark.sources.maintenance import (
+        compact_ivf_index,
+    )
+
+    def vecs(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id as vec_id",
+            "transform(sequence(0, 7), "
+            "j -> cos(double(id % 16) + j)) as embedding",
+        )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(spark, vecs(0, 64), path, nlist=4)
+    for i in range(3):  # fragment: one file set per append per cell
+        append_ivf_index(spark, vecs(64 + i * 16, 80 + i * 16), path)
+    before = {
+        r["vec_id"]: r["cell_id"]
+        for r in spark.read.parquet(path + "/index").collect()
+    }
+    q = vecs(0, 4).withColumnRenamed("vec_id", "query_id")
+    topk_before = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in query_ivf_index(spark, path, q, k=3, round_dp=6).collect()
+    }
+    assert any(  # precondition: genuinely fragmented
+        len(glob.glob(d + "/*.parquet")) > 1
+        for d in glob.glob(path + "/index/cell_id=*")
+    )
+    compact_ivf_index(spark, path)
+    after = {
+        r["vec_id"]: r["cell_id"]
+        for r in spark.read.parquet(path + "/index").collect()
+    }
+    assert after == before  # row- and assignment-preserving
+    for d in glob.glob(path + "/index/cell_id=*"):
+        assert len(glob.glob(d + "/*.parquet")) == 1  # one file per cell
+    topk_after = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in query_ivf_index(spark, path, q, k=3, round_dp=6).collect()
+    }
+    assert topk_after == topk_before
+
+
+def test_compact_bucketed_table_keeps_zero_exchange_join(spark, tmp_path):
+    """Bucket-preserving compaction: append-fragment a corpus band
+    table, compact, and require identical rows AND that a same-spec
+    bucketed join still plans with zero Exchange."""
+    import uuid
+
+    from arc_kinesis_tagging_spark.operators.skew import write_bucketed
+    from arc_kinesis_tagging_spark.sources.maintenance import (
+        compact_bucketed_table,
+    )
+
+    name = "akt_cbt_" + uuid.uuid4().hex[:12]
+    base = spark.range(100).selectExpr("id as digest", "id * 2 as v")
+    write_bucketed(base, name, ["digest"], n_buckets=4)
+    spark.range(100, 150).selectExpr(
+        "id as digest", "id * 2 as v"
+    ).write.mode("append").bucketBy(4, "digest").sortBy(
+        "digest"
+    ).format("parquet").saveAsTable(name)
+    before = sorted(
+        (r["digest"], r["v"]) for r in spark.table(name).collect()
+    )
+    compact_bucketed_table(spark, name, ["digest"], n_buckets=4)
+    after = sorted(
+        (r["digest"], r["v"]) for r in spark.table(name).collect()
+    )
+    assert after == before
+    other = "akt_cbt2_" + uuid.uuid4().hex[:12]
+    write_bucketed(
+        spark.range(150).selectExpr("id as digest"), other, ["digest"],
+        n_buckets=4,
+    )
+    plan = (
+        spark.table(name)
+        .hint("merge")
+        .join(spark.table(other), "digest")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # bucket spec survived compaction
