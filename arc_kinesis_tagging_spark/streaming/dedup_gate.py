@@ -23,6 +23,10 @@ so the survivors re-emerge, re-emit through the sink (at-least-once
 for exactly this crash window) and re-append — duplicate corpus band
 rows only produce duplicate candidate pairs, which the probe's
 ``dropDuplicates`` collapses, and routine compaction removes them.
+Operations: appends fragment the corpora by one file set per batch —
+schedule sources/maintenance.compact_bucketed_table (band/digest
+tables) and compact_ivf_index (the embedding gate's index), both
+layout-preserving.
 """
 
 from __future__ import annotations
