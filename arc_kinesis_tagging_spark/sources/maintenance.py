@@ -217,22 +217,85 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     compact_partitioned(spark, path + "/index", ["cell_id"])
 
 
+def table_location(spark: SparkSession, name: str) -> str:
+    """Filesystem path of a catalog table (DESCRIBE EXTENDED's
+    Location row, file: scheme stripped)."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    desc = {r["col_name"]: (r["data_type"] or "") for r in rows}
+    loc = desc.get("Location", "")
+    if not loc:
+        raise ValueError(f"table {name} has no Location in the catalog")
+    return loc.removeprefix("file:")
+
+
 def compact_bucketed_table(
     spark: SparkSession,
     name: str,
     bucket_cols: Sequence[str],
     n_buckets: int = 16,
 ) -> None:
-    """Compact a bucketed catalog table in place, preserving its
-    bucket spec (the dedup gates' corpus band tables append one file
-    set per micro-batch): read, sever lineage from the files about to
-    be replaced, rewrite through the same bucketBy/sortBy. Zero-
-    Exchange probe joins keep working because the spec is unchanged."""
-    df = spark.table(name).localCheckpoint(eager=True)
+    """Compact a bucketed catalog table, preserving its bucket spec
+    (the dedup gates' corpus band tables append one file set per
+    micro-batch): write the compacted copy to a TEMP location through
+    the same bucketBy/sortBy, then atomically swap the directories
+    under the untouched catalog entry. Zero-Exchange probe joins keep
+    working because neither the spec nor the catalog entry changes.
+
+    The temp-swap (vs the previous in-place ``saveAsTable(Overwrite)``)
+    is what makes this work on the POST-RESTART path: the gates
+    re-attach their corpora as EXTERNAL tables
+    (streaming/dedup_gate.py:_ensure_registered), and overwrite-
+    saveAsTable on an external table drops it and then refuses the
+    managed re-create at the same non-empty location
+    (LOCATION_ALREADY_EXISTS) — the only path a long-lived deployment
+    has. Swapping files under the entry works identically for managed
+    and external tables. Crash safety: a crash before the swap leaves
+    the original intact (the next run clears the temp dirs); the swap
+    itself is two renames — a crash between them leaves the original
+    at ``<loc>__compact_trash`` for manual recovery, a window of
+    milliseconds vs the full rewrite.
+
+    The pre-write ``repartition(n_buckets, bucket_cols)`` aligns rows
+    to their bucket (repartition's hash IS the bucket hash:
+    pmod(murmur3, n)) so each task holds exactly one bucket and the
+    output is ONE file per bucket — without it a 32-partition input
+    writes up to 32 files per bucket and the "compaction" barely
+    compacts."""
+    import shutil
+
+    # trust the catalog for bucket count if it disagrees with the
+    # caller: files named for the wrong modulus corrupt every probe
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    desc = {r["col_name"]: (r["data_type"] or "") for r in rows}
+    nb = int(desc.get("Num Buckets") or n_buckets)
+    loc = desc.get("Location", "").removeprefix("file:").rstrip("/")
+    if not loc:
+        raise ValueError(f"table {name} has no Location in the catalog")
+    tmp_name = f"{name}__compact_tmp"
+    tmp_loc, trash = loc + "__compact_tmp", loc + "__compact_trash"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    for p in (tmp_loc, trash):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    df = spark.table(name).repartition(
+        nb, *[F.col(c) for c in bucket_cols]
+    )
     (
+        # option("path", ...) makes the temp table EXTERNAL, so the
+        # DROP below releases the catalog name but keeps the files
+        # for the swap; the original table stays readable (and its
+        # files untouched) for the whole rewrite — no checkpoint
+        # needed, lineage reads the about-to-be-replaced files only
+        # while they still exist
         df.write.mode("overwrite")
-        .bucketBy(n_buckets, *bucket_cols)
+        .option("path", tmp_loc)
+        .bucketBy(nb, *bucket_cols)
         .sortBy(*bucket_cols)
         .format("parquet")
-        .saveAsTable(name)
+        .saveAsTable(tmp_name)
     )
+    spark.sql(f"DROP TABLE {tmp_name}")
+    os.rename(loc, trash)
+    os.rename(tmp_loc, loc)
+    shutil.rmtree(trash)
+    spark.catalog.refreshTable(name)

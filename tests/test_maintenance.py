@@ -249,3 +249,99 @@ def test_compact_bucketed_table_keeps_zero_exchange_join(spark, tmp_path):
         .toString()
     )
     assert "Exchange" not in plan  # bucket spec survived compaction
+
+
+def test_compact_reattached_external_gate_corpus(spark, tmp_path):
+    """The post-restart path the gate corpora actually live on (the
+    round-11 verdict's #1): after a driver restart the gates re-attach
+    their band tables as EXTERNAL tables (dedup_gate._ensure_registered)
+    — the previous in-place saveAsTable(Overwrite) compaction crashed
+    there with LOCATION_ALREADY_EXISTS. End to end: append-fragment the
+    corpus across 'micro-batches' -> restart (catalog entry lost, files
+    survive) -> re-attach -> compact -> identical rows, fewer files,
+    table still EXTERNAL, probe admissions unchanged, and a same-spec
+    bucketed join still plans with zero Exchange."""
+    import os
+    import shutil
+    import uuid
+
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        phash_batch_against_corpus,
+    )
+    from arc_kinesis_tagging_spark.sources.maintenance import (
+        compact_bucketed_table,
+        table_location,
+    )
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        append_phash_corpus,
+        ensure_corpus_registered,
+    )
+
+    prefix = "akt_cbx_" + uuid.uuid4().hex[:12]
+    name = f"{prefix}_bands"
+    # three appends = three file sets, exactly how a gate fragments it
+    for lo in (0, 30, 60):
+        append_phash_corpus(
+            spark,
+            spark.createDataFrame(
+                [(i, (i << 20) | 0b1010) for i in range(lo, lo + 30)],
+                "media_id long, phash long",
+            ),
+            prefix,
+        )
+    loc = table_location(spark, name)
+    saved = str(tmp_path / "saved")
+    shutil.copytree(loc, saved)
+    spark.sql(f"DROP TABLE {name}")  # managed drop deletes the files
+    shutil.copytree(saved, loc)  # ... which the 'restart' restores
+    assert ensure_corpus_registered(spark, prefix)
+    before_rows = sorted(tuple(r) for r in spark.table(name).collect())
+    before_files = parquet_file_count(loc)
+    assert before_files >= 3
+    compact_bucketed_table(spark, name, ["chunk"], n_buckets=16)
+    assert (
+        sorted(tuple(r) for r in spark.table(name).collect())
+        == before_rows
+    )
+    assert parquet_file_count(loc) < before_files
+    assert not os.path.exists(loc + "__compact_tmp")
+    assert not os.path.exists(loc + "__compact_trash")
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    }
+    assert desc.get("Type") == "EXTERNAL"  # a SECOND restart re-attaches
+    # the probe still admits/drops identically: 100 is hamming-0 of
+    # corpus id 2, 101 matches nothing
+    dup = phash_batch_against_corpus(
+        spark,
+        spark.createDataFrame(
+            [(100, (2 << 20) | 0b1010), (101, -12345)],
+            "media_id long, phash long",
+        ),
+        prefix,
+    )
+    assert sorted(
+        r["id_batch"] for r in dup.select("id_batch").distinct().collect()
+    ) == [100]
+    # bucket spec survived the swap: same-spec merge join, no Exchange
+    import uuid as _uuid
+
+    from arc_kinesis_tagging_spark.operators.skew import write_bucketed
+
+    other = "akt_cbx2_" + _uuid.uuid4().hex[:12]
+    write_bucketed(
+        spark.table(name).select("chunk").distinct(),
+        other,
+        ["chunk"],
+        n_buckets=16,
+    )
+    plan = (
+        spark.table(name)
+        .hint("merge")
+        .join(spark.table(other), "chunk")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
