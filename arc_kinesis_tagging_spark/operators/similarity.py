@@ -503,10 +503,20 @@ def query_ivf_index(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_dp: int | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-k against a persisted IVF index: route each query to its
     ``nprobe`` nearest cells, scan ONLY those cell partitions, score,
     rank. Returns (query_id, vec_id, cos_sim, rank).
+
+    ``exclude_self`` drops index rows whose vec_id equals the query's
+    id BEFORE ranking — for callers whose query batch may already be
+    (partially or repeatedly) present in the index, e.g. the streaming
+    embedding dedup gate replaying an append-then-crash epoch: an
+    after-rank filter caps how many self-rows it can see past (a
+    twice-replayed append leaves TWO self-rows, exhausting k=2),
+    whereas the pre-rank filter is immune to any number of duplicate
+    self-rows. Plain filter on the probed cells, no extra shuffle.
 
     ``round_dp`` switches the final ranking to the ``round_dp``-rounded
     similarity (column ``cos{round_dp}``) with vec_id tiebreak, making
@@ -541,6 +551,8 @@ def query_ivf_index(
     scored = _score_pairs_np(
         index.join(probes, "cell_id"), ["query_id long", "vec_id long"]
     )
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
     if round_dp is not None:
         sim = f"cos{round_dp}"
         scored = scored.withColumn(sim, F.round(F.col("cos_sim"), round_dp))

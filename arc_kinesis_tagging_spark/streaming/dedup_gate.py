@@ -412,12 +412,16 @@ def make_embedding_dedup_gate(
     triangle-inequality-pruned, never all-pairs) keep the smaller id;
     survivors are APPENDED to the index against its frozen centroids
     (append_ivf_index — one narrow assignment pass + a partitioned
-    append; the first batch builds the index). Probes ask k=2 because
-    on an append-then-crash replay a survivor's own row occupies
-    rank 1 (cos 1.0, filtered by the id-equality replay guard — the
-    same guard as the perceptual gates), and the real verdict must
-    come from the best REMAINING hit. Same marker idempotency;
-    null vectors are accepted and kept out of the index (R16)."""
+    append; the first batch builds the index). Probes pass
+    ``exclude_self`` so a survivor's own index row — present once per
+    append-then-crash replay of this epoch, any number of times — is
+    dropped BEFORE ranking and the verdict always comes from the best
+    real corpus hit (the pre-r12 k=2 after-rank filter saw past ONE
+    self-row but a twice-replayed append left two, hiding a real
+    near-dup at rank 3 — the perceptual gates collapse duplicate
+    corpus rows via the probe's dropDuplicates; this is this gate's
+    equivalent). Same marker idempotency; null vectors are accepted
+    and kept out of the index (R16)."""
     from arc_kinesis_tagging_spark.operators.similarity import (
         append_ivf_index,
         build_ivf_index,
@@ -446,16 +450,17 @@ def make_embedding_dedup_gate(
                 batch.select(
                     F.col(id_col).alias("query_id"), F.col(vec_col)
                 ),
-                k=2,  # rank 1 may be the replayed self-row
+                k=1,
                 nprobe=nprobe,
                 id_col=id_col,
                 vec_col=vec_col,
+                # replayed self-rows (one per append-then-crash replay
+                # of this epoch) are removed before ranking, so the
+                # best hit is always a real corpus neighbor
+                exclude_self=True,
             )
             drop = (
-                hits.filter(
-                    (F.col("cos_sim") >= threshold)
-                    & (F.col("vec_id") != F.col("query_id"))
-                )
+                hits.filter(F.col("cos_sim") >= threshold)
                 .select(F.col("query_id").alias(id_col))
                 .distinct()
             )
@@ -535,20 +540,29 @@ def make_text_dedup_gate(
         digested = batch_df.withColumn(
             "digest", F.sha2(F.col(text_col).cast("string"), 256)
         ).localCheckpoint(eager=True)  # probe, group-min, sink, append
+        # corrupt rows (null text -> null digest) are ACCEPTED, every
+        # one of them, and kept out of the corpus — the media gates'
+        # R16 contract. Without the split, groupBy(digest) lumps every
+        # null-digest row into ONE group and min(id) silently drops
+        # all but one corrupt row per batch.
+        corrupt = digested.filter(F.col("digest").isNull())
+        hashed = digested.filter(F.col("digest").isNotNull())
         have = _ensure_registered(
             spark, name, "digest STRING", ["digest"], n_buckets
         )
         fresh = (
-            fresh_against_corpus(digested, spark.table(name))
+            fresh_against_corpus(hashed, spark.table(name))
             if have
-            else digested
+            else hashed
         )
         # keep the smallest id per in-batch digest group
         keep = fresh.groupBy("digest").agg(F.min(id_col).alias(id_col))
         accepted = fresh.join(
             F.broadcast(keep), [id_col, "digest"], "left_semi"
         ).localCheckpoint(eager=True)  # sink AND digest append read it
-        accepted_sink(accepted.drop("digest"), batch_id)
+        accepted_sink(
+            accepted.unionByName(corrupt).drop("digest"), batch_id
+        )
         _append_bucketed_bands(
             accepted.select("digest").distinct(), name, ["digest"],
             n_buckets,

@@ -260,9 +260,19 @@ def _with_backoff(fn, backoff_ms: int, max_retries: int, **kw):
             delay *= 2
 
 
-def _list_all_shards(client, stream_name: str) -> list[dict]:
+def _list_all_shards(
+    client,
+    stream_name: str,
+    backoff_ms: int = 200,
+    max_retries: int = 7,
+) -> list[dict]:
     """Paginated ListShards — the reference's describe_stream loop
-    (utility/aws.py) modernized to the dedicated API."""
+    (utility/aws.py) modernized to the dedicated API. Runs through
+    the same backoff shell as every other reader call: ListShards is
+    the lowest-TPS Kinesis API (100 TPS/account) and this runs on
+    EVERY micro-batch poll, so an unretried LimitExceededException
+    here would fail the streaming query that every data call
+    survives."""
     shards, token = [], None
     while True:
         kw = (
@@ -270,7 +280,9 @@ def _list_all_shards(client, stream_name: str) -> list[dict]:
             if token
             else {"StreamName": stream_name}
         )
-        resp = client.list_shards(**kw)
+        resp = _with_backoff(
+            client.list_shards, backoff_ms, max_retries, **kw
+        )
         shards.extend(resp.get("Shards", []))
         token = resp.get("NextToken")
         if not token:
@@ -345,7 +357,12 @@ class KinesisAwsSimpleReader(SimpleDataSourceStreamReader):
         )
         return {
             s["ShardId"]: tag
-            for s in _list_all_shards(self.client, self.stream_name)
+            for s in _list_all_shards(
+                self.client,
+                self.stream_name,
+                self.backoff_ms,
+                self.max_retries,
+            )
         }
 
     def _discover(self, offsets: dict) -> tuple[dict, dict]:
@@ -353,7 +370,12 @@ class KinesisAwsSimpleReader(SimpleDataSourceStreamReader):
         at TRIM_HORIZON and return (offsets, parents-by-shard)."""
         parents: dict[str, list[str]] = {}
         out = dict(offsets)
-        for s in _list_all_shards(self.client, self.stream_name):
+        for s in _list_all_shards(
+            self.client,
+            self.stream_name,
+            self.backoff_ms,
+            self.max_retries,
+        ):
             sid = s["ShardId"]
             parents[sid] = [
                 p
@@ -456,12 +478,36 @@ class KinesisAwsSimpleReader(SimpleDataSourceStreamReader):
             e_tag = end[shard_id]
             if s_tag == e_tag:
                 continue  # nothing consumed from this shard
+
+            def _aged_out(exc: Exception) -> bool:
+                # a shard whose committed range DRAINED it (end tag
+                # CLOSED) can age out of retention between the commit
+                # and the replay — closed shards vanish from the
+                # stream after the retention window, and
+                # get_shard_iterator on a vanished shard raises
+                # ResourceNotFoundException on EVERY restart, so the
+                # query could never recover past that epoch. The data
+                # is unrecoverable from Kinesis by definition (as for
+                # any consumer); skip the shard, mirroring read()'s
+                # aged-shard handling. A non-CLOSED end tag still
+                # propagates: there the range was NOT fully consumed
+                # and silence would be data loss.
+                return (
+                    e_tag == "CLOSED"
+                    and _error_code(exc) == "ResourceNotFoundException"
+                )
+
             stop_seq = (
                 int(e_tag[len("AFTER:"):])
                 if e_tag.startswith("AFTER:")
                 else None
             )
-            it = self._iterator_for(shard_id, s_tag)
+            try:
+                it = self._iterator_for(shard_id, s_tag)
+            except Exception as exc:
+                if _aged_out(exc):
+                    continue
+                raise
             tag = s_tag
             while it is not None:
                 try:
@@ -472,8 +518,15 @@ class KinesisAwsSimpleReader(SimpleDataSourceStreamReader):
                     )
                 except Exception as exc:
                     if _error_code(exc) == "ExpiredIteratorException":
-                        it = self._iterator_for(shard_id, tag)
+                        try:
+                            it = self._iterator_for(shard_id, tag)
+                        except Exception as exc2:
+                            if _aged_out(exc2):
+                                break
+                            raise
                         continue
+                    if _aged_out(exc):
+                        break
                     raise
                 done = False
                 for r in resp.get("Records", []):
@@ -557,7 +610,12 @@ class KinesisAwsBatchReader(DataSourceReader):
         client = _resolve_client_factory(self.options)()
         return [
             _ShardPartition(s["ShardId"])
-            for s in _list_all_shards(client, self.stream_name)
+            for s in _list_all_shards(
+                client,
+                self.stream_name,
+                int(self.options.get("pollbackoffms", 200)),
+                int(self.options.get("maxretries", 7)),
+            )
         ]
 
     def read(self, partition: _ShardPartition):

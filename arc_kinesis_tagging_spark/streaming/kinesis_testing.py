@@ -42,6 +42,7 @@ class FakeKinesisClient:
         self.list_page_size = 2  # small page -> pagination exercised
         # scripting hooks
         self.throttle_next: int = 0  # fail N next get_records calls
+        self.throttle_next_list: int = 0  # fail N next list_shards calls
         self.expire_tokens: set[str] = set()
         self.fail_put_pks: dict[str, int] = {}  # pk -> remaining fails
         self.calls: list[str] = []
@@ -76,6 +77,12 @@ class FakeKinesisClient:
     # -- the API surface -------------------------------------------------
     def list_shards(self, **kw):
         self.calls.append("list_shards")
+        if self.throttle_next_list > 0:
+            # ListShards throttles with LimitExceededException (it is
+            # the lowest-TPS Kinesis API), unlike get_records'
+            # ProvisionedThroughputExceededException
+            self.throttle_next_list -= 1
+            raise FakeAwsError("LimitExceededException", "list_shards")
         ids = sorted(self.shards)
         start = int(kw["NextToken"]) if kw.get("NextToken") else 0
         page = ids[start : start + self.list_page_size]
@@ -98,6 +105,12 @@ class FakeKinesisClient:
 
     def get_shard_iterator(self, **kw):
         self.calls.append("get_shard_iterator")
+        if kw["ShardId"] not in self.shards:
+            # real Kinesis: a shard aged out of retention is gone from
+            # the stream and get_shard_iterator raises
+            raise FakeAwsError(
+                "ResourceNotFoundException", "get_shard_iterator"
+            )
         shard = self.shards[kw["ShardId"]]
         typ = kw["ShardIteratorType"]
         if typ == "TRIM_HORIZON":

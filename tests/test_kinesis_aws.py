@@ -570,3 +570,48 @@ def test_consume_loop_no_dup_no_skip_in_order(ops, cap):
     assert sorted(got) == want  # every record exactly once
     for sid, seqs in put_log.items():  # per-shard order preserved
         assert [s for sh, s in got if sh == sid] == seqs
+
+
+def test_list_shards_throttle_backs_off(fake):
+    """ListShards is the lowest-TPS Kinesis API and runs on EVERY
+    micro-batch poll (shard discovery): a LimitExceededException must
+    retry through the same backoff shell as the data calls, not fail
+    the streaming query."""
+    fake.add_shard("shard-a")
+    s = fake.put("shard-a", b"x")
+    fake.throttle_next_list = 3
+    r = _reader(pollBackoffMs=100)
+    rows, off = r.read(r.initialOffset())
+    assert [x[2] for x in list(rows)] == [s]
+    assert fake.sleeps == [0.1, 0.2, 0.4]
+    # exhaustion still raises (same policy as the data calls)
+    fake.throttle_next_list = 99
+    r2 = _reader(maxRetries=1)
+    with pytest.raises(Exception) as ei:
+        r2.initialOffset()
+    assert "LimitExceededException" in str(ei.value)
+
+
+def test_replay_skips_shard_aged_out_after_drain(fake):
+    """Recovery replay of a committed range whose end tag is CLOSED
+    must survive the shard aging out of the stream between the commit
+    and the replay (read() can commit start AFTER:<seq> -> end CLOSED;
+    a restart then calls get_shard_iterator on a vanished shard).
+    Without the guard, ResourceNotFoundException fails recovery on
+    EVERY restart — the query can never get past that epoch."""
+    fake.add_shard("shard-gone")
+    fake.add_shard("shard-live")
+    sg = fake.put("shard-gone", b"g")
+    sl = [fake.put("shard-live", f"l{i}".encode()) for i in range(3)]
+    r = _reader()
+    start = {"shard-gone": "AFTER:" + sg, "shard-live": "TRIM_HORIZON"}
+    end = {"shard-gone": "CLOSED", "shard-live": "AFTER:" + sl[1]}
+    del fake.shards["shard-gone"]  # aged out between commit and replay
+    got = [x[2] for x in r.readBetweenOffsets(start, end)]
+    assert got == sl[:2]  # live shard replays exactly; gone shard skipped
+    # a NON-CLOSED end tag on a vanished shard is data loss -> raises
+    end_bad = {"shard-gone": "AFTER:" + sg, "shard-live": "AFTER:" + sl[1]}
+    start_bad = {"shard-gone": "TRIM_HORIZON", "shard-live": "TRIM_HORIZON"}
+    with pytest.raises(Exception) as ei:
+        list(r.readBetweenOffsets(start_bad, end_bad))
+    assert "ResourceNotFoundException" in str(ei.value)

@@ -577,3 +577,99 @@ def test_gate_admits_one_representative_per_group_any_batching(
             if g not in want:
                 want[g] = min(i for i in ids if i // 4 == g)
     assert sorted(accepted) == sorted(want.values())
+
+
+def test_embedding_gate_survives_double_replay(spark, tmp_path):
+    """Append-then-crash REPLAYED TWICE (the round-11 advice finding):
+    each replay of an un-markered epoch re-appends the survivor's row,
+    so the index holds it N times. The probe must still see the best
+    REAL corpus hit — an after-rank self filter at k=2 is exhausted by
+    two self-rows and silently admits a genuine near-dup; the
+    pre-rank exclude_self filter is immune to any replay count."""
+    import os
+
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_embedding_dedup_gate,
+    )
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 1) % 8] = eps
+        return v
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.append(sorted(r["vec_id"] for r in df.collect()))
+
+    idx = str(tmp_path / "ivf")
+    markers = str(tmp_path / "markers")
+    gate = make_embedding_dedup_gate(
+        spark, idx, markers, sink, threshold=0.98
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": [r[0] for r in rows],
+                 "embedding": [r[1] for r in rows]}
+            )
+        )
+
+    b0 = batch([(0, vec(0))])
+    gate(b0, 0)
+    # crash window twice: marker lost after the append, epoch replayed
+    for _ in range(2):
+        os.remove(os.path.join(markers, f"batch-{0:020d}"))
+        gate(b0, 0)
+    # id 0's row is now in the index three times
+    idx_rows = spark.read.parquet(idx + "/index")
+    assert idx_rows.filter(F.col("vec_id") == 0).count() == 3
+    # at-least-once for the crash window: re-emitted every replay
+    assert accepted == [[0], [0], [0]]
+    # a REAL near-dup of the triplicated corpus row must still be
+    # caught (cos(vec(0), vec(0, 0.1)) ~ 0.995 >= 0.98)
+    gate(batch([(10, vec(0, 0.1)), (11, vec(3))]), 1)
+    assert accepted == [[0], [0], [0], [11]]
+
+
+def test_text_gate_accepts_every_corrupt_row(spark, tmp_path):
+    """R16 parity with the media gates: null text hashes to a null
+    digest; EVERY such corrupt row must pass through the gate (not one
+    survivor of an accidental all-nulls group) and none may enter the
+    digest corpus."""
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_text_dedup_gate,
+    )
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.append(sorted(r["doc_id"] for r in df.collect()))
+
+    prefix = "akt_tnull_" + uuid.uuid4().hex[:12]
+    gate = make_text_dedup_gate(
+        spark, prefix, str(tmp_path / "markers"), sink
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+                 "text": [r[1] for r in rows]}
+            )
+        )
+
+    # three corrupt rows + one real text in one batch: all four pass
+    gate(batch([(1, None), (2, None), (3, "alpha"), (4, None)]), 0)
+    assert accepted == [[1, 2, 3, 4]]
+    # corpus holds only the real digest -> corrupt rows never dedup
+    assert spark.table(f"{prefix}_digests").count() == 1
+    # and they don't poison later batches either
+    gate(batch([(10, None), (11, "alpha")]), 1)
+    assert accepted == [[1, 2, 3, 4], [10]]
