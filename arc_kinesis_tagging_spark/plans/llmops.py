@@ -1269,6 +1269,84 @@ GROUP BY d.source
 )
 
 
+def q_corpus_pipeline7(spark, sf_dir):
+    """Round-12 cross-modal composite #2 (the q_corpus_pipeline6
+    pattern extended to AUDIO): (1) exact TEXT dedup (keep the
+    smallest doc_id per text), (2) AUDIO near-dup over the survivors
+    (real PCM16 WAV decode -> integerized Haitsma-Kalker fingerprint,
+    60 bits -> the same pigeonhole band join at hash_bits=60; the
+    fixture's near-dup groups are cliques, so dropping every pair's
+    id_b keeps the per-group minimum), (3) the per-source curation
+    report (counts + exact BIGINT char sums).
+
+    The DuckDB oracle recomputes the fingerprint analytically over
+    the stage-1 survivors ONLY and brute-forces their pairs — a
+    hash-green row proves the second two-modality composition end to
+    end, including that the audio stage runs on the text-dedup
+    survivor set. Scale shape: stage 1 is one map-side-combined
+    aggregate; stage 2 fingerprints only survivors (map-only Arrow)
+    and candidates come from band co-occupancy, never all-pairs; the
+    report aggregate is survivor-sized."""
+    from arc_kinesis_tagging_spark.operators.dedup import phash_near_dup_pairs
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        ahash_wav,
+        attach_ahash_media,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    survivors = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    n = spark.sparkContext.defaultParallelism
+    hashes = ahash_wav(
+        attach_ahash_media(
+            survivors.repartition(n, "doc_id"), "doc_id"
+        ),
+        "media_id",
+        "media",
+    )
+    drop = (
+        phash_near_dup_pairs(
+            hashes, "media_id", "ahash", max_hamming=4, hash_bits=60
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    final = survivors.join(F.broadcast(drop), "doc_id", "left_anti")
+    return (
+        final.join(d.select("doc_id", "source", "n_chars"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+    )
+
+
+# composed oracle: stage-1 survivors feed the SAME analytic audio
+# fingerprint CTEs as ORACLE_DEDUP_AHASH (restricted to the survivor
+# set), pairwise drop of id_b, per-source report
+ORACLE_CORPUS_PIPELINE7 = (
+    "WITH s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents "
+    "GROUP BY text),\n"
+    + ORACLE_DEDUP_AHASH.split("WITH ", 1)[1]
+    .replace("FROM documents d,", "FROM s1 d,")
+    .rsplit("SELECT h1.doc_id", 1)[0]
+    + """, drop AS (
+  SELECT DISTINCT h2.doc_id AS doc_id
+  FROM h h1 JOIN h h2 ON h1.doc_id < h2.doc_id
+  WHERE bit_count(xor(h1.hash, h2.hash)) <= 4
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars_total
+FROM s1
+JOIN documents d ON d.doc_id = s1.doc_id
+LEFT JOIN drop ON drop.doc_id = s1.doc_id
+WHERE drop.doc_id IS NULL
+GROUP BY d.source
+"""
+)
+
+
 def q_dedup_vhash_incremental(spark, sf_dir):
     """Incremental cross-batch VIDEO near-dup — the production shape
     of q_dedup_vhash, extending the incremental family to video
@@ -3718,6 +3796,8 @@ LLMOPS_QUERIES = [
     Query("q_dedup_vhash", q_dedup_vhash, ORACLE_DEDUP_VHASH),
     Query("q_corpus_pipeline6", q_corpus_pipeline6,
           ORACLE_CORPUS_PIPELINE6),
+    Query("q_corpus_pipeline7", q_corpus_pipeline7,
+          ORACLE_CORPUS_PIPELINE7),
     Query("q_dedup_vhash_incremental", q_dedup_vhash_incremental,
           ORACLE_DEDUP_VHASH_INCREMENTAL),
     Query("q_dedup_ahash", q_dedup_ahash, ORACLE_DEDUP_AHASH),

@@ -486,6 +486,50 @@ _R11_HEAD = [
     # q_text_winnowing, q_ts_ewma, q_window_ntile.
 ]
 
+# Round-12 window (50 rows): exactly the rotation the r11 verdict
+# pre-listed — (a) the 20 remaining r07-vintage rows (the stalest
+# anywhere), (b) the round's new work (cross-modal composition #2),
+# then (c) 29 of the 50 r08-vintage rows: q_tpch_q3ish FIRST (its
+# environmental-flag counter sits at 1 — a fresh driver timing either
+# clears or confirms it), then complexity-first. After r12 the
+# stalest remaining vintage is r08 (21 rows), pre-listed at the
+# bottom for round 13.
+_R12_HEAD = [
+    # -- (a) the 20 r07-vintage rows --
+    "q_multimodal_wav", "q_corpus_pipeline5", "q_dedup_prefix",
+    "q_doc_minwise_sim", "q_doc_stats_sketch", "q_events_funnel",
+    "q_hard_negatives", "q_join_broadcast", "q_json_variant",
+    "q_minhash_vs_exact", "q_multimodal_catalog",
+    "q_multimodal_thumbnail", "q_ngram_lm_pruned", "q_seq_pack_ffd",
+    "q_similarity_topk", "q_text_html_strip", "q_text_normalize",
+    "q_text_winnowing", "q_ts_ewma", "q_window_ntile",
+    # -- (b) new round-12 work --
+    "q_corpus_pipeline7",  # cross-modal #2: text dedup -> audio near-dup
+    # -- (c) r08-vintage refresh: flag hygiene first, then
+    #    complexity-first (pipelines, ANN lifecycle, dedup, sources,
+    #    tokenizers, codecs, windows) --
+    "q_tpch_q3ish", "q_tpch_q5ish",
+    "q_corpus_pipeline2", "q_pipeline_tag_enrich",
+    "q_ann_lifecycle", "q_ann_retrain",
+    "q_dedup_exact", "q_dedup_incremental", "q_dedup_substring",
+    "q_contamination", "q_dsir_sample", "q_dsir_score",
+    "q_source_mixing", "q_source_tar_multimodal",
+    "q_source_tar_shards", "q_source_tarshard_ds",
+    "q_unigram_train", "q_unigram_encode",
+    "q_multimodal_gif", "q_multimodal_gif_anim", "q_multimodal_png",
+    "q_audio_features", "q_embed_pca",
+    "q_recursive_cte", "q_scalar_subquery",
+    "q_window_session", "q_window_sliding", "q_window_tumbling",
+    "q_scan_orc",
+    # round 13 should finish the r08 block (21 rows left):
+    # q_agg_approx_distinct, q_agg_cube, q_agg_distinct, q_agg_group,
+    # q_agg_grouping_sets, q_agg_percentile, q_agg_rollup,
+    # q_events_funnel_k, q_join_anti, q_join_asof, q_join_interval,
+    # q_join_outer, q_join_semi, q_join_smj, q_join_theta, q_pivot,
+    # q_sample_weighted, q_text_repetition, q_window_frame,
+    # q_window_lag, q_window_rank.
+]
+
 
 def _ordered(head: list[str]) -> list[Query]:
     seen = [n for n in head if n in _BY_NAME]
@@ -519,8 +563,10 @@ elif _ROT == "r9":
     ALL_QUERIES = _ordered(_R9_HEAD)
 elif _ROT == "r10":
     ALL_QUERIES = _ordered(_R10_HEAD)
-else:
+elif _ROT == "r11":
     ALL_QUERIES = _ordered(_R11_HEAD)
+else:
+    ALL_QUERIES = _ordered(_R12_HEAD)
 
 QUERIES: dict[str, Query] = {q.name: q for q in ALL_QUERIES}
 

@@ -277,7 +277,15 @@ def compact_bucketed_table(
     for p in (tmp_loc, trash):
         if os.path.exists(p):
             shutil.rmtree(p)
-    df = spark.table(name).repartition(
+    # read by PATH, not spark.table(name): on a catalog read the
+    # optimizer removes the repartition below as already-satisfied by
+    # the table's bucket metadata, then the planner independently
+    # decides a bucketed scan isn't beneficial and plans a plain
+    # multi-partition scan — the write then emits one file per
+    # (task, bucket) pair instead of one per bucket (observed: 75
+    # files for a 16-bucket compaction). The path read is a plain
+    # scan, so the repartition survives and aligns task==bucket.
+    df = spark.read.parquet(loc).repartition(
         nb, *[F.col(c) for c in bucket_cols]
     )
     (

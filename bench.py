@@ -99,6 +99,8 @@ HEADLINE = [
     "q_dedup_vhash_incremental",  # batch-vs-corpus video temporal dedup
     "q_dedup_ahash_incremental",  # batch-vs-corpus audio fingerprint dedup
     "q_corpus_pipeline6",  # multimodal refresh: text dedup -> image near-dup
+    # round-12 additions
+    "q_corpus_pipeline7",  # cross-modal #2: text dedup -> audio near-dup
 ]
 
 
@@ -360,6 +362,25 @@ def _recover_from_tail(raw: dict) -> dict:
     return out
 
 
+def _full_latest_queries(baseline_path: str) -> dict:
+    """Per-query map for a baseline whose stdout line carries none:
+    from round 12 on, the printed metric line is compact (the full
+    61-entry map repeatedly outgrew the driver's tail-capture window
+    — BENCH_r03/r11 recorded parsed:null) and the per-query timings
+    live ONLY in BENCH_full_latest.json, written by the same bench
+    run the driver recorded. At compare time the current run has not
+    yet overwritten it, so it still holds the baseline's map."""
+    p = os.path.join(
+        os.path.dirname(os.path.abspath(baseline_path)),
+        "BENCH_full_latest.json",
+    )
+    try:
+        with open(p) as fh:
+            return json.load(fh).get("queries") or {}
+    except (OSError, ValueError):
+        return {}
+
+
 CANARY = "q_topk"  # trivial, code-stable query; moves only with the host
 
 
@@ -382,7 +403,8 @@ def compare_block(queries: dict, baseline_path: str) -> dict:
     # truncated baseline made --compare silently compare ZERO queries)
     base = (raw.get("queries")
             or (raw.get("parsed") or {}).get("queries")
-            or _recover_from_tail(raw))
+            or _recover_from_tail(raw)
+            or _full_latest_queries(baseline_path))
     canary_now, canary_then = queries.get(CANARY), base.get(CANARY)
     canary_factor = (
         round(canary_now / canary_then, 3)
@@ -645,7 +667,19 @@ def main() -> None:
         except Exception as exc:  # malformed baseline: degrade, don't lose the run
             out["compare"] = {"baseline": os.path.basename(baseline),
                               "error": str(exc)[:120]}
-    print(json.dumps(out))
+    # The full record (incl. the per-query map) goes to a side file;
+    # the PRINTED line is compact. The 61-entry queries map outgrew
+    # the driver's stdout tail-capture window twice (BENCH_r03/r11:
+    # parsed=null), degrading the durable artifact and nulling the
+    # next round's baseline. compare_block reads the side file back
+    # when a compact-format baseline carries no per-query map.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_full_latest.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    printed = {k: v for k, v in out.items() if k != "queries"}
+    printed["n_queries"] = len(queries)
+    printed["queries_file"] = "BENCH_full_latest.json"
+    print(json.dumps(printed))
     # Tear the JVM down BEFORE deciding the exit code: the failure
     # paths below must not skip cleanup (r04 advice).
     spark.stop()

@@ -303,7 +303,8 @@ def test_compact_reattached_external_gate_corpus(spark, tmp_path):
         sorted(tuple(r) for r in spark.table(name).collect())
         == before_rows
     )
-    assert parquet_file_count(loc) < before_files
+    # task==bucket alignment: EXACTLY one file per non-empty bucket
+    assert parquet_file_count(loc) <= 16
     assert not os.path.exists(loc + "__compact_tmp")
     assert not os.path.exists(loc + "__compact_trash")
     desc = {

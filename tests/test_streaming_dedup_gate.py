@@ -673,3 +673,116 @@ def test_text_gate_accepts_every_corrupt_row(spark, tmp_path):
     # and they don't poison later batches either
     gate(batch([(10, None), (11, "alpha")]), 1)
     assert accepted == [[1, 2, 3, 4], [10]]
+
+
+def test_text_gate_auto_compacts_on_cadence_across_restart(spark, tmp_path):
+    """Auto-compaction cadence (round-12): every compact_every-th
+    durable marker the gate compacts its own corpus table — including
+    AFTER a driver restart, when the corpus is a re-attached EXTERNAL
+    table (the path where the pre-r12 compactor crashed with
+    LOCATION_ALREADY_EXISTS). Admissions must be identical to an
+    uncompacted run and the file count must drop at each cadence
+    point."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.sources.maintenance import (
+        parquet_file_count,
+        table_location,
+    )
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_text_dedup_gate,
+    )
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.append(sorted(r["doc_id"] for r in df.collect()))
+
+    prefix = "akt_tcad_" + uuid.uuid4().hex[:12]
+    name = f"{prefix}_digests"
+    markers = str(tmp_path / "markers")
+    gate = make_text_dedup_gate(
+        spark, prefix, markers, sink, compact_every=2
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+                 "text": [r[1] for r in rows]}
+            )
+        )
+
+    gate(batch([(1, "a"), (2, "b")]), 0)   # 1 marker: no compaction
+    gate(batch([(3, "c"), (4, "a")]), 1)   # 2 markers: compacts
+    loc = table_location(spark, name)
+    files_after_compact = parquet_file_count(loc)
+    # two appends would leave >= 2 file sets; compaction leaves one
+    # file per non-empty bucket of 3 digests
+    assert files_after_compact <= 3
+    # -- driver restart: catalog entry dies, files survive --
+    saved = str(tmp_path / "saved")
+    shutil.copytree(loc, saved)
+    spark.sql(f"DROP TABLE {name}")
+    shutil.copytree(saved, loc)
+    gate(batch([(5, "d"), (6, "b")]), 2)   # re-attaches; 3 markers
+    gate(batch([(7, "e"), (8, "e")]), 3)   # 4 markers: compacts EXTERNAL
+    assert parquet_file_count(loc) <= 5    # one per non-empty bucket
+    # admissions identical to the no-compaction semantics throughout
+    assert accepted == [[1, 2], [3], [5], [7]]
+    # corpus still dedups after both compactions
+    gate(batch([(9, "a"), (10, "f")]), 4)
+    assert accepted[-1] == [10]
+
+
+def test_embedding_gate_auto_compacts_ivf_index(spark, tmp_path):
+    """The embedding gate's cadence compacts the cell-partitioned IVF
+    index (one file set per touched cell per batch otherwise) without
+    changing verdicts."""
+    import os
+
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.sources.maintenance import (
+        parquet_file_count,
+    )
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_embedding_dedup_gate,
+    )
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 1) % 8] = eps
+        return v
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.append(sorted(r["vec_id"] for r in df.collect()))
+
+    idx = str(tmp_path / "ivf")
+    gate = make_embedding_dedup_gate(
+        spark, idx, str(tmp_path / "markers"), sink, threshold=0.98,
+        nlist=2, compact_every=2,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": [r[0] for r in rows],
+                 "embedding": [r[1] for r in rows]}
+            )
+        )
+
+    gate(batch([(0, vec(0)), (1, vec(1))]), 0)  # builds index
+    gate(batch([(2, vec(2)), (3, vec(3))]), 1)  # appends; then compacts
+    files = parquet_file_count(os.path.join(idx, "index"))
+    # after compaction: one file per non-empty cell (nlist=2)
+    assert files <= 2
+    # the compacted index still drives verdicts
+    gate(batch([(10, vec(0, 0.1)), (11, vec(4))]), 2)
+    assert accepted == [[0, 1], [2, 3], [11]]

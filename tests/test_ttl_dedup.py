@@ -25,6 +25,10 @@ from the streaming_dedup_ttl docstring (streaming/stateful.py):
 dropDuplicatesWithinWatermark
 (test_streaming_stateful.py::test_dedup_within_watermark) and the
 applyInPandasWithState operators.
+
+Re-retried round 12 (2026-08-15): `import google.protobuf` still
+raises ModuleNotFoundError (no `google` package at all). The
+documented skip stands.
 """
 
 import tempfile
