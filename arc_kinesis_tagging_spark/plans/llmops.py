@@ -1347,6 +1347,87 @@ GROUP BY d.source
 )
 
 
+def q_corpus_pipeline8(spark, sf_dir):
+    """Round-12 cross-modal composite #3 — with this the composition
+    family covers text->image (pipeline6), text->audio (pipeline7),
+    and text->VIDEO: (1) exact TEXT dedup (keep the smallest doc_id
+    per text), (2) VIDEO near-dup over the survivors (real Y4M
+    decode -> every-2nd-frame integer-DCT pHash -> per-frame
+    pigeonhole bands under the STRICT temporal criterion: every
+    aligned sampled frame within hamming<=4 AND equal sampled-frame
+    counts), (3) the per-source curation report.
+
+    The DuckDB oracle recomputes both sampled frame hashes
+    analytically over the stage-1 survivors ONLY and brute-forces
+    their pairs under the same temporal criterion — a hash-green row
+    proves the heaviest composition end to end. Scale shape: stage 1
+    is one map-side-combined aggregate; stage 2 decodes only
+    survivors (map-only Arrow), candidates come from per-frame band
+    co-occupancy (never all-pairs), the verify join carries
+    candidates x sampled frames; the report aggregate is
+    survivor-sized."""
+    from arc_kinesis_tagging_spark.operators.dedup import vhash_near_dup_pairs
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        attach_vhash_media,
+        vhash_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    survivors = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    n = spark.sparkContext.defaultParallelism
+    fh = vhash_frames(
+        attach_vhash_media(
+            survivors.repartition(n, "doc_id"), "doc_id"
+        ),
+        "media_id",
+        "media",
+        every=2,
+    )
+    drop = (
+        vhash_near_dup_pairs(
+            fh, "media_id", "frame_idx", "fhash", max_hamming=4
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    final = survivors.join(F.broadcast(drop), "doc_id", "left_anti")
+    return (
+        final.join(d.select("doc_id", "source", "n_chars"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+    )
+
+
+# composed oracle: stage-1 survivors feed the SAME analytic per-frame
+# hash CTEs as ORACLE_DEDUP_VHASH (restricted to the survivor set),
+# pairwise temporal-criterion drop of id_b, per-source report
+ORACLE_CORPUS_PIPELINE8 = (
+    "WITH s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents "
+    "GROUP BY text),\n"
+    + ORACLE_DEDUP_VHASH.split("WITH ", 1)[1]
+    .replace("FROM documents d,", "FROM s1 d,")
+    .rsplit("SELECT a.doc_id", 1)[0]
+    + """, pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.f = b.f
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) = 2 AND MAX(bit_count(xor(a.hash, b.hash))) <= 4
+), drop AS (SELECT DISTINCT id_b AS doc_id FROM pr)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars_total
+FROM s1
+JOIN documents d ON d.doc_id = s1.doc_id
+LEFT JOIN drop ON drop.doc_id = s1.doc_id
+WHERE drop.doc_id IS NULL
+GROUP BY d.source
+"""
+)
+
+
 def q_dedup_vhash_incremental(spark, sf_dir):
     """Incremental cross-batch VIDEO near-dup — the production shape
     of q_dedup_vhash, extending the incremental family to video
@@ -3798,6 +3879,8 @@ LLMOPS_QUERIES = [
           ORACLE_CORPUS_PIPELINE6),
     Query("q_corpus_pipeline7", q_corpus_pipeline7,
           ORACLE_CORPUS_PIPELINE7),
+    Query("q_corpus_pipeline8", q_corpus_pipeline8,
+          ORACLE_CORPUS_PIPELINE8),
     Query("q_dedup_vhash_incremental", q_dedup_vhash_incremental,
           ORACLE_DEDUP_VHASH_INCREMENTAL),
     Query("q_dedup_ahash", q_dedup_ahash, ORACLE_DEDUP_AHASH),

@@ -505,6 +505,7 @@ _R12_HEAD = [
     "q_text_winnowing", "q_ts_ewma", "q_window_ntile",
     # -- (b) new round-12 work --
     "q_corpus_pipeline7",  # cross-modal #2: text dedup -> audio near-dup
+    "q_corpus_pipeline8",  # cross-modal #3: text dedup -> video near-dup
     # -- (c) r08-vintage refresh: flag hygiene first, then
     #    complexity-first (pipelines, ANN lifecycle, dedup, sources,
     #    tokenizers, codecs, windows) --
@@ -520,14 +521,15 @@ _R12_HEAD = [
     "q_audio_features", "q_embed_pca",
     "q_recursive_cte", "q_scalar_subquery",
     "q_window_session", "q_window_sliding", "q_window_tumbling",
-    "q_scan_orc",
-    # round 13 should finish the r08 block (21 rows left):
-    # q_agg_approx_distinct, q_agg_cube, q_agg_distinct, q_agg_group,
-    # q_agg_grouping_sets, q_agg_percentile, q_agg_rollup,
-    # q_events_funnel_k, q_join_anti, q_join_asof, q_join_interval,
-    # q_join_outer, q_join_semi, q_join_smj, q_join_theta, q_pivot,
-    # q_sample_weighted, q_text_repetition, q_window_frame,
-    # q_window_lag, q_window_rank.
+    # round 13 should finish the r08 block (22 rows left —
+    # q_scan_orc was displaced by q_corpus_pipeline8 to keep the
+    # window at 50): q_agg_approx_distinct, q_agg_cube,
+    # q_agg_distinct, q_agg_group, q_agg_grouping_sets,
+    # q_agg_percentile, q_agg_rollup, q_events_funnel_k, q_join_anti,
+    # q_join_asof, q_join_interval, q_join_outer, q_join_semi,
+    # q_join_smj, q_join_theta, q_pivot, q_sample_weighted,
+    # q_scan_orc, q_text_repetition, q_window_frame, q_window_lag,
+    # q_window_rank.
 ]
 
 

@@ -101,6 +101,7 @@ HEADLINE = [
     "q_corpus_pipeline6",  # multimodal refresh: text dedup -> image near-dup
     # round-12 additions
     "q_corpus_pipeline7",  # cross-modal #2: text dedup -> audio near-dup
+    "q_corpus_pipeline8",  # cross-modal #3: text dedup -> video near-dup
 ]
 
 

@@ -480,3 +480,36 @@ def test_default_nprobe_operating_point(spark, sf_dir, tmp_path):
     assert inlist, m.group(1)
     cells = re.findall(r"\d+", inlist.group(1))
     assert len(set(cells)) == 4, m.group(1)
+
+
+def test_ivf_writes_are_cell_aligned(spark, sf_dir, tmp_path):
+    """Build and append must write AT MOST one file per cell dir per
+    pass (the round-12 fragmentation ladder measured probe latency
+    linear in file count) — without the cell_id repartition each pass
+    writes one file per (task, cell) pair, ~32x more on local[32]."""
+    import os
+
+    emb = load_table(spark, "embeddings", sf_dir).limit(400)
+    n = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "ivf_aligned")
+    build_ivf_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 0).repartition(n), path,
+        nlist=8,
+    )
+    from arc_kinesis_tagging_spark.operators.similarity import (
+        append_ivf_index,
+    )
+
+    append_ivf_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 1).repartition(n), path
+    )
+    idx = os.path.join(path, "index")
+    for d in os.listdir(idx):
+        if not d.startswith("cell_id="):
+            continue
+        files = [
+            f for f in os.listdir(os.path.join(idx, d))
+            if f.startswith("part-")
+        ]
+        # one build pass + one append pass
+        assert len(files) <= 2, (d, files)

@@ -496,6 +496,25 @@ COMMENTARY.update(
             "inline popcount verify below the pair-dedup Exchange; "
             "one corpus scan, zero corpus Exchange."
         ),
+        "q_corpus_pipeline7": (
+            "Cross-modal composite #2 (text -> audio): exact text "
+            "dedup is ONE map-side-combined aggregate; the audio "
+            "stage synthesizes+fingerprints only the survivors "
+            "(map-only Arrow, integer Haitsma-Kalker) and pairs via "
+            "the banded self-join with the popcount verify folded "
+            "into the join condition; the drop set broadcasts into "
+            "an anti-join and the report aggregate is survivor-"
+            "sized. Nothing corpus-quadratic at any stage."
+        ),
+        "q_corpus_pipeline8": (
+            "Cross-modal composite #3 (text -> video): text dedup as "
+            "above; the video stage decodes + per-frame-hashes only "
+            "the survivors (map-only Arrow), candidates come from "
+            "per-frame band co-occupancy keyed (frame_idx, band, "
+            "chunk), and the strict temporal verify join carries "
+            "candidates x sampled frames only; broadcast anti-join "
+            "drop, survivor-sized report aggregate."
+        ),
     }
 )
 
