@@ -488,11 +488,11 @@ _R11_HEAD = [
 
 # Round-12 window (50 rows): exactly the rotation the r11 verdict
 # pre-listed — (a) the 20 remaining r07-vintage rows (the stalest
-# anywhere), (b) the round's new work (cross-modal composition #2),
-# then (c) 29 of the 50 r08-vintage rows: q_tpch_q3ish FIRST (its
+# anywhere), (b) the round's new work (cross-modal compositions #2
+# and #3), then (c) 28 of the 50 r08-vintage rows: q_tpch_q3ish FIRST (its
 # environmental-flag counter sits at 1 — a fresh driver timing either
 # clears or confirms it), then complexity-first. After r12 the
-# stalest remaining vintage is r08 (21 rows), pre-listed at the
+# stalest remaining vintage is r08 (22 rows), pre-listed at the
 # bottom for round 13.
 _R12_HEAD = [
     # -- (a) the 20 r07-vintage rows --

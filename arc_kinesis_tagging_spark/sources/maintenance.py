@@ -21,11 +21,88 @@ from __future__ import annotations
 
 import math
 import os
+import re
 from functools import reduce
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Filesystem ops through the Hadoop FileSystem API: the compactors'
+# temp-swap must work wherever the warehouse lives (file:, hdfs:,
+# s3a:, ...), not just on the local OS — os.rename on an hdfs:// URI
+# is a FileNotFoundError. Path(uri).getFileSystem resolves the right
+# implementation per scheme; a bare local path resolves to the local
+# FS, so tests and the local harness pass plain paths unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _hpath(spark: SparkSession, uri: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(uri)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _fs_exists(spark: SparkSession, uri: str) -> bool:
+    fs, p = _hpath(spark, uri)
+    return bool(fs.exists(p))
+
+
+def _fs_delete(spark: SparkSession, uri: str) -> None:
+    fs, p = _hpath(spark, uri)
+    fs.delete(p, True)
+
+
+def _fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    fs, p = _hpath(spark, src)
+    _, q = _hpath(spark, dst)
+    if not fs.rename(p, q):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def recover_interrupted_compaction(spark: SparkSession, loc: str) -> bool:
+    """Heal a compaction that crashed between its two renames: the
+    data directory is missing and the original sits at
+    ``<loc>__compact_trash``. Restores the original (losing only the
+    interrupted compaction's work) and returns True. Callers that
+    resolve a corpus by existence (the dedup gates'
+    ``_ensure_registered``) MUST run this first — otherwise a crashed
+    swap reads as 'fresh corpus' and the gate silently forgets its
+    entire dedup history."""
+    trash = loc.rstrip("/") + "__compact_trash"
+    if not _fs_exists(spark, loc) and _fs_exists(spark, trash):
+        _fs_rename(spark, trash, loc)
+        return True
+    return False
+
+
+def _swap_compacted(spark: SparkSession, loc: str, tmp_loc: str) -> None:
+    """The swap half of every compactor: rename the live directory to
+    trash, the freshly written temp into place, then drop trash. The
+    crash window between the renames is milliseconds (vs the full
+    rewrite) and is HEALED, not just documented:
+    recover_interrupted_compaction restores the trash copy on the
+    next compaction, gate re-attach, or probe setup."""
+    trash = loc.rstrip("/") + "__compact_trash"
+    _fs_rename(spark, loc, trash)
+    _fs_rename(spark, tmp_loc, loc)
+    _fs_delete(spark, trash)
+
+
+def _pre_clean(spark: SparkSession, loc: str) -> None:
+    """Before compacting: heal an interrupted swap, then clear
+    leftovers — a temp dir from a crash mid-write (original intact),
+    or a trash dir from a crash after the swap completed (the live
+    dir is the compacted copy; trash is the superseded original).
+    Deleting trash is ONLY safe when ``loc`` exists — when it does
+    not, trash is the recovery copy, which the recover call above
+    has already restored."""
+    recover_interrupted_compaction(spark, loc)
+    base = loc.rstrip("/")
+    for suffix in ("__compact_tmp", "__compact_trash"):
+        if _fs_exists(spark, base + suffix):
+            _fs_delete(spark, base + suffix)
 
 
 def table_file_count(path: str, fmt: str = "parquet") -> int:
@@ -71,17 +148,22 @@ def compact_table(
     """Rewrite ``path`` into ceil(rows/target) files; returns new file
     count. Row-preserving (verified in tests); use coalesce-free
     repartition so output files are evenly sized. Same contract for
-    every columnar format (``fmt``: parquet | orc)."""
+    every columnar format (``fmt``: parquet | orc).
+
+    Writes to a temp directory and swaps (round 12; previously an
+    in-place overwrite behind a localCheckpoint — a crash mid-write
+    lost the directory, and checkpoint blocks die with decommissioned
+    executors). The source stays intact and readable until the
+    completed copy swaps in."""
+    _pre_clean(spark, path)
+    tmp_loc = path.rstrip("/") + "__compact_tmp"
     df = spark.read.format(fmt).load(path)
     n = df.count()
     n_files = max(1, math.ceil(n / target_rows_per_file))
-    compacted = df.repartition(n_files)
-    # localCheckpoint, NOT cache(): the write overwrites the directory
-    # being read, and a cached partition evicted mid-write would
-    # recompute from the replaced files. Checkpointing truncates the
-    # lineage so nothing can reach back to the input paths.
-    compacted = compacted.localCheckpoint(eager=True)
-    compacted.write.mode("overwrite").format(fmt).save(path)
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(
+        tmp_loc
+    )
+    _swap_compacted(spark, path, tmp_loc)
     return n_files
 
 
@@ -198,15 +280,23 @@ def compact_partitioned(
     rewrite ``partitionBy`` the same columns. The shape for the
     corpora that GROW by streaming appends (append_ivf_index writes
     one file per batch per touched cell; a year of daily batches is
-    365 files per cell without this)."""
+    365 files per cell without this).
+
+    Temp-swap like every compactor here (round 12; the previous
+    in-place overwrite was a real loss window once the embedding
+    dedup gate started invoking this automatically per cadence: a
+    crash mid-overwrite left a half-deleted index whose centroids
+    still existed, so the gate would silently admit near-dups of the
+    lost rows forever). The source is never touched until the
+    completed copy swaps in, and an interrupted swap is healed by
+    recover_interrupted_compaction."""
+    _pre_clean(spark, path)
+    tmp_loc = path.rstrip("/") + "__compact_tmp"
     df = spark.read.format(fmt).load(path)
-    compacted = df.repartition(*[F.col(c) for c in partition_cols])
-    # localCheckpoint, NOT cache(): the write overwrites the directory
-    # being read (see compact_table).
-    compacted = compacted.localCheckpoint(eager=True)
-    compacted.write.mode("overwrite").partitionBy(
-        *partition_cols
-    ).format(fmt).save(path)
+    df.repartition(*[F.col(c) for c in partition_cols]).write.mode(
+        "overwrite"
+    ).partitionBy(*partition_cols).format(fmt).save(tmp_loc)
+    _swap_compacted(spark, path, tmp_loc)
 
 
 def compact_ivf_index(spark: SparkSession, path: str) -> None:
@@ -217,15 +307,28 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     compact_partitioned(spark, path + "/index", ["cell_id"])
 
 
-def table_location(spark: SparkSession, name: str) -> str:
-    """Filesystem path of a catalog table (DESCRIBE EXTENDED's
-    Location row, file: scheme stripped)."""
+def _describe_table(
+    spark: SparkSession, name: str
+) -> tuple[str, int | None, list[str]]:
+    """(location URI, num buckets, bucket columns) from DESCRIBE
+    TABLE EXTENDED — the one place catalog metadata is parsed, shared
+    by table_location and the bucketed compactor."""
     rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
     desc = {r["col_name"]: (r["data_type"] or "") for r in rows}
     loc = desc.get("Location", "")
     if not loc:
         raise ValueError(f"table {name} has no Location in the catalog")
-    return loc.removeprefix("file:")
+    nb = int(desc["Num Buckets"]) if desc.get("Num Buckets") else None
+    # rendered as [`f`, `chunk`]
+    cols = re.findall(r"`([^`]+)`", desc.get("Bucket Columns", ""))
+    return loc, nb, cols
+
+
+def table_location(spark: SparkSession, name: str) -> str:
+    """Local filesystem path of a catalog table (DESCRIBE EXTENDED's
+    Location row, file: scheme stripped — for local-warehouse
+    callers like tests; the compactors use the URI form)."""
+    return _describe_table(spark, name)[0].removeprefix("file:")
 
 
 def compact_bucketed_table(
@@ -249,11 +352,15 @@ def compact_bucketed_table(
     managed re-create at the same non-empty location
     (LOCATION_ALREADY_EXISTS) — the only path a long-lived deployment
     has. Swapping files under the entry works identically for managed
-    and external tables. Crash safety: a crash before the swap leaves
-    the original intact (the next run clears the temp dirs); the swap
-    itself is two renames — a crash between them leaves the original
-    at ``<loc>__compact_trash`` for manual recovery, a window of
-    milliseconds vs the full rewrite.
+    and external tables; an interrupted swap is healed by
+    recover_interrupted_compaction (which the gates also run at
+    re-attach).
+
+    Bucket count AND bucket columns come from the catalog when
+    present — the caller's values are only a fallback: temp files
+    whose embedded bucket ids were hashed with the wrong modulus OR
+    the wrong columns would silently corrupt every zero-Exchange
+    probe join after the swap.
 
     The pre-write ``repartition(n_buckets, bucket_cols)`` aligns rows
     to their bucket (repartition's hash IS the bucket hash:
@@ -261,22 +368,15 @@ def compact_bucketed_table(
     output is ONE file per bucket — without it a 32-partition input
     writes up to 32 files per bucket and the "compaction" barely
     compacts."""
-    import shutil
-
-    # trust the catalog for bucket count if it disagrees with the
-    # caller: files named for the wrong modulus corrupt every probe
-    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
-    desc = {r["col_name"]: (r["data_type"] or "") for r in rows}
-    nb = int(desc.get("Num Buckets") or n_buckets)
-    loc = desc.get("Location", "").removeprefix("file:").rstrip("/")
-    if not loc:
-        raise ValueError(f"table {name} has no Location in the catalog")
+    loc, cat_nb, cat_cols = _describe_table(spark, name)
+    loc = loc.rstrip("/")
+    nb = cat_nb or n_buckets
+    cols = cat_cols or list(bucket_cols)
     tmp_name = f"{name}__compact_tmp"
-    tmp_loc, trash = loc + "__compact_tmp", loc + "__compact_trash"
+    tmp_loc = loc + "__compact_tmp"
     spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
-    for p in (tmp_loc, trash):
-        if os.path.exists(p):
-            shutil.rmtree(p)
+    _pre_clean(spark, loc)
+    spark.catalog.refreshTable(name)  # in case _pre_clean healed a swap
     # read by PATH, not spark.table(name): on a catalog read the
     # optimizer removes the repartition below as already-satisfied by
     # the table's bucket metadata, then the planner independently
@@ -286,7 +386,7 @@ def compact_bucketed_table(
     # files for a 16-bucket compaction). The path read is a plain
     # scan, so the repartition survives and aligns task==bucket.
     df = spark.read.parquet(loc).repartition(
-        nb, *[F.col(c) for c in bucket_cols]
+        nb, *[F.col(c) for c in cols]
     )
     (
         # option("path", ...) makes the temp table EXTERNAL, so the
@@ -297,13 +397,11 @@ def compact_bucketed_table(
         # while they still exist
         df.write.mode("overwrite")
         .option("path", tmp_loc)
-        .bucketBy(nb, *bucket_cols)
-        .sortBy(*bucket_cols)
+        .bucketBy(nb, *cols)
+        .sortBy(*cols)
         .format("parquet")
         .saveAsTable(tmp_name)
     )
     spark.sql(f"DROP TABLE {tmp_name}")
-    os.rename(loc, trash)
-    os.rename(tmp_loc, loc)
-    shutil.rmtree(trash)
+    _swap_compacted(spark, loc, tmp_loc)
     spark.catalog.refreshTable(name)

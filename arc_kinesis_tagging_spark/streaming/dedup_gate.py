@@ -29,11 +29,14 @@ _append_bucketed_bands). Every gate takes ``compact_every`` (default
 64 batches) and runs the layout-preserving compactor
 (sources/maintenance.compact_bucketed_table for band/digest tables,
 compact_ivf_index for the embedding gate's index) itself, AFTER the
-marker write, whenever the durable marker count hits a multiple of
-the cadence — so the 100 TB continuous-ingest shape never depends on
-an operator remembering a maintenance job, and a crash mid-compaction
-costs no admissions (the compactors swap atomically and leave the
-original intact until then). The default is measured (SCALE.md
+marker write, every ``compact_every``-th checkpoint-durable batch_id
+— so the 100 TB continuous-ingest shape never depends on an operator
+remembering a maintenance job, and a crash mid-compaction costs no
+admissions: the compactors write a complete temp copy first, swap it
+in with two renames, and an interrupted swap is HEALED (the original
+restored from <loc>__compact_trash) at the next compaction or corpus
+re-attach via maintenance.recover_interrupted_compaction — never
+read as a fresh corpus. The default is measured (SCALE.md
 round-12 fragmentation ladder, 512k-row digest corpus, 16 buckets):
 probe latency is LINEAR in file count at ~0.33 ms/file — 4096 files
 is 4.8x the 16-file compacted floor — so cadence 64 (peak 1024
@@ -53,20 +56,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _maybe_compact(markers_dir: str, every: int, compact_fn) -> None:
-    """Run the layout-preserving compactor once per ``every`` durable
-    batch markers (0 = never). Counting MARKERS (not an in-memory
-    batch counter) makes the cadence survive driver restarts and
-    replay no-ops: a replayed epoch returns before reaching this, so
-    each marker triggers at most one compaction ever."""
-    if not every:
-        return
-    n = sum(
-        1
-        for f in os.listdir(markers_dir)
-        if f.startswith("batch-") and not f.endswith(".tmp")
-    )
-    if n and n % every == 0:
+def _maybe_compact(batch_id: int, every: int, compact_fn) -> None:
+    """Run the layout-preserving compactor once per ``every`` epochs
+    (0 = never), keyed on the structured-streaming batch_id — which
+    is monotonic and checkpoint-durable, so the cadence survives
+    driver restarts in O(1) (an earlier marker-COUNTING version paid
+    an os.listdir over every marker ever written, O(total batches),
+    on each micro-batch of exactly the long-lived stream this is
+    for). Replayed epochs return on their marker before reaching
+    this, so an epoch triggers at most one compaction; a crash
+    between the marker write and the compaction just defers to the
+    next cadence point."""
+    if every and (int(batch_id) + 1) % every == 0:
         compact_fn()
 
 
@@ -108,11 +109,20 @@ def _ensure_registered(
     of the entire corpus) and the subsequent append would collide
     with the orphaned location. Registers an EXTERNAL bucketed table
     over the existing files; returns True when a corpus is available
-    (already registered or re-attached)."""
+    (already registered or re-attached). Before deciding the corpus
+    is 'genuinely fresh', heal an interrupted compaction swap — a
+    crash between the compactor's two renames leaves the corpus at
+    <loc>__compact_trash, and treating that as fresh would silently
+    forget the entire dedup history."""
     if spark.catalog.tableExists(name):
         return True
     wh = spark.conf.get("spark.sql.warehouse.dir")
     loc = os.path.join(wh.removeprefix("file:"), name.lower())
+    from arc_kinesis_tagging_spark.sources.maintenance import (
+        recover_interrupted_compaction,
+    )
+
+    recover_interrupted_compaction(spark, loc)
     if not os.path.exists(loc):
         return False  # genuinely fresh corpus: first batch creates it
     cols = ", ".join(bucket_cols)
@@ -284,7 +294,7 @@ def make_phash_dedup_gate(
         name = f"{table_prefix}_bands"
         if spark.catalog.tableExists(name):
             _maybe_compact(
-                markers_dir,
+                batch_id,
                 compact_every,
                 lambda: compact_bucketed_table(spark, name, ["chunk"]),
             )
@@ -452,7 +462,7 @@ def make_vhash_dedup_gate(
         name = f"{table_prefix}_bands"
         if spark.catalog.tableExists(name):
             _maybe_compact(
-                markers_dir,
+                batch_id,
                 compact_every,
                 lambda: compact_bucketed_table(
                     spark, name, ["f", "chunk"]
@@ -504,6 +514,7 @@ def make_embedding_dedup_gate(
     )
     from arc_kinesis_tagging_spark.sources.maintenance import (
         compact_ivf_index,
+        recover_interrupted_compaction,
     )
 
     os.makedirs(markers_dir, exist_ok=True)
@@ -517,6 +528,15 @@ def make_embedding_dedup_gate(
             .filter(F.col(vec_col).isNotNull())
             .localCheckpoint(eager=True)
             # pin: probe, in-batch pairs (both sides), anti-join, append
+        )
+        # heal an interrupted index compaction swap BEFORE probing:
+        # /centroids always survives (never compacted), so without
+        # this a crash between the compactor's renames would leave
+        # have_index True with /index missing — every probe failing —
+        # or worse if existence were checked on /index: a silently
+        # fresh index that forgets the whole corpus
+        recover_interrupted_compaction(
+            spark, os.path.join(index_path, "index")
         )
         have_index = os.path.exists(os.path.join(index_path, "centroids"))
         drop = None
@@ -572,7 +592,7 @@ def make_embedding_dedup_gate(
         os.replace(marker + ".tmp", marker)  # atomic: marker is LAST
         if os.path.exists(os.path.join(index_path, "centroids")):
             _maybe_compact(
-                markers_dir,
+                batch_id,
                 compact_every,
                 lambda: compact_ivf_index(spark, index_path),
             )
@@ -659,7 +679,7 @@ def make_text_dedup_gate(
         os.replace(marker + ".tmp", marker)  # atomic: marker is LAST
         if spark.catalog.tableExists(name):
             _maybe_compact(
-                markers_dir,
+                batch_id,
                 compact_every,
                 lambda: compact_bucketed_table(
                     spark, name, ["digest"], n_buckets

@@ -363,23 +363,42 @@ def _recover_from_tail(raw: dict) -> dict:
     return out
 
 
-def _full_latest_queries(baseline_path: str) -> dict:
+def _full_latest_queries(baseline_path: str, raw: dict) -> dict:
     """Per-query map for a baseline whose stdout line carries none:
     from round 12 on, the printed metric line is compact (the full
     61-entry map repeatedly outgrew the driver's tail-capture window
     — BENCH_r03/r11 recorded parsed:null) and the per-query timings
     live ONLY in BENCH_full_latest.json, written by the same bench
-    run the driver recorded. At compare time the current run has not
-    yet overwritten it, so it still holds the baseline's map."""
+    run the driver recorded.
+
+    The side file is overwritten by EVERY bench run, so it must be
+    proven to belong to this baseline before it is trusted: the
+    compact line and the full record share ``value`` (headline
+    seconds to 3 dp) and ``sf`` — any interim bench run in between
+    changes them, and a mismatch degrades to the loud empty-compare
+    path instead of silently comparing against the wrong 'then'."""
     p = os.path.join(
         os.path.dirname(os.path.abspath(baseline_path)),
         "BENCH_full_latest.json",
     )
     try:
         with open(p) as fh:
-            return json.load(fh).get("queries") or {}
+            full = json.load(fh)
     except (OSError, ValueError):
         return {}
+    parsed = raw.get("parsed") or raw
+    for key in ("value", "sf"):
+        want = parsed.get(key)
+        if want is not None and full.get(key) != want:
+            print(
+                f"bench: BENCH_full_latest.json {key}={full.get(key)!r} "
+                f"does not match baseline {key}={want!r} — a bench run "
+                "overwrote the side file since the baseline was "
+                "recorded; per-query compare degraded",
+                file=sys.stderr,
+            )
+            return {}
+    return full.get("queries") or {}
 
 
 CANARY = "q_topk"  # trivial, code-stable query; moves only with the host
@@ -405,7 +424,7 @@ def compare_block(queries: dict, baseline_path: str) -> dict:
     base = (raw.get("queries")
             or (raw.get("parsed") or {}).get("queries")
             or _recover_from_tail(raw)
-            or _full_latest_queries(baseline_path))
+            or _full_latest_queries(baseline_path, raw))
     canary_now, canary_then = queries.get(CANARY), base.get(CANARY)
     canary_factor = (
         round(canary_now / canary_then, 3)

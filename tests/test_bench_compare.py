@@ -24,15 +24,30 @@ def test_compare_reads_compact_baseline_via_side_file(tmp_path):
     the side file the same bench run wrote."""
     base = str(tmp_path / "BENCH_r12.json")
     _write(base, {"parsed": {"metric": "headline_suite_seconds",
-                             "value": 50.0, "n_queries": 2,
+                             "value": 50.0, "sf": 0.1, "n_queries": 2,
                              "queries_file": "BENCH_full_latest.json"}})
     _write(str(tmp_path / "BENCH_full_latest.json"),
-           {"queries": {"q_topk": 0.5, "q_agg_group": 1.0}})
+           {"value": 50.0, "sf": 0.1,
+            "queries": {"q_topk": 0.5, "q_agg_group": 1.0}})
     out = bench.compare_block({"q_topk": 0.5, "q_agg_group": 2.0}, base)
     assert out["canary"]["factor"] == 1.0
     assert out["regressions"] == ["q_agg_group"]
     assert sum(1 for v in out["deltas"].values()
                if v["ratio"] is not None) == 2
+
+
+def test_stale_side_file_is_rejected_not_trusted(tmp_path):
+    """The side file is overwritten by every bench run — if an
+    interim run replaced the baseline's map (value/sf mismatch), the
+    compare must degrade to the loud zero-compare path rather than
+    silently comparing against the wrong 'then' timings."""
+    base = str(tmp_path / "BENCH_r12.json")
+    _write(base, {"parsed": {"value": 50.0, "sf": 0.1}})
+    _write(str(tmp_path / "BENCH_full_latest.json"),
+           {"value": 43.21, "sf": 0.1,  # an interim run's record
+            "queries": {"q_topk": 0.1}})
+    out = bench.compare_block({"q_topk": 1.0}, base)
+    assert all(v["ratio"] is None for v in out["deltas"].values())
 
 
 def test_compare_still_reads_full_and_tail_formats(tmp_path):

@@ -346,3 +346,90 @@ def test_compact_reattached_external_gate_corpus(spark, tmp_path):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_interrupted_swap_heals_instead_of_fresh_corpus(spark, tmp_path):
+    """A crash between the compactor's two renames leaves the corpus
+    at <loc>__compact_trash with <loc> missing. That state must NEVER
+    read as 'fresh corpus': recover_interrupted_compaction restores
+    it, the gates' re-attach runs the recovery before deciding, and
+    the next compaction heals then compacts (the recovery copy is
+    never pre-cleaned away)."""
+    import os
+    import shutil
+    import uuid
+
+    from arc_kinesis_tagging_spark.sources.maintenance import (
+        compact_bucketed_table,
+        recover_interrupted_compaction,
+        table_location,
+    )
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        append_phash_corpus,
+        ensure_corpus_registered,
+    )
+
+    prefix = "akt_heal_" + uuid.uuid4().hex[:12]
+    name = f"{prefix}_bands"
+    append_phash_corpus(
+        spark,
+        spark.createDataFrame(
+            [(i, (i << 30) | 0b101) for i in range(20)],
+            "media_id long, phash long",
+        ),
+        prefix,
+    )
+    loc = table_location(spark, name)
+    rows = sorted(tuple(r) for r in spark.table(name).collect())
+    # driver restart AND interrupted swap: catalog gone, loc at trash
+    saved = str(tmp_path / "saved")
+    shutil.copytree(loc, saved)
+    spark.sql(f"DROP TABLE {name}")
+    shutil.copytree(saved, loc + "__compact_trash")
+    assert not os.path.exists(loc)
+    # the gate's re-attach heals it and the corpus content is intact
+    assert ensure_corpus_registered(spark, prefix)
+    assert sorted(tuple(r) for r in spark.table(name).collect()) == rows
+    # a SECOND interrupted swap, healed by the next compaction itself
+    os.rename(loc, loc + "__compact_trash")
+    spark.catalog.refreshTable(name)
+    compact_bucketed_table(spark, name, ["chunk"])
+    assert sorted(tuple(r) for r in spark.table(name).collect()) == rows
+    assert not os.path.exists(loc + "__compact_trash")
+    # idempotent no-op when nothing is interrupted
+    assert recover_interrupted_compaction(spark, loc) is False
+
+
+def test_compact_ivf_index_survives_interrupted_swap(spark, tmp_path):
+    """The embedding gate's index compactor is temp-swap too (the
+    old in-place overwrite could lose cells mid-crash while
+    /centroids survived — silent admissions forever). An interrupted
+    swap of /index is healed by recovery, and compaction is
+    row-preserving with one file per cell dir."""
+    import os
+
+    from arc_kinesis_tagging_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from arc_kinesis_tagging_spark.sources.maintenance import (
+        compact_ivf_index,
+        recover_interrupted_compaction,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir="/root/testdata/sf0.001")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb.limit(200), path, nlist=4)
+    idx = os.path.join(path, "index")
+    n = spark.read.parquet(idx).count()
+    os.rename(idx, idx + "__compact_trash")  # crashed mid-swap
+    assert recover_interrupted_compaction(spark, idx)
+    assert spark.read.parquet(idx).count() == n
+    compact_ivf_index(spark, path)
+    assert spark.read.parquet(idx).count() == n
+    for d in os.listdir(idx):
+        if d.startswith("cell_id="):
+            files = [
+                f for f in os.listdir(os.path.join(idx, d))
+                if f.startswith("part-")
+            ]
+            assert len(files) == 1, (d, files)

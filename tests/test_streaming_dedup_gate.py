@@ -786,3 +786,57 @@ def test_embedding_gate_auto_compacts_ivf_index(spark, tmp_path):
     # the compacted index still drives verdicts
     gate(batch([(10, vec(0, 0.1)), (11, vec(4))]), 2)
     assert accepted == [[0, 1], [2, 3], [11]]
+
+
+def test_media_gate_auto_compacts_band_corpus(spark, tmp_path):
+    """The image/audio gate's cadence path (same _maybe_compact, but
+    the band-table target with bucket cols ['chunk']): verdicts are
+    unchanged across a compaction and the band table ends at one file
+    per non-empty bucket. Uses an injected precomputed-hash hash_fn
+    so the test exercises the GATE plumbing, not the decoder."""
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.sources.maintenance import (
+        parquet_file_count,
+        table_location,
+    )
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_phash_dedup_gate,
+    )
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.append(sorted(r["media_id"] for r in df.collect()))
+
+    def precomputed(df, id_col, media_col):
+        return df.select(F.col(id_col).alias("media_id"), "phash")
+
+    prefix = "akt_mcad_" + uuid.uuid4().hex[:12]
+    gate = make_phash_dedup_gate(
+        spark,
+        prefix,
+        str(tmp_path / "markers"),
+        sink,
+        hash_fn=precomputed,
+        compact_every=2,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"media_id": pd.array([r[0] for r in rows], dtype="int64"),
+                 "phash": pd.array([r[1] for r in rows], dtype="int64")}
+            )
+        )
+
+    h0, h1, h2 = 0, (1 << 63) - 1, 0x7FFF  # pairwise hamming >= 15
+    gate(batch([(0, h0), (1, h1)]), 0)
+    gate(batch([(2, h2)]), 1)  # 2 markers -> compacts
+    name = f"{prefix}_bands"
+    loc = table_location(spark, name)
+    assert parquet_file_count(loc) <= 16  # one per non-empty bucket
+    # post-compaction probe still drops a hamming-2 near-dup of id 0
+    # and admits a far hash
+    gate(batch([(10, h0 | 0b11), (11, 0x3FF00000000)]), 2)
+    assert accepted == [[0, 1], [2], [11]]

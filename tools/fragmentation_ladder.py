@@ -35,17 +35,21 @@ CHECKPOINTS = [1, 8, 32, 64, 128, 256]
 
 
 def _append(spark, name: str, lo: int, n: int) -> None:
-    # same bucket-aligned append shape as the gates'
-    # _append_bucketed_bands: at most one file per bucket per batch
-    (
-        spark.range(lo, lo + n)
-        .select(F.sha2(F.col("id").cast("string"), 256).alias("digest"))
-        .repartition(16, F.col("digest"))
-        .write.mode("append")
-        .bucketBy(16, "digest")
-        .sortBy("digest")
-        .format("parquet")
-        .saveAsTable(name)
+    # THE production append path, imported, not re-implemented: the
+    # ladder calibrates the gates' compact_every default, so it must
+    # measure the code the gates actually run (bucket alignment
+    # included) — a copy would silently drift
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        _append_bucketed_bands,
+    )
+
+    _append_bucketed_bands(
+        spark.range(lo, lo + n).select(
+            F.sha2(F.col("id").cast("string"), 256).alias("digest")
+        ),
+        name,
+        ["digest"],
+        16,
     )
 
 
