@@ -179,6 +179,22 @@ def minhash_near_duplicates(
     sigs = _minhash_sigs(
         df, text_col, key_col, n_hashes, shingle_n
     ).localCheckpoint(eager=False)
+    return _minhash_pairs_from_sigs(
+        sigs, n_hashes, bands, jaccard_threshold, max_bucket_size
+    )
+
+
+def _minhash_pairs_from_sigs(
+    sigs: DataFrame,
+    n_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """The band/verify half of minhash_near_duplicates over an
+    already-materialized signature table — split out so callers that
+    ALSO probe a corpus with the same signatures (the streaming
+    minhash gate) hash each document exactly once."""
     # Band keys only — shingle arrays must not ride the join shuffle.
     banded = _band_keys(sigs, n_hashes, bands)
 
@@ -967,6 +983,39 @@ def minhash_fresh_against_corpus(
     # signature table once, both use sites read the materialized RDD,
     # and the ContextCleaner reclaims it when the plan is GC'd.
     bsigs = _minhash_sigs(batch, text_col, key_col, n_hashes, shingle_n).localCheckpoint(eager=True)
+    stale = _minhash_stale_keys_from_sigs(
+        spark, bsigs, table_prefix, n_hashes, bands, jaccard_threshold
+    )
+    return batch.join(
+        F.broadcast(stale),
+        batch[key_col] == stale["__batch_key"],
+        "left_anti",
+    )
+
+
+def _minhash_stale_keys_from_sigs(
+    spark,
+    bsigs: DataFrame,
+    table_prefix: str,
+    n_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """``(__batch_key)`` rows of the batch signature table that HAVE a
+    near-duplicate (exact Jaccard >= threshold, LSH-candidated) in the
+    materialized corpus — the probe half of
+    minhash_fresh_against_corpus over precomputed signatures, so a
+    caller that also needs in-batch pairs (the streaming minhash gate)
+    hashes each document once.
+
+    ``exclude_self=True`` drops candidate pairs whose batch and corpus
+    keys are EQUAL before verification: with globally unique document
+    ids that pairing can only be an append-then-crash replay reading
+    the batch's own survivors back out of the corpus — without the
+    filter every survivor self-matches at Jaccard 1.0 on replay and
+    the whole batch silently disappears downstream (the same guard as
+    the perceptual gates' ``id_batch != id_corpus``)."""
     bands_df = _band_keys(bsigs, n_hashes, bands).select(
         F.col("__key").alias("__batch_key"), "band", "bkey"
     )
@@ -978,6 +1027,8 @@ def minhash_fresh_against_corpus(
         .select("__batch_key", "__corpus_key")
         .dropDuplicates(["__batch_key", "__corpus_key"])
     )
+    if exclude_self:
+        cands = cands.filter(F.col("__batch_key") != F.col("__corpus_key"))
     corpus_sh = spark.table(f"{table_prefix}_shingles").select(
         F.col("__key").alias("__corpus_key"), F.col("__sh_hashes").alias("__sh_c")
     )
@@ -986,16 +1037,11 @@ def minhash_fresh_against_corpus(
     )
     inter = F.size(F.array_intersect("__sh_b", "__sh_c")).cast("double")
     union = F.size(F.array_union("__sh_b", "__sh_c")).cast("double")
-    stale = (
+    return (
         cands.join(corpus_sh, "__corpus_key")
         .join(F.broadcast(batch_sh), "__batch_key")
         .filter(union > 0)
         .filter((inter / union) >= jaccard_threshold)
         .select("__batch_key")
         .distinct()
-    )
-    return batch.join(
-        F.broadcast(stale),
-        batch[key_col] == stale["__batch_key"],
-        "left_anti",
     )

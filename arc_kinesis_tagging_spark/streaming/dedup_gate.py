@@ -687,3 +687,165 @@ def make_text_dedup_gate(
             )
 
     return gate
+
+
+def ensure_minhash_corpus_registered(
+    spark,
+    table_prefix: str,
+    key_type: str = "BIGINT",
+    n_buckets: int = 16,
+) -> bool:
+    """Re-attach BOTH minhash corpus tables (band keys + shingle-hash
+    sets — the layout write_minhash_corpus materializes and
+    minhash_fresh_against_corpus probes) to a fresh session. Returns
+    True only when both are available: a crash between the first
+    batch's two creates leaves the corpus half-built, and probing half
+    a corpus would either fail (missing shingle table) or verify
+    nothing — treating it as fresh is SAFE because the only rows it
+    can hold are that replayed batch's own survivors, which the replay
+    re-appends (duplicate band rows collapse in the probe's
+    dropDuplicates, duplicate shingle rows in its verify semi-shape)."""
+    have_bands = _ensure_registered(
+        spark,
+        f"{table_prefix}_bands",
+        f"__key {key_type}, band INT, bkey STRING",
+        ["bkey"],
+        n_buckets,
+    )
+    have_shingles = _ensure_registered(
+        spark,
+        f"{table_prefix}_shingles",
+        f"__key {key_type}, __sh_hashes ARRAY<BIGINT>",
+        ["__key"],
+        n_buckets,
+    )
+    return have_bands and have_shingles
+
+
+def make_minhash_dedup_gate(
+    spark,
+    table_prefix: str,
+    markers_dir: str,
+    accepted_sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    n_buckets: int = 16,
+    compact_every: int = 64,
+):
+    """The TEXT NEAR-DUP gate (MinHash-LSH, unbounded horizon) — the
+    approximate counterpart of make_text_dedup_gate, completing the
+    gate family: exact digests catch byte-identical documents, this
+    catches the boilerplate-variant / near-copy load (exact Jaccard >=
+    threshold over word shingles, LSH-candidated) that dominates web
+    corpora. Per micro-batch: ONE signature pass over the batch
+    (operators/dedup.py:_minhash_sigs — each document is hashed
+    exactly once and feeds the corpus probe, the in-batch pair join,
+    and the survivor appends), probe the PERSISTED two-table corpus
+    (band keys bucketed on bkey: batch bands broadcast, zero corpus
+    Exchange; shingle sets bucketed on __key: verify join co-located),
+    drop batch rows with a corpus near-dup, keep the smallest id per
+    in-batch near-dup pair, append the survivors' band keys + shingle
+    sets (bucket-aligned: at most one file per non-empty bucket per
+    table), emit the accepted rows, write the marker LAST, and every
+    ``compact_every``-th durable batch_id compact both tables
+    (layout-preserving temp-swap; cadence rationale in the module
+    docstring).
+
+    Replay semantics match the perceptual gates: a replayed epoch
+    whose marker exists is a no-op; an append-then-crash replay
+    re-probes a corpus that already holds this batch's survivors, and
+    the probe runs ``exclude_self=True`` (globally unique doc ids make
+    batch_key == corpus_key a replay artifact by definition), so the
+    survivors re-emerge, re-emit (at-least-once for exactly that crash
+    window) and re-append — duplicate corpus rows change no verdict
+    and routine compaction's distinct-free rewrite keeps them probe-
+    harmless (candidate pairs are dropDuplicates'd).
+
+    Documents that produce NO shingles (null text, or fewer than
+    ``shingle_n`` tokens) cannot match anything: they are ACCEPTED,
+    every one of them, and kept out of the corpus — the family's R16
+    per-record isolation contract. Recall is the standard LSH band
+    guarantee; exact duplicates collide in every band and are never
+    missed; precision is exact (every dropped row truly has a
+    >= threshold neighbor)."""
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        _minhash_pairs_from_sigs,
+        _minhash_sigs,
+        _minhash_stale_keys_from_sigs,
+    )
+    from arc_kinesis_tagging_spark.sources.maintenance import (
+        compact_bucketed_table,
+    )
+
+    os.makedirs(markers_dir, exist_ok=True)
+    bands_table = f"{table_prefix}_bands"
+    shingles_table = f"{table_prefix}_shingles"
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(markers_dir, f"batch-{int(batch_id):020d}")
+        if os.path.exists(marker):
+            return  # replayed epoch: already appended + emitted
+        sigs = _minhash_sigs(
+            batch_df, text_col, id_col, n_hashes, shingle_n
+        ).localCheckpoint(eager=True)
+        # pin: ONE decode+hash pass feeds the corpus probe, the
+        # in-batch pair join (both sides), the anti-joins, and both
+        # corpus appends
+        drop = None
+        if ensure_minhash_corpus_registered(
+            spark, table_prefix, n_buckets=n_buckets
+        ):
+            drop = (
+                _minhash_stale_keys_from_sigs(
+                    spark, sigs, table_prefix, n_hashes, bands,
+                    jaccard_threshold, exclude_self=True,
+                )
+                .select(F.col("__batch_key").alias(id_col))
+                .distinct()
+            )
+        # within-batch near-dup pairs keep their smallest id: drop
+        # key_b of every pair (key_a < key_b by construction)
+        in_batch = (
+            _minhash_pairs_from_sigs(
+                sigs, n_hashes, bands, jaccard_threshold
+            )
+            .select(F.col("key_b").alias(id_col))
+            .distinct()
+        )
+        drop = (
+            in_batch if drop is None else drop.unionByName(in_batch)
+        ).distinct().localCheckpoint(eager=True)
+        survivors = sigs.join(
+            F.broadcast(drop),
+            sigs["__key"] == drop[id_col],
+            "left_anti",
+        ).localCheckpoint(eager=True)  # both appends read it
+        from arc_kinesis_tagging_spark.operators.dedup import _band_keys
+
+        _append_bucketed_bands(
+            _band_keys(survivors, n_hashes, bands),
+            bands_table, ["bkey"], n_buckets,
+        )
+        _append_bucketed_bands(
+            survivors.select("__key", "__sh_hashes"),
+            shingles_table, ["__key"], n_buckets,
+        )
+        # rows with no signature (null/too-short text) are never in
+        # drop — the raw-batch anti-join passes them through (R16)
+        accepted = batch_df.join(F.broadcast(drop), id_col, "left_anti")
+        accepted_sink(accepted, batch_id)
+        with open(marker + ".tmp", "w") as fh:
+            fh.write("done")
+        os.replace(marker + ".tmp", marker)  # atomic: marker is LAST
+        if spark.catalog.tableExists(bands_table):
+            def _compact_both():
+                compact_bucketed_table(spark, bands_table, ["bkey"])
+                compact_bucketed_table(spark, shingles_table, ["__key"])
+
+            _maybe_compact(batch_id, compact_every, _compact_both)
+
+    return gate
