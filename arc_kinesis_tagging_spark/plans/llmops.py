@@ -1428,6 +1428,81 @@ GROUP BY d.source
 )
 
 
+def q_corpus_pipeline9(spark, sf_dir):
+    """Round-12 cross-modal composite #4 — completes the composition
+    family over EVERY near-dup modality (text->image pipeline6,
+    text->audio pipeline7, text->video pipeline8, text->EMBEDDING
+    this): (1) exact TEXT dedup (keep the smallest doc_id per text),
+    (2) EMBEDDING near-dup over the survivors only — vec_id aligns
+    1:1 with doc_id in the testdata, restricted by a semi-join so the
+    pair stage genuinely runs on the stage-1 output — via the EXACT
+    sub-quadratic cosine-threshold self-join (IVF cells +
+    triangle-inequality pruning, operators/similarity.py — never
+    all-pairs; pruning is lossless so the all-pairs oracle matches
+    exactly); pairs keep the smaller id; (3) the per-source curation
+    report (counts + exact BIGINT char sums).
+
+    Threshold discipline is q_dedup_embedding's: the exact join runs
+    at 0.3499 (half-ulp slack) and the final filter is the 4-dp
+    ROUNDED cosine >= 0.35, so cross-engine float ulps cannot flip a
+    pair. Scale shape: stage 1 is one map-side-combined aggregate;
+    stage 2 shuffles survivors once on cell_id (cell-pair pruned);
+    the report aggregate is survivor-sized."""
+    from arc_kinesis_tagging_spark.operators.similarity import (
+        cosine_threshold_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    survivors = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    se = e.join(
+        survivors.select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+        "left_semi",
+    )
+    drop = (
+        cosine_threshold_pairs(se, threshold=0.3499, nlist=16)
+        .filter(F.round(F.col("cos_sim"), 4) >= 0.35)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    final = survivors.join(F.broadcast(drop), "doc_id", "left_anti")
+    return (
+        final.join(d.select("doc_id", "source", "n_chars"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+    )
+
+
+# composed oracle: stage-1 survivors restrict the embeddings, then the
+# all-pairs rounded-cosine drop (the Spark side's IVF+triangle pruning
+# is lossless, so the brute-force form is value-identical), then the
+# per-source report
+ORACLE_CORPUS_PIPELINE9 = """
+WITH s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+se AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN s1 ON s1.doc_id = e.vec_id
+), drop AS (
+  SELECT DISTINCT b.vec_id AS doc_id
+  FROM se a JOIN se b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars_total
+FROM s1
+JOIN documents d ON d.doc_id = s1.doc_id
+LEFT JOIN drop ON drop.doc_id = s1.doc_id
+WHERE drop.doc_id IS NULL
+GROUP BY d.source
+"""
+
+
 def q_dedup_vhash_incremental(spark, sf_dir):
     """Incremental cross-batch VIDEO near-dup — the production shape
     of q_dedup_vhash, extending the incremental family to video
@@ -3881,6 +3956,8 @@ LLMOPS_QUERIES = [
           ORACLE_CORPUS_PIPELINE7),
     Query("q_corpus_pipeline8", q_corpus_pipeline8,
           ORACLE_CORPUS_PIPELINE8),
+    Query("q_corpus_pipeline9", q_corpus_pipeline9,
+          ORACLE_CORPUS_PIPELINE9),
     Query("q_dedup_vhash_incremental", q_dedup_vhash_incremental,
           ORACLE_DEDUP_VHASH_INCREMENTAL),
     Query("q_dedup_ahash", q_dedup_ahash, ORACLE_DEDUP_AHASH),

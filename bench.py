@@ -102,6 +102,7 @@ HEADLINE = [
     # round-12 additions
     "q_corpus_pipeline7",  # cross-modal #2: text dedup -> audio near-dup
     "q_corpus_pipeline8",  # cross-modal #3: text dedup -> video near-dup
+    "q_corpus_pipeline9",  # cross-modal #4: text dedup -> embedding near-dup
 ]
 
 

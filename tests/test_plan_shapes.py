@@ -190,6 +190,11 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # composite inheriting both bounded shapes above (lm_buckets'
     # top-V prune + prefix dedup's P-row boundary window)
     "q_corpus_pipeline5",
+    # cosine_threshold_pairs' cell-pair pruning windows run over the
+    # nlist x nlist centroid-pair table (<= 256 rows at nlist=16) —
+    # constant-bounded, never data-sized (q_dedup_embedding carries
+    # the same shape but is exempted via _EAGER_BUILDERS)
+    "q_corpus_pipeline9",
 }
 
 # Builders that launch eager Spark jobs at build time (iterative loops,
@@ -264,6 +269,9 @@ BNLJ_ALLOWLIST = {
     "q_heavy_hitters",
     # 1-row vocabulary-size broadcast onto the scored bigrams
     "q_text_perplexity", "q_corpus_pipeline3",
+    # centroid-assignment cross join: broadcast side is the nlist=16
+    # centroid table (constant-bounded; q_dedup_embedding's shape)
+    "q_corpus_pipeline9",
     # 1-row token-vocabulary-size broadcast (the word-level sibling,
     # the round-6 composite that embeds it, the tail-pruned form, and
     # the CCNet-style bucketing built on it)

@@ -515,6 +515,17 @@ COMMENTARY.update(
             "candidates x sampled frames only; broadcast anti-join "
             "drop, survivor-sized report aggregate."
         ),
+        "q_corpus_pipeline9": (
+            "Cross-modal composite #4 (text -> embedding): text dedup "
+            "as above; survivors semi-join-restrict the embeddings, "
+            "then the EXACT cosine threshold join runs as IVF-cell "
+            "assignment (BNLJ against the 16-row centroid table — "
+            "constant-bounded) + cell-pair triangle pruning (windows "
+            "over the <=256-row centroid-pair table) + within-cell-"
+            "pair verify; one survivor-sized shuffle on cell_id, "
+            "never all-pairs; broadcast anti-join drop and a "
+            "survivor-sized report aggregate."
+        ),
     }
 )
 
