@@ -17,8 +17,9 @@ ModuleNotFoundError. The documented skip stands.
 Re-retried round 8 (2026-08-14): still ModuleNotFoundError (no
 `google` package at all). The documented skip stands.
 
-Re-retried round 11 (2026-08-15): `import google.protobuf` still
-raises ModuleNotFoundError (no `google` package at all); offline
+Re-retried round 11 (2026-08-15) and round 12 (2026-08-16): `import
+google.protobuf` still raises ModuleNotFoundError (no `google`
+package at all); `pip download protobuf` produces nothing; offline
 container, wheel unobtainable. The documented skip stands; the two
 in-container equivalents covering the same semantics are pointed to
 from the streaming_dedup_ttl docstring (streaming/stateful.py):
