@@ -50,10 +50,52 @@ to disable and schedule externally.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Markers through the Hadoop FileSystem API: the replay markers must
+# live on the SAME durable store as the checkpoint (DEPLOY.md), which
+# at 100 TB is hdfs:/s3a:, not the driver's local disk — plain
+# open()/os.replace() on an hdfs:// URI is a FileNotFoundError. A bare
+# local path resolves to the local FS, so tests and the local harness
+# behave exactly as before. (Same rationale and helper as
+# sources/maintenance.py's compactor file ops.) On rename-as-copy
+# stores (S3) the marker write is not atomic; the gates' replay
+# semantics already tolerate a lost marker (at-least-once for that
+# window, never loss), so the degradation is bounded by design.
+# ---------------------------------------------------------------------------
+
+
+def _markers_init(spark, markers_dir: str) -> None:
+    from arc_kinesis_tagging_spark.sources.maintenance import _hpath
+
+    fs, p = _hpath(spark, markers_dir)
+    fs.mkdirs(p)
+
+
+def _marker_uri(markers_dir: str, batch_id: int) -> str:
+    return f"{markers_dir.rstrip('/')}/batch-{int(batch_id):020d}"
+
+
+def _marker_exists(spark, marker: str) -> bool:
+    from arc_kinesis_tagging_spark.sources.maintenance import _fs_exists
+
+    return _fs_exists(spark, marker)
+
+
+def _write_marker(spark, marker: str) -> None:
+    """Write the marker via create-temp + rename (atomic on HDFS-like
+    stores; the local FS keeps the old os.replace semantics). A rename
+    that fails because the destination already exists means a replay
+    raced us to the same durable fact — success either way."""
+    from arc_kinesis_tagging_spark.sources.maintenance import _hpath
+
+    fs, tmp = _hpath(spark, marker + ".tmp")
+    fs.create(tmp, True).close()
+    _, dst = _hpath(spark, marker)
+    if not fs.rename(tmp, dst) and not fs.exists(dst):
+        raise IOError(f"marker write failed: {marker}")
 
 
 def _maybe_compact(batch_id: int, every: int, compact_fn) -> None:
@@ -117,13 +159,17 @@ def _ensure_registered(
     if spark.catalog.tableExists(name):
         return True
     wh = spark.conf.get("spark.sql.warehouse.dir")
-    loc = os.path.join(wh.removeprefix("file:"), name.lower())
+    # Scheme-preserving join (the warehouse is a URI on hdfs:/s3a:
+    # deployments; the local harness passes file:/... or a bare path
+    # through unchanged — both resolve to the same physical location)
+    loc = wh.rstrip("/") + "/" + name.lower()
     from arc_kinesis_tagging_spark.sources.maintenance import (
+        _fs_exists,
         recover_interrupted_compaction,
     )
 
     recover_interrupted_compaction(spark, loc)
-    if not os.path.exists(loc):
+    if not _fs_exists(spark, loc):
         return False  # genuinely fresh corpus: first batch creates it
     cols = ", ".join(bucket_cols)
     spark.sql(
@@ -221,11 +267,11 @@ def make_phash_dedup_gate(
 
         hash_fn = phash_gray
 
-    os.makedirs(markers_dir, exist_ok=True)
+    _markers_init(spark, markers_dir)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(markers_dir, f"batch-{int(batch_id):020d}")
-        if os.path.exists(marker):
+        marker = _marker_uri(markers_dir, batch_id)
+        if _marker_exists(spark, marker):
             return  # replayed epoch: already appended + emitted
         hashes = (
             hash_fn(batch_df, id_col, media_col)
@@ -288,9 +334,7 @@ def make_phash_dedup_gate(
             F.broadcast(survivors.select(id_col)), id_col, "left_semi"
         )
         accepted_sink(accepted, batch_id)
-        with open(marker + ".tmp", "w") as fh:
-            fh.write("done")
-        os.replace(marker + ".tmp", marker)  # atomic: marker is LAST
+        _write_marker(spark, marker)  # atomic-ish: marker is LAST
         name = f"{table_prefix}_bands"
         if spark.catalog.tableExists(name):
             _maybe_compact(
@@ -408,11 +452,11 @@ def make_vhash_dedup_gate(
         compact_bucketed_table,
     )
 
-    os.makedirs(markers_dir, exist_ok=True)
+    _markers_init(spark, markers_dir)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(markers_dir, f"batch-{int(batch_id):020d}")
-        if os.path.exists(marker):
+        marker = _marker_uri(markers_dir, batch_id)
+        if _marker_exists(spark, marker):
             return  # replayed epoch: already appended + emitted
         fh = (
             vhash_frames(batch_df, id_col, media_col, every=every)
@@ -456,9 +500,7 @@ def make_vhash_dedup_gate(
             F.broadcast(survivor_ids), id_col, "left_semi"
         )
         accepted_sink(accepted, batch_id)
-        with open(marker + ".tmp", "w") as fh2:
-            fh2.write("done")
-        os.replace(marker + ".tmp", marker)  # atomic: marker is LAST
+        _write_marker(spark, marker)  # atomic-ish: marker is LAST
         name = f"{table_prefix}_bands"
         if spark.catalog.tableExists(name):
             _maybe_compact(
@@ -516,12 +558,15 @@ def make_embedding_dedup_gate(
         compact_ivf_index,
         recover_interrupted_compaction,
     )
+    from arc_kinesis_tagging_spark.sources.maintenance import (
+        _fs_exists as _fs_exists_m,
+    )
 
-    os.makedirs(markers_dir, exist_ok=True)
+    _markers_init(spark, markers_dir)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(markers_dir, f"batch-{int(batch_id):020d}")
-        if os.path.exists(marker):
+        marker = _marker_uri(markers_dir, batch_id)
+        if _marker_exists(spark, marker):
             return  # replayed epoch: already appended + emitted
         batch = (
             batch_df.select(id_col, vec_col)
@@ -536,9 +581,9 @@ def make_embedding_dedup_gate(
         # or worse if existence were checked on /index: a silently
         # fresh index that forgets the whole corpus
         recover_interrupted_compaction(
-            spark, os.path.join(index_path, "index")
+            spark, index_path.rstrip("/") + "/index"
         )
-        have_index = os.path.exists(os.path.join(index_path, "centroids"))
+        have_index = _fs_exists_m(spark, index_path.rstrip("/") + "/centroids")
         drop = None
         if have_index:
             hits = query_ivf_index(
@@ -587,10 +632,8 @@ def make_embedding_dedup_gate(
         # swallowed by the null filter (R16)
         accepted = batch_df.join(F.broadcast(drop), id_col, "left_anti")
         accepted_sink(accepted, batch_id)
-        with open(marker + ".tmp", "w") as fh:
-            fh.write("done")
-        os.replace(marker + ".tmp", marker)  # atomic: marker is LAST
-        if os.path.exists(os.path.join(index_path, "centroids")):
+        _write_marker(spark, marker)  # atomic-ish: marker is LAST
+        if _fs_exists_m(spark, index_path.rstrip("/") + "/centroids"):
             _maybe_compact(
                 batch_id,
                 compact_every,
@@ -637,12 +680,12 @@ def make_text_dedup_gate(
         compact_bucketed_table,
     )
 
-    os.makedirs(markers_dir, exist_ok=True)
+    _markers_init(spark, markers_dir)
     name = f"{table_prefix}_digests"
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(markers_dir, f"batch-{int(batch_id):020d}")
-        if os.path.exists(marker):
+        marker = _marker_uri(markers_dir, batch_id)
+        if _marker_exists(spark, marker):
             return  # replayed epoch: already emitted + appended
         digested = batch_df.withColumn(
             "digest", F.sha2(F.col(text_col).cast("string"), 256)
@@ -674,9 +717,7 @@ def make_text_dedup_gate(
             accepted.select("digest").distinct(), name, ["digest"],
             n_buckets,
         )
-        with open(marker + ".tmp", "w") as fh:
-            fh.write("done")
-        os.replace(marker + ".tmp", marker)  # atomic: marker is LAST
+        _write_marker(spark, marker)  # atomic-ish: marker is LAST
         if spark.catalog.tableExists(name):
             _maybe_compact(
                 batch_id,
@@ -781,13 +822,13 @@ def make_minhash_dedup_gate(
         compact_bucketed_table,
     )
 
-    os.makedirs(markers_dir, exist_ok=True)
+    _markers_init(spark, markers_dir)
     bands_table = f"{table_prefix}_bands"
     shingles_table = f"{table_prefix}_shingles"
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(markers_dir, f"batch-{int(batch_id):020d}")
-        if os.path.exists(marker):
+        marker = _marker_uri(markers_dir, batch_id)
+        if _marker_exists(spark, marker):
             return  # replayed epoch: already appended + emitted
         sigs = _minhash_sigs(
             batch_df, text_col, id_col, n_hashes, shingle_n
@@ -838,9 +879,7 @@ def make_minhash_dedup_gate(
         # drop — the raw-batch anti-join passes them through (R16)
         accepted = batch_df.join(F.broadcast(drop), id_col, "left_anti")
         accepted_sink(accepted, batch_id)
-        with open(marker + ".tmp", "w") as fh:
-            fh.write("done")
-        os.replace(marker + ".tmp", marker)  # atomic: marker is LAST
+        _write_marker(spark, marker)  # atomic-ish: marker is LAST
         if spark.catalog.tableExists(bands_table):
             def _compact_both():
                 compact_bucketed_table(spark, bands_table, ["bkey"])
