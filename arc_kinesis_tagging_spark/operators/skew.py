@@ -75,13 +75,17 @@ def write_bucketed(
     either way."""
     spark = df.sparkSession
     if not spark.catalog.tableExists(table_name):
-        import os
-        import shutil
+        # Scheme-aware (the warehouse is hdfs:/s3a: on a cluster;
+        # local paths resolve to the local FS unchanged)
+        from arc_kinesis_tagging_spark.sources.maintenance import (
+            _fs_delete,
+            _fs_exists,
+        )
 
         wh = spark.conf.get("spark.sql.warehouse.dir")
-        loc = os.path.join(wh.removeprefix("file:"), table_name.lower())
-        if os.path.exists(loc):
-            shutil.rmtree(loc)
+        loc = wh.rstrip("/") + "/" + table_name.lower()
+        if _fs_exists(spark, loc):
+            _fs_delete(spark, loc)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, *bucket_cols)

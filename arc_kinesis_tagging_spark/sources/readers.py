@@ -54,12 +54,12 @@ def upsert_by_key_parquet(
     parquet rewrites the table, which is fine for dimension-sized data
     only.
     """
-    import os
-
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    if os.path.exists(path):
+    from arc_kinesis_tagging_spark.sources.maintenance import _fs_exists
+
+    if _fs_exists(spark, path):
         existing = spark.read.parquet(path)
         merged = existing.unionByName(df, allowMissingColumns=True)
     else:
