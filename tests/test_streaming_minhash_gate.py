@@ -233,3 +233,57 @@ def test_minhash_gate_one_representative_per_clique_any_batching(
             if g not in want:
                 want[g] = min(i for i in ids if i // 3 == g)
     assert sorted(accepted) == sorted(want.values())
+
+
+def test_minhash_gate_survives_crash_between_the_two_appends(
+    spark, tmp_path
+):
+    """The two-table corpus has a crash window the single-table gates
+    don't: bands appended, shingles NOT, marker missing. The replay
+    must neither lose the batch (its rows self-match their own band
+    rows, but those candidates die at the shingle verify inner join —
+    no shingle row exists) nor corrupt later verdicts (the replay
+    re-appends both tables; duplicate band rows collapse in the
+    probe's dropDuplicates)."""
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        _band_keys,
+        _minhash_sigs,
+    )
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        _append_bucketed_bands,
+    )
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.append(sorted(r["doc_id"] for r in df.collect()))
+
+    prefix = "akt_mhcw_" + uuid.uuid4().hex[:12]
+    gate = make_minhash_dedup_gate(
+        spark, prefix, str(tmp_path / "markers"), sink
+    )
+    # batch 0 runs clean, establishing both corpus tables
+    gate(_batch(spark, [(1, A0), (2, B0)]), 0)
+    assert accepted == [[1, 2]]
+
+    # simulate batch 1 crashing between its two appends: its
+    # survivors' BAND rows land, shingles and marker do not
+    b1 = _batch(spark, [(10, C0), (11, D0)])
+    sigs = _minhash_sigs(b1, "text", "doc_id", 16, 3)
+    _append_bucketed_bands(
+        _band_keys(sigs, 16, 4), f"{prefix}_bands", ["bkey"], 16
+    )
+    assert spark.table(f"{prefix}_bands").count() == 4 * 4  # 2 + 2 docs
+    assert spark.table(f"{prefix}_shingles").count() == 2  # still batch 0
+
+    # the replay: both fresh docs must re-emerge and both tables
+    # converge to the full survivor set
+    gate(b1, 1)
+    assert accepted == [[1, 2], [10, 11]]
+    assert sorted(
+        r["__key"]
+        for r in spark.table(f"{prefix}_shingles").select("__key").collect()
+    ) == [1, 2, 10, 11]
+    # duplicate band rows from the half-append change no later verdict
+    gate(_batch(spark, [(20, C0 + " anew"), (21, A0 + " anew")]), 2)
+    assert accepted[-1] == []
