@@ -83,3 +83,29 @@ def test_exact_then_minhash_stack(spark, tmp_path):
     os.remove(os.path.join(str(tmp_path / "m_ex"), f"batch-{2:020d}"))
     outer(_batch(spark, [(20, "jaded zombies acted quaintly but kept driving oxen")]), 2)
     assert accepted == [[1, 4], [12], [20]]
+
+
+def test_gate_markers_accept_scheme_uris(spark, tmp_path):
+    """The markers dir is documented to live on the checkpoint's
+    durable store, i.e. a scheme URI on a real cluster. Drive a gate
+    with an explicit file: URI (the only scheme the container has) so
+    the Hadoop-FS marker path — mkdirs, exists-check, create+rename —
+    is exercised on URI input, not just bare local paths."""
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.append(sorted(r["doc_id"] for r in df.collect()))
+
+    prefix = "akt_uri_" + uuid.uuid4().hex[:12]
+    markers = "file:" + str(tmp_path / "markers_uri")
+    gate = make_text_dedup_gate(spark, prefix, markers, sink)
+    gate(_batch(spark, [(1, A0), (2, A0)]), 0)
+    gate(_batch(spark, [(3, A0), (4, B0)]), 1)
+    assert accepted == [[1], [4]]
+    # replay short-circuits on the URI-addressed marker
+    gate(_batch(spark, [(3, A0), (4, B0)]), 1)
+    assert accepted == [[1], [4]]
+    # the marker landed where the URI points (local file behind file:)
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "markers_uri"), f"batch-{1:020d}")
+    )
