@@ -812,7 +812,20 @@ def make_minhash_dedup_gate(
     per-record isolation contract. Recall is the standard LSH band
     guarantee; exact duplicates collide in every band and are never
     missed; precision is exact (every dropped row truly has a
-    >= threshold neighbor)."""
+    >= threshold neighbor).
+
+    Sizing ``(n_hashes, bands)`` to the threshold — collision
+    probability for a true-similarity-``s`` pair is
+    ``1 - (1 - s^r)^b`` with ``r = n_hashes // bands``; the default
+    (16, 4) gives r=4: s=0.9 -> 0.99, s=0.8 -> 0.88, s=0.7 -> 0.67,
+    s=0.5 -> 0.23. That is tuned for the near-copy/boilerplate load
+    (s >= 0.8). A jaccard_threshold of 0.5 with HIGH recall needs a
+    lower row count per band: (16, 8) gives r=2: s=0.5 -> 0.90,
+    s=0.7 -> 0.995 — at 2x the band rows per document and more
+    verify candidates (precision stays exact either way; only probe
+    cost changes). Corpus band rows scale linearly in ``bands``, so
+    re-banding an existing corpus means rebuilding it — pick the
+    operating point before first ingest."""
     from arc_kinesis_tagging_spark.operators.dedup import (
         _minhash_pairs_from_sigs,
         _minhash_sigs,
