@@ -1503,6 +1503,64 @@ GROUP BY d.source
 """
 
 
+def q_corpus_pipeline10(spark, sf_dir):
+    """Round-12 composite #5 — the DECONTAMINATED curation pass, the
+    last pre-training step no earlier pipeline composes: (1) language
+    admission (the oracle-pinned heuristic langid, keep 'en'), (2)
+    exact dedup (keep the smallest doc_id per text), (3) NEAR-dup
+    pruning of the survivors by exact unigram Jaccard >= 0.6
+    (inverted-index join, operators/dedup.py:ngram_jaccard_pairs —
+    pairs only ever meet on a shared token, never all-pairs; each
+    pair drops its larger id), (4) train/eval DECONTAMINATION: drop
+    any survivor sharing >= 3 distinct word 3-grams with the
+    benchmark slice (doc_id % 97 == 0 of the FULL corpus — held-out
+    eval docs must knock out their train-side copies even when the
+    eval doc itself was filtered upstream), via
+    operators/dedup.py:contamination_pairs with the benchmark side
+    broadcast, (5) the per-source curation report (counts + exact
+    BIGINT char sums).
+
+    Every stage is individually hash-green (q_text_langid,
+    q_dedup_exact, q_dedup_ngram_jaccard, q_contamination) and the
+    composite carries a full DuckDB oracle built from the same
+    fragments — a hash-green row proves the COMPOSITION: stage 3 runs
+    on exactly the stage-2 survivors and stage 4 on exactly the
+    stage-3 survivors. Scale shape: langid is a map-side projection
+    fused into the scan; the exact dedup is one map-side-combined
+    aggregate; the Jaccard index shuffles survivor tokens once (sparse
+    inverted index; prefix filtering is the documented 100 TB lever);
+    decontamination broadcasts the benchmark shingles (eval sets are
+    tiny next to a training corpus) so the corpus side never
+    shuffles; both drop sets broadcast into left-antis; the report
+    aggregate is survivor-sized."""
+    from arc_kinesis_tagging_spark.operators.dedup import contamination_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    en = d.filter(language_id_expr(F.col("text")) == "en")
+    s1 = en.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    nd_drop = (
+        ngram_jaccard_pairs(s1, "text", "doc_id", threshold=0.6, shingle_n=1)
+        .select(F.col("key_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(F.broadcast(nd_drop), "doc_id", "left_anti")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    c_drop = (
+        contamination_pairs(s2, bench, "text", "doc_id", shingle_n=3, min_shared=3)
+        .select(F.col("doc_key").alias("doc_id"))
+        .distinct()
+    )
+    final = s2.join(F.broadcast(c_drop), "doc_id", "left_anti")
+    return (
+        final.join(d.select("doc_id", "source", "n_chars"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+    )
+
+
 def q_dedup_vhash_incremental(spark, sf_dir):
     """Incremental cross-batch VIDEO near-dup — the production shape
     of q_dedup_vhash, extending the incremental family to video
@@ -2150,6 +2208,73 @@ SELECT doc_id,
     ELSE 'en'
   END AS lang_guess
 FROM documents
+"""
+
+
+# q_corpus_pipeline10's composed oracle lives HERE (not next to its
+# builder) because it splices the langid CASE verbatim from the
+# hash-green ORACLE_LANGID above; the Jaccard CTEs mirror
+# ORACLE_NGRAM_JACCARD (restricted to the stage-2 survivors), the
+# shingle CTEs mirror ORACLE_CONTAMINATION (benchmark from the FULL
+# corpus, probe side from the stage-3 survivors), then the per-source
+# report.
+_LANGID_CASE = (
+    ORACLE_LANGID.split("doc_id,", 1)[1].rsplit("AS lang_guess", 1)[0]
+)
+ORACLE_CORPUS_PIPELINE10 = f"""
+WITH en AS (
+  SELECT doc_id, text FROM documents
+  WHERE ({_LANGID_CASE}) = 'en'
+), s1 AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM en GROUP BY text
+), toks1 AS (
+  SELECT doc_id AS key,
+         UNNEST(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS tok
+  FROM s1
+), sizes AS (
+  SELECT key, COUNT(*) AS sz FROM toks1 GROUP BY key
+), inter AS (
+  SELECT a.key AS key_a, b.key AS key_b, COUNT(*) AS n_inter
+  FROM toks1 a JOIN toks1 b ON a.tok = b.tok AND a.key < b.key
+  GROUP BY a.key, b.key
+), nd_drop AS (
+  SELECT DISTINCT key_b AS doc_id
+  FROM inter
+  JOIN sizes sa ON sa.key = key_a
+  JOIN sizes sb ON sb.key = key_b
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.6
+), s2 AS (
+  SELECT s1.doc_id, s1.text FROM s1
+  LEFT JOIN nd_drop USING (doc_id) WHERE nd_drop.doc_id IS NULL
+), ssh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 0)),
+           i -> array_to_string(tk[i : i + 2], ' ')))) AS s
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk FROM s2)
+), bsh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 0)),
+           i -> array_to_string(tk[i : i + 2], ' ')))) AS s
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents WHERE doc_id % 97 = 0)
+), c_drop AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT a.doc_id
+    FROM ssh a JOIN bsh b ON a.s = b.s AND a.doc_id <> b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+  )
+), final AS (
+  SELECT s2.doc_id FROM s2
+  LEFT JOIN c_drop USING (doc_id) WHERE c_drop.doc_id IS NULL
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars_total
+FROM final JOIN documents d USING (doc_id)
+GROUP BY d.source
 """
 
 
@@ -3958,6 +4083,8 @@ LLMOPS_QUERIES = [
           ORACLE_CORPUS_PIPELINE8),
     Query("q_corpus_pipeline9", q_corpus_pipeline9,
           ORACLE_CORPUS_PIPELINE9),
+    Query("q_corpus_pipeline10", q_corpus_pipeline10,
+          ORACLE_CORPUS_PIPELINE10),
     Query("q_dedup_vhash_incremental", q_dedup_vhash_incremental,
           ORACLE_DEDUP_VHASH_INCREMENTAL),
     Query("q_dedup_ahash", q_dedup_ahash, ORACLE_DEDUP_AHASH),

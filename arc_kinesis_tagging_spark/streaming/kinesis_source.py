@@ -196,6 +196,24 @@ class KinesisEmuStreamReader(DataSourceStreamReader):
         # starts (including newly discovered shards, which enter capped
         # from 0). Best-effort first-batch semantics, exact afterwards
         # — and never a duplicate or a skip.
+        #
+        # Capping the FIRST offer is deliberately NOT done: on a
+        # checkpoint restart the reader is a fresh object (base None)
+        # but the engine's committed offset may be far ahead; a capped
+        # first offer (min(actual, 0 + cap)) can then be BELOW the
+        # committed offset, and a lower offer rewinds the offset log
+        # and re-reads earlier batches (observed empirically — the
+        # same failure mode as resetting the base in initialOffset).
+        # This reader cannot distinguish fresh-start from restart (the
+        # engine consults latestOffset before initialOffset, and only
+        # the engine knows the checkpoint), so the uncapped first
+        # offer is load-bearing for restart exactly-once. The
+        # PRODUCTION path does not inherit this quirk: the real AWS
+        # binding (kinesis_aws.py) bounds EVERY read — including the
+        # first — at maxRecordsPerShardPerBatch inside read()/
+        # readBetweenOffsets, which the prefetch-based
+        # SimpleDataSourceStreamReader API makes safe (the engine
+        # hands it the true start offset, so there is no blind offer).
         if self._base is None:
             end = dict(actual)
         else:

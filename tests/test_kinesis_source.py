@@ -119,7 +119,17 @@ def test_admission_control_bounds_batches(registered, tmp_path):
         .start()
     )
     try:
-        time.sleep(2)  # let the stream establish its (empty) base
+        # Wait for a COMPLETED (empty) batch before writing: the
+        # reader's first latestOffset is uncapped by design (restart
+        # safety — see KinesisEmuStreamReader.latestOffset), so the
+        # cap only governs records that arrive after the base is
+        # established. A fixed sleep flaked under full-suite load
+        # (the stream took >2s to start and all 20 records landed in
+        # the uncapped first batch).
+        base_deadline = time.time() + 60
+        while q.lastProgress is None and time.time() < base_deadline:
+            time.sleep(0.1)
+        assert q.lastProgress is not None, "stream never completed batch 0"
         write_kinesis_fixture(sd, [(_blob(i, 0), 0) for i in range(20)])
         deadline = time.time() + 90
         while len(rows) < 20 and time.time() < deadline:
