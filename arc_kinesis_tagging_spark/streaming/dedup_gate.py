@@ -901,3 +901,70 @@ def make_minhash_dedup_gate(
             _maybe_compact(batch_id, compact_every, _compact_both)
 
     return gate
+
+
+def make_simhash_dedup_gate(
+    spark,
+    table_prefix: str,
+    markers_dir: str,
+    accepted_sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    compact_every: int = 64,
+):
+    """The TEXT NEAR-DUP gate #2 — SimHash/Hamming (Charikar's
+    similarity-estimation sketch; reference for the batch analog:
+    q_dedup_simhash), the bag-of-words-cosine complement of the
+    MinHash/Jaccard gate above: two documents whose token SETS mostly
+    overlap land within a few bits of each other in the 60-bit
+    sign-vote sketch, so boilerplate variants collapse at a fixed
+    per-document cost of ONE 64-bit hash — the cheapest near-dup
+    operating point (8 bytes/doc of corpus state vs MinHash's
+    n_hashes + shingle sets).
+
+    Machinery: the IMAGE gate runs verbatim over the text hash —
+    ``_simhash64`` (operators/dedup.py, pure JVM expression) plugs in
+    as ``hash_fn`` at ``hash_bits=60``, so this gate inherits every
+    property pinned for the perceptual gates: pigeonhole banding at
+    ``max_hamming + 1`` bands (candidate recall EXACTLY 1.0 at the
+    threshold — stronger than the batch op's fixed 4-band LSH, which
+    is probabilistic above hamming 3), bucketed corpus probed with
+    batch-broadcast and zero corpus Exchange, verify folded into the
+    band-join condition, replay-safe markers with the
+    append-then-crash self-match filter, R16 corrupt isolation (null
+    text -> null hash -> accepted, never in the corpus), and
+    marker-cadenced self-compaction.
+
+    Semantics note: empty or whitespace-only text simhashes to 0
+    (every bit's vote sum is empty), so all such docs are mutual
+    hamming-0 dups — the first is admitted, the rest dropped. Run a
+    quality gate upstream if empty docs must all pass."""
+    from arc_kinesis_tagging_spark.operators.dedup import _simhash64
+
+    def simhash_fn(df: DataFrame, id_c: str, txt_c: str) -> DataFrame:
+        # the gate's hash_fn contract: fixed (media_id, <hash>) output.
+        # _simhash64 folds a NULL text to 0 (its empty vote sum), which
+        # would silently dedup corrupt rows against empty documents —
+        # guard it to NULL so they ride the gate's R16 corrupt path
+        # (accepted, never in the corpus) like every other modality.
+        return df.select(
+            F.col(id_c).alias("media_id"),
+            F.when(F.col(txt_c).isNull(), F.lit(None).cast("long"))
+            .otherwise(_simhash64(txt_c))
+            .alias("simhash"),
+        )
+
+    return make_phash_dedup_gate(
+        spark,
+        table_prefix,
+        markers_dir,
+        accepted_sink,
+        id_col,
+        text_col,
+        max_hamming=max_hamming,
+        hash_fn=simhash_fn,
+        hash_col="simhash",
+        hash_bits=60,
+        compact_every=compact_every,
+    )
