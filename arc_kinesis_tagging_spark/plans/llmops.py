@@ -1537,7 +1537,18 @@ def q_corpus_pipeline10(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     en = d.filter(language_id_expr(F.col("text")) == "en")
-    s1 = en.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # Pin: the survivor set feeds the Jaccard index THREE times (key_a
+    # side, key_b side, sizes) plus the report join — without the pin
+    # Catalyst re-derives the langid filter + text-keyed dedup
+    # aggregate (a full corpus scan AND shuffle) once per consumer.
+    # localCheckpoint, not persist(): builder-returned plan, no safe
+    # unpersist point; ContextCleaner reclaims the blocks on GC (the
+    # same discipline as simhash_near_duplicates).
+    s1 = (
+        en.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .localCheckpoint(eager=False)
+    )
     nd_drop = (
         ngram_jaccard_pairs(s1, "text", "doc_id", threshold=0.6, shingle_n=1)
         .select(F.col("key_b").alias("doc_id"))

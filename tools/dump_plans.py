@@ -526,6 +526,19 @@ COMMENTARY.update(
             "never all-pairs; broadcast anti-join drop and a "
             "survivor-sized report aggregate."
         ),
+        "q_corpus_pipeline10": (
+            "Decontaminated curation composite: the langid filter "
+            "fuses into the scan (DataFilters on the parquet read), "
+            "the exact dedup is one map-side-combined text aggregate, "
+            "and the survivor set is localCheckpoint-pinned — without "
+            "the pin Catalyst re-derived that scan+shuffle subtree "
+            "once per Jaccard-index consumer (4x). The Jaccard "
+            "inverted index meets only on shared tokens (never "
+            "all-pairs), decontamination broadcasts the benchmark "
+            "shingles so the survivor side never shuffles, both drop "
+            "sets broadcast into anti-joins, and the report aggregate "
+            "is survivor-sized."
+        ),
     }
 )
 
