@@ -1024,6 +1024,101 @@ WHERE bit_count(xor(b.hash, c.hash)) <= 4
 )
 
 
+def q_dedup_simhash_incremental(spark, sf_dir):
+    """Incremental cross-batch TEXT near-dup by SimHash — upgrades the
+    simhash family from rows-only to HASH-CHECKED and completes the
+    incremental set (exact, text-LSH, image, video, audio, and now
+    text-SimHash): the established corpus's banded 60-bit sign-vote
+    sketches live in the SAME one-table layout as the image corpus
+    (operators/dedup.py:write_phash_corpus at hash_bits=60), and
+    today's batch broadcasts its banded chunks onto it — one corpus
+    scan, zero corpus Exchange, no corpus self-join. Split doc_id % 5
+    (1-4 corpus, 0 batch).
+
+    The batch q_dedup_simhash is rows-only because its fixed 4-band
+    LSH is probabilistic ABOVE hamming 3 (the candidate set itself is
+    banding-dependent); HERE the pigeonhole banding (max_hamming + 1
+    = 7 bands) is deterministic with recall exactly 1.0 at
+    hamming<=6, and _simhash64 is built on the portable md5-prefix
+    token hash (functions/text.py:stable_hash64), so the DuckDB
+    oracle recomputes both sides' sketches analytically (sign votes
+    per bit over distinct-token hashes) and brute-forces the
+    batch x corpus pairs — a FULL value check of the text-SimHash
+    semantics end to end. Docs with no tokens are excluded from both
+    sides (their vote sum is empty; the Spark side guards them to a
+    null hash, which the corpus writer and probe filter)."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        _simhash64,
+        phash_batch_against_corpus,
+        write_phash_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+
+    def hashes(docs):
+        toks = F.array_distinct(tokens(F.col("text")))
+        return docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.when(F.size(toks) > 0, _simhash64("text"))
+            .otherwise(F.lit(None).cast("long"))
+            .alias("simhash"),
+        )
+
+    norm = _os.path.abspath(sf_dir.rstrip("/"))
+    prefix = "akt_sh_corpus_" + _hashlib.md5(norm.encode()).hexdigest()[:8]
+    memo = _session_memo(spark)
+    if (norm, "sh") not in memo:
+        write_phash_corpus(
+            spark,
+            hashes(d.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)),
+            prefix,
+            "media_id",
+            "simhash",
+            max_hamming=6,
+            hash_bits=60,
+        )
+        memo.add((norm, "sh"))
+    batch = hashes(d.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0))
+    return phash_batch_against_corpus(
+        spark, batch, prefix, "media_id", "simhash",
+        max_hamming=6, hash_bits=60,
+    )
+
+
+# analytic twin of _simhash64: per distinct token the portable
+# md5-prefix hash (functions/text.py:stable_hash64 — bit-identical in
+# DuckDB), per bit position the +/-1 vote sum, sign bits OR-folded;
+# then brute-force batch (doc_id%5=0) x corpus (doc_id%5<>0) at
+# hamming<=6 — a FULL hash check because pigeonhole banding is
+# deterministic (recall exactly 1.0 at the threshold)
+ORACLE_DEDUP_SIMHASH_INCREMENTAL = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+), votes AS (
+  SELECT doc_id, g.i AS i,
+         SUM(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN generate_series(0, 59) g(i)
+  GROUP BY doc_id, g.i
+), h AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS hash
+  FROM votes GROUP BY doc_id
+)
+SELECT b.doc_id AS id_batch, c.doc_id AS id_corpus,
+       CAST(bit_count(xor(b.hash, c.hash)) AS BIGINT) AS hamming
+FROM h b JOIN h c ON b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+WHERE bit_count(xor(b.hash, c.hash)) <= 6
+"""
+
+
 def q_dedup_vhash(spark, sf_dir):
     """VIDEO near-dup — the fourth and last modality joins the dedup
     family (text, embeddings, images, video): real Y4M videos
@@ -4085,6 +4180,8 @@ LLMOPS_QUERIES = [
     Query("q_dedup_phash", q_dedup_phash, ORACLE_DEDUP_PHASH),
     Query("q_dedup_phash_incremental", q_dedup_phash_incremental,
           ORACLE_DEDUP_PHASH_INCREMENTAL),
+    Query("q_dedup_simhash_incremental", q_dedup_simhash_incremental,
+          ORACLE_DEDUP_SIMHASH_INCREMENTAL),
     Query("q_dedup_vhash", q_dedup_vhash, ORACLE_DEDUP_VHASH),
     Query("q_corpus_pipeline6", q_corpus_pipeline6,
           ORACLE_CORPUS_PIPELINE6),

@@ -103,6 +103,9 @@ HEADLINE = [
     "q_corpus_pipeline7",  # cross-modal #2: text dedup -> audio near-dup
     "q_corpus_pipeline8",  # cross-modal #3: text dedup -> video near-dup
     "q_corpus_pipeline9",  # cross-modal #4: text dedup -> embedding near-dup
+    "q_corpus_pipeline10",  # decontaminated curation: langid -> dedup ->
+    #                         jaccard near-dup -> decontam -> report
+    "q_dedup_simhash_incremental",  # batch-vs-corpus text SimHash (banded)
 ]
 
 
