@@ -131,10 +131,67 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.6, shingle_n=1)
 
 
+# tokens ride as the SAME portable md5-prefix hash the Spark operator
+# indexes (distinct-hash set semantics — see ngram_jaccard_pairs),
+# so a hash collision would change both engines identically
 ORACLE_NGRAM_JACCARD = """
 WITH docs AS (
-  SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS toks
+  SELECT doc_id,
+         list_distinct(list_transform(
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+           t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))) AS toks
   FROM documents WHERE doc_id % 5 = 0
+), toks AS (
+  SELECT doc_id AS key, UNNEST(toks) AS tok FROM docs
+), sizes AS (
+  SELECT key, COUNT(*) AS sz FROM toks GROUP BY key
+), inter AS (
+  SELECT a.key AS key_a, b.key AS key_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.key < b.key
+  GROUP BY a.key, b.key
+)
+SELECT key_a, key_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.key = key_a
+JOIN sizes sb ON sb.key = key_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.6
+"""
+
+
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """EXACT word-3-gram Jaccard join with PREFIX FILTERING (All-Pairs
+    / ppjoin prefix lemma, operators/dedup.py:ngram_jaccard_pairs_prefix)
+    over the FULL documents table: candidates only ever meet on each
+    doc's rarest |d| - ceil(t|d|) + 1 shingles under the global
+    frequency order, so hot boilerplate shingles cannot blow up the
+    index — the 100 TB form of the exact join. Pruning is LOSSLESS at
+    the threshold, so the oracle is the plain brute-force pair SQL: a
+    hash-green row proves the prefix machinery drops no qualifying
+    pair and invents none."""
+    d = _t(spark, sf_dir, "documents")
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    return ngram_jaccard_pairs_prefix(
+        d, "text", "doc_id", threshold=0.6, shingle_n=3
+    )
+
+
+# brute-force twin: distinct-hashed 3-gram shingle sets (the same
+# md5-prefix hash the Spark index rides), all-pairs intersection
+# counts, jaccard threshold — NO prefix logic, which is the point
+ORACLE_DEDUP_JACCARD_PREFIX = """
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           list_transform(
+             generate_series(1, greatest(len(tk) - 2, 0)),
+             i -> array_to_string(tk[i : i + 2], ' ')),
+           s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS toks
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents)
 ), toks AS (
   SELECT doc_id AS key, UNNEST(toks) AS tok FROM docs
 ), sizes AS (
@@ -1603,10 +1660,16 @@ def q_corpus_pipeline10(spark, sf_dir):
     last pre-training step no earlier pipeline composes: (1) language
     admission (the oracle-pinned heuristic langid, keep 'en'), (2)
     exact dedup (keep the smallest doc_id per text), (3) NEAR-dup
-    pruning of the survivors by exact unigram Jaccard >= 0.6
-    (inverted-index join, operators/dedup.py:ngram_jaccard_pairs —
-    pairs only ever meet on a shared token, never all-pairs; each
-    pair drops its larger id), (4) train/eval DECONTAMINATION: drop
+    pruning of the survivors by exact word-3-gram Jaccard >= 0.6 via
+    the PREFIX-FILTERED join (ngram_jaccard_pairs_prefix — each pair
+    drops its larger id. Two scale choices live here, both measured:
+    3-gram shingles, not unigram tokens — a unigram index meets every
+    doc pair sharing one stop-word, 84 s at sf0.1 and quadratic-in-
+    corpus at 100 TB, while shingles are high-entropy; and prefix
+    filtering, which only ever meets docs on their RAREST shingles,
+    so even a hot boilerplate shingle cannot recreate the blowup.
+    Docs with fewer than 3 tokens carry no shingle and pass through),
+    (4) train/eval DECONTAMINATION: drop
     any survivor sharing >= 3 distinct word 3-grams with the
     benchmark slice (doc_id % 97 == 0 of the FULL corpus — held-out
     eval docs must knock out their train-side copies even when the
@@ -1628,7 +1691,10 @@ def q_corpus_pipeline10(spark, sf_dir):
     tiny next to a training corpus) so the corpus side never
     shuffles; both drop sets broadcast into left-antis; the report
     aggregate is survivor-sized."""
-    from arc_kinesis_tagging_spark.operators.dedup import contamination_pairs
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        contamination_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
 
     d = _t(spark, sf_dir, "documents")
     en = d.filter(language_id_expr(F.col("text")) == "en")
@@ -1645,7 +1711,9 @@ def q_corpus_pipeline10(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     nd_drop = (
-        ngram_jaccard_pairs(s1, "text", "doc_id", threshold=0.6, shingle_n=1)
+        ngram_jaccard_pairs_prefix(
+            s1, "text", "doc_id", threshold=0.6, shingle_n=3
+        )
         .select(F.col("key_b").alias("doc_id"))
         .distinct()
     )
@@ -2335,8 +2403,12 @@ WITH en AS (
   SELECT MIN(doc_id) AS doc_id, text FROM en GROUP BY text
 ), toks1 AS (
   SELECT doc_id AS key,
-         UNNEST(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS tok
-  FROM s1
+         unnest(list_distinct(list_transform(
+           list_transform(
+             generate_series(1, greatest(len(tk) - 2, 0)),
+             i -> array_to_string(tk[i : i + 2], ' ')),
+           s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS tok
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk FROM s1)
 ), sizes AS (
   SELECT key, COUNT(*) AS sz FROM toks1 GROUP BY key
 ), inter AS (
@@ -4173,6 +4245,8 @@ LLMOPS_QUERIES = [
     Query("q_explode", q_explode, ORACLE_EXPLODE),
     Query("q_dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT),
     Query("q_dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    Query("q_dedup_jaccard_prefix", q_dedup_jaccard_prefix,
+          ORACLE_DEDUP_JACCARD_PREFIX),
     Query("q_dedup_minhash", q_dedup_minhash, None,
           "LSH banding not SQL-reproducible; verified in tests against exact jaccard"),
     Query("q_dedup_simhash", q_dedup_simhash, None,

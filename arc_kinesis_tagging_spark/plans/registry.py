@@ -510,6 +510,7 @@ _R12_HEAD = [
     "q_corpus_pipeline10",  # decontaminated curation: langid -> dedup ->
     #    jaccard near-dup -> benchmark decontamination -> report
     "q_dedup_simhash_incremental",  # batch-vs-bucketed-corpus text SimHash
+    "q_dedup_jaccard_prefix",  # prefix-filtered exact jaccard (lossless)
     # -- (c) r08-vintage refresh: flag hygiene first, then
     #    complexity-first (pipelines, ANN lifecycle, dedup, sources,
     #    tokenizers, codecs, windows) --
@@ -523,14 +524,15 @@ _R12_HEAD = [
     "q_unigram_train", "q_unigram_encode",
     "q_multimodal_gif", "q_multimodal_gif_anim", "q_multimodal_png",
     "q_audio_features", "q_embed_pca",
-    "q_recursive_cte", "q_scalar_subquery",
-    # round 13 should finish the r08 block (25 rows left —
+    "q_recursive_cte",
+    # round 13 should finish the r08 block (26 rows left —
     # q_scan_orc was displaced by q_corpus_pipeline8,
     # q_window_tumbling by q_corpus_pipeline9, q_window_sliding by
-    # q_corpus_pipeline10, and q_window_session by
-    # q_dedup_simhash_incremental to keep the window at 50):
-    # q_window_session, q_window_sliding, q_window_tumbling,
-    # q_agg_approx_distinct, q_agg_cube,
+    # q_corpus_pipeline10, q_window_session by
+    # q_dedup_simhash_incremental, and q_scalar_subquery by
+    # q_dedup_jaccard_prefix to keep the window at 50):
+    # q_scalar_subquery, q_window_session, q_window_sliding,
+    # q_window_tumbling, q_agg_approx_distinct, q_agg_cube,
     # q_agg_distinct, q_agg_group, q_agg_grouping_sets,
     # q_agg_percentile, q_agg_rollup, q_events_funnel_k, q_join_anti,
     # q_join_asof, q_join_interval, q_join_outer, q_join_semi,

@@ -106,6 +106,7 @@ HEADLINE = [
     "q_corpus_pipeline10",  # decontaminated curation: langid -> dedup ->
     #                         jaccard near-dup -> decontam -> report
     "q_dedup_simhash_incremental",  # batch-vs-corpus text SimHash (banded)
+    "q_dedup_jaccard_prefix",  # prefix-filtered exact jaccard, full table
 ]
 
 

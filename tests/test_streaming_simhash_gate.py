@@ -138,3 +138,91 @@ def test_simhash_gate_replay_is_noop(spark, tmp_path):
     gate(_batch(spark, [(1, BASE)]), 0)  # replay of epoch 0
     assert accepted == [[1]]
     assert spark.table(f"{prefix}_bands").count() == 7
+
+
+GROUPS = [
+    # 4 template families x 3 members; per-group suffixes chosen so
+    # every in-group pair is hamming <= 6 and every cross-group pair
+    # > 10 (the premise is re-verified in-test against _simhash64)
+    (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm fire and the birds sing in the tall "
+        "green trees outside",
+        ["", " today", " again"],
+    ),
+    (
+        "pack my box with five dozen liquor jugs while the marching "
+        "band plays loud brass music under the bright festival "
+        "lights all night long",
+        ["", " today", " soon"],
+    ),
+    (
+        "a distributed query engine partitions large datasets across "
+        "many worker nodes and exchanges intermediate results "
+        "through sorted shuffle files",
+        ["", " today", " again"],
+    ),
+    (
+        "fresh mountain rivers carry cold clear water down rocky "
+        "slopes past pine forests toward quiet villages in the deep "
+        "valley below",
+        ["", " today", " again"],
+    ),
+]
+TEXTS = {
+    g * 3 + m: base + sfx
+    for g, (base, sfxs) in enumerate(GROUPS)
+    for m, sfx in enumerate(sfxs)
+}
+
+
+def test_simhash_gate_one_representative_per_group_any_batching(
+    spark, tmp_path
+):
+    """PROPERTY (deterministic sweep of arrival orders/splits): for
+    any arrival order and micro-batch split, the SimHash gate admits
+    EXACTLY ONE member per template clique (groups = doc_id // 3),
+    and it is the smallest id within the earliest batch containing
+    any member of that group — the same invariant pinned for the
+    audio gate, now over the text metric."""
+    d = _hamming(spark, [TEXTS[i] for i in range(12)])
+    for (a, b), dist in d.items():
+        if a // 3 == b // 3:
+            assert dist <= 6, (a, b, dist)
+        else:
+            assert dist > 10, (a, b, dist)
+
+    # a handful of adversarial arrival orders x split points: group
+    # members together, spread across batches, reversed ids (larger
+    # id arrives in an EARLIER batch than its group-mates)
+    scenarios = [
+        ([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11], [4, 8]),
+        ([11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0], [3, 6, 9]),
+        ([2, 5, 8, 11, 1, 4, 7, 10, 0, 3, 6, 9], [4, 8]),
+        ([0, 3, 6, 9, 1, 4, 7, 10, 2, 5, 8, 11], [6]),
+    ]
+    for perm, cuts in scenarios:
+        bounds = sorted(cuts) + [12]
+        batches, prev = [], 0
+        for b in bounds:
+            if b > prev:
+                batches.append(perm[prev:b])
+                prev = b
+        accepted: list[int] = []
+        prefix = "akt_shgate_" + uuid.uuid4().hex[:12]
+        gate = make_simhash_dedup_gate(
+            spark,
+            prefix,
+            str(tmp_path / f"markers_{prefix}"),
+            lambda df, bid: accepted.extend(
+                r["doc_id"] for r in df.collect()
+            ),
+        )
+        for bid, ids in enumerate(batches):
+            gate(_batch(spark, [(i, TEXTS[i]) for i in ids]), bid)
+        want = {}
+        for ids in batches:
+            for g in {i // 3 for i in ids}:
+                if g not in want:
+                    want[g] = min(i for i in ids if i // 3 == g)
+        assert sorted(accepted) == sorted(want.values()), (perm, cuts)

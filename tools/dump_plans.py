@@ -532,12 +532,25 @@ COMMENTARY.update(
             "the exact dedup is one map-side-combined text aggregate, "
             "and the survivor set is localCheckpoint-pinned — without "
             "the pin Catalyst re-derived that scan+shuffle subtree "
-            "once per Jaccard-index consumer (4x). The Jaccard "
-            "inverted index meets only on shared tokens (never "
-            "all-pairs), decontamination broadcasts the benchmark "
+            "once per Jaccard-index consumer (4x). The near-dup stage "
+            "is the PREFIX-FILTERED exact Jaccard on md5-hashed "
+            "3-gram shingles (candidates meet only on each doc's "
+            "rarest prefix shingles — the original unigram index "
+            "cost 84 s at sf0.1 from stop-word blowup; this plan "
+            "runs ~10 s), decontamination broadcasts the benchmark "
             "shingles so the survivor side never shuffles, both drop "
             "sets broadcast into anti-joins, and the report aggregate "
             "is survivor-sized."
+        ),
+        "q_dedup_jaccard_prefix": (
+            "Prefix-filtered exact similarity join (All-Pairs/ppjoin "
+            "lemma, lossless at the threshold): frequency aggregate "
+            "and per-doc rank window bounded by distinct-shingle "
+            "rows, the candidate self-join meets only on rarest-"
+            "prefix shingles (hot boilerplate shingles never join), "
+            "verify is an 8-byte array_intersect over collected "
+            "hash sets — no second explode join, nothing quadratic "
+            "in corpus size at any stage."
         ),
     }
 )
