@@ -441,30 +441,54 @@ class KinesisAwsSimpleReader(SimpleDataSourceStreamReader):
         offsets, parents = self._discover(start)
         out_rows: list = []
         next_off = dict(offsets)
-        for shard_id in sorted(offsets):
-            tag = offsets[shard_id]
-            if tag == "CLOSED":
-                continue
-            # a shard in the checkpoint but gone from ListShards has
-            # aged out of retention (closed shards disappear from the
-            # listing after the retention window): everything it held
-            # is unrecoverable from Kinesis, so mark it CLOSED instead
-            # of crashing get_shard_iterator forever — the standard
-            # aged-shard handling (and what keeps its CHILDREN from
-            # being held on a parent that can never drain).
-            if shard_id not in parents:
-                next_off[shard_id] = "CLOSED"
-                continue
-            # KCL-style reshard ordering: hold a child while any
-            # parent is still open (present and not CLOSED)
-            if any(
-                offsets.get(p, "CLOSED") != "CLOSED"
-                for p in parents.get(shard_id, [])
-            ):
-                continue
-            rows, next_tag = self._drain_shard(shard_id, tag)
-            out_rows.extend(rows)
-            next_off[shard_id] = next_tag
+        # CASCADE within one poll: the parent-hold check reads the
+        # LIVE state (next_off), and the pass loop repeats until no
+        # shard changes state — so a child becomes readable in the
+        # same poll its parent closes. A single start-state pass (the
+        # original shape) walked down only ONE reshard generation per
+        # micro-batch: after a split-of-a-split on a quiet stream, a
+        # record in the grandchild sat unread for k batches behind k
+        # EMPTY closed ancestors, and a drain-until-quiescent consumer
+        # (two row-less polls) stopped before ever reaching it — found
+        # by the hypothesis interleaving property test
+        # (ops=['R','R',put]: drain yielded [] with one record put).
+        # Each shard still drains at most once per read(), so the
+        # per-shard admission cap stays a PER-POLL cap; per-original-
+        # shard ordering is preserved because a child is only released
+        # after its parents reached CLOSED in this very poll.
+        drained: set[str] = set()
+        changed = True
+        while changed:
+            changed = False
+            for shard_id in sorted(next_off):
+                tag = next_off[shard_id]
+                if tag == "CLOSED" or shard_id in drained:
+                    continue
+                # a shard in the checkpoint but gone from ListShards
+                # has aged out of retention (closed shards disappear
+                # from the listing after the retention window):
+                # everything it held is unrecoverable from Kinesis, so
+                # mark it CLOSED instead of crashing get_shard_iterator
+                # forever — the standard aged-shard handling (and what
+                # keeps its CHILDREN from being held on a parent that
+                # can never drain).
+                if shard_id not in parents:
+                    next_off[shard_id] = "CLOSED"
+                    changed = True
+                    continue
+                # KCL-style reshard ordering: hold a child while any
+                # parent is still open (present and not CLOSED)
+                if any(
+                    next_off.get(p, "CLOSED") != "CLOSED"
+                    for p in parents.get(shard_id, [])
+                ):
+                    continue
+                rows, next_tag = self._drain_shard(shard_id, tag)
+                out_rows.extend(rows)
+                next_off[shard_id] = next_tag
+                drained.add(shard_id)
+                if next_tag == "CLOSED":
+                    changed = True  # children may be releasable now
         return iter(out_rows), next_off
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802

@@ -126,12 +126,14 @@ def test_reshard_children_held_until_parent_drained(fake):
     assert {x[1] for x in rows} == {"shard-p"}
     assert off["shard-c1"] == "TRIM_HORIZON"
     rows, off = r.read(off)
+    rows = list(rows)
     # the drain observes the null NextShardIterator in the same
-    # response as the last record -> parent CLOSED right here
-    assert [x[0] for x in rows] == [b"p2"]
+    # response as the last record -> parent CLOSED right here, and the
+    # CASCADE releases the children in the SAME poll — parent rows
+    # strictly before child rows (the per-original-shard ordering
+    # guarantee), no extra empty micro-batch between generations
+    assert [x[0] for x in rows] == [b"p2", b"c1-1"]
     assert off["shard-p"] == "CLOSED"
-    rows, off = r.read(off)  # parent closed -> children released
-    assert [x[0] for x in rows] == [b"c1-1"]
     assert off["shard-c1"].startswith("AFTER:")
     assert off["shard-c2"] == "TRIM_HORIZON"  # empty child polls fine
 
@@ -382,8 +384,8 @@ def test_aged_out_shard_closes_instead_of_crashing(fake):
     """A shard present in the checkpoint but gone from ListShards has
     aged out of retention: the reader must mark it CLOSED (its data is
     unrecoverable from Kinesis) rather than crash get_shard_iterator
-    on every subsequent poll — and a child held on such a parent must
-    be released on the following poll."""
+    on every subsequent poll — and a child held on such a parent is
+    released by the cascade in the same poll."""
     fake.add_shard("shard-old")
     fake.add_shard("shard-live")
     s = fake.put("shard-live", b"x")
@@ -400,11 +402,10 @@ def test_aged_out_shard_closes_instead_of_crashing(fake):
     rows = list(rows)
     assert off["shard-old"] == "CLOSED"
     assert [x[2] for x in rows if x[1] == "shard-live"] == [s]
-    # child held THIS poll (parent tag in start is not CLOSED yet) ...
-    assert not [x for x in rows if x[1] == "shard-child"]
-    # ... and released on the next one
-    rows, off = r.read(off)
-    assert [x[0] for x in rows] == [b"c"]
+    # the cascade marks the aged-out parent CLOSED and releases the
+    # child in the SAME poll — no extra micro-batch of latency
+    assert [x[0] for x in rows if x[1] == "shard-child"] == [b"c"]
+    assert off["shard-child"].startswith("AFTER:")
 
 
 def test_batch_backfill_read_through_fake(spark, tmp_path):
