@@ -109,3 +109,61 @@ def test_gate_markers_accept_scheme_uris(spark, tmp_path):
     assert os.path.exists(
         os.path.join(str(tmp_path / "markers_uri"), f"batch-{1:020d}")
     )
+
+
+def test_exact_then_simhash_stack(spark, tmp_path):
+    """The SimHash gate composes the same way (it is the phash gate
+    machinery, so its sink contract is identical): exact digests
+    first, SimHash near-dup over the survivors. SIM0/SIM1 differ by
+    one appended token (hamming 4 <= 6, premise pinned in
+    tests/test_streaming_simhash_gate.py); B0 is far from both."""
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_simhash_dedup_gate,
+    )
+
+    SIM0 = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm fire and the birds sing in the tall "
+        "green trees outside"
+    )
+    SIM1 = SIM0 + " today"
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.append(sorted(r["doc_id"] for r in df.collect()))
+
+    p_exact = "akt_stk_e_" + uuid.uuid4().hex[:12]
+    p_sh = "akt_stk_s_" + uuid.uuid4().hex[:12]
+    inner = make_simhash_dedup_gate(
+        spark, p_sh, str(tmp_path / "m_sh"), sink
+    )
+    outer = make_text_dedup_gate(
+        spark, p_exact, str(tmp_path / "m_ex"), inner
+    )
+
+    # 2 exact-dups 1 (stage 1); 3 near-dups 1 (stage 2); 4 fresh
+    outer(_batch(spark, [(1, SIM0), (2, SIM0), (3, SIM1), (4, B0)]), 0)
+    assert accepted == [[1, 4]]
+    # stage-2 corpus holds only what survived BOTH stages (7 bands each)
+    corpus = spark.table(f"{p_sh}_bands")
+    assert sorted(
+        r["key"] for r in corpus.select("key").distinct().collect()
+    ) == [1, 4]
+    # cross-batch through the stack: exact dup of 1 dies in stage 1,
+    # near dup of 1 dies in stage 2, fresh C0 survives both
+    outer(_batch(spark, [(10, SIM0), (11, SIM1 + " x"), (12, C0)]), 1)
+    # 11 = SIM0 + " today x": two extra tokens; verify the premise
+    # dynamically rather than assuming — if it drifted past the
+    # threshold the assertion below would misattribute the drop
+    from arc_kinesis_tagging_spark.operators.dedup import _simhash64
+    from pyspark.sql import functions as F
+
+    hs = {
+        r["doc_id"]: r["h"]
+        for r in _batch(spark, [(0, SIM0), (11, SIM1 + " x")])
+        .select("doc_id", _simhash64("text").alias("h"))
+        .collect()
+    }
+    assert bin(hs[0] ^ hs[11]).count("1") <= 6
+    assert accepted == [[1, 4], [12]]
