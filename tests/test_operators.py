@@ -228,3 +228,52 @@ def test_pq_blocking_recalls_near_duplicates(spark, sf_dir):
         for j in range(i + 1, len(ids)):
             if S[i, j] >= 0.999:
                 assert (ids[i], ids[j]) in got, (ids[i], ids[j], S[i, j])
+
+
+def test_jaccard_prefix_equals_plain_fuzz(spark):
+    """PROPERTY (deterministic fuzz): the prefix-filtered Jaccard join
+    emits EXACTLY the plain inverted-index join's pair set — the
+    All-Pairs prefix lemma is lossless at the threshold. The cases
+    target the lemma's edges: tiny docs (prefix length 1), docs made
+    of repeated tokens (distinct-set collapse), ties in the global
+    frequency order, thresholds whose ceil(t*|d|) sits on an exact
+    integer (the decimal-ceil guard), docs sharing ONLY hot tokens,
+    and shingle_n longer than the doc."""
+    import itertools
+    import random
+
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    corpora = []
+    # 6 seeded random corpora of 10 short docs each
+    for c in range(6):
+        docs = []
+        for i in range(10):
+            n = rng.randint(0, 8)
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        corpora.append(docs)
+    # adversarial hand-picked corpus: empties, repeats, hot-token-only
+    corpora.append([
+        (0, ""), (1, "w0"), (2, "w0 w0 w0"), (3, "w0 w1"),
+        (4, "w0 w1 w2 w3"), (5, "w0 w1 w2 w3"), (6, "w3 w2 w1 w0"),
+        (7, "w5 w6 w7 w8 w9 w10"), (8, "w5 w6 w7 w8 w9 w11"),
+    ])
+    for docs, (t, n) in itertools.product(
+        corpora, [(0.5, 1), (0.6, 1), (0.75, 3), (0.8, 2), (1.0, 1)]
+    ):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        plain = sorted(
+            (r[0], r[1], round(r[2], 9))
+            for r in ngram_jaccard_pairs(df, "text", "doc_id", t, n).collect()
+        )
+        pref = sorted(
+            (r[0], r[1], round(r[2], 9))
+            for r in ngram_jaccard_pairs_prefix(
+                df, "text", "doc_id", t, n
+            ).collect()
+        )
+        assert plain == pref, (t, n, docs, plain, pref)
