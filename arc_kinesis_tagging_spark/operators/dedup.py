@@ -26,6 +26,8 @@ buckets are almost never true near-dups of interest).
 
 from __future__ import annotations
 
+import decimal
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -342,7 +344,15 @@ def ngram_jaccard_pairs_prefix(
 
     ``ceil(t * |d|)`` is computed in DECIMAL: binary-float t*sz can
     land an ulp above the exact product and ceil one too far,
-    silently shortening the prefix below the completeness bound.
+    silently shortening the prefix below the completeness bound. The
+    double->decimal conversion itself must round DOWN: a plain
+    cast("decimal(p,6)") rounds HALF_UP, so a threshold with >6
+    decimal digits (2/3 -> 0.666667 > 2/3) lands ABOVE t and can
+    again shorten the prefix. Flooring at 12 dp is always
+    completeness-safe (t' <= t => ceil(t'*sz) <= ceil(t*sz), prefix
+    same-or-longer by at most one token), and the final filter
+    re-checks the EXACT Jaccard against the original t, so the pair
+    set is unchanged.
 
     Shuffles: shingle-frequency aggregate, per-doc rank window (both
     bounded by distinct-shingle rows), the sparse prefix self-join,
@@ -369,9 +379,12 @@ def ngram_jaccard_pairs_prefix(
         )
         .join(sizes, "key")
     )
+    t_floor = decimal.Decimal(threshold).quantize(
+        decimal.Decimal("1e-12"), rounding=decimal.ROUND_FLOOR
+    )
     prefix_len = (
         F.col("sz")
-        - F.ceil(F.lit(threshold).cast("decimal(11,6)") * F.col("sz"))
+        - F.ceil(F.lit(t_floor).cast("decimal(24,12)") * F.col("sz"))
         + 1
     )
     pref = ranked.filter(F.col("pos") <= prefix_len).select("key", "tok")
@@ -930,16 +943,21 @@ def contamination_pairs(
     key_col: str,
     shingle_n: int = 5,
     min_shared: int = 3,
+    broadcast_benchmark: bool | None = None,
 ) -> DataFrame:
     """Train/eval contamination check: corpus documents sharing at least
     ``min_shared`` distinct word ``shingle_n``-grams with any benchmark
     document. Returns (doc_key, bench_key, n_shared).
 
-    Inverted-index join, benchmark side broadcast: eval sets are tiny
-    (thousands of docs) next to a training corpus, so every corpus
-    shingle checks against the benchmark index without a shuffle —
-    the right shape at 100 TB, where shuffling the exploded corpus
-    shingles (10-100x corpus bytes) is the thing to avoid. Exact by
+    Inverted-index join on the shingle. ``broadcast_benchmark=True``
+    forces the benchmark shingle side broadcast — correct ONLY when the
+    eval set is a genuinely small FIXED set (thousands of docs): then
+    every corpus shingle checks against the benchmark index without
+    shuffling the exploded corpus shingles (10-100x corpus bytes). The
+    default (None) adds no hint and lets AQE pick broadcast vs shuffle
+    from the MEASURED benchmark size at runtime — the safe shape when
+    the benchmark is a corpus fraction (e.g. a 1% sample), where a
+    forced broadcast would be TB-scale at 100 TB. Exact by
     construction; SQL-expressible, so the registry carries a full
     DuckDB oracle.
     """
@@ -953,8 +971,10 @@ def contamination_pairs(
 
     corpus_sh = _sh(corpus, "doc_key")
     bench_sh = _sh(benchmark, "bench_key")
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
     return (
-        corpus_sh.join(F.broadcast(bench_sh), "__sh")
+        corpus_sh.join(bench_sh, "__sh")
         .filter(F.col("doc_key") != F.col("bench_key"))
         .groupBy("doc_key", "bench_key")
         .agg(F.count(F.lit(1)).alias("n_shared"))

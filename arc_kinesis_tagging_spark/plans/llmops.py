@@ -1384,7 +1384,11 @@ def q_corpus_pipeline6(spark, sf_dir):
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    final = survivors.join(F.broadcast(drop), "doc_id", "left_anti")
+    # No broadcast hint on the drop set: it is corpus-fraction-sized
+    # (unbounded at 100 TB). AQE converts the anti join to broadcast at
+    # runtime when the measured size allows; a forced hint would OOM
+    # the driver at scale. Plan-gated in tests/test_plan_shapes.py.
+    final = survivors.join(drop, "doc_id", "left_anti")
     return (
         final.join(d.select("doc_id", "source", "n_chars"), "doc_id")
         .groupBy("source")
@@ -1462,7 +1466,11 @@ def q_corpus_pipeline7(spark, sf_dir):
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    final = survivors.join(F.broadcast(drop), "doc_id", "left_anti")
+    # No broadcast hint on the drop set: it is corpus-fraction-sized
+    # (unbounded at 100 TB). AQE converts the anti join to broadcast at
+    # runtime when the measured size allows; a forced hint would OOM
+    # the driver at scale. Plan-gated in tests/test_plan_shapes.py.
+    final = survivors.join(drop, "doc_id", "left_anti")
     return (
         final.join(d.select("doc_id", "source", "n_chars"), "doc_id")
         .groupBy("source")
@@ -1542,7 +1550,11 @@ def q_corpus_pipeline8(spark, sf_dir):
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    final = survivors.join(F.broadcast(drop), "doc_id", "left_anti")
+    # No broadcast hint on the drop set: it is corpus-fraction-sized
+    # (unbounded at 100 TB). AQE converts the anti join to broadcast at
+    # runtime when the measured size allows; a forced hint would OOM
+    # the driver at scale. Plan-gated in tests/test_plan_shapes.py.
+    final = survivors.join(drop, "doc_id", "left_anti")
     return (
         final.join(d.select("doc_id", "source", "n_chars"), "doc_id")
         .groupBy("source")
@@ -1618,7 +1630,11 @@ def q_corpus_pipeline9(spark, sf_dir):
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    final = survivors.join(F.broadcast(drop), "doc_id", "left_anti")
+    # No broadcast hint on the drop set: it is corpus-fraction-sized
+    # (unbounded at 100 TB). AQE converts the anti join to broadcast at
+    # runtime when the measured size allows; a forced hint would OOM
+    # the driver at scale. Plan-gated in tests/test_plan_shapes.py.
+    final = survivors.join(drop, "doc_id", "left_anti")
     return (
         final.join(d.select("doc_id", "source", "n_chars"), "doc_id")
         .groupBy("source")
@@ -1674,9 +1690,8 @@ def q_corpus_pipeline10(spark, sf_dir):
     benchmark slice (doc_id % 97 == 0 of the FULL corpus — held-out
     eval docs must knock out their train-side copies even when the
     eval doc itself was filtered upstream), via
-    operators/dedup.py:contamination_pairs with the benchmark side
-    broadcast, (5) the per-source curation report (counts + exact
-    BIGINT char sums).
+    operators/dedup.py:contamination_pairs, (5) the per-source
+    curation report (counts + exact BIGINT char sums).
 
     Every stage is individually hash-green (q_text_langid,
     q_dedup_exact, q_dedup_ngram_jaccard, q_contamination) and the
@@ -1687,10 +1702,11 @@ def q_corpus_pipeline10(spark, sf_dir):
     fused into the scan; the exact dedup is one map-side-combined
     aggregate; the Jaccard index shuffles survivor tokens once (sparse
     inverted index; prefix filtering is the documented 100 TB lever);
-    decontamination broadcasts the benchmark shingles (eval sets are
-    tiny next to a training corpus) so the corpus side never
-    shuffles; both drop sets broadcast into left-antis; the report
-    aggregate is survivor-sized."""
+    the decontamination join and both drop-set left-antis carry NO
+    broadcast hints — with a 1/97-of-corpus benchmark slice neither
+    the benchmark shingles nor the drop sets are eval-bounded, so AQE
+    picks broadcast vs shuffle from measured runtime sizes; the
+    report aggregate is survivor-sized."""
     from arc_kinesis_tagging_spark.operators.dedup import (
         contamination_pairs,
         ngram_jaccard_pairs_prefix,
@@ -1717,14 +1733,19 @@ def q_corpus_pipeline10(spark, sf_dir):
         .select(F.col("key_b").alias("doc_id"))
         .distinct()
     )
-    s2 = s1.join(F.broadcast(nd_drop), "doc_id", "left_anti")
+    # No broadcast hints on either drop set: nd_drop is corpus-
+    # fraction-sized, and c_drop is bounded only by the CONTAMINATED
+    # survivor count — with a 1/97-of-corpus benchmark slice neither is
+    # eval-bounded at 100 TB. AQE broadcasts at runtime when the
+    # measured sizes allow. Plan-gated in tests/test_plan_shapes.py.
+    s2 = s1.join(nd_drop, "doc_id", "left_anti")
     bench = d.filter(F.col("doc_id") % 97 == 0)
     c_drop = (
         contamination_pairs(s2, bench, "text", "doc_id", shingle_n=3, min_shared=3)
         .select(F.col("doc_key").alias("doc_id"))
         .distinct()
     )
-    final = s2.join(F.broadcast(c_drop), "doc_id", "left_anti")
+    final = s2.join(c_drop, "doc_id", "left_anti")
     return (
         final.join(d.select("doc_id", "source", "n_chars"), "doc_id")
         .groupBy("source")
@@ -3662,8 +3683,10 @@ FROM aug
 def q_contamination(spark, sf_dir):
     """Train/eval contamination: corpus docs sharing >= 3 distinct
     3-gram shingles with any 'benchmark' doc (held-out slice
-    doc_id % 97 == 0). Inverted-index join with the benchmark side
-    broadcast; see operators/dedup.py contamination_pairs."""
+    doc_id % 97 == 0). Inverted-index join, un-hinted — the 1/97
+    benchmark slice is a corpus fraction, so AQE decides broadcast vs
+    shuffle by measured size; see operators/dedup.py
+    contamination_pairs."""
     from arc_kinesis_tagging_spark.operators.dedup import contamination_pairs
 
     d = _t(spark, sf_dir, "documents")

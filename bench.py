@@ -109,6 +109,19 @@ HEADLINE = [
     "q_dedup_jaccard_prefix",  # prefix-filtered exact jaccard, full table
 ]
 
+# Entries whose plans carry the giant generated decode expressions
+# (PNG/JPEG/GIF unfilter chains, Y4M frame walks, WAV fingerprints):
+# the r12 JIT forensics (SCALE.md) measured ~17 s of one-time
+# janino+C2 compilation in their FIRST rep. These get one untimed
+# warm-up rep so both timed reps are post-compile. The *_incremental
+# siblings are excluded on purpose: their rep-1 memoized corpus WRITE
+# already absorbs the compile, and min-of-2 reports the rep-2 probe.
+CODEC_HEAVY = {
+    "q_multimodal_png", "q_multimodal_jpeg", "q_multimodal_gif",
+    "q_multimodal_png_adam7",
+    "q_dedup_phash", "q_dedup_vhash", "q_dedup_ahash",
+}
+
 
 def run_once(spark, name: str, sf_dir: str) -> float:
     # Clear cached plans first: operators that persist() intermediates
@@ -406,20 +419,42 @@ def _full_latest_queries(baseline_path: str, raw: dict) -> dict:
     return full.get("queries") or {}
 
 
-CANARY = "q_topk"  # trivial, code-stable query; moves only with the host
+# Canary TRIPLET (round-12 verdict task 4): the r12 host factor was
+# set by ONE 0.15-0.19 s query (q_topk), itself inside JIT jitter. The
+# factor is now the MEDIAN of three tiny heterogeneous, code-stable
+# canaries — CPU-bound top-k, one-shuffle hash dedup, and a
+# pushdown-dominated scan aggregate — so one canary's jitter (or a
+# resource-profile mismatch with the drifted subsystem) cannot set the
+# normalization alone. Back-compat: all three have been HEADLINE
+# entries since round 4, so every old artifact carries their thens;
+# any canary missing from a baseline just drops out of the median.
+CANARIES = ["q_topk", "q_dedup_exact", "q_tpch_q6ish"]
+CANARY = CANARIES[0]  # legacy single-canary name, kept for artifacts
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def _canary_factor(factors: dict) -> float | None:
+    vals = [f for f in factors.values() if f]
+    return round(_median(vals), 3) if vals else None
 
 
 def compare_block(queries: dict, baseline_path: str) -> dict:
     """Per-query deltas vs a prior BENCH_r*.json: ratio = now/then,
     plus a CANARY-NORMALIZED ratio (round-6 lesson: an external-host-
     load incident inflated every query ~1.2x uniformly, costing the
-    round its cross-round comparability). The canary is a trivial
-    query measured in the same run; environment inflation moves it by
-    the same factor as real queries, so ratio_norm = ratio /
-    (canary_now / canary_then) cancels uniform host drift while a
-    genuine plan regression (one query moving, canary flat) survives.
-    Queries whose NORMALIZED ratio is >1.5x (and >0.25s absolute) are
-    listed under `regressions`; raw ratios stay in the deltas block."""
+    round its cross-round comparability). The canaries are trivial
+    queries measured in the same run; environment inflation moves them
+    by the same factor as real queries, so ratio_norm = ratio /
+    median(canary_now / canary_then) cancels uniform host drift while
+    a genuine plan regression (one query moving, canaries flat)
+    survives. Queries whose NORMALIZED ratio is >1.5x (and >0.25s
+    absolute) are listed under `regressions`; raw ratios stay in the
+    deltas block."""
     with open(baseline_path) as fh:
         raw = json.load(fh)
     # driver-recorded BENCH_r*.json wraps our JSON line under "parsed";
@@ -431,10 +466,14 @@ def compare_block(queries: dict, baseline_path: str) -> dict:
             or _recover_from_tail(raw)
             or _full_latest_queries(baseline_path, raw))
     canary_now, canary_then = queries.get(CANARY), base.get(CANARY)
-    canary_factor = (
-        round(canary_now / canary_then, 3)
-        if canary_now and canary_then else None
-    )
+    triplet = {
+        name: (
+            round(queries[name] / base[name], 3)
+            if queries.get(name) and base.get(name) else None
+        )
+        for name in CANARIES
+    }
+    canary_factor = _canary_factor(triplet)
     deltas, regressions = {}, []
     for name, now in queries.items():
         then = base.get(name)
@@ -451,8 +490,12 @@ def compare_block(queries: dict, baseline_path: str) -> dict:
         if eff is not None and eff > 1.5 and (now - then) >= 0.25:
             regressions.append(name)
     return {"baseline": os.path.basename(baseline_path),
+            # legacy single-canary fields kept so old tooling reading
+            # canary.name/now/then keeps working; `factor` is now the
+            # triplet median and `triplet` carries per-canary ratios
             "canary": {"name": CANARY, "now": canary_now,
-                       "then": canary_then, "factor": canary_factor},
+                       "then": canary_then, "factor": canary_factor,
+                       "triplet": triplet},
             "deltas": deltas, "regressions": regressions}
 
 
@@ -461,9 +504,11 @@ def adjudicate_regressions(spark, cmp_full: dict, sf_dir: str) -> dict:
     list into confirmed vs environmental (round-9 verdict task 5 —
     the round-6/7 protocol, now automatic instead of manual).
 
-    Each flagged query gets a back-to-back (canary min-of-3, query
-    min-of-3) pair, so the normalization factor reflects the host AT
-    RE-MEASURE TIME — the suite-run factor can be stale by minutes.
+    Each flagged query gets a back-to-back (canary-triplet min-of-3
+    each, query min-of-3) pair, so the normalization factor reflects
+    the host AT RE-MEASURE TIME — the suite-run factor can be stale by
+    minutes. The factor is the median over the triplet (same policy as
+    compare_block); per-canary thens come from the suite run's deltas.
     Confirmed = re-normalized ratio still >1.5x with >=0.25s absolute,
     i.e. the same gate the flag came from, now on cleaner data."""
     # stream entries are not registry queries — re-measure them through
@@ -475,7 +520,10 @@ def adjudicate_regressions(spark, cmp_full: dict, sf_dir: str) -> dict:
         "stream_tee_20k": lambda: bench_stream_tee(spark, sf_dir)[0],
     }
     flagged = cmp_full.get("regressions") or []
-    canary_then = (cmp_full.get("canary") or {}).get("then")
+    deltas = cmp_full.get("deltas") or {}
+    canary_thens = {
+        c: (deltas.get(c) or {}).get("then") for c in CANARIES
+    }
     result = {"confirmed": [], "environmental": [], "detail": {}}
     for name in flagged:
         then = cmp_full["deltas"][name]["then"]
@@ -483,7 +531,13 @@ def adjudicate_regressions(spark, cmp_full: dict, sf_dir: str) -> dict:
             lambda: run_once(spark, name, sf_dir)
         )
         try:
-            canary_now = min(run_once(spark, CANARY, sf_dir) for _ in range(3))
+            canary_factors = {}
+            for c in CANARIES:
+                c_then = canary_thens.get(c)
+                if not c_then:
+                    continue
+                c_now = min(run_once(spark, c, sf_dir) for _ in range(3))
+                canary_factors[c] = round(c_now / c_then, 3)
             now = min(measure() for _ in range(3))
         except Exception as exc:
             # an unadjudicable flag stays VISIBLE and blocking rather
@@ -491,10 +545,7 @@ def adjudicate_regressions(spark, cmp_full: dict, sf_dir: str) -> dict:
             result["confirmed"].append(name)
             result["detail"][name] = {"then": then, "error": str(exc)[:120]}
             continue
-        factor = (
-            round(canary_now / canary_then, 3)
-            if canary_then and canary_now else None
-        )
+        factor = _canary_factor(canary_factors)
         ratio = round(now / then, 3) if then else None
         norm = (
             round(ratio / factor, 3)
@@ -506,7 +557,8 @@ def adjudicate_regressions(spark, cmp_full: dict, sf_dir: str) -> dict:
         result["confirmed" if confirmed else "environmental"].append(name)
         result["detail"][name] = {
             "then": then, "remeasured": round(now, 3), "ratio": ratio,
-            "canary_factor": factor, "ratio_norm": norm,
+            "canary_factor": factor, "canary_triplet": canary_factors,
+            "ratio_norm": norm,
         }
     # Cross-round watch ledger (r10 advice): a single environmental
     # classification can be a canary/query resource-profile mismatch
@@ -592,23 +644,35 @@ def main() -> None:
     # sums to several seconds across 20 entries; the min of two runs is
     # the standard steady-state estimator and stays honest (every run
     # does the full scan -> shuffle -> sink work). Sub-second entries
-    # get a THIRD rep: the round-5 measurements showed the 1.5x/0.25s
-    # regression gate flapping on exactly those (SCALE.md round-5
-    # notes), and one extra sub-second run is cheap insurance. Entries
-    # whose two reps DISAGREE by >2x also get a third: the round-12
-    # investigation (SCALE.md) showed the giant codegen decode plans
-    # pay ~17 s of janino+C2 compilation in their first rep and can
-    # land BOTH reps inside a compile window — a wildly split pair is
-    # a warm-up artifact, not a steady-state reading, and one more rep
-    # resolves it (min-of-3 in the worst case is still honest work).
+    # get a THIRD rep and keep min-of-3: the round-5 measurements
+    # showed the 1.5x/0.25s regression gate flapping on exactly those
+    # (SCALE.md round-5 notes), and one extra sub-second run is cheap
+    # insurance. Entries whose two reps DISAGREE by >2x also get a
+    # third, but report the MEDIAN of the three (round-12 advice): the
+    # r12 investigation (SCALE.md) showed the giant codegen decode
+    # plans pay ~17 s of janino+C2 compilation in their first rep and
+    # can land BOTH reps inside a compile window — a wildly split pair
+    # is a warm-up artifact, and min-of-3 on a split pair would
+    # systematically pick the best case and mask genuine steady-state
+    # regressions that the split heuristic mis-attributes to warm-up;
+    # the median is the honest steady-state estimate. CODEC_HEAVY
+    # entries additionally get one UNTIMED warm-up rep first (round-12
+    # verdict task 6): their first rep is dominated by that one-time
+    # compile cost, so without the warm-up both timed reps can land
+    # inside the compile window and re-flag the family every round.
     queries = {}
     total = 0.0
     for name in HEADLINE:
+        if name in CODEC_HEAVY:
+            run_once(spark, name, sf_dir)  # untimed: absorb janino+C2
         r1 = run_once(spark, name, sf_dir)
         r2 = run_once(spark, name, sf_dir)
-        dt = min(r1, r2)
-        if dt < 1.0 or max(r1, r2) > 2 * dt:
-            dt = min(dt, run_once(spark, name, sf_dir))
+        if max(r1, r2) > 2 * min(r1, r2):
+            dt = _median([r1, r2, run_once(spark, name, sf_dir)])
+        elif min(r1, r2) < 1.0:
+            dt = min(r1, r2, run_once(spark, name, sf_dir))
+        else:
+            dt = min(r1, r2)
         queries[name] = round(dt, 3)
         total += dt
 

@@ -70,3 +70,39 @@ def test_compact_baseline_missing_side_file_degrades_empty(tmp_path):
     _write(base, {"parsed": {"value": 1.0}})
     out = bench.compare_block({"q_topk": 1.0}, base)
     assert all(v["ratio"] is None for v in out["deltas"].values())
+
+
+def test_canary_factor_is_triplet_median(tmp_path):
+    """Round-12 verdict task 4: one jittery canary must not set the
+    normalization factor — the factor is the MEDIAN over the triplet
+    (q_topk, q_dedup_exact, q_tpch_q6ish)."""
+    base = str(tmp_path / "BENCH_r12.json")
+    _write(base, {"queries": {"q_topk": 0.15, "q_dedup_exact": 1.0,
+                              "q_tpch_q6ish": 1.0, "q_big": 10.0}})
+    # q_topk jitters to 2.0x (sub-second, under the 0.25s absolute
+    # gate); the other two canaries sit at 1.1x/1.2x
+    now = {"q_topk": 0.30, "q_dedup_exact": 1.1, "q_tpch_q6ish": 1.2,
+           "q_big": 13.0}
+    out = bench.compare_block(now, base)
+    assert out["canary"]["factor"] == 1.2  # median, not q_topk's 2.0
+    assert out["canary"]["triplet"] == {
+        "q_topk": 2.0, "q_dedup_exact": 1.1, "q_tpch_q6ish": 1.2}
+    # normalized by 1.2 the 1.3x raw ratio stays under the 1.5x gate
+    assert out["regressions"] == []
+
+
+def test_canary_triplet_backcompat_missing_canaries(tmp_path):
+    """Old artifacts (or hand-built baselines) may carry only q_topk:
+    absent canaries drop out of the median instead of nulling it."""
+    base = str(tmp_path / "BENCH_r05.json")
+    _write(base, {"queries": {"q_topk": 1.0, "q_x": 1.0}})
+    out = bench.compare_block({"q_topk": 1.5, "q_x": 1.5}, base)
+    assert out["canary"]["factor"] == 1.5
+    assert out["canary"]["triplet"]["q_dedup_exact"] is None
+    assert out["regressions"] == []
+
+
+def test_median_helper():
+    assert bench._median([3.0]) == 3.0
+    assert bench._median([1.0, 2.0]) == 1.5
+    assert bench._median([17.0, 3.4, 3.5]) == 3.5

@@ -261,9 +261,15 @@ def test_jaccard_prefix_equals_plain_fuzz(spark):
         (0, ""), (1, "w0"), (2, "w0 w0 w0"), (3, "w0 w1"),
         (4, "w0 w1 w2 w3"), (5, "w0 w1 w2 w3"), (6, "w3 w2 w1 w0"),
         (7, "w5 w6 w7 w8 w9 w10"), (8, "w5 w6 w7 w8 w9 w11"),
+        (9, "w0 w1 w2"), (10, "w1 w2"),  # J(9,10) = 2/3 exactly
     ])
+    # 2/3 has >6 decimal digits: a HALF_UP decimal(.,6) conversion
+    # rounds it UP past t and silently shortens the prefix below the
+    # completeness bound (the r12 advice finding) — the floor-at-12dp
+    # conversion must keep A={a,b,c} vs B={b,c} (J=2/3) in the set.
     for docs, (t, n) in itertools.product(
-        corpora, [(0.5, 1), (0.6, 1), (0.75, 3), (0.8, 2), (1.0, 1)]
+        corpora,
+        [(0.5, 1), (0.6, 1), (2.0 / 3.0, 1), (0.75, 3), (0.8, 2), (1.0, 1)],
     ):
         df = spark.createDataFrame(docs, "doc_id long, text string")
         plain = sorted(

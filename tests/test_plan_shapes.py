@@ -337,25 +337,68 @@ def test_no_corpus_sized_per_query_rank_window(spark):
     )
 
 
+# LeftAnti joins whose build side carries an EXPLICIT broadcast hint
+# (round-12 verdict task 1): a forced broadcast never yields to AQE,
+# so it is safe only when the build side is bounded by CONSTRUCTION —
+# metadata, a batch, or a selective dimension filter — never by a
+# corpus fraction (the five cross-modal composites' drop sets were
+# exactly that shape and are now un-hinted; AQE broadcasts them at
+# runtime when the measured size allows).
+HINTED_ANTI_ALLOWLIST = {
+    # oversized-LSH-bucket skew guard: build side is the list of
+    # PATHOLOGICAL buckets (bucket count > max_bucket_size) —
+    # metadata-sized by definition (operators/dedup.py:216)
+    "q_dedup_minhash", "q_minhash_vs_exact",
+    # fresh_against_corpus: build side = corpus-semi-batch matched
+    # digests, bounded by the BATCH (operators/dedup.py:1011)
+    "q_dedup_incremental",
+    # stale keys are a subset of today's batch keys
+    # (operators/dedup.py:1129)
+    "q_dedup_incremental_mh",
+    # TPC-H Q16 NOT IN suppliers-with-complaints: a selective LIKE on
+    # a dimension 1/10,000th of the fact table (plans/tpch2.py:437)
+    "q_tpch_q16ish",
+}
+
+
 def test_no_cartesian_and_bnlj_allowlist(spark):
     """Registry-wide scale-killer gate: no query may plan a
-    CartesianProduct, and BroadcastNestedLoopJoin may appear only in
-    the bounded-broadcast allowlist above."""
+    CartesianProduct, BroadcastNestedLoopJoin may appear only in the
+    bounded-broadcast allowlist above, and no LeftAnti join may carry
+    an explicit broadcast hint outside HINTED_ANTI_ALLOWLIST (the
+    optimized LOGICAL plan is checked for the hint: physical broadcast
+    chosen by AQE from measured sizes is fine anywhere — the gate is
+    against FORCING it on an unbounded build side)."""
     offenders = {}
+    hinted = {}
     for name, q in QUERIES.items():
         if name in _EAGER_BUILDERS:
             continue
-        plan = q.builder(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        qe = q.builder(spark, SF)._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
         nodes = [n for n in ("CartesianProduct", "BroadcastNestedLoopJoin")
                  if n in plan]
         if "CartesianProduct" in nodes:
             offenders[name] = nodes
         elif nodes and name not in BNLJ_ALLOWLIST:
             offenders[name] = nodes
+        if name not in HINTED_ANTI_ALLOWLIST:
+            n_hint = sum(
+                1 for line in qe.optimizedPlan().toString().splitlines()
+                if "Join LeftAnti" in line and "strategy=broadcast" in line
+            )
+            if n_hint:
+                hinted[name] = n_hint
     assert not offenders, (
         f"unbounded join shapes outside the allowlist: {offenders}; "
         "either bound the broadcast side and extend BNLJ_ALLOWLIST, or "
         "re-plan the join"
+    )
+    assert not hinted, (
+        f"broadcast-hinted LeftAnti outside the allowlist: {hinted}; "
+        "drop the hint (AQE broadcasts bounded sides at runtime) or, "
+        "if the build side is bounded by construction, extend "
+        "HINTED_ANTI_ALLOWLIST with the justification"
     )
 
 
