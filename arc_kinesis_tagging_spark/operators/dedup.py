@@ -421,6 +421,104 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT pairwise n-gram CONTAINMENT (overlap coefficient,
+    ``|A∩B| / min(|A|,|B|)``) — the asymmetric complement of the
+    Jaccard joins: a short document quoted or boilerplate-wrapped
+    inside a much longer one scores containment ~1.0 while its
+    Jaccard vanishes with the size ratio, so Jaccard-threshold dedup
+    structurally misses sub-document inclusion. Returns
+    (key_a, key_b, containment), key_a < key_b.
+
+    Scale shape — ASYMMETRIC prefix pruning: for containment >= t the
+    SMALLER set S shares >= ceil(t*|S|) shingles with its partner, so
+    the rarest common shingle sits inside S's |S| - ceil(t*|S|) + 1
+    rarest-first prefix (the Jaccard prefix lemma's pigeonhole applied
+    to S alone — if it were past S's prefix, all common shingles would
+    have to fit in S's ceil(t*|S|) - 1 suffix slots); it need only
+    EXIST in the partner. Joining each doc's PREFIX against the FULL
+    inverted index therefore finds every qualifying pair with the
+    smaller doc on the prefix side (losslessness does NOT depend on
+    which side is smaller at join time — unordered pairs are
+    deduplicated). Prefix shingles are rare by construction, so hot
+    boilerplate shingles never self-join: candidates are bounded by
+    sum over prefix shingles of docs-containing, not its square. The
+    threshold->decimal conversion FLOORS at 12 dp (same completeness
+    guard as ngram_jaccard_pairs_prefix); verification recomputes the
+    EXACT containment from the collected distinct-hash sets, so the
+    emitted pair set equals the brute-force inverted-index join's —
+    the DuckDB oracle is the unpruned form.
+
+    Shingles ride as md5-prefix HASHES end to end (identical
+    distinct-hash set semantics to ngram_jaccard_pairs; the oracle
+    hashes with the same md5 expression). localCheckpoint pin: four
+    consumers (freq, sizes/rank, full join side, verify sets) —
+    executor-loss behavior documented in DEPLOY.md."""
+    sh = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(_hashed_shingle_set(text_col, shingle_n)).alias("tok"),
+    ).localCheckpoint(eager=False)
+    freq = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("sz"))
+    ranked = (
+        sh.join(freq, "tok")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("key").orderBy("freq", "tok")
+            ),
+        )
+        .join(sizes, "key")
+    )
+    t_floor = decimal.Decimal(threshold).quantize(
+        decimal.Decimal("1e-12"), rounding=decimal.ROUND_FLOOR
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.ceil(F.lit(t_floor).cast("decimal(24,12)") * F.col("sz"))
+        + 1
+    )
+    pref = ranked.filter(F.col("pos") <= prefix_len).select("key", "tok")
+    a = pref.select(F.col("key").alias("key_p"), "tok")
+    b = sh.select(F.col("key").alias("key_f"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("key_p") != F.col("key_f"))
+        .select(
+            F.least("key_p", "key_f").alias("key_a"),
+            F.greatest("key_p", "key_f").alias("key_b"),
+        )
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    sets_ = sh.groupBy("key").agg(F.collect_set("tok").alias("toks"))
+    return (
+        cand.join(
+            sets_.select(F.col("key").alias("key_a"), F.col("toks").alias("toks_a")),
+            "key_a",
+        )
+        .join(
+            sets_.select(F.col("key").alias("key_b"), F.col("toks").alias("toks_b")),
+            "key_b",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("toks_a", "toks_b"))
+        )
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double")
+            / F.least(F.size("toks_a"), F.size("toks_b")).cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("key_a", "key_b", "containment")
+    )
+
+
 def _simhash64(text_col: str) -> F.Column:
     """64-bit SimHash as a pure expression: per doc, sum +/-1 per bit
     over stable token hashes, take sign bits."""

@@ -210,6 +210,59 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.6
 """
 
 
+def q_dedup_containment(spark, sf_dir):
+    """EXACT word-3-gram CONTAINMENT join (overlap coefficient
+    |A∩B|/min(|A|,|B|), operators/dedup.py:ngram_containment_pairs)
+    over the full documents table — the sub-document-inclusion dedup
+    Jaccard structurally misses (a short doc quoted inside a long one
+    scores containment ~1.0 while its Jaccard vanishes with the size
+    ratio). Candidates meet only on each doc's rarest
+    |d| - ceil(t|d|) + 1 shingles joined against the full inverted
+    index (asymmetric prefix pruning — lossless at the threshold), so
+    the oracle is the UNPRUNED brute-force pair SQL: a hash-green row
+    proves the pruning drops no qualifying pair and invents none."""
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        d, "text", "doc_id", threshold=0.8, shingle_n=3
+    )
+
+
+# brute-force twin of the containment join: distinct-hashed 3-gram
+# shingle sets (same md5-prefix hash the Spark index rides), all-pairs
+# intersection counts, containment = inter / least(sizes) — NO prefix
+# pruning, which is the point
+ORACLE_DEDUP_CONTAINMENT = """
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           list_transform(
+             generate_series(1, greatest(len(tk) - 2, 0)),
+             i -> array_to_string(tk[i : i + 2], ' ')),
+           s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS toks
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents)
+), toks AS (
+  SELECT doc_id AS key, UNNEST(toks) AS tok FROM docs
+), sizes AS (
+  SELECT key, COUNT(*) AS sz FROM toks GROUP BY key
+), inter AS (
+  SELECT a.key AS key_a, b.key AS key_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.key < b.key
+  GROUP BY a.key, b.key
+)
+SELECT key_a, key_b,
+       CAST(n_inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
+FROM inter
+JOIN sizes sa ON sa.key = key_a
+JOIN sizes sb ON sb.key = key_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.8
+"""
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup candidates, exact-Jaccard verified on word
     shingles. Sub-quadratic candidate generation — the 100 TB path; the
@@ -4270,6 +4323,8 @@ LLMOPS_QUERIES = [
     Query("q_dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     Query("q_dedup_jaccard_prefix", q_dedup_jaccard_prefix,
           ORACLE_DEDUP_JACCARD_PREFIX),
+    Query("q_dedup_containment", q_dedup_containment,
+          ORACLE_DEDUP_CONTAINMENT),
     Query("q_dedup_minhash", q_dedup_minhash, None,
           "LSH banding not SQL-reproducible; verified in tests against exact jaccard"),
     Query("q_dedup_simhash", q_dedup_simhash, None,

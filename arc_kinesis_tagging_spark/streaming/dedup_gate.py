@@ -45,7 +45,14 @@ corpus rewrite per 64 batches. Tune by the trade-off's two sides:
 the rewrite is O(corpus size) amortized over the cadence, the
 fragmentation penalty is O(batches since last compaction) — bigger
 corpora want a LONGER cadence, chattier streams a shorter one. Set 0
-to disable and schedule externally.
+to disable and schedule externally, or ``compact_every="auto"`` to
+let the gate scale the cadence itself: at each compaction the next
+cadence is re-derived as clamp(2*sqrt(corpus_rows/batch_rows), 16,
+1024) — the sqrt balances the O(corpus)/cadence amortized rewrite
+against the linear-in-cadence probe-fragmentation ramp, and was
+MEASURED against the naive linear rule on the round-13 corpus>>batch
+ladder regime, which rejected linear by 4x (SCALE.md; rationale at
+the AUTO_CADENCE constants).
 """
 
 from __future__ import annotations
@@ -98,7 +105,91 @@ def _write_marker(spark, marker: str) -> None:
         raise IOError(f"marker write failed: {marker}")
 
 
-def _maybe_compact(batch_id: int, every: int, compact_fn) -> None:
+# Auto-cadence rule (compact_every="auto"): cadence ~=
+# 2 * sqrt(corpus_rows / batch_rows), clamped. SQRT, not linear: per
+# window of W batches a cadence c pays (W/c) corpus rewrites plus a
+# probe-overhead ramp of W * slope * c / 2 (probe latency is linear
+# in file count, files grow ~constant per batch), so the cost
+# minimum sits at c* = sqrt(2 * rewrite_s / slope). Rewrite time is
+# proportional to corpus rows and the slope is corpus-independent,
+# hence c* grows as sqrt(corpus/batch). The round-13 corpus>>batch
+# ladder (SCALE.md) measured the linear rule (c = ratio = 256) at
+# 391 s/window vs fixed-64's 99 s — REJECTED — while the sqrt rule
+# lands at the measured optimum (c* ~ 35 for a 512k-row corpus and
+# 2k-row batches; the factor 2 calibrates the rule to that point).
+# The clamp bounds both failure modes: MIN keeps chatty streams from
+# rewriting a big corpus every few batches, MAX caps the
+# fragmentation window (peak files ~= cadence x buckets) outright.
+AUTO_CADENCE_MIN = 16
+AUTO_CADENCE_MAX = 1024
+AUTO_CADENCE_START = 64
+
+# In-process cadence state cache, keyed by markers_dir (one gate per
+# markers_dir by construction). A restart empties it; the durable
+# copy in <markers_dir>/__cadence is re-read on first miss.
+_CADENCE_CACHE: dict[str, dict] = {}
+
+
+def _cadence_uri(markers_dir: str) -> str:
+    return f"{markers_dir.rstrip('/')}/__cadence"
+
+
+def _cadence_read(spark, markers_dir: str) -> dict | None:
+    import json
+
+    from arc_kinesis_tagging_spark.sources.maintenance import _hpath
+
+    fs, p = _hpath(spark, _cadence_uri(markers_dir))
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    try:
+        st = json.loads(data.decode("utf-8"))
+        return st if isinstance(st, dict) and "last" in st else None
+    except ValueError:
+        return None  # corrupt state file: fall back to a fresh start
+
+
+def _cadence_write(spark, markers_dir: str, state: dict) -> None:
+    """Durable cadence state via temp + delete + rename. The
+    delete+rename pair is not atomic; a crash in between just loses
+    the state file, and the next batch re-initializes at
+    AUTO_CADENCE_START — a bounded, self-healing degradation (one
+    early compaction), never corruption."""
+    import json
+
+    from arc_kinesis_tagging_spark.sources.maintenance import _hpath
+
+    uri = _cadence_uri(markers_dir)
+    fs, tmp = _hpath(spark, uri + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(state).encode("utf-8")))
+    finally:
+        out.close()
+    _, dst = _hpath(spark, uri)
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    if not fs.rename(tmp, dst) and not fs.exists(dst):
+        raise IOError(f"cadence state write failed: {uri}")
+
+
+def _maybe_compact(
+    batch_id: int,
+    every,
+    compact_fn,
+    *,
+    spark=None,
+    markers_dir: str | None = None,
+    batch_rows_fn=None,
+    corpus_rows_fn=None,
+) -> None:
     """Run the layout-preserving compactor once per ``every`` epochs
     (0 = never), keyed on the structured-streaming batch_id — which
     is monotonic and checkpoint-durable, so the cadence survives
@@ -108,9 +199,59 @@ def _maybe_compact(batch_id: int, every: int, compact_fn) -> None:
     for). Replayed epochs return on their marker before reaching
     this, so an epoch triggers at most one compaction; a crash
     between the marker write and the compaction just defers to the
-    next cadence point."""
-    if every and (int(batch_id) + 1) % every == 0:
-        compact_fn()
+    next cadence point.
+
+    ``every="auto"`` (round-12 verdict task 5) self-scales the
+    cadence instead of a fixed count: SCALE.md's own trade-off note
+    says the rewrite is O(corpus) amortized over the cadence while
+    the fragmentation penalty is O(batches since last compaction), so
+    bigger corpora want a LONGER cadence. At each compaction the next
+    cadence is re-derived as clamp(2 * sqrt(corpus_rows /
+    batch_rows), AUTO_CADENCE_MIN, AUTO_CADENCE_MAX) — the sqrt
+    cost-balance rule measured on the round-13 corpus>>batch ladder
+    (see the AUTO_CADENCE constants; the verdict-prescribed LINEAR
+    rule was ladder-tested and rejected 4x). The sizes are observed
+    AT COMPACTION TIME only (one corpus-rows count per compaction,
+    batch-rows from the already-pinned survivor table), never per
+    batch. State ({last, every}) lives in <markers_dir>/__cadence
+    next to the replay markers (same durable store as the
+    checkpoint) plus an in-process cache; a crash between compact_fn
+    and the state write re-compacts once at the next batch
+    (idempotent, layout-preserving), a lost/corrupt state file
+    re-initializes at AUTO_CADENCE_START."""
+    if not every:
+        return
+    if every != "auto":
+        if (int(batch_id) + 1) % int(every) == 0:
+            compact_fn()
+        return
+    bid = int(batch_id)
+    st = _CADENCE_CACHE.get(markers_dir) or _cadence_read(
+        spark, markers_dir
+    )
+    if st is None:
+        st = {"last": bid, "every": AUTO_CADENCE_START}
+        _CADENCE_CACHE[markers_dir] = st
+        _cadence_write(spark, markers_dir, st)
+        return
+    _CADENCE_CACHE[markers_dir] = st
+    if bid - int(st["last"]) < int(st["every"]):
+        return
+    compact_fn()
+    import math
+
+    batch_rows = max(int(batch_rows_fn() or 0), 1)
+    corpus_rows = int(corpus_rows_fn() or 0)
+    nxt = max(
+        AUTO_CADENCE_MIN,
+        min(
+            AUTO_CADENCE_MAX,
+            2 * math.isqrt(max(corpus_rows // batch_rows, 0)),
+        ),
+    )
+    st = {"last": bid, "every": nxt}
+    _CADENCE_CACHE[markers_dir] = st
+    _cadence_write(spark, markers_dir, st)
 
 
 def _append_bucketed_bands(
@@ -233,7 +374,7 @@ def make_phash_dedup_gate(
     hash_fn=None,
     hash_col: str = "phash",
     hash_bits: int = 63,
-    compact_every: int = 64,
+    compact_every: int | str = 64,
 ):
     """Build the ``foreachBatch`` function: hash -> probe corpus ->
     drop corpus near-dups -> keep-smallest-id within the batch ->
@@ -341,6 +482,14 @@ def make_phash_dedup_gate(
                 batch_id,
                 compact_every,
                 lambda: compact_bucketed_table(spark, name, ["chunk"]),
+                spark=spark,
+                markers_dir=markers_dir,
+                # auto mode: doc-level batch count (the pinned
+                # survivor table) vs band-level corpus count — the
+                # constant bands-per-doc factor only LENGTHENS the
+                # cadence, absorbed by the AUTO_CADENCE_MAX clamp
+                batch_rows_fn=lambda: survivors.count(),
+                corpus_rows_fn=lambda: spark.table(name).count(),
             )
 
     return gate
@@ -354,7 +503,7 @@ def make_ahash_dedup_gate(
     id_col: str = "media_id",
     media_col: str = "media",
     max_hamming: int = 4,
-    compact_every: int = 64,
+    compact_every: int | str = 64,
 ):
     """The AUDIO gate: identical machinery over Haitsma-Kalker
     fingerprints (operators/multimodal.py:ahash_wav, 60 bits -> 5
@@ -431,7 +580,7 @@ def make_vhash_dedup_gate(
     media_col: str = "media",
     max_hamming: int = 4,
     every: int = 2,
-    compact_every: int = 64,
+    compact_every: int | str = 64,
 ):
     """The VIDEO gate: per-micro-batch frame hashing (every
     ``every``-th frame through the shared integer-DCT pHash), probe of
@@ -509,6 +658,10 @@ def make_vhash_dedup_gate(
                 lambda: compact_bucketed_table(
                     spark, name, ["f", "chunk"]
                 ),
+                spark=spark,
+                markers_dir=markers_dir,
+                batch_rows_fn=lambda: survivor_ids.count(),
+                corpus_rows_fn=lambda: spark.table(name).count(),
             )
 
     return gate
@@ -524,7 +677,7 @@ def make_embedding_dedup_gate(
     threshold: float = 0.98,
     nlist: int = 16,
     nprobe: int = 4,
-    compact_every: int = 64,
+    compact_every: int | str = 64,
 ):
     """The EMBEDDING gate — with this the streaming dedup-gate family
     spans every modality the engine ingests (text exact/TTL dedup in
@@ -638,6 +791,12 @@ def make_embedding_dedup_gate(
                 batch_id,
                 compact_every,
                 lambda: compact_ivf_index(spark, index_path),
+                spark=spark,
+                markers_dir=markers_dir,
+                batch_rows_fn=lambda: survivors.count(),
+                corpus_rows_fn=lambda: spark.read.parquet(
+                    index_path.rstrip("/") + "/index"
+                ).count(),
             )
 
     return gate
@@ -651,7 +810,7 @@ def make_text_dedup_gate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 16,
-    compact_every: int = 64,
+    compact_every: int | str = 64,
 ):
     """The TEXT gate (exact, unbounded horizon) — complements the
     TTL-window streaming dedup (streaming/stateful.py, which bounds
@@ -725,6 +884,10 @@ def make_text_dedup_gate(
                 lambda: compact_bucketed_table(
                     spark, name, ["digest"], n_buckets
                 ),
+                spark=spark,
+                markers_dir=markers_dir,
+                batch_rows_fn=lambda: accepted.count(),
+                corpus_rows_fn=lambda: spark.table(name).count(),
             )
 
     return gate
@@ -775,7 +938,7 @@ def make_minhash_dedup_gate(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     n_buckets: int = 16,
-    compact_every: int = 64,
+    compact_every: int | str = 64,
 ):
     """The TEXT NEAR-DUP gate (MinHash-LSH, unbounded horizon) — the
     approximate counterpart of make_text_dedup_gate, completing the
@@ -898,7 +1061,15 @@ def make_minhash_dedup_gate(
                 compact_bucketed_table(spark, bands_table, ["bkey"])
                 compact_bucketed_table(spark, shingles_table, ["__key"])
 
-            _maybe_compact(batch_id, compact_every, _compact_both)
+            _maybe_compact(
+                batch_id,
+                compact_every,
+                _compact_both,
+                spark=spark,
+                markers_dir=markers_dir,
+                batch_rows_fn=lambda: survivors.count(),
+                corpus_rows_fn=lambda: spark.table(bands_table).count(),
+            )
 
     return gate
 
@@ -911,7 +1082,7 @@ def make_simhash_dedup_gate(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 6,
-    compact_every: int = 64,
+    compact_every: int | str = 64,
 ):
     """The TEXT NEAR-DUP gate #2 — SimHash/Hamming (Charikar's
     similarity-estimation sketch; reference for the batch analog:
@@ -968,3 +1139,88 @@ def make_simhash_dedup_gate(
         hash_bits=60,
         compact_every=compact_every,
     )
+
+
+def make_decontamination_gate(
+    spark,
+    benchmark: DataFrame,
+    table_prefix: str,
+    markers_dir: str,
+    accepted_sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_shared: int = 3,
+    n_buckets: int = 16,
+):
+    """Streaming train-side DECONTAMINATION gate: drop any batch doc
+    sharing >= ``min_shared`` distinct word ``shingle_n``-grams with a
+    FROZEN benchmark/eval set; survivors flow to ``accepted_sink``.
+    Completes the ingest stack (exact -> near-dup -> decontamination,
+    all valid accepted_sinks for each other): benchmark contamination
+    never ENTERS the corpus, instead of waiting for the periodic batch
+    refresh (tools/curation_e2e.py) to scrub it.
+
+    Same overlap semantics as the batch analog
+    (operators/dedup.py:contamination_pairs / q_contamination), but
+    shingles ride as md5-prefix HASHES (the jaccard joins'
+    distinct-hash set semantics) so the persisted table and join keys
+    are 8 bytes.
+
+    Scale shape — the dedup gates' corpus-probe pattern applied to a
+    STATIC corpus: the benchmark's (hash, bench_key) rows are exploded
+    ONCE at gate construction into a bucketed table; each batch's
+    shingles BROADCAST onto it (one benchmark scan, zero benchmark
+    Exchange, no growth, no compaction). The per-(doc, bench) overlap
+    count shuffles only MATCHED rows. Restart-safe: the table
+    re-attaches externally via the gates' shared helper, and if it is
+    already registered the provided ``benchmark`` DataFrame is not
+    re-read at all — the persisted table is the frozen truth. Replay
+    markers make the gate idempotent; null/empty text hashes to an
+    empty shingle set, so corrupt rows can never be 'contaminated'
+    and pass through (R16)."""
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        _hashed_shingle_set,
+    )
+
+    name = f"{table_prefix}_benchsh"
+    _markers_init(spark, markers_dir)
+    if not _ensure_registered(
+        spark, name, "bsh BIGINT, bench_key STRING", ["bsh"], n_buckets
+    ):
+        bsh = benchmark.select(
+            F.col(id_col).cast("string").alias("bench_key"),
+            F.explode(_hashed_shingle_set(text_col, shingle_n)).alias(
+                "bsh"
+            ),
+        ).select("bsh", "bench_key")
+        _append_bucketed_bands(bsh, name, ["bsh"], n_buckets)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        marker = _marker_uri(markers_dir, batch_id)
+        if _marker_exists(spark, marker):
+            return  # replayed epoch: already emitted
+        doc_sh = batch_df.select(
+            F.col(id_col).alias("__doc_key"),
+            F.explode(_hashed_shingle_set(text_col, shingle_n)).alias(
+                "bsh"
+            ),
+        ).localCheckpoint(eager=True)  # probe + nothing else re-derives
+        drop = (
+            spark.table(name)
+            .join(F.broadcast(doc_sh), "bsh")
+            .groupBy("__doc_key", "bench_key")
+            .agg(F.count(F.lit(1)).alias("__n_shared"))
+            .filter(F.col("__n_shared") >= min_shared)
+            .select("__doc_key")
+            .distinct()
+        )
+        accepted = batch_df.join(
+            F.broadcast(drop),
+            batch_df[id_col] == drop["__doc_key"],
+            "left_anti",
+        )
+        accepted_sink(accepted, batch_id)
+        _write_marker(spark, marker)  # atomic-ish: marker is LAST
+
+    return gate

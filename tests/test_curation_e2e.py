@@ -1,0 +1,128 @@
+"""End-to-end curation walkthrough (tools/curation_e2e.py): the
+DEPLOY.md production recipe — emulated Kinesis stream -> fused gated
+ingest -> exact->SimHash->MinHash gate stack -> curated parquet ->
+periodic batch refresh (langid -> exact dedup -> prefix Jaccard ->
+decontamination -> per-source report) — driven as ONE wiring at small
+scale. Each stage is pinned individually elsewhere; this test pins
+the composition the tool ships."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import uuid
+
+def _story(doc_id: str, text: str) -> bytes:
+    return gzip.compress(
+        json.dumps(
+            {
+                "id": doc_id,
+                "operation": "insert-story",
+                "published": True,
+                "created": False,
+                "type": "story",
+                "trigger": {"referent_update": True},
+                "body": {"headlines": {"basic": text}, "revision": "r1"},
+            },
+            sort_keys=True,
+        ).encode(),
+        mtime=0,
+    )
+
+
+# the three fluent model-training headlines (tools/curation_e2e.py)
+T1 = "the quick brown fox jumps over the lazy dog"
+T2 = "markets rally as quarterly earnings beat expectations"
+T3 = "city council approves new transit funding plan today"
+T1_NEAR = T1 + " today"  # near-dup of T1: passes exact, caught by near-dup
+GIBBERISH = "zx qv jk wq xz vq kj qw zv xq"  # all-backoff: LM gate drops
+
+
+def _run_stream(spark, stream_dir: str, ingest, ckpt: str) -> None:
+    from arc_kinesis_tagging_spark.streaming.kinesis_source import (
+        KinesisEmuDataSource,
+    )
+    from tools.curation_e2e import run_ingest
+
+    spark.dataSource.register(KinesisEmuDataSource)
+    records = (
+        spark.readStream.format("kinesis_emu")
+        .option("streamDir", stream_dir)
+        .load()
+    )
+    run_ingest(spark, records, ingest, ckpt)
+
+
+def test_curation_e2e_ingest_then_refresh(spark, tmp_path):
+    from arc_kinesis_tagging_spark.streaming.kinesis_source import (
+        write_kinesis_fixture,
+    )
+    from tools.curation_e2e import batch_refresh, make_curation_stack
+
+    stream = str(tmp_path / "stream")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    work = "akt_cur_" + uuid.uuid4().hex[:10]
+
+    # epoch 1: an exact dup, a near dup, a robots-blocked host, and a
+    # gibberish (LM-dropped) doc alongside two keepers
+    write_kinesis_fixture(
+        stream,
+        [
+            (_story("doc-1", T1), 0),
+            (_story("doc-2", T1), 1),        # exact dup of doc-1
+            (_story("doc-3", T1_NEAR), 2),   # near dup of doc-1
+            (_story("doc-4", T2), 3),
+            (_story("spam-9", T3), 0),       # robots: host 'spam' blocked
+            (_story("doc-6", GIBBERISH), 1),  # LM gate drops
+        ],
+    )
+    ingest = make_curation_stack(spark, work, ckpt + "/markers", out)
+    _run_stream(spark, stream, ingest, ckpt)
+
+    curated = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # the exact dup, near dup, robots-blocked and gibberish docs are
+    # gone; exactly one of {doc-1, doc-2} survives the exact gate
+    # (smallest id) and the near dup never reaches the corpus
+    assert set(curated) == {"doc-1", "doc-4"}
+    assert curated["doc-1"] == T1 and curated["doc-4"] == T2
+
+    # epoch 2 (same checkpoint -> next batch): a CROSS-BATCH exact dup
+    # of T2 plus a fresh doc — the gates' persisted corpora carry over
+    write_kinesis_fixture(
+        stream,
+        [
+            (_story("doc-7", T2), 0),  # cross-batch exact dup: dropped
+            (_story("doc-8", T3), 2),  # fresh: admitted
+        ],
+    )
+    _run_stream(spark, stream, ingest, ckpt)
+    curated = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(curated) == {"doc-1", "doc-4", "doc-8"}
+
+    # periodic refresh WITHOUT a benchmark: nothing to drop — the
+    # report covers both sources ('doc' keeps 3 docs)
+    report = {
+        r["source"]: (r["n_docs"], r["n_chars_total"])
+        for r in batch_refresh(spark, out, None).collect()
+    }
+    assert report == {
+        "doc": (3, len(T1) + len(T2) + len(T3)),
+    }
+
+    # refresh WITH a benchmark containing T2: decontamination drops
+    # doc-4 (shares every 3-gram), keeps the unrelated docs
+    bench = spark.createDataFrame(
+        [("bench-1", T2)], "doc_id string, text string"
+    )
+    report2 = {
+        r["source"]: (r["n_docs"], r["n_chars_total"])
+        for r in batch_refresh(spark, out, bench).collect()
+    }
+    assert report2 == {"doc": (2, len(T1) + len(T3))}

@@ -283,3 +283,74 @@ def test_jaccard_prefix_equals_plain_fuzz(spark):
             ).collect()
         )
         assert plain == pref, (t, n, docs, plain, pref)
+
+
+def test_containment_prefix_equals_bruteforce_fuzz(spark):
+    """PROPERTY (deterministic fuzz): the asymmetric-prefix containment
+    join (prefix side x full index) emits EXACTLY the brute-force
+    overlap-coefficient pair set. Cases target the lemma's edges: a
+    tiny doc fully CONTAINED in a much larger one (the operator's
+    reason to exist — Jaccard ~0, containment 1.0), repeated-token
+    collapse, frequency-order ties, >6-dp thresholds (2/3: the
+    decimal-floor guard), and shingle_n longer than the doc."""
+    import itertools
+    import random
+
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    def brute(docs, t, n):
+        import hashlib
+
+        def hset(text):
+            toks = [w for w in text.split() if w]
+            if n > 1:
+                grams = [" ".join(toks[i:i + n])
+                         for i in range(max(len(toks) - n + 1, 0))]
+            else:
+                grams = toks
+            return {
+                int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                for g in grams
+            }
+
+        sets = {k: hset(tx) for k, tx in docs}
+        out = []
+        for (ka, sa), (kb, sb) in itertools.combinations(
+            sorted(sets.items()), 2
+        ):
+            if not sa or not sb:
+                continue
+            c = len(sa & sb) / min(len(sa), len(sb))
+            if c >= t:
+                out.append((ka, kb, round(c, 9)))
+        return sorted(out)
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    corpora = []
+    for _ in range(5):
+        corpora.append([
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))))
+            for i in range(10)
+        ])
+    # adversarial: a 2-token doc contained verbatim in a 10-token one
+    # (Jaccard 0.2, containment 1.0), empties, repeats, hot-token pairs
+    corpora.append([
+        (0, ""), (1, "w0 w1"),
+        (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),  # contains doc 1
+        (3, "w0 w0 w0"), (4, "w0"),
+        (5, "w2 w3 w4"), (6, "w2 w3 w4 w5"),
+    ])
+    for docs, (t, n) in itertools.product(
+        corpora, [(0.5, 1), (2.0 / 3.0, 1), (0.8, 1), (1.0, 1), (0.8, 3)]
+    ):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = sorted(
+            (r[0], r[1], round(r[2], 9))
+            for r in ngram_containment_pairs(
+                df, "text", "doc_id", t, n
+            ).collect()
+        )
+        assert got == brute(docs, t, n), (t, n, docs, got)

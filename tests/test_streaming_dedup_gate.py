@@ -840,3 +840,191 @@ def test_media_gate_auto_compacts_band_corpus(spark, tmp_path):
     # and admits a far hash
     gate(batch([(10, h0 | 0b11), (11, 0x3FF00000000)]), 2)
     assert accepted == [[0, 1], [2], [11]]
+
+
+def test_auto_cadence_scales_with_corpus_over_batch(spark, tmp_path, monkeypatch):
+    """compact_every='auto' (round-12 verdict task 5): the cadence
+    re-derives as clamp(2*sqrt(corpus_rows/batch_rows), MIN, MAX) at
+    each compaction (the sqrt cost-balance rule the round-13 ladder
+    measured; the linear rule was rejected 4x — SCALE.md), lives
+    durably in <markers_dir>/__cadence (survives a restart that
+    empties the in-process cache), and a corrupt state file degrades
+    to a fresh start instead of an exception."""
+    from arc_kinesis_tagging_spark.streaming import dedup_gate as dg
+
+    monkeypatch.setattr(dg, "AUTO_CADENCE_START", 2)
+    monkeypatch.setattr(dg, "AUTO_CADENCE_MIN", 1)
+    markers = str(tmp_path / "m")
+    dg._markers_init(spark, markers)
+    dg._CADENCE_CACHE.clear()
+    calls = []
+    # corpus 8 rows / batch 2 rows -> re-derived cadence 2*sqrt(4) = 4
+    kw = dict(spark=spark, markers_dir=markers,
+              batch_rows_fn=lambda: 2, corpus_rows_fn=lambda: 8)
+    dg._maybe_compact(0, "auto", lambda: calls.append(0), **kw)
+    assert calls == []  # first sight initializes state, no compaction
+    assert dg._cadence_read(spark, markers) == {"last": 0, "every": 2}
+    dg._maybe_compact(1, "auto", lambda: calls.append(1), **kw)
+    assert calls == []  # 1 - 0 < START
+    dg._maybe_compact(2, "auto", lambda: calls.append(2), **kw)
+    assert calls == [2]  # compacts; next cadence = 2*sqrt(8//2) = 4
+    assert dg._cadence_read(spark, markers) == {"last": 2, "every": 4}
+    dg._maybe_compact(5, "auto", lambda: calls.append(5), **kw)
+    assert calls == [2]  # 5 - 2 < 4
+    # -- restart: in-process cache gone, durable state re-read --
+    dg._CADENCE_CACHE.clear()
+    dg._maybe_compact(6, "auto", lambda: calls.append(6), **kw)
+    assert calls == [2, 6]  # 6 - 2 >= 4
+    # corpus >> batch clamps at AUTO_CADENCE_MAX (the fragmentation
+    # window stays bounded no matter how big the corpus gets:
+    # 2*sqrt(1e7/2) ~ 4472 -> 1024)
+    dg._CADENCE_CACHE.clear()
+    dg._cadence_write(spark, markers, {"last": 6, "every": 1})
+    dg._maybe_compact(
+        7, "auto", lambda: calls.append(7),
+        **dict(kw, corpus_rows_fn=lambda: 10_000_000),
+    )
+    assert calls == [2, 6, 7]
+    assert dg._cadence_read(spark, markers)["every"] == dg.AUTO_CADENCE_MAX
+    # corrupt state file: fresh start, not an exception
+    fs_uri = dg._cadence_uri(markers)
+    from arc_kinesis_tagging_spark.sources.maintenance import _hpath
+    fs, p = _hpath(spark, fs_uri)
+    out = fs.create(p, True); out.write(bytearray(b"{not json")); out.close()
+    dg._CADENCE_CACHE.clear()
+    dg._maybe_compact(8, "auto", lambda: calls.append(8), **kw)
+    assert calls == [2, 6, 7]  # re-initialized, no compaction
+    assert dg._cadence_read(spark, markers) == {"last": 8, "every": 2}
+
+
+def test_text_gate_auto_mode_admits_identically_and_compacts(
+    spark, tmp_path, monkeypatch
+):
+    """A real gate driven with compact_every='auto': admissions are
+    identical to fixed-cadence semantics, the corpus compacts at the
+    auto cadence points, and the re-derived cadence lands at
+    clamp(corpus/batch) after the first compaction."""
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.sources.maintenance import (
+        parquet_file_count,
+        table_location,
+    )
+    from arc_kinesis_tagging_spark.streaming import dedup_gate as dg
+
+    monkeypatch.setattr(dg, "AUTO_CADENCE_START", 2)
+    monkeypatch.setattr(dg, "AUTO_CADENCE_MIN", 1)
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.append(sorted(r["doc_id"] for r in df.collect()))
+
+    prefix = "akt_acad_" + _uuid.uuid4().hex[:12]
+    markers = str(tmp_path / "markers")
+    gate = dg.make_text_dedup_gate(
+        spark, prefix, markers, sink, compact_every="auto"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+                 "text": [r[1] for r in rows]}
+            )
+        )
+
+    gate(batch([(1, "a"), (2, "b")]), 0)   # init: state written
+    gate(batch([(3, "c"), (4, "a")]), 1)   # 1-0 < 2: no compaction
+    gate(batch([(5, "d"), (6, "b")]), 2)   # 2-0 >= 2: compacts
+    st = dg._cadence_read(spark, markers)
+    # corpus digests at compaction: {a,b,c,d} = 4 rows (pre-batch-2
+    # appends land before the compact), batch survivors 1 (only d is
+    # fresh) -> 2 * sqrt(4 // 1) = 4
+    assert st is not None and st["last"] == 2
+    assert st["every"] == 4
+    loc = table_location(spark, f"{prefix}_digests")
+    assert parquet_file_count(loc) <= 4  # one per non-empty bucket
+    # admissions exactly the no-compaction semantics
+    assert accepted == [[1, 2], [3], [5]]
+    gate(batch([(7, "a"), (8, "e")]), 3)
+    assert accepted[-1] == [8]
+
+
+def test_decontamination_gate_semantics_and_restart(spark, tmp_path):
+    """Streaming train-side decontamination
+    (make_decontamination_gate): batch docs sharing >= min_shared
+    distinct 3-gram shingles with the frozen benchmark are dropped,
+    everything else passes (incl. null text — R16), replayed epochs
+    are marker-skipped, and after a 'restart' (catalog wiped, fresh
+    gate built with a DIFFERENT benchmark df) the PERSISTED benchmark
+    table remains the frozen truth."""
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.sources.maintenance import (
+        table_location,
+    )
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_decontamination_gate,
+    )
+
+    BENCH = "the quick brown fox jumps over the lazy dog"
+    CLEAN = "pack my box with five dozen liquor jugs tonight"
+    # shares exactly two 3-grams with BENCH ("quick brown fox",
+    # "brown fox jumps") -> below min_shared=3, kept
+    NEAR = "a quick brown fox jumps away from everything else here"
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.append(sorted(r["doc_id"] for r in df.collect()))
+
+    prefix = "akt_decon_" + _uuid.uuid4().hex[:12]
+    markers = str(tmp_path / "markers")
+    bench = spark.createDataFrame(
+        [(100, BENCH)], "doc_id long, text string"
+    )
+    gate = make_decontamination_gate(
+        spark, bench, prefix, markers, sink, min_shared=3
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+                 "text": [r[1] for r in rows]}
+            )
+        )
+
+    # 1 contaminated (verbatim benchmark), 2 clean, 3 below the
+    # overlap bar, 4 corrupt (null text: empty shingle set -> passes)
+    gate(batch([(1, BENCH), (2, CLEAN), (3, NEAR), (4, None)]), 0)
+    assert accepted == [[2, 3, 4]]
+    # replayed epoch: marker no-op, nothing re-emitted
+    gate(batch([(1, BENCH), (2, CLEAN), (3, NEAR), (4, None)]), 0)
+    assert accepted == [[2, 3, 4]]
+
+    # -- restart: catalog entry dropped, files survive; the fresh
+    # gate gets an EMPTY benchmark df, which must be IGNORED because
+    # the persisted table re-attaches as the frozen truth --
+    import shutil
+
+    name = f"{prefix}_benchsh"
+    loc = table_location(spark, name)
+    saved = str(tmp_path / "saved")
+    shutil.copytree(loc, saved)
+    spark.sql(f"DROP TABLE {name}")
+    shutil.copytree(saved, loc)
+    gate2 = make_decontamination_gate(
+        spark,
+        spark.createDataFrame([], "doc_id long, text string"),
+        prefix,
+        markers,
+        sink,
+        min_shared=3,
+    )
+    gate2(batch([(5, BENCH), (6, CLEAN + " again")]), 1)
+    assert accepted == [[2, 3, 4], [6]]

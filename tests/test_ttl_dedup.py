@@ -30,6 +30,11 @@ applyInPandasWithState operators.
 Re-retried round 12 (2026-08-15): `import google.protobuf` still
 raises ModuleNotFoundError (no `google` package at all). The
 documented skip stands.
+
+Re-retried round 13 (2026-08-16): `import google.protobuf` still
+raises ModuleNotFoundError (no `google` package at all); the
+container remains offline, a wheel is unobtainable. The documented
+skip stands.
 """
 
 import tempfile
