@@ -27,6 +27,7 @@ buckets are almost never true near-dups of interest).
 from __future__ import annotations
 
 import decimal
+import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -354,6 +355,13 @@ def ngram_jaccard_pairs_prefix(
     re-checks the EXACT Jaccard against the original t, so the pair
     set is unchanged.
 
+    On top of the prefix, the LENGTH filter (min size >= t * max
+    size) and the PPJOIN POSITIONAL filter (overlap upper bound from
+    the matched prefix positions vs the t/(1+t) overlap lower bound)
+    prune spurious candidates BEFORE they shuffle into the verify
+    join — both lossless, both floored-decimal (see inline notes), so
+    the emitted pair set and the brute-force oracle are unchanged.
+
     Shuffles: shingle-frequency aggregate, per-doc rank window (both
     bounded by distinct-shingle rows), the sparse prefix self-join,
     and candidate-pair dedup. Nothing meets on a hot shingle beyond
@@ -387,14 +395,61 @@ def ngram_jaccard_pairs_prefix(
         - F.ceil(F.lit(t_floor).cast("decimal(24,12)") * F.col("sz"))
         + 1
     )
-    pref = ranked.filter(F.col("pos") <= prefix_len).select("key", "tok")
-    a = pref.select(F.col("key").alias("key_a"), "tok")
-    b = pref.select(F.col("key").alias("key_b"), "tok")
-    cand = (
-        a.join(b, "tok")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
-        .dropDuplicates(["key_a", "key_b"])
+    pref = ranked.filter(F.col("pos") <= prefix_len).select(
+        "key", "tok", "pos", "sz"
+    )
+    a = pref.select(
+        F.col("key").alias("key_a"), "tok",
+        F.col("pos").alias("pos_a"), F.col("sz").alias("sz_a"),
+    )
+    b = pref.select(
+        F.col("key").alias("key_b"), "tok",
+        F.col("pos").alias("pos_b"), F.col("sz").alias("sz_b"),
+    )
+    # PPJoin refinements (Xiao et al. 2008), both LOSSLESS so the
+    # brute-force oracle is unchanged, both floored-decimal so no
+    # binary-float ulp can reject a qualifying pair:
+    # - LENGTH filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
+    #   (J <= min/max), tested with t' <= t so implied for every
+    #   qualifying pair;
+    # - POSITIONAL filter: overlap o <= matched_so_far +
+    #   min(remaining) under the shared global order; on each pair's
+    #   FIRST common prefix shingle that is o <= 1 + min(sz_a - pos_a,
+    #   sz_b - pos_b), and J >= t forces o >= ceil(t/(1+t) *
+    #   (sz_a+sz_b)) = alpha. A qualifying pair always PASSES on its
+    #   first common shingle (later rows may fail — the
+    #   dropDuplicates keeps any-row-passes semantics); spurious
+    #   candidates whose tails cannot reach alpha are pruned before
+    #   they ever shuffle into the verify join. alpha uses
+    #   floor(t/(1+t)) - 1e-12, provably <= the true ratio, so the
+    #   pruned alpha' <= alpha and completeness is preserved.
+    r_floor = (
+        decimal.Decimal(threshold) / (1 + decimal.Decimal(threshold))
+    ).quantize(
+        decimal.Decimal("1e-12"), rounding=decimal.ROUND_FLOOR
+    ) - decimal.Decimal("1e-12")
+    cand = a.join(b, "tok").filter(F.col("key_a") < F.col("key_b"))
+    # AKT_PPJOIN_POS=off drops the length+positional filters — a bench
+    # A/B knob ONLY (SCALE.md round-13 skew ladder): the pair set is
+    # identical either way, only the candidate volume reaching the
+    # verify join grows.
+    if os.environ.get("AKT_PPJOIN_POS", "on").lower() != "off":
+        cand = cand.filter(
+            F.least("sz_a", "sz_b")
+            >= F.lit(t_floor).cast("decimal(24,12)")
+            * F.greatest("sz_a", "sz_b")
+        ).filter(
+            1 + F.least(
+                F.col("sz_a") - F.col("pos_a"),
+                F.col("sz_b") - F.col("pos_b"),
+            )
+            >= F.ceil(
+                F.lit(r_floor).cast("decimal(24,12)")
+                * (F.col("sz_a") + F.col("sz_b"))
+            )
+        )
+    cand = cand.select("key_a", "key_b").dropDuplicates(
+        ["key_a", "key_b"]
     )
     sets_ = sh.groupBy("key").agg(F.collect_set("tok").alias("toks"))
     return (
@@ -475,6 +530,13 @@ def ngram_containment_pairs(
             ),
         )
         .join(sizes, "key")
+        # pin: TWO consumers (the prefix side and the full index side
+        # both need pos/sz for the positional filter) — without it the
+        # freq-join + rank-window chain runs once per consumer. Lazy
+        # (same discipline as the sh pin above): the physical plan
+        # still ENUMERATES both subtrees (see the EXCHANGE_BUDGET
+        # note), but at runtime the first materialization backs both.
+        .localCheckpoint(eager=False)
     )
     t_floor = decimal.Decimal(threshold).quantize(
         decimal.Decimal("1e-12"), rounding=decimal.ROUND_FLOOR
@@ -484,18 +546,39 @@ def ngram_containment_pairs(
         - F.ceil(F.lit(t_floor).cast("decimal(24,12)") * F.col("sz"))
         + 1
     )
-    pref = ranked.filter(F.col("pos") <= prefix_len).select("key", "tok")
-    a = pref.select(F.col("key").alias("key_p"), "tok")
-    b = sh.select(F.col("key").alias("key_f"), "tok")
-    cand = (
-        a.join(b, "tok")
-        .filter(F.col("key_p") != F.col("key_f"))
-        .select(
-            F.least("key_p", "key_f").alias("key_a"),
-            F.greatest("key_p", "key_f").alias("key_b"),
-        )
-        .dropDuplicates(["key_a", "key_b"])
+    pref = ranked.filter(F.col("pos") <= prefix_len).select(
+        "key", "tok", "pos", "sz"
     )
+    a = pref.select(
+        F.col("key").alias("key_p"), "tok",
+        F.col("pos").alias("pos_p"), F.col("sz").alias("sz_p"),
+    )
+    b = ranked.select(
+        F.col("key").alias("key_f"), "tok",
+        F.col("pos").alias("pos_f"), F.col("sz").alias("sz_f"),
+    )
+    # Positional filter (the ppjoin lemma adapted to containment —
+    # lossless): under the shared global order, overlap o <= 1 +
+    # min(remaining) on a pair's FIRST common shingle, while
+    # containment >= t forces o >= ceil(t * min(|A|,|B|)). Computed
+    # with the floored decimal so no qualifying pair is rejected;
+    # any-row-passes semantics via the dropDuplicates.
+    cand = a.join(b, "tok").filter(F.col("key_p") != F.col("key_f"))
+    if os.environ.get("AKT_PPJOIN_POS", "on").lower() != "off":
+        cand = cand.filter(
+            1 + F.least(
+                F.col("sz_p") - F.col("pos_p"),
+                F.col("sz_f") - F.col("pos_f"),
+            )
+            >= F.ceil(
+                F.lit(t_floor).cast("decimal(24,12)")
+                * F.least("sz_p", "sz_f")
+            )
+        )
+    cand = cand.select(
+        F.least("key_p", "key_f").alias("key_a"),
+        F.greatest("key_p", "key_f").alias("key_b"),
+    ).dropDuplicates(["key_a", "key_b"])
     sets_ = sh.groupBy("key").agg(F.collect_set("tok").alias("toks"))
     return (
         cand.join(

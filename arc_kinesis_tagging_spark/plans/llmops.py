@@ -2530,6 +2530,129 @@ GROUP BY d.source
 """
 
 
+def q_corpus_pipeline11(spark, sf_dir):
+    """Round-13 TRI-MODAL curation composite — the first composed
+    plan to chain THREE modalities with one oracle: (1) exact TEXT
+    dedup (keep the smallest doc_id per text), (2) IMAGE near-dup
+    over the survivors (real PNG decode -> integer-DCT pHash ->
+    pigeonhole band join, hamming <= 4), (3) AUDIO near-dup over the
+    IMAGE-stage survivors (real PCM16 WAV decode -> Haitsma-Kalker
+    fingerprint, 60 bits -> band join at hash_bits=60), (4) the
+    per-source curation report (counts + exact BIGINT char sums).
+
+    The DuckDB oracle recomputes BOTH perceptual hashes analytically
+    — the pHash CTEs over the stage-1 survivors, the fingerprint CTEs
+    over the stage-2 survivors — and brute-forces each stage's pairs,
+    so a hash-green row proves the three-stage composition end to
+    end: each stage consumes exactly its predecessor's survivor set.
+    Scale shape: stage 1 is one map-side-combined aggregate; each
+    media stage decodes ONLY its input survivors (map-only Arrow)
+    with candidates from band co-occupancy, never all-pairs; the
+    stage-2 survivor set is localCheckpoint-pinned (two consumers:
+    the audio stage and the final anti join — without the pin the
+    expensive PNG-decode chain re-derives per consumer); no broadcast
+    hints on the corpus-fraction-sized drop sets (AQE decides); the
+    report aggregate is survivor-sized."""
+    from arc_kinesis_tagging_spark.operators.dedup import phash_near_dup_pairs
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        ahash_wav,
+        attach_ahash_media,
+        attach_phash_media,
+        phash_gray,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s1 = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    n = spark.sparkContext.defaultParallelism
+    ph = phash_gray(
+        attach_phash_media(s1.repartition(n, "doc_id"), "doc_id"),
+        "media_id",
+        "media",
+    )
+    pdrop = (
+        phash_near_dup_pairs(ph, "media_id", "phash", max_hamming=4)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(pdrop, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    ah = ahash_wav(
+        attach_ahash_media(s2.repartition(n, "doc_id"), "doc_id"),
+        "media_id",
+        "media",
+    )
+    adrop = (
+        phash_near_dup_pairs(
+            ah, "media_id", "ahash", max_hamming=4, hash_bits=60
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    final = s2.join(adrop, "doc_id", "left_anti")
+    return (
+        final.join(d.select("doc_id", "source", "n_chars"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+    )
+
+
+def _prefix_cte_names(body: str, names: list[str], prefix: str) -> str:
+    """Rename CTEs by whole-word substitution so two analytic hash
+    chains can share one WITH clause without collisions."""
+    import re as _re
+
+    for nm in names:
+        body = _re.sub(rf"\b{nm}\b", prefix + nm, body)
+    return body
+
+
+# composed tri-modal oracle: s1 (min doc_id per text) -> the pHash
+# CTEs (as pipeline6) -> pdrop -> s2 -> the AHASH CTEs renamed a*
+# (both chains end in an `h` CTE) over s2 -> adrop -> report
+ORACLE_CORPUS_PIPELINE11 = (
+    "WITH s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents "
+    "GROUP BY text),\n"
+    + ORACLE_DEDUP_PHASH.split("WITH ", 1)[1]
+    .replace("FROM documents d,", "FROM s1 d,")
+    .rsplit("SELECT h1.doc_id", 1)[0]
+    + """, pdrop AS (
+  SELECT DISTINCT h2.doc_id AS doc_id
+  FROM h h1 JOIN h h2 ON h1.doc_id < h2.doc_id
+  WHERE bit_count(xor(h1.hash, h2.hash)) <= 4
+), s2 AS (
+  SELECT s1.doc_id FROM s1
+  LEFT JOIN pdrop ON pdrop.doc_id = s1.doc_id
+  WHERE pdrop.doc_id IS NULL
+),
+"""
+    + _prefix_cte_names(
+        ORACLE_DEDUP_AHASH.split("WITH ", 1)[1]
+        .replace("FROM documents d,", "FROM s2 d,")
+        .rsplit("SELECT h1.doc_id", 1)[0],
+        ["smp", "ct", "spec", "eb", "dd", "h"],
+        "a",
+    )
+    + """, adrop AS (
+  SELECT DISTINCT h2.doc_id AS doc_id
+  FROM ah h1 JOIN ah h2 ON h1.doc_id < h2.doc_id
+  WHERE bit_count(xor(h1.hash, h2.hash)) <= 4
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars_total
+FROM s2
+JOIN documents d ON d.doc_id = s2.doc_id
+LEFT JOIN adrop ON adrop.doc_id = s2.doc_id
+WHERE adrop.doc_id IS NULL
+GROUP BY d.source
+"""
+)
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Order-sensitive 60-bit rolling fingerprint: XOR of position-salted
     md5-derived token hashes; bit-identical in the SQL oracle."""
@@ -4345,6 +4468,8 @@ LLMOPS_QUERIES = [
           ORACLE_CORPUS_PIPELINE9),
     Query("q_corpus_pipeline10", q_corpus_pipeline10,
           ORACLE_CORPUS_PIPELINE10),
+    Query("q_corpus_pipeline11", q_corpus_pipeline11,
+          ORACLE_CORPUS_PIPELINE11),
     Query("q_dedup_vhash_incremental", q_dedup_vhash_incremental,
           ORACLE_DEDUP_VHASH_INCREMENTAL),
     Query("q_dedup_ahash", q_dedup_ahash, ORACLE_DEDUP_AHASH),

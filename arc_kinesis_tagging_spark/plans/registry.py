@@ -541,6 +541,49 @@ _R12_HEAD = [
     # q_window_rank.
 ]
 
+# Round-13 window (50 rows): exactly the rotation the r12 verdict
+# pre-listed — (a) the 26 remaining r08-vintage rows (the stalest
+# anywhere; the full r08 block is retired this round), (b) the
+# round's new work (the containment join and the tri-modal
+# composite), then (c) 22 of the 50 r09-vintage rows,
+# complexity-first (composites, ANN/embedding, dedup family,
+# multimodal codecs, mutation ops, TPC-H). After r13 the stalest
+# remaining vintage is r09 (28 rows), pre-listed at the bottom for
+# round 14.
+_R13_HEAD = [
+    # -- (a) the 26 r08-vintage rows --
+    "q_scalar_subquery", "q_window_session", "q_window_sliding",
+    "q_window_tumbling", "q_agg_approx_distinct", "q_agg_cube",
+    "q_agg_distinct", "q_agg_group", "q_agg_grouping_sets",
+    "q_agg_percentile", "q_agg_rollup", "q_events_funnel_k",
+    "q_join_anti", "q_join_asof", "q_join_interval", "q_join_outer",
+    "q_join_semi", "q_join_smj", "q_join_theta", "q_pivot",
+    "q_sample_weighted", "q_scan_orc", "q_text_repetition",
+    "q_window_frame", "q_window_lag", "q_window_rank",
+    # -- (b) new round-13 work --
+    "q_dedup_containment",  # exact overlap-coefficient join,
+    #    asymmetric prefix pruning (sub-document inclusion dedup)
+    "q_corpus_pipeline11",  # tri-modal: text dedup -> image near-dup
+    #    -> audio near-dup -> report
+    # -- (c) r09-vintage refresh, complexity-first --
+    "q_corpus_pipeline3", "q_dedup_embedding", "q_dedup_incremental_mh",
+    "q_kmeans", "q_dedup_ngram_jaccard", "q_dedup_lines", "q_dedup_url",
+    "q_heavy_hitters", "q_graph_triangles", "q_events_pathing",
+    "q_multimodal_decode", "q_multimodal_jpeg", "q_multimodal_png_gray",
+    "q_opq_assign", "q_embed_covariance", "q_embed_quantize",
+    "q_merge_upsert", "q_scd2_update", "q_cohort_retention",
+    "q_seq_pack", "q_tpch_q18ish", "q_join_salted",
+    # round 14 should finish the r09 block (28 rows left):
+    # q_agg_salted, q_bitwise_funcs, q_cast_funcs, q_collect_agg,
+    # q_conditional_funcs, q_date_funcs, q_except, q_intersect,
+    # q_lateral_topk, q_map_funcs, q_math_funcs, q_pii_scrub,
+    # q_quality_filter, q_sample_stratified, q_shuffle_shard,
+    # q_split_assign, q_string_funcs, q_string_funcs2, q_text_chunk,
+    # q_topk, q_union, q_unigram_subwords, q_vector_centroid,
+    # q_vector_normalize, q_window_analytics, q_wordpiece_encode,
+    # q_wordpiece_subwords, q_wordpiece_train.
+]
+
 
 def _ordered(head: list[str]) -> list[Query]:
     seen = [n for n in head if n in _BY_NAME]
@@ -576,8 +619,10 @@ elif _ROT == "r10":
     ALL_QUERIES = _ordered(_R10_HEAD)
 elif _ROT == "r11":
     ALL_QUERIES = _ordered(_R11_HEAD)
-else:
+elif _ROT == "r12":
     ALL_QUERIES = _ordered(_R12_HEAD)
+else:
+    ALL_QUERIES = _ordered(_R13_HEAD)
 
 QUERIES: dict[str, Query] = {q.name: q for q in ALL_QUERIES}
 

@@ -107,6 +107,9 @@ HEADLINE = [
     #                         jaccard near-dup -> decontam -> report
     "q_dedup_simhash_incremental",  # batch-vs-corpus text SimHash (banded)
     "q_dedup_jaccard_prefix",  # prefix-filtered exact jaccard, full table
+    # round-13 additions
+    "q_dedup_containment",  # exact containment join, asymmetric prefix
+    "q_corpus_pipeline11",  # tri-modal: text -> image -> audio -> report
 ]
 
 # Entries whose plans carry the giant generated decode expressions

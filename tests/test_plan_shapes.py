@@ -71,6 +71,19 @@ EXCHANGE_BUDGET = [
     # substring dedup: window-hash aggregate (partial+final counted
     # once each), the semi join back, and the doc-keyed span window
     ("q_dedup_substring", 4),
+    # round-13 docstring claims: the tri-modal composite's ONLY
+    # shuffles are the text-dedup aggregate and the survivor-sized
+    # report agg (both media stages map-only); the containment join
+    # is bounded by distinct-shingle aggregates (freq, sizes), the
+    # per-doc rank window sort, the sparse prefix-x-full join and
+    # pair dedup, and the verify set collection. The plan ENUMERATES
+    # the freq+window chain once per candidate side (the positional
+    # filter needs pos/sz on both), but the lazy ranked-table pin
+    # makes the first materialization back both at runtime — the
+    # budget counts plan nodes, so it carries the duplicated chain;
+    # every counted Exchange is bounded by distinct-shingle rows.
+    ("q_corpus_pipeline11", 2),
+    ("q_dedup_containment", 9),
 ]
 
 

@@ -552,6 +552,29 @@ COMMENTARY.update(
             "hash sets — no second explode join, nothing quadratic "
             "in corpus size at any stage."
         ),
+        "q_dedup_containment": (
+            "Exact overlap-coefficient (containment) join with "
+            "ASYMMETRIC prefix pruning: each doc's rarest-shingle "
+            "prefix joins the FULL inverted index (the smaller doc "
+            "of any qualifying pair must expose a common shingle in "
+            "its prefix — lossless), so hot boilerplate shingles "
+            "never self-join; shuffles are bounded by distinct-"
+            "shingle rows (freq agg, per-doc rank window) plus the "
+            "sparse prefix-x-full join and pair dedup; verify is an "
+            "8-byte array_intersect over collected hash sets. The "
+            "sub-document-inclusion dedup Jaccard misses."
+        ),
+        "q_corpus_pipeline11": (
+            "Tri-modal curation composite (text exact dedup -> image "
+            "pHash near-dup -> audio fingerprint near-dup -> report): "
+            "TWO Exchanges total (the text-dedup aggregate and the "
+            "final survivor-sized report agg); both media stages are "
+            "map-only Arrow decode+hash over ONLY their input "
+            "survivor set with pairs from band co-occupancy; the "
+            "stage-2 survivor pin stops the PNG-decode chain from "
+            "re-deriving per consumer; no broadcast hints on the "
+            "corpus-fraction drop sets (AQE decides at runtime)."
+        ),
     }
 )
 
