@@ -2653,6 +2653,119 @@ GROUP BY d.source
 )
 
 
+def q_corpus_pipeline12(spark, sf_dir):
+    """Round-13 KEEP-LONGEST curation composite — the containment
+    join applied the way a curation run uses it: (1) exact TEXT dedup
+    (keep the smallest doc_id per text), (2) CONTAINMENT near-dup
+    over the survivors (overlap coefficient >= 0.8 on word 3-grams,
+    operators/dedup.py:ngram_containment_pairs — asymmetric prefix
+    pruning, lossless), dropping each pair's SHORTER document by
+    n_chars (the contained doc is the redundant one; char-count tie
+    drops the larger doc_id) — the keep-longest convention, vs the
+    keep-smallest-id convention of pipelines 6-9; like them, the drop
+    set is the plain union of per-pair losers, (3) the per-source
+    curation report.
+
+    The DuckDB oracle recomputes the containment pairs brute-force
+    over exactly the stage-1 survivors and applies the same loser
+    rule, so a hash-green row proves the composition AND the
+    keep-longest selection. Scale shape: stage 1 is one map-side-
+    combined aggregate; the containment stage is the audited pruned
+    join (nothing quadratic on hot shingles); the n_chars loser
+    lookup joins the bounded PAIR set, not the corpus; no broadcast
+    hints on the corpus-fraction drop set (AQE decides); the report
+    aggregate is survivor-sized."""
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s1 = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    pairs = ngram_containment_pairs(
+        s1, "text", "doc_id", threshold=0.8, shingle_n=3
+    )
+    nchars = d.select("doc_id", "n_chars")
+    p = pairs.join(
+        nchars.select(
+            F.col("doc_id").alias("key_a"), F.col("n_chars").alias("nc_a")
+        ),
+        "key_a",
+    ).join(
+        nchars.select(
+            F.col("doc_id").alias("key_b"), F.col("n_chars").alias("nc_b")
+        ),
+        "key_b",
+    )
+    loser = F.when(
+        (F.col("nc_a") < F.col("nc_b"))
+        | (
+            (F.col("nc_a") == F.col("nc_b"))
+            & (F.col("key_a") > F.col("key_b"))
+        ),
+        F.col("key_a"),
+    ).otherwise(F.col("key_b"))
+    drop = p.select(loser.alias("doc_id")).distinct()
+    final = s1.join(drop, "doc_id", "left_anti")
+    return (
+        final.join(d.select("doc_id", "source", "n_chars"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+    )
+
+
+# composed oracle: stage-1 survivors feed the brute-force containment
+# pair SQL (same distinct md5-prefix 3-gram hash sets as the Spark
+# index), each pair's loser picked by the identical n_chars /
+# doc_id-tie rule, per-source report over the non-dropped survivors
+ORACLE_CORPUS_PIPELINE12 = """
+WITH s1 AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+), docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           list_transform(
+             generate_series(1, greatest(len(tk) - 2, 0)),
+             i -> array_to_string(tk[i : i + 2], ' ')),
+           s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS toks
+  FROM (SELECT d.doc_id, list_filter(string_split_regex(d.text, '\\s+'), t -> t <> '') AS tk
+        FROM documents d JOIN s1 USING (doc_id))
+), toks AS (
+  SELECT doc_id AS key, UNNEST(toks) AS tok FROM docs
+), sizes AS (
+  SELECT key, COUNT(*) AS sz FROM toks GROUP BY key
+), inter AS (
+  SELECT a.key AS key_a, b.key AS key_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.key < b.key
+  GROUP BY a.key, b.key
+), pairs AS (
+  SELECT key_a, key_b
+  FROM inter
+  JOIN sizes sa ON sa.key = key_a
+  JOIN sizes sb ON sb.key = key_b
+  WHERE CAST(n_inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.8
+), cdrop AS (
+  SELECT DISTINCT CASE
+           WHEN da.n_chars < db.n_chars
+             OR (da.n_chars = db.n_chars AND key_a > key_b)
+           THEN key_a ELSE key_b END AS doc_id
+  FROM pairs
+  JOIN documents da ON da.doc_id = key_a
+  JOIN documents db ON db.doc_id = key_b
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars_total
+FROM s1
+JOIN documents d ON d.doc_id = s1.doc_id
+LEFT JOIN cdrop ON cdrop.doc_id = s1.doc_id
+WHERE cdrop.doc_id IS NULL
+GROUP BY d.source
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Order-sensitive 60-bit rolling fingerprint: XOR of position-salted
     md5-derived token hashes; bit-identical in the SQL oracle."""
@@ -4470,6 +4583,8 @@ LLMOPS_QUERIES = [
           ORACLE_CORPUS_PIPELINE10),
     Query("q_corpus_pipeline11", q_corpus_pipeline11,
           ORACLE_CORPUS_PIPELINE11),
+    Query("q_corpus_pipeline12", q_corpus_pipeline12,
+          ORACLE_CORPUS_PIPELINE12),
     Query("q_dedup_vhash_incremental", q_dedup_vhash_incremental,
           ORACLE_DEDUP_VHASH_INCREMENTAL),
     Query("q_dedup_ahash", q_dedup_ahash, ORACLE_DEDUP_AHASH),

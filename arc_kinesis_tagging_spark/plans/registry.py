@@ -565,6 +565,8 @@ _R13_HEAD = [
     #    asymmetric prefix pruning (sub-document inclusion dedup)
     "q_corpus_pipeline11",  # tri-modal: text dedup -> image near-dup
     #    -> audio near-dup -> report
+    "q_corpus_pipeline12",  # keep-longest containment curation:
+    #    text dedup -> containment near-dup (drop the shorter) -> report
     # -- (c) r09-vintage refresh, complexity-first --
     "q_corpus_pipeline3", "q_dedup_embedding", "q_dedup_incremental_mh",
     "q_kmeans", "q_dedup_ngram_jaccard", "q_dedup_lines", "q_dedup_url",
@@ -572,16 +574,18 @@ _R13_HEAD = [
     "q_multimodal_decode", "q_multimodal_jpeg", "q_multimodal_png_gray",
     "q_opq_assign", "q_embed_covariance", "q_embed_quantize",
     "q_merge_upsert", "q_scd2_update", "q_cohort_retention",
-    "q_seq_pack", "q_tpch_q18ish", "q_join_salted",
-    # round 14 should finish the r09 block (28 rows left):
-    # q_agg_salted, q_bitwise_funcs, q_cast_funcs, q_collect_agg,
-    # q_conditional_funcs, q_date_funcs, q_except, q_intersect,
-    # q_lateral_topk, q_map_funcs, q_math_funcs, q_pii_scrub,
-    # q_quality_filter, q_sample_stratified, q_shuffle_shard,
-    # q_split_assign, q_string_funcs, q_string_funcs2, q_text_chunk,
-    # q_topk, q_union, q_unigram_subwords, q_vector_centroid,
-    # q_vector_normalize, q_window_analytics, q_wordpiece_encode,
-    # q_wordpiece_subwords, q_wordpiece_train.
+    "q_seq_pack", "q_tpch_q18ish",
+    # round 14 should finish the r09 block (29 rows left —
+    # q_join_salted was displaced by q_corpus_pipeline12 to keep the
+    # window at 50): q_agg_salted, q_bitwise_funcs, q_cast_funcs,
+    # q_collect_agg, q_conditional_funcs, q_date_funcs, q_except,
+    # q_intersect, q_join_salted, q_lateral_topk, q_map_funcs,
+    # q_math_funcs, q_pii_scrub, q_quality_filter,
+    # q_sample_stratified, q_shuffle_shard, q_split_assign,
+    # q_string_funcs, q_string_funcs2, q_text_chunk, q_topk, q_union,
+    # q_unigram_subwords, q_vector_centroid, q_vector_normalize,
+    # q_window_analytics, q_wordpiece_encode, q_wordpiece_subwords,
+    # q_wordpiece_train.
 ]
 
 

@@ -110,6 +110,7 @@ HEADLINE = [
     # round-13 additions
     "q_dedup_containment",  # exact containment join, asymmetric prefix
     "q_corpus_pipeline11",  # tri-modal: text -> image -> audio -> report
+    "q_corpus_pipeline12",  # keep-longest containment curation
 ]
 
 # Entries whose plans carry the giant generated decode expressions

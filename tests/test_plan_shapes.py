@@ -84,6 +84,10 @@ EXCHANGE_BUDGET = [
     # every counted Exchange is bounded by distinct-shingle rows.
     ("q_corpus_pipeline11", 2),
     ("q_dedup_containment", 9),
+    # keep-longest curation: the text-dedup aggregate + the audited
+    # containment-join internals (distinct-shingle-bounded) + the
+    # pair-bounded n_chars loser joins + the survivor-sized report
+    ("q_corpus_pipeline12", 7),
 ]
 
 

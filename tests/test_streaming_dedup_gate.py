@@ -1028,3 +1028,93 @@ def test_decontamination_gate_semantics_and_restart(spark, tmp_path):
     )
     gate2(batch([(5, BENCH), (6, CLEAN + " again")]), 1)
     assert accepted == [[2, 3, 4], [6]]
+
+
+def test_auto_cadence_crash_interleavings(spark, tmp_path, monkeypatch):
+    """PROPERTY (seeded fuzz, the kinesis-interleaving discipline):
+    200 batches through the auto-cadence state machine under random
+    restarts (cache cleared), injected crashes BETWEEN compact_fn and
+    the state write, and corrupted state files. Invariants: the
+    derived cadence always lands inside [MIN, MAX]; state['last']
+    never exceeds the current batch and never goes backwards; between
+    two compactions with an intact recorded state and no corruption,
+    the batch gap honors the recorded cadence; an immediate
+    re-compaction happens ONLY right after a crashed one (each crash
+    buys at most one); corruption re-initializes instead of
+    raising."""
+    import random
+
+    from arc_kinesis_tagging_spark.sources.maintenance import _hpath
+    from arc_kinesis_tagging_spark.streaming import dedup_gate as dg
+
+    monkeypatch.setattr(dg, "AUTO_CADENCE_START", 4)
+    monkeypatch.setattr(dg, "AUTO_CADENCE_MIN", 2)
+    monkeypatch.setattr(dg, "AUTO_CADENCE_MAX", 8)
+    rng = random.Random(5)
+    markers = str(tmp_path / "m")
+    dg._markers_init(spark, markers)
+    dg._CADENCE_CACHE.clear()
+
+    compactions: list[int] = []
+    crashed_bids: list[int] = []
+    corpus_rows = 0
+    # (bid, every_recorded, state_write_ok) of the last compaction
+    last_ok: tuple | None = None
+    dirty = False  # a crash or corruption happened since last_ok
+
+    for bid in range(200):
+        if rng.random() < 0.10:
+            dg._CADENCE_CACHE.clear()  # driver restart
+        if rng.random() < 0.03:
+            fs, p = _hpath(spark, dg._cadence_uri(markers))
+            out = fs.create(p, True)
+            out.write(bytearray(b"junk"))
+            out.close()
+            dg._CADENCE_CACHE.clear()
+            dirty = True
+        batch = rng.randint(1, 50)
+        corpus_rows += batch
+        crash = rng.random() < 0.15
+
+        def fn(b=bid, c=crash):
+            compactions.append(b)
+            if c:
+                raise RuntimeError("injected crash before state write")
+
+        b_rows, c_rows = batch, corpus_rows
+        try:
+            dg._maybe_compact(
+                bid, "auto", fn,
+                spark=spark, markers_dir=markers,
+                batch_rows_fn=lambda: b_rows,
+                corpus_rows_fn=lambda: c_rows,
+            )
+        except RuntimeError:
+            dirty = True
+            crashed_bids.append(bid)
+        if compactions and compactions[-1] == bid:
+            st = dg._cadence_read(spark, markers)
+            if last_ok is not None and not dirty:
+                # clean gap honors the recorded cadence
+                assert bid - last_ok[0] >= last_ok[1], (
+                    bid, last_ok, compactions
+                )
+            if not crash:
+                assert st is not None and st["last"] == bid
+                last_ok = (bid, int(st["every"]))
+                dirty = False
+        st = dg._cadence_read(spark, markers)
+        if st is not None:
+            assert 2 <= int(st["every"]) <= 8, st
+            assert int(st["last"]) <= bid, (st, bid)
+
+    # the machine actually exercised every branch
+    assert len(compactions) >= 10
+    # an immediate (next-batch) re-compaction is legal ONLY when the
+    # previous compaction crashed before its state write — each crash
+    # buys at most one retry, so consecutive-bid chains must be
+    # crash-backed all the way to their first element
+    crashed = set(crashed_bids)
+    for x, y in zip(compactions, compactions[1:]):
+        if y == x + 1:
+            assert x in crashed, (x, y, sorted(crashed))

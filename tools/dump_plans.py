@@ -564,6 +564,15 @@ COMMENTARY.update(
             "8-byte array_intersect over collected hash sets. The "
             "sub-document-inclusion dedup Jaccard misses."
         ),
+        "q_corpus_pipeline12": (
+            "Keep-longest containment curation (text exact dedup -> "
+            "containment near-dup dropping each pair's shorter doc -> "
+            "report): the containment stage is the audited pruned "
+            "join (distinct-shingle-bounded shuffles, positional "
+            "filter); the n_chars loser lookup joins the bounded "
+            "PAIR set, never the corpus; un-hinted drop-set anti "
+            "join (AQE decides); survivor-sized report aggregate."
+        ),
         "q_corpus_pipeline11": (
             "Tri-modal curation composite (text exact dedup -> image "
             "pHash near-dup -> audio fingerprint near-dup -> report): "
