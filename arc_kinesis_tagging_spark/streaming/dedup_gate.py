@@ -1224,3 +1224,59 @@ def make_decontamination_gate(
         _write_marker(spark, marker)  # atomic-ish: marker is LAST
 
     return gate
+
+
+def append_benchmark_shingles(
+    spark,
+    benchmark: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_buckets: int = 16,
+) -> int:
+    """Grow a decontamination gate's benchmark table with NEWLY
+    released eval docs (the one mutation a frozen benchmark needs);
+    returns the number of bench docs actually added.
+
+    The gate's per-(doc, bench) overlap COUNT assumes each benchmark
+    document's shingle rows are UNIQUE — a double-appended bench doc
+    would double every match count and spuriously clear min_shared.
+    The helper enforces that invariant at write time: new docs are
+    de-duplicated within the batch (first text per key wins) and
+    anti-joined against the bench keys already in the table, so
+    re-running an append (operator retry, replayed orchestration
+    step) is idempotent. Shingle sets are distinct per doc by
+    construction (_hashed_shingle_set). Appends ride the
+    bucket-aligned path (at most one file per non-empty bucket);
+    the table's self-compaction belongs to whatever cadence the
+    deployment runs on bench updates — they are rare, so fragmentation
+    is bounded by update count, not stream length."""
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        _hashed_shingle_set,
+    )
+
+    name = f"{table_prefix}_benchsh"
+    fresh = benchmark.select(
+        F.col(id_col).cast("string").alias("bench_key"),
+        F.col(text_col).alias("__text"),
+    ).dropDuplicates(["bench_key"])
+    if spark.catalog.tableExists(name):
+        fresh = fresh.join(
+            F.broadcast(
+                spark.table(name).select("bench_key").distinct()
+            ),
+            "bench_key",
+            "left_anti",
+        )
+    fresh = fresh.localCheckpoint(eager=True)  # counted AND appended
+    n = fresh.count()
+    if n:
+        bsh = fresh.select(
+            "bench_key",
+            F.explode(_hashed_shingle_set("__text", shingle_n)).alias(
+                "bsh"
+            ),
+        ).select("bsh", "bench_key")
+        _append_bucketed_bands(bsh, name, ["bsh"], n_buckets)
+    return n

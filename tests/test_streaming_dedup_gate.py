@@ -1118,3 +1118,66 @@ def test_auto_cadence_crash_interleavings(spark, tmp_path, monkeypatch):
     for x, y in zip(compactions, compactions[1:]):
         if y == x + 1:
             assert x in crashed, (x, y, sorted(crashed))
+
+
+def test_decontamination_benchmark_append_is_idempotent(spark, tmp_path):
+    """append_benchmark_shingles: newly released eval docs start
+    knocking out contaminated batch docs, and a REPLAYED append of the
+    same docs is a no-op — duplicate bench shingle rows would inflate
+    the per-(doc, bench) overlap count past min_shared (a doc sharing
+    only TWO shingles with a double-appended bench doc would count 4),
+    so idempotence here is a correctness property, not a tidiness
+    one."""
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        append_benchmark_shingles,
+        make_decontamination_gate,
+    )
+
+    BENCH1 = "the quick brown fox jumps over the lazy dog"
+    BENCH2 = "pack my box with five dozen liquor jugs tonight ok"
+    # shares exactly TWO 3-grams with BENCH2 ("pack my box",
+    # "my box with") — below min_shared=3 unless counts inflate
+    NEAR2 = "pack my box with everything else entirely different now"
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.append(sorted(r["doc_id"] for r in df.collect()))
+
+    prefix = "akt_dcap_" + _uuid.uuid4().hex[:12]
+    markers = str(tmp_path / "markers")
+    gate = make_decontamination_gate(
+        spark,
+        spark.createDataFrame([(100, BENCH1)], "doc_id long, text string"),
+        prefix,
+        markers,
+        sink,
+        min_shared=3,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+                 "text": [r[1] for r in rows]}
+            )
+        )
+
+    # BENCH2 not yet in the table: its verbatim copy passes
+    gate(batch([(1, BENCH2)]), 0)
+    assert accepted == [[1]]
+    # release BENCH2; append twice (the second is a replay)
+    newb = spark.createDataFrame(
+        [(200, BENCH2)], "doc_id long, text string"
+    )
+    assert append_benchmark_shingles(spark, newb, prefix) == 1
+    assert append_benchmark_shingles(spark, newb, prefix) == 0  # no-op
+    # verbatim BENCH2 copy now dropped; the two-shingle NEAR2 doc must
+    # be KEPT — it would be wrongly dropped if the replayed append had
+    # inflated counts (2 shared shingles x 2 copies = 4 >= 3)
+    gate(batch([(2, BENCH2), (3, NEAR2)]), 1)
+    assert accepted == [[1], [3]]
