@@ -525,6 +525,23 @@ def adjudicate_regressions(spark, cmp_full: dict, sf_dir: str) -> dict:
     }
     flagged = cmp_full.get("regressions") or []
     deltas = cmp_full.get("deltas") or {}
+    # A VACUOUS compare (zero queries matched — e.g. the baseline's
+    # side-file map was overwritten by an interim run) must not touch
+    # the cross-round watch ledger: "stops being flagged" means a real
+    # comparison saw the query clean, not that nothing was compared.
+    # Without this guard a zero-compare run silently WIPED the
+    # tracked entries (observed round 13).
+    if not any(d.get("ratio") is not None for d in deltas.values()):
+        try:
+            with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_flags.json",
+            )) as fh:
+                kept = list(json.load(fh))
+        except Exception:
+            kept = []
+        return {"confirmed": [], "environmental": [], "detail": {},
+                "tracked": kept, "vacuous": True}
     canary_thens = {
         c: (deltas.get(c) or {}).get("then") for c in CANARIES
     }

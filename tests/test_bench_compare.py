@@ -106,3 +106,26 @@ def test_median_helper():
     assert bench._median([3.0]) == 3.0
     assert bench._median([1.0, 2.0]) == 1.5
     assert bench._median([17.0, 3.4, 3.5]) == 3.5
+
+
+def test_vacuous_compare_preserves_flags_ledger(tmp_path, monkeypatch):
+    """A compare that matched ZERO queries (overwritten side-file
+    baseline) must not clear BENCH_flags.json: 'stops being flagged'
+    requires a real comparison, not an empty one (observed wiping the
+    round-13 ledger)."""
+    import bench as b
+
+    monkeypatch.setattr(
+        b.os.path, "dirname", lambda p, _d=b.os.path.dirname: str(tmp_path)
+        if p == b.os.path.abspath(b.__file__) else _d(p)
+    )
+    ledger = tmp_path / "BENCH_flags.json"
+    _write(str(ledger), {"q_x": 1})
+    cmp_full = {"regressions": [], "deltas": {
+        "q_x": {"then": None, "now": 1.0, "ratio": None,
+                "ratio_norm": None}}}
+    out = b.adjudicate_regressions(None, cmp_full, "/nonexistent")
+    assert out.get("vacuous") is True
+    assert out["tracked"] == ["q_x"]
+    import json as _json
+    assert _json.load(open(str(ledger))) == {"q_x": 1}  # untouched
