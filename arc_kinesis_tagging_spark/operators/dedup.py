@@ -386,6 +386,11 @@ def ngram_jaccard_pairs_prefix(
             ),
         )
         .join(sizes, "key")
+        # pin: the prefix SELF-join duplicates its subtree per side —
+        # without it the freq-join + rank-window chain runs twice at
+        # runtime (same lazy discipline as the sh pin and the
+        # containment join's ranked pin)
+        .localCheckpoint(eager=False)
     )
     t_floor = decimal.Decimal(threshold).quantize(
         decimal.Decimal("1e-12"), rounding=decimal.ROUND_FLOOR
