@@ -353,7 +353,14 @@ def ngram_jaccard_pairs_prefix(
     completeness-safe (t' <= t => ceil(t'*sz) <= ceil(t*sz), prefix
     same-or-longer by at most one token), and the final filter
     re-checks the EXACT Jaccard against the original t, so the pair
-    set is unchanged.
+    set is unchanged. The floored literal is cast to decimal(13,12)
+    — wide enough for any t in [0,1] at 12 dp, and narrow enough
+    that the product with a bigint size (decimal(20,0)) stays at
+    (34,12), inside Spark's 38-digit limit: a wider cast (e.g.
+    (24,12)) would push the ideal product type past 38 and Spark's
+    precision-loss path would silently re-round the product HALF_UP
+    at scale 6, executing a different bound than the one proven here
+    (round-14 advice fix).
 
     On top of the prefix, the LENGTH filter (min size >= t * max
     size) and the PPJOIN POSITIONAL filter (overlap upper bound from
@@ -397,7 +404,7 @@ def ngram_jaccard_pairs_prefix(
     )
     prefix_len = (
         F.col("sz")
-        - F.ceil(F.lit(t_floor).cast("decimal(24,12)") * F.col("sz"))
+        - F.ceil(F.lit(t_floor).cast("decimal(13,12)") * F.col("sz"))
         + 1
     )
     pref = ranked.filter(F.col("pos") <= prefix_len).select(
@@ -441,7 +448,7 @@ def ngram_jaccard_pairs_prefix(
     if os.environ.get("AKT_PPJOIN_POS", "on").lower() != "off":
         cand = cand.filter(
             F.least("sz_a", "sz_b")
-            >= F.lit(t_floor).cast("decimal(24,12)")
+            >= F.lit(t_floor).cast("decimal(13,12)")
             * F.greatest("sz_a", "sz_b")
         ).filter(
             1 + F.least(
@@ -449,7 +456,7 @@ def ngram_jaccard_pairs_prefix(
                 F.col("sz_b") - F.col("pos_b"),
             )
             >= F.ceil(
-                F.lit(r_floor).cast("decimal(24,12)")
+                F.lit(r_floor).cast("decimal(13,12)")
                 * (F.col("sz_a") + F.col("sz_b"))
             )
         )
@@ -548,7 +555,7 @@ def ngram_containment_pairs(
     )
     prefix_len = (
         F.col("sz")
-        - F.ceil(F.lit(t_floor).cast("decimal(24,12)") * F.col("sz"))
+        - F.ceil(F.lit(t_floor).cast("decimal(13,12)") * F.col("sz"))
         + 1
     )
     pref = ranked.filter(F.col("pos") <= prefix_len).select(
@@ -576,7 +583,7 @@ def ngram_containment_pairs(
                 F.col("sz_f") - F.col("pos_f"),
             )
             >= F.ceil(
-                F.lit(t_floor).cast("decimal(24,12)")
+                F.lit(t_floor).cast("decimal(13,12)")
                 * F.least("sz_p", "sz_f")
             )
         )

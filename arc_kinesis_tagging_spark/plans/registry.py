@@ -545,10 +545,10 @@ _R12_HEAD = [
 # pre-listed — (a) the 26 remaining r08-vintage rows (the stalest
 # anywhere; the full r08 block is retired this round), (b) the
 # round's new work (the containment join and the tri-modal
-# composite), then (c) 22 of the 50 r09-vintage rows,
+# composite), then (c) 21 of the 50 r09-vintage rows,
 # complexity-first (composites, ANN/embedding, dedup family,
 # multimodal codecs, mutation ops, TPC-H). After r13 the stalest
-# remaining vintage is r09 (28 rows), pre-listed at the bottom for
+# remaining vintage is r09 (29 rows), pre-listed at the bottom for
 # round 14.
 _R13_HEAD = [
     # -- (a) the 26 r08-vintage rows --

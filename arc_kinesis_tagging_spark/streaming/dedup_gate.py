@@ -1188,12 +1188,27 @@ def make_decontamination_gate(
     if not _ensure_registered(
         spark, name, "bsh BIGINT, bench_key STRING", ["bsh"], n_buckets
     ):
-        bsh = benchmark.select(
-            F.col(id_col).cast("string").alias("bench_key"),
-            F.explode(_hashed_shingle_set(text_col, shingle_n)).alias(
-                "bsh"
-            ),
-        ).select("bsh", "bench_key")
+        # The overlap COUNT below assumes each benchmark doc's shingle
+        # rows are UNIQUE (append_benchmark_shingles documents and
+        # enforces it on append) — the initial build must enforce the
+        # same invariant: a benchmark fed in with duplicated rows or
+        # repeated doc_ids would double every per-(doc, bench) match
+        # count and spuriously clear min_shared, dropping clean docs.
+        # Same policy as the append path: first text per bench key.
+        bsh = (
+            benchmark.select(
+                F.col(id_col).cast("string").alias("bench_key"),
+                F.col(text_col).alias("__text"),
+            )
+            .dropDuplicates(["bench_key"])
+            .select(
+                "bench_key",
+                F.explode(
+                    _hashed_shingle_set("__text", shingle_n)
+                ).alias("bsh"),
+            )
+            .select("bsh", "bench_key")
+        )
         _append_bucketed_bands(bsh, name, ["bsh"], n_buckets)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:

@@ -1030,6 +1030,51 @@ def test_decontamination_gate_semantics_and_restart(spark, tmp_path):
     assert accepted == [[2, 3, 4], [6]]
 
 
+def test_decontamination_gate_duplicate_benchmark_rows(spark, tmp_path):
+    """The initial benchmark-table build must dedupe bench keys the
+    same way append_benchmark_shingles does (round-14 advice): the
+    overlap count assumes UNIQUE per-(doc, bench) shingle rows, so a
+    benchmark fed in with duplicated rows would double every match
+    count and spuriously clear min_shared. A doc sharing exactly 2
+    shingles under min_shared=3 must SURVIVE even when the benchmark
+    df carries its row three times (and a repeated doc_id with
+    different text — first text per key wins, as on append)."""
+    import uuid as _uuid
+
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_decontamination_gate,
+    )
+
+    BENCH = "the quick brown fox jumps over the lazy dog"
+    # shares exactly two 3-grams with BENCH -> below min_shared=3
+    NEAR = "a quick brown fox jumps away from everything else here"
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.append(sorted(r["doc_id"] for r in df.collect()))
+
+    prefix = "akt_decondup_" + _uuid.uuid4().hex[:12]
+    bench = spark.createDataFrame(
+        [(100, BENCH), (100, BENCH), (100, BENCH),
+         (100, "an unrelated second text for the same key")],
+        "doc_id long, text string",
+    )
+    gate = make_decontamination_gate(
+        spark, bench, prefix, str(tmp_path / "markers"), sink,
+        min_shared=3,
+    )
+    batch = spark.createDataFrame(
+        [(1, BENCH), (2, NEAR)], "doc_id long, text string"
+    )
+    gate(batch, 0)
+    # 1 is verbatim contamination (>=3 shared even un-doubled);
+    # 2 shares 2 -- kept, and would have been dropped (2*3=6 >= 3)
+    # had the duplicated rows inflated the count
+    assert accepted == [[2]]
+    spark.sql(f"DROP TABLE {prefix}_benchsh")
+
+
 def test_auto_cadence_crash_interleavings(spark, tmp_path, monkeypatch):
     """PROPERTY (seeded fuzz, the kinesis-interleaving discipline):
     200 batches through the auto-cadence state machine under random

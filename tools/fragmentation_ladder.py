@@ -11,11 +11,15 @@ Prints one JSON line: {"ladder": [{"file_sets": n, "files": m,
 ``--auto-regime`` runs the corpus >> batch regime instead (round-12
 verdict task 5): seed a corpus many times the batch size, measure
 probe latency along the append ramp AND the corpus rewrite cost, then
-model the per-window overhead of the fixed-64 cadence vs the
-auto-scaled cadence clamp(corpus_rows/batch_rows) the gates now
-derive (streaming/dedup_gate.py:_maybe_compact) — the rule is
-validated if auto's total (rewrites + probe ramp) beats fixed-64's
-once the corpus outgrows the batch by more than the fixed cadence.
+model the per-window overhead of three cadence policies — fixed-64,
+the LINEAR rule clamp(corpus_rows/batch_rows) (the round-12
+prescription, measured here at ~4x fixed-64's cost in this regime
+and REJECTED), and the sqrt rule clamp(2*sqrt(corpus/batch), 16,
+1024) that the gates' ``compact_every="auto"`` actually implements
+(streaming/dedup_gate.py:_maybe_compact; the cost model's optimum
+c* = sqrt(2*rewrite/slope)). The shipped rule is validated if sqrt's
+total (rewrites + probe ramp) beats both alternatives once the
+corpus outgrows the batch by more than the fixed cadence.
 """
 
 from __future__ import annotations
@@ -109,13 +113,15 @@ def auto_regime() -> None:
     t0 = time.perf_counter()
     compact_bucketed_table(spark, name, ["digest"])
     rewrite_s = round(time.perf_counter() - t0, 3)
-    # auto cadence the gates would derive for this corpus/batch
+    # the REJECTED linear cadence (round-12's prescription), kept as a
+    # comparison point; the gates' shipped "auto" mode is the sqrt rule
+    # computed below as sqrt_every
     from arc_kinesis_tagging_spark.streaming.dedup_gate import (
         AUTO_CADENCE_MAX,
         AUTO_CADENCE_MIN,
     )
 
-    auto_every = max(
+    linear_cadence = max(
         AUTO_CADENCE_MIN, min(AUTO_CADENCE_MAX, corpus_rows // batch_rows)
     )
     # per-256-batch window model: probe overhead ramps linearly in
@@ -136,7 +142,7 @@ def auto_regime() -> None:
         return round((window / c) * rewrite_s + window * slope * c / 2, 2)
 
     c_star = round(math.sqrt(2 * rewrite_s / slope), 1) if slope > 0 else None
-    linear_every = auto_every  # the rejected linear rule's cadence
+    linear_every = linear_cadence
     sqrt_every = max(16, min(1024, 2 * math.isqrt(
         (corpus_rows + done * batch_rows) // batch_rows)))
     out = {
