@@ -3816,7 +3816,15 @@ def q_pipeline_tag_enrich(spark, sf_dir):
             F.get_json_object("props", "$.k").cast("long").alias("doc_id"),
         )
     )
-    enriched = parsed.join(F.broadcast(docs), "doc_id", "inner")
+    # UN-HINTED lookup join (round-14 verdict task 2): documents is
+    # the corpus-scaled table (it is the dedup target everywhere
+    # else), so forcing F.broadcast here would override AQE with a
+    # guaranteed-OOM plan at 100x. AQE still broadcasts at bench
+    # scale from the measured size; at corpus scale it picks SMJ.
+    # The reference's analog is a per-record point GET against the
+    # Draft API (utility/tag.py:12-17) — a join, not a broadcast, is
+    # the scale-correct batch expression.
+    enriched = parsed.join(docs, "doc_id", "inner")
     tagged = enriched.withColumn(
         "tags", tag_upsert(F.lit(None).cast("array<struct<slug:string,text:string>>"), make_tag())
     )

@@ -419,6 +419,106 @@ def test_no_cartesian_and_bnlj_allowlist(spark):
     )
 
 
+# Corpus-scaled broadcast-hint gate (round-14 verdict task 2, the
+# generalization of the LeftAnti gate above to ANY join type): an
+# EXPLICIT broadcast hint never yields to AQE, so hinting a build side
+# that DERIVES from a corpus-scaled base table without an intervening
+# bounding operator forces a guaranteed-OOM plan at 100x — exactly the
+# q_pipeline_tag_enrich defect (documents, the dedup target
+# everywhere else, was force-broadcast into the flagship join).
+# "Derives" is checked structurally on the optimized logical plan: a
+# DFS from the hinted side that reaches a corpus relation leaf
+# without passing through an Aggregate or GlobalLimit (distinct and
+# limit both fold to those) is unbounded. Dimension tables
+# (nation/region/customer/supplier/part), literal/local relations,
+# vocab models and 1-row aggregates never trip it.
+CORPUS_TABLES = ("documents", "events", "embeddings", "lineitem",
+                 "orders")
+
+# Hinted build sides that DO derive from a corpus table but are
+# bounded by CONSTRUCTION through a non-aggregate path — each entry
+# carries its bound:
+HINTED_CORPUS_ALLOWLIST = {
+    # fresh_against_corpus: build side = corpus LEFT-SEMI batch
+    # matched digests — bounded by the BATCH (operators/dedup.py);
+    # same justification as HINTED_ANTI_ALLOWLIST
+    "q_dedup_incremental",
+    # stale keys are a subset of today's batch keys
+    "q_dedup_incremental_mh",
+    # incremental gates broadcast the BATCH side (its bands/chunks)
+    # onto the scan-only corpus table — the whole point of the
+    # corpus-probe pattern (operators/dedup.py fresh_against_corpus
+    # family): the batch is a micro-batch bounded by source admission
+    # (R4), only the sf fixture derives it from documents by a filter
+    "q_dedup_phash_incremental", "q_dedup_vhash_incremental",
+    "q_dedup_ahash_incremental", "q_dedup_simhash_incremental",
+    # query-vector broadcasts: <=5 vectors selected by a constant key
+    # filter (vec_id < 5) — the verdict-documented bounded case; a
+    # query set is user-supplied and never corpus-scaled
+    "q_similarity_topk", "q_hard_negatives", "q_ann_lifecycle",
+}
+
+
+def _hinted_corpus_offense(node):
+    """DFS: does this subtree reach a corpus-table relation leaf
+    without an intervening bounding Aggregate/GlobalLimit?"""
+    cn = node.getClass().getSimpleName()
+    if cn in ("Aggregate", "GlobalLimit"):
+        return False
+    if cn == "LogicalRelation":
+        try:
+            path = node.relation().location().rootPaths().apply(
+                0
+            ).toString()
+        except Exception:
+            path = node.toString()
+        return any(f"/{t}.parquet" in path for t in CORPUS_TABLES)
+    ch = node.children()
+    return any(
+        _hinted_corpus_offense(ch.apply(i)) for i in range(ch.size())
+    )
+
+
+def test_no_corpus_scaled_broadcast_hint(spark):
+    """Registry-wide: no join of ANY type may carry an explicit
+    broadcast hint whose build side derives from a corpus-scaled base
+    table without a bounding aggregate/limit. AQE-chosen physical
+    broadcasts are fine anywhere — the gate is against FORCING the
+    choice on a side that grows with the corpus."""
+    def walk(n):
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    offenders = {}
+    for name, q in QUERIES.items():
+        if name in _EAGER_BUILDERS:
+            continue
+        plan = q.builder(spark, SF)._jdf.queryExecution().optimizedPlan()
+        for n in walk(plan):
+            if n.getClass().getSimpleName() != "Join":
+                continue
+            h = n.hint()
+            for side_hint, child in (
+                (h.leftHint(), n.left()),
+                (h.rightHint(), n.right()),
+            ):
+                if "broadcast" not in side_hint.toString().lower():
+                    continue
+                if name not in HINTED_CORPUS_ALLOWLIST and \
+                        _hinted_corpus_offense(child):
+                    offenders[name] = offenders.get(name, 0) + 1
+    assert not offenders, (
+        f"broadcast hint forced on a corpus-derived build side: "
+        f"{offenders}; drop the hint (AQE broadcasts bounded sides at "
+        "runtime from measured sizes), bound the side with an "
+        "aggregate/limit, or — if it is bounded by construction "
+        "through a non-aggregate path — extend "
+        "HINTED_CORPUS_ALLOWLIST with the justification"
+    )
+
+
 def test_runtime_bloom_filter_injects_on_selective_join(spark):
     """Runtime Bloom-filter pruning (on by default in the session): a
     shuffle join whose build side carries a selective filter must get a

@@ -129,8 +129,12 @@ COMMENTARY = {
     ),
     "q_pipeline_tag_enrich": (
         "The reference pipeline as one plan: pushed event_type filter, "
-        "JSON extraction inline, broadcast enrichment join, partial+ "
-        "final aggregation."
+        "JSON extraction inline, UN-HINTED enrichment join (round-14: "
+        "documents is corpus-scaled, so the former forced broadcast "
+        "was a guaranteed-OOM plan at 100x; AQE still picks broadcast "
+        "at bench scale from the measured size — visible as "
+        "BroadcastHashJoin under AdaptiveSparkPlan — and falls back "
+        "to SMJ at corpus scale), partial+final aggregation."
     ),
     "q_dedup_exact": (
         "groupBy(md5): map-side partial aggregation collapses "
