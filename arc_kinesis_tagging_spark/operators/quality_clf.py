@@ -1,0 +1,276 @@
+"""fastText-style supervised quality classifier: hashed bag-of-n-grams
+linear model, trained distributedly, applied map-side.
+
+The one standard LLM-curation stage the engine's quality family still
+lacked (round-14 verdict task 5): a SUPERVISED classifier in the mold
+of fastText (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+Classification" — public), the machinery behind the classic
+wiki-vs-CommonCrawl quality filters (GPT-3 / CCNet lineage) and
+fastText's own language-ID models. The unsupervised siblings
+(entropy, bigram-LM perplexity, DSIR importance) gate on corpus
+statistics; this one learns from LABELS.
+
+Model: multinomial logistic regression over hashed n-gram features.
+
+- features: word unigrams + adjacent bigrams (exactly the DSIR
+  feature map, ``plans/quality_ops.py:_dsir_grams``), hashed with the
+  portable md5-backed ``stable_hash64`` into ``n_buckets`` buckets —
+  cross-engine reproducible, unlike fastText's FNV.
+- doc representation x_d: bucket counts normalized by the doc's total
+  gram count (fastText's mean-of-embeddings normalization, collapsed
+  onto the linear case).
+- score_c(d) = bias_c + sum_b x_db * W[b, c]; p = softmax(scores);
+  loss = -log p_y (cross-entropy).
+- training: full-batch gradient descent, ``epochs`` rounds at rate
+  ``lr``. fastText itself runs asynchronous SGD — a sequential,
+  nondeterministic algorithm; full-batch GD is the distributed,
+  deterministic re-expression (the gradient is one aggregate over the
+  corpus), the same train-as-aggregate discipline as the LM/DSIR
+  model builds.
+
+Scale shape (the 100 TB question):
+
+- The corpus is featurized ONCE into (doc, bucket, x) rows and
+  pinned; every epoch reuses the pin.
+- The model is VOCABULARY-BOUNDED: n_buckets * n_classes weights
+  (2^18 * C in production, a few MB) — it lives on the driver
+  between epochs and rides to executors as a broadcast join, the
+  documented bounded-collect discipline of every model table here
+  (the corpus is never collected; the model necessarily is — it IS
+  the artifact).
+- Per epoch: one broadcast join (weights onto features), one
+  doc-keyed aggregate (partial-agg collapses to one row per doc
+  per partition before the shuffle), one co-partitioned join back,
+  and one bucket-keyed aggregate bounded by n_buckets * n_classes.
+  Nothing corpus-squared, no corpus-sized window, no Python in the
+  loop — every expression is built-in-function codegen.
+- Apply is one broadcast join + one doc-keyed aggregate — the
+  shuffle carries one row per doc (map-side partial aggregation
+  collapses each doc's grams first, since explode preserves row
+  locality).
+
+Determinism: weights are rounded before use (default 6 dp — far
+above float addition-order drift, the house LM-gate convention) and
+predictions argmax over ROUNDED scores with a fixed class-order
+tiebreak, so the predicted labels are engine- and
+partitioning-deterministic.
+
+Reference parity note: the reference system (a Kinesis tagging
+consumer) has no classifier; this extends the engine's curation
+surface per the build brief's training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arc_kinesis_tagging_spark.functions.text import stable_hash64, tokens
+
+#: hash-salt namespace for classifier features (keeps the feature
+#: space independent of the DSIR buckets even at equal n_buckets)
+CLF_SALT = "qclf:"
+
+#: bucket id used for the bias row in the flattened weights table
+BIAS_BUCKET = -1
+
+
+def clf_grams(df: DataFrame, text_col: str, id_col: str,
+              extra_cols: tuple = ()) -> DataFrame:
+    """(id, *extra, g) rows: word unigrams + adjacent bigrams over
+    whitespace tokens — one map-side explode, no UDF (the DSIR
+    feature map). Docs with no tokens yield no rows (the empty-doc
+    gate runs upstream, R16-style)."""
+    toks = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.explode(F.concat(toks, bigrams)).alias("g"),
+    )
+
+
+def clf_features(df: DataFrame, text_col: str, id_col: str,
+                 n_buckets: int, extra_cols: tuple = ()) -> DataFrame:
+    """(id, *extra, b, x) rows: hashed-bucket counts normalized by
+    the doc's total gram count. One explode + one (doc, bucket)
+    aggregate; the window-free normalization rides a doc-level sum
+    computed in the same aggregate's second phase (a self-join-free
+    group-then-group)."""
+    g = clf_grams(df, text_col, id_col, extra_cols).withColumn(
+        "b",
+        stable_hash64(F.concat(F.lit(CLF_SALT), F.col("g"))) % n_buckets,
+    )
+    dm = g.groupBy(id_col, *extra_cols, "b").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    # per-doc total via a second, doc-keyed aggregate joined back —
+    # both shuffles share the doc key prefix, and the join is
+    # co-partitioned by construction
+    sizes = dm.groupBy(id_col).agg(F.sum("m").alias("n_grams"))
+    return dm.join(sizes, id_col).select(
+        id_col, *extra_cols, "b", "n_grams",
+        (F.col("m").cast("double") / F.col("n_grams")).alias("x"),
+    )
+
+
+def _scored(feats: DataFrame, wdf: DataFrame, bias: list,
+            classes: list, id_col: str, extra_cols: tuple = ()):
+    """Per-doc class scores: broadcast the bucket-weight table onto
+    the pinned features and aggregate per doc. Returns one row per
+    doc with s0..s{C-1} columns (doubles, unrounded)."""
+    joined = feats.join(F.broadcast(wdf), "b")
+    aggs = [
+        (F.sum(F.col("x") * F.col(f"w{c}")) + F.lit(bias[c])).alias(f"s{c}")
+        for c in range(len(classes))
+    ]
+    return joined.groupBy(id_col, *extra_cols).agg(
+        F.max("n_grams").alias("n_grams"), *aggs
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    epochs: int = 5,
+    lr: float = 0.5,
+    round_dp: int = 6,
+) -> dict:
+    """Distributed full-batch GD training. Returns the model as a
+    plain dict: {"classes": [...], "W": [[w_bc]], "bias": [...],
+    "n_buckets": B} with weights rounded at ``round_dp``.
+
+    The driver holds only MODEL-sized state (B x C floats — the
+    vocabulary-bounded collect discipline; see module docstring).
+    The class list is collected once (bounded by label cardinality)
+    and sorted so class indices are deterministic."""
+    import numpy as np
+
+    spark = df.sparkSession
+    classes = sorted(
+        r[0] for r in
+        df.select(label_col).where(F.col(label_col).isNotNull())
+        .distinct().collect()
+    )
+    C = len(classes)
+    if C < 2:
+        raise ValueError(f"need >=2 classes, got {classes}")
+    feats = clf_features(
+        df, text_col, id_col, n_buckets, extra_cols=(label_col,)
+    ).localCheckpoint(eager=True)  # reused by every epoch
+    n_docs = feats.select(id_col).distinct().count()
+    W = np.zeros((n_buckets, C))
+    bias = np.zeros(C)
+    for _ in range(epochs):
+        wdf = spark.createDataFrame(
+            [(int(b), *[float(W[b, c]) for c in range(C)])
+             for b in range(n_buckets)],
+            ["b"] + [f"w{c}" for c in range(C)],
+        )
+        s = _scored(feats, wdf, bias.tolist(), classes, id_col,
+                    extra_cols=(label_col,))
+        # softmax errors e_c = p_c - 1[y = c], numerically stabilized
+        m = F.greatest(*[F.col(f"s{c}") for c in range(C)])
+        exps = [F.exp(F.col(f"s{c}") - m) for c in range(C)]
+        z = exps[0]
+        for e in exps[1:]:
+            z = z + e
+        err = s.select(
+            id_col,
+            *[
+                (exps[c] / z
+                 - (F.col(label_col) == F.lit(classes[c])).cast("double")
+                 ).alias(f"e{c}")
+                for c in range(C)
+            ],
+        )
+        # gradient: co-partitioned join back onto the pinned features,
+        # then a bucket-keyed aggregate bounded by B x C
+        grad_rows = (
+            feats.join(err, id_col)
+            .groupBy("b")
+            .agg(*[
+                F.sum(F.col("x") * F.col(f"e{c}")).alias(f"g{c}")
+                for c in range(C)
+            ])
+            .collect()
+        )
+        bias_row = err.agg(*[
+            F.sum(f"e{c}").alias(f"g{c}") for c in range(C)
+        ]).collect()[0]
+        G = np.zeros_like(W)
+        for r in grad_rows:
+            G[r["b"]] = [r[f"g{c}"] for c in range(C)]
+        W -= (lr / n_docs) * G
+        bias -= (lr / n_docs) * np.array(
+            [bias_row[f"g{c}"] for c in range(C)]
+        )
+    return {
+        "classes": classes,
+        "W": np.round(W, round_dp).tolist(),
+        "bias": np.round(bias, round_dp).tolist(),
+        "n_buckets": n_buckets,
+    }
+
+
+def weights_table(spark, model: dict) -> DataFrame:
+    """Flatten a trained model into (b, label, w) rows — the
+    persistable artifact (bias rows carry b = BIAS_BUCKET). Row count
+    is (n_buckets + 1) * n_classes, model-bounded."""
+    rows = [
+        (int(b), model["classes"][c], float(w))
+        for b, ws in enumerate(model["W"])
+        for c, w in enumerate(ws)
+    ] + [
+        (BIAS_BUCKET, model["classes"][c], float(bv))
+        for c, bv in enumerate(model["bias"])
+    ]
+    return spark.createDataFrame(rows, "b int, label string, w double")
+
+
+def apply_quality_classifier(
+    df: DataFrame,
+    model: dict,
+    text_col: str,
+    id_col: str = "doc_id",
+    score_dp: int = 4,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Score + predict: (id, *extra, n_grams, pred, score) with
+    ``pred`` the argmax class over ``score_dp``-rounded scores
+    (fixed class-order tiebreak — deterministic across engines and
+    partitionings) and ``score`` the rounded winning score. One
+    broadcast join + one doc-keyed aggregate (see module
+    docstring)."""
+    spark = df.sparkSession
+    classes = model["classes"]
+    C = len(classes)
+    wdf = spark.createDataFrame(
+        [(int(b), *[float(w) for w in ws])
+         for b, ws in enumerate(model["W"])],
+        ["b"] + [f"w{c}" for c in range(C)],
+    )
+    feats = clf_features(df, text_col, id_col, model["n_buckets"],
+                         extra_cols=extra_cols)
+    s = _scored(feats, wdf, model["bias"], classes, id_col,
+                extra_cols=extra_cols)
+    r_cols = [F.round(F.col(f"s{c}"), score_dp) for c in range(C)]
+    best = F.greatest(*r_cols)
+    pred = F.lit(None).cast("string")
+    # reversed when-chain => FIRST class in sorted order wins ties
+    for c in range(C - 1, -1, -1):
+        pred = F.when(r_cols[c] == best, F.lit(classes[c])).otherwise(pred)
+    return s.select(
+        id_col, *extra_cols, "n_grams",
+        pred.alias("pred"), best.alias("score"),
+    )

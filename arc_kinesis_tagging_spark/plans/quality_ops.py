@@ -3357,7 +3357,324 @@ LIMIT {_DSIR_N}
 """
 
 
+# --- supervised quality classifier (fastText-style, round 14) --------------
+#
+# The engine's first SUPERVISED curation gate (Joulin et al. 2016's
+# linear bag-of-hashed-ngrams classifier — the wiki-vs-CommonCrawl /
+# lang-id machinery; see operators/quality_clf.py for the full model
+# and scale notes). Two registry shapes:
+#
+# - q_quality_clf_score: the closed-form FIRST gradient step from
+#   zero init (uniform softmax => errors 1/C - 1[y=c]) computed
+#   entirely in DataFrame ops, then applied — train+apply as ONE
+#   declarative tree, exactly SQL-expressible, so the whole path
+#   (featurize -> gradient -> weights -> score -> argmax) is
+#   hash-checked against DuckDB.
+# - q_quality_clf_train: the real multi-epoch GD loop (driver-held
+#   vocabulary-bounded weights) — iterative, rows-only, with numpy
+#   parity + separable-corpus accuracy pinned in
+#   tests/test_quality_clf.py.
+#
+# Labels: the fixture's in-data ground truth (lang — fastText's own
+# flagship task); the operator is label-agnostic (production: quality
+# labels, wiki-vs-cc).
+
+_CLF_B = 256
+_CLF_LR = 0.5
+_CLF_CLASSES = ["de", "en", "es", "fr", "zh"]  # sorted; index = class id
+
+
+def _clf_onestep_scored(docs: DataFrame) -> DataFrame:
+    """Closed-form one-step train + apply over ``docs`` (doc_id, lang,
+    text): returns (doc_id, lang, n_grams, pred, score, correct).
+
+    Scale shape: features built once and pinned (three consumers:
+    bucket-gradient agg, doc-count agg, apply join); the weight table
+    is a B-row aggregate broadcast back (bucket-bounded — the hint is
+    justified, and the corpus side never shuffles for it); the only
+    corpus-sized shuffles are the (doc, bucket) count aggregate, its
+    doc-keyed sibling, and the apply's doc-keyed score aggregate
+    (partial-agg collapses each to ~1 row/doc before the wire).
+    Rounding discipline: weights at 6 dp, scores at 4 dp, argmax over
+    ROUNDED scores with first-class-wins ties — engine-deterministic
+    (see operators/quality_clf.py docstring)."""
+    from arc_kinesis_tagging_spark.operators.quality_clf import clf_features
+
+    C = len(_CLF_CLASSES)
+    feats = clf_features(
+        docs, "text", "doc_id", _CLF_B, extra_cols=("lang",)
+    ).localCheckpoint(eager=False)  # 3 consumers, see docstring
+    nd = feats.select("doc_id", "lang").distinct().agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("lang") == c).cast("long")).alias(f"n_{i}")
+            for i, c in enumerate(_CLF_CLASSES)
+        ],
+    )
+    w1 = (
+        feats.groupBy("b")
+        .agg(
+            F.sum("x").alias("sx"),
+            *[
+                F.sum(
+                    F.when(F.col("lang") == c, F.col("x")).otherwise(0.0)
+                ).alias(f"sx_{i}")
+                for i, c in enumerate(_CLF_CLASSES)
+            ],
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "b",
+            *[
+                F.round(
+                    F.lit(-_CLF_LR)
+                    * (F.col("sx") / C - F.col(f"sx_{i}"))
+                    / F.col("n"),
+                    6,
+                ).alias(f"w{i}")
+                for i in range(C)
+            ],
+        )
+    )
+    sr = (
+        feats.join(F.broadcast(w1), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            *[
+                F.sum(F.col("x") * F.col(f"w{i}")).alias(f"sr{i}")
+                for i in range(C)
+            ],
+        )
+        .crossJoin(F.broadcast(nd))
+    )
+    r_cols = [
+        F.round(
+            F.col(f"sr{i}")
+            + F.round(
+                F.lit(-_CLF_LR)
+                * (F.col("n") / C - F.col(f"n_{i}"))
+                / F.col("n"),
+                6,
+            ),
+            4,
+        )
+        for i in range(C)
+    ]
+    best = F.greatest(*r_cols)
+    pred = F.lit(None).cast("string")
+    for i in range(C - 1, -1, -1):  # reversed: FIRST class wins ties
+        pred = F.when(r_cols[i] == best, F.lit(_CLF_CLASSES[i])).otherwise(pred)
+    return sr.select(
+        "doc_id", "lang", "n_grams",
+        pred.alias("pred"), best.alias("score"),
+        (pred == F.col("lang")).alias("correct"),
+    )
+
+
+def q_quality_clf_score(spark, sf_dir):
+    """Supervised classifier, closed-form one-step train + apply (see
+    _clf_onestep_scored). Empty-text docs carry no features and are
+    absent (the empty-doc gate runs upstream, R16-style)."""
+    return _clf_onestep_scored(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+
+
+def q_quality_clf_train(spark, sf_dir):
+    """Multi-epoch distributed GD (the REAL training loop:
+    driver-held vocabulary-bounded weights, per-epoch broadcast join
+    + two bounded aggregates over pinned features — see
+    operators/quality_clf.py). Iterative -> rows-only; numpy
+    gradient-parity and separable-corpus accuracy pinned in
+    tests/test_quality_clf.py. Output is the flattened (b, label, w)
+    weights artifact: (64 + 1 bias row) x 5 classes = 325 rows."""
+    from arc_kinesis_tagging_spark.operators.quality_clf import (
+        train_quality_classifier,
+        weights_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    model = train_quality_classifier(
+        d, "text", "lang", n_buckets=64, epochs=3, lr=0.5
+    )
+    return weights_table(spark, model).orderBy("b", "label")
+
+
+def q_corpus_pipeline13(spark, sf_dir):
+    """Composite #13 — mislabel-scrub curation: exact dedup (keep
+    lowest doc_id per md5 digest) -> supervised label-agreement gate
+    (drop docs whose one-step-classifier prediction disagrees with
+    the recorded label — the cleanlab-style mislabel scrub) ->
+    per-lang curation report. The classifier trains ON THE SURVIVOR
+    SET (post-dedup), so the oracle recomputes the whole closed form
+    over exactly that set — proving the composition, not just the
+    stages (the pipeline11/12 discipline)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).withColumn("dg", F.md5("text"))
+    keep = d.groupBy("dg").agg(F.min("doc_id").alias("doc_id"))
+    surv = d.join(keep.select("doc_id"), "doc_id", "left_semi")
+    dropped = (
+        d.join(keep.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_dups_dropped"))
+    )
+    scored = _clf_onestep_scored(surv.select("doc_id", "lang", "text"))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("correct").cast("long")).alias("n_kept"),
+            F.round(
+                F.avg(F.when(F.col("correct"), F.col("score"))), 3
+            ).alias("avg_kept_score"),
+        )
+        .join(dropped, "lang", "left")
+        .select(
+            "lang", "n_docs", "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_scrubbed"),
+            F.coalesce("n_dups_dropped", F.lit(0)).alias("n_dups_dropped"),
+            "avg_kept_score",
+        )
+    )
+
+
+def _clf_core_sql(src: str) -> str:
+    """The closed-form classifier CTE chain over ``src`` (a relation
+    with doc_id, lang, text) — mirrors _clf_onestep_scored
+    operation-for-operation (same association order inside every
+    float expression, same 6/4-dp rounding, same CASE-order
+    tiebreak)."""
+    C = len(_CLF_CLASSES)
+    n_cases = ",\n           ".join(
+        f"SUM(CASE WHEN lang = '{c}' THEN 1 ELSE 0 END) AS n_{i}"
+        for i, c in enumerate(_CLF_CLASSES)
+    )
+    w_cols = ",\n           ".join(
+        f"ROUND(-{_CLF_LR} * (SUM(x) / {C} - SUM(CASE WHEN lang = "
+        f"'{c}' THEN x ELSE 0 END)) / nd.n, 6) AS w{i}"
+        for i, c in enumerate(_CLF_CLASSES)
+    )
+    sr_cols = ",\n           ".join(
+        f"SUM(f.x * w.w{i}) AS sr{i}" for i in range(C)
+    )
+    r_cols = ",\n           ".join(
+        f"ROUND(sr.sr{i} + ROUND(-{_CLF_LR} * (nd.n / {C} - nd.n_{i})"
+        f" / nd.n, 6), 4) AS r{i}"
+        for i in range(C)
+    )
+    rlist = ", ".join(f"r{i}" for i in range(C))
+    pred_case = "\n                ".join(
+        f"WHEN r{i} = best THEN '{c}'"
+        for i, c in enumerate(_CLF_CLASSES)
+    )
+    h64 = _DUCK_H64.format(expr="'qclf:' || g")
+    return f"""
+  clf_base AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+             AS toks
+    FROM {src}
+  ), clf_tok AS (
+    SELECT doc_id, lang, generate_subscripts(toks, 1) AS pos,
+           UNNEST(toks) AS t
+    FROM clf_base
+  ), clf_grams AS (
+    SELECT doc_id, lang, t AS g FROM clf_tok
+    UNION ALL
+    SELECT a.doc_id, a.lang, a.t || ' ' || b.t AS g
+    FROM clf_tok a JOIN clf_tok b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  ), clf_hb AS (
+    SELECT doc_id, lang, {h64} % {_CLF_B} AS b FROM clf_grams
+  ), clf_dm AS (
+    SELECT doc_id, lang, b, COUNT(*) AS m
+    FROM clf_hb GROUP BY doc_id, lang, b
+  ), clf_sizes AS (
+    SELECT doc_id, SUM(m) AS n_grams FROM clf_dm GROUP BY doc_id
+  ), clf_feats AS (
+    SELECT dm.doc_id, dm.lang, dm.b, s.n_grams,
+           CAST(dm.m AS DOUBLE) / s.n_grams AS x
+    FROM clf_dm dm JOIN clf_sizes s ON dm.doc_id = s.doc_id
+  ), clf_docs AS (
+    SELECT DISTINCT doc_id, lang FROM clf_feats
+  ), nd AS (
+    SELECT COUNT(*) AS n,
+           {n_cases}
+    FROM clf_docs
+  ), w AS (
+    SELECT b,
+           {w_cols}
+    FROM clf_feats CROSS JOIN nd GROUP BY b, nd.n
+  ), sr AS (
+    SELECT f.doc_id, f.lang, MAX(f.n_grams) AS n_grams,
+           {sr_cols}
+    FROM clf_feats f JOIN w ON f.b = w.b
+    GROUP BY f.doc_id, f.lang
+  ), sc AS (
+    SELECT sr.doc_id, sr.lang, sr.n_grams,
+           {r_cols}
+    FROM sr CROSS JOIN nd
+  ), clf_best AS (
+    SELECT doc_id, lang, n_grams, {rlist},
+           GREATEST({rlist}) AS best
+    FROM sc
+  ), clf_pred AS (
+    SELECT doc_id, lang, n_grams, best,
+           CASE {pred_case}
+                END AS pred
+    FROM clf_best
+  )"""
+
+
+ORACLE_QUALITY_CLF_SCORE = f"""
+WITH {_clf_core_sql("documents")}
+SELECT doc_id, lang, CAST(n_grams AS BIGINT) AS n_grams, pred,
+       best AS score, pred = lang AS correct
+FROM clf_pred
+"""
+
+
+ORACLE_CORPUS_PIPELINE13 = f"""
+WITH dup AS (
+    SELECT doc_id, lang, text, md5(text) AS dg FROM documents
+  ), keep AS (
+    SELECT MIN(doc_id) AS doc_id FROM dup GROUP BY dg
+  ), surv AS (
+    SELECT d.doc_id, d.lang, d.text
+    FROM dup d JOIN keep k ON d.doc_id = k.doc_id
+  ), dropped AS (
+    SELECT lang, COUNT(*) AS n_dups_dropped
+    FROM dup WHERE doc_id NOT IN (SELECT doc_id FROM keep)
+    GROUP BY lang
+  ),
+  {_clf_core_sql("surv")},
+  report AS (
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS n_kept,
+           ROUND(AVG(CASE WHEN pred = lang THEN best END), 3)
+             AS avg_kept_score
+    FROM clf_pred GROUP BY lang
+  )
+SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+       CAST(r.n_kept AS BIGINT) AS n_kept,
+       CAST(r.n_docs - r.n_kept AS BIGINT) AS n_scrubbed,
+       CAST(COALESCE(d.n_dups_dropped, 0) AS BIGINT) AS n_dups_dropped,
+       r.avg_kept_score
+FROM report r LEFT JOIN dropped d ON r.lang = d.lang
+"""
+
+
 QUALITY_QUERIES = [
+    Query("q_quality_clf_score", q_quality_clf_score,
+          ORACLE_QUALITY_CLF_SCORE),
+    Query("q_quality_clf_train", q_quality_clf_train, None,
+          "iterative multi-epoch GD (driver-held weights) -> "
+          "rows-only; numpy gradient parity + separable-corpus "
+          "accuracy pinned in tests/test_quality_clf.py"),
+    Query("q_corpus_pipeline13", q_corpus_pipeline13,
+          ORACLE_CORPUS_PIPELINE13),
     Query("q_dsir_score", q_dsir_score, ORACLE_DSIR_SCORE),
     Query("q_dsir_sample", q_dsir_sample, ORACLE_DSIR_SAMPLE),
     Query("q_lm_arpa", q_lm_arpa, None,

@@ -589,6 +589,53 @@ _R13_HEAD = [
 ]
 
 
+# Round-14 window (50 rows): exactly the rotation the r13 verdict
+# pre-listed — (a) all 29 remaining r09-vintage rows (the stalest
+# anywhere; the r09 block is retired this round), (b) the round's new
+# work (the supervised quality classifier family and its composite),
+# then (c) 18 of the 50 r10-vintage rows, complexity-first
+# (composites, the dedup/multimodal/ANN families, the flagged
+# q_text_bm25). After r14 the stalest remaining vintage is r10
+# (32 rows), pre-listed at the bottom for round 15.
+_R14_HEAD = [
+    # -- (a) the 29 r09-vintage rows --
+    "q_agg_salted", "q_bitwise_funcs", "q_cast_funcs", "q_collect_agg",
+    "q_conditional_funcs", "q_date_funcs", "q_except", "q_intersect",
+    "q_join_salted", "q_lateral_topk", "q_map_funcs", "q_math_funcs",
+    "q_pii_scrub", "q_quality_filter", "q_sample_stratified",
+    "q_shuffle_shard", "q_split_assign", "q_string_funcs",
+    "q_string_funcs2", "q_text_chunk", "q_topk", "q_union",
+    "q_unigram_subwords", "q_vector_centroid", "q_vector_normalize",
+    "q_window_analytics", "q_wordpiece_encode", "q_wordpiece_subwords",
+    "q_wordpiece_train",
+    # -- (b) new round-14 work --
+    "q_quality_clf_score",  # supervised classifier: closed-form
+    #    one-step train + apply, fully SQL-oracled
+    "q_quality_clf_train",  # the real multi-epoch GD loop (rows-only)
+    "q_corpus_pipeline13",  # mislabel-scrub curation: exact dedup ->
+    #    label-agreement gate -> per-lang report
+    # -- (c) r10-vintage refresh, complexity-first --
+    "q_corpus_pipeline", "q_corpus_pipeline4", "q_dedup_cluster",
+    "q_dedup_minhash", "q_dedup_phash", "q_dedup_phash_incremental",
+    "q_dedup_vhash", "q_dedup_ahash", "q_dedup_semantic",
+    "q_dedup_embedding_lsh", "q_multimodal_pipeline",
+    "q_multimodal_jpeg420", "q_multimodal_png16",
+    "q_multimodal_png_palette", "q_similarity_ivf", "q_similarity_opq",
+    "q_ngram_lm_score", "q_text_bm25",
+    # round 15 should finish the r10 block (32 rows left):
+    # q_admission_gate, q_admission_gate_sql, q_anomaly_zscore,
+    # q_array_funcs, q_array_tag_upsert, q_bpe_subwords,
+    # q_corpus_diff, q_csv_parse, q_date_funcs2,
+    # q_domain_balance, q_domain_balance_hash, q_explode,
+    # q_graph_pagerank, q_json_flatten, q_multimodal_ppm,
+    # q_quant_calibrate, q_regex_funcs, q_robots_gate,
+    # q_session_stats, q_string_distance, q_text_entropy,
+    # q_text_fingerprint, q_text_langid, q_text_perplexity,
+    # q_text_quality, q_text_termfreq, q_text_tfidf, q_tpch_q10ish,
+    # q_tpch_q14ish, q_tpch_q19ish, q_tpch_q7ish, q_url_funcs.
+]
+
+
 def _ordered(head: list[str]) -> list[Query]:
     seen = [n for n in head if n in _BY_NAME]
     rest = [q.name for q in _CANONICAL if q.name not in set(seen)]
@@ -625,8 +672,10 @@ elif _ROT == "r11":
     ALL_QUERIES = _ordered(_R11_HEAD)
 elif _ROT == "r12":
     ALL_QUERIES = _ordered(_R12_HEAD)
-else:
+elif _ROT == "r13":
     ALL_QUERIES = _ordered(_R13_HEAD)
+else:
+    ALL_QUERIES = _ordered(_R14_HEAD)
 
 QUERIES: dict[str, Query] = {q.name: q for q in ALL_QUERIES}
 

@@ -111,6 +111,10 @@ HEADLINE = [
     "q_dedup_containment",  # exact containment join, asymmetric prefix
     "q_corpus_pipeline11",  # tri-modal: text -> image -> audio -> report
     "q_corpus_pipeline12",  # keep-longest containment curation
+    # round-14 additions
+    "q_quality_clf_score",  # supervised classifier one-step train+apply
+    "q_quality_clf_train",  # multi-epoch distributed GD training loop
+    "q_corpus_pipeline13",  # dedup -> label-agreement scrub -> report
 ]
 
 # Entries whose plans carry the giant generated decode expressions
@@ -385,42 +389,120 @@ def _recover_from_tail(raw: dict) -> dict:
     return out
 
 
-def _full_latest_queries(baseline_path: str, raw: dict) -> dict:
+def _round_of(path: str) -> int | None:
+    """BENCH_r13.json -> 13 (None for non-round-named baselines)."""
+    import re
+
+    m = re.match(r"BENCH_r0*(\d+)\.json$", os.path.basename(path))
+    return int(m.group(1)) if m else None
+
+
+def _record_matches(raw: dict, full: dict) -> bool:
+    """A full per-query record belongs to a baseline iff they share
+    ``value`` (headline seconds to 3 dp) and ``sf`` — any other bench
+    run changes them."""
+    parsed = raw.get("parsed") or raw
+    return all(
+        full.get(key) == parsed.get(key)
+        for key in ("value", "sf")
+        if parsed.get(key) is not None
+    )
+
+
+def _side_file_names(baseline_path: str) -> list[str]:
+    """Candidate side files carrying the baseline's per-query map, in
+    trust order: the IMMUTABLE per-round record first (written from
+    round 14 on; only runs of that same round touch it), then the
+    mutable latest-run record (overwritten by EVERY bench run — the
+    round-13 failure mode)."""
+    names = []
+    rnd = _round_of(baseline_path)
+    if rnd is not None:
+        names.append(f"BENCH_full_r{rnd:02d}.json")
+    names.append("BENCH_full_latest.json")
+    return names
+
+
+def _side_file_queries(baseline_path: str, raw: dict) -> dict:
     """Per-query map for a baseline whose stdout line carries none:
     from round 12 on, the printed metric line is compact (the full
     61-entry map repeatedly outgrew the driver's tail-capture window
     — BENCH_r03/r11 recorded parsed:null) and the per-query timings
-    live ONLY in BENCH_full_latest.json, written by the same bench
-    run the driver recorded.
+    live only in side files written by the same bench run the driver
+    recorded. Each candidate must be PROVEN to belong to this
+    baseline before it is trusted (_record_matches); a mismatch falls
+    through to the next candidate and ultimately to git recovery."""
+    d = os.path.dirname(os.path.abspath(baseline_path))
+    for fname in _side_file_names(baseline_path):
+        try:
+            with open(os.path.join(d, fname)) as fh:
+                full = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if _record_matches(raw, full):
+            return full.get("queries") or {}
+        print(
+            f"bench: {fname} does not match baseline "
+            f"{os.path.basename(baseline_path)} (value/sf drift — a "
+            "later bench run overwrote it); trying next source",
+            file=sys.stderr,
+        )
+    return {}
 
-    The side file is overwritten by EVERY bench run, so it must be
-    proven to belong to this baseline before it is trusted: the
-    compact line and the full record share ``value`` (headline
-    seconds to 3 dp) and ``sf`` — any interim bench run in between
-    changes them, and a mismatch degrades to the loud empty-compare
-    path instead of silently comparing against the wrong 'then'."""
-    p = os.path.join(
-        os.path.dirname(os.path.abspath(baseline_path)),
-        "BENCH_full_latest.json",
-    )
+
+def _git_recovered_queries(baseline_path: str, raw: dict) -> dict:
+    """Last-resort baseline recovery (round-14 verdict task 1): the
+    working-tree side files are MUTABLE — any interim bench run
+    overwrites BENCH_full_latest.json, and that exact failure shipped
+    round 13 a vacuous compare. The COMMITTED tree is not: the driver
+    commits the round artifact and the side files together, so the
+    commit that introduced the baseline BENCH_r{N}.json carries the
+    matching per-query map. Resolve that commit, read the side files
+    out of it, and validate value/sf the same way as on disk. Fails
+    soft (empty dict -> loud zero-compare path), never silently."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(baseline_path))
+    rel = os.path.basename(baseline_path)
     try:
-        with open(p) as fh:
-            full = json.load(fh)
-    except (OSError, ValueError):
-        return {}
-    parsed = raw.get("parsed") or raw
-    for key in ("value", "sf"):
-        want = parsed.get(key)
-        if want is not None and full.get(key) != want:
-            print(
-                f"bench: BENCH_full_latest.json {key}={full.get(key)!r} "
-                f"does not match baseline {key}={want!r} — a bench run "
-                "overwrote the side file since the baseline was "
-                "recorded; per-query compare degraded",
-                file=sys.stderr,
-            )
+        commit = subprocess.run(
+            ["git", "-C", repo, "log", "-n1", "--format=%H", "--", rel],
+            capture_output=True, text=True, timeout=60,
+        ).stdout.strip()
+        if not commit:
             return {}
-    return full.get("queries") or {}
+        for fname in _side_file_names(baseline_path):
+            show = subprocess.run(
+                ["git", "-C", repo, "show", f"{commit}:{fname}"],
+                capture_output=True, text=True, timeout=60,
+            )
+            if show.returncode != 0:
+                continue
+            full = json.loads(show.stdout)
+            if _record_matches(raw, full):
+                print(
+                    f"bench: baseline per-query map recovered from "
+                    f"git ({commit[:10]}:{fname})",
+                    file=sys.stderr,
+                )
+                return full.get("queries") or {}
+    except Exception:
+        pass
+    return {}
+
+
+def _baseline_queries(baseline_path: str, raw: dict) -> dict:
+    """Resolve a baseline's per-query map, most- to least-direct:
+    inline map (pre-r12 local runs), driver-wrapped map, regex tail
+    recovery (truncated artifacts), validated side files (immutable
+    per-round first), then the committed copies via git. Empty dict
+    means every source failed validation — compare_block degrades to
+    the LOUD zero-compare path, never to wrong numbers."""
+    return (raw.get("queries")
+            or (raw.get("parsed") or {}).get("queries")
+            or _recover_from_tail(raw)
+            or _side_file_queries(baseline_path, raw)
+            or _git_recovered_queries(baseline_path, raw))
 
 
 # Canary TRIPLET (round-12 verdict task 4): the r12 host factor was
@@ -447,7 +529,8 @@ def _canary_factor(factors: dict) -> float | None:
     return round(_median(vals), 3) if vals else None
 
 
-def compare_block(queries: dict, baseline_path: str) -> dict:
+def compare_block(queries: dict, baseline_path: str,
+                  sf=None) -> dict:
     """Per-query deltas vs a prior BENCH_r*.json: ratio = now/then,
     plus a CANARY-NORMALIZED ratio (round-6 lesson: an external-host-
     load incident inflated every query ~1.2x uniformly, costing the
@@ -461,14 +544,34 @@ def compare_block(queries: dict, baseline_path: str) -> dict:
     deltas block."""
     with open(baseline_path) as fh:
         raw = json.load(fh)
+    # Cross-SF compares are meaningless AND dangerous: every ratio
+    # reads as a huge speedup/regression, and a non-vacuous bogus
+    # compare would (wrongly) clear the BENCH_flags watch ledger. A
+    # dev run at sf0.001 against the driver's sf0.1 baseline degrades
+    # to the loud empty-compare path instead.
+    base_sf = (raw.get("parsed") or raw).get("sf")
+    if sf is not None and base_sf is not None and base_sf != sf:
+        print(
+            f"bench: baseline {os.path.basename(baseline_path)} is "
+            f"sf={base_sf}, this run is sf={sf} — cross-SF compare "
+            "refused",
+            file=sys.stderr,
+        )
+        return {"baseline": os.path.basename(baseline_path),
+                "canary": {"name": CANARY, "now": queries.get(CANARY),
+                           "then": None, "factor": None,
+                           "triplet": {c: None for c in CANARIES}},
+                "deltas": {name: {"then": None, "now": now,
+                                  "ratio": None, "ratio_norm": None}
+                           for name, now in queries.items()},
+                "regressions": []}
     # driver-recorded BENCH_r*.json wraps our JSON line under "parsed";
     # either key may exist but hold null, so coalesce defensively, and
-    # fall back to regex-recovering the tail text (r04 lesson: a
-    # truncated baseline made --compare silently compare ZERO queries)
-    base = (raw.get("queries")
-            or (raw.get("parsed") or {}).get("queries")
-            or _recover_from_tail(raw)
-            or _full_latest_queries(baseline_path, raw))
+    # fall back through tail recovery, validated side files, and the
+    # committed git copies (r04: a truncated baseline silently
+    # compared ZERO queries; r13: an interim run overwrote the
+    # mutable side file and shipped a vacuous compare)
+    base = _baseline_queries(baseline_path, raw)
     canary_now, canary_then = queries.get(CANARY), base.get(CANARY)
     triplet = {
         name: (
@@ -629,6 +732,23 @@ def settle(max_wait: float = 45.0, load_per_cpu: float = 0.5) -> float:
     return round(time.perf_counter() - t0, 1)
 
 
+def _next_round() -> int:
+    """The round currently being BUILT: newest driver-recorded
+    BENCH_r*.json + 1 (the driver writes round N's artifact only at
+    round end, so every bench run during round N sees N-1 as the
+    newest and names its immutable record BENCH_full_r{N}.json)."""
+    import glob
+
+    rounds = [
+        r for r in (
+            _round_of(p) for p in glob.glob(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_r*.json"))
+        ) if r is not None
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
 def pick_baseline() -> str | None:
     """Resolve the comparison baseline BEFORE running the suite so a
     bad --compare invocation fails fast instead of losing the run."""
@@ -748,7 +868,7 @@ def main() -> None:
     # degradation breaks the bench, not a 100 TB job.
     if baseline and os.path.exists(baseline):
         try:
-            cmp_full = compare_block(queries, baseline)
+            cmp_full = compare_block(queries, baseline, sf=out["sf"])
             # Self-adjudication (round-9 verdict task 5): a non-empty
             # regressions list is no longer a terminal state. Each
             # flagged query is re-measured standalone min-of-3, PAIRED
@@ -785,18 +905,29 @@ def main() -> None:
         except Exception as exc:  # malformed baseline: degrade, don't lose the run
             out["compare"] = {"baseline": os.path.basename(baseline),
                               "error": str(exc)[:120]}
-    # The full record (incl. the per-query map) goes to a side file;
+    # The full record (incl. the per-query map) goes to side files;
     # the PRINTED line is compact. The 61-entry queries map outgrew
     # the driver's stdout tail-capture window twice (BENCH_r03/r11:
     # parsed=null), degrading the durable artifact and nulling the
-    # next round's baseline. compare_block reads the side file back
+    # next round's baseline. compare_block reads the side files back
     # when a compact-format baseline carries no per-query map.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_full_latest.json"), "w") as fh:
+    # TWO copies (round-14 verdict task 1): BENCH_full_latest.json is
+    # overwritten by every run (and shipped round 13 a vacuous
+    # compare when an interim run clobbered it between the driver's
+    # baseline and its final run); BENCH_full_r{N}.json is the
+    # IMMUTABLE-per-round record — only runs of round N (the round
+    # currently being built, i.e. newest recorded BENCH_r*.json + 1)
+    # ever write it, so the NEXT round's compare always finds an
+    # intact, validated map no matter how many interim runs happened.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_full_latest.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    round_file = f"BENCH_full_r{_next_round():02d}.json"
+    with open(os.path.join(here, round_file), "w") as fh:
         json.dump(out, fh, indent=1)
     printed = {k: v for k, v in out.items() if k != "queries"}
     printed["n_queries"] = len(queries)
-    printed["queries_file"] = "BENCH_full_latest.json"
+    printed["queries_file"] = round_file
     print(json.dumps(printed))
     # Tear the JVM down BEFORE deciding the exit code: the failure
     # paths below must not skip cleanup (r04 advice).

@@ -72,6 +72,86 @@ def test_compact_baseline_missing_side_file_degrades_empty(tmp_path):
     assert all(v["ratio"] is None for v in out["deltas"].values())
 
 
+def test_immutable_round_side_file_preferred(tmp_path):
+    """Round-14 verdict task 1: the per-round BENCH_full_r{N}.json is
+    immutable (only round-N runs write it), so it outranks the
+    every-run-mutable BENCH_full_latest.json — an interim run that
+    clobbered 'latest' can no longer ship a vacuous compare."""
+    base = str(tmp_path / "BENCH_r13.json")
+    _write(base, {"parsed": {"value": 50.0, "sf": 0.1}})
+    # 'latest' was overwritten by an interim later-round run...
+    _write(str(tmp_path / "BENCH_full_latest.json"),
+           {"value": 43.21, "sf": 0.1, "queries": {"q_topk": 0.1}})
+    # ...but the round-13 record is intact
+    _write(str(tmp_path / "BENCH_full_r13.json"),
+           {"value": 50.0, "sf": 0.1,
+            "queries": {"q_topk": 0.5, "q_agg_group": 1.0}})
+    out = bench.compare_block({"q_topk": 0.5, "q_agg_group": 1.0}, base)
+    assert out["deltas"]["q_agg_group"]["then"] == 1.0
+    assert out["regressions"] == []
+
+
+def test_mismatched_round_side_file_falls_through(tmp_path):
+    """A per-round side file that fails value/sf validation must fall
+    through to the next source (here: a matching 'latest'), not be
+    trusted and not kill the compare."""
+    base = str(tmp_path / "BENCH_r13.json")
+    _write(base, {"parsed": {"value": 50.0, "sf": 0.1}})
+    _write(str(tmp_path / "BENCH_full_r13.json"),
+           {"value": 9.99, "sf": 0.1, "queries": {"q_topk": 9.9}})
+    _write(str(tmp_path / "BENCH_full_latest.json"),
+           {"value": 50.0, "sf": 0.1, "queries": {"q_topk": 0.5}})
+    out = bench.compare_block({"q_topk": 0.5}, base)
+    assert out["deltas"]["q_topk"]["then"] == 0.5
+
+
+def test_git_recovery_of_committed_side_file(tmp_path):
+    """When EVERY on-disk side file fails validation (the round-13
+    failure: interim runs overwrote them all), the baseline's
+    per-query map is recovered from the commit that introduced the
+    baseline artifact — the driver commits the round artifact and the
+    side files together, so the committed copy provably matches."""
+    import subprocess
+
+    repo = tmp_path
+    for args in (["git", "init", "-q"],
+                 ["git", "config", "user.email", "t@t"],
+                 ["git", "config", "user.name", "t"]):
+        subprocess.run(args, cwd=str(repo), check=True)
+    base = str(repo / "BENCH_r13.json")
+    _write(base, {"parsed": {"value": 50.0, "sf": 0.1}})
+    _write(str(repo / "BENCH_full_latest.json"),
+           {"value": 50.0, "sf": 0.1,
+            "queries": {"q_topk": 0.5, "q_agg_group": 1.0}})
+    subprocess.run(["git", "add", "-A"], cwd=str(repo), check=True)
+    subprocess.run(["git", "commit", "-qm", "round 13"], cwd=str(repo),
+                   check=True)
+    # both on-disk side files now drift (interim runs)
+    _write(str(repo / "BENCH_full_latest.json"),
+           {"value": 43.21, "sf": 0.1, "queries": {"q_topk": 0.1}})
+    _write(str(repo / "BENCH_full_r13.json"),
+           {"value": 44.44, "sf": 0.1, "queries": {"q_topk": 0.2}})
+    out = bench.compare_block({"q_topk": 0.5, "q_agg_group": 2.0}, base)
+    assert out["deltas"]["q_agg_group"]["then"] == 1.0
+    assert out["regressions"] == ["q_agg_group"]
+    # an uncommitted baseline (no introducing commit) degrades LOUDLY
+    base2 = str(repo / "BENCH_r14.json")
+    _write(base2, {"parsed": {"value": 60.0, "sf": 0.1}})
+    out2 = bench.compare_block({"q_topk": 0.5}, base2)
+    assert all(v["ratio"] is None for v in out2["deltas"].values())
+
+
+def test_round_of_and_side_file_names():
+    assert bench._round_of("/x/BENCH_r13.json") == 13
+    assert bench._round_of("/x/BENCH_r01.json") == 1
+    assert bench._round_of("/x/BENCH_full_r13.json") is None
+    assert bench._round_of("/x/whatever.json") is None
+    assert bench._side_file_names("/x/BENCH_r09.json") == [
+        "BENCH_full_r09.json", "BENCH_full_latest.json"]
+    assert bench._side_file_names("/x/custom.json") == [
+        "BENCH_full_latest.json"]
+
+
 def test_canary_factor_is_triplet_median(tmp_path):
     """Round-12 verdict task 4: one jittery canary must not set the
     normalization factor — the factor is the MEDIAN over the triplet
@@ -100,6 +180,21 @@ def test_canary_triplet_backcompat_missing_canaries(tmp_path):
     assert out["canary"]["factor"] == 1.5
     assert out["canary"]["triplet"]["q_dedup_exact"] is None
     assert out["regressions"] == []
+
+
+def test_cross_sf_compare_refused(tmp_path):
+    """A dev run at sf0.001 against the driver's sf0.1 baseline must
+    degrade to the loud empty-compare path (a bogus non-vacuous
+    compare would wrongly clear the BENCH_flags watch ledger)."""
+    base = str(tmp_path / "BENCH_r13.json")
+    _write(base, {"parsed": {"value": 50.0, "sf": 0.1,
+                             "queries": {"q_topk": 0.5}}})
+    out = bench.compare_block({"q_topk": 0.01}, base, sf=0.001)
+    assert all(v["ratio"] is None for v in out["deltas"].values())
+    assert out["regressions"] == []
+    # same-SF still compares
+    out2 = bench.compare_block({"q_topk": 0.5}, base, sf=0.1)
+    assert out2["deltas"]["q_topk"]["ratio"] == 1.0
 
 
 def test_median_helper():

@@ -237,6 +237,8 @@ _EAGER_BUILDERS = {
     "q_embed_pca",
     # writes the fingerprinted shard-file fixture at build time
     "q_source_tarshard_ds",
+    # multi-epoch GD loop (driver-held weights) runs jobs at build time
+    "q_quality_clf_train",
 }
 
 
@@ -304,6 +306,10 @@ BNLJ_ALLOWLIST = {
     # 1-row (target-total, raw-total) broadcast onto the 256-bucket
     # model table — both sides bounded by construction
     "q_dsir_score", "q_dsir_sample",
+    # 1-row (n_docs, per-class doc counts) broadcast onto the
+    # 256-bucket gradient aggregate and the per-doc scores — the
+    # closed-form classifier's class-prior join (round 14)
+    "q_quality_clf_score", "q_corpus_pipeline13",
 }
 
 

@@ -1,0 +1,163 @@
+"""Supervised quality classifier (operators/quality_clf.py): numpy
+gradient parity for the distributed full-batch GD loop, learnability
+on a separable corpus, deterministic tiebreaks, artifact shape, and
+the one-step closed form's equivalence to epochs=1 (the bridge
+between the rows-only train query and the hash-checked score
+query)."""
+
+import hashlib
+import re
+
+import numpy as np
+import pytest
+
+from arc_kinesis_tagging_spark.operators.quality_clf import (
+    BIAS_BUCKET,
+    CLF_SALT,
+    apply_quality_classifier,
+    clf_features,
+    train_quality_classifier,
+    weights_table,
+)
+
+# two disjoint-vocabulary classes: trivially separable, so a working
+# learner must reach 100% train accuracy
+HQ = [
+    "alpha beta gamma delta", "beta gamma alpha", "delta alpha beta",
+    "gamma delta beta alpha", "alpha gamma", "beta delta gamma",
+]
+LQ = [
+    "zig zag zap zor", "zag zig zor", "zor zap zig",
+    "zap zor zag zig", "zig zor", "zag zap zor",
+]
+
+
+def _rows():
+    rows = [(i, "hq", t) for i, t in enumerate(HQ)]
+    rows += [(100 + i, "lq", t) for i, t in enumerate(LQ)]
+    return rows
+
+
+def _np_reference(rows, classes, B, epochs, lr):
+    """Single-machine reference: the exact model (hashed unigram+
+    bigram features normalized per doc, mean cross-entropy full-batch
+    GD) in plain numpy, portable md5 hash included."""
+    feats, labels = {}, {}
+    for did, y, text in rows:
+        toks = [t for t in re.split(r"\s+", text or "") if t]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not grams:
+            continue
+        cnt = {}
+        for g in grams:
+            b = int(
+                hashlib.md5((CLF_SALT + g).encode()).hexdigest()[:15], 16
+            ) % B
+            cnt[b] = cnt.get(b, 0) + 1
+        feats[did] = {b: m / len(grams) for b, m in cnt.items()}
+        labels[did] = y
+    N, C = len(feats), len(classes)
+    W, bias = np.zeros((B, C)), np.zeros(C)
+    for _ in range(epochs):
+        G, gb = np.zeros_like(W), np.zeros(C)
+        for did, f in feats.items():
+            s = bias.copy()
+            for b, x in f.items():
+                s = s + x * W[b]
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            e = p.copy()
+            e[classes.index(labels[did])] -= 1.0
+            for b, x in f.items():
+                G[b] += x * e
+            gb += e
+        W -= (lr / N) * G
+        bias -= (lr / N) * gb
+    return W, bias
+
+
+def test_train_matches_numpy_reference(spark):
+    rows = _rows()
+    df = spark.createDataFrame(rows, "doc_id long, label string, text string")
+    model = train_quality_classifier(
+        df, "text", "label", n_buckets=32, epochs=3, lr=1.0,
+        round_dp=12,
+    )
+    assert model["classes"] == ["hq", "lq"]
+    W_ref, b_ref = _np_reference(rows, model["classes"], 32, 3, 1.0)
+    assert np.allclose(np.array(model["W"]), W_ref, atol=1e-9)
+    assert np.allclose(np.array(model["bias"]), b_ref, atol=1e-9)
+
+
+def test_learns_separable_corpus(spark):
+    rows = _rows()
+    df = spark.createDataFrame(rows, "doc_id long, label string, text string")
+    model = train_quality_classifier(
+        df, "text", "label", n_buckets=64, epochs=5, lr=2.0
+    )
+    scored = apply_quality_classifier(
+        df, model, "text", extra_cols=("label",)
+    ).collect()
+    assert len(scored) == len(rows)
+    assert all(r["pred"] == r["label"] for r in scored), [
+        (r["doc_id"], r["label"], r["pred"]) for r in scored
+        if r["pred"] != r["label"]
+    ]
+
+
+def test_epochs1_equals_closed_form(spark):
+    """The hash-checked q_quality_clf_score computes the FIRST GD
+    step in closed form (zero init => uniform softmax => errors
+    1/C - 1[y=c]); the operator at epochs=1 must produce the same
+    weights — the bridge that lets the oracle-checked query stand in
+    for the iterative trainer's first step."""
+    rows = _rows()
+    df = spark.createDataFrame(rows, "doc_id long, label string, text string")
+    model = train_quality_classifier(
+        df, "text", "label", n_buckets=32, epochs=1, lr=0.5,
+        round_dp=12,
+    )
+    frows = clf_features(
+        df, "text", "doc_id", 32, extra_cols=("label",)
+    ).collect()
+    N = len({r["doc_id"] for r in frows})
+    W = np.zeros((32, 2))
+    for r in frows:
+        e = np.array([0.5, 0.5])
+        e[["hq", "lq"].index(r["label"])] -= 1.0
+        W[int(r["b"])] -= (0.5 / N) * r["x"] * e
+    assert np.allclose(np.array(model["W"]), W, atol=1e-9)
+
+
+def test_apply_tiebreak_and_absent_docs(spark):
+    """Unseen-feature docs score bias-only; with zero bias both
+    classes tie and the FIRST class in sorted order wins (the
+    deterministic tiebreak). Null/empty-text docs carry no features
+    and are absent from the output (R16 upstream-gate semantics)."""
+    model = {"classes": ["aa", "zz"],
+             "W": [[0.0, 0.0]] * 16, "bias": [0.0, 0.0],
+             "n_buckets": 16}
+    df = spark.createDataFrame(
+        [(1, "completely unseen words"), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = apply_quality_classifier(df, model, "text").collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["pred"] == "aa"
+    assert out[0]["score"] == 0.0
+
+
+def test_weights_table_shape(spark):
+    model = {"classes": ["a", "b"], "W": [[1.0, 2.0], [3.0, 4.0]],
+             "bias": [0.5, -0.5], "n_buckets": 2}
+    rows = weights_table(spark, model).collect()
+    assert len(rows) == (2 + 1) * 2
+    bias_rows = {(r["label"], r["w"]) for r in rows if r["b"] == BIAS_BUCKET}
+    assert bias_rows == {("a", 0.5), ("b", -0.5)}
+
+
+def test_single_class_raises(spark):
+    df = spark.createDataFrame([(1, "x", "t")],
+                               "doc_id long, label string, text string")
+    with pytest.raises(ValueError):
+        train_quality_classifier(df, "text", "label", n_buckets=8)

@@ -35,6 +35,12 @@ Re-retried round 13 (2026-08-16): `import google.protobuf` still
 raises ModuleNotFoundError (no `google` package at all); the
 container remains offline, a wheel is unobtainable. The documented
 skip stands.
+
+Re-retried round 14 (2026-08-16): `import google.protobuf` still
+raises ModuleNotFoundError (no `google` package at all); `pip
+download protobuf` fails with NewConnectionError (DNS unresolvable —
+the container remains offline), so a wheel is still unobtainable.
+The documented skip stands.
 """
 
 import tempfile
