@@ -527,6 +527,44 @@ def ngram_containment_pairs(
     hashes with the same md5 expression). localCheckpoint pin: four
     consumers (freq, sizes/rank, full join side, verify sets) —
     executor-loss behavior documented in DEPLOY.md."""
+    sh, cand = _containment_candidates(
+        df, text_col, key_col, threshold, shingle_n
+    )
+    sets_ = sh.groupBy("key").agg(F.collect_set("tok").alias("toks"))
+    return (
+        cand.join(
+            sets_.select(F.col("key").alias("key_a"), F.col("toks").alias("toks_a")),
+            "key_a",
+        )
+        .join(
+            sets_.select(F.col("key").alias("key_b"), F.col("toks").alias("toks_b")),
+            "key_b",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("toks_a", "toks_b"))
+        )
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double")
+            / F.least(F.size("toks_a"), F.size("toks_b")).cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("key_a", "key_b", "containment")
+    )
+
+
+def _containment_candidates(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    threshold: float,
+    shingle_n: int,
+):
+    """The containment join's pruned CANDIDATE pair set (pre-verify),
+    plus the pinned shingle frame the verify stage reuses. Split out
+    so the scale ladder (tools/scale_smoke.py) can measure candidate
+    VOLUME growth under corpus amplification — the quantity the
+    prefix lemma bounds — against exactly the production code path."""
     sh = df.select(
         F.col(key_col).alias("key"),
         F.explode(_hashed_shingle_set(text_col, shingle_n)).alias("tok"),
@@ -591,27 +629,7 @@ def ngram_containment_pairs(
         F.least("key_p", "key_f").alias("key_a"),
         F.greatest("key_p", "key_f").alias("key_b"),
     ).dropDuplicates(["key_a", "key_b"])
-    sets_ = sh.groupBy("key").agg(F.collect_set("tok").alias("toks"))
-    return (
-        cand.join(
-            sets_.select(F.col("key").alias("key_a"), F.col("toks").alias("toks_a")),
-            "key_a",
-        )
-        .join(
-            sets_.select(F.col("key").alias("key_b"), F.col("toks").alias("toks_b")),
-            "key_b",
-        )
-        .withColumn(
-            "n_inter", F.size(F.array_intersect("toks_a", "toks_b"))
-        )
-        .withColumn(
-            "containment",
-            F.col("n_inter").cast("double")
-            / F.least(F.size("toks_a"), F.size("toks_b")).cast("double"),
-        )
-        .filter(F.col("containment") >= threshold)
-        .select("key_a", "key_b", "containment")
-    )
+    return sh, cand
 
 
 def _simhash64(text_col: str) -> F.Column:

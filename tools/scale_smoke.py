@@ -198,10 +198,65 @@ def amplified_sf_dir(spark, k: int, mode: str = "salt") -> str:
     return amp
 
 
+def containment_ladder(spark, k: int) -> None:
+    """Focused containment-join ladder (round-14 verdict task 6): the
+    prefix lemma's candidate bound is PROVEN lossless, but its GROWTH
+    under corpus amplification was asserted, not measured — the
+    Jaccard twin has ladder rows, the full-index side of the
+    containment join did not. Measures, at amplification K over the
+    salt corpus (replicas of one doc are true near-dup clusters,
+    cross-doc pairs dissimilar — the worst realistic case for a
+    near-dup join):
+
+    - candidate pair volume (the pruned prefix x full-index join
+      after positional filtering and pair dedup — the quantity the
+      lemma bounds, counted from the PRODUCTION code path via
+      operators/dedup._containment_candidates), plus its wall clock;
+    - the full verified join's emitted pairs and wall clock;
+    - shingle-row volume (the linear-in-K baseline the candidate
+      growth is judged against).
+
+    Sub-quadratic evidence = candidates(K=10)/candidates(K=2) well
+    below (10/2)^2 = 25 (in-group true pairs alone grow ~K^2/2 per
+    doc group by construction, so the interesting ratio is
+    candidates vs TRUE pairs, also reported)."""
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        _containment_candidates,
+        ngram_containment_pairs,
+    )
+
+    report: dict = {"k": k, "mode": "containment"}
+    amp = amplified_sf_dir(spark, k)
+    docs = load_table(spark, "documents", amp)
+    report["n_docs"] = docs.count()
+    report["shingle_rows"] = docs.select(
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(size(split(text, '\\\\s+')) - 2, 0)),"
+                " i -> concat_ws(' ', slice(split(text, '\\\\s+'), i, 3))))"
+            )
+        )
+    ).count()
+    t0 = time.perf_counter()
+    _, cand = _containment_candidates(docs, "text", "doc_id", 0.8, 3)
+    report["candidates"] = cand.count()
+    report["candidates_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    pairs = ngram_containment_pairs(
+        docs, "text", "doc_id", threshold=0.8, shingle_n=3
+    )
+    report["pairs"] = pairs.count()
+    report["pairs_sec"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps(report))
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     k = int(args[0]) if args else 10
     spark = get_session("scale-smoke")
+    if "--containment" in sys.argv:
+        containment_ladder(spark, k)
+        return
     if "--zipf" in sys.argv:
         # Focused vocabulary ladder under the NON-adversarial amplifier
         # (round-8 verdict task 4): the salt amplifier grows distinct
