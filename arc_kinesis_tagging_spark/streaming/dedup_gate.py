@@ -1295,3 +1295,70 @@ def append_benchmark_shingles(
         ).select("bsh", "bench_key")
         _append_bucketed_bands(bsh, name, ["bsh"], n_buckets)
     return n
+
+
+def make_classifier_gate(
+    spark,
+    model: dict,
+    markers_dir: str,
+    accepted_sink,
+    admit_labels,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming SUPERVISED-classifier admission gate: score each
+    batch doc with a FROZEN fastText-style model
+    (operators/quality_clf.py — train offline, freeze, gate the
+    stream: the production shape of the wiki-vs-CommonCrawl quality
+    filter) and pass only docs whose predicted label is in
+    ``admit_labels``; survivors flow to ``accepted_sink``. Completes
+    the admission stack alongside the unsupervised robots/LM/DSIR
+    gates and the dedup/decontamination gates — all valid
+    accepted_sinks for each other.
+
+    Scale shape: the model is vocabulary-bounded (n_buckets x
+    n_classes weights) and rides to executors as a broadcast join;
+    scoring is the apply path's one broadcast join + one doc-keyed
+    aggregate per batch (partial-agg collapses each doc's grams
+    map-side), then a batch-bounded semi join back. No state grows
+    with the stream — the gate is stateless by construction, so
+    there is nothing to compact.
+
+    R16 semantics (the decontamination gate's convention): docs with
+    NO scorable features (null/empty text) cannot be classified and
+    PASS THROUGH — an upstream corrupt row must never be silently
+    destroyed by a gate that cannot even read it; route it to a
+    dead-letter stage if the deployment wants it gone. Replay markers
+    make the gate idempotent across epoch replays."""
+    from arc_kinesis_tagging_spark.operators.quality_clf import (
+        apply_quality_classifier,
+    )
+
+    admit = sorted(set(admit_labels))
+    unknown = [c for c in admit if c not in model["classes"]]
+    if unknown:
+        raise ValueError(
+            f"admit_labels {unknown} not in model classes "
+            f"{model['classes']}"
+        )
+    _markers_init(spark, markers_dir)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        marker = _marker_uri(markers_dir, batch_id)
+        if _marker_exists(spark, marker):
+            return  # replayed epoch: already emitted
+        scored = apply_quality_classifier(
+            batch_df, model, text_col, id_col=id_col
+        )
+        rejected = scored.filter(
+            ~F.col("pred").isin(admit)
+        ).select(F.col(id_col).alias("__rej_key"))
+        accepted = batch_df.join(
+            F.broadcast(rejected),
+            batch_df[id_col] == rejected["__rej_key"],
+            "left_anti",
+        )
+        accepted_sink(accepted, batch_id)
+        _write_marker(spark, marker)  # atomic-ish: marker is LAST
+
+    return gate

@@ -197,6 +197,23 @@ def test_cross_sf_compare_refused(tmp_path):
     assert out2["deltas"]["q_topk"]["ratio"] == 1.0
 
 
+def test_confirm_requires_raw_and_normalized():
+    """Round-14 lesson: the post-suite JVM runs tiny canaries ~3x
+    faster than a fresh session, under-correcting the factor and
+    'confirming' queries whose raw ratios were ~1.0-1.4x. Confirmation
+    now requires BOTH ratios >1.5x plus the absolute floor."""
+    ic = bench._is_confirmed
+    assert ic(ratio=2.0, norm=2.0, now=2.0, then=1.0)
+    # raw fine, normalization inflated by a biased canary -> NOT confirmed
+    assert not ic(ratio=1.2, norm=4.0, now=1.2, then=1.0)
+    # normalized fine, raw regressed (host sped up uniformly) -> tracked,
+    # not confirmed
+    assert not ic(ratio=1.2, norm=1.6, now=1.2, then=1.0)
+    assert not ic(ratio=3.0, norm=3.0, now=0.3, then=0.1)  # abs floor
+    assert not ic(ratio=None, norm=2.0, now=2.0, then=1.0)
+    assert not ic(ratio=2.0, norm=None, now=2.0, then=1.0)
+
+
 def test_median_helper():
     assert bench._median([3.0]) == 3.0
     assert bench._median([1.0, 2.0]) == 1.5

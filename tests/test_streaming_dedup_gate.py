@@ -1226,3 +1226,64 @@ def test_decontamination_benchmark_append_is_idempotent(spark, tmp_path):
     # inflated counts (2 shared shingles x 2 copies = 4 >= 3)
     gate(batch([(2, BENCH2), (3, NEAR2)]), 1)
     assert accepted == [[1], [3]]
+
+
+def test_classifier_gate_semantics_and_replay(spark, tmp_path):
+    """Streaming supervised-classifier admission gate
+    (make_classifier_gate): batch docs predicted OUTSIDE admit_labels
+    are dropped, admitted predictions pass, docs with no scorable
+    features (null text) PASS THROUGH (R16 — a gate that cannot read
+    a row must not destroy it), replayed epochs are marker-skipped,
+    and unknown admit labels fail fast."""
+    import pytest as _pytest
+
+    from arc_kinesis_tagging_spark.operators.quality_clf import (
+        train_quality_classifier,
+    )
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_classifier_gate,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "hq", t) for i, t in enumerate(
+            ["alpha beta gamma", "beta gamma alpha delta",
+             "delta alpha beta", "gamma delta"])]
+        + [(10 + i, "lq", t) for i, t in enumerate(
+            ["zig zag zap", "zag zor zig", "zor zap zag zig",
+             "zip zag zor"])],
+        "doc_id long, label string, text string",
+    )
+    model = train_quality_classifier(
+        train, "text", "label", n_buckets=32, epochs=5, lr=2.0
+    )
+
+    with _pytest.raises(ValueError):
+        make_classifier_gate(
+            spark, model, str(tmp_path / "m0"), lambda d, b: None,
+            admit_labels=["nonexistent"],
+        )
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.append(sorted(r["doc_id"] for r in df.collect()))
+
+    gate = make_classifier_gate(
+        spark, model, str(tmp_path / "markers"), sink,
+        admit_labels=["hq"],
+    )
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),   # hq-vocab -> admitted
+         (2, "zig zag zor zap"),          # lq-vocab -> dropped
+         (3, None),                       # no features -> passes (R16)
+         (4, "beta delta alpha")],        # hq-vocab -> admitted
+        "doc_id long, text string",
+    )
+    gate(batch, 0)
+    assert accepted == [[1, 3, 4]]
+    # replayed epoch: marker no-op, nothing re-emitted
+    gate(batch, 0)
+    assert accepted == [[1, 3, 4]]
+    gate(spark.createDataFrame(
+        [(5, "zor zip zag")], "doc_id long, text string"), 1)
+    assert accepted == [[1, 3, 4], []]

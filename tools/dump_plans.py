@@ -588,6 +588,27 @@ COMMENTARY.update(
             "re-deriving per consumer; no broadcast hints on the "
             "corpus-fraction drop sets (AQE decides at runtime)."
         ),
+        "q_quality_clf_score": (
+            "Supervised classifier, closed-form one-step train + "
+            "apply as ONE tree: features pinned once (three "
+            "consumers), the 256-row gradient/weight aggregate and "
+            "the 1-row class-prior aggregate broadcast back "
+            "(bucket-/class-bounded builds — the justified hints), "
+            "and the corpus-sized shuffles are exactly the "
+            "(doc,bucket) count agg, its doc-keyed sibling, and the "
+            "apply's doc-keyed score agg, each collapsed map-side to "
+            "~1 row/doc. No window, no Python, no corpus broadcast."
+        ),
+        "q_corpus_pipeline13": (
+            "Mislabel-scrub curation composite (exact dedup -> "
+            "label-agreement classifier gate -> per-lang report): "
+            "the dedup digest aggregate + survivor semi/anti joins "
+            "feed the classifier's bounded-model shape above over "
+            "ONLY the survivor set; the report aggregate is "
+            "class-count-sized. The classifier trains on the "
+            "survivor set inside the same tree — no second corpus "
+            "read."
+        ),
     }
 )
 
