@@ -238,6 +238,27 @@ def weights_table(spark, model: dict) -> DataFrame:
     return spark.createDataFrame(rows, "b int, label string, w double")
 
 
+def model_from_weights_table(wdf: DataFrame) -> dict:
+    """Inverse of weights_table: rebuild the model dict from the
+    persisted (b, label, w) artifact (e.g. a parquet written by a
+    training job — the deployment path tools/curation_e2e.py uses).
+    The collect is model-bounded by construction: the table IS the
+    artifact."""
+    rows = wdf.collect()
+    classes = sorted({r["label"] for r in rows})
+    ci = {c: i for i, c in enumerate(classes)}
+    n_buckets = max(r["b"] for r in rows) + 1
+    W = [[0.0] * len(classes) for _ in range(n_buckets)]
+    bias = [0.0] * len(classes)
+    for r in rows:
+        if r["b"] == BIAS_BUCKET:
+            bias[ci[r["label"]]] = r["w"]
+        else:
+            W[r["b"]][ci[r["label"]]] = r["w"]
+    return {"classes": classes, "W": W, "bias": bias,
+            "n_buckets": n_buckets}
+
+
 def apply_quality_classifier(
     df: DataFrame,
     model: dict,

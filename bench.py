@@ -632,16 +632,18 @@ def adjudicate_regressions(spark, cmp_full: dict, sf_dir: str) -> dict:
     list into confirmed vs environmental (round-9 verdict task 5 —
     the round-6/7 protocol, now automatic instead of manual).
 
-    The re-measures run in a FRESH SparkSession (round-14 lesson,
-    SCALE.md): re-measuring inside the suite's own session is biased
-    two ways at once — the 70-query-hot JVM runs the tiny canaries
-    ~3x faster than a cold-ish session (JIT + page cache favor
-    CPU-light queries), while accumulated executor-storage state
-    (lazy localCheckpoint blocks survive clearCache) DEGRADES the
-    big Arrow/codegen queries; both biases push normalized ratios UP
-    and manufactured 16 false confirmations in the round-14 run-2
-    artifact. Stopping the context releases the storage; the
-    replacement session is the same get_session config.
+    The re-measures run in a SUBPROCESS with its own fresh JVM
+    (round-14 lesson, SCALE.md): re-measuring inside the suite's own
+    process is biased two ways at once — the 70-query-hot JVM runs
+    the tiny canaries ~3x faster than a fresh process (JIT + page
+    cache favor CPU-light queries), while the long-lived process's
+    accumulated state degrades the big Arrow/codegen entries (in-
+    suite q_dedup_phash measured 19 s vs 3.2 s in a fresh process on
+    the same host minutes apart); both biases push normalized ratios
+    UP and manufactured 16 false confirmations in the round-14 run-2
+    artifact — and a fresh SparkSession in the SAME process was
+    measured insufficient (run 3: still 18 s). Only a new JVM levels
+    the field between canaries and flagged queries.
 
     Each flagged query gets a back-to-back (canary-triplet min-of-3
     each, query min-of-3) pair, so the normalization factor reflects
@@ -650,14 +652,6 @@ def adjudicate_regressions(spark, cmp_full: dict, sf_dir: str) -> dict:
     compare_block); per-canary thens come from the suite run's deltas.
     Confirmed = BOTH the raw and the re-normalized ratio still >1.5x
     with >=0.25s absolute (_is_confirmed)."""
-    # stream entries are not registry queries — re-measure them through
-    # their own bench functions (r10 lesson: stream_tee_20k flagged and
-    # run_once raised KeyError, which killed the WHOLE compare block)
-    stream_adj = {
-        "stream_pipeline_20k": lambda: bench_stream_pipeline(spark, sf_dir)[0],
-        "stream_gated_20k": lambda: bench_stream_gated(spark, sf_dir)[0],
-        "stream_tee_20k": lambda: bench_stream_tee(spark, sf_dir)[0],
-    }
     flagged = cmp_full.get("regressions") or []
     deltas = cmp_full.get("deltas") or {}
     # A VACUOUS compare (zero queries matched — e.g. the baseline's
@@ -681,53 +675,46 @@ def adjudicate_regressions(spark, cmp_full: dict, sf_dir: str) -> dict:
         c: (deltas.get(c) or {}).get("then") for c in CANARIES
     }
     result = {"confirmed": [], "environmental": [], "detail": {}}
+    detail: dict = {}
     if flagged:
-        from arc_kinesis_tagging_spark.session import get_session
+        import subprocess
 
-        spark.stop()  # release suite-session executor storage
-        spark = get_session("bench-adjudicate")
-        # re-prime the Python worker pool (same one-time cost the
-        # suite warm-up pays; without it the first flagged Arrow
-        # query re-times 32x interpreter spin-up)
-        spark.range(64).repartition(32).mapInPandas(
-            lambda it: (pdf for pdf in it), "id long"
-        ).write.format("noop").mode("overwrite").save()
-        # NOTE: stream_adj's lambdas and the run_once fallback close
-        # over the local `spark` variable, so the rebinding above
-        # points every re-measure at the fresh session.
-    for name in flagged:
-        then = cmp_full["deltas"][name]["then"]
-        measure = stream_adj.get(name) or (
-            lambda: run_once(spark, name, sf_dir)
-        )
+        payload = json.dumps({
+            "flagged": flagged,
+            "thens": {n: cmp_full["deltas"][n]["then"] for n in flagged},
+            "canary_thens": canary_thens,
+            "sf_dir": sf_dir,
+        })
         try:
-            canary_factors = {}
-            for c in CANARIES:
-                c_then = canary_thens.get(c)
-                if not c_then:
-                    continue
-                c_now = min(run_once(spark, c, sf_dir) for _ in range(3))
-                canary_factors[c] = round(c_now / c_then, 3)
-            now = min(measure() for _ in range(3))
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import bench; bench._adjudicate_worker()"],
+                input=payload, capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=3000,
+            )
+            detail = json.loads(proc.stdout.strip().splitlines()[-1])
         except Exception as exc:
-            # an unadjudicable flag stays VISIBLE and blocking rather
-            # than silently discarding the whole comparison
-            result["confirmed"].append(name)
-            result["detail"][name] = {"then": then, "error": str(exc)[:120]}
-            continue
-        factor = _canary_factor(canary_factors)
-        ratio = round(now / then, 3) if then else None
-        norm = (
-            round(ratio / factor, 3)
-            if ratio is not None and factor else ratio
-        )
-        confirmed = _is_confirmed(ratio, norm, now, then)
-        result["confirmed" if confirmed else "environmental"].append(name)
-        result["detail"][name] = {
-            "then": then, "remeasured": round(now, 3), "ratio": ratio,
-            "canary_factor": factor, "canary_triplet": canary_factors,
-            "ratio_norm": norm,
+            # a dead worker leaves every flag VISIBLE and blocking
+            # rather than silently discarding the comparison
+            detail = {
+                n: {"then": cmp_full["deltas"][n]["then"],
+                    "error": f"adjudication worker failed: "
+                             f"{str(exc)[:100]}"}
+                for n in flagged
+            }
+    for name in flagged:
+        d = detail.get(name) or {
+            "then": cmp_full["deltas"][name]["then"],
+            "error": "missing from worker output",
         }
+        result["detail"][name] = d
+        if "error" in d:
+            result["confirmed"].append(name)
+        else:
+            result[
+                "confirmed" if d.get("confirmed") else "environmental"
+            ].append(name)
     # Cross-round watch ledger (r10 advice): a single environmental
     # classification can be a canary/query resource-profile mismatch
     # (CPU-bound canary vs shuffle-bound query), so one env verdict
@@ -756,6 +743,68 @@ def adjudicate_regressions(spark, cmp_full: dict, sf_dir: str) -> dict:
     except OSError:
         pass  # read-only checkout: tracking degrades, run continues
     return result
+
+
+def _adjudicate_worker() -> None:
+    """Subprocess entry for adjudicate_regressions: reads the payload
+    JSON from stdin, re-measures every flagged entry (canary-triplet
+    min-of-3 paired with query min-of-3) in THIS process's fresh JVM,
+    and prints one JSON line {name: detail} as the LAST stdout line.
+    CODEC_HEAVY entries get the suite's untimed warm-up rep so
+    min-of-3 never times the janino+C2 compile window."""
+    payload = json.loads(sys.stdin.read())
+    sf_dir = payload["sf_dir"]
+    from arc_kinesis_tagging_spark.session import get_session
+
+    spark = get_session("bench-adjudicate")
+    # same one-time warm-ups as the suite: JVM/parquet caches + the
+    # 32x Python worker pool spin-up
+    run_once(spark, "q_topk", sf_dir)
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
+    # stream entries are not registry queries — re-measure them
+    # through their own bench functions (r10 lesson: stream_tee_20k
+    # flagged and run_once raised KeyError, killing the compare)
+    stream_adj = {
+        "stream_pipeline_20k": lambda: bench_stream_pipeline(spark, sf_dir)[0],
+        "stream_gated_20k": lambda: bench_stream_gated(spark, sf_dir)[0],
+        "stream_tee_20k": lambda: bench_stream_tee(spark, sf_dir)[0],
+    }
+    out: dict = {}
+    for name in payload["flagged"]:
+        then = payload["thens"].get(name)
+        measure = stream_adj.get(name) or (
+            lambda: run_once(spark, name, sf_dir)
+        )
+        try:
+            canary_factors = {}
+            for c in CANARIES:
+                c_then = payload["canary_thens"].get(c)
+                if not c_then:
+                    continue
+                c_now = min(run_once(spark, c, sf_dir) for _ in range(3))
+                canary_factors[c] = round(c_now / c_then, 3)
+            if name in CODEC_HEAVY:
+                measure()  # untimed: absorb janino+C2
+            now = min(measure() for _ in range(3))
+        except Exception as exc:
+            out[name] = {"then": then, "error": str(exc)[:120]}
+            continue
+        factor = _canary_factor(canary_factors)
+        ratio = round(now / then, 3) if then else None
+        norm = (
+            round(ratio / factor, 3)
+            if ratio is not None and factor else ratio
+        )
+        out[name] = {
+            "then": then, "remeasured": round(now, 3), "ratio": ratio,
+            "canary_factor": factor, "canary_triplet": canary_factors,
+            "ratio_norm": norm,
+            "confirmed": _is_confirmed(ratio, norm, now, then),
+        }
+    spark.stop()
+    print(json.dumps(out))
 
 
 def settle(max_wait: float = 45.0, load_per_cpu: float = 0.5) -> float:

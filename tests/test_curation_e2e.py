@@ -126,3 +126,69 @@ def test_curation_e2e_ingest_then_refresh(spark, tmp_path):
         for r in batch_refresh(spark, out, bench).collect()
     }
     assert report2 == {"doc": (2, len(T1) + len(T3))}
+
+
+def test_curation_e2e_with_classifier_tier(spark, tmp_path):
+    """The optional OUTERMOST supervised classifier tier: a doc that
+    passes the fused LM/DSIR/robots gates but is predicted into a
+    non-admitted label is dropped BEFORE any dedup corpus is probed
+    or grown. Model round-trips through the persisted (b, label, w)
+    artifact the CLI loads (weights_table -> parquet ->
+    model_from_weights_table)."""
+    from arc_kinesis_tagging_spark.operators.quality_clf import (
+        model_from_weights_table,
+        train_quality_classifier,
+        weights_table,
+    )
+    from arc_kinesis_tagging_spark.streaming.kinesis_source import (
+        write_kinesis_fixture,
+    )
+    from tools.curation_e2e import make_curation_stack
+
+    # two label vocabularies drawn from the LM training headlines, so
+    # every stream doc is LM-fluent and the CLASSIFIER is what decides
+    train = spark.createDataFrame(
+        [(1, "news", T1), (2, "news", T2),
+         (3, "news", "markets rally as earnings beat"),
+         (4, "junk", T3),
+         (5, "junk", "city council approves transit funding"),
+         (6, "junk", "council plan approves city funding today")],
+        "doc_id long, label string, text string",
+    )
+    model = train_quality_classifier(
+        train, "text", "label", n_buckets=64, epochs=5, lr=2.0
+    )
+    # persist + reload the artifact — the CLI path
+    wpath = str(tmp_path / "clf_weights")
+    weights_table(spark, model).write.parquet(wpath)
+    model2 = model_from_weights_table(spark.read.parquet(wpath))
+    assert model2 == {
+        "classes": model["classes"],
+        "W": model["W"],
+        "bias": model["bias"],
+        "n_buckets": model["n_buckets"],
+    }
+
+    stream = str(tmp_path / "stream")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    work = "akt_curclf_" + uuid.uuid4().hex[:10]
+    write_kinesis_fixture(
+        stream,
+        [
+            (_story("doc-1", T1), 0),   # news vocab: admitted
+            (_story("doc-5", T3), 1),   # LM-fluent but junk: dropped
+            (_story("doc-6", GIBBERISH), 2),  # LM gate drops upstream
+        ],
+    )
+    ingest = make_curation_stack(
+        spark, work, ckpt + "/markers", out,
+        clf_model=model2, clf_admit=["news"],
+    )
+    _run_stream(spark, stream, ingest, ckpt)
+    curated = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
+    }
+    assert set(curated) == {"doc-1"}
+    # the junk doc never reached the exact gate's corpus
+    assert spark.table(f"{work}_ex_digests").count() == 1

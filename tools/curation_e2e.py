@@ -111,16 +111,25 @@ def make_curation_stack(
     lm_threshold: float = 4.0,
     dsir_threshold: float = -10.0,
     compact_every: int | str = "auto",
+    clf_model: dict | None = None,
+    clf_admit=None,
 ):
     """The foreachBatch function: fused gated ingest feeding the
     exact -> SimHash -> MinHash gate stack (plus, when ``benchmark``
     is given, an ingest-time DECONTAMINATION gate innermost — then
     contamination never enters the corpus and the periodic refresh
     only has to catch benchmark UPDATES), survivors appended to
-    ``out_dir``. Gate corpora live in the session catalog under
+    ``out_dir``. When ``clf_model`` is given (a trained
+    operators/quality_clf.py model dict — load a persisted artifact
+    with model_from_weights_table), a SUPERVISED classifier gate
+    runs OUTERMOST, before any dedup corpus is touched: label-gated
+    rejects (predicted label not in ``clf_admit``) never cost a
+    corpus probe or append — the wiki-vs-CommonCrawl filter
+    position. Gate corpora live in the session catalog under
     ``work_prefix``; replay markers under ``markers_root`` (same
     durable store as the checkpoint in production)."""
     from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_classifier_gate,
         make_decontamination_gate,
         make_minhash_dedup_gate,
         make_simhash_dedup_gate,
@@ -152,6 +161,13 @@ def make_curation_stack(
         spark, f"{work_prefix}_ex", f"{mk}/ex", sh,
         id_col="_id", text_col="headline", compact_every=compact_every,
     )
+    entry = ex
+    if clf_model is not None:
+        entry = make_classifier_gate(
+            spark, clf_model, f"{mk}/clf", ex,
+            admit_labels=clf_admit or [], id_col="_id",
+            text_col="headline",
+        )
 
     def ingest(records_df: DataFrame, batch_id: int) -> None:
         docs = fused_gated_story_pipeline(
@@ -163,7 +179,7 @@ def make_curation_stack(
             dsir_threshold=dsir_threshold,
             admit=True,
         )
-        ex(docs, batch_id)
+        entry(docs, batch_id)
 
     return ingest
 
@@ -257,6 +273,15 @@ def main() -> None:
     ing.add_argument("--out", required=True)
     ing.add_argument("--checkpoint", required=True)
     ing.add_argument("--work", default="akt_curation")
+    ing.add_argument(
+        "--clf-weights",
+        help="(b, label, w) parquet from weights_table — enables the "
+        "outermost supervised classifier gate",
+    )
+    ing.add_argument(
+        "--clf-admit",
+        help="comma-separated labels to admit (with --clf-weights)",
+    )
     ref = sub.add_parser("refresh")
     ref.add_argument("--out", required=True, help="curated corpus dir")
     ref.add_argument("--report", required=True)
@@ -299,8 +324,20 @@ def main() -> None:
             .option("streamDir", args.stream_dir)
             .load()
         )
+    clf_model = None
+    if args.clf_weights:
+        from arc_kinesis_tagging_spark.operators.quality_clf import (
+            model_from_weights_table,
+        )
+
+        clf_model = model_from_weights_table(
+            spark.read.parquet(args.clf_weights)
+        )
     ingest = make_curation_stack(
-        spark, args.work, args.checkpoint + "/markers", args.out
+        spark, args.work, args.checkpoint + "/markers", args.out,
+        clf_model=clf_model,
+        clf_admit=(args.clf_admit or "").split(",") if args.clf_admit
+        else None,
     )
     run_ingest(spark, records, ingest, args.checkpoint)
     spark.stop()
