@@ -788,6 +788,21 @@ def _adjudicate_worker() -> None:
             if name in CODEC_HEAVY:
                 measure()  # untimed: absorb janino+C2
             now = min(measure() for _ in range(3))
+            windows = 1
+            # TWO-WINDOW rule (round-14 forensics, SCALE.md): this
+            # host's noise oscillates on minute scales and hits
+            # python-worker-heavy entries hardest — run 4's worker
+            # "confirmed" stream_pipeline_20k at 3.6 s minutes after
+            # the SAME bench run's suite measured it 1.2 s. A real
+            # plan regression repeats across separated windows; noise
+            # doesn't. Only would-be-confirmed entries pay the wait.
+            if then and _is_confirmed(
+                round(now / then, 3), round(now / then, 3), now, then
+            ):
+                time.sleep(45)
+                now2 = min(measure() for _ in range(3))
+                windows = 2
+                now = min(now, now2)
         except Exception as exc:
             out[name] = {"then": then, "error": str(exc)[:120]}
             continue
@@ -800,7 +815,7 @@ def _adjudicate_worker() -> None:
         out[name] = {
             "then": then, "remeasured": round(now, 3), "ratio": ratio,
             "canary_factor": factor, "canary_triplet": canary_factors,
-            "ratio_norm": norm,
+            "ratio_norm": norm, "windows": windows,
             "confirmed": _is_confirmed(ratio, norm, now, then),
         }
     spark.stop()
