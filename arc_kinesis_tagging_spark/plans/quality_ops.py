@@ -2851,8 +2851,11 @@ def _rolling_windows_np(d, w: int):
     )
 
 
-def _substring_dedup(spark, sf_dir, hash_fn: str = "md5"):
-    d = _t(spark, sf_dir, "documents")
+def _substring_spans(d, hash_fn: str = "md5"):
+    """Merged duplicated-window spans per document — the shared core of
+    the substring-dedup REPORT (q_dedup_substring) and the substring
+    CLIP (q_dedup_substring_clip): (doc_id, n_tokens, gid, s0, e1,
+    n_wins) with 1-based token positions, span = tokens [s0, e1)."""
     w = _SUBSTR_W
     if hash_fn == "rolling":
         windows = _rolling_windows_np(d, w)
@@ -2898,11 +2901,15 @@ def _substring_dedup(spark, sf_dir, hash_fn: str = "md5"):
             prev_end.isNull() | (F.col("s") > prev_end), 1
         ).otherwise(0),
     ).withColumn("gid", F.sum("new_span").over(ww))
-    spans = flagged.groupBy("doc_id", "n_tokens", "gid").agg(
+    return flagged.groupBy("doc_id", "n_tokens", "gid").agg(
         F.min("s").alias("s0"),
         F.max(F.col("s") + w).alias("e1"),
         F.count(F.lit(1)).alias("n_wins"),
     )
+
+
+def _substring_dedup(spark, sf_dir, hash_fn: str = "md5"):
+    spans = _substring_spans(_t(spark, sf_dir, "documents"), hash_fn)
     per_doc = spans.groupBy("doc_id", "n_tokens").agg(
         F.sum("n_wins").alias("n_dup_windows"),
         F.sum(F.col("e1") - F.col("s0")).alias("dup_token_coverage"),
@@ -2918,7 +2925,9 @@ def _substring_dedup(spark, sf_dir, hash_fn: str = "md5"):
     )
 
 
-ORACLE_DEDUP_SUBSTRING = f"""
+# Shared CTE chain up to the merged-span table — the REPORT and CLIP
+# oracles both read from `spans` (tokens [s0, e1), 1-based).
+_SUBSTR_SPANS_SQL = f"""
 WITH base AS (
   SELECT doc_id,
          string_split(text, ' ') AS toks,
@@ -2958,11 +2967,87 @@ WITH base AS (
          MIN(s) AS s0, MAX(s + {_SUBSTR_W}) AS e1, COUNT(*) AS n_wins
   FROM grouped GROUP BY doc_id, n_tokens, gid
 )
+"""
+
+ORACLE_DEDUP_SUBSTRING = _SUBSTR_SPANS_SQL + """
 SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
        CAST(SUM(n_wins) AS BIGINT) AS n_dup_windows,
        CAST(SUM(e1 - s0) AS BIGINT) AS dup_token_coverage,
        ROUND(SUM(e1 - s0) / CAST(n_tokens AS DOUBLE), 6) AS dup_fraction
 FROM spans GROUP BY doc_id, n_tokens
+"""
+
+
+def q_dedup_substring_clip(spark, sf_dir):
+    """Substring-dedup CLIP — the curation ACTION on top of
+    q_dedup_substring's report (Lee et al. 2021's ExactSubstr step:
+    the reference pipeline tags records, a training-data pipeline
+    must also REWRITE them): every merged duplicated-window span is
+    removed from every document and the survivors are rejoined in
+    order. Remove-all policy — deterministic and coordination-free
+    (Lee et al. report downstream insensitivity to which occurrence
+    survives; the keep-lowest-doc policy exists at segment
+    granularity as q_dedup_lines). The 100 TB shape adds exactly one
+    doc-keyed join to the report plan: spans collect per doc (few
+    rows each — bounded by n_tokens/1 but in practice by duplicated
+    coverage), then a map-side positional filter lambda drops
+    covered tokens — no per-token explode, no second corpus
+    shuffle. Same AKT_SUBSTR_HASH variants as the report; output is
+    hash-agnostic."""
+    d = _t(spark, sf_dir, "documents")
+    spans = _substring_spans(
+        d, _os.environ.get("AKT_SUBSTR_HASH", "rolling")
+    )
+    span_arr = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("s0"), F.col("e1")))
+        ).alias("sp")
+    )
+    ts = F.split(F.col("text"), " ")
+    joined = (
+        d.select("doc_id", ts.alias("tk"))
+        .join(span_arr, "doc_id", "left")
+        .withColumn(
+            "sp",
+            F.coalesce("sp", F.array().cast("array<struct<s0:int,e1:int>>")),
+        )
+    )
+    # positions are 1-based in the span table; filter's index is 0-based
+    kept = F.filter(
+        F.col("tk"),
+        lambda t, i: ~F.exists(
+            F.col("sp"),
+            lambda x: (i + 1 >= x["s0"]) & (i + 1 < x["e1"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("tk").cast("int").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+ORACLE_DEDUP_SUBSTRING_CLIP = _SUBSTR_SPANS_SQL + """
+, pos_tab AS (
+  SELECT doc_id, n_tokens,
+         UNNEST(range(1, n_tokens + 1)) AS p,
+         UNNEST(toks) AS tok
+  FROM base
+), kept AS (
+  SELECT pt.doc_id, pt.p, pt.tok FROM pos_tab pt
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = pt.doc_id
+                      AND pt.p >= s.s0 AND pt.p < s.e1)
+), re AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n_tokens AS INTEGER) AS n_tokens,
+       CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(re.clean_text, '') AS clean_text
+FROM base b LEFT JOIN re USING (doc_id)
 """
 
 
@@ -3685,6 +3770,8 @@ QUALITY_QUERIES = [
     Query("q_corpus_pipeline4", q_corpus_pipeline4, ORACLE_CORPUS_PIPELINE4),
     Query("q_corpus_diff", q_corpus_diff, ORACLE_CORPUS_DIFF),
     Query("q_dedup_substring", q_dedup_substring, ORACLE_DEDUP_SUBSTRING),
+    Query("q_dedup_substring_clip", q_dedup_substring_clip,
+          ORACLE_DEDUP_SUBSTRING_CLIP),
     Query("q_dedup_prefix", q_dedup_prefix, ORACLE_DEDUP_PREFIX),
     Query("q_doc_minwise_sim", q_doc_minwise_sim, ORACLE_DOC_MINWISE_SIM),
     Query("q_ngram_lm_score", q_ngram_lm_score, ORACLE_NGRAM_LM_SCORE),

@@ -593,10 +593,10 @@ _R13_HEAD = [
 # pre-listed — (a) all 29 remaining r09-vintage rows (the stalest
 # anywhere; the r09 block is retired this round), (b) the round's new
 # work (the supervised quality classifier family and its composite),
-# then (c) 18 of the 50 r10-vintage rows, complexity-first
+# then (c) 17 of the 50 r10-vintage rows, complexity-first
 # (composites, the dedup/multimodal/ANN families, the flagged
 # q_text_bm25). After r14 the stalest remaining vintage is r10
-# (32 rows), pre-listed at the bottom for round 15.
+# (33 rows), pre-listed at the bottom for round 15.
 _R14_HEAD = [
     # -- (a) the 29 r09-vintage rows --
     "q_agg_salted", "q_bitwise_funcs", "q_cast_funcs", "q_collect_agg",
@@ -614,6 +614,8 @@ _R14_HEAD = [
     "q_quality_clf_train",  # the real multi-epoch GD loop (rows-only)
     "q_corpus_pipeline13",  # mislabel-scrub curation: exact dedup ->
     #    label-agreement gate -> per-lang report
+    "q_dedup_substring_clip",  # ExactSubstr CLIP: the curation action
+    #    on the substring report's merged spans (remove + reassemble)
     # -- (c) r10-vintage refresh, complexity-first --
     "q_corpus_pipeline", "q_corpus_pipeline4", "q_dedup_cluster",
     "q_dedup_minhash", "q_dedup_phash", "q_dedup_phash_incremental",
@@ -621,14 +623,14 @@ _R14_HEAD = [
     "q_dedup_embedding_lsh", "q_multimodal_pipeline",
     "q_multimodal_jpeg420", "q_multimodal_png16",
     "q_multimodal_png_palette", "q_similarity_ivf", "q_similarity_opq",
-    "q_ngram_lm_score", "q_text_bm25",
-    # round 15 should finish the r10 block (32 rows left):
+    "q_text_bm25",
+    # round 15 should finish the r10 block (33 rows left):
     # q_admission_gate, q_admission_gate_sql, q_anomaly_zscore,
     # q_array_funcs, q_array_tag_upsert, q_bpe_subwords,
     # q_corpus_diff, q_csv_parse, q_date_funcs2,
     # q_domain_balance, q_domain_balance_hash, q_explode,
     # q_graph_pagerank, q_json_flatten, q_multimodal_ppm,
-    # q_quant_calibrate, q_regex_funcs, q_robots_gate,
+    # q_ngram_lm_score, q_quant_calibrate, q_regex_funcs, q_robots_gate,
     # q_session_stats, q_string_distance, q_text_entropy,
     # q_text_fingerprint, q_text_langid, q_text_perplexity,
     # q_text_quality, q_text_termfreq, q_text_tfidf, q_tpch_q10ish,

@@ -726,6 +726,71 @@ def test_substring_hash_variants_agree(spark, sf_dir, monkeypatch):
     assert md5_rows == rows("rolling")
 
 
+def test_substring_clip_toy(spark, tmp_path, monkeypatch):
+    """Known-answer clip: a 20-token run shared by two documents is
+    removed exactly (merged window coverage = the shared run, nothing
+    more), untouched documents pass through verbatim."""
+    from arc_kinesis_tagging_spark.plans.quality_ops import (
+        q_dedup_substring_clip,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique one tail alpha"),
+            (2, "lead tokens here " + shared),
+            (3, "no duplication in this document at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    monkeypatch.setenv("AKT_SUBSTR_HASH", "rolling")
+    rows = {
+        r["doc_id"]: r
+        for r in q_dedup_substring_clip(spark, str(tmp_path)).collect()
+    }
+    assert rows[1]["clean_text"] == "unique one tail alpha"
+    assert (rows[1]["n_tokens"], rows[1]["n_kept"]) == (24, 4)
+    assert rows[2]["clean_text"] == "lead tokens here"
+    assert (rows[2]["n_tokens"], rows[2]["n_kept"]) == (23, 3)
+    assert rows[3]["clean_text"] == "no duplication in this document at all"
+    assert (rows[3]["n_tokens"], rows[3]["n_kept"]) == (7, 7)
+
+
+def test_substring_clip_matches_report(spark, sf_dir, monkeypatch):
+    """Cross-op invariant on the real corpus: clipped tokens per doc ==
+    the report's merged dup_token_coverage, every doc survives into the
+    output, and the md5 window-digest variant clips identically to the
+    rolling default (the digest only groups identical content)."""
+    from arc_kinesis_tagging_spark.plans.quality_ops import (
+        q_dedup_substring,
+        q_dedup_substring_clip,
+    )
+
+    monkeypatch.setenv("AKT_SUBSTR_HASH", "rolling")
+    rep = {
+        r["doc_id"]: r for r in q_dedup_substring(spark, sf_dir).collect()
+    }
+    clip = {
+        r["doc_id"]: r
+        for r in q_dedup_substring_clip(spark, sf_dir).collect()
+    }
+    assert rep and set(rep) <= set(clip)
+    for doc_id, c in clip.items():
+        cov = rep[doc_id]["dup_token_coverage"] if doc_id in rep else 0
+        assert c["n_tokens"] - c["n_kept"] == cov, doc_id
+        if c["n_kept"]:
+            assert len(c["clean_text"].split(" ")) == c["n_kept"], doc_id
+        else:
+            assert c["clean_text"] == "", doc_id
+    monkeypatch.setenv("AKT_SUBSTR_HASH", "md5")
+    clip_md5 = {
+        r["doc_id"]: r
+        for r in q_dedup_substring_clip(spark, sf_dir).collect()
+    }
+    assert clip == clip_md5
+
+
 def test_lm_buckets_are_exact_tertiles(spark, sf_dir):
     """Per language: every scored doc is bucketed, bucket sizes are as
     close to n/3 as the (rounded-score) tie structure allows, and the
