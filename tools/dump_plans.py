@@ -599,6 +599,18 @@ COMMENTARY.update(
             "apply's doc-keyed score agg, each collapsed map-side to "
             "~1 row/doc. No window, no Python, no corpus broadcast."
         ),
+        "q_dedup_substring_clip": (
+            "ExactSubstr CLIP (the curation action on the substring "
+            "report): the report's span subtree — rolling-hash window "
+            "kernel (one Arrow stage), duplicated-window aggregate "
+            "with map-side partial combine, semi join back, per-doc "
+            "islands window — then exactly ONE extra doc-keyed join "
+            "(spans collected per doc, few rows each) and a map-side "
+            "positional filter lambda over the token array. No "
+            "per-token explode, no second corpus shuffle; the islands "
+            "window partitions by doc_id so it is bounded by per-doc "
+            "token count at any corpus size."
+        ),
         "q_corpus_pipeline13": (
             "Mislabel-scrub curation composite (exact dedup -> "
             "label-agreement classifier gate -> per-lang report): "
