@@ -1297,6 +1297,122 @@ def append_benchmark_shingles(
     return n
 
 
+def make_substring_clip_gate(
+    spark,
+    table_prefix: str,
+    markers_dir: str,
+    accepted_sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 16,
+    n_buckets: int = 16,
+    compact_every: int | str = 64,
+):
+    """Streaming ExactSubstr CLIP gate — the substring modality's
+    member of the gate tier (exact / MinHash / SimHash / media /
+    decontamination / classifier): every micro-batch is REWRITTEN,
+    not dropped — token windows whose content the corpus has already
+    seen (any earlier batch) or that repeat within the batch are
+    merged into maximal spans and clipped out before emission
+    (operators/substring.py), so the emitted stream never carries the
+    same ``window_tokens``-token content twice beyond its single
+    first arrival. The streaming policy is keep-first-ARRIVAL: the
+    first batch containing a span emits it verbatim (unique so far);
+    every later occurrence is clipped. Within one batch, brand-new
+    duplicated content is removed from ALL its occurrences — the
+    batch operator's (q_dedup_substring_clip) remove-all policy.
+
+    Scale shape — the dedup gates' corpus-probe pattern at window
+    granularity: the corpus table holds one 8-byte xxhash64 row per
+    DISTINCT window ever seen, bucketed on the hash; each batch's
+    distinct window set BROADCASTS onto it (one corpus scan, zero
+    corpus Exchange), the clip itself is a per-doc islands window
+    plus a map-side positional filter, and only UNSEEN window hashes
+    append (bucket-aligned, at most one file per non-empty bucket,
+    self-compacting on the shared cadence). ALL batch windows append
+    — including clipped ones — so content that was removed entirely
+    still blocks future arrivals.
+
+    Replay semantics: the marker is written LAST, so a crash anywhere
+    replays the whole batch; the probe is set-semantics (duplicate
+    window rows from a double append change no verdict) and the
+    re-emit overwrites the same sink epoch. Null-text rows emit no
+    windows, join no spans, and pass through VERBATIM (R16)."""
+    from arc_kinesis_tagging_spark.operators.substring import (
+        clip_spans,
+        merge_window_spans,
+        window_hash_positions,
+    )
+    from arc_kinesis_tagging_spark.sources.maintenance import (
+        compact_bucketed_table,
+    )
+
+    _markers_init(spark, markers_dir)
+    name = f"{table_prefix}_windows"
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        marker = _marker_uri(markers_dir, batch_id)
+        if _marker_exists(spark, marker):
+            return  # replayed epoch: already emitted + appended
+        wins = window_hash_positions(
+            batch_df, id_col, text_col, window_tokens
+        ).localCheckpoint(eager=True)  # probe + in-batch count + mark + append
+        batch_whs = wins.select("wh").distinct()
+        have = _ensure_registered(
+            spark, name, "wh BIGINT", ["wh"], n_buckets
+        )
+        if have:
+            # which batch windows the corpus already holds: broadcast
+            # the (small) batch set onto the (huge) corpus — one scan,
+            # zero corpus Exchange on the bucketed table
+            seen = (
+                spark.table(name)
+                .join(F.broadcast(batch_whs), "wh")
+                .select("wh")
+                .distinct()
+                # consumed by BOTH the clip verdict and the append
+                # anti-join — pin so the corpus scans once per batch
+                .localCheckpoint(eager=True)
+            )
+        else:
+            seen = batch_whs.limit(0)
+        in_batch_dup = (
+            wins.groupBy("wh")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") >= 2)
+            .select("wh")
+        )
+        dup_whs = seen.unionByName(in_batch_dup).distinct()
+        hits = wins.join(F.broadcast(dup_whs), "wh").select(id_col, "s")
+        spans = merge_window_spans(hits, id_col, window_tokens)
+        accepted_sink(
+            clip_spans(batch_df, spans, id_col, text_col), batch_id
+        )
+        # unseen hashes only: appending `seen` again would grow the
+        # table without changing any future verdict (set semantics)
+        _append_bucketed_bands(
+            batch_whs.join(F.broadcast(seen), "wh", "left_anti"),
+            name,
+            ["wh"],
+            n_buckets,
+        )
+        _write_marker(spark, marker)  # atomic-ish: marker is LAST
+        if spark.catalog.tableExists(name):
+            _maybe_compact(
+                batch_id,
+                compact_every,
+                lambda: compact_bucketed_table(
+                    spark, name, ["wh"], n_buckets
+                ),
+                spark=spark,
+                markers_dir=markers_dir,
+                batch_rows_fn=lambda: batch_whs.count(),
+                corpus_rows_fn=lambda: spark.table(name).count(),
+            )
+
+    return gate
+
+
 def make_classifier_gate(
     spark,
     model: dict,

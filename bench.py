@@ -115,6 +115,7 @@ HEADLINE = [
     "q_quality_clf_score",  # supervised classifier one-step train+apply
     "q_quality_clf_train",  # multi-epoch distributed GD training loop
     "q_corpus_pipeline13",  # dedup -> label-agreement scrub -> report
+    "q_dedup_substring_clip",  # ExactSubstr clip: span join + positional filter
 ]
 
 # Entries whose plans carry the giant generated decode expressions

@@ -1287,3 +1287,74 @@ def test_classifier_gate_semantics_and_replay(spark, tmp_path):
     gate(spark.createDataFrame(
         [(5, "zor zip zag")], "doc_id long, text string"), 1)
     assert accepted == [[1, 3, 4], []]
+
+
+def test_substring_clip_gate_semantics_and_restart(spark, tmp_path):
+    """Streaming ExactSubstr clip (make_substring_clip_gate): the
+    first arrival of a span emits verbatim; later batches repeating
+    it get the merged span clipped out (keep-first-arrival); brand-new
+    content duplicated WITHIN a batch is clipped from all occurrences
+    (the batch operator's remove-all); null / short texts pass
+    verbatim (R16); replayed epochs are marker-skipped; the emitted
+    schema equals the input schema; and after a restart (catalog
+    dropped, files restored) the persisted window corpus still clips."""
+    import shutil
+    import uuid as _uuid
+
+    from arc_kinesis_tagging_spark.sources.maintenance import (
+        table_location,
+    )
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_substring_clip_gate,
+    )
+
+    S = "alpha beta gamma delta epsilon zeta"   # 6 tokens, w=4
+    T = "tok1 tok2 tok3 tok4"                   # exactly one window
+
+    emitted = []
+
+    def sink(df, batch_id):
+        emitted.append(
+            {r["doc_id"]: r["text"] for r in df.collect()}
+        )
+        assert df.columns == ["doc_id", "text"]
+
+    prefix = "akt_subclip_" + _uuid.uuid4().hex[:12]
+    markers = str(tmp_path / "markers")
+    gate = make_substring_clip_gate(
+        spark, prefix, markers, sink, window_tokens=4
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # batch 0: S's first arrival + a unique doc + corrupt + short
+    gate(batch([(1, S + " one two"), (2, "all brand new words here"),
+                (3, None), (4, "too short")]), 0)
+    assert emitted == [{1: S + " one two",
+                        2: "all brand new words here",
+                        3: None, 4: "too short"}]
+
+    # batch 1: doc 5 repeats S inside other text -> S clipped; docs
+    # 6/7 share brand-new T within the batch -> clipped from BOTH
+    gate(batch([(5, "intro " + S + " outro"),
+                (6, "pre " + T), (7, T + " post")]), 1)
+    assert emitted[-1] == {5: "intro outro", 6: "pre", 7: "post"}
+
+    # replayed epoch: marker no-op
+    gate(batch([(5, "intro " + S + " outro"),
+                (6, "pre " + T), (7, T + " post")]), 1)
+    assert len(emitted) == 2
+
+    # restart: catalog entry dropped, warehouse files survive
+    name = f"{prefix}_windows"
+    loc = table_location(spark, name)
+    saved = str(tmp_path / "saved_windows")
+    shutil.copytree(loc, saved)
+    spark.sql(f"DROP TABLE {name}")
+    shutil.copytree(saved, loc)
+    gate2 = make_substring_clip_gate(
+        spark, prefix, markers, sink, window_tokens=4
+    )
+    gate2(batch([(8, S + " closing")]), 2)
+    assert emitted[-1] == {8: "closing"}
