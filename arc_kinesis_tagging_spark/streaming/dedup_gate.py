@@ -255,7 +255,8 @@ def _maybe_compact(
 
 
 def _append_bucketed_bands(
-    df: DataFrame, name: str, bucket_cols: list[str], n_buckets: int
+    spark, df: DataFrame, name: str, bucket_cols: list[str],
+    n_buckets: int
 ) -> None:
     """``mode("append")`` into the bucketed corpus band table,
     creating it on first use — shared by every corpus-growth path.
@@ -268,7 +269,19 @@ def _append_bucketed_bands(
     on local[32] (~32,000 files by batch 64), with probe latency
     LINEAR in file count (~0.35 ms/file: 12.3 s at 32k files vs 1.7 s
     at 4k). The shuffle is batch-sized (survivors only), negligible
-    next to the decode+hash the batch already paid."""
+    next to the decode+hash the batch already paid.
+
+    ``spark`` must be the LONG-LIVED session the gates capture and
+    probe with, and the append ends with ``refreshTable`` on it:
+    under ``foreachBatch`` the write executes on the micro-batch's
+    CLONED session (``df`` descends from its batch frame), and
+    ``saveAsTable`` invalidates only the WRITING session's
+    table-relation cache — the capturing session keeps the stale
+    file listing it cached at first probe, leaving every later probe
+    blind to rows appended after epoch 1 (near-dups of epoch-2+
+    content sail through). Found by the substring-clip gate's
+    three-epoch walkthrough; pinned for the exact gate by
+    test_text_gate_sees_cross_epoch_appends."""
     cols = [F.col(c) for c in bucket_cols]
     (
         df.repartition(n_buckets, *cols)
@@ -278,6 +291,7 @@ def _append_bucketed_bands(
         .format("parquet")
         .saveAsTable(name)
     )
+    spark.catalog.refreshTable(name)
 
 
 def _ensure_registered(
@@ -340,6 +354,7 @@ def append_phash_corpus(
         F.col(id_col).alias("key"), F.col(hash_col).alias("ph")
     )
     _append_bucketed_bands(
+        spark,
         _phash_chunks(ph, max_hamming, hash_bits),
         f"{table_prefix}_bands",
         ["chunk"],
@@ -550,6 +565,7 @@ def append_vhash_corpus(
     )
     nf = fh.groupBy("key").agg(F.count(F.lit(1)).alias("nf"))
     _append_bucketed_bands(
+        spark,
         _frame_chunks(fh, max_hamming, hash_bits).join(nf, "key"),
         f"{table_prefix}_bands",
         ["f", "chunk"],
@@ -873,6 +889,7 @@ def make_text_dedup_gate(
             accepted.unionByName(corrupt).drop("digest"), batch_id
         )
         _append_bucketed_bands(
+            spark,
             accepted.select("digest").distinct(), name, ["digest"],
             n_buckets,
         )
@@ -1044,10 +1061,12 @@ def make_minhash_dedup_gate(
         from arc_kinesis_tagging_spark.operators.dedup import _band_keys
 
         _append_bucketed_bands(
+            spark,
             _band_keys(survivors, n_hashes, bands),
             bands_table, ["bkey"], n_buckets,
         )
         _append_bucketed_bands(
+            spark,
             survivors.select("__key", "__sh_hashes"),
             shingles_table, ["__key"], n_buckets,
         )
@@ -1209,7 +1228,7 @@ def make_decontamination_gate(
             )
             .select("bsh", "bench_key")
         )
-        _append_bucketed_bands(bsh, name, ["bsh"], n_buckets)
+        _append_bucketed_bands(spark, bsh, name, ["bsh"], n_buckets)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         marker = _marker_uri(markers_dir, batch_id)
@@ -1293,7 +1312,7 @@ def append_benchmark_shingles(
                 "bsh"
             ),
         ).select("bsh", "bench_key")
-        _append_bucketed_bands(bsh, name, ["bsh"], n_buckets)
+        _append_bucketed_bands(spark, bsh, name, ["bsh"], n_buckets)
     return n
 
 
@@ -1391,6 +1410,7 @@ def make_substring_clip_gate(
         # unseen hashes only: appending `seen` again would grow the
         # table without changing any future verdict (set semantics)
         _append_bucketed_bands(
+            spark,
             batch_whs.join(F.broadcast(seen), "wh", "left_anti"),
             name,
             ["wh"],

@@ -192,3 +192,63 @@ def test_curation_e2e_with_classifier_tier(spark, tmp_path):
     assert set(curated) == {"doc-1"}
     # the junk doc never reached the exact gate's corpus
     assert spark.table(f"{work}_ex_digests").count() == 1
+
+
+def test_curation_e2e_with_substring_clip_tier(spark, tmp_path):
+    """--clip-substrings wiring: the substring-clip gate runs
+    INNERMOST (only fully-admitted docs pay the window probe) and
+    rewrites the curated corpus — a doc repeating an earlier doc's
+    span is clipped to its novel remainder (keep-first-arrival), and
+    windows append for ALL batch content including clipped spans, so
+    a later repeat of a CLIPPED span is clipped too. LM/DSIR
+    thresholds are opened wide so the scenario isolates the clip
+    tier; near-dup gates stay at defaults (the repeat docs carry
+    enough novel tokens to stay under the Jaccard/Hamming bars)."""
+    from tools.curation_e2e import make_curation_stack
+
+    stream = str(tmp_path / "stream")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    work = "akt_curclip_" + uuid.uuid4().hex[:10]
+    TAIL = "with twelve completely novel trailing tokens padding the span clip check suffix"
+
+    ingest = make_curation_stack(
+        spark, work, ckpt + "/markers", out,
+        lm_threshold=99.0, dsir_threshold=-99.0,
+        clip_substrings=True, clip_window_tokens=4,
+    )
+
+    # epoch 1: T1's first arrival — emitted verbatim
+    write_kinesis_fixture = __import__(
+        "arc_kinesis_tagging_spark.streaming.kinesis_source",
+        fromlist=["write_kinesis_fixture"],
+    ).write_kinesis_fixture
+    write_kinesis_fixture(stream, [(_story("doc-1", T1), 0)])
+    _run_stream(spark, stream, ingest, ckpt)
+    curated = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
+    }
+    assert curated == {"doc-1": T1}
+
+    # epoch 2: doc-2 embeds T1 after novel content -> T1's span is
+    # clipped, the novel remainder survives
+    write_kinesis_fixture(
+        stream, [(_story("doc-2", T2 + " " + T3 + " " + T1), 0)]
+    )
+    _run_stream(spark, stream, ingest, ckpt)
+    curated = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
+    }
+    assert curated == {"doc-1": T1, "doc-2": T2 + " " + T3}
+
+    # epoch 3: doc-3 repeats T3 — which was only ever emitted as part
+    # of doc-2's remainder, but ALL of doc-2's windows appended — so
+    # T3 clips out and only the novel tail survives
+    write_kinesis_fixture(stream, [(_story("doc-3", T3 + " " + TAIL), 0)])
+    _run_stream(spark, stream, ingest, ckpt)
+    curated = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
+    }
+    assert curated == {
+        "doc-1": T1, "doc-2": T2 + " " + T3, "doc-3": TAIL,
+    }

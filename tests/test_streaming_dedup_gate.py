@@ -1358,3 +1358,51 @@ def test_substring_clip_gate_semantics_and_restart(spark, tmp_path):
     )
     gate2(batch([(8, S + " closing")]), 2)
     assert emitted[-1] == {8: "closing"}
+
+
+def test_text_gate_sees_cross_epoch_appends(spark, tmp_path):
+    """Regression pin for the foreachBatch stale-listing bug: under a
+    real stream, corpus appends execute on the micro-batch's CLONED
+    session, and saveAsTable invalidates only the writer's
+    table-relation cache — without the explicit refreshTable on the
+    gate's captured session (_append_bucketed_bands), every probe
+    after epoch 1 reads the file listing cached at first probe and a
+    doc appended in epoch 2 is NOT deduped against in epoch 3. Three
+    epochs: fresh -> fresh (appended to the EXISTING table) -> exact
+    dup of the epoch-2 doc, which must be dropped."""
+    import uuid as _uuid
+
+    from arc_kinesis_tagging_spark.streaming.dedup_gate import (
+        make_text_dedup_gate,
+    )
+
+    emitted = []
+
+    def sink(df, batch_id):
+        emitted.append(sorted(r["doc_id"] for r in df.collect()))
+
+    prefix = "akt_xepoch_" + _uuid.uuid4().hex[:12]
+    gate = make_text_dedup_gate(
+        spark, prefix, str(tmp_path / "markers"), sink
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def epoch(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("append").json(src)
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(src)
+            .writeStream.foreachBatch(gate)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    epoch([(1, "first document text")])
+    epoch([(2, "second document text")])     # appends to EXISTING table
+    epoch([(3, "second document text")])     # dup of the epoch-2 doc
+    assert emitted == [[1], [2], []]

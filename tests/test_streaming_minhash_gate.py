@@ -271,7 +271,7 @@ def test_minhash_gate_survives_crash_between_the_two_appends(
     b1 = _batch(spark, [(10, C0), (11, D0)])
     sigs = _minhash_sigs(b1, "text", "doc_id", 16, 3)
     _append_bucketed_bands(
-        _band_keys(sigs, 16, 4), f"{prefix}_bands", ["bkey"], 16
+        spark, _band_keys(sigs, 16, 4), f"{prefix}_bands", ["bkey"], 16
     )
     assert spark.table(f"{prefix}_bands").count() == 4 * 4  # 2 + 2 docs
     assert spark.table(f"{prefix}_shingles").count() == 2  # still batch 0

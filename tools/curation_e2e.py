@@ -113,6 +113,8 @@ def make_curation_stack(
     compact_every: int | str = "auto",
     clf_model: dict | None = None,
     clf_admit=None,
+    clip_substrings: bool = False,
+    clip_window_tokens: int = 16,
 ):
     """The foreachBatch function: fused gated ingest feeding the
     exact -> SimHash -> MinHash gate stack (plus, when ``benchmark``
@@ -127,12 +129,18 @@ def make_curation_stack(
     corpus probe or append — the wiki-vs-CommonCrawl filter
     position. Gate corpora live in the session catalog under
     ``work_prefix``; replay markers under ``markers_root`` (same
-    durable store as the checkpoint in production)."""
+    durable store as the checkpoint in production). With
+    ``clip_substrings`` a substring-clip gate runs INNERMOST — after
+    every drop gate, so only fully-admitted docs pay the window
+    probe, and duplicated >= clip_window_tokens-token spans are
+    clipped out of the curated corpus itself (DEPLOY.md round-14
+    notes: run the rewrite gate after the drop gates)."""
     from arc_kinesis_tagging_spark.streaming.dedup_gate import (
         make_classifier_gate,
         make_decontamination_gate,
         make_minhash_dedup_gate,
         make_simhash_dedup_gate,
+        make_substring_clip_gate,
         make_text_dedup_gate,
     )
     from arc_kinesis_tagging_spark.streaming.pipeline import (
@@ -144,6 +152,13 @@ def make_curation_stack(
     # innermost sink first; each gate wraps the next (stacked-gates
     # composition: each corpus grows by exactly its own survivors)
     innermost = curated_sink(out_dir)
+    if clip_substrings:
+        innermost = make_substring_clip_gate(
+            spark, f"{work_prefix}_sc", f"{mk}/sc", innermost,
+            id_col="_id", text_col="headline",
+            window_tokens=clip_window_tokens,
+            compact_every=compact_every,
+        )
     if benchmark is not None:
         innermost = make_decontamination_gate(
             spark, benchmark, f"{work_prefix}_dc", f"{mk}/dc",
@@ -282,6 +297,12 @@ def main() -> None:
         "--clf-admit",
         help="comma-separated labels to admit (with --clf-weights)",
     )
+    ing.add_argument(
+        "--clip-substrings", action="store_true",
+        help="innermost substring-clip gate: duplicated token spans "
+        "are clipped out of admitted docs before the corpus append",
+    )
+    ing.add_argument("--clip-window-tokens", type=int, default=16)
     ref = sub.add_parser("refresh")
     ref.add_argument("--out", required=True, help="curated corpus dir")
     ref.add_argument("--report", required=True)
@@ -338,6 +359,8 @@ def main() -> None:
         clf_model=clf_model,
         clf_admit=(args.clf_admit or "").split(",") if args.clf_admit
         else None,
+        clip_substrings=args.clip_substrings,
+        clip_window_tokens=args.clip_window_tokens,
     )
     run_ingest(spark, records, ingest, args.checkpoint)
     spark.stop()

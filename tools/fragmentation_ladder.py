@@ -57,6 +57,7 @@ def _append(spark, name: str, lo: int, n: int) -> None:
     )
 
     _append_bucketed_bands(
+        spark,
         spark.range(lo, lo + n).select(
             F.sha2(F.col("id").cast("string"), 256).alias("digest")
         ),
