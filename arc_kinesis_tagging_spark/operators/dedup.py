@@ -254,6 +254,72 @@ def _hashed_shingle_set(text_col: str, shingle_n: int) -> F.Column:
     return F.array_distinct(F.transform(base, lambda t: stable_hash64(t)))
 
 
+def _hashed_shingle_rows(
+    df: DataFrame, text_col: str, key_col: str, shingle_n: int
+) -> DataFrame:
+    """(key, tok) rows: each document's DISTINCT md5-prefix shingle
+    hashes, one row per (doc, hash) — the exploded form of
+    ``_hashed_shingle_set``, produced in native code per Arrow batch
+    instead of per-row Catalyst HOFs.
+
+    Row-multiset-identical to
+    ``df.select(key, explode(_hashed_shingle_set(text, n)))`` by
+    construction: the tokenizer is the same Java-regex ``\\s+`` split
+    (spelled as the explicit ASCII class ``[ \\t\\n\\x0b\\f\\r]+`` —
+    Python's Unicode-aware ``\\s`` would additionally split on NBSP
+    etc.), the shingle string is the same single-space join of ``n``
+    consecutive tokens, and the hash is the same
+    ``int(md5(s).hexdigest()[:15], 16)`` the oracles recompute.
+    Equality is pinned in tests/test_dedup.py.
+
+    Why Python here at all (the engine's dedup paths are otherwise
+    zero-Python): the md5-portable shingle pipeline is pure per-row
+    compute that Catalyst evaluates as INTERPRETED array HOFs
+    (CodegenFallback) — string churn per shingle, ~4x slower than
+    hashlib's C md5 over Arrow-batched rows (measured at sf0.1:
+    4.1 s -> 1.1 s steady-state for the full explode). It is a
+    map-only stage with explicit column pruning (only key+text cross
+    the boundary), heavyweight-free (regex + md5 from the stdlib),
+    and scales embarrassingly at 100 TB — exactly the guide-sanctioned
+    batch-to-native-code shape. The signature paths (minhash/simhash)
+    keep their codegen'd xxhash64 expressions, which ARE
+    engine-native-fast."""
+    key_type = df.schema[key_col].dataType.simpleString()
+
+    def batches(it):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, exactly
+        md5 = hashlib.md5
+        n = shingle_n
+        for pdf in it:
+            keys: list = []
+            toks: list = []
+            for k, text in zip(pdf[key_col], pdf[text_col]):
+                t = [x for x in ws.split(text or "") if x]
+                m = len(t) - (n - 1)
+                if m <= 0:
+                    continue
+                seen = set()
+                for i in range(m):
+                    s = " ".join(t[i:i + n]) if n > 1 else t[i]
+                    h = int(md5(s.encode()).hexdigest()[:15], 16)
+                    if h not in seen:
+                        seen.add(h)
+                        keys.append(k)
+                        toks.append(h)
+            yield pd.DataFrame(
+                {"key": keys, "tok": pd.Series(toks, dtype="int64")}
+            )
+
+    return df.select(key_col, text_col).mapInPandas(
+        batches, f"key {key_type}, tok long"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -284,9 +350,10 @@ def ngram_jaccard_pairs(
     # Pin: three consumers (both join sides + sizes) would otherwise
     # re-derive the explode+hash from scratch each. localCheckpoint,
     # not persist() — builder-returned plan, no safe unpersist point.
-    sh = df.select(
-        F.col(key_col).alias("key"),
-        F.explode(_hashed_shingle_set(text_col, shingle_n)).alias("tok"),
+    # Shingle hashing runs batch-native (_hashed_shingle_rows; same
+    # row multiset as the expression form, measured ~4x faster).
+    sh = _hashed_shingle_rows(
+        df, text_col, key_col, shingle_n
     ).localCheckpoint(eager=False)
     sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("key").alias("key_a"), "tok")
@@ -378,12 +445,12 @@ def ngram_jaccard_pairs_prefix(
     its oracle), which also makes the verify cheap: 8-byte
     array_intersect over the collected sets, never a second explode
     join."""
-    sh = df.select(
-        F.col(key_col).alias("key"),
-        F.explode(_hashed_shingle_set(text_col, shingle_n)).alias("tok"),
-    ).localCheckpoint(eager=False)  # feeds freq, rank, sizes, verify
+    # batch-native shingle hashing (same row multiset as the
+    # expression form, measured ~4x faster — see _hashed_shingle_rows)
+    sh = _hashed_shingle_rows(
+        df, text_col, key_col, shingle_n
+    ).localCheckpoint(eager=False)  # feeds freq, rank, verify
     freq = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
-    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("sz"))
     ranked = (
         sh.join(freq, "tok")
         .withColumn(
@@ -392,7 +459,14 @@ def ngram_jaccard_pairs_prefix(
                 Window.partitionBy("key").orderBy("freq", "tok")
             ),
         )
-        .join(sizes, "key")
+        # per-doc distinct-shingle count as a COUNT window over the
+        # same key partitioning the rank window just established —
+        # zero extra Exchange, replacing the former groupBy(key)
+        # aggregate + join-back (one full pass over the shingle rows
+        # plus its shuffle, removed round 14)
+        .withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("key"))
+        )
         # pin: the prefix SELF-join duplicates its subtree per side —
         # without it the freq-join + rank-window chain runs twice at
         # runtime (same lazy discipline as the sh pin and the
@@ -463,7 +537,14 @@ def ngram_jaccard_pairs_prefix(
     cand = cand.select("key_a", "key_b").dropDuplicates(
         ["key_a", "key_b"]
     )
-    sets_ = sh.groupBy("key").agg(F.collect_set("tok").alias("toks"))
+    # pin: BOTH verify join sides read the collected set table —
+    # without it the key-shuffle + collect_set aggregate over the full
+    # shingle rows runs once per side (it showed up twice in the
+    # round-14 before-plan); the lazy checkpoint makes the first
+    # materialization back both
+    sets_ = sh.groupBy("key").agg(
+        F.collect_set("tok").alias("toks")
+    ).localCheckpoint(eager=False)
     return (
         cand.join(
             sets_.select(F.col("key").alias("key_a"), F.col("toks").alias("toks_a")),
@@ -530,7 +611,11 @@ def ngram_containment_pairs(
     sh, cand = _containment_candidates(
         df, text_col, key_col, threshold, shingle_n
     )
-    sets_ = sh.groupBy("key").agg(F.collect_set("tok").alias("toks"))
+    # pin: both verify join sides read this (see the jaccard-prefix
+    # twin) — one collect_set pass instead of two
+    sets_ = sh.groupBy("key").agg(
+        F.collect_set("tok").alias("toks")
+    ).localCheckpoint(eager=False)
     return (
         cand.join(
             sets_.select(F.col("key").alias("key_a"), F.col("toks").alias("toks_a")),
@@ -565,12 +650,12 @@ def _containment_candidates(
     so the scale ladder (tools/scale_smoke.py) can measure candidate
     VOLUME growth under corpus amplification — the quantity the
     prefix lemma bounds — against exactly the production code path."""
-    sh = df.select(
-        F.col(key_col).alias("key"),
-        F.explode(_hashed_shingle_set(text_col, shingle_n)).alias("tok"),
+    # batch-native shingle hashing (same row multiset as the
+    # expression form, measured ~4x faster — see _hashed_shingle_rows)
+    sh = _hashed_shingle_rows(
+        df, text_col, key_col, shingle_n
     ).localCheckpoint(eager=False)
     freq = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
-    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("sz"))
     ranked = (
         sh.join(freq, "tok")
         .withColumn(
@@ -579,7 +664,13 @@ def _containment_candidates(
                 Window.partitionBy("key").orderBy("freq", "tok")
             ),
         )
-        .join(sizes, "key")
+        # per-doc size as a COUNT window on the rank window's own key
+        # partitioning — replaces the former groupBy(key) aggregate +
+        # join-back (a full shingle-row pass + shuffle, removed r14;
+        # see the jaccard-prefix twin)
+        .withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("key"))
+        )
         # pin: TWO consumers (the prefix side and the full index side
         # both need pos/sz for the positional filter) — without it the
         # freq-join + rank-window chain runs once per consumer. Lazy

@@ -83,6 +83,45 @@ def test_minhash_finds_exact_jaccard_pairs(spark, sf_dir):
         assert abs(found[p] - exact[p]) < 0.05
 
 
+def test_hashed_shingle_rows_match_expression_form(spark, sf_dir):
+    """The batch-native shingle hasher (round-14 optimization:
+    mapInPandas hashlib-md5 replacing interpreted Catalyst HOFs in
+    the jaccard/containment joins) must emit the EXACT row multiset
+    of the expression form — same Java-regex tokenizer semantics,
+    same single-space shingle join, same md5-prefix hash — for both
+    word-3-gram shingles and the unigram (n=1) case, including
+    adversarial whitespace (tabs/newlines/NBSP: Java's \\s splits on
+    the former, not the latter) and short/empty/null docs."""
+    from arc_kinesis_tagging_spark.operators.dedup import (
+        _hashed_shingle_rows,
+        _hashed_shingle_set,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (900001, "a\tb\nc d\x0b e\f f\r g"),  # every Java \s class char
+            (900002, "nb\u00a0sp is one token; zh\u3000ideographic too"),
+            (900003, "two tokens"),  # < n: no shingles at n=3
+            (900004, ""),
+            (900005, None),
+            (900006, "   leading and   trailing   "),
+            (900007, "rep rep rep rep rep rep"),  # duplicate shingles
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge)
+    for n in (3, 1):
+        fast = _hashed_shingle_rows(both, "text", "doc_id", n)
+        slow = both.select(
+            F.col("doc_id").alias("key"),
+            F.explode(_hashed_shingle_set("text", n)).alias("tok"),
+        )
+        assert fast.exceptAll(slow).count() == 0
+        assert slow.exceptAll(fast).count() == 0
+        assert fast.count() > 0
+
+
 def test_simhash_self_similarity(spark, sf_dir):
     """Pigeonhole guarantee: with 12 bands over 60 bits, EVERY pair
     within hamming 11 shares an exact band, so near-identical docs
