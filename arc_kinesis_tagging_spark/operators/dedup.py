@@ -254,6 +254,22 @@ def _hashed_shingle_set(text_col: str, shingle_n: int) -> F.Column:
     return F.array_distinct(F.transform(base, lambda t: stable_hash64(t)))
 
 
+def _spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's core count IFF the
+    input arrives with fewer partitions — the local analog of a scan
+    floor (``spark.sql.files.minPartitionNum`` cannot split the test
+    fixtures' single-row-group parquet, so a heavy map-side stage
+    after such a scan runs ONE task on a 32-core session; measured
+    round 14: the whole shingle/feature hashing pipeline was
+    serialized on one core). At production scale the scan already
+    carries >= cores partitions and this is a no-op — the condition,
+    not a constant, is the knob."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _hashed_shingle_rows(
     df: DataFrame, text_col: str, key_col: str, shingle_n: int
 ) -> DataFrame:
@@ -315,7 +331,7 @@ def _hashed_shingle_rows(
                 {"key": keys, "tok": pd.Series(toks, dtype="int64")}
             )
 
-    return df.select(key_col, text_col).mapInPandas(
+    return _spread_small_scan(df.select(key_col, text_col)).mapInPandas(
         batches, f"key {key_type}, tok long"
     )
 

@@ -99,40 +99,81 @@ def clf_grams(df: DataFrame, text_col: str, id_col: str,
 
 def clf_features(df: DataFrame, text_col: str, id_col: str,
                  n_buckets: int, extra_cols: tuple = ()) -> DataFrame:
-    """(id, *extra, b, x) rows: hashed-bucket counts normalized by
-    the doc's total gram count. One explode + one (doc, bucket)
-    aggregate; the window-free normalization rides a doc-level sum
-    computed in the same aggregate's second phase (a self-join-free
-    group-then-group)."""
-    g = clf_grams(df, text_col, id_col, extra_cols).withColumn(
-        "b",
-        stable_hash64(F.concat(F.lit(CLF_SALT), F.col("g"))) % n_buckets,
-    )
-    dm = g.groupBy(id_col, *extra_cols, "b").agg(
-        F.count(F.lit(1)).alias("m")
-    )
-    # per-doc total via a second, doc-keyed aggregate joined back —
-    # both shuffles share the doc key prefix, and the join is
-    # co-partitioned by construction
-    sizes = dm.groupBy(id_col).agg(F.sum("m").alias("n_grams"))
-    return dm.join(sizes, id_col).select(
-        id_col, *extra_cols, "b", "n_grams",
-        (F.col("m").cast("double") / F.col("n_grams")).alias("x"),
-    )
+    """(id, *extra, b, n_grams, x) rows: hashed-bucket counts
+    normalized by the doc's total gram count — computed entirely
+    MAP-SIDE, zero shuffle (round-14 optimization).
 
+    Each document's bucket counts are a per-row fact, so they are
+    built per Arrow batch in native code (the same batch-to-native
+    shape as operators/dedup.py:_hashed_shingle_rows): tokenizer is
+    the Java-regex ``\\s+`` split spelled as its exact ASCII class,
+    grams are unigrams + adjacent space-joined bigrams, the bucket is
+    the salted md5-prefix hash mod ``n_buckets`` — bit-identical to
+    the former explode + (doc, bucket) aggregate + doc-sum join-back,
+    whose TWO corpus shuffles and join this removes (and whose
+    interpreted per-gram md5 expressions were the measured cost).
+    ``x`` is the same double division m/n_grams. Row-multiset
+    equality with the expression form is pinned in
+    tests/test_quality_clf.py."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    extra_types = {
+        c: df.schema[c].dataType.simpleString() for c in extra_cols
+    }
+    schema = ", ".join(
+        [f"{id_col} {id_type}"]
+        + [f"{c} {extra_types[c]}" for c in extra_cols]
+        + ["b long", "n_grams long", "x double"]
+    )
+    cols = [id_col, *extra_cols]
 
-def _scored(feats: DataFrame, wdf: DataFrame, bias: list,
-            classes: list, id_col: str, extra_cols: tuple = ()):
-    """Per-doc class scores: broadcast the bucket-weight table onto
-    the pinned features and aggregate per doc. Returns one row per
-    doc with s0..s{C-1} columns (doubles, unrounded)."""
-    joined = feats.join(F.broadcast(wdf), "b")
-    aggs = [
-        (F.sum(F.col("x") * F.col(f"w{c}")) + F.lit(bias[c])).alias(f"s{c}")
-        for c in range(len(classes))
-    ]
-    return joined.groupBy(id_col, *extra_cols).agg(
-        F.max("n_grams").alias("n_grams"), *aggs
+    def batches(it):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, exactly
+        md5 = hashlib.md5
+        salt = CLF_SALT
+        for pdf in it:
+            out: dict = {c: [] for c in cols}
+            bs: list = []
+            ns: list = []
+            xs: list = []
+            for vals in zip(*(pdf[c] for c in [*cols, text_col])):
+                text = vals[-1]
+                toks = [t for t in ws.split(text or "") if t]
+                if not toks:
+                    continue
+                grams = toks + [
+                    f"{a} {b}" for a, b in zip(toks, toks[1:])
+                ]
+                cnt: dict = {}
+                for g in grams:
+                    b = int(
+                        md5((salt + g).encode()).hexdigest()[:15], 16
+                    ) % n_buckets
+                    cnt[b] = cnt.get(b, 0) + 1
+                n = len(grams)
+                for b, m in cnt.items():
+                    for c, v in zip(cols, vals):
+                        out[c].append(v)
+                    bs.append(b)
+                    ns.append(n)
+                    xs.append(m / n)
+            yield pd.DataFrame(
+                {
+                    **out,
+                    "b": pd.Series(bs, dtype="int64"),
+                    "n_grams": pd.Series(ns, dtype="int64"),
+                    "x": pd.Series(xs, dtype="float64"),
+                }
+            )
+
+    from arc_kinesis_tagging_spark.operators.dedup import _spread_small_scan
+
+    return _spread_small_scan(df.select(*cols, text_col)).mapInPandas(
+        batches, schema
     )
 
 
@@ -168,17 +209,42 @@ def train_quality_classifier(
     feats = clf_features(
         df, text_col, id_col, n_buckets, extra_cols=(label_col,)
     ).localCheckpoint(eager=True)  # reused by every epoch
-    n_docs = feats.select(id_col).distinct().count()
+    ids = feats.select(id_col).distinct().localCheckpoint(eager=True)
+    n_docs = ids.count()
+    # Gradient frame: the features PLUS one synthetic (id, b=-1, x=1)
+    # row per doc, so the per-epoch bucket aggregate's b=-1 row IS the
+    # bias gradient (sum of 1.0 * e_c over docs) — ONE job and ONE
+    # collect per epoch where the previous shape ran two actions that
+    # each recomputed the un-pinned error subtree (round-14
+    # optimization; the gradient sums are over the same row multisets
+    # as before).
+    feats_grad = feats.select(id_col, "b", "x").unionByName(
+        ids.select(
+            F.col(id_col),
+            F.lit(BIAS_BUCKET).cast("long").alias("b"),
+            F.lit(1.0).alias("x"),
+        )
+    ).localCheckpoint(eager=True)
     W = np.zeros((n_buckets, C))
     bias = np.zeros(C)
     for _ in range(epochs):
-        wdf = spark.createDataFrame(
-            [(int(b), *[float(W[b, c]) for c in range(C)])
-             for b in range(n_buckets)],
-            ["b"] + [f"w{c}" for c in range(C)],
-        )
-        s = _scored(feats, wdf, bias.tolist(), classes, id_col,
-                    extra_cols=(label_col,))
+        # weights ride as CONSTANT-FOLDED literal arrays indexed by
+        # bucket — no per-epoch createDataFrame/broadcast join (the
+        # products x * W[b,c] are the same doubles either way)
+        wlit = [
+            F.array(*[F.lit(float(W[b, c])) for b in range(n_buckets)])
+            for c in range(C)
+        ]
+        s = feats.groupBy(id_col, label_col).agg(*[
+            (
+                F.sum(
+                    F.col("x")
+                    * F.element_at(wlit[c], F.col("b").cast("int") + 1)
+                )
+                + F.lit(float(bias[c]))
+            ).alias(f"s{c}")
+            for c in range(C)
+        ])
         # softmax errors e_c = p_c - 1[y = c], numerically stabilized
         m = F.greatest(*[F.col(f"s{c}") for c in range(C)])
         exps = [F.exp(F.col(f"s{c}") - m) for c in range(C)]
@@ -194,10 +260,11 @@ def train_quality_classifier(
                 for c in range(C)
             ],
         )
-        # gradient: co-partitioned join back onto the pinned features,
-        # then a bucket-keyed aggregate bounded by B x C
+        # gradient: join back onto the pinned gradient frame, then a
+        # bucket-keyed aggregate bounded by (B + 1) x C — the b=-1 row
+        # carries the bias gradient
         grad_rows = (
-            feats.join(err, id_col)
+            feats_grad.join(err, id_col)
             .groupBy("b")
             .agg(*[
                 F.sum(F.col("x") * F.col(f"e{c}")).alias(f"g{c}")
@@ -205,16 +272,15 @@ def train_quality_classifier(
             ])
             .collect()
         )
-        bias_row = err.agg(*[
-            F.sum(f"e{c}").alias(f"g{c}") for c in range(C)
-        ]).collect()[0]
         G = np.zeros_like(W)
+        gb = np.zeros(C)
         for r in grad_rows:
-            G[r["b"]] = [r[f"g{c}"] for c in range(C)]
+            if r["b"] == BIAS_BUCKET:
+                gb = np.array([r[f"g{c}"] for c in range(C)])
+            else:
+                G[r["b"]] = [r[f"g{c}"] for c in range(C)]
         W -= (lr / n_docs) * G
-        bias -= (lr / n_docs) * np.array(
-            [bias_row[f"g{c}"] for c in range(C)]
-        )
+        bias -= (lr / n_docs) * gb
     return {
         "classes": classes,
         "W": np.round(W, round_dp).tolist(),
@@ -270,21 +336,35 @@ def apply_quality_classifier(
     """Score + predict: (id, *extra, n_grams, pred, score) with
     ``pred`` the argmax class over ``score_dp``-rounded scores
     (fixed class-order tiebreak — deterministic across engines and
-    partitionings) and ``score`` the rounded winning score. One
-    broadcast join + one doc-keyed aggregate (see module
-    docstring)."""
-    spark = df.sparkSession
+    partitionings) and ``score`` the rounded winning score.
+
+    ONE doc-keyed aggregate total (round-14 optimization): the
+    driver-held model rides as constant-folded literal weight arrays
+    indexed by bucket instead of a createDataFrame + broadcast join —
+    with the map-side clf_features this makes apply a single-shuffle
+    pass at any corpus size (the products x * W[b,c] are the same
+    doubles the join produced)."""
     classes = model["classes"]
     C = len(classes)
-    wdf = spark.createDataFrame(
-        [(int(b), *[float(w) for w in ws])
-         for b, ws in enumerate(model["W"])],
-        ["b"] + [f"w{c}" for c in range(C)],
-    )
+    wlit = [
+        F.array(*[F.lit(float(ws[c])) for ws in model["W"]])
+        for c in range(C)
+    ]
     feats = clf_features(df, text_col, id_col, model["n_buckets"],
                          extra_cols=extra_cols)
-    s = _scored(feats, wdf, model["bias"], classes, id_col,
-                extra_cols=extra_cols)
+    s = feats.groupBy(id_col, *extra_cols).agg(
+        F.max("n_grams").alias("n_grams"),
+        *[
+            (
+                F.sum(
+                    F.col("x")
+                    * F.element_at(wlit[c], F.col("b").cast("int") + 1)
+                )
+                + F.lit(float(model["bias"][c]))
+            ).alias(f"s{c}")
+            for c in range(C)
+        ],
+    )
     r_cols = [F.round(F.col(f"s{c}"), score_dp) for c in range(C)]
     best = F.greatest(*r_cols)
     pred = F.lit(None).cast("string")

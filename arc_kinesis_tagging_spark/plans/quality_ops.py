@@ -3483,19 +3483,27 @@ def _clf_onestep_scored(docs: DataFrame) -> DataFrame:
     Rounding discipline: weights at 6 dp, scores at 4 dp, argmax over
     ROUNDED scores with first-class-wins ties — engine-deterministic
     (see operators/quality_clf.py docstring)."""
+    from arc_kinesis_tagging_spark.functions.text import tokens
     from arc_kinesis_tagging_spark.operators.quality_clf import clf_features
 
     C = len(_CLF_CLASSES)
     feats = clf_features(
         docs, "text", "doc_id", _CLF_B, extra_cols=("lang",)
     ).localCheckpoint(eager=False)  # 3 consumers, see docstring
-    nd = feats.select("doc_id", "lang").distinct().agg(
+    # per-class doc counts straight off the docs frame: a doc carries
+    # features iff it has >= 1 token (every token is a unigram gram),
+    # so this map-side scan + 1-row aggregate equals the former
+    # distinct-over-features — which shuffled the full feature table
+    # TWICE (the 1-row result is consumed by two crossJoins and the
+    # plan enumerated the distinct per consumer; round-14 before-plan).
+    # Pinned lazily so the second crossJoin reads the materialized row.
+    nd = docs.filter(F.size(tokens(F.col("text"))) > 0).agg(
         F.count(F.lit(1)).alias("n"),
         *[
             F.sum((F.col("lang") == c).cast("long")).alias(f"n_{i}")
             for i, c in enumerate(_CLF_CLASSES)
         ],
-    )
+    ).localCheckpoint(eager=False)
     w1 = (
         feats.groupBy("b")
         .agg(

@@ -105,6 +105,45 @@ def test_learns_separable_corpus(spark):
     ]
 
 
+def test_clf_features_match_expression_form(spark):
+    """The batch-native clf_features (round-14 optimization: map-side
+    mapInPandas replacing explode + two shuffles + join) must emit the
+    EXACT row multiset of the expression form it replaced, including
+    adversarial whitespace (Java-\\s-only splitting), empty/null docs,
+    and repeated grams."""
+    from pyspark.sql import functions as F
+
+    from arc_kinesis_tagging_spark.operators.quality_clf import (
+        CLF_SALT,
+        clf_grams,
+    )
+    from arc_kinesis_tagging_spark.functions.text import stable_hash64
+
+    rows = _rows() + [
+        (900001, "hq", "a\tb\nc d\x0b e\f f\r g"),
+        (900002, "lq", "nb sp one token; zh　ideographic too"),
+        (900003, "hq", ""),
+        (900004, "lq", None),
+        (900005, "hq", "solo"),
+        (900006, "lq", "rep rep rep rep"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, label string, text string")
+    B = 32
+    fast = clf_features(df, "text", "doc_id", B, extra_cols=("label",))
+    g = clf_grams(df, "text", "doc_id", ("label",)).withColumn(
+        "b", stable_hash64(F.concat(F.lit(CLF_SALT), F.col("g"))) % B
+    )
+    dm = g.groupBy("doc_id", "label", "b").agg(F.count(F.lit(1)).alias("m"))
+    sizes = dm.groupBy("doc_id").agg(F.sum("m").alias("n_grams"))
+    slow = dm.join(sizes, "doc_id").select(
+        "doc_id", "label", "b", "n_grams",
+        (F.col("m").cast("double") / F.col("n_grams")).alias("x"),
+    )
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    assert fast.count() > 0
+
+
 def test_epochs1_equals_closed_form(spark):
     """The hash-checked q_quality_clf_score computes the FIRST GD
     step in closed form (zero init => uniform softmax => errors
