@@ -33,6 +33,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from arc_kinesis_tagging_spark.functions.text import shingles, stable_hash64, tokens
+from arc_kinesis_tagging_spark.operators.skew import (
+    spread_small_scan as _spread_small_scan,
+)
 
 # Mersenne primes: 2^61-1 bounds intermediate arithmetic; 2^31-1 is the
 # minhash permutation modulus — it must sit far BELOW the product range
@@ -252,22 +255,6 @@ def _hashed_shingle_set(text_col: str, shingle_n: int) -> F.Column:
         else tokens(F.col(text_col))
     )
     return F.array_distinct(F.transform(base, lambda t: stable_hash64(t)))
-
-
-def _spread_small_scan(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's core count IFF the
-    input arrives with fewer partitions — the local analog of a scan
-    floor (``spark.sql.files.minPartitionNum`` cannot split the test
-    fixtures' single-row-group parquet, so a heavy map-side stage
-    after such a scan runs ONE task on a 32-core session; measured
-    round 14: the whole shingle/feature hashing pipeline was
-    serialized on one core). At production scale the scan already
-    carries >= cores partitions and this is a no-op — the condition,
-    not a constant, is the knob."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
 
 
 def _hashed_shingle_rows(

@@ -97,10 +97,16 @@ def clf_grams(df: DataFrame, text_col: str, id_col: str,
     )
 
 
-def clf_features(df: DataFrame, text_col: str, id_col: str,
-                 n_buckets: int, extra_cols: tuple = ()) -> DataFrame:
-    """(id, *extra, b, n_grams, x) rows: hashed-bucket counts
-    normalized by the doc's total gram count — computed entirely
+def hashed_gram_bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    salt: str = CLF_SALT,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """(id, *extra, b, m, n_grams) rows: per-document counts of the
+    salted hashed unigram+bigram feature buckets — computed entirely
     MAP-SIDE, zero shuffle (round-14 optimization).
 
     Each document's bucket counts are a per-row fact, so they are
@@ -108,13 +114,13 @@ def clf_features(df: DataFrame, text_col: str, id_col: str,
     shape as operators/dedup.py:_hashed_shingle_rows): tokenizer is
     the Java-regex ``\\s+`` split spelled as its exact ASCII class,
     grams are unigrams + adjacent space-joined bigrams, the bucket is
-    the salted md5-prefix hash mod ``n_buckets`` — bit-identical to
-    the former explode + (doc, bucket) aggregate + doc-sum join-back,
-    whose TWO corpus shuffles and join this removes (and whose
-    interpreted per-gram md5 expressions were the measured cost).
-    ``x`` is the same double division m/n_grams. Row-multiset
-    equality with the expression form is pinned in
-    tests/test_quality_clf.py."""
+    ``int(md5(salt + g).hexdigest()[:15], 16) % n_buckets`` — count-
+    identical to the explode + (doc, bucket) aggregate + doc-sum
+    join-back it replaces, whose TWO corpus shuffles and join this
+    removes (and whose interpreted per-gram md5 expressions were the
+    measured cost). Shared by the classifier (salt ``qclf:``) and the
+    DSIR scorer (salt ``dsir:``); row-multiset equality with the
+    expression form is pinned in tests/test_quality_clf.py."""
     id_type = df.schema[id_col].dataType.simpleString()
     extra_types = {
         c: df.schema[c].dataType.simpleString() for c in extra_cols
@@ -122,7 +128,7 @@ def clf_features(df: DataFrame, text_col: str, id_col: str,
     schema = ", ".join(
         [f"{id_col} {id_type}"]
         + [f"{c} {extra_types[c]}" for c in extra_cols]
-        + ["b long", "n_grams long", "x double"]
+        + ["b long", "m long", "n_grams long"]
     )
     cols = [id_col, *extra_cols]
 
@@ -134,12 +140,11 @@ def clf_features(df: DataFrame, text_col: str, id_col: str,
 
         ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, exactly
         md5 = hashlib.md5
-        salt = CLF_SALT
         for pdf in it:
             out: dict = {c: [] for c in cols}
             bs: list = []
+            ms: list = []
             ns: list = []
-            xs: list = []
             for vals in zip(*(pdf[c] for c in [*cols, text_col])):
                 text = vals[-1]
                 toks = [t for t in ws.split(text or "") if t]
@@ -159,21 +164,36 @@ def clf_features(df: DataFrame, text_col: str, id_col: str,
                     for c, v in zip(cols, vals):
                         out[c].append(v)
                     bs.append(b)
+                    ms.append(m)
                     ns.append(n)
-                    xs.append(m / n)
             yield pd.DataFrame(
                 {
                     **out,
                     "b": pd.Series(bs, dtype="int64"),
+                    "m": pd.Series(ms, dtype="int64"),
                     "n_grams": pd.Series(ns, dtype="int64"),
-                    "x": pd.Series(xs, dtype="float64"),
                 }
             )
 
-    from arc_kinesis_tagging_spark.operators.dedup import _spread_small_scan
+    from arc_kinesis_tagging_spark.operators.skew import spread_small_scan
 
-    return _spread_small_scan(df.select(*cols, text_col)).mapInPandas(
+    return spread_small_scan(df.select(*cols, text_col)).mapInPandas(
         batches, schema
+    )
+
+
+def clf_features(df: DataFrame, text_col: str, id_col: str,
+                 n_buckets: int, extra_cols: tuple = ()) -> DataFrame:
+    """(id, *extra, b, n_grams, x) rows: hashed-bucket counts
+    normalized by the doc's total gram count (``x = m / n_grams`` —
+    the same IEEE double division the former aggregate computed).
+    Thin projection over hashed_gram_bucket_counts: zero shuffle."""
+    return hashed_gram_bucket_counts(
+        df, text_col, id_col, n_buckets, salt=CLF_SALT,
+        extra_cols=extra_cols,
+    ).select(
+        id_col, *extra_cols, "b", "n_grams",
+        (F.col("m").cast("double") / F.col("n_grams")).alias("x"),
     )
 
 

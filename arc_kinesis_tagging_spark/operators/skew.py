@@ -23,6 +23,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's core count IFF the
+    input arrives with fewer partitions — the local analog of a scan
+    parallelism floor. ``spark.sql.files.minPartitionNum`` cannot
+    split single-row-group parquet (byte-range splits beyond the row
+    group are empty), so a heavy map-side stage after such a scan
+    runs ONE task regardless of core count (measured round 14: the
+    shingle/feature hashing and LM gram explodes were serialized on
+    one core of 32). At production scan widths the condition is
+    false and this is a no-op — the condition, not a constant, is
+    the knob."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

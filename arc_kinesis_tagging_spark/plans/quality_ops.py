@@ -2085,6 +2085,8 @@ def q_ngram_lm_score(spark, sf_dir):
     output (the gate upstream of this score handles empty docs).
     Rounded to 3 decimals so cross-engine float addition-order drift
     sits far below the comparison granularity."""
+    from arc_kinesis_tagging_spark.operators.skew import spread_small_scan
+
     d = _t(spark, sf_dir, "documents")
     ts = F.split(F.col("text"), " ")
     bigrams = F.when(
@@ -2097,12 +2099,20 @@ def q_ngram_lm_score(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array().cast("array<struct<ta:string,tb:string>>"))
-    bg = d.select("doc_id", F.explode(bigrams).alias("b")).select(
+    # spread + pin: the bigram explode feeds FOUR map-side consumers
+    # (nab, na, bgc, vocab's token explode shares the text scan); on a
+    # single-row-group fixture every one of those passes ran as ONE
+    # task (round-14 measurement) — the spread parallelizes them and
+    # the lazy pin materializes the tiny text projection once
+    sp = spread_small_scan(d.select("doc_id", "text")).localCheckpoint(
+        eager=False
+    )
+    bg = sp.select("doc_id", F.explode(bigrams).alias("b")).select(
         "doc_id", F.col("b.ta").alias("ta"), F.col("b.tb").alias("tb")
     )
     nab = bg.groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("nab"))
     na = bg.groupBy("ta").agg(F.count(F.lit(1)).alias("na"))
-    vocab = d.select(F.explode(ts).alias("t")).agg(
+    vocab = sp.select(F.explode(ts).alias("t")).agg(
         F.countDistinct("t").alias("vsize")
     )
     # nab/na are NOT hinted broadcast: unlike the char model, the
@@ -2192,6 +2202,7 @@ def q_ngram_lm_pruned(spark, sf_dir):
     occurrences scored from the kept model — so the pruning rate is
     observable."""
     from arc_kinesis_tagging_spark.operators.similarity import bounded_topk_rank
+    from arc_kinesis_tagging_spark.operators.skew import spread_small_scan
 
     d = _t(spark, sf_dir, "documents")
     ts = F.split(F.col("text"), " ")
@@ -2205,7 +2216,12 @@ def q_ngram_lm_pruned(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array().cast("array<struct<ta:string,tb:string>>"))
-    bg = d.select("doc_id", F.explode(bigrams).alias("b")).select(
+    # spread + pin: four map-side consumers of the text scan (see
+    # q_ngram_lm_score — same round-14 single-task-scan fix)
+    sp = spread_small_scan(d.select("doc_id", "text")).localCheckpoint(
+        eager=False
+    )
+    bg = sp.select("doc_id", F.explode(bigrams).alias("b")).select(
         "doc_id", F.col("b.ta").alias("ta"), F.col("b.tb").alias("tb")
     )
     nab = bg.groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("nab"))
@@ -2223,7 +2239,7 @@ def q_ngram_lm_pruned(spark, sf_dir):
         .select("ta", "tb", F.col("nab").alias("nab_kept"))
     )
     na = bg.groupBy("ta").agg(F.count(F.lit(1)).alias("na"))
-    vocab = d.select(F.explode(ts).alias("t")).agg(
+    vocab = sp.select(F.explode(ts).alias("t")).agg(
         F.countDistinct("t").alias("vsize")
     )
     bgc = bg.groupBy("doc_id", "ta", "tb").agg(F.count(F.lit(1)).alias("m"))
@@ -3290,18 +3306,25 @@ def _dsir_scored(spark, sf_dir):
     doc_id (no skew pileup), and the only data-sized shuffle is that
     aggregate. Log-ratio floats follow the LM-gate convention: 3-dp
     rounding sits far above cross-engine addition-order drift."""
-    d = _t(spark, sf_dir, "documents")
-    gb = _dsir_grams(d).withColumn(
-        "b",
-        stable_hash64(F.concat(F.lit("dsir:"), F.col("g"))) % _DSIR_B,
+    from arc_kinesis_tagging_spark.operators.quality_clf import (
+        hashed_gram_bucket_counts,
     )
-    # ONE bucket aggregate carries both models (the target count is a
-    # conditional sum), and the totals fold from the 256-row model
-    # table — so the corpus is exploded exactly twice overall (model
-    # build + per-doc counts), not four times
-    model = gb.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
+
+    d = _t(spark, sf_dir, "documents")
+    # Batch-native per-(doc, bucket) counts, pinned: the corpus text
+    # is read ONCE map-side (round-14 optimization — the former gram
+    # explode + md5 expression chain ran once per consumer, and both
+    # model and per-doc aggregates consumed it); the raw/target model
+    # counts fold from these compact rows (sum of m == count of gram
+    # rows, per bucket).
+    feats = hashed_gram_bucket_counts(
+        d, "text", "doc_id", _DSIR_B, salt="dsir:", extra_cols=("lang",)
+    ).localCheckpoint(eager=False)
+    model = feats.groupBy("b").agg(
+        F.sum("m").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.col("m")).otherwise(F.lit(0))
+        ).alias("ct"),
     )
     tots = model.agg(
         F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
@@ -3322,7 +3345,7 @@ def _dsir_scored(spark, sf_dir):
             ).alias("r"),
         )
     )
-    dm = gb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("m"))
+    dm = feats.select("doc_id", "b", "m")
     return dm.join(F.broadcast(ratio), "b").groupBy("doc_id").agg(
         F.sum("m").alias("n_grams"),
         # + 0.0 collapses IEEE -0.0 (a tiny negative mean rounds to
