@@ -1267,11 +1267,39 @@ def contamination_pairs(
     DuckDB oracle.
     """
     def _sh(df: DataFrame, out_key: str) -> DataFrame:
-        return df.select(
-            F.col(key_col).alias(out_key),
-            F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias(
-                "__sh"
-            ),
+        # batch-native distinct shingle strings (same row multiset as
+        # explode(array_distinct(shingles(...))) — the tokenizer is the
+        # Java-\s-exact split and the shingle the same single-space
+        # join; pinned in tests/test_operators.py), spread across
+        # cores when the scan arrives single-partition
+        key_type = df.schema[key_col].dataType.simpleString()
+
+        def batches(it):
+            import re
+
+            import pandas as pd
+
+            ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, exactly
+            n = shingle_n
+            for pdf in it:
+                keys: list = []
+                shs: list = []
+                for k, text in zip(pdf[key_col], pdf[text_col]):
+                    t = [x for x in ws.split(text or "") if x]
+                    m = len(t) - (n - 1)
+                    if m <= 0:
+                        continue
+                    seen = set()
+                    for i in range(m):
+                        s = " ".join(t[i:i + n]) if n > 1 else t[i]
+                        if s not in seen:
+                            seen.add(s)
+                            keys.append(k)
+                            shs.append(s)
+                yield pd.DataFrame({out_key: keys, "__sh": shs})
+
+        return _spread_small_scan(df.select(key_col, text_col)).mapInPandas(
+            batches, f"{out_key} {key_type}, __sh string"
         )
 
     corpus_sh = _sh(corpus, "doc_key")

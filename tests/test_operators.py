@@ -122,6 +122,51 @@ def test_hashed_shingle_rows_match_expression_form(spark, sf_dir):
         assert fast.count() > 0
 
 
+def test_contamination_shingle_rows_match_expression_form(spark, sf_dir):
+    """contamination_pairs' batch-native STRING shingle emitter must
+    equal explode(array_distinct(shingles(...))) row-for-row — same
+    Java-\\s tokenizer, same single-space join (round-14)."""
+    from arc_kinesis_tagging_spark.functions.text import shingles
+    from arc_kinesis_tagging_spark.operators.dedup import contamination_pairs
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (900001, "a\tb\nc d\x0b e\f f\r g h i j"),
+            (900002, "nb sp one token; zh　ideographic too"),
+            (900003, "two tokens"),
+            (900004, ""),
+            (900005, None),
+            (900006, "rep rep rep rep rep rep"),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge)
+    # compare through the public operator: the full self-contamination
+    # pair table is a function of exactly the per-doc distinct shingle
+    # multisets, so operator-vs-expression pair equality pins the
+    # emitter (and exercises the real join path)
+    got = contamination_pairs(
+        both, both, "text", "doc_id", shingle_n=3, min_shared=1
+    )
+    sh = both.select(
+        F.col("doc_id").alias("k"),
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("__sh"),
+    )
+    a = sh.select(F.col("k").alias("doc_key"), "__sh")
+    b = sh.select(F.col("k").alias("bench_key"), "__sh")
+    want = (
+        a.join(b, "__sh")
+        .filter(F.col("doc_key") != F.col("bench_key"))
+        .groupBy("doc_key", "bench_key")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 1)
+    )
+    assert got.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_simhash_self_similarity(spark, sf_dir):
     """Pigeonhole guarantee: with 12 bands over 60 bits, EVERY pair
     within hamming 11 shares an exact band, so near-identical docs
