@@ -132,7 +132,10 @@ def _minhash_sigs(df: DataFrame, text_col: str, key_col: str, n_hashes: int, shi
         (_deterministic_coeff(i, "minhash-a", 29) | 1, _deterministic_coeff(i, "minhash-b", 32))
         for i in range(n_hashes)
     ]
-    ex = df.select(
+    # spread: the xxhash64 + HOF shingle-combine kernel is CPU-bound
+    # per-row work that otherwise runs as ONE task behind a
+    # single-row-group scan (no-op at production scan widths)
+    ex = _spread_small_scan(df.select(key_col, text_col)).select(
         F.col(key_col).alias("__key"),
         F.explode(_shingle_hashes(text_col, shingle_n)).alias("__h"),
     )
@@ -779,7 +782,9 @@ def simhash_near_duplicates(
     # Pin: both sides of the bucket self-join read this table.
     # localCheckpoint, not persist() — builder-returned plan, no safe
     # unpersist point; ContextCleaner reclaims the blocks on GC.
-    sh = df.select(
+    # Spread: the 60-bit-vote SimHash expression is heavy per-row
+    # compute, single-task behind a single-row-group scan otherwise.
+    sh = _spread_small_scan(df.select(key_col, text_col)).select(
         F.col(key_col).alias("key"), _simhash64(text_col).alias("sim")
     ).localCheckpoint(eager=False)
     chunks = sh.select(

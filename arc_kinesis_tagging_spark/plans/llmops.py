@@ -1166,11 +1166,15 @@ def q_dedup_simhash_incremental(spark, sf_dir):
         write_phash_corpus,
     )
 
+    from arc_kinesis_tagging_spark.operators.skew import spread_small_scan
+
     d = _t(spark, sf_dir, "documents")
 
     def hashes(docs):
         toks = F.array_distinct(tokens(F.col("text")))
-        return docs.select(
+        # spread: the 60-bit-vote SimHash expression otherwise runs
+        # as ONE task behind the single-row-group fixture scan
+        return spread_small_scan(docs.select("doc_id", "text")).select(
             F.col("doc_id").alias("media_id"),
             F.when(F.size(toks) > 0, _simhash64("text"))
             .otherwise(F.lit(None).cast("long"))
