@@ -1427,7 +1427,12 @@ def q_corpus_pipeline6(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    survivors = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # lazy pin: the text-dedup aggregate feeds both the stage-2
+    # subtree and the final anti join — one survivor materialization
+    # instead of two full text-keyed shuffles (round 14)
+    survivors = d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id")
+    ).localCheckpoint(eager=False)
     n = spark.sparkContext.defaultParallelism
     hashes = phash_gray(
         attach_phash_media(
@@ -1507,7 +1512,12 @@ def q_corpus_pipeline7(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    survivors = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # lazy pin: the text-dedup aggregate feeds both the stage-2
+    # subtree and the final anti join — one survivor materialization
+    # instead of two full text-keyed shuffles (round 14)
+    survivors = d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id")
+    ).localCheckpoint(eager=False)
     n = spark.sparkContext.defaultParallelism
     hashes = ahash_wav(
         attach_ahash_media(
@@ -1590,7 +1600,12 @@ def q_corpus_pipeline8(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    survivors = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # lazy pin: the text-dedup aggregate feeds both the stage-2
+    # subtree and the final anti join — one survivor materialization
+    # instead of two full text-keyed shuffles (round 14)
+    survivors = d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id")
+    ).localCheckpoint(eager=False)
     n = spark.sparkContext.defaultParallelism
     fh = vhash_frames(
         attach_vhash_media(
@@ -1675,7 +1690,12 @@ def q_corpus_pipeline9(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
-    survivors = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # lazy pin: the text-dedup aggregate feeds both the stage-2
+    # subtree and the final anti join — one survivor materialization
+    # instead of two full text-keyed shuffles (round 14)
+    survivors = d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id")
+    ).localCheckpoint(eager=False)
     se = e.join(
         survivors.select(F.col("doc_id").alias("vec_id")),
         "vec_id",

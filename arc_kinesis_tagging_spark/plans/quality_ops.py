@@ -2107,9 +2107,11 @@ def q_ngram_lm_score(spark, sf_dir):
     sp = spread_small_scan(d.select("doc_id", "text")).localCheckpoint(
         eager=False
     )
+    # bg itself is pinned too: THREE aggregate consumers (nab, na,
+    # bgc) would each re-run the bigram explode over sp
     bg = sp.select("doc_id", F.explode(bigrams).alias("b")).select(
         "doc_id", F.col("b.ta").alias("ta"), F.col("b.tb").alias("tb")
-    )
+    ).localCheckpoint(eager=False)
     nab = bg.groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("nab"))
     na = bg.groupBy("ta").agg(F.count(F.lit(1)).alias("na"))
     vocab = sp.select(F.explode(ts).alias("t")).agg(
@@ -2217,13 +2219,14 @@ def q_ngram_lm_pruned(spark, sf_dir):
         ),
     ).otherwise(F.array().cast("array<struct<ta:string,tb:string>>"))
     # spread + pin: four map-side consumers of the text scan (see
-    # q_ngram_lm_score — same round-14 single-task-scan fix)
+    # q_ngram_lm_score — same round-14 single-task-scan fix); bg is
+    # pinned too (three aggregate consumers re-ran the explode)
     sp = spread_small_scan(d.select("doc_id", "text")).localCheckpoint(
         eager=False
     )
     bg = sp.select("doc_id", F.explode(bigrams).alias("b")).select(
         "doc_id", F.col("b.ta").alias("ta"), F.col("b.tb").alias("tb")
-    )
+    ).localCheckpoint(eager=False)
     nab = bg.groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("nab"))
     # top-V prune: \x01 sorts below every token character, so the
     # composite key's string order equals the (ta, tb) pair order —
