@@ -2586,7 +2586,11 @@ def q_corpus_pipeline11(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    s1 = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # lazy pin: s1 feeds the image-hash subtree AND the s2 anti join
+    # (round 14 — same one-materialization discipline as s2 below)
+    s1 = d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id")
+    ).localCheckpoint(eager=False)
     n = spark.sparkContext.defaultParallelism
     ph = phash_gray(
         attach_phash_media(s1.repartition(n, "doc_id"), "doc_id"),
@@ -2704,7 +2708,11 @@ def q_corpus_pipeline12(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    s1 = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # lazy pin: s1 feeds the containment-join subtree AND the final
+    # anti join (round 14 — one text-dedup materialization)
+    s1 = d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id")
+    ).localCheckpoint(eager=False)
     pairs = ngram_containment_pairs(
         s1, "text", "doc_id", threshold=0.8, shingle_n=3
     )

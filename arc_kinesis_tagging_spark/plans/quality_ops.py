@@ -3632,7 +3632,11 @@ def q_corpus_pipeline13(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     ).withColumn("dg", F.md5("text"))
-    keep = d.groupBy("dg").agg(F.min("doc_id").alias("doc_id"))
+    # lazy pin: the digest-dedup aggregate feeds the survivor semi
+    # join AND the dropped-count anti join (round 14)
+    keep = d.groupBy("dg").agg(
+        F.min("doc_id").alias("doc_id")
+    ).localCheckpoint(eager=False)
     surv = d.join(keep.select("doc_id"), "doc_id", "left_semi")
     dropped = (
         d.join(keep.select("doc_id"), "doc_id", "left_anti")
