@@ -22,8 +22,13 @@ def term_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     occurrence — the difference between shuffling ~vocabulary-size and
     ~corpus-size at 100 TB.
     """
+    from arc_kinesis_tagging_spark.operators.skew import spread_small_scan
+
+    # spread: the tokenize+explode otherwise runs as ONE task behind a
+    # single-row-group scan (no-op at production scan widths, r14)
     return (
-        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        spread_small_scan(df.select(text_col))
+        .select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -135,8 +140,15 @@ def heavy_hitters(
 
     import pandas as pd
 
+    from arc_kinesis_tagging_spark.operators.skew import spread_small_scan
+
     k = max(1, math.ceil(1.0 / phi))
-    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    # spread: Misra-Gries is a PER-PARTITION summary — one input split
+    # means one task scans the whole corpus (r14; output is invariant
+    # to partitioning because pass 2 verifies exact counts)
+    toks = spread_small_scan(df.select(text_col)).select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    )
 
     def mg(batches):
         counters: dict[str, int] = {}

@@ -358,8 +358,15 @@ def q_text_repetition(spark, sf_dir):
     hash-matches without rounding). Bigrams come from zip_with over the
     token array (codegen, no UDF). ``kept`` applies fixed thresholds
     the way a corpus refresh would."""
+    from arc_kinesis_tagging_spark.operators.skew import spread_small_scan
+
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+    # spread + pin: the token-array projection feeds both explode
+    # passes (words, bigrams), each of which otherwise re-tokenized
+    # the corpus as ONE task behind the single-row-group scan (r14)
+    toks = spread_small_scan(d.select("doc_id", "text")).select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    ).localCheckpoint(eager=False)
     word_counts = (
         toks.select("doc_id", F.explode("__toks").alias("tok"))
         .groupBy("doc_id", "tok")
