@@ -140,13 +140,16 @@ def heavy_hitters(
 
     import pandas as pd
 
-    from arc_kinesis_tagging_spark.operators.skew import spread_small_scan
-
     k = max(1, math.ceil(1.0 / phi))
-    # spread: Misra-Gries is a PER-PARTITION summary — one input split
-    # means one task scans the whole corpus (r14; output is invariant
-    # to partitioning because pass 2 verifies exact counts)
-    toks = spread_small_scan(df.select(text_col)).select(
+    # NOT spread (round-14 decision): the MG partials are pinned with
+    # a lazy localCheckpoint, and a repartition below that pin would
+    # make plan CONSTRUCTION materialize the shuffle's map stage under
+    # AQE (Dataset.rdd finalizes the adaptive plan) — breaking the
+    # round-7 builder-laziness contract pinned in
+    # test_heavy_hitters_builder_is_lazy. On a one-split fixture scan
+    # the MG pass therefore runs single-task; at production scan
+    # widths it is per-partition-parallel as designed.
+    toks = df.select(
         F.explode(tokens(F.col(text_col))).alias("token")
     )
 
