@@ -250,8 +250,11 @@ COMMENTARY = {
     "q_ngram_lm_score": (
         "Self-trained token-bigram LM: model tables (bigram counts, "
         "context counts, vocab size) are vocabulary-sized and broadcast; "
-        "bigrams are built map-side via transform-over-sequence; the "
-        "only data-sized shuffle is the per-document score aggregate."
+        "bigrams are built map-side via transform-over-sequence over a "
+        "spread+pinned text projection (round 14: the explode feeds "
+        "four aggregate consumers and otherwise re-ran single-task "
+        "behind a one-split scan); the only data-sized shuffle is the "
+        "per-document score aggregate."
     ),
     "q_doc_minwise_sim": (
         "Bottom-k minwise corpus-pair similarity: after the vocabulary-"
@@ -548,13 +551,18 @@ COMMENTARY.update(
         ),
         "q_dedup_jaccard_prefix": (
             "Prefix-filtered exact similarity join (All-Pairs/ppjoin "
-            "lemma, lossless at the threshold): frequency aggregate "
-            "and per-doc rank window bounded by distinct-shingle "
-            "rows, the candidate self-join meets only on rarest-"
-            "prefix shingles (hot boilerplate shingles never join), "
-            "verify is an 8-byte array_intersect over collected "
-            "hash sets — no second explode join, nothing quadratic "
-            "in corpus size at any stage."
+            "lemma, lossless at the threshold): shingle hashing runs "
+            "batch-native per Arrow batch (round 14 — same md5 "
+            "values, ~4x the interpreted HOF chain); frequency "
+            "aggregate and per-doc rank window bounded by distinct-"
+            "shingle rows, with the per-doc size a COUNT window on "
+            "the rank window's own partitioning (the former "
+            "groupBy+join-back pass is gone); the candidate "
+            "self-join meets only on rarest-prefix shingles (hot "
+            "boilerplate shingles never join); verify is an 8-byte "
+            "array_intersect over ONE pinned collected-set table — "
+            "no second explode join, nothing quadratic in corpus "
+            "size at any stage."
         ),
         "q_dedup_containment": (
             "Exact overlap-coefficient (containment) join with "
@@ -562,11 +570,13 @@ COMMENTARY.update(
             "prefix joins the FULL inverted index (the smaller doc "
             "of any qualifying pair must expose a common shingle in "
             "its prefix — lossless), so hot boilerplate shingles "
-            "never self-join; shuffles are bounded by distinct-"
-            "shingle rows (freq agg, per-doc rank window) plus the "
+            "never self-join; shingle hashing is batch-native and "
+            "the per-doc size a COUNT window on the rank window's "
+            "partitioning (round 14); shuffles are bounded by "
+            "distinct-shingle rows (freq agg, rank window) plus the "
             "sparse prefix-x-full join and pair dedup; verify is an "
-            "8-byte array_intersect over collected hash sets. The "
-            "sub-document-inclusion dedup Jaccard misses."
+            "8-byte array_intersect over ONE pinned collected-set "
+            "table. The sub-document-inclusion dedup Jaccard misses."
         ),
         "q_corpus_pipeline12": (
             "Keep-longest containment curation (text exact dedup -> "
@@ -590,14 +600,18 @@ COMMENTARY.update(
         ),
         "q_quality_clf_score": (
             "Supervised classifier, closed-form one-step train + "
-            "apply as ONE tree: features pinned once (three "
-            "consumers), the 256-row gradient/weight aggregate and "
-            "the 1-row class-prior aggregate broadcast back "
-            "(bucket-/class-bounded builds — the justified hints), "
-            "and the corpus-sized shuffles are exactly the "
-            "(doc,bucket) count agg, its doc-keyed sibling, and the "
-            "apply's doc-keyed score agg, each collapsed map-side to "
-            "~1 row/doc. No window, no Python, no corpus broadcast."
+            "apply as ONE tree (round-14 shape): per-doc hashed-"
+            "bucket features are built batch-native and MAP-SIDE "
+            "(zero feature shuffles — the former explode + "
+            "(doc,bucket) agg + doc-sum join-back is gone), pinned "
+            "once for three consumers; the 256-row gradient/weight "
+            "aggregate and the 1-row class-prior aggregate (now a "
+            "map-side scan of the docs frame, computed once and "
+            "pinned) broadcast back — bucket-/class-bounded builds, "
+            "the justified hints; the only corpus-sized shuffle "
+            "left is the apply's doc-keyed score aggregate, "
+            "collapsed map-side to ~1 row/doc. No window, no corpus "
+            "broadcast."
         ),
         "q_dedup_substring_clip": (
             "ExactSubstr CLIP (the curation action on the substring "
