@@ -23,17 +23,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: logical-plan nodes that cannot introduce an exchange — the shapes
+#: where probing ``Dataset.rdd`` is safe under AQE (see below).
+_NARROW_NODES = frozenset({"Project", "Filter", "SubqueryAlias", "LogicalRelation"})
+
+
+def _narrow_over_scan(df: DataFrame) -> bool:
+    """True iff the analyzed logical plan is only narrow per-row ops
+    (project/filter) over file-source relations. Anything wider —
+    aggregates, joins, repartitions, pinned RDDs — returns False.
+
+    Why this gate exists (round-14 advice): under AQE, ``Dataset.rdd``
+    finalizes the adaptive plan in a throwaway QueryExecution, which
+    MATERIALIZES every upstream exchange — for a shuffled input the
+    partition-count probe itself runs real jobs at plan-construction
+    time and the un-pinned stages run AGAIN at action time. For a bare
+    scan the probe is pure planning (~10 ms, no job), so it is allowed
+    only there. Shuffled inputs don't need a spread anyway: their
+    partition count is already the shuffle width."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() not in _NARROW_NODES:
+                return False
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return True
+    except Exception:  # non-classic Dataset / connect: assume unsafe
+        return False
+
+
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's core count IFF the
-    input arrives with fewer partitions — the local analog of a scan
-    parallelism floor. ``spark.sql.files.minPartitionNum`` cannot
-    split single-row-group parquet (byte-range splits beyond the row
-    group are empty), so a heavy map-side stage after such a scan
-    runs ONE task regardless of core count (measured round 14: the
-    shingle/feature hashing and LM gram explodes were serialized on
-    one core of 32). At production scan widths the condition is
-    false and this is a no-op — the condition, not a constant, is
-    the knob."""
+    input is a bare file-source scan that arrives with fewer
+    partitions — the local analog of a scan parallelism floor.
+    ``spark.sql.files.minPartitionNum`` cannot split single-row-group
+    parquet (byte-range splits beyond the row group are empty), so a
+    heavy map-side stage after such a scan runs ONE task regardless of
+    core count (measured round 14: the shingle/feature hashing and LM
+    gram explodes were serialized on one core of 32). At production
+    scan widths the condition is false and this is a no-op — the
+    condition, not a constant, is the knob. Non-scan inputs (shuffled
+    intermediates, pinned RDDs) are returned unchanged WITHOUT probing
+    ``Dataset.rdd``: the probe would materialize their upstream stages
+    at plan-construction time (round-14 advice)."""
+    if not _narrow_over_scan(df):
+        return df
     n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)

@@ -22,12 +22,12 @@ def term_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     occurrence — the difference between shuffling ~vocabulary-size and
     ~corpus-size at 100 TB.
     """
-    from arc_kinesis_tagging_spark.operators.skew import spread_small_scan
-
-    # spread: the tokenize+explode otherwise runs as ONE task behind a
-    # single-row-group scan (no-op at production scan widths, r14)
+    # No spread here (round-15): tokenize+explode is LIGHT per-row work
+    # — the round-14 spread's extra Exchange cost more than single-task
+    # tokenization saved (driver bench 0.39 s -> 0.53 s, 0.73x). The
+    # spread stays only on the heavy hash-kernel paths (dedup/clf).
     return (
-        spread_small_scan(df.select(text_col))
+        df.select(text_col)
         .select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
