@@ -2106,21 +2106,30 @@ def q_ngram_lm_score(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array().cast("array<struct<ta:string,tb:string>>"))
-    # spread + pin: the bigram explode feeds FOUR map-side consumers
-    # (nab, na, bgc, vocab's token explode shares the text scan); on a
+    # spread + pin: the text projection feeds TWO map-side consumers
+    # (the bigram explode and vocab's token explode); on a
     # single-row-group fixture every one of those passes ran as ONE
     # task (round-14 measurement) — the spread parallelizes them and
     # the lazy pin materializes the tiny text projection once
     sp = spread_small_scan(d.select("doc_id", "text")).localCheckpoint(
         eager=False
     )
-    # bg itself is pinned too: THREE aggregate consumers (nab, na,
-    # bgc) would each re-run the bigram explode over sp
-    bg = sp.select("doc_id", F.explode(bigrams).alias("b")).select(
+    # ONE aggregate sees bigram OCCURRENCES (bgc, the per-doc distinct
+    # counts); the model tables chain off it — nab = sum of m over
+    # docs, na = sum of m over (docs, tb) — so the only occurrence-
+    # sized shuffle is bgc's, and nab/na shuffle the per-doc-DISTINCT
+    # table instead (round-15; previously three independent aggregates
+    # each re-shuffled the raw bigram rows). Exact integer identities:
+    # count over bg grouped by (ta,tb) == sum of per-doc counts, same
+    # for (ta). bgc is pinned: it feeds the two model aggregates AND
+    # the scoring join.
+    bgc = sp.select("doc_id", F.explode(bigrams).alias("b")).select(
         "doc_id", F.col("b.ta").alias("ta"), F.col("b.tb").alias("tb")
+    ).groupBy("doc_id", "ta", "tb").agg(
+        F.count(F.lit(1)).alias("m")
     ).localCheckpoint(eager=False)
-    nab = bg.groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("nab"))
-    na = bg.groupBy("ta").agg(F.count(F.lit(1)).alias("na"))
+    nab = bgc.groupBy("ta", "tb").agg(F.sum("m").alias("nab"))
+    na = bgc.groupBy("ta").agg(F.sum("m").alias("na"))
     vocab = sp.select(F.explode(ts).alias("t")).agg(
         F.countDistinct("t").alias("vsize")
     )
@@ -2132,9 +2141,6 @@ def q_ngram_lm_score(spark, sf_dir):
     # with multiplicity (sum m*bits == sum over occurrences), so the
     # model join carries per-doc-distinct rows, not occurrences — the
     # standard compression for repetitive text.
-    bgc = bg.groupBy("doc_id", "ta", "tb").agg(
-        F.count(F.lit(1)).alias("m")
-    )
     scored = (
         bgc.join(nab, ["ta", "tb"])
         .join(na, "ta")
@@ -2225,16 +2231,19 @@ def q_ngram_lm_pruned(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array().cast("array<struct<ta:string,tb:string>>"))
-    # spread + pin: four map-side consumers of the text scan (see
-    # q_ngram_lm_score — same round-14 single-task-scan fix); bg is
-    # pinned too (three aggregate consumers re-ran the explode)
+    # spread + pin: two map-side consumers of the text scan (see
+    # q_ngram_lm_score — same round-14 single-task-scan fix); the
+    # model tables chain off the single occurrence-sized aggregate
+    # bgc (round-15, same exact-integer identities as lm_score)
     sp = spread_small_scan(d.select("doc_id", "text")).localCheckpoint(
         eager=False
     )
-    bg = sp.select("doc_id", F.explode(bigrams).alias("b")).select(
+    bgc = sp.select("doc_id", F.explode(bigrams).alias("b")).select(
         "doc_id", F.col("b.ta").alias("ta"), F.col("b.tb").alias("tb")
+    ).groupBy("doc_id", "ta", "tb").agg(
+        F.count(F.lit(1)).alias("m")
     ).localCheckpoint(eager=False)
-    nab = bg.groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("nab"))
+    nab = bgc.groupBy("ta", "tb").agg(F.sum("m").alias("nab"))
     # top-V prune: \x01 sorts below every token character, so the
     # composite key's string order equals the (ta, tb) pair order —
     # the oracle ranks with the identical composite
@@ -2248,11 +2257,10 @@ def q_ngram_lm_pruned(spark, sf_dir):
         )
         .select("ta", "tb", F.col("nab").alias("nab_kept"))
     )
-    na = bg.groupBy("ta").agg(F.count(F.lit(1)).alias("na"))
+    na = bgc.groupBy("ta").agg(F.sum("m").alias("na"))
     vocab = sp.select(F.explode(ts).alias("t")).agg(
         F.countDistinct("t").alias("vsize")
     )
-    bgc = bg.groupBy("doc_id", "ta", "tb").agg(F.count(F.lit(1)).alias("m"))
     scored = (
         bgc.join(F.broadcast(model), ["ta", "tb"], "left")
         .join(na, "ta")
