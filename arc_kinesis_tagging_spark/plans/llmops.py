@@ -1774,8 +1774,11 @@ def q_corpus_pipeline10(spark, sf_dir):
     q_dedup_exact, q_dedup_ngram_jaccard, q_contamination) and the
     composite carries a full DuckDB oracle built from the same
     fragments — a hash-green row proves the COMPOSITION: stage 3 runs
-    on exactly the stage-2 survivors and stage 4 on exactly the
-    stage-3 survivors. Scale shape: langid is a map-side projection
+    on exactly the stage-2 survivors, and the output equals stage 4
+    run on exactly the stage-3 survivors (contamination is evaluated
+    per-document over the stage-2 survivors and intersected via the
+    chained anti-joins — set-identical, see the stage-overlap note
+    below). Scale shape: langid is a map-side projection
     fused into the scan; the exact dedup is one map-side-combined
     aggregate; the Jaccard index shuffles survivor tokens once (sparse
     inverted index; prefix filtering is the documented 100 TB lever);
@@ -1815,14 +1818,27 @@ def q_corpus_pipeline10(spark, sf_dir):
     # survivor count — with a 1/97-of-corpus benchmark slice neither is
     # eval-bounded at 100 TB. AQE broadcasts at runtime when the
     # measured sizes allow. Plan-gated in tests/test_plan_shapes.py.
-    s2 = s1.join(nd_drop, "doc_id", "left_anti")
+    #
+    # Round-15 stage overlap (§2.6): contamination is a PER-DOCUMENT
+    # property (a doc shares >= min_shared shingles with the benchmark
+    # regardless of which other docs survive), so c_drop is computed
+    # over the pinned s1 instead of the post-jaccard s2 — set-identical
+    # output, since
+    #   (s1 \ nd) \ c(s1 \ nd)  ==  s1 \ (nd UNION c(s1)),
+    # but the jaccard join and the contamination join become
+    # INDEPENDENT subtrees of one job: Spark schedules both stage
+    # chains concurrently instead of serializing contamination behind
+    # the full near-dup barrier (and the contamination kernel now reads
+    # the pinned survivor blocks rather than re-running the anti-join).
     bench = d.filter(F.col("doc_id") % 97 == 0)
     c_drop = (
-        contamination_pairs(s2, bench, "text", "doc_id", shingle_n=3, min_shared=3)
+        contamination_pairs(s1, bench, "text", "doc_id", shingle_n=3, min_shared=3)
         .select(F.col("doc_key").alias("doc_id"))
         .distinct()
     )
-    final = s2.join(c_drop, "doc_id", "left_anti")
+    final = s1.join(nd_drop, "doc_id", "left_anti").join(
+        c_drop, "doc_id", "left_anti"
+    )
     return (
         final.join(d.select("doc_id", "source", "n_chars"), "doc_id")
         .groupBy("source")
