@@ -74,6 +74,39 @@ CLF_SALT = "qclf:"
 #: bucket id used for the bias row in the flattened weights table
 BIAS_BUCKET = -1
 
+#: above this bucket count the model no longer rides as constant-folded
+#: literal arrays (a 2^18-bucket model would build a multi-hundred-
+#: thousand-node expression tree per class — driver/codegen blowup);
+#: train/apply fall back to the createDataFrame + broadcast-join shape,
+#: which the pre-round-14 code used at every size (round-14 advice)
+LITERAL_WEIGHTS_MAX_BUCKETS = 4096
+
+
+def _weight_cols(spark, W, bias, n_buckets: int, feats: DataFrame,
+                 C: int) -> tuple[DataFrame, list]:
+    """Attach per-class weight columns ``__w0..__w{C-1}`` to a feature
+    frame, choosing the scale-appropriate vehicle: constant-folded
+    literal arrays indexed by bucket below LITERAL_WEIGHTS_MAX_BUCKETS
+    (zero joins), a broadcast weights-table join above it (bounded
+    expression tree). The products x * W[b,c] are the same doubles
+    either way. Returns (feats_with_weights, [col __w0, ...])."""
+    if n_buckets <= LITERAL_WEIGHTS_MAX_BUCKETS:
+        wlit = [
+            F.array(*[F.lit(float(W[b][c])) for b in range(n_buckets)])
+            for c in range(C)
+        ]
+        cols = [
+            F.element_at(wlit[c], F.col("b").cast("int") + 1)
+            for c in range(C)
+        ]
+        return feats, cols
+    rows = [
+        (b, *[float(W[b][c]) for c in range(C)]) for b in range(n_buckets)
+    ]
+    schema = "b long, " + ", ".join(f"__w{c} double" for c in range(C))
+    wdf = F.broadcast(spark.createDataFrame(rows, schema))
+    return feats.join(wdf, "b"), [F.col(f"__w{c}") for c in range(C)]
+
 
 def clf_grams(df: DataFrame, text_col: str, id_col: str,
               extra_cols: tuple = ()) -> DataFrame:
@@ -250,18 +283,14 @@ def train_quality_classifier(
     for _ in range(epochs):
         # weights ride as CONSTANT-FOLDED literal arrays indexed by
         # bucket — no per-epoch createDataFrame/broadcast join (the
-        # products x * W[b,c] are the same doubles either way)
-        wlit = [
-            F.array(*[F.lit(float(W[b, c])) for b in range(n_buckets)])
-            for c in range(C)
-        ]
-        s = feats.groupBy(id_col, label_col).agg(*[
+        # products x * W[b,c] are the same doubles either way); above
+        # LITERAL_WEIGHTS_MAX_BUCKETS _weight_cols falls back to the
+        # broadcast-join shape (round-14 advice: a 2^18-bucket literal
+        # tree is a codegen blowup)
+        fw, wcols = _weight_cols(spark, W, bias, n_buckets, feats, C)
+        s = fw.groupBy(id_col, label_col).agg(*[
             (
-                F.sum(
-                    F.col("x")
-                    * F.element_at(wlit[c], F.col("b").cast("int") + 1)
-                )
-                + F.lit(float(bias[c]))
+                F.sum(F.col("x") * wcols[c]) + F.lit(float(bias[c]))
             ).alias(f"s{c}")
             for c in range(C)
         ])
@@ -363,23 +392,23 @@ def apply_quality_classifier(
     indexed by bucket instead of a createDataFrame + broadcast join —
     with the map-side clf_features this makes apply a single-shuffle
     pass at any corpus size (the products x * W[b,c] are the same
-    doubles the join produced)."""
+    doubles the join produced). Above LITERAL_WEIGHTS_MAX_BUCKETS the
+    weights fall back to the broadcast-join vehicle (round-14 advice:
+    hashed-feature models at 2^18 buckets must not become
+    half-million-node expression trees)."""
     classes = model["classes"]
     C = len(classes)
-    wlit = [
-        F.array(*[F.lit(float(ws[c])) for ws in model["W"]])
-        for c in range(C)
-    ]
     feats = clf_features(df, text_col, id_col, model["n_buckets"],
                          extra_cols=extra_cols)
-    s = feats.groupBy(id_col, *extra_cols).agg(
+    fw, wcols = _weight_cols(
+        df.sparkSession, model["W"], model["bias"], model["n_buckets"],
+        feats, C,
+    )
+    s = fw.groupBy(id_col, *extra_cols).agg(
         F.max("n_grams").alias("n_grams"),
         *[
             (
-                F.sum(
-                    F.col("x")
-                    * F.element_at(wlit[c], F.col("b").cast("int") + 1)
-                )
+                F.sum(F.col("x") * wcols[c])
                 + F.lit(float(model["bias"][c]))
             ).alias(f"s{c}")
             for c in range(C)

@@ -200,3 +200,27 @@ def test_single_class_raises(spark):
                                "doc_id long, label string, text string")
     with pytest.raises(ValueError):
         train_quality_classifier(df, "text", "label", n_buckets=8)
+
+
+def test_large_bucket_join_fallback_matches_literal(spark, monkeypatch):
+    """Above LITERAL_WEIGHTS_MAX_BUCKETS the weights ride as a
+    broadcast join instead of constant-folded literal arrays (round-14
+    advice: 2^18-bucket hashed-feature models must not become
+    half-million-node expression trees). Both vehicles must produce
+    identical trained weights and identical scores."""
+    import arc_kinesis_tagging_spark.operators.quality_clf as qc
+
+    df = spark.createDataFrame(_rows(), "doc_id long, label string, text string")
+
+    def run():
+        model = train_quality_classifier(
+            df, "text", "label", n_buckets=64, epochs=2)
+        preds = apply_quality_classifier(df, model, "text").collect()
+        return model, sorted((r["doc_id"], r["pred"], r["score"]) for r in preds)
+
+    lit_model, lit_preds = run()
+    # force the join fallback at this tiny bucket count
+    monkeypatch.setattr(qc, "LITERAL_WEIGHTS_MAX_BUCKETS", 0)
+    join_model, join_preds = run()
+    assert join_model == lit_model
+    assert join_preds == lit_preds
