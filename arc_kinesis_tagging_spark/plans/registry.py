@@ -637,6 +637,38 @@ _R14_HEAD = [
     # q_tpch_q14ish, q_tpch_q19ish, q_tpch_q7ish, q_url_funcs.
 ]
 
+# Round-15 driver window (the r14 verdict's item 1): every query path
+# the r14 optimization round semantically rewrote (batch-native Arrow
+# kernels, chained LM aggregates, pipeline stage overlap, clf literal
+# weights) goes FIRST so the driver re-oracles the post-rewrite code —
+# their last driver CORRECTNESS rows date from r10–r13 against the old
+# implementations. The remaining slots finish the r10-vintage refresh
+# complexity-first; the four pure function-family rows left over
+# (q_array_funcs, q_date_funcs2, q_regex_funcs, q_url_funcs) roll to
+# round 16.
+_R15_HEAD = [
+    # -- (a) the 23 r14/r15-rewritten query paths --
+    "q_dedup_jaccard_prefix", "q_dedup_containment",
+    "q_dedup_ngram_jaccard", "q_contamination", "q_dedup_minhash",
+    "q_dedup_cluster", "q_dedup_simhash_incremental", "q_dsir_score",
+    "q_ngram_lm_score", "q_ngram_lm_pruned", "q_lm_buckets",
+    "q_corpus_pipeline6", "q_corpus_pipeline7", "q_corpus_pipeline8",
+    "q_corpus_pipeline9", "q_corpus_pipeline10", "q_corpus_pipeline11",
+    "q_corpus_pipeline12", "q_corpus_pipeline13",
+    "q_quality_clf_score", "q_quality_clf_train",
+    "q_text_termfreq", "q_text_repetition",
+    # -- (b) r10-vintage refresh, complexity-first (27 of 31 left) --
+    "q_corpus_diff", "q_graph_pagerank", "q_domain_balance",
+    "q_domain_balance_hash", "q_admission_gate", "q_admission_gate_sql",
+    "q_multimodal_ppm", "q_bpe_subwords", "q_quant_calibrate",
+    "q_text_tfidf", "q_text_perplexity", "q_text_entropy",
+    "q_text_fingerprint", "q_text_langid", "q_text_quality",
+    "q_tpch_q7ish", "q_tpch_q10ish", "q_tpch_q14ish", "q_tpch_q19ish",
+    "q_session_stats", "q_anomaly_zscore", "q_string_distance",
+    "q_robots_gate", "q_json_flatten", "q_csv_parse", "q_explode",
+    "q_array_tag_upsert",
+]
+
 
 def _ordered(head: list[str]) -> list[Query]:
     seen = [n for n in head if n in _BY_NAME]
@@ -676,8 +708,10 @@ elif _ROT == "r12":
     ALL_QUERIES = _ordered(_R12_HEAD)
 elif _ROT == "r13":
     ALL_QUERIES = _ordered(_R13_HEAD)
-else:
+elif _ROT == "r14":
     ALL_QUERIES = _ordered(_R14_HEAD)
+else:
+    ALL_QUERIES = _ordered(_R15_HEAD)
 
 QUERIES: dict[str, Query] = {q.name: q for q in ALL_QUERIES}
 
