@@ -405,3 +405,45 @@ def compact_bucketed_table(
     spark.sql(f"DROP TABLE {tmp_name}")
     _swap_compacted(spark, loc, tmp_loc)
     spark.catalog.refreshTable(name)
+
+
+# ---------------------------------------------------------------------------
+# Executor-pinned block release (round-15 §5 audit)
+# ---------------------------------------------------------------------------
+
+
+def release_pinned_blocks(spark: SparkSession) -> int:
+    """Free every executor-pinned RDD block in the session — the
+    explicit release point for the ``localCheckpoint`` pins the query
+    builders create (shared-subtree pins in the dedup/LM/pipeline
+    family).
+
+    Why this exists: ``localCheckpoint`` persists an RDD's blocks on
+    the executors that computed them and TRUNCATES lineage to those
+    blocks. ``spark.catalog.clearCache()`` does not touch them (it
+    clears the SQL cache manager, not the RDD block registry); absent
+    this call they are reclaimed only when the ContextCleaner notices
+    the Python/JVM references have been garbage-collected, which on a
+    long-lived driver (a daily curation loop, a notebook) can be
+    arbitrarily late — storage pressure that evicts nothing and, on a
+    real cluster, blocks that die with their executor and CANNOT be
+    recomputed (lineage is gone).
+
+    Contract: call ONLY after every output derived from the pinned
+    plans has been fully materialized (written/collected). A pinned
+    DataFrame re-executed after release fails rather than silently
+    recomputing — lineage truncation is one-way. Driver scripts
+    (tools/curation_e2e.py refresh) call this between pipeline runs;
+    the bench does NOT (its per-rep pins die with each rep's plan and
+    must stay inside the timed region).
+
+    Returns the number of RDDs whose blocks were released.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    # py4j maps java.util.Map to a dict-like view; iterate its values
+    # (each a JavaRDD) directly.
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist()
+        n += 1
+    return n

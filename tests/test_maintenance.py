@@ -433,3 +433,31 @@ def test_compact_ivf_index_survives_interrupted_swap(spark, tmp_path):
                 if f.startswith("part-")
             ]
             assert len(files) == 1, (d, files)
+
+
+def test_release_pinned_blocks_frees_localcheckpoint_pins(spark):
+    """release_pinned_blocks (round-15 §5 audit) must unpersist every
+    executor-pinned RDD — including the blocks a lazy localCheckpoint
+    materialized — and leave the session's persistent-RDD registry
+    empty. Uses a builder-shaped pin (lazy checkpoint, action, then
+    release after the output is materialized)."""
+    from arc_kinesis_tagging_spark.sources.maintenance import (
+        release_pinned_blocks,
+    )
+
+    # Isolate from pins left by other tests in the shared session.
+    release_pinned_blocks(spark)
+
+    pinned = (
+        spark.range(1000)
+        .selectExpr("id", "id * 2 AS v")
+        .localCheckpoint(eager=False)
+    )
+    out = pinned.groupBy((pinned.id % 7).alias("k")).count()
+    assert out.count() == 7  # materializes the pin
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.size() >= 1  # the pin is registered
+
+    n = release_pinned_blocks(spark)
+    assert n >= 1
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

@@ -275,6 +275,19 @@ def batch_refresh(
     )
     if report_dir:
         report.write.mode("overwrite").parquet(report_dir)
+        # Safe release point (round-15 §5 audit): the report is fully
+        # materialized, so the localCheckpoint pins the dedup kernels
+        # created inside this plan (jaccard-prefix survivor/verify
+        # tables, contamination shingle sets) have no remaining
+        # consumer. On a long-lived driver those executor blocks
+        # otherwise linger until ContextCleaner GC. Only taken on the
+        # write path: a caller who asked for the DataFrame back may
+        # still act on it.
+        from arc_kinesis_tagging_spark.sources.maintenance import (
+            release_pinned_blocks,
+        )
+
+        release_pinned_blocks(spark)
     return report
 
 
