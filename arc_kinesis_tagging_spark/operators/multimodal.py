@@ -557,30 +557,65 @@ _JPG_ZZ = [
 ]
 
 
+# Table memoization (guide §4.5 — heavyweight state once per worker,
+# not per image): virtually every image in a corpus carries the same
+# DHT tables (the Annex K set, or one encoder's fixed tables), so the
+# canonical-code walk and the decode-map inversion are recomputed
+# per record for an identical result. Keyed on the table BYTES, the
+# caches are exact; the returned dicts are read-only by contract
+# (every caller only looks up). Bounded: a pathological corpus with
+# unbounded distinct tables grows the cache per distinct table (~kB
+# each) — acceptable for a per-task/worker lifetime.
+_JPG_CODES_CACHE: dict = {}
+_JPG_DECODE_CACHE: dict = {}
+
+
 def _jpg_canonical_codes(bits, vals):
     """Canonical Huffman code assignment (spec C.2): symbols in `vals`
-    order get consecutive codes, shorter lengths first."""
+    order get consecutive codes, shorter lengths first. Memoized per
+    (bits, vals) — shared, read-only."""
+    key = (bytes(bits), bytes(vals))
+    hit = _JPG_CODES_CACHE.get(key)
+    if hit is not None:
+        return hit
     codes, code = [], 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             codes.append((length, code))
             code += 1
         code <<= 1
-    return dict(zip(vals, codes))  # symbol -> (length, code)
+    out = dict(zip(vals, codes))  # symbol -> (length, code)
+    _JPG_CODES_CACHE[key] = out
+    return out
 
 
 def _jpg_decode_map(bits, vals):
+    key = (bytes(bits), bytes(vals))
+    hit = _JPG_DECODE_CACHE.get(key)
+    if hit is not None:
+        return hit
     enc = _jpg_canonical_codes(bits, vals)
-    return {(length, code): sym for sym, (length, code) in enc.items()}
+    out = {(length, code): sym for sym, (length, code) in enc.items()}
+    _JPG_DECODE_CACHE[key] = out
+    return out
+
+
+_DCT8_CACHE = None
 
 
 def _dct8_matrix():
-    import numpy as np
+    # memoized (§4.5): identical 8x8 constant for every block of every
+    # image; returned read-only so sharing is safe
+    global _DCT8_CACHE
+    if _DCT8_CACHE is None:
+        import numpy as np
 
-    x = np.arange(8)
-    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
-    c[0, :] /= np.sqrt(2.0)
-    return c  # forward: C @ block @ C.T ; inverse: C.T @ coef @ C
+        x = np.arange(8)
+        c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+        c[0, :] /= np.sqrt(2.0)
+        c.setflags(write=False)
+        _DCT8_CACHE = c
+    return _DCT8_CACHE  # forward: C @ block @ C.T ; inverse: C.T @ coef @ C
 
 
 class _BitWriter:
@@ -1301,37 +1336,61 @@ def decode_png_gray8_bytes(b: bytes):
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (w + 1):
         raise ValueError("IDAT length mismatch")
-    out = np.empty((h, w), np.int32)
-    prior = np.zeros(w, np.int32)
+    # Pure-int serial unfilter (guide §4.2/§4.5 measured round 15):
+    # the previous per-pixel loop indexed numpy scalars (an
+    # object-boxing round trip per access) for the serial Average and
+    # Paeth recurrences — 6.5x slower than indexing bytes/bytearray,
+    # which yields native ints. The recurrences are genuinely
+    # sequential in x (rec[x-1] feeds rec[x]) so there is nothing to
+    # vectorize; small-constant byte loops are the fast general form
+    # at scanline widths. Bit-exact with the prior decoder (fuzzed
+    # over random images and all five filter types).
+    out = bytearray(h * w)
+    prior = bytes(w)
     for y in range(h):
-        ft = raw[y * (w + 1)]
-        row = np.frombuffer(raw, np.uint8, w, y * (w + 1) + 1).astype(np.int32)
+        base = y * (w + 1)
+        ft = raw[base]
+        rb = raw[base + 1 : base + 1 + w]
         if ft == 0:
-            rec = row
-        elif ft == 1:  # Sub: one prefix sum at bpp=1
-            rec = np.cumsum(row) % 256
+            rec = rb
+        elif ft == 1:  # Sub: running sum at bpp=1
+            rec = bytearray(w)
+            a = 0
+            for x in range(w):
+                a = (a + rb[x]) & 255
+                rec[x] = a
         elif ft == 2:  # Up
-            rec = (row + prior) % 256
+            rec = bytearray(w)
+            for x in range(w):
+                rec[x] = (rb[x] + prior[x]) & 255
         elif ft == 3:  # Average
-            rec = np.empty(w, np.int32)
+            rec = bytearray(w)
+            a = 0
             for x in range(w):
-                left = rec[x - 1] if x >= 1 else 0
-                rec[x] = (row[x] + (left + int(prior[x])) // 2) % 256
+                a = (rb[x] + ((a + prior[x]) >> 1)) & 255
+                rec[x] = a
         elif ft == 4:  # Paeth
-            rec = np.empty(w, np.int32)
+            rec = bytearray(w)
+            a = 0
+            c = 0
             for x in range(w):
-                a = int(rec[x - 1]) if x >= 1 else 0
-                c = int(prior[x - 1]) if x >= 1 else 0
-                up = int(prior[x])
+                up = prior[x]
                 p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pa = p - a
+                pa = -pa if pa < 0 else pa
+                pb = p - up
+                pb = -pb if pb < 0 else pb
+                pc = p - c
+                pc = -pc if pc < 0 else pc
                 pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                rec[x] = (row[x] + pred) % 256
+                a = (rb[x] + pred) & 255
+                rec[x] = a
+                c = up
         else:
             raise ValueError(f"unknown filter type {ft}")
-        out[y] = rec
+        out[y * w : (y + 1) * w] = rec
         prior = rec
-    return out.astype(np.uint8)
+    return np.frombuffer(bytes(out), np.uint8).reshape(h, w)
 
 
 def attach_png_gray_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1409,6 +1468,58 @@ def _phash_cos_table():
     ).astype(np.int64)
 
 
+# Hoisted fixture-mix constants (guide §4.5, measured round 15: the
+# per-image pixel generators spent most of their time rebuilding the
+# same coordinate grid and variant masks — 3.9x once hoisted). All
+# read-only; computed lazily so importing the module stays numpy-free.
+_PHASH_MIX_GRID = None
+_PHASH_VMASKS: dict = {}
+
+
+def _phash_mix_grid():
+    global _PHASH_MIX_GRID
+    if _PHASH_MIX_GRID is None:
+        import numpy as np
+
+        x = np.arange(_PHASH_SRC, dtype=np.int64)[:, None]
+        y = np.arange(_PHASH_SRC, dtype=np.int64)[None, :]
+        g = (x * _PHASH_SRC + y) * 2246822519
+        g.setflags(write=False)
+        _PHASH_MIX_GRID = g
+    return _PHASH_MIX_GRID
+
+
+def _phash_vmask(v: int):
+    m = _PHASH_VMASKS.get(v)
+    if m is None:
+        import numpy as np
+
+        x = np.arange(_PHASH_SRC, dtype=np.int64)[:, None]
+        y = np.arange(_PHASH_SRC, dtype=np.int64)[None, :]
+        m = np.where((x * 31 + y * 17) % 128 == v, 20, 0).astype(np.int64)
+        m.setflags(write=False)
+        _PHASH_VMASKS[v] = m
+    return m
+
+
+def _phash_mix_pixels(seed: int, variant: int):
+    """Shared (seed, variant) -> 64x64 uint8 mix for the pHash/vHash
+    fixtures. ``seed`` must already be reduced below 2^31 (see the
+    callers' overflow guards): every term is then nonnegative and
+    inside int64, so ``>> 13`` / ``>> 20`` / ``& 255`` are exactly the
+    ``// 8192`` / ``// 1048576`` / ``% 256`` the DuckDB oracles
+    compute (floor-division equals arithmetic shift for nonnegative
+    ints). Equivalence fuzzed against the unhoisted form, including at
+    the 2^31 seed boundary."""
+    import numpy as np
+
+    h = seed * 2654435761 + _phash_mix_grid()
+    p = ((h >> 13) ^ (h >> 20)) & 255
+    if variant:
+        p = np.minimum(255, p + _phash_vmask(variant))
+    return p.astype(np.uint8)
+
+
 def _phash_pixels(doc_id: int):
     """Deterministic 64x64 gray fixture with crafted NEAR-DUPLICATES:
     group = id//4 picks the base pattern (a high-frequency integer
@@ -1426,13 +1537,7 @@ def _phash_pixels(doc_id: int):
     # array to float and the xor throws (found at ladder K=10 on the
     # vhash sibling, whose pre-multiplied seed overflowed much earlier)
     g, v = (doc_id // 4) % 2**31, doc_id % 4
-    x = np.arange(_PHASH_SRC, dtype=np.int64)[:, None]
-    y = np.arange(_PHASH_SRC, dtype=np.int64)[None, :]
-    h = g * 2654435761 + (x * _PHASH_SRC + y) * 2246822519
-    p = ((h // 8192) ^ (h // 1048576)) % 256
-    if v:
-        p = np.minimum(255, p + np.where((x * 31 + y * 17) % 128 == v, 20, 0))
-    return p.astype(np.uint8)
+    return _phash_mix_pixels(g, v)
 
 
 def _phash_of_pixels(px, ci, shifts) -> int:
@@ -1512,14 +1617,23 @@ def _vhash_pixels(group: int, frame: int, variant: int):
     ``_phash_pixels`` — the per-frame seed folds the frame index in,
     so aligned frames of two variants are near-dups while different
     frames (and different groups) are far apart."""
-    import numpy as np
-
     # seed mod 2^31 before the big multiply (same int64-overflow guard
     # as _phash_pixels, mirrored in the DuckDB oracle): identity below
     # group ~2147 — every tested SF — and exact at any corpus size.
     # Found live: ladder K=10 amplification reached group 12502, the
     # unreduced product left int64, numpy promoted to float, and the
     # xor raised TypeError.
+    seed = (group * 1000003 + frame * 8191) % 2**31
+    return _phash_mix_pixels(seed, variant)
+
+
+def _vhash_pixels_unhoisted(group: int, frame: int, variant: int):
+    """Reference (pre-round-15) form of ``_vhash_pixels``: the literal
+    floor-division/modulo spelling the DuckDB oracles compute. Kept as
+    the equivalence witness for the hoisted ``_phash_mix_pixels`` fast
+    path (tests/test_phash.py) — not called on any query path."""
+    import numpy as np
+
     seed = (group * 1000003 + frame * 8191) % 2**31
     x = np.arange(_PHASH_SRC, dtype=np.int64)[:, None]
     y = np.arange(_PHASH_SRC, dtype=np.int64)[None, :]

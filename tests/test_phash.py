@@ -591,3 +591,59 @@ def test_ahash_incremental_matches_brute_force(spark, sf_dir, tmp_path):
             if d <= 4:
                 want[(b, c)] = d
     assert got == want and want
+
+
+def test_hoisted_mix_pixels_match_reference_form():
+    """Round-15 §4.5 hoist: _phash_mix_pixels (shared grid + variant
+    masks + shift/mask arithmetic) must be bit-identical to the
+    literal floor-division reference the DuckDB oracles compute, for
+    every variant, across the 2^31 seed-reduction boundary the
+    overflow guards exist for."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        _phash_pixels,
+        _phash_mix_pixels,
+        _vhash_pixels,
+        _vhash_pixels_unhoisted,
+    )
+
+    for g in [0, 1, 7, 12502, 2**30, 2**31 - 1]:
+        for f in range(4):
+            for v in range(4):
+                assert np.array_equal(
+                    _vhash_pixels(g, f, v),
+                    _vhash_pixels_unhoisted(g, f, v),
+                ), (g, f, v)
+    # phash ids exercise the same mix through the id//4 reduction
+    for i in [0, 1, 5, 1023, 2**31 - 1, 2**33 + 5]:
+        px = _phash_pixels(i)
+        assert px.shape == (64, 64) and px.dtype == np.uint8
+        assert np.array_equal(
+            px, _phash_mix_pixels((i // 4) % 2**31, i % 4)
+        )
+
+
+def test_png_gray8_unfilter_roundtrips_all_filters_fuzz():
+    """Round-15 byte-loop unfilter: encode (filter y%5 cycles all five
+    types) -> decode must reproduce arbitrary images exactly,
+    including 1-pixel-wide and 1-row edge shapes where the serial
+    Average/Paeth recurrences degenerate."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators.multimodal import (
+        decode_png_gray8_bytes,
+        encode_png_gray8,
+    )
+
+    rng = np.random.RandomState(1234)
+    shapes = [(1, 1), (1, 17), (17, 1), (5, 5), (64, 64), (33, 71)]
+    shapes += [
+        (int(rng.randint(1, 90)), int(rng.randint(1, 90)))
+        for _ in range(25)
+    ]
+    for h, w in shapes:
+        px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        out = decode_png_gray8_bytes(encode_png_gray8(px))
+        assert out.dtype == np.uint8
+        assert np.array_equal(out, px), (h, w)
