@@ -153,8 +153,10 @@ class ShardRange(InputPartition):
 def _dbg(msg: str) -> None:
     p = os.environ.get("KINESIS_EMU_DEBUG_LOG")
     if p:
+        import time
+
         with open(p, "a") as f:
-            f.write(msg + "\n")
+            f.write(f"{time.time():.3f} {msg}\n")
 
 
 class KinesisEmuStreamReader(DataSourceStreamReader):
