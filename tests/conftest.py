@@ -1,9 +1,22 @@
+import os
 import sys
 from pathlib import Path
 
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Test-session sizing (round 15): the tests are correctness gates over
+# sf0.001-scale fixtures, where 32-way task scheduling is pure
+# overhead — measured 1.9x wall-clock vs 8 cores on the property
+# suite. Pin the TEST session to 8 cores / 8 shuffle partitions
+# (AKT_TEST_CPUS / AKT_TEST_SHUFFLE_PARTITIONS override). This is
+# process-local: the bench never imports this file, so its
+# SPARK_GRAFT_CPUS core-count contract is untouched.
+os.environ["SPARK_GRAFT_CPUS"] = os.environ.get("AKT_TEST_CPUS", "8")
+os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = os.environ.get(
+    "AKT_TEST_SHUFFLE_PARTITIONS", "8"
+)
 
 from arc_kinesis_tagging_spark.session import get_session
 

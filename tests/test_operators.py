@@ -351,10 +351,8 @@ def test_jaccard_prefix_equals_plain_fuzz(spark):
     # rounds it UP past t and silently shortens the prefix below the
     # completeness bound (the r12 advice finding) — the floor-at-12dp
     # conversion must keep A={a,b,c} vs B={b,c} (J=2/3) in the set.
-    for docs, (t, n) in itertools.product(
-        corpora,
-        [(0.5, 1), (0.6, 1), (2.0 / 3.0, 1), (0.75, 3), (0.8, 2), (1.0, 1)],
-    ):
+    def check(case):
+        docs, (t, n) = case
         df = spark.createDataFrame(docs, "doc_id long, text string")
         plain = sorted(
             (r[0], r[1], round(r[2], 9))
@@ -366,7 +364,19 @@ def test_jaccard_prefix_equals_plain_fuzz(spark):
                 df, "text", "doc_id", t, n
             ).collect()
         )
-        assert plain == pref, (t, n, docs, plain, pref)
+        return t, n, docs, plain, pref
+
+    cases = list(itertools.product(
+        corpora,
+        [(0.5, 1), (0.6, 1), (2.0 / 3.0, 1), (0.75, 3), (0.8, 2), (1.0, 1)],
+    ))
+    # the 42 tiny case-jobs are independent — overlap them (guide
+    # §2.6) instead of paying 42 sequential job latencies
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for t, n, docs, plain, pref in pool.map(check, cases):
+            assert plain == pref, (t, n, docs, plain, pref)
 
 
 def test_containment_prefix_equals_bruteforce_fuzz(spark):
@@ -427,9 +437,8 @@ def test_containment_prefix_equals_bruteforce_fuzz(spark):
         (3, "w0 w0 w0"), (4, "w0"),
         (5, "w2 w3 w4"), (6, "w2 w3 w4 w5"),
     ])
-    for docs, (t, n) in itertools.product(
-        corpora, [(0.5, 1), (2.0 / 3.0, 1), (0.8, 1), (1.0, 1), (0.8, 3)]
-    ):
+    def check(case):
+        docs, (t, n) = case
         df = spark.createDataFrame(docs, "doc_id long, text string")
         got = sorted(
             (r[0], r[1], round(r[2], 9))
@@ -437,7 +446,17 @@ def test_containment_prefix_equals_bruteforce_fuzz(spark):
                 df, "text", "doc_id", t, n
             ).collect()
         )
-        assert got == brute(docs, t, n), (t, n, docs, got)
+        return docs, t, n, got
+
+    cases = list(itertools.product(
+        corpora, [(0.5, 1), (2.0 / 3.0, 1), (0.8, 1), (1.0, 1), (0.8, 3)]
+    ))
+    # independent tiny case-jobs — overlap them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for docs, t, n, got in pool.map(check, cases):
+            assert got == brute(docs, t, n), (t, n, docs, got)
 
 
 def test_ppjoin_knob_off_is_identity(spark, monkeypatch):

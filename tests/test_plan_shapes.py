@@ -242,6 +242,20 @@ _EAGER_BUILDERS = {
 }
 
 
+@pytest.fixture(scope="module")
+def registry_dfs(spark):
+    """name -> built DataFrame for every non-eager registry query,
+    built ONCE and shared by the four registry-sweep gates below.
+    Each builder may run eager pin jobs at build time, so rebuilding
+    all ~200 once per sweep was 4x this module's wall-clock (round
+    15); the plan walks themselves are cheap."""
+    return {
+        name: q.builder(spark, SF)
+        for name, q in QUERIES.items()
+        if name not in _EAGER_BUILDERS
+    }
+
+
 def _unpartitioned_windows(df):
     def walk(n):
         yield n
@@ -256,12 +270,10 @@ def _unpartitioned_windows(df):
     ]
 
 
-def test_global_window_allowlist(spark):
+def test_global_window_allowlist(spark, registry_dfs):
     offenders = {}
-    for name, q in QUERIES.items():
-        if name in _EAGER_BUILDERS:
-            continue
-        n = len(_unpartitioned_windows(q.builder(spark, SF)))
+    for name, df in registry_dfs.items():
+        n = len(_unpartitioned_windows(df))
         if n and name not in GLOBAL_WINDOW_ALLOWLIST:
             offenders[name] = n
     assert not offenders, (
@@ -329,7 +341,7 @@ PER_QUERY_WINDOW_ALLOWLIST = {
 }
 
 
-def test_no_corpus_sized_per_query_rank_window(spark):
+def test_no_corpus_sized_per_query_rank_window(spark, registry_dfs):
     """Every Window keyed only by query_id must either sit above the
     two-level local prune (a descendant Window keyed by query_id +
     SPARK_PARTITION_ID bounds its input) or be allowlisted as
@@ -341,10 +353,10 @@ def test_no_corpus_sized_per_query_rank_window(spark):
             yield from walk(ch.apply(i))
 
     offenders = {}
-    for name, q in QUERIES.items():
-        if name in _EAGER_BUILDERS or name in PER_QUERY_WINDOW_ALLOWLIST:
+    for name, df in registry_dfs.items():
+        if name in PER_QUERY_WINDOW_ALLOWLIST:
             continue
-        plan = q.builder(spark, SF)._jdf.queryExecution().optimizedPlan()
+        plan = df._jdf.queryExecution().optimizedPlan()
         for n in walk(plan):
             if n.getClass().getSimpleName() != "Window":
                 continue
@@ -384,7 +396,7 @@ HINTED_ANTI_ALLOWLIST = {
 }
 
 
-def test_no_cartesian_and_bnlj_allowlist(spark):
+def test_no_cartesian_and_bnlj_allowlist(spark, registry_dfs):
     """Registry-wide scale-killer gate: no query may plan a
     CartesianProduct, BroadcastNestedLoopJoin may appear only in the
     bounded-broadcast allowlist above, and no LeftAnti join may carry
@@ -394,10 +406,8 @@ def test_no_cartesian_and_bnlj_allowlist(spark):
     against FORCING it on an unbounded build side)."""
     offenders = {}
     hinted = {}
-    for name, q in QUERIES.items():
-        if name in _EAGER_BUILDERS:
-            continue
-        qe = q.builder(spark, SF)._jdf.queryExecution()
+    for name, df in registry_dfs.items():
+        qe = df._jdf.queryExecution()
         plan = qe.executedPlan().toString()
         nodes = [n for n in ("CartesianProduct", "BroadcastNestedLoopJoin")
                  if n in plan]
@@ -485,7 +495,7 @@ def _hinted_corpus_offense(node):
     )
 
 
-def test_no_corpus_scaled_broadcast_hint(spark):
+def test_no_corpus_scaled_broadcast_hint(spark, registry_dfs):
     """Registry-wide: no join of ANY type may carry an explicit
     broadcast hint whose build side derives from a corpus-scaled base
     table without a bounding aggregate/limit. AQE-chosen physical
@@ -498,10 +508,8 @@ def test_no_corpus_scaled_broadcast_hint(spark):
             yield from walk(ch.apply(i))
 
     offenders = {}
-    for name, q in QUERIES.items():
-        if name in _EAGER_BUILDERS:
-            continue
-        plan = q.builder(spark, SF)._jdf.queryExecution().optimizedPlan()
+    for name, df in registry_dfs.items():
+        plan = df._jdf.queryExecution().optimizedPlan()
         for n in walk(plan):
             if n.getClass().getSimpleName() != "Join":
                 continue
