@@ -159,6 +159,9 @@ def _dbg(msg: str) -> None:
             f.write(f"{time.time():.3f} {msg}\n")
 
 
+_dbg(f"module-import pid={os.getpid()}")
+
+
 class KinesisEmuStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.stream_dir = options["streamdir"]
@@ -375,6 +378,7 @@ class KinesisEmuStreamWriter(DataSourceStreamArrowWriter):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
+        _dbg(f"write-start pid={os.getpid()} part={pid}")
         batches = [b for b in iterator if b.num_rows]
         staging = os.path.join(self.stream_dir, ".staging")
         os.makedirs(staging, exist_ok=True)
@@ -390,6 +394,7 @@ class KinesisEmuStreamWriter(DataSourceStreamArrowWriter):
                 p = os.path.join(staging, f"stage-{uuid.uuid4().hex}.parquet")
                 pq.write_table(pa.table({"data": data}), p)
                 staged.append((sid, p, len(data)))
+        _dbg(f"write-end pid={os.getpid()} part={pid} staged={len(staged)}")
         return _StagedWrite(pid, staged)
 
     def _cleanup(self, messages) -> None:
@@ -439,6 +444,7 @@ class KinesisEmuStreamWriter(DataSourceStreamArrowWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        _dbg(f"commit-start pid={os.getpid()} batch={batchId}")
         marker_dir = os.path.join(self.stream_dir, "_committed")
         os.makedirs(marker_dir, exist_ok=True)
         marker = os.path.join(marker_dir, f"batch-{int(batchId):020d}")
@@ -531,6 +537,7 @@ class KinesisEmuStreamWriter(DataSourceStreamArrowWriter):
             _publish_chunk(d, got, int(plan["start"]))
         os.replace(intent, marker)  # the commit point; content = the ranges
         self._cleanup(messages)
+        _dbg(f"commit-end pid={os.getpid()} batch={batchId}")
 
     def abort(self, messages, batchId) -> None:  # noqa: N802
         self._cleanup(messages)
