@@ -215,6 +215,72 @@ def hashed_gram_bucket_counts(
     )
 
 
+def clf_features_arrays(df: DataFrame, text_col: str, id_col: str,
+                        n_buckets: int,
+                        extra_cols: tuple = ()) -> DataFrame:
+    """(id, *extra, bs array<long>, xs array<double>) — ONE row per
+    document: the same per-doc bucket/weight pairs ``clf_features``
+    emits as rows, packed into arrays in the identical emission order
+    (first occurrence of each bucket in the doc's gram stream), with
+    ``xs[i] = m_i / n_grams`` the identical IEEE division. Map-side,
+    zero shuffle. The array form lets a consumer compute per-doc
+    scores WITHOUT the doc-keyed aggregate the row form needs — the
+    round-15 trainer's epoch shape (one shuffle per epoch instead of
+    three). Pair-multiset equality with clf_features is pinned in
+    tests/test_quality_clf.py. Docs with no tokens yield no row (the
+    row-form twin's contract)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    extra_types = {
+        c: df.schema[c].dataType.simpleString() for c in extra_cols
+    }
+    schema = ", ".join(
+        [f"{id_col} {id_type}"]
+        + [f"{c} {extra_types[c]}" for c in extra_cols]
+        + ["bs array<long>", "xs array<double>"]
+    )
+    cols = [id_col, *extra_cols]
+    salt = CLF_SALT
+
+    def batches(it):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, exactly
+        md5 = hashlib.md5
+        for pdf in it:
+            out: dict = {c: [] for c in cols}
+            bss: list = []
+            xss: list = []
+            for vals in zip(*(pdf[c] for c in [*cols, text_col])):
+                text = vals[-1]
+                toks = [t for t in ws.split(text or "") if t]
+                if not toks:
+                    continue
+                grams = toks + [
+                    f"{a} {b}" for a, b in zip(toks, toks[1:])
+                ]
+                cnt: dict = {}
+                for g in grams:
+                    b = int(
+                        md5((salt + g).encode()).hexdigest()[:15], 16
+                    ) % n_buckets
+                    cnt[b] = cnt.get(b, 0) + 1
+                n = len(grams)
+                for c, v in zip(cols, vals):
+                    out[c].append(v)
+                bss.append(list(cnt.keys()))
+                xss.append([m / n for m in cnt.values()])
+            yield pd.DataFrame({**out, "bs": bss, "xs": xss})
+
+    from arc_kinesis_tagging_spark.operators.skew import spread_small_scan
+
+    return spread_small_scan(df.select(*cols, text_col)).mapInPandas(
+        batches, schema
+    )
+
+
 def clf_features(df: DataFrame, text_col: str, id_col: str,
                  n_buckets: int, extra_cols: tuple = ()) -> DataFrame:
     """(id, *extra, b, n_grams, x) rows: hashed-bucket counts
@@ -247,10 +313,23 @@ def train_quality_classifier(
     The driver holds only MODEL-sized state (B x C floats — the
     vocabulary-bounded collect discipline; see module docstring).
     The class list is collected once (bounded by label cardinality)
-    and sorted so class indices are deterministic."""
-    import numpy as np
+    and sorted so class indices are deterministic.
 
-    spark = df.sparkSession
+    Epoch shape (round-15): below LITERAL_WEIGHTS_MAX_BUCKETS the
+    features are pinned as per-doc ARRAYS and each epoch is ONE
+    map-side pass (scores + softmax errors as sequential folds over
+    the doc's bucket array with constant-folded literal weights) into
+    ONE bucket-keyed aggregate bounded by (B+1) x C — a single
+    shuffle per epoch where the row form needs a doc-keyed aggregate,
+    a join back, and the bucket aggregate (three exchanges). The
+    gradient terms are the same x_db * e_dc multiset; only the
+    association order of the per-doc score sums changes (the row
+    form's hash-aggregate order was already partitioning-dependent),
+    which the round_dp rounding absorbs — equality of the returned
+    model with the row form is pinned in tests/test_quality_clf.py.
+    Above the literal-weight bound the row form with its broadcast
+    weights-table join remains (_train_rowform, the round-14 shape).
+    """
     classes = sorted(
         r[0] for r in
         df.select(label_col).where(F.col(label_col).isNotNull())
@@ -259,6 +338,123 @@ def train_quality_classifier(
     C = len(classes)
     if C < 2:
         raise ValueError(f"need >=2 classes, got {classes}")
+    if n_buckets <= LITERAL_WEIGHTS_MAX_BUCKETS:
+        return _train_arrayform(
+            df, text_col, label_col, id_col, n_buckets, epochs, lr,
+            round_dp, classes,
+        )
+    return _train_rowform(
+        df, text_col, label_col, id_col, n_buckets, epochs, lr,
+        round_dp, classes,
+    )
+
+
+def _softmax_errs(s_cols: list, label_col: str, classes: list) -> list:
+    """Per-class softmax-error expressions e_c = p_c - 1[y = c] over
+    score columns, numerically stabilized — shared by both trainer
+    forms (identical expression trees)."""
+    C = len(classes)
+    m = F.greatest(*s_cols) if C > 1 else s_cols[0]
+    exps = [F.exp(s_cols[c] - m) for c in range(C)]
+    z = exps[0]
+    for e in exps[1:]:
+        z = z + e
+    return [
+        exps[c] / z
+        - (F.col(label_col) == F.lit(classes[c])).cast("double")
+        for c in range(C)
+    ]
+
+
+def _train_arrayform(
+    df, text_col, label_col, id_col, n_buckets, epochs, lr,
+    round_dp, classes,
+) -> dict:
+    """Zero-shuffle-per-epoch GD over array-packed features (see
+    train_quality_classifier docstring): each epoch is ONE map-only
+    Arrow pass — a vectorized numpy kernel computes scores, softmax
+    errors, and the per-task partial gradient matrix, and each task
+    emits one (B+1) x C partial; the driver sums the ~numPartitions
+    partials (model-bounded collect, deterministic partition order).
+    The guide-§4.2 shape: Spark distributes the pinned features, the
+    per-element math runs in numpy — an expression-tree epoch (either
+    the row form's codegen'd aggregates or array folds, both tried)
+    loses to this by the per-element evaluation overhead."""
+    import numpy as np
+
+    C = len(classes)
+    ci = {c: i for i, c in enumerate(classes)}
+    feats = clf_features_arrays(
+        df, text_col, id_col, n_buckets, extra_cols=(label_col,)
+    ).select(label_col, "bs", "xs").localCheckpoint(eager=True)
+    n_docs = feats.count()
+    W = np.zeros((n_buckets, C))
+    bias = np.zeros(C)
+    for _ in range(epochs):
+        Wc, bc = W.copy(), bias.copy()  # ship per-epoch constants
+
+        def partial_grads(it, Wc=Wc, bc=bc):
+            import numpy as _np
+            import pandas as _pd
+
+            G = _np.zeros((n_buckets + 1, C))  # last row = bias grad
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                lens = _np.fromiter(
+                    (len(b) for b in pdf["bs"]), dtype=_np.int64,
+                    count=len(pdf),
+                )
+                allb = _np.concatenate(list(pdf["bs"])).astype(_np.int64)
+                allx = _np.concatenate(list(pdf["xs"]))
+                di = _np.repeat(_np.arange(len(pdf)), lens)
+                # scores s_dc = sum_b x_db W[b, c] + bias_c
+                S = _np.zeros((len(pdf), C))
+                _np.add.at(S, di, allx[:, None] * Wc[allb])
+                S += bc
+                # stabilized softmax errors e_dc = p_dc - 1[y_d = c]
+                S -= S.max(axis=1, keepdims=True)
+                E = _np.exp(S)
+                E /= E.sum(axis=1, keepdims=True)
+                ys = _np.fromiter(
+                    (ci.get(y, -1) for y in pdf[label_col]),
+                    dtype=_np.int64, count=len(pdf),
+                )
+                hit = ys >= 0
+                E[_np.nonzero(hit)[0], ys[hit]] -= 1.0
+                # partial gradient: g_bc += x_db * e_dc, bias row
+                # collects e_dc (the row form's b=-1 pseudo-bucket)
+                _np.add.at(G, allb, allx[:, None] * E[di])
+                G[n_buckets] += E.sum(axis=0)
+            yield _pd.DataFrame({"g": [G.ravel().tolist()]})
+
+        parts = feats.mapInPandas(
+            partial_grads, "g array<double>"
+        ).collect()
+        G = np.zeros((n_buckets + 1, C))
+        for r in parts:  # deterministic partition order
+            G += np.asarray(r["g"]).reshape(n_buckets + 1, C)
+        W -= (lr / n_docs) * G[:n_buckets]
+        bias -= (lr / n_docs) * G[n_buckets]
+    return {
+        "classes": classes,
+        "W": np.round(W, round_dp).tolist(),
+        "bias": np.round(bias, round_dp).tolist(),
+        "n_buckets": n_buckets,
+    }
+
+
+def _train_rowform(
+    df, text_col, label_col, id_col, n_buckets, epochs, lr,
+    round_dp, classes,
+) -> dict:
+    """Row-form GD loop (the round-14 shape) — the path for bucket
+    counts above the literal-weight bound, where weights ride as a
+    broadcast table join keyed on the exploded bucket rows."""
+    import numpy as np
+
+    spark = df.sparkSession
+    C = len(classes)
     feats = clf_features(
         df, text_col, id_col, n_buckets, extra_cols=(label_col,)
     ).localCheckpoint(eager=True)  # reused by every epoch

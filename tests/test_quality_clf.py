@@ -224,3 +224,65 @@ def test_large_bucket_join_fallback_matches_literal(spark, monkeypatch):
     join_model, join_preds = run()
     assert join_model == lit_model
     assert join_preds == lit_preds
+
+
+def test_clf_features_arrays_match_row_form(spark):
+    """clf_features_arrays (round-15: per-doc array packing feeding
+    the zero-shuffle-epoch trainer) must carry exactly the row form's
+    (id, label, b, x) pairs — same buckets, same IEEE x values, same
+    per-doc emission order collapsed to a multiset — across the same
+    adversarial corpus as the row-form equivalence test."""
+    from pyspark.sql import functions as F
+
+    from arc_kinesis_tagging_spark.operators.quality_clf import (
+        clf_features_arrays,
+    )
+
+    rows = _rows() + [
+        (900001, "hq", "a\tb\nc d\x0b e\f f\r g"),
+        (900002, "lq", "nb sp one token; zh　ideographic too"),
+        (900003, "hq", ""),
+        (900004, "lq", None),
+        (900005, "hq", "solo"),
+        (900006, "lq", "rep rep rep rep"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, label string, text string")
+    B = 32
+    arr = clf_features_arrays(df, "text", "doc_id", B, extra_cols=("label",))
+    unpacked = arr.select(
+        "doc_id", "label",
+        F.explode(
+            F.zip_with(
+                "bs", "xs",
+                lambda b, x: F.struct(b.alias("b"), x.alias("x")),
+            )
+        ).alias("f"),
+    ).select("doc_id", "label", "f.b", "f.x")
+    rowform = clf_features(
+        df, "text", "doc_id", B, extra_cols=("label",)
+    ).select("doc_id", "label", "b", "x")
+    assert unpacked.exceptAll(rowform).count() == 0
+    assert rowform.exceptAll(unpacked).count() == 0
+    assert arr.count() > 0
+
+
+def test_arrayform_trainer_matches_rowform(spark):
+    """The round-15 numpy-epoch trainer (_train_arrayform: one
+    map-only Arrow pass per epoch, driver-summed partial gradients)
+    must return the IDENTICAL rounded model as the row-form GD loop
+    on the docs fixture — the bit-level guarantee the bench query
+    relies on (verified IDENTICAL at sf0.001/0.01/0.1 during the
+    round; this pins the small-SF case in-tree)."""
+    import arc_kinesis_tagging_spark.operators.quality_clf as qc
+
+    df = spark.createDataFrame(
+        _rows(), "doc_id long, label string, text string"
+    )
+    classes = sorted(
+        r[0] for r in df.select("label").distinct().collect()
+    )
+    m_arr = qc._train_arrayform(
+        df, "text", "label", "doc_id", 64, 3, 0.5, 6, classes)
+    m_row = qc._train_rowform(
+        df, "text", "label", "doc_id", 64, 3, 0.5, 6, classes)
+    assert m_arr == m_row
