@@ -410,39 +410,10 @@ def decode_png_rgb8_bytes(b: bytes):
     stride = w * 3
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length mismatch")
-    out = np.empty((h, stride), np.int32)
-    prior = np.zeros(stride, np.int32)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        row = np.frombuffer(
-            raw, np.uint8, stride, y * (stride + 1) + 1
-        ).astype(np.int32)
-        if ft == 0:
-            rec = row
-        elif ft == 1:  # Sub: per-channel prefix sum mod 256
-            rec = (np.cumsum(row.reshape(-1, 3), axis=0).reshape(-1)) % 256
-        elif ft == 2:  # Up
-            rec = (row + prior) % 256
-        elif ft == 3:  # Average
-            rec = np.empty(stride, np.int32)
-            for x in range(stride):
-                left = rec[x - 3] if x >= 3 else 0
-                rec[x] = (row[x] + (left + int(prior[x])) // 2) % 256
-        elif ft == 4:  # Paeth
-            rec = np.empty(stride, np.int32)
-            for x in range(stride):
-                a = int(rec[x - 3]) if x >= 3 else 0
-                c = int(prior[x - 3]) if x >= 3 else 0
-                up = int(prior[x])
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                rec[x] = (row[x] + pred) % 256
-        else:
-            raise ValueError(f"unknown filter type {ft}")
-        out[y] = rec
-        prior = rec
-    return out.reshape(h, w, 3).astype(np.uint8)
+    # shared byte-loop unfilter (round 15; was an inline numpy-scalar
+    # copy of the same five branches)
+    rows, _used = _png_unfilter_rows(raw, 0, h, stride, 3)
+    return rows.reshape(h, w, 3).astype(np.uint8)
 
 
 def _png_pixels(i: int):
@@ -2248,36 +2219,9 @@ def decode_png_palette8_bytes(b: bytes):
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (w + 1):
         raise ValueError("IDAT length mismatch")
-    out = np.empty((h, w), np.int32)
-    prior = np.zeros(w, np.int32)
-    for y in range(h):
-        ft = raw[y * (w + 1)]
-        row = np.frombuffer(raw, np.uint8, w, y * (w + 1) + 1).astype(np.int32)
-        if ft == 0:
-            rec = row
-        elif ft == 1:  # Sub: one prefix sum at bpp=1
-            rec = np.cumsum(row) % 256
-        elif ft == 2:  # Up
-            rec = (row + prior) % 256
-        elif ft == 3:  # Average
-            rec = np.empty(w, np.int32)
-            for x in range(w):
-                left = rec[x - 1] if x >= 1 else 0
-                rec[x] = (row[x] + (left + int(prior[x])) // 2) % 256
-        elif ft == 4:  # Paeth
-            rec = np.empty(w, np.int32)
-            for x in range(w):
-                a = int(rec[x - 1]) if x >= 1 else 0
-                c = int(prior[x - 1]) if x >= 1 else 0
-                up = int(prior[x])
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                rec[x] = (row[x] + pred) % 256
-        else:
-            raise ValueError(f"unknown filter type {ft}")
-        out[y] = rec
-        prior = rec
+    # shared byte-loop unfilter (round 15; was an inline numpy-scalar
+    # copy of the same five branches)
+    out, _used = _png_unfilter_rows(raw, 0, h, w, 1)
     if int(out.max()) >= len(palette):
         raise ValueError("palette index out of range")
     return palette[out]
@@ -2459,38 +2403,9 @@ def decode_png_gray16_bytes(b: bytes):
     stride = w * 2
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length mismatch")
-    out = np.empty((h, stride), np.int32)
-    prior = np.zeros(stride, np.int32)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        row = np.frombuffer(
-            raw, np.uint8, stride, y * (stride + 1) + 1
-        ).astype(np.int32)
-        if ft == 0:
-            rec = row
-        elif ft == 1:  # Sub: two interleaved prefix sums (bpp=2)
-            rec = (np.cumsum(row.reshape(-1, 2), axis=0).reshape(-1)) % 256
-        elif ft == 2:  # Up
-            rec = (row + prior) % 256
-        elif ft == 3:  # Average
-            rec = np.empty(stride, np.int32)
-            for x in range(stride):
-                left = rec[x - 2] if x >= 2 else 0
-                rec[x] = (row[x] + (left + int(prior[x])) // 2) % 256
-        elif ft == 4:  # Paeth
-            rec = np.empty(stride, np.int32)
-            for x in range(stride):
-                a = int(rec[x - 2]) if x >= 2 else 0
-                c = int(prior[x - 2]) if x >= 2 else 0
-                up = int(prior[x])
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                rec[x] = (row[x] + pred) % 256
-        else:
-            raise ValueError(f"unknown filter type {ft}")
-        out[y] = rec
-        prior = rec
+    # shared byte-loop unfilter (round 15; was an inline numpy-scalar
+    # copy of the same five branches)
+    out, _used = _png_unfilter_rows(raw, 0, h, stride, 2)
     by = out.astype(np.uint8).reshape(h, w, 2).astype(np.uint32)
     return (by[:, :, 0] * 256 + by[:, :, 1]).astype(np.uint16)
 
@@ -3000,42 +2915,64 @@ def _png_filter_rows(rows, bpp: int, ft_start: int) -> bytes:
 def _png_unfilter_rows(raw: bytes, offset: int, ph: int, stride: int, bpp: int):
     """Unfilter ``ph`` scanlines of ``stride`` bytes starting at
     ``offset`` (shared five-branch logic, bpp-parameterized). Returns
-    ((ph, stride) int32 array, bytes consumed)."""
+    ((ph, stride) int32 array, bytes consumed).
+
+    Pure-int serial form (round 15, same finding as the gray8
+    decoder): the Sub/Average/Paeth recurrences are sequential in x by
+    definition, and indexing bytes/bytearray yields native ints where
+    the previous numpy-scalar indexing paid an object-boxing round
+    trip per access — ~6.5x on the byte loops. Bit-exact with the
+    prior form (encoder round-trip fuzz over all five filter types in
+    tests/test_multimodal.py)."""
     import numpy as np
 
-    out = np.empty((ph, stride), np.int32)
-    prior = np.zeros(stride, np.int32)
+    out = bytearray(ph * stride)
+    prior = bytes(stride)
     pos = offset
     for y in range(ph):
         ft = raw[pos]
-        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        rb = raw[pos + 1 : pos + 1 + stride]
         pos += 1 + stride
         if ft == 0:
-            rec = row
-        elif ft == 1:  # Sub: per-channel prefix sum mod 256
-            rec = np.cumsum(row.reshape(-1, bpp), axis=0).reshape(-1) % 256
+            rec = rb
+        elif ft == 1:  # Sub: running per-channel sum
+            rec = bytearray(rb)
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 255
         elif ft == 2:  # Up
-            rec = (row + prior) % 256
+            rec = bytearray(stride)
+            for x in range(stride):
+                rec[x] = (rb[x] + prior[x]) & 255
         elif ft == 3:  # Average
-            rec = np.empty(stride, np.int32)
+            rec = bytearray(stride)
             for x in range(stride):
                 left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (row[x] + (left + int(prior[x])) // 2) % 256
+                rec[x] = (rb[x] + ((left + prior[x]) >> 1)) & 255
         elif ft == 4:  # Paeth
-            rec = np.empty(stride, np.int32)
+            rec = bytearray(stride)
             for x in range(stride):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                c = int(prior[x - bpp]) if x >= bpp else 0
-                up = int(prior[x])
+                a = rec[x - bpp] if x >= bpp else 0
+                c = prior[x - bpp] if x >= bpp else 0
+                up = prior[x]
                 p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pa = p - a
+                pa = -pa if pa < 0 else pa
+                pb = p - up
+                pb = -pb if pb < 0 else pb
+                pc = p - c
+                pc = -pc if pc < 0 else pc
                 pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                rec[x] = (row[x] + pred) % 256
+                rec[x] = (rb[x] + pred) & 255
         else:
             raise ValueError(f"unknown filter type {ft}")
-        out[y] = rec
+        out[y * stride : (y + 1) * stride] = rec
         prior = rec
-    return out, pos - offset
+    arr = (
+        np.frombuffer(bytes(out), np.uint8)
+        .reshape(ph, stride)
+        .astype(np.int32)
+    )
+    return arr, pos - offset
 
 
 def encode_png_rgb8_adam7(px) -> bytes:

@@ -1162,3 +1162,41 @@ def test_audio_features_corrupt_isolation(spark):
     rows = audio_features(df, "media_id", "media").collect()
     assert len(rows) == 1
     assert rows[0]["media_id"] == 1 and rows[0]["sum_sq"] is None
+
+
+def test_png_unfilter_byteloop_roundtrips_all_formats_fuzz():
+    """Round-15 shared byte-loop unfilter (_png_unfilter_rows, bpp
+    1/2/3): every PNG decoder must reproduce arbitrary images exactly
+    through its encoder (which cycles all five filter types by row),
+    including 1-pixel-wide and 1-row edge shapes where the serial
+    Sub/Average/Paeth recurrences degenerate."""
+    import numpy as np
+
+    from arc_kinesis_tagging_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(20250815)
+    shapes = [(1, 1), (1, 9), (9, 1), (7, 5), (64, 64)]
+    shapes += [
+        (int(rng.randint(1, 70)), int(rng.randint(1, 70)))
+        for _ in range(12)
+    ]
+    for h, w in shapes:
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(
+            mm.decode_png_rgb8_bytes(mm.encode_png_rgb8(px)), px
+        ), ("rgb8", h, w)
+        assert np.array_equal(
+            mm.decode_png_rgb8_adam7_bytes(mm.encode_png_rgb8_adam7(px)),
+            px,
+        ), ("adam7", h, w)
+        g16 = rng.randint(0, 65536, (h, w)).astype(np.uint16)
+        assert np.array_equal(
+            mm.decode_png_gray16_bytes(mm.encode_png_gray16(g16)), g16
+        ), ("gray16", h, w)
+        n = int(rng.randint(1, 256))
+        pal = rng.randint(0, 256, (n, 3)).astype(np.uint8)
+        idx = rng.randint(0, n, (h, w)).astype(np.uint8)
+        assert np.array_equal(
+            mm.decode_png_palette8_bytes(mm.encode_png_palette8(idx, pal)),
+            pal[idx],
+        ), ("palette", h, w)
