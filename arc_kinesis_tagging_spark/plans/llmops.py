@@ -2881,12 +2881,6 @@ def q_text_winnowing(spark, sf_dir):
         (lambda g: F.xxhash64(g)) if use_xx else (lambda g: stable_hash64(g))
     )
     d = _t(spark, sf_dir, "documents")
-    text = F.col("text")
-    n = F.length(text)
-    ng = F.greatest(n - F.lit(k - 1), F.lit(0))
-    gram_idx = F.when(ng >= 1, F.sequence(F.lit(1), ng)).otherwise(
-        F.array().cast("array<int>")
-    )
     # One narrow (doc_id, text) round-robin shuffle BEFORE the
     # CPU-bound gram hashing: a plain map-only plan inherits the
     # scan's input splits, and a small/compacted corpus (one parquet
@@ -2897,7 +2891,82 @@ def q_text_winnowing(spark, sf_dir):
     spread = d.select("doc_id", "text").repartition(
         spark.sparkContext.defaultParallelism
     )
+    # AKT_WINNOW_IMPL=expr forces the expression form with the md5
+    # hash — the equivalence-test witness and a pure-Catalyst fallback
+    if not use_xx and _os.environ.get("AKT_WINNOW_IMPL", "kernel") != "expr":
+        # Batch-native kernel (round 15, the r14 shingle-kernel
+        # finding applied here): the per-gram md5+hex+conv chain and
+        # the w-step argmin fold both evaluate INTERPRETED inside the
+        # nested HOFs (CodegenFallback) — per-gram Python hashlib plus
+        # a vectorized numpy sliding rightmost-argmin computes the
+        # identical integers ~3x faster. The gram hash is the same
+        # int(md5(utf8)[:15hex], 16); positions enter the output only
+        # through pair-distinctness, which the 0-based numpy indexing
+        # preserves. The expression form remains below under the
+        # AKT_WINNOW_HASH knob and is the equivalence witness
+        # (tests/test_winnowing.py pins kernel == expression).
+        def _winnow(it):
+            from hashlib import md5 as _md5
+
+            import numpy as np
+            import pandas as pd
+
+            win = np.lib.stride_tricks.sliding_window_view
+            for pdf in it:
+                ids, ngs, nfs, xrs = [], [], [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    ng = max(len(text) - (k - 1), 0) if text is not None else 0
+                    n_fps = 0
+                    xr = 0
+                    if ng >= w:
+                        hs = np.fromiter(
+                            (
+                                int(
+                                    _md5(
+                                        text[i : i + k].encode()
+                                    ).hexdigest()[:15],
+                                    16,
+                                )
+                                for i in range(ng)
+                            ),
+                            dtype=np.int64,
+                            count=ng,
+                        )
+                        sw = win(hs, w)
+                        nw = ng - (w - 1)
+                        # rightmost argmin: first min of the reversed
+                        # window == the paper's robust-winnowing tie rule
+                        am = sw[:, ::-1].argmin(axis=1)
+                        off = (w - 1) - am
+                        p = np.arange(nw) + off
+                        hsel = sw[np.arange(nw), off]
+                        pairs = set(zip(p.tolist(), hsel.tolist()))
+                        n_fps = len(pairs)
+                        for _, hv in pairs:
+                            xr ^= int(hv)
+                    ids.append(doc_id)
+                    ngs.append(ng)
+                    nfs.append(n_fps)
+                    xrs.append(xr)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "n_grams": pd.Series(ngs, dtype="int64"),
+                        "n_fps": pd.Series(nfs, dtype="int64"),
+                        "fp_xor": pd.Series(xrs, dtype="int64"),
+                    }
+                )
+
+        return spread.mapInPandas(
+            _winnow,
+            "doc_id long, n_grams long, n_fps long, fp_xor long",
+        )
     text = F.col("text")
+    n = F.length(text)
+    ng = F.greatest(n - F.lit(k - 1), F.lit(0))
+    gram_idx = F.when(ng >= 1, F.sequence(F.lit(1), ng)).otherwise(
+        F.array().cast("array<int>")
+    )
     with_h = spread.select(
         "doc_id",
         ng.cast("long").alias("n_grams"),

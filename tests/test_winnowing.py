@@ -140,3 +140,35 @@ def test_winnowing_xxhash_flag_structure(spark, monkeypatch):
     assert 1 <= r1[0]["n_fps"] <= n_wins
     assert r1[1]["n_fps"] == 5 and rmd[1]["n_fps"] == 5  # tie rule, hash-agnostic
     assert r1[2]["n_fps"] == 0
+
+
+def test_winnowing_kernel_matches_expression_form(spark, monkeypatch):
+    """Round-15 batch-native kernel (default path) must produce the
+    IDENTICAL rows as the pure-Catalyst expression form it replaced
+    (AKT_WINNOW_IMPL=expr, kept as the witness): same md5 gram
+    hashes, same rightmost-min tie rule, same distinct-pair count and
+    xor — over edge shapes (empty, sub-k, sub-window, all-ties,
+    multibyte) and the fixture corpus."""
+    import os
+    import tempfile
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "aaaaaaaaaaaa"),       # all-tie hashes: rightmost rule
+        (2, "short"),              # exactly k chars: 1 gram, no window
+        (3, "tiny"),               # < k chars: 0 grams
+        (4, ""),                   # empty
+        (5, "abcdefgh"),           # exactly k+w-1: one window
+        (6, "naïve café ütf-8 ラーメン text"),  # multibyte chars
+        (7, "ab ab ab ab ab ab"),  # periodic ties
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    kern = sorted(map(tuple, q_text_winnowing(spark, d).collect()))
+    monkeypatch.setenv("AKT_WINNOW_IMPL", "expr")
+    expr = sorted(map(tuple, q_text_winnowing(spark, d).collect()))
+    assert kern == expr
+    assert len(kern) == len(docs)
