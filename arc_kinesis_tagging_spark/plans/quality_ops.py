@@ -2128,14 +2128,8 @@ def q_ngram_lm_score(spark, sf_dir):
     ).groupBy("doc_id", "ta", "tb").agg(
         F.count(F.lit(1)).alias("m")
     ).localCheckpoint(eager=False)
-    # na chains off nab, not bgc (round-15): na(ta) = sum_tb nab(ta,tb)
-    # — exact integer identity — so the (ta) aggregate shuffles the
-    # MODEL-sized distinct-bigram table instead of the per-doc-distinct
-    # bgc. nab is NOT pinned: its input bgc is, so the repeated subtree
-    # is one pinned-scan + partial agg — cheaper than materializing a
-    # second pin (measured: pinning nab doubled the query).
     nab = bgc.groupBy("ta", "tb").agg(F.sum("m").alias("nab"))
-    na = nab.groupBy("ta").agg(F.sum("nab").alias("na"))
+    na = bgc.groupBy("ta").agg(F.sum("m").alias("na"))
     vocab = sp.select(F.explode(ts).alias("t")).agg(
         F.countDistinct("t").alias("vsize")
     )
@@ -2249,9 +2243,6 @@ def q_ngram_lm_pruned(spark, sf_dir):
     ).groupBy("doc_id", "ta", "tb").agg(
         F.count(F.lit(1)).alias("m")
     ).localCheckpoint(eager=False)
-    # nab feeds the top-V prune AND the na derivation (same
-    # exact-identity chaining as q_ngram_lm_score, round-15; unpinned —
-    # bgc below it is the pin)
     nab = bgc.groupBy("ta", "tb").agg(F.sum("m").alias("nab"))
     # top-V prune: \x01 sorts below every token character, so the
     # composite key's string order equals the (ta, tb) pair order —
@@ -2266,7 +2257,7 @@ def q_ngram_lm_pruned(spark, sf_dir):
         )
         .select("ta", "tb", F.col("nab").alias("nab_kept"))
     )
-    na = nab.groupBy("ta").agg(F.sum("nab").alias("na"))
+    na = bgc.groupBy("ta").agg(F.sum("m").alias("na"))
     vocab = sp.select(F.explode(ts).alias("t")).agg(
         F.countDistinct("t").alias("vsize")
     )
