@@ -963,7 +963,7 @@ def test_gif_lzw_roundtrip_growth_and_reset():
         seq = np.asarray(seq, np.int64)
         comp = _gif_lzw_compress(seq, mcs)
         back = _gif_lzw_decompress(comp, mcs, len(seq))
-        assert list(seq) == back, (mcs, len(seq))
+        assert list(seq) == list(back), (mcs, len(seq))
     # truncated stream and wrong expected length are stream errors
     comp = _gif_lzw_compress(np.arange(100) % 4, 2)
     for bad in (comp[: len(comp) // 2], comp[:1]):
