@@ -571,6 +571,38 @@ def _jpg_decode_map(bits, vals):
     return out
 
 
+_JPG_HUFF_CACHE: dict = {}
+
+
+class _JpgHuff:
+    """Decode table for _BitReader.huff: ``fast`` resolves every code
+    of length <= 8 from the stream's next 8 bits in one list index
+    (256 entries of (symbol, length) or None), ``map`` is the full
+    (length, code) -> symbol walk for the 9..16-bit tail. Memoized on
+    the table bytes like the maps (guide §4.5)."""
+
+    __slots__ = ("map", "fast")
+
+    def __init__(self, dmap):
+        self.map = dmap
+        fast = [None] * 256
+        for (length, code), sym in dmap.items():
+            if length <= 8:
+                base = code << (8 - length)
+                for suffix in range(1 << (8 - length)):
+                    fast[base | suffix] = (sym, length)
+        self.fast = fast
+
+
+def _jpg_huff_table(bits, vals) -> "_JpgHuff":
+    key = (bytes(bits), bytes(vals))
+    hit = _JPG_HUFF_CACHE.get(key)
+    if hit is None:
+        hit = _JpgHuff(_jpg_decode_map(bits, vals))
+        _JPG_HUFF_CACHE[key] = hit
+    return hit
+
+
 _DCT8_CACHE = None
 
 
@@ -652,6 +684,32 @@ class _BitReader:
             raise ValueError("expected restart marker")
         self.pos = p + 2
 
+    def _prefetch(self, want: int) -> int:
+        """Fill the accumulator to >= ``want`` bits if more entropy
+        bytes exist; stops SILENTLY at segment end (marker or EOF) —
+        consumers decide whether running short is an error. Returns
+        the available bit count. (Round 15: the per-bit method-call
+        reader was >90% of baseline JPEG decode; bits()/huff() now
+        consume multi-bit windows off the accumulator.)"""
+        d = self.data
+        n = self.nbits
+        while n < want:
+            p = self.pos
+            if p >= len(d):
+                break
+            b = d[p]
+            if b == 0xFF:
+                if p + 1 < len(d) and d[p + 1] == 0x00:
+                    self.pos = p + 2  # stuffed literal 0xFF
+                else:
+                    break  # marker: entropy segment ends here
+            else:
+                self.pos = p + 1
+            self.acc = (self.acc << 8) | b
+            n += 8
+        self.nbits = n
+        return n
+
     def bit(self):
         if self.nbits == 0:
             self._fill()
@@ -659,18 +717,37 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n):
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if n == 0:
+            return 0
+        if self._prefetch(n) < n:
+            raise ValueError("truncated entropy segment")
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
-    def huff(self, table):
-        length, code = 0, 0
-        while length < 16:
-            code = (code << 1) | self.bit()
-            length += 1
-            sym = table.get((length, code))
+    def huff(self, table: "_JpgHuff"):
+        n = self._prefetch(16)
+        if n >= 16:
+            window = (self.acc >> (n - 16)) & 0xFFFF
+        elif n > 0:
+            window = (self.acc << (16 - n)) & 0xFFFF  # zero-padded tail
+        else:
+            raise ValueError("truncated entropy segment")
+        f = table.fast[window >> 8]
+        if f is not None:
+            sym, length = f
+            if length > n:
+                raise ValueError("truncated entropy segment")
+            self.nbits -= length
+            return sym
+        dmap = table.map
+        code = window >> 8
+        for length in range(9, 17):
+            code = (code << 1) | ((window >> (16 - length)) & 1)
+            sym = dmap.get((length, code))
             if sym is not None:
+                if length > n:
+                    raise ValueError("truncated entropy segment")
+                self.nbits -= length
                 return sym
         raise ValueError("invalid Huffman code")
 
@@ -994,7 +1071,7 @@ def decode_jpeg_bytes(b: bytes):
                 bits = list(payload[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(payload[i + 17 : i + 17 + n])
-                htables[(tc, th)] = _jpg_decode_map(bits, vals)
+                htables[(tc, th)] = _jpg_huff_table(bits, vals)
                 i += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             _prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
