@@ -57,22 +57,43 @@ def _narrow_over_scan(df: DataFrame) -> bool:
 
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's core count IFF the
-    input is a bare file-source scan that arrives with fewer
-    partitions — the local analog of a scan parallelism floor.
-    ``spark.sql.files.minPartitionNum`` cannot split single-row-group
-    parquet (byte-range splits beyond the row group are empty), so a
-    heavy map-side stage after such a scan runs ONE task regardless of
-    core count (measured round 14: the shingle/feature hashing and LM
-    gram explodes were serialized on one core of 32). At production
-    scan widths the condition is false and this is a no-op — the
-    condition, not a constant, is the knob. Non-scan inputs (shuffled
-    intermediates, pinned RDDs) are returned unchanged WITHOUT probing
-    ``Dataset.rdd``: the probe would materialize their upstream stages
-    at plan-construction time (round-14 advice)."""
-    if not _narrow_over_scan(df):
-        return df
+    input would otherwise reach a CPU-heavy map stage with fewer
+    partitions than cores — the local analog of a scan parallelism
+    floor. At production widths both gates below are false and this
+    is a no-op; the condition, not a constant, is the knob.
+
+    Two gates, chosen by input shape:
+
+    - bare file-source scans (narrow ops over relations): probe
+      ``Dataset.rdd.getNumPartitions()`` — pure planning there (~10 ms,
+      no job). ``spark.sql.files.minPartitionNum`` cannot split
+      single-row-group parquet, so a heavy kernel behind such a scan
+      runs ONE task regardless of core count (measured round 14).
+    - derived inputs (joins/aggregates/pins): NEVER probe
+      ``Dataset.rdd`` — under AQE that materializes every upstream
+      exchange at plan-construction time (round-14 advice). But they
+      are not safe to pass through untouched either: AQE's
+      parallelism-first coalescing floors partitions at
+      ``minPartitionSize`` (1 MB default), so a small post-shuffle
+      survivor set feeding a per-gram hashing kernel arrives with 1-4
+      partitions and the kernel serializes (measured round 15:
+      q_corpus_pipeline13's featurizer, 1.98 s -> ~3.4 s after the
+      probe gate alone). Decide from the optimized plan's STATIC size
+      estimate instead — no jobs, file-size-proportional, so at
+      100 TB the estimate is huge and the gate stays off; estimate
+      inflation (e.g. join products) errs toward no-op."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    if _narrow_over_scan(df):
+        if df.rdd.getNumPartitions() < n:
+            return df.repartition(n)
+        return df
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # non-classic Dataset / connect: leave unchanged
+        return df
+    if est < n * (1 << 20):
         return df.repartition(n)
     return df
 

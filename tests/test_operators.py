@@ -495,3 +495,40 @@ def test_ppjoin_knob_off_is_identity(spark, monkeypatch):
     off = run_all()
     assert on == off
     assert on[0] and on[1]  # non-degenerate: both emit pairs
+
+
+def test_spread_gate_derived_inputs_no_execution(spark):
+    """Round-15 spread gate for non-scan inputs: decided from the
+    optimized plan's STATIC size estimate — (a) a small join-derived
+    input gains a round-robin repartition to defaultParallelism,
+    (b) deciding must NOT execute the upstream plan (the r14 advice
+    hazard: Dataset.rdd under AQE materializes every exchange), which
+    a poisoned upstream UDF witnesses, (c) bare scans keep the probe
+    path."""
+    from pyspark.sql import functions as F
+
+    from arc_kinesis_tagging_spark.operators.skew import spread_small_scan
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("plan-time execution detected")
+
+    left = spark.range(100).select(
+        F.col("id"), boom(F.col("id")).alias("poison")
+    )
+    right = spark.range(10).withColumnRenamed("id", "rid")
+    derived = left.join(right, left.id == right.rid).select("id", "poison")
+    # (b): building the spread decision must not run the poisoned plan
+    out = spread_small_scan(derived)
+    # (a): tiny estimate -> round-robin spread to defaultParallelism
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ROUND_ROBIN" in plan or "Repartition" in plan, plan
+    # (c): a bare scan below core count still spreads via the probe
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.range(50).coalesce(1).write.mode("overwrite").parquet(d)
+    scan = spark.read.parquet(d)
+    n = spark.sparkContext.defaultParallelism
+    assert spread_small_scan(scan).rdd.getNumPartitions() == n
